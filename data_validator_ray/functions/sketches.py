@@ -1,0 +1,237 @@
+"""Mergeable sketches for distributed checks: HyperLogLog (approximate
+distinct counts for uniqueness at scale), a merging t-digest (quantile
+stats / KS drift), and a Bloom filter (approximate referential checks).
+
+All three are associative/commutative merges, so per-batch partials
+computed inside ``map_batches`` combine to the exact same sketch
+regardless of batch order or parallelism level — that is what makes
+them safe under Ray's streaming executor (SURVEY.md §2.5 T5). Pure
+numpy, no external deps; algorithms follow the published papers
+(Flajolet et al. 2007 HLL; Dunning & Ertl 2019 t-digest; Bloom 1970).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def hash64(values) -> np.ndarray:
+    """Vectorized 64-bit hash of an arbitrary array-like (nulls allowed).
+
+    Uses pandas' hash_array (SipHash-like, stable across processes for
+    a fixed hash_key) — deterministic across runs and workers.
+    """
+    ser = pd.Series(values)
+    return pd.util.hash_pandas_object(ser, index=False).to_numpy(dtype=np.uint64)
+
+
+class HyperLogLog:
+    """Dense HLL with 2**p registers (default p=14 → ~0.8% error)."""
+
+    def __init__(self, p: int = 14, registers: Optional[np.ndarray] = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        h = hashes.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rank = number of leading zeros in the (64-p)-bit suffix, + 1
+        wf = w.astype(np.float64)
+        _, exp = np.frexp(wf)  # bit length of w for w > 0
+        rank = np.where(w == 0, 64 - self.p + 1, (64 - self.p) - exp + 1).astype(
+            np.uint8
+        )
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        return HyperLogLog(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        est = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting for small cardinalities
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.p, self.registers))
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        p, regs = pickle.loads(data)
+        return cls(p, regs)
+
+
+class TDigest:
+    """Merging t-digest (k1-style size bound) for streaming quantiles.
+
+    Centroids are kept sorted by mean; :meth:`compress` re-clusters the
+    full sorted list, so merging is order-insensitive up to compression
+    ties — callers merge partials in a fixed (partition-id) order for
+    bit-level determinism (SURVEY.md §7 hard parts).
+    """
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: List[np.ndarray] = []
+        self.n = 0.0
+        self.min = np.inf
+        self.max = -np.inf
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self._buf.append(v)
+        self.n += v.size
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        if sum(b.size for b in self._buf) > 8 * self.delta:
+            self.compress()
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta * (np.arcsin(2 * q - 1) / np.pi + 0.5)
+
+    def compress(self) -> None:
+        if self._buf:
+            bufv = np.concatenate(self._buf)
+            bufw = np.ones_like(bufv)
+            means = np.concatenate([self.means, bufv])
+            weights = np.concatenate([self.weights, bufw])
+            self._buf = []
+        else:
+            means, weights = self.means, self.weights
+        if means.size == 0:
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+
+        out_means: List[float] = []
+        out_weights: List[float] = []
+        cum = 0.0
+        cur_m, cur_w = means[0], weights[0]
+        k_lo = self._k(np.array([0.0]))[0]
+        for m, w in zip(means[1:], weights[1:]):
+            q_hi = (cum + cur_w + w) / total
+            if self._k(np.array([q_hi]))[0] - k_lo <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_means.append(cur_m)
+                out_weights.append(cur_w)
+                cum += cur_w
+                k_lo = self._k(np.array([cum / total]))[0]
+                cur_m, cur_w = m, w
+        out_means.append(cur_m)
+        out_weights.append(cur_w)
+        self.means = np.array(out_means)
+        self.weights = np.array(out_weights)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.delta)
+        self.compress()
+        other.compress()
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out.n = self.n + other.n
+        out.min = min(self.min, other.min)
+        out.max = max(self.max, other.max)
+        out.compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        self.compress()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.n
+        if target <= cum[0]:
+            return float(self.min)
+        if target >= cum[-1]:
+            return float(self.max)
+        return float(np.interp(target, cum, self.means))
+
+    def cdf(self, x: np.ndarray) -> np.ndarray:
+        """Approximate CDF at points x (for KS drift)."""
+        self.compress()
+        if self.means.size == 0:
+            return np.full(len(x), np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        return np.interp(x, self.means, cum / self.n, left=0.0, right=1.0)
+
+    def to_bytes(self) -> bytes:
+        self.compress()
+        return pickle.dumps(
+            (self.delta, self.means, self.weights, self.n, self.min, self.max)
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        delta, means, weights, n, mn, mx = pickle.loads(data)
+        td = cls(delta)
+        td.means, td.weights, td.n, td.min, td.max = means, weights, n, mn, mx
+        return td
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over 64-bit hashes (double hashing)."""
+
+    def __init__(self, n_bits: int = 1 << 23, k: int = 5,
+                 bits: Optional[np.ndarray] = None):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)).astype(
+            np.int64
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        pos = self._positions(hashes).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hashes)
+        present = (self.bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return present.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        return BloomFilter(self.n_bits, self.k, np.bitwise_or(self.bits, other.bits))
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.n_bits, self.k, self.bits))
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        n_bits, k, bits = pickle.loads(data)
+        return cls(n_bits, k, bits)

@@ -1,0 +1,416 @@
+"""Built-in check kernels.
+
+Reference-parity kernels (semantics pinned to the DuckDB engine, the
+reference's canonical oracle — SURVEY.md §2.2):
+
+* ``completeness`` — failing row: column IS NULL
+  (``duckdb_engine.py:82-89``)
+* ``uniqueness``  — failed = total − COUNT(DISTINCT col); DuckDB's
+  COUNT(DISTINCT) excludes NULLs so every NULL row fails
+  (``duckdb_engine.py:91-99``); exact tier shuffles, approx tier = HLL
+* ``range``       — failing row: col < min OR col > max; NULLs never
+  fail (SQL three-valued logic, ``duckdb_engine.py:101-110``)
+* ``pattern``     — failing row: NOT regexp_matches(col, pat), search
+  (unanchored) semantics; NULLs never fail (``duckdb_engine.py:112-120``)
+* ``custom``      — DSL predicate; failed = rows where predicate TRUE
+  (DuckDB ``SELECT COUNT(*) WHERE`` convention,
+  ``duckdb_engine.py:122-128``)
+
+Net-new kernels required by the north rule: ``membership`` (fast-path
+IN-set check, e.g. lang ∈ ISO-639), ``non_empty``, ``schema``
+(declared-vs-actual type conformance), ``referential`` (FK ⊆ broadcast
+key set), ``quantile`` (t-digest), ``drift`` (KS/PSI vs baseline
+snapshot — see stages/drift.py).
+
+Every kernel's ``partial`` is a vectorized Arrow computation; no Python
+row loops anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ValidationRule
+from ..functions.expr import compile_predicate, predicate_true_mask
+from ..functions.sketches import BloomFilter, HyperLogLog, TDigest, hash64
+from .registry import CheckKernel, register_check
+
+
+def _sum_mask(mask) -> int:
+    s = pc.sum(mask)
+    return int(s.as_py() or 0)
+
+
+def _scalar_minmax(col) -> "tuple[Any, Any]":
+    mm = pc.min_max(col)
+    return mm["min"].as_py(), mm["max"].as_py()
+
+
+@register_check("completeness")
+class CompletenessKernel(CheckKernel):
+    """Failing row: column IS NULL. Null-rate column stat falls out free."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+
+    def mask_failing(self, batch: pa.Table):
+        return pc.is_null(batch[self.column])
+
+    def mask_keep(self, batch: pa.Table):
+        return pc.is_valid(batch[self.column])
+
+
+@register_check("range")
+class RangeKernel(CheckKernel):
+    """Failing row: col < min OR col > max (NULL → never fails).
+
+    Emits the column's min/max in partials — the free column stats the
+    north rule asks for. ``min_value`` / ``max_value`` accept numbers or
+    ISO timestamp strings (for ``warc_ts``-style rules).
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        params = rule.parameters
+        if "min_value" not in params or "max_value" not in params:
+            raise ValueError(
+                "Range rule requires column name and min_value/max_value parameters"
+            )
+        self.min_value = self._coerce(params["min_value"])
+        self.max_value = self._coerce(params["max_value"])
+
+    @staticmethod
+    def _coerce(v):
+        if isinstance(v, str):
+            from datetime import datetime
+
+            try:
+                return datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        return v
+
+    def mask_failing(self, batch: pa.Table):
+        col = batch[self.column]
+        bad = pc.or_(pc.less(col, self.min_value), pc.greater(col, self.max_value))
+        return pc.fill_null(bad, False)
+
+    def mask_keep(self, batch: pa.Table):
+        col = batch[self.column]
+        ok = pc.and_(
+            pc.greater_equal(col, self.min_value), pc.less_equal(col, self.max_value)
+        )
+        return pc.fill_null(ok, False)  # filter mode drops NULLs (reference F2)
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        p = super().partial(batch)
+        lo, hi = _scalar_minmax(batch[self.column])
+        p["min"], p["max"] = lo, hi
+        return p
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        out = super().combine(partials)
+        mins = [p["min"] for p in partials if p.get("min") is not None]
+        maxs = [p["max"] for p in partials if p.get("max") is not None]
+        out["min"] = min(mins) if mins else None
+        out["max"] = max(maxs) if maxs else None
+        return out
+
+
+@register_check("pattern")
+class PatternKernel(CheckKernel):
+    """Failing row: NOT regex-search(col, pattern); NULL never fails.
+
+    Arrow's RE2 matches DuckDB's RE2 (both ``regexp_matches`` are
+    unanchored search), keeping oracle parity.
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        if "pattern" not in rule.parameters:
+            raise ValueError("Pattern rule requires column name and pattern parameter")
+        self.pattern = rule.parameters["pattern"]
+
+    def mask_failing(self, batch: pa.Table):
+        ok = pc.match_substring_regex(batch[self.column], self.pattern)
+        return pc.fill_null(pc.invert(ok), False)
+
+    def mask_keep(self, batch: pa.Table):
+        ok = pc.match_substring_regex(batch[self.column], self.pattern)
+        return pc.fill_null(ok, False)  # filter mode drops NULLs (reference F3)
+
+
+@register_check("membership")
+class MembershipKernel(CheckKernel):
+    """Failing row: col NOT IN allowed values (NULL never fails).
+
+    Net-new fast path for set membership (e.g. ``lang`` ∈ ISO-639-1)
+    where the reference would force a regex (SURVEY.md §2.2 R4 note).
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        values = rule.parameters.get("values")
+        if not values:
+            raise ValueError("Membership rule requires a 'values' parameter")
+        self.value_set = pa.array(values)
+
+    def mask_failing(self, batch: pa.Table):
+        col = batch[self.column]
+        bad = pc.invert(pc.is_in(col, value_set=self.value_set))
+        return pc.and_(pc.fill_null(bad, False), pc.is_valid(col))
+
+    def mask_keep(self, batch: pa.Table):
+        return pc.fill_null(pc.is_in(batch[self.column], value_set=self.value_set), False)
+
+
+@register_check("non_empty")
+class NonEmptyKernel(CheckKernel):
+    """Failing row: col == '' (NULL handled by a completeness rule)."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+
+    def mask_failing(self, batch: pa.Table):
+        return pc.fill_null(pc.equal(batch[self.column], ""), False)
+
+    def mask_keep(self, batch: pa.Table):
+        return pc.fill_null(pc.not_equal(batch[self.column], ""), False)
+
+
+@register_check("custom")
+class CustomKernel(CheckKernel):
+    """DSL predicate compiled once to Arrow kernels.
+
+    Validation mode: failed = rows where predicate TRUE (DuckDB count
+    convention). Filter mode: keep = rows where predicate TRUE — the
+    reference's asymmetric semantics (``duckdb_engine.py:206-212``
+    treats the expression as the keep-side WHERE clause) preserved.
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        if not rule.expression:
+            raise ValueError("Custom rule requires an expression")
+        self.evaluator = compile_predicate(rule.expression)
+
+    def mask_failing(self, batch: pa.Table):
+        return predicate_true_mask(self.evaluator, batch)
+
+    def mask_keep(self, batch: pa.Table):
+        return predicate_true_mask(self.evaluator, batch)
+
+
+@register_check("uniqueness")
+class UniquenessKernel(CheckKernel):
+    """failed = total − COUNT(DISTINCT col), NULLs excluded from the
+    distinct count (DuckDB semantics — so NULL rows count as failed).
+
+    Two tiers (SURVEY.md §7 hard parts):
+
+    * exact (default): global ``groupby(col)`` distinct count — an
+      all-to-all shuffle, run as a separate Dataset stage by the
+      validator (``needs_shuffle``);
+    * approx (``parameters.approx: true``): HyperLogLog partials inside
+      the fused pass — no shuffle, mergeable, ~0.8% error at p=14; the
+      scale tier for 10^12-row tables.
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        self.approx = bool(rule.parameters.get("approx", False))
+        self.hll_p = int(rule.parameters.get("hll_p", 14))
+        self.needs_shuffle = not self.approx
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        col = batch[self.column]
+        n_null = _sum_mask(pc.is_null(col))
+        out: Dict[str, Any] = {"total": batch.num_rows, "failed": 0, "nulls": n_null}
+        if self.approx:
+            hll = HyperLogLog(self.hll_p)
+            valid = col.drop_null()
+            if len(valid):
+                hll.add_hashes(hash64(valid.to_pandas()))
+            out["hll"] = hll.to_bytes()
+        return out
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        total = sum(p["total"] for p in partials)
+        nulls = sum(p.get("nulls", 0) for p in partials)
+        if self.approx:
+            hll = HyperLogLog(self.hll_p)
+            for p in partials:
+                if "hll" in p:
+                    hll = hll.merge(HyperLogLog.from_bytes(p["hll"]))
+            distinct = int(round(hll.estimate()))
+            distinct = min(distinct, total - nulls)
+            return {"total": total, "failed": total - distinct,
+                    "distinct_estimate": distinct}
+        # exact tier: the validator fills in the distinct count from the
+        # shuffle stage; partials only carry totals
+        return {"total": total, "failed": 0, "nulls": nulls}
+
+    # mask_failing (per-row duplicate flags) requires global state; the
+    # validator emits uniqueness violation rows from the shuffle stage.
+
+
+@register_check("referential")
+class ReferentialKernel(CheckKernel):
+    """Failing row: FK NOT NULL and not present in the referenced key set.
+
+    The referenced keys are collected once on the driver (dimension
+    side is small) or sketched into a Bloom filter (scale tier,
+    ``parameters.approx: true``) and broadcast via ``ray.put`` — a
+    semi-join without a shuffle (SURVEY.md §2.6 C7). NULL FKs never
+    fail (SQL ``NOT IN`` semantics); pair with a completeness rule.
+
+    Parameters: ``ref_table``/``ref_path`` + ``ref_column``; the
+    validator resolves them to a key set before the fused pass via
+    :meth:`prepare`.
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        p = rule.parameters
+        if not p.get("ref_column") or not (p.get("ref_table") or p.get("ref_path")):
+            raise ValueError(
+                "Referential rule requires ref_table/ref_path and ref_column parameters"
+            )
+        self.approx = bool(p.get("approx", False))
+        self._keys_ref = None  # ray.ObjectRef set in prepare()
+        self._local_keys = None
+
+    def prepare(self, ctx: Dict[str, Any]) -> None:
+        """ctx['resolve_ref'](rule) → pa.Array of distinct keys or BloomFilter."""
+        resolve = ctx.get("resolve_ref")
+        if resolve is None:
+            raise ValueError("Referential rule requires a reference resolver")
+        keys = resolve(self.rule)
+        import ray
+
+        if self.approx and not isinstance(keys, BloomFilter):
+            bloom = BloomFilter()
+            bloom.add_hashes(hash64(keys.to_pandas() if hasattr(keys, "to_pandas") else keys))
+            keys = bloom
+        self._keys_ref = ray.put(keys)
+
+    def _keys(self):
+        if self._local_keys is None:
+            import ray
+
+            self._local_keys = ray.get(self._keys_ref)
+        return self._local_keys
+
+    def mask_failing(self, batch: pa.Table):
+        col = batch[self.column]
+        keys = self._keys()
+        if isinstance(keys, BloomFilter):
+            valid = pc.is_valid(col)
+            present = keys.contains_hashes(hash64(col.to_pandas()))
+            miss = pa.array(~present)
+            return pc.and_(miss, valid)
+        member = pc.is_in(col, value_set=keys)
+        return pc.and_(pc.invert(member), pc.is_valid(col))
+
+    def mask_keep(self, batch: pa.Table):
+        return pc.invert(self.mask_failing(batch))
+
+
+@register_check("schema")
+class SchemaKernel(CheckKernel):
+    """Type-conformance check: declared schema vs actual dataset schema
+    (net-new vs the reference, required by the north rule — SURVEY.md
+    §1.3). Table-level: total = number of declared columns, failed =
+    missing or type-mismatched columns. ``parameters.columns`` maps
+    column name → Arrow type string (as printed by ``pa.DataType``,
+    e.g. ``int64``, ``string``, ``timestamp[us]``, ``binary``);
+    ``parameters.strict: true`` additionally fails extra columns.
+    """
+
+    table_level = True
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        cols = rule.parameters.get("columns")
+        if not cols:
+            raise ValueError("Schema rule requires a 'columns' parameter")
+        self.declared: Dict[str, str] = {str(k): str(v) for k, v in cols.items()}
+        self.strict = bool(rule.parameters.get("strict", False))
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        return {"total": batch.num_rows, "failed": 0}
+
+    def evaluate_table_level(self, ctx: Dict[str, Any]) -> Dict[str, Any]:
+        actual: pa.Schema = ctx["schema"]
+        actual_types = {f.name: str(f.type) for f in actual}
+        mismatches: List[str] = []
+        for name, type_str in self.declared.items():
+            if name not in actual_types:
+                mismatches.append(f"missing:{name}")
+            elif actual_types[name] != type_str:
+                mismatches.append(
+                    f"type:{name}={actual_types[name]}!={type_str}"
+                )
+        total = len(self.declared)
+        if self.strict:
+            extras = [n for n in actual_types if n not in self.declared]
+            mismatches.extend(f"extra:{n}" for n in extras)
+            total += len(extras)
+        return {"total": total, "failed": len(mismatches), "mismatches": mismatches}
+
+
+@register_check("quantile")
+class QuantileKernel(CheckKernel):
+    """Table-level check: t-digest quantile of a numeric column must lie
+    within [min_value, max_value]. total=1, failed∈{0,1} (like the
+    reference's table-level placeholder checks,
+    ``databricks_engine.py:279-302``, but computing something real).
+    Partials are serialized t-digests merged in partition order for
+    determinism."""
+
+    table_level = True
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        p = rule.parameters
+        self.q = float(p.get("q", 0.5))
+        self.min_value = p.get("min_value")
+        self.max_value = p.get("max_value")
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        td = TDigest()
+        col = batch[self.column].drop_null()
+        if len(col):
+            td.add(col.to_numpy(zero_copy_only=False).astype(np.float64))
+        return {"total": batch.num_rows, "failed": 0, "tdigest": td.to_bytes()}
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        td = TDigest()
+        for p in partials:
+            if "tdigest" in p:
+                td = td.merge(TDigest.from_bytes(p["tdigest"]))
+        value = td.quantile(self.q)
+        ok = True
+        if self.min_value is not None and value < self.min_value:
+            ok = False
+        if self.max_value is not None and value > self.max_value:
+            ok = False
+        return {
+            "total": 1,
+            "failed": 0 if ok else 1,
+            "quantile": value,
+            "q": self.q,
+            "tdigest": td.to_bytes(),
+        }

@@ -1,0 +1,626 @@
+"""RayDataValidator — the Ray-Data-native validation orchestrator.
+
+API surface mirrors the reference ``DataValidator``
+(``validator.py:14-315``): same constructor paths, ``validate_table`` /
+``validate_all_tables`` / ``apply_filters`` / ``get_validation_report``
+/ ``validate_with_dlt`` / ``reset_state``, same report dict shape. The
+execution model is completely different (SURVEY.md §3.4):
+
+* the reference runs one full table scan per rule, sequentially; here
+  **all stateless rules fuse into ONE streaming ``map_batches`` pass**
+  emitting tiny mergeable partial rows, combined on the driver;
+* exact uniqueness is the only all-to-all stage (``groupby`` on the
+  key); the approx tier (HLL) stays inside the fused pass;
+* referential checks broadcast the (small) key side via ``ray.put``
+  instead of a shuffle join;
+* rule-as-filter mode fuses every keep-mask into one conjunction
+  evaluated in a single pass (vs N chained scans in the reference);
+* the DQX metrics/quarantine hooks are real Parquet writers here (the
+  reference stubs them — ``validator.py:264-274``).
+
+Never calls ``ray.init``/``ray.shutdown`` — the session is owned by the
+driver / CLI / test fixture (harness contract).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .config import ValidationConfig, ValidationRule
+from .results import (
+    ValidationResult,
+    ValidationSummary,
+    make_error_result,
+    make_result,
+    summarize,
+)
+from .settings import load_config
+from .state import PipelineState
+from .stages import kernels as _kernels  # noqa: F401 — registers built-ins
+from .stages.registry import CheckKernel, kernel_for
+
+Dataset = ray.data.Dataset
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("rule_idx", pa.int32()),
+        ("total", pa.int64()),
+        ("failed", pa.int64()),
+        ("payload", pa.binary()),
+    ]
+)
+
+DEFAULT_BATCH_SIZE = 64 * 1024
+
+
+def _load_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
+    """Normalize a source (Dataset, DataFrame, Arrow table, path) into a
+    Dataset — the reference's ``load_data`` seam (``duckdb_engine.py:48-71``),
+    with column pruning pushed into the Parquet read."""
+    if isinstance(source, Dataset):
+        return source
+    if isinstance(source, pa.Table):
+        return ray.data.from_arrow(source)
+    try:
+        import pandas as pd
+
+        if isinstance(source, pd.DataFrame):
+            return ray.data.from_pandas(source)
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(source, (str, Path)):
+        s = str(source)
+        if s.endswith(".parquet") or Path(s).is_dir():
+            if columns:
+                # prune at the read, but only to columns that exist —
+                # a rule naming a missing column must fail as a rule,
+                # not as a read error
+                import pyarrow.dataset as pads
+
+                available = set(pads.dataset(s).schema.names)
+                columns = [c for c in columns if c in available] or None
+            return ray.data.read_parquet(s, columns=columns)
+        if s.endswith(".csv"):
+            return ray.data.read_csv(s)
+        if s.endswith(".json") or s.endswith(".jsonl"):
+            return ray.data.read_json(s)
+        raise ValueError(f"Unsupported source path: {s}")
+    raise ValueError(f"Unsupported source type: {type(source)}")
+
+
+def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
+    """Columns a rule reads, or None when unknown (→ no pruning)."""
+    from .functions.expr import referenced_columns
+
+    if rule.rule_type == "custom" and rule.expression:
+        try:
+            return sorted(referenced_columns(rule.expression))
+        except Exception:
+            return None
+    if rule.rule_type == "schema":
+        return []
+    if rule.column:
+        return [rule.column]
+    return None
+
+
+class _FusedPartials:
+    """The fused stats kernel: one vectorized pass computing every
+    stateless rule's partial per Arrow batch. Shipped to workers as a
+    plain function closure (stateless task — kernels hold no per-batch
+    mutable state; compiled regexes/DSL live in the closure, built once
+    on the driver and serialized with it)."""
+
+    def __init__(self, indexed_kernels: List[Tuple[int, CheckKernel]]):
+        self.indexed_kernels = indexed_kernels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        rule_idx: List[int] = []
+        totals: List[int] = []
+        faileds: List[int] = []
+        payloads: List[Optional[bytes]] = []
+        for idx, kernel in self.indexed_kernels:
+            # per-kernel isolation: one bad rule must not kill the fused
+            # task — its error becomes that rule's error result
+            try:
+                p = kernel.partial(batch)
+                rule_idx.append(idx)
+                totals.append(int(p.pop("total")))
+                faileds.append(int(p.pop("failed")))
+                payloads.append(pickle.dumps(p) if p else None)
+            except Exception as exc:  # noqa: BLE001 — reference catches all
+                rule_idx.append(idx)
+                totals.append(-1)
+                faileds.append(-1)
+                payloads.append(pickle.dumps({"error": str(exc)}))
+        return pa.Table.from_arrays(
+            [
+                pa.array(rule_idx, pa.int32()),
+                pa.array(totals, pa.int64()),
+                pa.array(faileds, pa.int64()),
+                pa.array(payloads, pa.binary()),
+            ],
+            schema=_PARTIAL_SCHEMA,
+        )
+
+
+class RayDataValidator:
+    """Drop-in orchestrator with the reference's API and report shape."""
+
+    def __init__(
+        self,
+        config: Union[str, Path, Dict[str, Any], ValidationConfig, None] = None,
+        *,
+        env_prefix: str = "VALIDATOR",
+        use_widgets: bool = False,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+    ):
+        if isinstance(config, (str, Path)):
+            self.config = load_config(str(config), env_prefix=env_prefix)
+        elif isinstance(config, dict):
+            self.config = ValidationConfig.from_dict(config)
+        elif isinstance(config, ValidationConfig):
+            self.config = config
+        elif config is None:
+            self.config = load_config(None, env_prefix=env_prefix)
+        else:
+            raise ValueError(f"Unsupported config type: {type(config)}")
+
+        if self.config.require_sql_rules:
+            self.config.validate_sql_snippets()
+
+        self.batch_size = batch_size
+        self._dqx_enabled = self.config.dqx.enabled
+        self._sources: Dict[str, Any] = {}
+        self._state: Optional[PipelineState] = None
+        if self.config.pipeline.state_file:
+            self._state = PipelineState.load(self.config.pipeline.state_file)
+
+    # ------------------------------------------------------------------ #
+    # sources                                                            #
+    # ------------------------------------------------------------------ #
+
+    def register_source(self, name: str, source: Any) -> None:
+        """Register a named source (used by referential rules' ref_table)."""
+        self._sources[name] = source
+
+    def load_data(self, source: Any, columns: Optional[List[str]] = None) -> Dataset:
+        if isinstance(source, str) and source in self._sources:
+            source = self._sources[source]
+        return _load_dataset(source, columns)
+
+    def _resolve_ref_keys(self, rule: ValidationRule) -> pa.Array:
+        """Distinct non-null key values of the referenced column.
+
+        The dimension side of a referential check; collected driver-side
+        and broadcast (``ray.put``) — never a shuffle join."""
+        p = rule.parameters
+        src = p.get("ref_path") or p.get("ref_table")
+        ref_col = p["ref_column"]
+        ds = self.load_data(src, columns=[ref_col])
+        values: set = set()
+        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            col = batch[ref_col].drop_null()
+            values.update(col.to_pylist())
+        return pa.array(sorted(values))
+
+    # ------------------------------------------------------------------ #
+    # validation                                                         #
+    # ------------------------------------------------------------------ #
+
+    def _compile(
+        self, rules: List[ValidationRule]
+    ) -> Tuple[List[Tuple[int, CheckKernel]], List[Tuple[int, ValidationResult]]]:
+        """Instantiate kernels; bad rules become error results up front
+        (reference error path, ``duckdb_engine.py:163-178``)."""
+        compiled: List[Tuple[int, CheckKernel]] = []
+        errors: List[Tuple[int, ValidationResult]] = []
+        ctx = {"resolve_ref": self._resolve_ref_keys}
+        for idx, rule in enumerate(rules):
+            t0 = time.time()
+            try:
+                kernel = kernel_for(rule)
+                kernel.prepare(ctx)
+                compiled.append((idx, kernel))
+            except Exception as exc:  # noqa: BLE001 — reference catches all
+                errors.append(
+                    (idx, make_error_result(rule, exc, (time.time() - t0) * 1000))
+                )
+        return compiled, errors
+
+    def _exact_distinct(self, ds: Dataset, column: str) -> int:
+        """COUNT(DISTINCT column) excluding NULLs — the one shuffle stage.
+
+        ``groupby(column).count()`` hash-partitions by the key itself
+        (uniform for url-like keys); the group table is then reduced to
+        a count of non-null groups with a streaming vectorized pass —
+        nothing large ever reaches the driver.
+        """
+        def batch_unique(batch: pa.Table) -> pa.Table:
+            u = pc.unique(batch[column].combine_chunks()).drop_null()
+            return pa.table({column: u})
+
+        # combiner: shrink each batch to its distinct non-null values
+        # BEFORE the shuffle (pre-aggregation — SURVEY.md §4.3.2), then a
+        # groupby-count whose group count is the distinct count. Nulls
+        # are dropped up front (DuckDB COUNT(DISTINCT) excludes them and
+        # Ray's groupby cannot key on NA).
+        dedup = ds.select_columns([column]).map_batches(
+            batch_unique, batch_format="pyarrow", batch_size=self.batch_size
+        )
+        return int(dedup.groupby(column).count().count())
+
+    def validate_table(
+        self,
+        data: Any,
+        table_name: str,
+        rules: Optional[List[ValidationRule]] = None,
+    ) -> ValidationSummary:
+        """Validate one table: one fused streaming pass + per-rule
+        shuffle stages only where semantics demand."""
+        if rules is None:
+            rules = self.config.get_enabled_rules(table_name)
+        rules = [r for r in rules if r.enabled]
+
+        run_start = time.time()
+        compiled, error_results = self._compile(rules)
+        results_by_idx: Dict[int, ValidationResult] = dict(error_results)
+
+        columns = self._needed_columns(rules)
+        ds = self.load_data(data, columns=columns)
+
+        # everything except schema-conformance runs in the fused pass
+        # (quantile/drift are table-level for the verdict but still need
+        # in-pass sketch partials; schema only needs ds.schema())
+        fused = [(i, k) for i, k in compiled if k.rule_type != "schema"]
+        schema_kernels = [(i, k) for i, k in compiled if k.rule_type == "schema"]
+
+        import pickle
+
+        partials_by_idx: Dict[int, List[Dict[str, Any]]] = {i: [] for i, _ in fused}
+        fused_ms = 0.0
+        if fused:
+            t0 = time.time()
+            fn = _FusedPartials(fused)
+            partial_rows = ds.map_batches(
+                fn,
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                zero_copy_batch=True,
+            ).take_all()
+            fused_ms = (time.time() - t0) * 1000
+            for row in partial_rows:
+                extras = pickle.loads(row["payload"]) if row["payload"] else {}
+                extras["total"] = row["total"]
+                extras["failed"] = row["failed"]
+                partials_by_idx[row["rule_idx"]].append(extras)
+
+        for idx, kernel in fused:
+            rule = rules[idx]
+            t0 = time.time()
+            errs = [p["error"] for p in partials_by_idx[idx] if "error" in p]
+            if errs:
+                results_by_idx[idx] = make_error_result(
+                    rule, RuntimeError(errs[0]), fused_ms
+                )
+                continue
+            try:
+                combined = kernel.combine(partials_by_idx[idx])
+                extra_ms = 0.0
+                if kernel.needs_shuffle and kernel.rule_type == "uniqueness":
+                    distinct = self._exact_distinct(ds, kernel.column)
+                    combined["failed"] = combined["total"] - distinct
+                    combined["distinct"] = distinct
+                    extra_ms = (time.time() - t0) * 1000
+                total = int(combined.pop("total"))
+                failed = int(combined.pop("failed"))
+                meta = {
+                    k: v
+                    for k, v in combined.items()
+                    if isinstance(v, (int, float, str, bool, list)) or v is None
+                }
+                results_by_idx[idx] = make_result(
+                    rule, total, failed, fused_ms + extra_ms, metadata=meta
+                )
+            except Exception as exc:  # noqa: BLE001
+                results_by_idx[idx] = make_error_result(
+                    rule, exc, (time.time() - t0) * 1000
+                )
+
+        for idx, kernel in schema_kernels:
+            rule = rules[idx]
+            t0 = time.time()
+            try:
+                out = kernel.evaluate_table_level({"schema": ds.schema().base_schema})
+                results_by_idx[idx] = make_result(
+                    rule,
+                    int(out.pop("total")),
+                    int(out.pop("failed")),
+                    (time.time() - t0) * 1000,
+                    metadata=out,
+                )
+            except Exception as exc:  # noqa: BLE001
+                results_by_idx[idx] = make_error_result(
+                    rule, exc, (time.time() - t0) * 1000
+                )
+
+        ordered = [results_by_idx[i] for i in range(len(rules)) if i in results_by_idx]
+        summary = summarize(table_name, ordered, (time.time() - run_start) * 1000)
+
+        if self._dqx_enabled:
+            summary = self._integrate_with_dqx(summary, table_name, ds=ds, rules=rules)
+
+        if self._state:
+            self._state.mark_completed(table_name)
+        return summary
+
+    def _needed_columns(self, rules: List[ValidationRule]) -> Optional[List[str]]:
+        cols: set = set()
+        for rule in rules:
+            rc = _rule_columns(rule)
+            if rc is None:
+                return None  # a rule needs unknown columns → read everything
+            cols.update(rc)
+        return sorted(cols) if cols else None
+
+    def validate_all_tables(
+        self, data_sources: Dict[str, Any]
+    ) -> Dict[str, ValidationSummary]:
+        """Validate several tables; completed tables skipped via state."""
+        self._sources.update(data_sources)
+        results: Dict[str, ValidationSummary] = {}
+        for table_name, source in data_sources.items():
+            if self._state and self._state.is_completed(table_name):
+                continue
+            results[table_name] = self.validate_table(source, table_name)
+        return results
+
+    # ------------------------------------------------------------------ #
+    # filter mode / violations                                           #
+    # ------------------------------------------------------------------ #
+
+    def apply_filters(
+        self,
+        data: Any,
+        table_name: str,
+        rules: Optional[List[ValidationRule]] = None,
+    ) -> Dataset:
+        """Rule-as-filter mode: ONE pass ANDing every rule's keep mask
+        (the reference chains one engine scan per rule —
+        ``validator.py:133-162``). Unknown/failed kernels keep all rows
+        (reference fallback F5); uniqueness filters nothing (F6)."""
+        if rules is None:
+            rules = self.config.get_enabled_rules(table_name)
+        rules = [r for r in rules if r.enabled]
+        compiled, _ = self._compile(rules)
+        kernels = [k for _, k in compiled]
+
+        def fused_filter(batch: pa.Table) -> pa.Table:
+            mask = None
+            for kernel in kernels:
+                try:
+                    m = kernel.mask_keep(batch)
+                except Exception:  # noqa: BLE001 — filter failure → no-op
+                    m = None
+                if m is None:
+                    continue
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is None:
+                return batch
+            return batch.filter(mask)
+
+        ds = self.load_data(data)
+        return ds.map_batches(
+            fused_filter,
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            zero_copy_batch=True,
+        )
+
+    def violations(
+        self,
+        data: Any,
+        table_name: str,
+        rules: Optional[List[ValidationRule]] = None,
+    ) -> Dataset:
+        """Violation rows for every per-row rule, tagged with
+        ``rule_name`` (the quarantine stream — real here, a stub in the
+        reference). Uniqueness duplicates come from
+        :meth:`uniqueness_violations` (they need the shuffle)."""
+        if rules is None:
+            rules = self.config.get_enabled_rules(table_name)
+        rules = [r for r in rules if r.enabled]
+        compiled, _ = self._compile(rules)
+        tagged = [(rules[i].name, k) for i, k in compiled if not k.table_level]
+
+        def emit(batch: pa.Table) -> pa.Table:
+            out: List[pa.Table] = []
+            for rule_name, kernel in tagged:
+                mask = kernel.mask_failing(batch)
+                if mask is None:
+                    continue
+                bad = batch.filter(mask)
+                if bad.num_rows:
+                    out.append(
+                        bad.append_column(
+                            "rule_name",
+                            pa.array([rule_name] * bad.num_rows, pa.string()),
+                        )
+                    )
+            if not out:
+                empty = batch.slice(0, 0)
+                return empty.append_column("rule_name", pa.array([], pa.string()))
+            return pa.concat_tables(out)
+
+        ds = self.load_data(data)
+        return ds.map_batches(
+            emit,
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            zero_copy_batch=True,
+        )
+
+    def uniqueness_violations(self, data: Any, column: str) -> Dataset:
+        """Rows whose key occurs more than once: groupby(key) keeps the
+        duplicate keys (count > 1), then a broadcast-free semi-join is
+        avoided by re-grouping the full rows per key and emitting groups
+        of size > 1 — one shuffle on the key."""
+        ds = self.load_data(data)
+        # drop null keys before the shuffle (Ray groupby cannot key on NA;
+        # null rows are already counted failed by the uniqueness verdict)
+        nonnull = ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t[column])),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+        )
+
+        def dup_groups(group):  # pandas per-group
+            return group if len(group) > 1 else group.iloc[0:0]
+
+        return nonnull.groupby(column).map_groups(dup_groups, batch_format="pandas")
+
+    # ------------------------------------------------------------------ #
+    # report / dqx / dlt                                                 #
+    # ------------------------------------------------------------------ #
+
+    def get_validation_report(
+        self, summaries: Union[ValidationSummary, Dict[str, ValidationSummary]]
+    ) -> Dict[str, Any]:
+        """Same report dict shape as the reference (``validator.py:185-228``)."""
+        if isinstance(summaries, ValidationSummary):
+            summaries = {"single_table": summaries}
+
+        report: Dict[str, Any] = {
+            "validation_timestamp": self._get_timestamp(),
+            "engine_type": self.config.engine.type,
+            "total_tables": len(summaries),
+            "overall_stats": self._calculate_overall_stats(summaries),
+            "table_results": {},
+        }
+        for table_name, summary in summaries.items():
+            report["table_results"][table_name] = {
+                "total_rules": summary.total_rules,
+                "passed_rules": summary.passed_rules,
+                "failed_rules": summary.failed_rules,
+                "success_rate": summary.overall_success_rate,
+                "execution_time_ms": summary.total_execution_time_ms,
+                "rules": [
+                    {
+                        "name": r.rule_name,
+                        "type": r.rule_type,
+                        "passed": r.passed,
+                        "success_rate": r.success_rate,
+                        "message": r.message,
+                        "severity": r.severity,
+                    }
+                    for r in summary.results
+                ],
+            }
+        return report
+
+    def _calculate_overall_stats(
+        self, summaries: Dict[str, ValidationSummary]
+    ) -> Dict[str, Any]:
+        total_rules = sum(s.total_rules for s in summaries.values())
+        total_passed = sum(s.passed_rules for s in summaries.values())
+        total_failed = sum(s.failed_rules for s in summaries.values())
+        total_ms = sum(s.total_execution_time_ms for s in summaries.values())
+        return {
+            "total_rules": total_rules,
+            "total_passed": total_passed,
+            "total_failed": total_failed,
+            "overall_success_rate": (
+                total_passed / total_rules if total_rules > 0 else 1.0
+            ),
+            "total_execution_time_ms": total_ms,
+        }
+
+    def _integrate_with_dqx(
+        self,
+        summary: ValidationSummary,
+        table_name: str,
+        *,
+        ds: Optional[Dataset] = None,
+        rules: Optional[List[ValidationRule]] = None,
+    ) -> ValidationSummary:
+        """Real metrics / quarantine writers (reference stubs these)."""
+        try:
+            if self.config.dqx.metrics_table:
+                self._store_dqx_metrics(summary, table_name)
+            if self.config.dqx.quarantine_table and ds is not None and rules:
+                self._store_quarantined_records(ds, table_name, rules)
+        except Exception as exc:  # noqa: BLE001 — DQX failure never fails validation
+            print(f"Warning: DQX integration failed: {exc}")
+        return summary
+
+    def _store_dqx_metrics(self, summary: ValidationSummary, table_name: str) -> None:
+        out_dir = Path(self.config.dqx.metrics_table)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rows = [
+            {
+                "table_name": table_name,
+                "rule_name": r.rule_name,
+                "rule_type": r.rule_type,
+                "passed": r.passed,
+                "failed_count": r.failed_count,
+                "total_count": r.total_count,
+                "success_rate": r.success_rate,
+                "severity": r.severity,
+                "execution_time_ms": r.execution_time_ms,
+            }
+            for r in summary.results
+        ]
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pylist(rows), out_dir / f"{table_name}-metrics.parquet"
+        )
+
+    def _store_quarantined_records(
+        self, ds: Dataset, table_name: str, rules: List[ValidationRule]
+    ) -> None:
+        out_dir = Path(self.config.dqx.quarantine_table) / table_name
+        bad = self.violations(ds, table_name, rules)
+        bad.write_parquet(str(out_dir))
+
+    def validate_with_dlt(
+        self, data: Any, table_name: str, dlt_expectations: bool = True
+    ) -> ValidationSummary:
+        """API parity with the reference (``validator.py:164-183``)."""
+        summary = self.validate_table(data, table_name)
+        if dlt_expectations:
+            for r in summary.results:
+                if not r.passed and r.severity == "error":
+                    print(
+                        f"DLT Expectation: {r.rule_name} failed for table {table_name}"
+                    )
+        return summary
+
+    def _get_timestamp(self) -> str:
+        from datetime import datetime
+
+        return datetime.now().isoformat()
+
+    def reset_state(self) -> None:
+        if self._state:
+            self._state.reset()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        return None
+
+
+# Alias matching the reference's public class name so snippets port 1:1.
+DataValidator = RayDataValidator

@@ -1,0 +1,49 @@
+"""Pipeline state: table-level JSON + partition manifest."""
+
+from data_validator_ray.state import PartitionManifest, PipelineState
+
+
+def test_state_round_trip(tmp_path):
+    p = tmp_path / "state.json"
+    s = PipelineState.load(p)
+    assert not s.is_completed("t")
+    s.mark_completed("t")
+    assert PipelineState.load(p).is_completed("t")
+
+
+def test_state_reset(tmp_path):
+    p = tmp_path / "state.json"
+    s = PipelineState.load(p)
+    s.mark_completed("a")
+    s.reset()
+    assert not PipelineState.load(p).is_completed("a")
+
+
+def _row(pid):
+    return {
+        "partition_id": pid,
+        "table_name": "webpages",
+        "rule_name": "r",
+        "rule_type": "completeness",
+        "total_count": 10,
+        "failed_count": 1,
+        "success_rate": 0.9,
+        "passed": True,
+        "input_files": ["f.parquet"],
+        "ruleset_hash": "abc",
+        "wall_time_s": 0.1,
+    }
+
+
+def test_manifest_resume(tmp_path):
+    m = PartitionManifest(tmp_path)
+    assert m.completed_partitions() == set()
+    m.write_partition(0, [_row(0)])
+    m.write_partition(3, [_row(3)])
+    assert m.completed_partitions() == {0, 3}
+    # a fresh manifest over the same dir sees the same completion set
+    assert PartitionManifest(tmp_path).completed_partitions() == {0, 3}
+    t = m.read_all()
+    assert t.num_rows == 2
+    m.reset()
+    assert m.completed_partitions() == set()
