@@ -1,0 +1,379 @@
+"""Driver-facing query catalog.
+
+Each entry is one implemented operator/pipeline from SURVEY.md §2,
+expressed over the ``/root/testdata`` tables, returning a result whose
+column NAMES match the paired DuckDB oracle SQL in ``oracle_sql()``
+(the driver hash-compares values after sorting columns by name).
+
+Everything here streams through Ray Data — validation counts come from
+the fused map_batches pass, grouped results from ``groupby.aggregate``
+with pre-aggregation where possible; nothing materializes the full
+input on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..config import ValidationConfig, ValidationRule
+from ..validator import RayDataValidator
+
+
+def _single_rule_counts(sf_dir: str, table: str, rule: ValidationRule) -> pd.DataFrame:
+    """Run one rule over one parquet table → (total_count, failed_count)."""
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": table, "rules": [rule.model_dump()]}],
+    )
+    v = RayDataValidator(cfg)
+    summary = v.validate_table(f"{sf_dir}/{table}.parquet", table)
+    r = summary.results[0]
+    if r.total_count < 0:
+        raise RuntimeError(f"rule failed: {r.message}")
+    return pd.DataFrame(
+        {"total_count": [r.total_count], "failed_count": [r.failed_count]}
+    ).astype("int64")
+
+
+# --------------------------------------------------------------------- #
+# individual queries                                                    #
+# --------------------------------------------------------------------- #
+
+def q_completeness_documents_text(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "documents",
+        ValidationRule(name="c", rule_type="completeness", column="text"),
+    )
+
+
+def q_uniqueness_events_event_id(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(name="u", rule_type="uniqueness", column="event_id"),
+    )
+
+
+def q_range_events_value(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="r", rule_type="range", column="value",
+            parameters={"min_value": 0, "max_value": 100},
+        ),
+    )
+
+
+def q_range_events_ts(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="r", rule_type="range", column="ts",
+            parameters={
+                "min_value": "2024-01-01 00:00:00",
+                "max_value": "2024-06-30 23:59:59",
+            },
+        ),
+    )
+
+
+def q_pattern_documents_lang(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "documents",
+        ValidationRule(
+            name="p", rule_type="pattern", column="lang",
+            parameters={"pattern": "^[a-z]{2}$"},
+        ),
+    )
+
+
+def q_membership_documents_lang(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "documents",
+        ValidationRule(
+            name="m", rule_type="membership", column="lang",
+            parameters={"values": ["en", "de", "fr", "es", "zh"]},
+        ),
+    )
+
+
+def q_custom_orders_totalprice(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "orders",
+        ValidationRule(
+            name="x", rule_type="custom", expression="o_totalprice > 150000",
+        ),
+    )
+
+
+def q_custom_lineitem_expr(sf_dir: str) -> pd.DataFrame:
+    """Compound DSL predicate (arithmetic + boolean + LIKE)."""
+    return _single_rule_counts(
+        sf_dir, "lineitem",
+        ValidationRule(
+            name="x", rule_type="custom",
+            expression=(
+                "l_extendedprice * (1 - l_discount) > 30000 "
+                "AND l_returnflag != 'R' AND l_shipdate >= DATE '1995-01-01'"
+            ),
+        ),
+    )
+
+
+def q_referential_events_user(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="fk", rule_type="referential", column="user_id",
+            parameters={
+                "ref_path": f"{sf_dir}/customer.parquet",
+                "ref_column": "c_custkey",
+            },
+        ),
+    )
+
+
+def q_referential_orders_cust(sf_dir: str) -> pd.DataFrame:
+    return _single_rule_counts(
+        sf_dir, "orders",
+        ValidationRule(
+            name="fk", rule_type="referential", column="o_custkey",
+            parameters={
+                "ref_path": f"{sf_dir}/customer.parquet",
+                "ref_column": "c_custkey",
+            },
+        ),
+    )
+
+
+_FILTER_RULES = [
+    ValidationRule(name="t_nn", rule_type="completeness", column="text"),
+    ValidationRule(
+        name="n_rng", rule_type="range", column="n_chars",
+        parameters={"min_value": 100, "max_value": 5000},
+    ),
+    ValidationRule(
+        name="l_pat", rule_type="pattern", column="lang",
+        parameters={"pattern": "^[a-z]{2}$"},
+    ),
+]
+
+
+def q_filter_documents(sf_dir: str):
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "documents",
+                 "rules": [r.model_dump() for r in _FILTER_RULES]}],
+    )
+    v = RayDataValidator(cfg)
+    return v.apply_filters(f"{sf_dir}/documents.parquet", "documents")
+
+
+def q_violations_events_value(sf_dir: str):
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{
+            "name": "events",
+            "rules": [ValidationRule(
+                name="value_range", rule_type="range", column="value",
+                parameters={"min_value": 0, "max_value": 100},
+            ).model_dump()],
+        }],
+    )
+    v = RayDataValidator(cfg)
+    return v.violations(f"{sf_dir}/events.parquet", "events")
+
+
+def q_stats_lineitem_quantity(sf_dir: str) -> pd.DataFrame:
+    from ..stages.stats import column_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
+    )
+    df = column_stats(ds, columns=["l_quantity"])
+    return pd.DataFrame(
+        {
+            "min_value": [float(df["min_value"][0])],
+            "max_value": [float(df["max_value"][0])],
+            "null_count": df["null_count"].astype("int64"),
+            "total_count": df["total_count"].astype("int64"),
+        }
+    )
+
+
+def q_grouped_documents_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-group verdict counts: groupby-aggregate with a derived column."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        short = pc.cast(pc.less(batch["n_chars"], 200), pa.int64())
+        return batch.append_column("short", short)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="total_count"),
+            Sum("short", alias_name="short_count"),
+        )
+        .to_pandas()
+    )
+    out["total_count"] = out["total_count"].astype("int64")
+    out["short_count"] = out["short_count"].astype("int64")
+    return out[["lang", "total_count", "short_count"]]
+
+
+def q_dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup keep-first (min doc_id) per text value."""
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    df = out.to_pandas()[["doc_id"]]
+    return df.astype("int64")
+
+
+def q_token_count_documents(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    return ds.map_batches(
+        count_tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_flagship_webpages(sf_dir: str) -> pd.DataFrame:
+    """Full CC constraint suite over the derived webpages table
+    (rows-only check: the webpages derivation has no SQL equivalent)."""
+    from .webpages import run_flagship
+
+    _, metrics = run_flagship(sf_dir)
+    return metrics
+
+
+def q_approx_uniqueness_events(sf_dir: str) -> pd.DataFrame:
+    """HLL uniqueness tier (rows-only: approximate by design)."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="u", rule_type="uniqueness", column="event_id",
+            parameters={"approx": True},
+        ),
+    )
+
+
+def queries() -> Dict[str, Callable[[str], Any]]:
+    return {
+        "completeness_documents_text": q_completeness_documents_text,
+        "uniqueness_events_event_id": q_uniqueness_events_event_id,
+        "range_events_value": q_range_events_value,
+        "range_events_ts": q_range_events_ts,
+        "pattern_documents_lang": q_pattern_documents_lang,
+        "membership_documents_lang": q_membership_documents_lang,
+        "custom_orders_totalprice": q_custom_orders_totalprice,
+        "custom_lineitem_expr": q_custom_lineitem_expr,
+        "referential_events_user": q_referential_events_user,
+        "referential_orders_cust": q_referential_orders_cust,
+        "filter_documents": q_filter_documents,
+        "violations_events_value": q_violations_events_value,
+        "stats_lineitem_quantity": q_stats_lineitem_quantity,
+        "grouped_documents_lang": q_grouped_documents_lang,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_count_documents": q_token_count_documents,
+        "flagship_webpages": q_flagship_webpages,
+        "approx_uniqueness_events": q_approx_uniqueness_events,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    counts = "SELECT COUNT(*)::BIGINT AS total_count, {failed}::BIGINT AS failed_count FROM {t}"
+    return {
+        "completeness_documents_text": counts.format(
+            failed="COUNT(*) FILTER (WHERE text IS NULL)", t="documents"
+        ),
+        "uniqueness_events_event_id": (
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS failed_count FROM events"
+        ),
+        "range_events_value": counts.format(
+            failed="COUNT(*) FILTER (WHERE value < 0 OR value > 100)", t="events"
+        ),
+        "range_events_ts": counts.format(
+            failed="COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01 00:00:00' "
+                   "OR ts > TIMESTAMP '2024-06-30 23:59:59')",
+            t="events",
+        ),
+        "pattern_documents_lang": counts.format(
+            failed="COUNT(*) FILTER (WHERE NOT regexp_matches(lang, '^[a-z]{2}$'))",
+            t="documents",
+        ),
+        "membership_documents_lang": counts.format(
+            failed="COUNT(*) FILTER (WHERE lang IS NOT NULL AND "
+                   "lang NOT IN ('en','de','fr','es','zh'))",
+            t="documents",
+        ),
+        "custom_orders_totalprice": counts.format(
+            failed="COUNT(*) FILTER (WHERE o_totalprice > 150000)", t="orders"
+        ),
+        "custom_lineitem_expr": counts.format(
+            failed="COUNT(*) FILTER (WHERE l_extendedprice * (1 - l_discount) > 30000 "
+                   "AND l_returnflag != 'R' AND l_shipdate >= DATE '1995-01-01')",
+            t="lineitem",
+        ),
+        "referential_events_user": counts.format(
+            failed="COUNT(*) FILTER (WHERE user_id IS NOT NULL AND user_id NOT IN "
+                   "(SELECT c_custkey FROM customer))",
+            t="events",
+        ),
+        "referential_orders_cust": counts.format(
+            failed="COUNT(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
+                   "(SELECT c_custkey FROM customer))",
+            t="orders",
+        ),
+        "filter_documents": (
+            "SELECT * FROM documents WHERE text IS NOT NULL "
+            "AND n_chars >= 100 AND n_chars <= 5000 "
+            "AND regexp_matches(lang, '^[a-z]{2}$')"
+        ),
+        "violations_events_value": (
+            "SELECT *, 'value_range' AS rule_name FROM events "
+            "WHERE value < 0 OR value > 100"
+        ),
+        "stats_lineitem_quantity": (
+            "SELECT MIN(l_quantity) AS min_value, MAX(l_quantity) AS max_value, "
+            "COUNT(*) FILTER (WHERE l_quantity IS NULL)::BIGINT AS null_count, "
+            "COUNT(*)::BIGINT AS total_count FROM lineitem"
+        ),
+        "grouped_documents_lang": (
+            "SELECT lang, COUNT(*)::BIGINT AS total_count, "
+            "COALESCE(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END), 0)::BIGINT "
+            "AS short_count FROM documents GROUP BY lang"
+        ),
+        "dedup_exact_documents": (
+            "SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_count_documents": (
+            "SELECT doc_id, length(regexp_extract_all(text, '\\S+'))::BIGINT "
+            "AS n_tokens FROM documents"
+        ),
+        # flagship_webpages / approx_uniqueness_events: rows-only (no SQL
+        # equivalent — derived table / approximate sketch by design)
+    }

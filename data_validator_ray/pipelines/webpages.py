@@ -1,0 +1,265 @@
+"""The flagship Common-Crawl-style webpages pipeline.
+
+Input table shape comes from ``BASELINE.json`` ``input_hint``:
+``(url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string)``. No such table exists in ``/root/testdata``, so it is
+**derived deterministically** from ``documents.parquet`` (seeded purely
+by ``doc_id`` arithmetic — byte-identical across runs, batch sizes and
+parallelism levels; FIXTURES.md §1 dirty-data fractions):
+
+* ~1% NULL url, ~2% malformed url, ~3% exact-duplicate urls
+* ~1% NULL warc_ts, ~2% timestamps outside the crawl window
+* ~1% NULL html, ~1% empty page body (→ empty extracted text)
+* ~2% invalid lang codes, ~1% NULL lang
+
+``text`` is derived from ``html`` by the pure extraction kernel
+:func:`extract_text_series` — the north-rule invariant is that this
+derivation is byte-identical per url on every run at every parallelism
+level (tested in tests/test_webpages.py).
+
+The full constraint suite (completeness, uniqueness, range on warc_ts,
+url-pattern, lang-membership, non-empty text, schema conformance,
+text-length quantile) runs as ONE fused streaming pass + the uniqueness
+stage — this is the pipeline ``bench.py`` measures.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import ValidationConfig, ValidationRule
+from ..validator import RayDataValidator
+
+Dataset = ray.data.Dataset
+
+CRAWL_WINDOW = ("2013-01-01 00:00:00", "2026-01-01 00:00:00")
+
+ISO_639_1 = [
+    "aa", "ab", "af", "am", "ar", "az", "be", "bg", "bn", "bs", "ca", "cs",
+    "cy", "da", "de", "el", "en", "eo", "es", "et", "eu", "fa", "fi", "fr",
+    "ga", "gl", "gu", "he", "hi", "hr", "hu", "hy", "id", "is", "it", "ja",
+    "ka", "kk", "km", "kn", "ko", "ku", "ky", "la", "lb", "lo", "lt", "lv",
+    "mk", "ml", "mn", "mr", "ms", "mt", "my", "ne", "nl", "no", "pa", "pl",
+    "ps", "pt", "ro", "ru", "sd", "si", "sk", "sl", "so", "sq", "sr", "sv",
+    "sw", "ta", "te", "th", "tl", "tr", "uk", "ur", "uz", "vi", "xh", "yi",
+    "zh", "zu",
+]
+
+WEBPAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_TAG_RE = r"<[^>]*>"
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Pure html→text extraction kernel (vectorized pandas string ops).
+
+    Deterministic by construction: strip tags → unescape the three
+    entities the generator emits → collapse whitespace → strip. NULL
+    html extracts to ''. No locale, no threading, no library-version
+    string behavior beyond compiled regexes — the byte-identical
+    invariant the north rule requires.
+    """
+    s = html.map(
+        lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else ""
+    )
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = (
+        s.str.replace("&lt;", "<", regex=False)
+        .str.replace("&gt;", ">", regex=False)
+        .str.replace("&amp;", "&", regex=False)
+    )
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s
+
+
+def _escape(series: pd.Series) -> pd.Series:
+    return (
+        series.str.replace("&", "&amp;", regex=False)
+        .str.replace("<", "&lt;", regex=False)
+        .str.replace(">", "&gt;", regex=False)
+    )
+
+
+def make_webpages_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """documents rows → webpages rows, dirt injected by doc_id residues.
+
+    Stateless and purely arithmetic in doc_id, so any partitioning of
+    the input produces identical rows.
+    """
+    doc_id = batch["doc_id"].to_numpy()
+    m = doc_id % 100
+
+    # --- html (from text) -------------------------------------------------
+    body = _escape(batch["text"].fillna(""))
+    title = pd.Series([f"Doc {i}" for i in doc_id], index=batch.index)
+    html = (
+        "<html><head><title>" + title + "</title></head><body><p>"
+        + body + "</p></body></html>"
+    )
+    html = html.where(m != 71, "<html><head></head><body></body></html>")  # empty body
+    html_bytes = pd.Series(
+        [h.encode("utf-8") for h in html], index=batch.index, dtype=object
+    )
+    html_bytes = html_bytes.where(m != 61, None)  # ~1% NULL html
+
+    # --- text: the pure derivation ---------------------------------------
+    text = extract_text_series(html_bytes)
+
+    # --- url ---------------------------------------------------------------
+    host = doc_id % 50
+    url = pd.Series(
+        [f"https://site{h}.example.com/page/{i}" for h, i in zip(host, doc_id)],
+        index=batch.index,
+    )
+    dup_src = np.maximum(doc_id - 1, 0)
+    dup_url = pd.Series(
+        [f"https://site{h}.example.com/page/{i}"
+         for h, i in zip(dup_src % 50, dup_src)],
+        index=batch.index,
+    )
+    url = url.mask(np.isin(m, (20, 21, 22)), dup_url)       # ~3% duplicates
+    url = url.mask(m == 11, "not a url " + title)            # ~1% malformed
+    url = url.mask(m == 53, "")                               # ~1% malformed (empty)
+    url = url.mask(m == 7, None)                              # ~1% NULL
+
+    # --- warc_ts -----------------------------------------------------------
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    ts = base + (doc_id.astype("int64") * 7919 % (5 * 365 * 86400)).astype(
+        "timedelta64[s]"
+    )
+    ts = pd.Series(ts, index=batch.index)
+    old = np.datetime64("1999-06-15T00:00:00", "us") + (
+        doc_id.astype("int64") % 86400
+    ).astype("timedelta64[s]")
+    ts = ts.mask(np.isin(m, (41, 43)), pd.Series(old, index=batch.index))  # ~2% out of window
+    ts = ts.mask(m == 33, pd.NaT)                             # ~1% NULL
+
+    # --- lang --------------------------------------------------------------
+    lang = batch["lang"].copy()
+    lang = lang.mask(m == 81, "xx")                            # invalid code
+    lang = lang.mask(m == 83, "english")                       # invalid code
+    lang = lang.mask(m == 91, None)                            # ~1% NULL
+
+    out = pd.DataFrame(
+        {"url": url, "warc_ts": ts, "html": html_bytes, "text": text, "lang": lang}
+    )
+    return out
+
+
+def webpages_dataset(sf_dir: str, *, parallelism: Optional[int] = None) -> Dataset:
+    """Stream documents.parquet → webpages rows (lazy, no materialization)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(make_webpages_batch, batch_format="pandas")
+
+
+def write_webpages(sf_dir: str, out_dir: str, num_files: int = 8) -> str:
+    """Materialize the webpages table as partitioned Parquet (the
+    multi-file layout the resumable runner consumes)."""
+    ds = webpages_dataset(sf_dir).repartition(num_files)
+    ds.write_parquet(out_dir)
+    return out_dir
+
+
+def webpages_config(*, approx_uniqueness: bool = False) -> ValidationConfig:
+    """The full CC constraint suite (north-star check list)."""
+    rules = [
+        ValidationRule(name="url_complete", rule_type="completeness",
+                       column="url", threshold=0.98),
+        ValidationRule(name="warc_ts_complete", rule_type="completeness",
+                       column="warc_ts", threshold=0.98),
+        ValidationRule(
+            name="url_unique", rule_type="uniqueness", column="url",
+            threshold=0.94,
+            parameters={"approx": approx_uniqueness},
+        ),
+        ValidationRule(
+            name="warc_ts_in_crawl_window", rule_type="range", column="warc_ts",
+            threshold=0.96,
+            parameters={"min_value": CRAWL_WINDOW[0], "max_value": CRAWL_WINDOW[1]},
+        ),
+        ValidationRule(
+            name="url_valid", rule_type="pattern", column="url",
+            threshold=0.95,
+            parameters={"pattern": r"^https?://[^\s/$.?#].[^\s]*$"},
+        ),
+        ValidationRule(
+            name="lang_iso639", rule_type="membership", column="lang",
+            threshold=0.95, parameters={"values": ISO_639_1},
+        ),
+        ValidationRule(name="text_non_empty", rule_type="non_empty",
+                       column="text", threshold=0.97),
+        ValidationRule(
+            name="schema_conforms", rule_type="schema",
+            parameters={
+                "columns": {
+                    "url": "string",
+                    "warc_ts": "timestamp[us]",
+                    "html": "binary",
+                    "text": "string",
+                    "lang": "string",
+                }
+            },
+        ),
+        ValidationRule(
+            name="text_len_median", rule_type="quantile", column="text_chars",
+            parameters={"q": 0.5, "min_value": 10, "max_value": 100_000},
+        ),
+    ]
+    return ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "webpages", "rules": [r.model_dump() for r in rules]}],
+    )
+
+
+def add_text_chars(ds: Dataset) -> Dataset:
+    """Projection stage: text length column for quantile/range stats."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text_chars", pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        )
+
+    return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_flagship(sf_dir: str, *, approx_uniqueness: bool = False):
+    """documents → webpages → full constraint suite → per-rule metrics.
+
+    Returns (summary, metrics DataFrame). The metrics frame is the
+    stable-schema result surfaced through ``__ray_entry__.entry()``.
+    """
+    ds = add_text_chars(webpages_dataset(sf_dir))
+    validator = RayDataValidator(webpages_config(approx_uniqueness=approx_uniqueness))
+    summary = validator.validate_table(ds, "webpages")
+    metrics = pd.DataFrame(
+        [
+            {
+                "rule_name": r.rule_name,
+                "rule_type": r.rule_type,
+                "passed": r.passed,
+                "failed_count": r.failed_count,
+                "total_count": r.total_count,
+                "success_rate": r.success_rate,
+                "severity": r.severity,
+            }
+            for r in summary.results
+        ]
+    )
+    return summary, metrics
