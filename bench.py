@@ -1,0 +1,246 @@
+"""Benchmark harness — the driver runs this per round.
+
+Prints ONE JSON line:
+  {"metric": "validated docs/sec (full constraint suite)", "value": <headline sec>,
+   "unit": "sec", "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "rows": ...}
+
+Headline = the flagship CC-webpages constraint suite (9 rules, fused
+pass + uniqueness shuffle) over a deterministic webpages table derived
+from documents.parquet and replicated REPLICAS× (distinct doc_ids per
+replica) so the workload is large enough to measure. The bench input is
+generated once per (sf, replicas) into /tmp and re-used, with one
+untimed warm-up read so timings measure compute + shuffle, not cold
+page cache.
+
+`bench.py --scaling` runs the headline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs and
+scaling efficiency = (t8/t32)/4.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_REPLICAS (default 40).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# 1600 replicas of sf0.1 documents → 8M webpages (~18 GB raw). Large
+# enough that per-row compute (extraction + fused kernels) dominates
+# Ray's fixed per-stage overhead, which the N→4N scaling-efficiency
+# criterion needs.
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "1600"))
+
+
+def _bench_input_dir() -> Path:
+    tag = Path(SF_DIR).name
+    return Path(f"/tmp/graft_bench/webpages_{tag}_x{REPLICAS}")
+
+
+def generate_bench_webpages(out_dir: Path) -> None:
+    """documents × REPLICAS → webpages parquet (deterministic).
+
+    The small documents table is broadcast once via ``ray.put``; each
+    task materializes one replica (doc_ids offset per replica) — no
+    shuffle, one output block per replica.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from data_validator_ray.pipelines.webpages import make_webpages_batch
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+    n_docs = len(docs)
+    docs_ref = ray.put(docs)
+
+    def gen_replica(batch: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(docs_ref)
+        out = []
+        for r in batch["id"]:
+            b = base.copy()
+            b["doc_id"] = b["doc_id"] + int(r) * n_docs
+            out.append(make_webpages_batch(b))
+        return pd.concat(out, ignore_index=True)
+
+    # ~200 output files regardless of replica count (each task emits one
+    # block/file) — keeps file-footer scans and read planning cheap
+    per_task = max(2, REPLICAS // 200)
+    ds = ray.data.range(REPLICAS).map_batches(
+        gen_replica, batch_format="pandas", batch_size=per_task
+    )
+    tmp = out_dir.with_suffix(".tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(str(tmp))
+    tmp.rename(out_dir)
+
+
+def bench_webpages_suite(
+    input_dir: str, approx: bool, extract: bool = False
+) -> tuple[float, int]:
+    from data_validator_ray.pipelines.webpages import (
+        extracted_webpages,
+        webpages_config,
+    )
+    from data_validator_ray.validator import RayDataValidator
+
+    t0 = time.perf_counter()
+    v = RayDataValidator(webpages_config(approx_uniqueness=approx))
+    source = extracted_webpages(input_dir) if extract else input_dir
+    summary = v.validate_table(source, "webpages")
+    elapsed = time.perf_counter() - t0
+    rows = max(r.total_count for r in summary.results)
+    return elapsed, rows
+
+
+def bench_lineitem_checks() -> float:
+    from data_validator_ray.config import ValidationConfig, ValidationRule
+    from data_validator_ray.validator import RayDataValidator
+
+    rules = [
+        ValidationRule(name="ok_complete", rule_type="completeness", column="l_orderkey"),
+        ValidationRule(name="qty_range", rule_type="range", column="l_quantity",
+                       parameters={"min_value": 1, "max_value": 50}),
+        ValidationRule(
+            name="rev_expr", rule_type="custom",
+            expression="l_extendedprice * (1 - l_discount) > 30000 "
+                       "AND l_returnflag != 'R'",
+        ),
+        ValidationRule(name="ok_unique_hll", rule_type="uniqueness",
+                       column="l_orderkey", parameters={"approx": True},
+                       threshold=0.0),
+    ]
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "lineitem", "rules": [r.model_dump() for r in rules]}],
+    )
+    t0 = time.perf_counter()
+    RayDataValidator(cfg).validate_table(f"{SF_DIR}/lineitem.parquet", "lineitem")
+    return time.perf_counter() - t0
+
+
+def bench_events_referential() -> float:
+    from data_validator_ray.config import ValidationConfig, ValidationRule
+    from data_validator_ray.validator import RayDataValidator
+
+    rules = [
+        ValidationRule(
+            name="fk_user", rule_type="referential", column="user_id",
+            parameters={"ref_path": f"{SF_DIR}/customer.parquet",
+                        "ref_column": "c_custkey"},
+        ),
+        ValidationRule(name="val_range", rule_type="range", column="value",
+                       parameters={"min_value": 0, "max_value": 1000}),
+    ]
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "events", "rules": [r.model_dump() for r in rules]}],
+    )
+    t0 = time.perf_counter()
+    RayDataValidator(cfg).validate_table(f"{SF_DIR}/events.parquet", "events")
+    return time.perf_counter() - t0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    input_dir = _bench_input_dir()
+    if not input_dir.exists():
+        input_dir.parent.mkdir(parents=True, exist_ok=True)
+        generate_bench_webpages(input_dir)
+
+    # Untimed warm-up: page cache + Ray worker pool + shuffle machinery.
+    # The first shuffle of a session pays a one-time ~15s worker/aggregator
+    # spin-up on this box; production clusters are long-lived, so the
+    # benchmark measures steady-state throughput.
+    import ray.data
+
+    ray.data.read_parquet(str(input_dir)).count()
+    ray.data.from_items([{"k": i % 3} for i in range(64)]).groupby(
+        "k"
+    ).count().take_all()
+    bench_webpages_suite(str(input_dir), approx=True)
+
+    queries: dict[str, float] = {}
+    # Headline = the 10^12-scale pipeline the north star names: read CC
+    # pages → html→text extraction kernel → full fused constraint suite
+    # with HLL uniqueness (no shuffle). Secondary tiers: validate-only
+    # with HLL, and validate-only with value-exact uniqueness (bucketed
+    # shuffle).
+    headline, rows = bench_webpages_suite(str(input_dir), approx=True, extract=True)
+    queries["extract_validate_suite"] = round(headline, 3)
+    hll_sec, _ = bench_webpages_suite(str(input_dir), approx=True)
+    queries["webpages_suite_hll"] = round(hll_sec, 3)
+    exact_sec, _ = bench_webpages_suite(str(input_dir), approx=False)
+    queries["webpages_suite_exact"] = round(exact_sec, 3)
+    queries["lineitem_checks"] = round(bench_lineitem_checks(), 3)
+    queries["events_referential"] = round(bench_events_referential(), 3)
+
+    result = {
+        "metric": "validated docs/sec (full constraint suite)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": Path(SF_DIR).name,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "docs_per_sec": round(rows / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run_at(lo), run_at(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "rows": r_hi["rows"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

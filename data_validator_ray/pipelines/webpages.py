@@ -65,26 +65,28 @@ WEBPAGES_SCHEMA = pa.schema(
 _TAG_RE = r"<[^>]*>"
 
 
-def extract_text_series(html: pd.Series) -> pd.Series:
-    """Pure html→text extraction kernel (vectorized pandas string ops).
+def extract_text_arrow(html: "pa.Array | pa.ChunkedArray") -> "pa.Array":
+    """Pure html→text extraction kernel, Arrow-native (RE2 kernels).
 
     Deterministic by construction: strip tags → unescape the three
-    entities the generator emits → collapse whitespace → strip. NULL
-    html extracts to ''. No locale, no threading, no library-version
-    string behavior beyond compiled regexes — the byte-identical
-    invariant the north rule requires.
-    """
-    s = html.map(
-        lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else ""
-    )
-    s = s.str.replace(_TAG_RE, " ", regex=True)
-    s = (
-        s.str.replace("&lt;", "<", regex=False)
-        .str.replace("&gt;", ">", regex=False)
-        .str.replace("&amp;", "&", regex=False)
-    )
-    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
-    return s
+    entities the generator emits → collapse whitespace → trim; NULL
+    html extracts to ''. No locale, no threading, no Python-object
+    string paths — byte-identical output per url on every run at every
+    parallelism level (the north-rule invariant, asserted in
+    tests/test_webpages.py)."""
+    s = pc.cast(html, pa.string())
+    s = pc.replace_substring_regex(s, _TAG_RE, " ")
+    s = pc.replace_substring(s, "&lt;", "<")
+    s = pc.replace_substring(s, "&gt;", ">")
+    s = pc.replace_substring(s, "&amp;", "&")
+    s = pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", " "))
+    return pc.fill_null(s, "")
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """pandas wrapper over the Arrow extraction kernel (same bytes)."""
+    arr = pa.array(html.tolist(), type=pa.binary())
+    return extract_text_arrow(arr).to_pandas()
 
 
 def _escape(series: pd.Series) -> pd.Series:
@@ -166,7 +168,16 @@ def webpages_dataset(sf_dir: str, *, parallelism: Optional[int] = None) -> Datas
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(make_webpages_batch, batch_format="pandas")
+
+    def to_arrow(batch: pd.DataFrame) -> pa.Table:
+        # emit Arrow blocks with the declared schema (timestamp[us],
+        # binary html) — pandas blocks would carry ns timestamps and an
+        # object-typed schema downstream
+        return pa.Table.from_pandas(
+            make_webpages_batch(batch), schema=WEBPAGES_SCHEMA, preserve_index=False
+        )
+
+    return ds.map_batches(to_arrow, batch_format="pandas")
 
 
 def write_webpages(sf_dir: str, out_dir: str, num_files: int = 8) -> str:
@@ -175,6 +186,33 @@ def write_webpages(sf_dir: str, out_dir: str, num_files: int = 8) -> str:
     ds = webpages_dataset(sf_dir).repartition(num_files)
     ds.write_parquet(out_dir)
     return out_dir
+
+
+def extracted_webpages(input_dir: str) -> Dataset:
+    """The extraction-inclusive flagship input: read stored CC pages
+    (url, warc_ts, html, lang — the ``text`` column is NOT read; it is
+    re-derived) and extract text from html per batch. This is the real
+    10^12-scale workload shape: extraction is part of the pipeline, not
+    preprocessing."""
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "warc_ts", "html", "lang"]
+    )
+
+    def ex(batch: pa.Table) -> pa.Table:
+        text = extract_text_arrow(batch["html"].combine_chunks())
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "html": batch["html"],
+                "text": text,
+                "lang": batch["lang"],
+            }
+        )
+
+    return ds.map_batches(
+        ex, batch_format="pyarrow", batch_size=16384, zero_copy_batch=True
+    )
 
 
 def webpages_config(*, approx_uniqueness: bool = False) -> ValidationConfig:
@@ -218,8 +256,9 @@ def webpages_config(*, approx_uniqueness: bool = False) -> ValidationConfig:
             },
         ),
         ValidationRule(
-            name="text_len_median", rule_type="quantile", column="text_chars",
-            parameters={"q": 0.5, "min_value": 10, "max_value": 100_000},
+            name="text_len_median", rule_type="quantile", column="text",
+            parameters={"q": 0.5, "min_value": 10, "max_value": 100_000,
+                        "transform": "length"},
         ),
     ]
     return ValidationConfig(
@@ -245,7 +284,7 @@ def run_flagship(sf_dir: str, *, approx_uniqueness: bool = False):
     Returns (summary, metrics DataFrame). The metrics frame is the
     stable-schema result surfaced through ``__ray_entry__.entry()``.
     """
-    ds = add_text_chars(webpages_dataset(sf_dir))
+    ds = webpages_dataset(sf_dir)
     validator = RayDataValidator(webpages_config(approx_uniqueness=approx_uniqueness))
     summary = validator.validate_table(ds, "webpages")
     metrics = pd.DataFrame(

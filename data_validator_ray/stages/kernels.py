@@ -388,10 +388,17 @@ class QuantileKernel(CheckKernel):
         self.q = float(p.get("q", 0.5))
         self.min_value = p.get("min_value")
         self.max_value = p.get("max_value")
+        # transform: "length" sketches utf8_length(column) instead of the
+        # raw value — lets string columns get length quantiles without a
+        # derived-column pipeline stage
+        self.transform = p.get("transform")
 
     def partial(self, batch: pa.Table) -> Dict[str, Any]:
         td = TDigest()
-        col = batch[self.column].drop_null()
+        col = batch[self.column]
+        if self.transform == "length":
+            col = pc.utf8_length(col)
+        col = col.drop_null() if hasattr(col, "drop_null") else col
         if len(col):
             td.add(col.to_numpy(zero_copy_only=False).astype(np.float64))
         return {"total": batch.num_rows, "failed": 0, "tdigest": td.to_bytes()}
