@@ -19,6 +19,7 @@ from .config import (
 )
 from .results import ValidationResult, ValidationSummary
 from .settings import load_config
+from .stages.drift import read_baseline, write_baseline
 from .state import PipelineState
 from .validator import DataValidator, RayDataValidator
 
@@ -37,5 +38,7 @@ __all__ = [
     "ValidationSummary",
     "PipelineState",
     "load_config",
+    "write_baseline",
+    "read_baseline",
     "__version__",
 ]

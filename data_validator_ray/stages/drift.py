@@ -1,0 +1,277 @@
+"""Distribution-drift checking vs a baseline snapshot (north-rule C7).
+
+The reference has no drift machinery at all (its closest analogue is the
+always-pass ``delta_quality`` placeholder, ``databricks_engine.py:304-327``);
+this module is net-new, built Ray-Data-first:
+
+* :func:`write_baseline` — snapshot per-column distribution state to a
+  small Parquet file in two streaming passes over the Dataset
+  (pass 1: t-digest + min/max/null partials per batch, merged on the
+  driver; pass 2: exact histogram counts over equi-depth bin edges
+  derived from the merged t-digest). Nothing materializes.
+* :class:`DriftKernel` (``rule_type="drift"``) — runs inside the fused
+  ``map_batches`` pass: each batch histograms the column over the
+  baseline's stored edges (a vectorized ``np.searchsorted``) and feeds
+  a t-digest; partials merge associatively on the driver into a PSI or
+  KS statistic compared against ``max_value``.
+
+The baseline file is tiny (one row per column) and travels to workers
+inside the kernel closure — no shuffle, no broadcast needed.
+
+PSI  = Σ (p_cur − p_base) · ln(p_cur / p_base) over histogram bins
+       (bins floored at ``_EPS`` so empty bins don't produce ±inf).
+KS   = max |CDF_cur(x) − CDF_base(x)| over the baseline edge grid,
+       both CDFs evaluated from merged t-digests.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import ValidationRule
+from ..functions.sketches import TDigest
+from .registry import CheckKernel, register_check
+
+_EPS = 1e-6
+
+BASELINE_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("count", pa.int64()),
+        ("null_count", pa.int64()),
+        ("min", pa.float64()),
+        ("max", pa.float64()),
+        ("tdigest", pa.binary()),
+        ("edges", pa.list_(pa.float64())),
+        ("counts", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _numeric_values(batch: pa.Table, column: str) -> np.ndarray:
+    col = batch[column]
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.int64())
+    return col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def histogram_counts(values: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Counts per bin for interior edges ``edges`` (B−1 cut points →
+    B bins, open-ended at both extremes so every value lands somewhere)."""
+    if len(values) == 0:
+        return np.zeros(len(edges) + 1, dtype=np.int64)
+    idx = np.searchsorted(edges, values, side="right")
+    return np.bincount(idx, minlength=len(edges) + 1).astype(np.int64)
+
+
+def psi(p_base: np.ndarray, p_cur: np.ndarray) -> float:
+    """Population Stability Index between two bin-probability vectors."""
+    b = np.clip(p_base, _EPS, None)
+    c = np.clip(p_cur, _EPS, None)
+    b, c = b / b.sum(), c / c.sum()
+    return float(np.sum((c - b) * np.log(c / b)))
+
+
+def ks_stat(td_base: TDigest, td_cur: TDigest, grid: np.ndarray) -> float:
+    """Approximate two-sample KS statistic from t-digest CDFs."""
+    if len(grid) == 0:
+        return 0.0
+    return float(np.max(np.abs(td_cur.cdf(grid) - td_base.cdf(grid))))
+
+
+# --------------------------------------------------------------------------- #
+# baseline snapshot writer                                                    #
+# --------------------------------------------------------------------------- #
+
+
+def write_baseline(
+    source: Any,
+    columns: List[str],
+    out_path: "str | Path",
+    *,
+    bins: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Path:
+    """Snapshot the distribution of numeric/timestamp ``columns`` of
+    ``source`` (Dataset or parquet path) to ``out_path``.
+
+    Two streaming passes, both pure ``map_batches`` over pruned columns:
+    sketch (t-digest/min/max/null) then exact equi-depth histogram. The
+    per-batch partial rows are tiny; the full dataset never
+    materializes. Edges are the baseline t-digest's 1/bins..(bins−1)/bins
+    quantiles — equal-frequency by construction, so downstream PSI is
+    sensitive across the whole distribution rather than only at the
+    mode (equal-width bins would starve the tails).
+    """
+    import ray.data
+
+    if isinstance(source, ray.data.Dataset):
+        ds = source.select_columns(columns)
+        ds2 = ds
+    else:
+        ds = ray.data.read_parquet(str(source), columns=columns)
+        ds2 = ray.data.read_parquet(str(source), columns=columns)
+
+    import pickle
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name in columns:
+            vals = _numeric_values(batch, name)
+            td = TDigest()
+            td.add(vals)
+            rows.append(
+                {
+                    "column": name,
+                    "count": batch.num_rows,
+                    "null_count": batch.num_rows - len(vals),
+                    "min": float(vals.min()) if len(vals) else np.nan,
+                    "max": float(vals.max()) if len(vals) else np.nan,
+                    "payload": pickle.dumps(td.to_bytes()),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    merged: Dict[str, Dict[str, Any]] = {
+        c: {"count": 0, "null_count": 0, "min": np.inf, "max": -np.inf,
+            "td": TDigest()}
+        for c in columns
+    }
+    for row in ds.map_batches(
+        sketch, batch_format="pyarrow", batch_size=batch_size
+    ).iter_rows():
+        m = merged[row["column"]]
+        m["count"] += row["count"]
+        m["null_count"] += row["null_count"]
+        if not np.isnan(row["min"]):
+            m["min"] = min(m["min"], row["min"])
+            m["max"] = max(m["max"], row["max"])
+        m["td"] = m["td"].merge(TDigest.from_bytes(pickle.loads(row["payload"])))
+
+    edges_by_col: Dict[str, np.ndarray] = {}
+    for name, m in merged.items():
+        qs = np.arange(1, bins) / bins
+        edges = np.unique(np.array([m["td"].quantile(q) for q in qs]))
+        edges_by_col[name] = edges
+
+    def hist(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name in columns:
+            counts = histogram_counts(_numeric_values(batch, name), edges_by_col[name])
+            rows.append({"column": name, "counts": counts.tolist()})
+        return pa.Table.from_pylist(rows)
+
+    counts_by_col = {c: np.zeros(len(edges_by_col[c]) + 1, dtype=np.int64) for c in columns}
+    for row in ds2.map_batches(
+        hist, batch_format="pyarrow", batch_size=batch_size
+    ).iter_rows():
+        counts_by_col[row["column"]] += np.asarray(row["counts"], dtype=np.int64)
+
+    out = pa.Table.from_pylist(
+        [
+            {
+                "column": name,
+                "count": m["count"],
+                "null_count": m["null_count"],
+                "min": None if np.isinf(m["min"]) else m["min"],
+                "max": None if np.isinf(m["max"]) else m["max"],
+                "tdigest": m["td"].to_bytes(),
+                "edges": edges_by_col[name].tolist(),
+                "counts": counts_by_col[name].tolist(),
+            }
+            for name, m in merged.items()
+        ],
+        schema=BASELINE_SCHEMA,
+    )
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(out, out_path)
+    return out_path
+
+
+def read_baseline(path: "str | Path") -> Dict[str, Dict[str, Any]]:
+    tbl = pq.read_table(path)
+    return {r["column"]: r for r in tbl.to_pylist()}
+
+
+# --------------------------------------------------------------------------- #
+# drift kernel                                                                #
+# --------------------------------------------------------------------------- #
+
+
+@register_check("drift")
+class DriftKernel(CheckKernel):
+    """Table-level drift check: PSI or KS of ``column`` vs the baseline
+    snapshot at ``parameters.baseline``. total=1, failed∈{0,1} (same
+    verdict convention as ``quantile``). ``parameters``:
+
+    * ``baseline`` — path of a :func:`write_baseline` Parquet file
+    * ``metric`` — ``"psi"`` (default) or ``"ks"``
+    * ``max_value`` — pass iff stat ≤ max_value (defaults: PSI 0.2,
+      KS 0.1 — the conventional alert levels)
+    """
+
+    table_level = True
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        p = rule.parameters
+        baseline_path = p.get("baseline")
+        if not baseline_path:
+            raise ValueError("Drift rule requires a 'baseline' snapshot path")
+        self.metric = str(p.get("metric", "psi")).lower()
+        if self.metric not in ("psi", "ks"):
+            raise ValueError(f"Unknown drift metric: {self.metric}")
+        self.max_value = float(
+            p.get("max_value", 0.2 if self.metric == "psi" else 0.1)
+        )
+        base = read_baseline(baseline_path)
+        if self.column not in base:
+            raise ValueError(
+                f"Column '{self.column}' not in baseline snapshot {baseline_path}"
+            )
+        b = base[self.column]
+        self.base_edges = np.asarray(b["edges"], dtype=np.float64)
+        self.base_counts = np.asarray(b["counts"], dtype=np.float64)
+        self.base_td = TDigest.from_bytes(b["tdigest"])
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        vals = _numeric_values(batch, self.column)
+        out: Dict[str, Any] = {
+            "total": batch.num_rows,
+            "failed": 0,
+            "hist": histogram_counts(vals, self.base_edges).tolist(),
+        }
+        if self.metric == "ks":
+            td = TDigest()
+            td.add(vals)
+            out["tdigest"] = td.to_bytes()
+        return out
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        counts = np.zeros(len(self.base_edges) + 1, dtype=np.float64)
+        for p in partials:
+            counts += np.asarray(p["hist"], dtype=np.float64)
+        if self.metric == "psi":
+            stat = psi(self.base_counts, counts)
+        else:
+            td = TDigest()
+            for p in partials:
+                if "tdigest" in p:
+                    td = td.merge(TDigest.from_bytes(p["tdigest"]))
+            stat = ks_stat(self.base_td, td, self.base_edges)
+        ok = stat <= self.max_value
+        return {
+            "total": 1,
+            "failed": 0 if ok else 1,
+            "metric": self.metric,
+            "stat": round(stat, 6),
+            "max_value": self.max_value,
+        }

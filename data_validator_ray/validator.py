@@ -45,6 +45,7 @@ from .results import (
 from .settings import load_config
 from .state import PipelineState
 from .stages import kernels as _kernels  # noqa: F401 — registers built-ins
+from .stages import drift as _drift  # noqa: F401 — registers the drift check
 from .stages.registry import CheckKernel, kernel_for
 
 Dataset = ray.data.Dataset

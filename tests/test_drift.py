@@ -1,0 +1,143 @@
+"""Drift check: baseline snapshot + PSI/KS kernel.
+
+Net-new vs the reference (its ``delta_quality`` placeholder always
+passes — ``databricks_engine.py:304-327``); semantics defined in
+stages/drift.py.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_validator_ray import (
+    RayDataValidator,
+    ValidationConfig,
+    ValidationRule,
+    read_baseline,
+    write_baseline,
+)
+from data_validator_ray.functions.sketches import TDigest
+from data_validator_ray.stages.drift import histogram_counts, ks_stat, psi
+
+
+def _cfg(rules):
+    return ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "t", "rules": [r.model_dump() for r in rules]}],
+    )
+
+
+def test_histogram_counts_openended():
+    edges = np.array([1.0, 2.0, 3.0])
+    counts = histogram_counts(np.array([0.5, 1.5, 2.5, 3.5, 100.0]), edges)
+    assert counts.tolist() == [1, 1, 1, 2]
+
+
+def test_psi_identical_is_zero():
+    p = np.array([10.0, 20.0, 30.0, 40.0])
+    assert psi(p, p) == pytest.approx(0.0, abs=1e-9)
+    shifted = np.array([40.0, 30.0, 20.0, 10.0])
+    assert psi(p, shifted) > 0.5
+
+
+def test_ks_identical_near_zero():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 1, 20_000)
+    a, b = TDigest(), TDigest()
+    a.add(vals)
+    b.add(vals)
+    grid = np.linspace(-3, 3, 50)
+    assert ks_stat(a, b, grid) < 0.01
+    c = TDigest()
+    c.add(vals + 2.0)
+    assert ks_stat(a, c, grid) > 0.5
+
+
+def test_write_and_read_baseline(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"x": rng.normal(100, 15, 50_000)})
+    df.loc[:99, "x"] = np.nan
+    path = tmp_path / "base.parquet"
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "data.parquet")
+    write_baseline(str(tmp_path / "data.parquet"), ["x"], path, bins=32)
+    base = read_baseline(path)
+    assert base["x"]["count"] == 50_000
+    assert base["x"]["null_count"] == 100
+    assert sum(base["x"]["counts"]) == 49_900
+    # equi-depth edges: each bin holds roughly count/bins values
+    counts = np.asarray(base["x"]["counts"], dtype=float)
+    assert counts.max() < 49_900 / len(counts) * 3
+
+
+@pytest.fixture()
+def baseline_file(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"v": rng.normal(50, 10, 40_000)}), tmp_path / "base_data.parquet"
+    )
+    path = tmp_path / "baseline.parquet"
+    write_baseline(str(tmp_path / "base_data.parquet"), ["v"], path)
+    return path
+
+
+def test_drift_passes_on_same_distribution(ray_session, baseline_file):
+    rng = np.random.default_rng(4)  # fresh sample, same distribution
+    df = pd.DataFrame({"v": rng.normal(50, 10, 40_000)})
+    rule = ValidationRule(
+        name="v_drift", rule_type="drift", column="v",
+        parameters={"baseline": str(baseline_file), "metric": "psi"},
+    )
+    summary = RayDataValidator(_cfg([rule])).validate_table(df, "t")
+    r = summary.results[0]
+    assert r.passed, r.message
+    assert r.metadata["stat"] < 0.05
+    assert r.total_count == 1 and r.failed_count == 0
+
+
+def test_drift_fails_on_shifted_distribution(ray_session, baseline_file):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"v": rng.normal(80, 10, 40_000)})  # mean shift
+    for metric in ("psi", "ks"):
+        rule = ValidationRule(
+            name=f"v_drift_{metric}", rule_type="drift", column="v",
+            parameters={"baseline": str(baseline_file), "metric": metric},
+        )
+        summary = RayDataValidator(_cfg([rule])).validate_table(df, "t")
+        r = summary.results[0]
+        assert not r.passed
+        assert r.metadata["stat"] > 0.3
+        assert r.metadata["metric"] == metric
+
+
+def test_drift_timestamp_column(ray_session, tmp_path):
+    ts = pd.date_range("2024-01-01", periods=10_000, freq="min")
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"ts": ts}), tmp_path / "ts.parquet")
+    path = tmp_path / "ts_base.parquet"
+    write_baseline(str(tmp_path / "ts.parquet"), ["ts"], path)
+    rule = ValidationRule(
+        name="ts_drift", rule_type="drift", column="ts",
+        parameters={"baseline": str(path)},
+    )
+    summary = RayDataValidator(_cfg([rule])).validate_table(
+        str(tmp_path / "ts.parquet"), "t"
+    )
+    assert summary.results[0].passed
+
+
+def test_drift_bad_params_error_result(ray_session):
+    df = pd.DataFrame({"v": [1.0, 2.0]})
+    rule = ValidationRule(
+        name="no_baseline", rule_type="drift", column="v", parameters={}
+    )
+    summary = RayDataValidator(_cfg([rule])).validate_table(df, "t")
+    r = summary.results[0]
+    assert not r.passed
+    assert r.failed_count == -1 and r.total_count == -1
+    assert "Rule execution failed" in r.message
