@@ -1,0 +1,790 @@
+"""Deduplication operators for web-scale text tables (Ray-Data-first).
+
+Net-new vs the reference (which has no dedup at all): the operations a
+large-scale training-data pipeline needs, each expressed as streaming
+``map_batches`` + ``groupby`` stages:
+
+* :func:`exact_dedup` — hash-partitioned keep-first per key (one
+  shuffle on a coarse bucket key).
+* :func:`ngram_jaccard_pairs` — **exact** near-duplicate pairs via an
+  inverted shingle index: shingle → (doc, shingle_hash, size) rows →
+  bucketed groupby pair emission → groupby(pair) intersection counts →
+  vectorized Jaccard filter. Exact but candidate-quadratic in shared
+  shingles; the small-threshold tier.
+* :func:`minhash_near_dup_pairs` — the scale tier: per-doc MinHash
+  signatures (vectorized ``minimum.reduceat``), banded LSH bucketing,
+  candidate pairs verified by **exact** shingle Jaccard — output
+  identical to :func:`ngram_jaccard_pairs` restricted to LSH candidates
+  (miss probability (1−t^r)^b, ~1e-15 for t≥0.9 at r=4, b=32).
+* :func:`simhash_pairs` — 64-bit SimHash; candidates via 4×16-bit
+  chunk banding (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so
+  recall is EXACT for max_hamming ≤ 3), verified by vectorized SWAR
+  popcount on the XOR.
+* :func:`embedding_cosine_pairs` — brute-force cosine near-dup pairs:
+  the normalized embedding matrix is broadcast once via ``ray.put``;
+  each batch does one float64 matmul against it. The O(n²)-compute
+  baseline, distributed over batches.
+* :func:`embedding_lsh_pairs` — random-hyperplane LSH bucketing
+  (seeded), exact cosine verification within buckets — the scale path
+  (misses cross-bucket pairs; recall tunable via ``n_planes``).
+
+Scale pattern used throughout — **bucketed groupby**: Ray's
+``groupby(key).map_groups`` pays a Python function call per group,
+which is ruinous when groups are tiny and numerous (every shingle /
+LSH band / key is its own group: 10^9+ calls at web scale). Instead we
+group by ``hash(key) % num_buckets`` (a few hundred coarse groups) and
+run ONE vectorized function per bucket that handles all its sub-groups
+with numpy shifted-compare sweeps (cost O(max_group_size) vectorized
+passes, not O(groups)). Equal keys land in equal buckets by
+construction, so results are identical.
+
+All randomness is seeded → byte-stable outputs across runs and
+parallelism levels. Shingle identity uses 64-bit hashes
+(``functions.sketches.hash64``, SipHash-stable across processes);
+outputs are verified against string-equality DuckDB oracles in
+``__ray_entry__`` / tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.sketches import hash64
+
+Dataset = ray.data.Dataset
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _as_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
+    if isinstance(source, Dataset):
+        return source
+    return ray.data.read_parquet(str(source), columns=columns)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------- #
+# bucketed groupby: the many-tiny-groups scale pattern                        #
+# --------------------------------------------------------------------------- #
+
+
+def bucketed_groupby(
+    ds: Dataset,
+    key_cols: List[str],
+    bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Group by ``hash(key_cols) % num_buckets`` and apply ONE
+    vectorized ``bucket_fn`` per bucket (which must handle all its
+    sub-groups itself, typically via sorted shifted-compare sweeps).
+    Equal keys co-locate by construction; the per-group Python-call
+    overhead of ``map_groups`` drops from O(#groups) to O(#buckets).
+    Raise ``num_buckets`` at scale so each bucket fits one worker."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(1099511628211) + hash64(
+                batch[c].to_numpy(zero_copy_only=False)
+            )
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(group.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _pairs_within_groups(
+    df: pd.DataFrame,
+    key_cols: List[str],
+    id_col: str,
+    carry_cols: Optional[List[str]] = None,
+    max_group: Optional[int] = None,
+) -> pd.DataFrame:
+    """All unordered id pairs sharing identical ``key_cols`` values,
+    vectorized across every group at once: sort by (keys, id), then for
+    offset j = 1..max_group_size−1 compare row i against row i+j — a
+    pair iff the keys still match. O(max group size) vectorized sweeps
+    instead of one Python call per group. ``carry_cols`` are copied
+    onto the pair rows as ``{col}_a`` / ``{col}_b``."""
+    carry_cols = carry_cols or []
+    out_cols = (
+        ["id_a", "id_b"]
+        + [f"{c}_a" for c in carry_cols]
+        + [f"{c}_b" for c in carry_cols]
+    )
+    empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+    if len(df) < 2:
+        return empty
+    g = df.drop_duplicates(subset=key_cols + [id_col]).sort_values(
+        key_cols + [id_col], kind="stable"
+    )
+    keys = [g[c].to_numpy() for c in key_cols]
+    ids = g[id_col].to_numpy()
+    carries = {c: g[c].to_numpy() for c in carry_cols}
+    # group run lengths (for the sweep bound and the max_group guard)
+    same_prev = np.ones(len(g), bool)
+    for k in keys:
+        same_prev &= np.concatenate([[False], k[1:] == k[:-1]])
+    grp_id = np.cumsum(~same_prev) - 1
+    grp_sizes = np.bincount(grp_id)
+    max_size = int(grp_sizes.max())
+    if max_size < 2:
+        return empty
+    allowed = (
+        np.ones(len(grp_sizes), bool)
+        if max_group is None
+        else grp_sizes <= max_group
+    )
+    row_ok = allowed[grp_id]
+    parts = []
+    for j in range(1, max_size):
+        same = np.ones(len(g) - j, bool)
+        for k in keys:
+            same &= k[:-j] == k[j:]
+        same &= row_ok[:-j]
+        if not same.any():
+            continue
+        idx = np.nonzero(same)[0]
+        row = {"id_a": ids[idx], "id_b": ids[idx + j]}
+        for c in carry_cols:
+            row[f"{c}_a"] = carries[c][idx]
+            row[f"{c}_b"] = carries[c][idx + j]
+        parts.append(pd.DataFrame(row))
+    if not parts:
+        return empty
+    return pd.concat(parts, ignore_index=True)
+
+
+def bucketed_count(
+    ds: Dataset,
+    key_cols: List[str],
+    count_name: str = "count",
+    *,
+    num_buckets: int = 64,
+) -> Dataset:
+    """``groupby(key_cols).count()`` via the bucket pattern — one
+    vectorized pandas ``value_counts`` per bucket instead of Ray's
+    sort-based multi-key aggregate (which pays per-key-tuple overhead
+    ruinous for many tiny groups)."""
+
+    def count_groups(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby(key_cols, sort=False).size().reset_index(name=count_name)
+        return out
+
+    return bucketed_groupby(ds, key_cols, count_groups, num_buckets=num_buckets)
+
+
+def _rename(ds: Dataset, mapping: Dict[str, str]) -> Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# exact dedup                                                                 #
+# --------------------------------------------------------------------------- #
+
+
+def exact_dedup(source: Any, key: str, *, num_buckets: int = 256) -> Dataset:
+    """Keep one row per key value (the lexicographically-first row of
+    each group). One shuffle on a coarse bucket of ``hash(key)``; within
+    a bucket a single vectorized ``drop_duplicates`` handles every key."""
+    ds = _as_dataset(source)
+
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.sort_values(list(bucket.columns), kind="stable")
+            .drop_duplicates(subset=[key], keep="first")
+        )
+
+    return bucketed_groupby(ds, [key], keep_first, num_buckets=num_buckets)
+
+
+# --------------------------------------------------------------------------- #
+# shingling                                                                   #
+# --------------------------------------------------------------------------- #
+
+
+def shingle_table(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    *,
+    batch_size: int = 4096,
+) -> Dataset:
+    """(id, shingle_hash, size) rows, distinct per doc — the
+    inverted-index feed. ``size`` is the doc's distinct-shingle count,
+    computable in-batch because a doc is exactly one input row; carrying
+    it on every shingle row makes the downstream Jaccard computation
+    join-free. Shingling is fully vectorized: tokens of the whole batch
+    land in one flat pandas Series; n-gram strings come from shifted
+    concatenation; cross-doc window overruns are masked out via the
+    doc-boundary offsets. No Python loop over rows."""
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "shingle_hash": pa.array([], pa.uint64()),
+                "size": pa.array([], pa.int64()),
+            }
+        )
+        texts = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tok_lists = texts.str.split()
+        lens = tok_lists.str.len().to_numpy()
+        flat = pd.Series(
+            [t for toks in tok_lists for t in toks], dtype="object"
+        )
+        if len(flat) == 0:
+            return empty
+        sh = flat.copy()
+        for i in range(1, n):
+            sh = sh + " " + flat.shift(-i)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        doc_of = np.repeat(np.arange(len(ids)), lens)
+        # a window starting within the last n−1 tokens of a doc crosses
+        # into the next doc → drop it
+        pos_in_doc = np.arange(len(flat)) - starts[doc_of]
+        valid = pos_in_doc <= (lens[doc_of] - n)
+        h = hash64(sh.to_numpy())[valid]
+        out = pd.DataFrame({id_col: ids[doc_of[valid]], "shingle_hash": h})
+        out = out.drop_duplicates()
+        if len(out) == 0:
+            return empty
+        out["size"] = out.groupby(id_col)[id_col].transform("size")
+        return pa.Table.from_arrays(
+            [
+                pa.array(out[id_col].to_numpy(), pa.int64()),
+                pa.array(out["shingle_hash"].to_numpy(), pa.uint64()),
+                pa.array(out["size"].to_numpy(), pa.int64()),
+            ],
+            names=[id_col, "shingle_hash", "size"],
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(shingles, batch_format="pyarrow", batch_size=batch_size)
+
+
+def ngram_jaccard_pairs(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: Optional[int] = None,
+    num_buckets: int = 128,
+) -> pd.DataFrame:
+    """Exact pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Fully distributed and join-free (per-doc sizes ride along on the
+    shingle rows): inverted index (bucketed groupby on shingle_hash) →
+    pair rows carrying (id_a, id_b, size_a, size_b) → one groupby(pair)
+    whose group count IS the intersection → vectorized Jaccard filter.
+    The only driver-side materialization is the final (small) pair
+    list. ``max_shingle_freq`` skips pathological stop-shingles
+    (documented skew guard — a shingle shared by k docs emits k(k−1)/2
+    pairs). Returns columns (id_a, id_b, intersection, size_a, size_b)
+    — integers only, so the DuckDB oracle comparison is exact.
+    """
+    sh = shingle_table(source, id_col, text_col, n)
+
+    def emit(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.rename(columns={id_col: "__id"})
+        return _pairs_within_groups(
+            b, ["shingle_hash"], "__id", carry_cols=["size"],
+            max_group=max_shingle_freq,
+        )
+
+    pairs = bucketed_groupby(sh, ["shingle_hash"], emit, num_buckets=num_buckets)
+    inter = bucketed_count(
+        pairs, ["id_a", "id_b", "size_a", "size_b"], "intersection"
+    )
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        i = batch["intersection"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (
+            batch["size_a"].to_numpy(zero_copy_only=False)
+            + batch["size_b"].to_numpy(zero_copy_only=False)
+            - i
+        )
+        return batch.filter(pa.array(i / union >= threshold))
+
+    out = inter.map_batches(jaccard_filter, batch_format="pyarrow").to_pandas()
+    out = out[["id_a", "id_b", "intersection", "size_a", "size_b"]].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------- #
+# MinHash + LSH                                                               #
+# --------------------------------------------------------------------------- #
+
+
+def _perm_params(num_perms: int, seed: int = 0x5EED) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perms, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+class MinHashStage:
+    """Stateful actor-pool stage: permutation parameters built once per
+    actor in ``__init__`` (not per batch); ``__call__`` emits one
+    (doc_id, band, band_hash) row per LSH band per doc.
+
+    Signature computation is loop-free over rows: all shingle hashes of
+    the batch concatenate into one array; per-perm affine hashes reduce
+    to per-doc minima with ``np.minimum.reduceat`` over doc boundaries.
+    Perms are processed in chunks to bound the (perm × shingle) matrix.
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_perms: int = 128,
+        bands: int = 32,
+        seed: int = 0x5EED,
+    ):
+        assert num_perms % bands == 0
+        self.id_col, self.text_col, self.n = id_col, text_col, n
+        self.num_perms, self.bands = num_perms, bands
+        self.rows_per_band = num_perms // bands
+        self.a, self.b = _perm_params(num_perms, seed)
+
+    def _signatures(self, batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+        texts = batch[self.text_col].to_pandas().fillna("")
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        tok_lists = texts.str.split()
+        lens = tok_lists.str.len().to_numpy()
+        flat = pd.Series([t for toks in tok_lists for t in toks], dtype="object")
+        n_docs = len(ids)
+        sig = np.full((n_docs, self.num_perms), np.iinfo(np.uint64).max, np.uint64)
+        if len(flat) == 0:
+            return ids, sig
+        sh = flat.copy()
+        for i in range(1, self.n):
+            sh = sh + " " + flat.shift(-i)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        doc_of = np.repeat(np.arange(n_docs), lens)
+        pos_in_doc = np.arange(len(flat)) - starts[doc_of]
+        valid = pos_in_doc <= (lens[doc_of] - self.n)
+        h = hash64(sh.to_numpy())[valid]
+        doc_of = doc_of[valid]
+        # reduceat needs contiguous segments: doc_of is already sorted
+        seg_starts = np.searchsorted(doc_of, np.arange(n_docs))
+        nonempty = np.searchsorted(doc_of, np.arange(n_docs), side="right") > seg_starts
+        chunk = 16  # perms per chunk → ≤ (16 × |shingles|) temp matrix
+        for c0 in range(0, self.num_perms, chunk):
+            a = self.a[c0 : c0 + chunk, None]
+            b = self.b[c0 : c0 + chunk, None]
+            vals = (a * h[None, :] + b) % _MERSENNE  # (chunk, S)
+            mins = np.minimum.reduceat(vals, seg_starts, axis=1)  # (chunk, docs)
+            sig[nonempty, c0 : c0 + chunk] = mins.T[nonempty]
+        return ids, sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sig = self._signatures(batch)
+        n_docs = len(ids)
+        band_hashes = np.empty((n_docs, self.bands), np.uint64)
+        for bi in range(self.bands):
+            block = sig[:, bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
+            acc = np.zeros(n_docs, np.uint64)
+            for col in range(block.shape[1]):
+                acc = (acc * np.uint64(1099511628211) + block[:, col]) % _MERSENNE
+            band_hashes[:, bi] = acc
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n_docs)
+                ),
+                "band_hash": pa.array(band_hashes.reshape(-1), pa.uint64()),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perms: int = 128,
+    bands: int = 32,
+    seed: int = 0x5EED,
+    batch_size: int = 4096,
+    num_buckets: int = 128,
+) -> Dataset:
+    """Distinct candidate pairs from banded MinHash-LSH: signature stage
+    → bucketed groupby on (band, band_hash) → vectorized pair emission
+    → distinct via groupby(pair)."""
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    stage = MinHashStage(id_col, text_col, n, num_perms, bands, seed)
+    bands_ds = ds.map_batches(
+        stage.__call__, batch_format="pyarrow", batch_size=batch_size,
+    )
+
+    def emit(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.rename(columns={id_col: "__id"})
+        return _pairs_within_groups(b, ["band", "band_hash"], "__id")
+
+    pairs = bucketed_groupby(
+        bands_ds, ["band", "band_hash"], emit, num_buckets=num_buckets
+    )
+    distinct = bucketed_count(pairs, ["id_a", "id_b"])
+    return distinct.drop_columns(["count"])
+
+
+def _exact_jaccard_for_pairs(
+    source: Any,
+    pairs: List[Tuple[int, int]],
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> pd.DataFrame:
+    """Exact shingle Jaccard for an (assumed small) candidate pair list:
+    fetch only the involved docs' texts (pruned, predicate-pushdown
+    read), shingle them once, compare sets. At 10^12-doc scale candidate
+    verification would instead re-join the shingle table through the
+    pair list; near-dup candidates are a tiny fraction of the corpus by
+    construction, so driver-side verify is the pragmatic tier here."""
+    cols = ["id_a", "id_b", "intersection", "size_a", "size_b"]
+    if not pairs:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    involved = sorted({i for p in pairs for i in p})
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    keyset = pa.array(involved, pa.int64())
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=keyset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    texts = dict(zip(sub[id_col], sub[text_col]))
+
+    def sh_set(t: str) -> set:
+        toks = (t or "").split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh_set(texts.get(i, "")) for i in involved}
+    rows = [
+        {
+            "id_a": a,
+            "id_b": b,
+            "intersection": len(sets[a] & sets[b]),
+            "size_a": len(sets[a]),
+            "size_b": len(sets[b]),
+        }
+        for a, b in pairs
+    ]
+    return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+
+def minhash_near_dup_pairs(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perms: int = 128,
+    bands: int = 32,
+    seed: int = 0x5EED,
+) -> pd.DataFrame:
+    """MinHash-LSH candidates verified by exact shingle Jaccard ≥
+    threshold. Same output schema as :func:`ngram_jaccard_pairs`; for
+    thresholds comfortably below the true near-dup similarity the
+    result equals the exact answer (miss prob (1−t^r)^b)."""
+    cand = minhash_lsh_candidates(
+        source, id_col, text_col, n=n, num_perms=num_perms, bands=bands, seed=seed
+    ).to_pandas()
+    pairs = [(int(r.id_a), int(r.id_b)) for r in cand.itertuples()]
+    out = _exact_jaccard_for_pairs(source, pairs, id_col, text_col, n)
+    if len(out) == 0:
+        return out
+    union = out.size_a + out.size_b - out.intersection
+    out = out[out.intersection / union >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------- #
+# SimHash                                                                     #
+# --------------------------------------------------------------------------- #
+
+
+class SimHashStage:
+    """64-bit SimHash per doc from token hashes (count-weighted).
+
+    Vectorized: all token hashes of the batch unpack to a (tokens × 64)
+    bit matrix (``np.unpackbits``); signed contributions sum per doc via
+    ``np.add.reduceat``; the sign vector repacks to one uint64."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas().fillna("")
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        tok_lists = texts.str.split()
+        lens = tok_lists.str.len().to_numpy()
+        flat = [t for toks in tok_lists for t in toks]
+        n_docs = len(ids)
+        sims = np.zeros(n_docs, np.uint64)
+        if flat:
+            h = hash64(np.array(flat, dtype=object))
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)  # (T, 64)
+            signed = bits.astype(np.int32) * 2 - 1
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nonempty = lens > 0
+            sums = np.zeros((n_docs, 64), np.int64)
+            seg = np.add.reduceat(signed, starts[nonempty], axis=0)
+            sums[nonempty] = seg
+            simbits = (sums > 0).astype(np.uint8)
+            sims = np.packbits(simbits, axis=1).copy().view(np.uint64).reshape(-1)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "simhash": pa.array(sims, pa.uint64()),
+            }
+        )
+
+
+def simhash_pairs(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    batch_size: int = 8192,
+    num_buckets: int = 128,
+) -> pd.DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming.
+
+    Candidates via 4×16-bit chunk banding — for max_hamming ≤ 3 the
+    pigeonhole principle makes recall exact (≤3 differing bits can dirty
+    at most 3 of the 4 chunks). Verification = vectorized popcount on
+    the XOR inside the bucketed pair sweep."""
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    sims = ds.map_batches(
+        SimHashStage(id_col, text_col).__call__,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id, out_chunk_id, out_chunk, out_sim = [], [], [], []
+        for ci in range(4):
+            chunk = (s >> np.uint64(ci * 16)) & np.uint64(0xFFFF)
+            out_id.append(ids)
+            out_chunk_id.append(np.full(len(ids), ci, np.int32))
+            out_chunk.append(chunk)
+            out_sim.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "chunk_id": pa.array(np.concatenate(out_chunk_id)),
+                "chunk": pa.array(np.concatenate(out_chunk), pa.uint64()),
+                "simhash": pa.array(np.concatenate(out_sim), pa.uint64()),
+            }
+        )
+
+    exploded = sims.map_batches(explode_chunks, batch_format="pyarrow")
+
+    def emit(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.rename(columns={id_col: "__id"})
+        p = _pairs_within_groups(
+            b, ["chunk_id", "chunk"], "__id", carry_cols=["simhash"]
+        )
+        if len(p) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ["id_a", "id_b", "hamming"]}
+            )
+        x = p["simhash_a"].to_numpy().astype(np.uint64) ^ p[
+            "simhash_b"
+        ].to_numpy().astype(np.uint64)
+        ham = popcount64(x)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": p["id_a"].to_numpy()[keep],
+                "id_b": p["id_b"].to_numpy()[keep],
+                "hamming": ham[keep],
+            }
+        )
+
+    pairs = bucketed_groupby(
+        exploded, ["chunk_id", "chunk"], emit, num_buckets=num_buckets
+    )
+    out = pairs.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ["id_a", "id_b", "hamming"]}
+        )
+    out = out.drop_duplicates(subset=["id_a", "id_b"]).astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------- #
+# embedding near-dup                                                          #
+# --------------------------------------------------------------------------- #
+
+
+def _embedding_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        return np.empty((0, 0))
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("ragged embedding column")
+    return flat[offsets[0]:offsets[-1]].reshape(-1, dim)
+
+
+def load_embeddings(
+    source: Any, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized float64 matrix) — driver-side collect of the
+    broadcast side. The brute-force baseline's documented assumption:
+    the comparison matrix fits worker memory (it ships via ``ray.put``
+    ONCE, not per batch)."""
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    ids_parts, mats = [], []
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids_parts.append(batch[id_col].to_numpy(zero_copy_only=False))
+        mats.append(_embedding_matrix(batch, vec_col))
+    ids = np.concatenate(ids_parts)
+    M = np.vstack([m for m in mats if m.size])
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, M / norms
+
+
+def embedding_cosine_pairs(
+    source: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.4,
+    batch_size: int = 2048,
+) -> pd.DataFrame:
+    """Exact pairs with cosine ≥ threshold (id_a < id_b): one broadcast
+    of the normalized matrix + one float64 matmul per batch."""
+    ids, M = load_embeddings(source, id_col, vec_col)
+    ref = ray.put((ids, M))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        bm = _embedding_matrix(batch, vec_col)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(bm, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (bm / norms) @ all_m.T  # (batch, n)
+        keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(bids[r], pa.int64()),
+                "id_b": pa.array(all_ids[c], pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    out = ds.map_batches(
+        batch_pairs, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_lsh_pairs(
+    source: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    seed: int = 0xA11,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Approximate cosine near-dup pairs: random-hyperplane signatures
+    bucket vectors (groupby on the packed sign bits); exact cosine
+    verification runs within each bucket only. The scale path — no
+    O(n²) anywhere; recall < 1 for pairs split across buckets."""
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    sample = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = _embedding_matrix(sample, vec_col).shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, n_planes))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, vec_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        bits = (mn @ planes) > 0  # (n, planes)
+        bucket = np.zeros(len(m), np.int64)
+        for p in range(n_planes):
+            bucket = bucket * 2 + bits[:, p]
+        out = batch.select([id_col, vec_col])
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        sims = mn @ mn.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= threshold
+        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep]})
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    out = pairs.to_pandas().drop_duplicates()
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ["id_a", "id_b"]})
+    return out.astype(np.int64).sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -280,6 +280,143 @@ def q_approx_uniqueness_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact 3-gram shingle Jaccard ≥ 0.2 near-dup pairs (inverted
+    index, join-free distributed pipeline — pipelines/dedup.py)."""
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(f"{sf_dir}/documents.parquet", threshold=0.2)
+
+
+def q_minhash_near_dup_documents(sf_dir: str) -> pd.DataFrame:
+    """MinHash(128)+LSH(32×4) candidates, exact-verified at J ≥ 0.5.
+    Matches the exact-Jaccard oracle because every true near-dup pair
+    in the corpus sits at J ≥ 0.9 (LSH miss prob ≈ 1e-15)."""
+    from .dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
+
+
+def q_simhash_documents(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs, hamming ≤ 3 (rows-only: the 64-bit
+    simhash itself has no SQL equivalent; recall is exact by the
+    4-chunk pigeonhole)."""
+    from .dedup import simhash_pairs
+
+    return simhash_pairs(f"{sf_dir}/documents.parquet", max_hamming=3)
+
+
+def q_embedding_cosine_pairs(sf_dir: str) -> pd.DataFrame:
+    """Brute-force exact cosine ≥ 0.4 near-dup pairs over embeddings."""
+    from .dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.4)
+
+
+def q_embedding_lsh_pairs(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH-bucketed cosine pairs (rows-only:
+    approximate by design — subset of the exact pairs)."""
+    from .dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.4)
+
+
+def q_knn_brute_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 (broadcast
+    query matrix, per-batch partial top-k, driver merge). Integer-only
+    output; ties broken (score DESC, vec_id ASC)."""
+    from .dedup import load_embeddings
+    from .similarity import knn_brute
+
+    ids, M = load_embeddings(f"{sf_dir}/embeddings.parquet")
+    out = knn_brute(f"{sf_dir}/embeddings.parquet", M[:5], ids[:5], k=10)
+    return out[["query_id", "rank", "neighbor_id"]].astype("int64")
+
+
+def q_knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-10 (rows-only: probes 8/16 centroid
+    buckets; recall < 1 by design)."""
+    from .dedup import load_embeddings
+    from .similarity import knn_ivf
+
+    ids, M = load_embeddings(f"{sf_dir}/embeddings.parquet")
+    out = knn_ivf(
+        f"{sf_dir}/embeddings.parquet", M[:5], ids[:5], k=10, nprobe=8
+    )
+    return out[["query_id", "rank", "neighbor_id"]].astype("int64")
+
+
+def q_quality_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Integer quality counters per doc (oracle-exact formulas)."""
+    from .text import quality_stats
+
+    out = quality_stats(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_language_id_documents(sf_dir: str) -> pd.DataFrame:
+    """Stopword-profile language ID with per-lang hit counts."""
+    from .text import language_id
+
+    out = language_id(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
+    """md5 fingerprint of normalized text per doc."""
+    from .text import fingerprint_md5
+
+    out = fingerprint_md5(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_winnow_fingerprints_documents(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint counts + xor digest (rows-only: rolling
+    hash has no SQL equivalent)."""
+    from .text import winnow_fingerprints
+
+    out = winnow_fingerprints(f"{sf_dir}/documents.parquet").to_pandas()
+    out["fingerprint_xor"] = out["fingerprint_xor"].astype("uint64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_drift_events_value(sf_dir: str) -> pd.DataFrame:
+    """PSI drift of events.value vs a snapshot of the same table
+    (rows-only: t-digest-derived bins have no SQL equivalent). Stat is
+    ~0 by construction; deterministic because PSI partials are
+    order-free integer histogram sums."""
+    import tempfile
+    from pathlib import Path
+
+    from ..stages.drift import write_baseline
+    from ..validator import RayDataValidator
+    from ..config import ValidationConfig
+
+    tag = Path(sf_dir).name
+    snap = Path(tempfile.gettempdir()) / f"graft_drift_baseline_{tag}.parquet"
+    if not snap.exists():
+        write_baseline(f"{sf_dir}/events.parquet", ["value"], snap)
+    rule = ValidationRule(
+        name="value_drift", rule_type="drift", column="value",
+        parameters={"baseline": str(snap), "metric": "psi"},
+    )
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "events", "rules": [rule.model_dump()]}],
+    )
+    s = RayDataValidator(cfg).validate_table(f"{sf_dir}/events.parquet", "events")
+    r = s.results[0]
+    return pd.DataFrame(
+        {
+            "rule_name": [r.rule_name],
+            "passed": [r.passed],
+            "stat": [r.metadata["stat"]],
+            "total_count": [r.total_count],
+            "failed_count": [r.failed_count],
+        }
+    )
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -300,6 +437,18 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "token_count_documents": q_token_count_documents,
         "flagship_webpages": q_flagship_webpages,
         "approx_uniqueness_events": q_approx_uniqueness_events,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "minhash_near_dup_documents": q_minhash_near_dup_documents,
+        "simhash_documents": q_simhash_documents,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "knn_brute_embeddings": q_knn_brute_embeddings,
+        "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "quality_stats_documents": q_quality_stats_documents,
+        "language_id_documents": q_language_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+        "drift_events_value": q_drift_events_value,
     }
 
 
@@ -374,6 +523,98 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, '\\S+'))::BIGINT "
             "AS n_tokens FROM documents"
         ),
-        # flagship_webpages / approx_uniqueness_events: rows-only (no SQL
-        # equivalent — derived table / approximate sketch by design)
+        "ngram_jaccard_documents": _NGRAM_JACCARD_SQL.format(threshold=0.2),
+        "minhash_near_dup_documents": _NGRAM_JACCARD_SQL.format(threshold=0.5),
+        "embedding_cosine_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 "
+            "ORDER BY id_a, id_b"
+        ),
+        "knn_brute_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "           FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "             list_cosine_similarity(q.qe, e.embedding) AS cos "
+            "      FROM q, embeddings e WHERE e.vec_id != q.query_id), "
+            "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC"
+            "      ) AS rank FROM s) "
+            "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
+            "FROM r WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
+        "quality_stats_documents": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT "
+            "AS n_tokens, "
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({_EN_STOP})))"
+            "::BIGINT AS n_stopwords, "
+            "len(list_distinct(list_filter(string_split(text, ' '), "
+            "x -> x <> '')))::BIGINT AS n_unique_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "language_id_documents": _LANGUAGE_ID_SQL,
+        "fingerprint_documents": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
+            "'g'))) AS fingerprint FROM documents ORDER BY doc_id"
+        ),
+        # rows-only (no SQL equivalent by design): flagship_webpages
+        # (derived table), approx_uniqueness_events (HLL sketch),
+        # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
+        # (hash/ANN structures), winnow_fingerprints_documents (rolling
+        # hash), drift_events_value (t-digest bins)
     }
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, i::BIGINT AS intersection,
+       sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+_EN_STOP = "'the','a','of','and','to','in','is','it'"
+
+
+def _lang_hits_sql(lang: str, words) -> str:
+    inlist = ",".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
+        f"::BIGINT AS hits_{lang}"
+    )
+
+
+def _language_id_sql() -> str:
+    from .text import LANG_PROFILES, LANGS
+
+    hits = ", ".join(_lang_hits_sql(l, LANG_PROFILES[l]) for l in LANGS)
+    # first-max in alphabetical order = numpy argmax tie-break
+    others = {l: [o for o in LANGS if o != l and LANGS.index(o) > LANGS.index(l)] for l in LANGS}
+    cases = []
+    for l in LANGS[:-1]:
+        rest = ", ".join(f"hits_{o}" for o in others[l])
+        cases.append(f"WHEN hits_{l} >= GREATEST({rest}) THEN '{l}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{LANGS[-1]}' END"
+    return (
+        f"WITH h AS (SELECT doc_id, {hits} FROM documents) "
+        f"SELECT *, {case} AS detected_lang FROM h ORDER BY doc_id"
+    )
+
+
+_LANGUAGE_ID_SQL = _language_id_sql()

@@ -1,0 +1,145 @@
+"""Dedup operators: planted near-duplicates must be recovered exactly.
+
+Fixture: a small corpus with exact dups, high-Jaccard near-dups, and
+unrelated documents; every tier (exact, ngram-Jaccard, MinHash-LSH,
+SimHash, embedding-cosine) must find exactly the planted pairs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_validator_ray.pipelines import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = {}
+    for i in range(30):
+        docs[i] = " ".join(rng.choice(vocab, size=60))
+    # 100/101: exact duplicate pair
+    docs[100] = docs[0]
+    docs[101] = docs[0]
+    # 110: near-dup of doc 1 (one token changed)
+    toks = docs[1].split()
+    toks[30] = "CHANGED"
+    docs[110] = " ".join(toks)
+    return pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def _true_jaccard(a: str, b: str, n: int = 3) -> float:
+    def s(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = s(a), s(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_keeps_one_per_key(ray_session, corpus):
+    dup = pd.concat([corpus, corpus.head(5)], ignore_index=True)
+    out = D.exact_dedup(ray.data.from_pandas(dup), "doc_id").to_pandas()
+    assert len(out) == len(corpus)
+    assert sorted(out.doc_id) == sorted(corpus.doc_id)
+
+
+import ray  # noqa: E402  (used in fixtures after import ordering)
+import ray.data  # noqa: E402
+
+
+def test_ngram_jaccard_finds_planted_pairs(ray_session, corpus):
+    out = D.ngram_jaccard_pairs(
+        ray.data.from_pandas(corpus), threshold=0.5
+    )
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+    assert (1, 110) in got
+    # intersection/size numbers are the true set sizes
+    row = out[(out.id_a == 100) & (out.id_b == 101)].iloc[0]
+    assert row.intersection == row.size_a == row.size_b
+    # no unrelated random pair sneaks in at this threshold
+    for _, r in out.iterrows():
+        ta = corpus.set_index("doc_id").loc[r.id_a, "text"]
+        tb = corpus.set_index("doc_id").loc[r.id_b, "text"]
+        assert _true_jaccard(ta, tb) >= 0.5
+
+
+def test_minhash_matches_exact_on_planted_pairs(ray_session, corpus):
+    ds = ray.data.from_pandas(corpus)
+    exact = D.ngram_jaccard_pairs(ds, threshold=0.5)
+    mh = D.minhash_near_dup_pairs(ray.data.from_pandas(corpus), threshold=0.5)
+    assert mh[["id_a", "id_b"]].values.tolist() == exact[["id_a", "id_b"]].values.tolist()
+    # deterministic across runs (seeded)
+    mh2 = D.minhash_near_dup_pairs(ray.data.from_pandas(corpus), threshold=0.5)
+    assert mh.equals(mh2)
+
+
+def test_simhash_finds_exact_and_near_dups(ray_session, corpus):
+    out = D.simhash_pairs(ray.data.from_pandas(corpus), max_hamming=3)
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    # exact dups have identical simhash (hamming 0)
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+    ham = out.set_index(["id_a", "id_b"]).hamming
+    assert ham.loc[(0, 100)] == 0
+    assert ham.loc[(100, 101)] == 0
+
+
+def test_popcount64():
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
+    assert D.popcount64(x).tolist() == [0, 1, 2, 64, 1]
+
+
+def test_pairs_within_groups_vectorized_sweep():
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "__id": [10, 11, 12, 20, 21, 30],
+            "size": [5, 6, 7, 8, 9, 1],
+        }
+    )
+    out = D._pairs_within_groups(df, ["k"], "__id", carry_cols=["size"])
+    got = sorted(map(tuple, out[["id_a", "id_b"]].values))
+    assert got == [(10, 11), (10, 12), (11, 12), (20, 21)]
+    row = out[(out.id_a == 10) & (out.id_b == 12)].iloc[0]
+    assert (row.size_a, row.size_b) == (5, 7)
+    # max_group guard drops the size-3 group
+    out2 = D._pairs_within_groups(df, ["k"], "__id", max_group=2)
+    assert sorted(map(tuple, out2[["id_a", "id_b"]].values)) == [(20, 21)]
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(40, 16))
+    # plant a near-dup pair: 100/101 nearly parallel
+    M[30] = M[0] + rng.normal(scale=0.01, size=16)
+    ids = np.arange(40)
+    return pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.astype(np.float32).tolist() for r in M]}
+    )
+
+
+def test_embedding_cosine_pairs_exact(ray_session, vectors):
+    out = D.embedding_cosine_pairs(
+        ray.data.from_pandas(vectors), threshold=0.95
+    )
+    assert (0, 30) in set(map(tuple, out[["id_a", "id_b"]].values))
+    # brute-force ground truth
+    M = np.stack([np.asarray(v, np.float64) for v in vectors.embedding])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    a, b = np.triu_indices(len(M), k=1)
+    truth = {(i, j) for i, j in zip(a[S[a, b] >= 0.95], b[S[a, b] >= 0.95])}
+    assert set(map(tuple, out[["id_a", "id_b"]].values)) == truth
+
+
+def test_embedding_lsh_subset_of_exact(ray_session, vectors):
+    exact = D.embedding_cosine_pairs(ray.data.from_pandas(vectors), threshold=0.9)
+    lsh = D.embedding_lsh_pairs(ray.data.from_pandas(vectors), threshold=0.9)
+    assert set(map(tuple, lsh.values)) <= set(map(tuple, exact[["id_a", "id_b"]].values))
+    # the planted nearly-parallel pair survives bucketing (same signs)
+    assert (0, 30) in set(map(tuple, lsh.values))

@@ -1,0 +1,171 @@
+"""Similarity search + text-analysis operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from data_validator_ray.pipelines import similarity as S
+from data_validator_ray.pipelines import text as T
+
+
+@pytest.fixture(scope="module")
+def vec_df():
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(100, 16))
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(100),
+            "embedding": [r.astype(np.float32).tolist() for r in M],
+        }
+    ), M
+
+
+def _truth_topk(M, qidx, k):
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn[qidx] @ Mn.T
+    out = {}
+    for qi, q in enumerate(qidx):
+        s = sims[qi].copy()
+        s[q] = -np.inf
+        order = np.lexsort((np.arange(len(s)), -s))  # score desc, id asc
+        out[q] = list(order[:k])
+    return out
+
+
+def test_knn_brute_matches_numpy_truth(ray_session, vec_df):
+    df, M = vec_df
+    qidx = [0, 1, 2]
+    got = S.knn_brute(
+        ray.data.from_pandas(df), M[qidx], np.array(qidx), k=5, batch_size=17
+    )
+    truth = _truth_topk(M, qidx, 5)
+    for q in qidx:
+        mine = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert mine == truth[q], f"query {q}"
+
+
+def test_knn_brute_partial_topk_small_batches(ray_session, vec_df):
+    """Per-batch top-k + driver merge must equal single-batch result."""
+    df, M = vec_df
+    a = S.knn_brute(ray.data.from_pandas(df), M[:2], np.arange(2), k=7, batch_size=512)
+    b = S.knn_brute(ray.data.from_pandas(df), M[:2], np.arange(2), k=7, batch_size=9)
+    assert a[["query_id", "rank", "neighbor_id"]].equals(
+        b[["query_id", "rank", "neighbor_id"]]
+    )
+
+
+def test_knn_ivf_reasonable_recall(ray_session, vec_df):
+    df, M = vec_df
+    qidx = [0, 1, 2, 3, 4]
+    brute = S.knn_brute(ray.data.from_pandas(df), M[qidx], np.array(qidx), k=10)
+    ivf = S.knn_ivf(
+        ray.data.from_pandas(df), M[qidx], np.array(qidx), k=10,
+        n_centroids=8, nprobe=4,
+    )
+    recalls = []
+    for q in qidx:
+        a = set(brute[brute.query_id == q].neighbor_id)
+        b = set(ivf[ivf.query_id == q].neighbor_id)
+        recalls.append(len(a & b) / len(a))
+    assert np.mean(recalls) >= 0.4  # probing half the buckets on random data
+
+
+def test_ivf_centroids_deterministic(ray_session, vec_df):
+    df, _ = vec_df
+    c1 = S.train_ivf_centroids(ray.data.from_pandas(df), n_centroids=8)
+    c2 = S.train_ivf_centroids(ray.data.from_pandas(df), n_centroids=8)
+    assert np.array_equal(c1, c2)
+
+
+# --------------------------------------------------------------------------- #
+# text analysis                                                               #
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog",
+                "der hund und die katze ist ein tier",
+                "",
+                "x " * 100,
+            ],
+        }
+    )
+
+
+def test_quality_stats_counts(ray_session, docs_df):
+    out = (
+        T.quality_stats(ray.data.from_pandas(docs_df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_tokens"] == 5
+    assert out.loc[0, "n_stopwords"] == 3  # the, and, the
+    assert out.loc[0, "n_unique_tokens"] == 4  # the cat and dog
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[3, "n_tokens"] == 100
+    assert out.loc[3, "n_unique_tokens"] == 1
+
+
+def test_language_id_detects(ray_session, docs_df):
+    out = (
+        T.language_id(ray.data.from_pandas(docs_df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "detected_lang"] == "en"
+    assert out.loc[1, "detected_lang"] == "de"
+    # zero hits everywhere → alphabetical tie-break ('de' first)
+    assert out.loc[2, "detected_lang"] == "de"
+    assert out.loc[0, "hits_en"] == 3
+
+
+def test_fingerprint_md5_normalization(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["Hello  World", "hello world", "different"]}
+    )
+    out = (
+        T.fingerprint_md5(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # case + whitespace normalize to the same fingerprint
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+    import hashlib
+
+    assert out.loc[2, "fingerprint"] == hashlib.md5(b"different").hexdigest()
+
+
+def test_winnow_fingerprints_properties(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["abcdefghijklmnop", "abcdefghijklmnop", "zyxwvutsrqponmlk"],
+        }
+    )
+    out = (
+        T.winnow_fingerprints(ray.data.from_pandas(df), k=5, window=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # identical docs → identical digests; different docs → different
+    assert out.loc[0, "fingerprint_xor"] == out.loc[1, "fingerprint_xor"]
+    assert out.loc[0, "n_fingerprints"] == out.loc[1, "n_fingerprints"]
+    assert out.loc[0, "fingerprint_xor"] != out.loc[2, "fingerprint_xor"]
+
+
+def test_quality_score_range(ray_session, docs_df):
+    out = T.quality_score(ray.data.from_pandas(docs_df)).to_pandas()
+    assert ((out.quality >= 0) & (out.quality <= 1)).all()
