@@ -417,6 +417,49 @@ def q_drift_events_value(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _media_path(sf_dir: str) -> str:
+    """Deterministic synthetic media table sized to the documents table
+    (cached under /tmp per scale)."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.dataset as pads
+
+    from .multimodal import write_media
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    out = Path(tempfile.gettempdir()) / f"graft_media_{n}"
+    return write_media(out, n)
+
+
+def q_multimodal_image_decode(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool image decode over binary payloads (deterministic fake
+    codec — pipelines/multimodal.py); metadata formulas are replicated
+    exactly by the range()-based oracle."""
+    from .multimodal import decode_images
+
+    out = decode_images(_media_path(sf_dir)).to_pandas()
+    out = out[["media_id", "width", "height", "channels", "n_bytes"]]
+    return out.sort_values("media_id").reset_index(drop=True).astype("int64")
+
+
+def q_multimodal_audio_decode(sf_dir: str) -> pd.DataFrame:
+    from .multimodal import decode_audio
+
+    out = decode_audio(_media_path(sf_dir)).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True).astype("int64")
+
+
+def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Every-2nd-frame sampling of video payloads (rows-only: frame
+    bytes have no SQL equivalent; counts asserted in tests)."""
+    from .multimodal import sample_video_frames
+
+    out = sample_video_frames(_media_path(sf_dir)).to_pandas()
+    out = out[["media_id", "frame_idx"]].astype("int64")
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -449,6 +492,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q_fingerprint_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "drift_events_value": q_drift_events_value,
+        "multimodal_image_decode": q_multimodal_image_decode,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -554,6 +600,29 @@ def oracle_sql() -> Dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "language_id_documents": _LANGUAGE_ID_SQL,
+        "multimodal_image_decode": (
+            "WITH seq AS (SELECT (row_number() OVER ()) - 1 AS media_id "
+            "FROM documents), "
+            "ids AS (SELECT media_id FROM seq WHERE media_id % 3 = 0) "
+            "SELECT media_id, (8 + media_id % 32)::BIGINT AS width, "
+            "(8 + (media_id * 7) % 32)::BIGINT AS height, "
+            "(1 + media_id % 3)::BIGINT AS channels, "
+            "(9 + (8 + media_id % 32) * (8 + (media_id * 7) % 32) * "
+            "(1 + media_id % 3))::BIGINT AS n_bytes "
+            "FROM ids ORDER BY media_id"
+        ),
+        "multimodal_audio_decode": (
+            "WITH seq AS (SELECT (row_number() OVER ()) - 1 AS media_id "
+            "FROM documents), "
+            "ids AS (SELECT media_id FROM seq WHERE media_id % 3 = 1) "
+            "SELECT media_id, "
+            "(8000 + (media_id % 4) * 4000)::BIGINT AS sample_rate, "
+            "(256 + (media_id * 13) % 1024)::BIGINT AS n_samples, "
+            "((256 + (media_id * 13) % 1024) * 1000 // "
+            "(8000 + (media_id % 4) * 4000))::BIGINT AS duration_ms, "
+            "(12 + 2 * (256 + (media_id * 13) % 1024))::BIGINT AS n_bytes "
+            "FROM ids ORDER BY media_id"
+        ),
         "fingerprint_documents": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
             "'g'))) AS fingerprint FROM documents ORDER BY doc_id"
