@@ -1,10 +1,11 @@
-"""Command-line interface — same flags and behavior as the reference
-CLI (``cli.py:15-79``): ``--config`` (YAML), ``--sources`` (YAML/JSON
-table→source map), ``--table``, ``--output`` (JSON report path, stdout
-otherwise).
+"""Command-line interface with the reference CLI's contract
+(``cli.py:15-79``): ``--config`` YAML, ``--sources`` YAML/JSON
+table→source map, ``--table`` to restrict, ``--output`` for the JSON
+report (stdout otherwise).
 
 Run as ``python -m data_validator_ray.cli ...``. The CLI owns the Ray
-session (guarded init; the library itself never calls ray.init)."""
+session (guarded init; the library itself never calls ray.init).
+"""
 
 from __future__ import annotations
 
@@ -13,64 +14,66 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import yaml
-
 from .validator import RayDataValidator
 
+_FLAGS = {
+    "--config": dict(required=True, help="YAML validation configuration"),
+    "--sources": dict(help="YAML/JSON file mapping table names to data sources"),
+    "--table": dict(help="validate only this table"),
+    "--output": dict(help="JSON report path (stdout if omitted)"),
+}
 
-def _parse_args(argv: "Optional[list[str]]" = None) -> argparse.Namespace:
-    parser = argparse.ArgumentParser(
-        description="Run data validation using a YAML configuration file",
-    )
-    parser.add_argument("--config", required=True,
-                        help="Path to YAML validation configuration")
-    parser.add_argument("--sources",
-                        help="Optional YAML/JSON file mapping table names to data sources")
-    parser.add_argument("--table",
-                        help="Validate only a specific table from the configuration")
-    parser.add_argument("--output",
-                        help="Path to write JSON validation report (stdout if omitted)")
-    return parser.parse_args(argv)
+
+def _load_sources(path: str) -> Dict[str, Any]:
+    text = Path(path).read_text(encoding="utf-8")
+    if path.endswith(".json"):
+        return json.loads(text)
+    import yaml
+
+    return yaml.safe_load(text)
 
 
 def run_cli(
     config_path: str,
-    sources_path: Optional[str],
-    table: Optional[str],
-    output_path: Optional[str],
-) -> None:
+    sources_path: Optional[str] = None,
+    table: Optional[str] = None,
+    output_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Validate and emit the report; returns the report dict."""
     validator = RayDataValidator(config_path)
 
-    summaries: Dict[str, Any] = {}
-    if sources_path:
-        with open(sources_path, "r", encoding="utf-8") as f:
-            sources = (
-                json.load(f) if sources_path.endswith(".json") else yaml.safe_load(f)
-            )
-        if table:
-            data = sources.get(table)
-            if data is None:
-                raise ValueError(f"Table '{table}' not found in sources file")
-            summaries[table] = validator.validate_table(data, table)
-        else:
-            summaries = validator.validate_all_tables(sources)
-    else:
+    if sources_path is None:
         if table is None:
             raise ValueError("--table must be provided when no sources file is given")
-        summaries[table] = validator.validate_table(table, table)
+        summaries = {table: validator.validate_table(table, table)}
+    else:
+        sources = _load_sources(sources_path)
+        if table is not None:
+            if table not in sources:
+                raise ValueError(f"Table '{table}' not found in sources file")
+            summaries = {table: validator.validate_table(sources[table], table)}
+        else:
+            summaries = validator.validate_all_tables(sources)
 
     report = validator.get_validation_report(summaries)
-    output_data = json.dumps(report, indent=2)
-
-    if output_path:
-        out = Path(output_path)
-        out.parent.mkdir(parents=True, exist_ok=True)
-        out.write_text(output_data)
+    rendered = json.dumps(report, indent=2)
+    if output_path is None:
+        print(rendered)
     else:
-        print(output_data)
+        target = Path(output_path)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        target.write_text(rendered)
+    return report
 
 
 def main(argv: "Optional[list[str]]" = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Run data validation using a YAML configuration file"
+    )
+    for flag, kw in _FLAGS.items():
+        parser.add_argument(flag, **kw)
+    args = parser.parse_args(argv)
+
     import ray
 
     if not ray.is_initialized():
@@ -81,7 +84,6 @@ def main(argv: "Optional[list[str]]" = None) -> None:
             logging_level="ERROR",
         )
     try:
-        args = _parse_args(argv)
         run_cli(args.config, args.sources, args.table, args.output)
     finally:
         ray.shutdown()
