@@ -64,14 +64,20 @@ def generate_bench_webpages(out_dir: Path) -> None:
     n_docs = len(docs)
     docs_ref = ray.put(docs)
 
-    def gen_replica(batch: pd.DataFrame) -> pd.DataFrame:
+    def gen_replica(batch: pd.DataFrame):
+        import pyarrow as pa
+
         base = ray.get(docs_ref)
         out = []
         for r in batch["id"]:
             b = base.copy()
             b["doc_id"] = b["doc_id"] + int(r) * n_docs
             out.append(make_webpages_batch(b))
-        return pd.concat(out, ignore_index=True)
+        merged = pd.concat(out, ignore_index=True)
+        # strip pandas schema metadata: its dict payload defeats Ray's
+        # per-block schema dedup cache (a warning per block otherwise)
+        t = pa.Table.from_pandas(merged, preserve_index=False)
+        return t.replace_schema_metadata(None)
 
     # ~200 output files regardless of replica count (each task emits one
     # block/file) — keeps file-footer scans and read planning cheap
@@ -153,7 +159,59 @@ def bench_events_referential() -> float:
     return time.perf_counter() - t0
 
 
+def bench_exact_dedup(input_dir: str) -> float:
+    """Keep-first exact dedup on text over the bench webpages input
+    (every replica repeats the base texts → heavy duplication, the
+    worst case for the bucketed shuffle)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from data_validator_ray.pipelines.dedup import exact_dedup
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(input_dir, columns=["url", "text"])
+    n = exact_dedup(ds, "text").count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
+def bench_text_analysis(input_dir: str) -> float:
+    """quality_stats + language_id + md5 fingerprints over the bench
+    input (id derived from url hash — shuffle-free map passes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.text import (
+        fingerprint_md5,
+        language_id,
+        quality_stats,
+    )
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    for op in (quality_stats, language_id, fingerprint_md5):
+        ds = ray.data.read_parquet(
+            input_dir, columns=["url", "text"]
+        ).map_batches(with_id, batch_format="pyarrow")
+        assert op(ds).count() > 0
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
+    # pin intra-worker thread pools to the task's single CPU slot —
+    # polars' Rayon pool otherwise grabs every PHYSICAL core from inside
+    # each Ray task, which silently inflates low-num_cpus runs and
+    # wrecks the N→4N scaling measurement (workers inherit driver env)
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+
     import ray
 
     ray.init(
@@ -201,6 +259,12 @@ def run_bench() -> dict:
         queries["webpages_suite_exact"] = round(exact_sec, 3)
         queries["lineitem_checks"] = round(bench_lineitem_checks(), 3)
         queries["events_referential"] = round(bench_events_referential(), 3)
+        queries["exact_dedup_webpages"] = round(
+            bench_exact_dedup(str(input_dir)), 3
+        )
+        queries["text_analysis_webpages"] = round(
+            bench_text_analysis(str(input_dir)), 3
+        )
 
     result = {
         "metric": "validated docs/sec (full constraint suite)",

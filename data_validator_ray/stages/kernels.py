@@ -240,7 +240,7 @@ class UniquenessKernel(CheckKernel):
             hll = HyperLogLog(self.hll_p)
             valid = col.drop_null()
             if len(valid):
-                hll.add_hashes(hash64(valid.to_pandas()))
+                hll.add_hashes(hash64(valid))
             out["hll"] = hll.to_bytes()
         return out
 
@@ -301,7 +301,7 @@ class ReferentialKernel(CheckKernel):
 
         if self.approx and not isinstance(keys, BloomFilter):
             bloom = BloomFilter()
-            bloom.add_hashes(hash64(keys.to_pandas() if hasattr(keys, "to_pandas") else keys))
+            bloom.add_hashes(hash64(keys))
             keys = bloom
         self._keys_ref = ray.put(keys)
 
@@ -317,7 +317,7 @@ class ReferentialKernel(CheckKernel):
         keys = self._keys()
         if isinstance(keys, BloomFilter):
             valid = pc.is_valid(col)
-            present = keys.contains_hashes(hash64(col.to_pandas()))
+            present = keys.contains_hashes(hash64(col))
             miss = pa.array(~present)
             return pc.and_(miss, valid)
         member = pc.is_in(col, value_set=keys)

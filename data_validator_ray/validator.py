@@ -312,7 +312,7 @@ class RayDataValidator:
 
         def batch_unique(batch: pa.Table) -> pa.Table:
             u = pc.unique(batch[column].combine_chunks()).drop_null()
-            h = hash64(u.to_pandas())
+            h = hash64(u)
             b = (h % np.uint64(buckets)).astype(np.int64)
             return pa.table({column: u, "__bucket": b})
 

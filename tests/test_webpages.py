@@ -112,3 +112,34 @@ def test_approx_uniqueness_close(ray_session, sf001_dir_mod):
     byname = {r.rule_name: r for r in summary.results}
     exact = 14
     assert abs(byname["url_unique"].failed_count - exact) <= 5  # HLL ±~1%
+
+
+def test_extract_collapse_equals_regex_semantics():
+    """The split/join whitespace collapse must stay byte-identical to
+    the canonical regex form (replace \\s+ → ' ' then trim)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from data_validator_ray.pipelines.webpages import extract_text_arrow
+
+    html = pa.array(
+        [
+            b"<html><body><p>a  b</p></body></html>",
+            b"<p>\tx\n\ny </p>",
+            b"  &lt;tag&gt; &amp; more  ",
+            b"",
+            None,
+            b"<a><b><c>deep</c></b></a>",
+        ],
+        pa.binary(),
+    )
+    got = extract_text_arrow(html)
+    s = pc.cast(html, pa.string())
+    s = pc.replace_substring_regex(s, r"<[^>]*>", " ")
+    s = pc.replace_substring(s, "&lt;", "<")
+    s = pc.replace_substring(s, "&gt;", ">")
+    s = pc.replace_substring(s, "&amp;", "&")
+    ref = pc.fill_null(
+        pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", " ")), ""
+    )
+    assert got.equals(ref)
