@@ -59,9 +59,49 @@ import ray.data
 
 from ..functions.sketches import hash64
 
+try:
+    import polars as pl
+except ImportError:  # pragma: no cover — polars is baked into this env
+    pl = None
+
 Dataset = ray.data.Dataset
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_frame(texts_col, n: int) -> "pl.DataFrame":
+    """(row, shingle_hash) rows — distinct per row — plus a ``size``
+    column (distinct shingles of that row), entirely in polars: Rust
+    split → explode → shifted concat (window overruns masked by
+    doc-boundary compare) → xxhash → unique. ``row`` is the positional
+    batch index. Tokens split on single spaces, empties dropped (the
+    SQL-oracle tokenization)."""
+    s = pl.from_arrow(
+        texts_col.combine_chunks()
+        if isinstance(texts_col, pa.ChunkedArray)
+        else texts_col
+    ).fill_null("")
+    ex = (
+        pl.DataFrame({"row": pl.int_range(0, len(s), eager=True), "t": s})
+        .with_columns(pl.col("t").str.split(" "))
+        .explode("t")
+        .filter(pl.col("t").is_not_null() & (pl.col("t") != ""))
+    )
+    parts = [pl.col("t")] + [pl.col("t").shift(-i) for i in range(1, n)]
+    sh = (
+        ex.with_columns(
+            pl.concat_str(parts, separator=" ").alias("sh"),
+            (pl.col("row") == pl.col("row").shift(-(n - 1))).alias("ok"),
+        )
+        .filter(pl.col("ok").fill_null(False))
+        .select(
+            pl.col("row"),
+            pl.col("sh").hash(seed=0).alias("shingle_hash"),
+        )
+        .unique(subset=["row", "shingle_hash"], maintain_order=True)
+        .with_columns(pl.len().over("row").alias("size"))
+    )
+    return sh
 
 
 def _as_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
@@ -251,42 +291,14 @@ def shingle_table(
     doc-boundary offsets. No Python loop over rows."""
 
     def shingles(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                "shingle_hash": pa.array([], pa.uint64()),
-                "size": pa.array([], pa.int64()),
-            }
-        )
-        texts = batch[text_col].to_pandas().fillna("")
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        tok_lists = texts.str.split()
-        lens = tok_lists.str.len().to_numpy()
-        flat = pd.Series(
-            [t for toks in tok_lists for t in toks], dtype="object"
-        )
-        if len(flat) == 0:
-            return empty
-        sh = flat.copy()
-        for i in range(1, n):
-            sh = sh + " " + flat.shift(-i)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        doc_of = np.repeat(np.arange(len(ids)), lens)
-        # a window starting within the last n−1 tokens of a doc crosses
-        # into the next doc → drop it
-        pos_in_doc = np.arange(len(flat)) - starts[doc_of]
-        valid = pos_in_doc <= (lens[doc_of] - n)
-        h = hash64(sh.to_numpy())[valid]
-        out = pd.DataFrame({id_col: ids[doc_of[valid]], "shingle_hash": h})
-        out = out.drop_duplicates()
-        if len(out) == 0:
-            return empty
-        out["size"] = out.groupby(id_col)[id_col].transform("size")
+        sh = _shingle_frame(batch[text_col], n)
+        rows = sh["row"].to_numpy()
         return pa.Table.from_arrays(
             [
-                pa.array(out[id_col].to_numpy(), pa.int64()),
-                pa.array(out["shingle_hash"].to_numpy(), pa.uint64()),
-                pa.array(out["size"].to_numpy(), pa.int64()),
+                pa.array(ids[rows], pa.int64()),
+                pa.array(sh["shingle_hash"].to_numpy().astype(np.uint64)),
+                pa.array(sh["size"].to_numpy().astype(np.int64), pa.int64()),
             ],
             names=[id_col, "shingle_hash", "size"],
         )
@@ -384,24 +396,14 @@ class MinHashStage:
         self.a, self.b = _perm_params(num_perms, seed)
 
     def _signatures(self, batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
-        texts = batch[self.text_col].to_pandas().fillna("")
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        tok_lists = texts.str.split()
-        lens = tok_lists.str.len().to_numpy()
-        flat = pd.Series([t for toks in tok_lists for t in toks], dtype="object")
         n_docs = len(ids)
         sig = np.full((n_docs, self.num_perms), np.iinfo(np.uint64).max, np.uint64)
-        if len(flat) == 0:
+        sh = _shingle_frame(batch[self.text_col], self.n)
+        if len(sh) == 0:
             return ids, sig
-        sh = flat.copy()
-        for i in range(1, self.n):
-            sh = sh + " " + flat.shift(-i)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        doc_of = np.repeat(np.arange(n_docs), lens)
-        pos_in_doc = np.arange(len(flat)) - starts[doc_of]
-        valid = pos_in_doc <= (lens[doc_of] - self.n)
-        h = hash64(sh.to_numpy())[valid]
-        doc_of = doc_of[valid]
+        doc_of = sh["row"].to_numpy()  # sorted ascending by construction
+        h = sh["shingle_hash"].to_numpy().astype(np.uint64)
         # reduceat needs contiguous segments: doc_of is already sorted
         seg_starts = np.searchsorted(doc_of, np.arange(n_docs))
         nonempty = np.searchsorted(doc_of, np.arange(n_docs), side="right") > seg_starts
@@ -553,21 +555,31 @@ class SimHashStage:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pandas().fillna("")
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        tok_lists = texts.str.split()
-        lens = tok_lists.str.len().to_numpy()
-        flat = [t for toks in tok_lists for t in toks]
         n_docs = len(ids)
         sims = np.zeros(n_docs, np.uint64)
-        if flat:
-            h = hash64(np.array(flat, dtype=object))
+        col = batch[self.text_col]
+        s = pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).fill_null("")
+        ex = (
+            pl.DataFrame({"row": pl.int_range(0, n_docs, eager=True), "t": s})
+            .with_columns(pl.col("t").str.split(" "))
+            .explode("t")
+            .filter(pl.col("t").is_not_null() & (pl.col("t") != ""))
+            .select(pl.col("row"), pl.col("t").hash(seed=0).alias("h"))
+        )
+        if len(ex):
+            h = ex["h"].to_numpy().astype(np.uint64)
+            doc_of = ex["row"].to_numpy()
             bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)  # (T, 64)
             signed = bits.astype(np.int32) * 2 - 1
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            nonempty = lens > 0
+            seg_starts = np.searchsorted(doc_of, np.arange(n_docs))
+            nonempty = (
+                np.searchsorted(doc_of, np.arange(n_docs), side="right") > seg_starts
+            )
             sums = np.zeros((n_docs, 64), np.int64)
-            seg = np.add.reduceat(signed, starts[nonempty], axis=0)
+            seg = np.add.reduceat(signed, seg_starts[nonempty], axis=0)
             sums[nonempty] = seg
             simbits = (sums > 0).astype(np.uint8)
             sims = np.packbits(simbits, axis=1).copy().view(np.uint64).reshape(-1)

@@ -42,27 +42,43 @@ LANGS = sorted(LANG_PROFILES)  # alphabetical — the argmax tie-break order
 
 _WS_RE = re.compile(r"\s+")
 
+try:
+    import polars as pl
+except ImportError:  # pragma: no cover — polars is baked into this env
+    pl = None
 
-def _flat_tokens(texts: pd.Series):
-    """One flat token array for the batch + per-doc segment offsets.
-    Tokens are split on single spaces with empties dropped — the exact
+
+def _exploded_tokens(texts_col) -> "tuple[pl.DataFrame, int]":
+    """(doc_index, token) rows for the batch, all in polars (Rust
+    split + explode — the pandas/python flattening was the text
+    pipeline's bottleneck at 8M docs). Tokens are split on single
+    spaces with empties dropped — the exact
     ``list_filter(string_split(text,' '), x -> x <> '')`` oracle
     semantics."""
-    tok_lists = texts.str.split(" ").map(lambda ts: [t for t in ts if t])
-    lens = tok_lists.str.len().to_numpy()
-    flat = np.array(
-        [t for toks in tok_lists for t in toks], dtype=object
+    s = pl.from_arrow(
+        texts_col.combine_chunks()
+        if isinstance(texts_col, pa.ChunkedArray)
+        else texts_col
+    ).fill_null("")
+    n = len(s)
+    ex = (
+        pl.DataFrame({"doc": pl.int_range(0, n, eager=True), "t": s})
+        .with_columns(pl.col("t").str.split(" "))
+        .explode("t")
+        .filter(pl.col("t").is_not_null() & (pl.col("t") != ""))
     )
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    return flat, lens, starts
+    return ex, n
 
 
-def _segment_sum(values: np.ndarray, lens: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    out = np.zeros(len(lens), np.int64)
-    nonempty = lens > 0
-    if values.size and nonempty.any():
-        out[nonempty] = np.add.reduceat(values.astype(np.int64), starts[nonempty])
-    return out
+def _reindex(agg: "pl.DataFrame", n: int) -> "pl.DataFrame":
+    """Left-join onto the full doc index (docs with zero tokens fall out
+    of the exploded frame) and zero-fill."""
+    return (
+        pl.DataFrame({"doc": pl.int_range(0, n, eager=True)})
+        .join(agg, on="doc", how="left")
+        .fill_null(0)
+        .sort("doc")
+    )
 
 
 def quality_stats(
@@ -77,37 +93,34 @@ def quality_stats(
     n_chars (utf8 length), n_tokens, n_stopwords (English profile by
     default), n_unique_tokens. Float quality scores derive from these
     downstream (:func:`quality_score`)."""
-    stop = set(stopwords if stopwords is not None else LANG_PROFILES["en"])
+    stop = list(stopwords if stopwords is not None else LANG_PROFILES["en"])
 
     def stats(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas().fillna("")
-        flat, lens, starts = _flat_tokens(texts)
-        is_stop = (
-            pd.Series(flat).isin(stop).to_numpy()
-            if len(flat)
-            else np.zeros(0, bool)
+        import pyarrow.compute as pc
+
+        ex, n = _exploded_tokens(batch[text_col])
+        agg = ex.group_by("doc").agg(
+            pl.len().alias("n_tokens"),
+            pl.col("t").is_in(stop).sum().alias("n_stopwords"),
+            pl.col("t").n_unique().alias("n_unique_tokens"),
         )
-        n_stop = _segment_sum(is_stop, lens, starts)
-        # unique tokens per doc: sort (doc, token-hash) pairs, count runs
-        n_unique = np.zeros(len(lens), np.int64)
-        if len(flat):
-            doc_of = np.repeat(np.arange(len(lens)), lens)
-            h = hash64(flat)
-            order = np.lexsort((h, doc_of))
-            d, hh = doc_of[order], h[order]
-            new_run = np.concatenate(
-                [[True], (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
-            )
-            np.add.at(n_unique, d[new_run], 1)
+        out = _reindex(agg, n)
+        n_chars = pc.fill_null(
+            pc.utf8_length(pc.fill_null(batch[text_col], "")), 0
+        )
         return pa.table(
             {
                 id_col: batch[id_col],
-                "n_chars": pa.array(
-                    texts.str.len().to_numpy(np.int64), pa.int64()
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pa.array(
+                    out["n_tokens"].to_numpy().astype(np.int64), pa.int64()
                 ),
-                "n_tokens": pa.array(lens.astype(np.int64), pa.int64()),
-                "n_stopwords": pa.array(n_stop, pa.int64()),
-                "n_unique_tokens": pa.array(n_unique, pa.int64()),
+                "n_stopwords": pa.array(
+                    out["n_stopwords"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_unique_tokens": pa.array(
+                    out["n_unique_tokens"].to_numpy().astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -150,20 +163,20 @@ def language_id(
     CASE/greatest order the oracle SQL uses). Output columns:
     id, hits_de..hits_zh (integers), detected_lang."""
 
-    stop_sets = {lang: set(ws) for lang, ws in LANG_PROFILES.items()}
-
     def detect(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas().fillna("")
-        flat, lens, starts = _flat_tokens(texts)
-        flat_s = pd.Series(flat) if len(flat) else pd.Series([], dtype=object)
-        hit_mat = np.zeros((len(lens), len(LANGS)), np.int64)
-        for li, lang in enumerate(LANGS):
-            hits = (
-                flat_s.isin(stop_sets[lang]).to_numpy()
-                if len(flat)
-                else np.zeros(0, bool)
-            )
-            hit_mat[:, li] = _segment_sum(hits, lens, starts)
+        ex, n = _exploded_tokens(batch[text_col])
+        agg = ex.group_by("doc").agg(
+            *[
+                pl.col("t").is_in(list(LANG_PROFILES[lang])).sum()
+                .alias(f"hits_{lang}")
+                for lang in LANGS
+            ]
+        )
+        out = _reindex(agg, n)
+        hit_mat = np.stack(
+            [out[f"hits_{lang}"].to_numpy().astype(np.int64) for lang in LANGS],
+            axis=1,
+        )
         best = np.argmax(hit_mat, axis=1)  # first max → alphabetical tie-break
         detected = np.array(LANGS, dtype=object)[best]
         cols = {id_col: batch[id_col]}
@@ -189,8 +202,16 @@ def fingerprint_md5(
     The per-row md5 call is C-speed hashing (the irreducible work)."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas().fillna("")
-        norm = texts.str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = (
+            pl.from_arrow(col)
+            .fill_null("")
+            .str.to_lowercase()
+            .str.replace_all(r"\s+", " ")
+            .str.strip_chars()
+        )
         digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
         return pa.table(
             {id_col: batch[id_col], "fingerprint": pa.array(digests, pa.string())}
