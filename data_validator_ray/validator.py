@@ -544,10 +544,13 @@ class RayDataValidator:
         )
 
     def uniqueness_violations(self, data: Any, column: str) -> Dataset:
-        """Rows whose key occurs more than once: groupby(key) keeps the
-        duplicate keys (count > 1), then a broadcast-free semi-join is
-        avoided by re-grouping the full rows per key and emitting groups
-        of size > 1 — one shuffle on the key."""
+        """Rows whose key occurs more than once — one shuffle on a
+        coarse hash bucket of the key (equal keys co-locate), then a
+        single vectorized ``duplicated(keep=False)`` per bucket instead
+        of a Python call per key group (the many-tiny-groups pattern,
+        see pipelines/dedup.py bucketed_groupby)."""
+        from .pipelines.dedup import bucketed_groupby
+
         ds = self.load_data(data)
         # drop null keys before the shuffle (Ray groupby cannot key on NA;
         # null rows are already counted failed by the uniqueness verdict)
@@ -557,10 +560,10 @@ class RayDataValidator:
             batch_size=self.batch_size,
         )
 
-        def dup_groups(group):  # pandas per-group
-            return group if len(group) > 1 else group.iloc[0:0]
+        def dup_rows(bucket):  # pandas, all key groups of the bucket at once
+            return bucket[bucket.duplicated(subset=[column], keep=False)]
 
-        return nonnull.groupby(column).map_groups(dup_groups, batch_format="pandas")
+        return bucketed_groupby(nonnull, [column], dup_rows)
 
     # ------------------------------------------------------------------ #
     # report / dqx / dlt                                                 #
