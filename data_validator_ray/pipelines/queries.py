@@ -392,9 +392,15 @@ def q_drift_events_value(sf_dir: str) -> pd.DataFrame:
     from ..validator import RayDataValidator
     from ..config import ValidationConfig
 
+    from ..stages.drift import read_baseline
+
     tag = Path(sf_dir).name
     snap = Path(tempfile.gettempdir()) / f"graft_drift_baseline_{tag}.parquet"
-    if not snap.exists():
+    try:
+        if "value" not in read_baseline(snap):
+            raise KeyError("value")
+    except Exception:  # missing or stale-format cache → rebuild
+        snap.unlink(missing_ok=True)
         write_baseline(f"{sf_dir}/events.parquet", ["value"], snap)
     rule = ValidationRule(
         name="value_drift", rule_type="drift", column="value",
