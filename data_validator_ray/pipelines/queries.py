@@ -176,6 +176,33 @@ def q_filter_documents(sf_dir: str):
     return v.apply_filters(f"{sf_dir}/documents.parquet", "documents")
 
 
+def q_filter_lineitem_custom(sf_dir: str):
+    """Filter mode driven by the custom-expression DSL + a range rule
+    (reference F4 semantics: the expression is the keep-side WHERE)."""
+    rules = [
+        ValidationRule(
+            name="rev_band", rule_type="custom",
+            expression=(
+                "l_extendedprice * (1 - l_discount) >= 1000 "
+                "AND l_shipdate < DATE '1998-01-01'"
+            ),
+        ),
+        ValidationRule(
+            name="qty", rule_type="range", column="l_quantity",
+            parameters={"min_value": 5, "max_value": 45},
+        ),
+    ]
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "lineitem", "rules": [r.model_dump() for r in rules]}],
+    )
+    v = RayDataValidator(cfg)
+    out = v.apply_filters(f"{sf_dir}/lineitem.parquet", "lineitem")
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
 def q_violations_events_value(sf_dir: str):
     cfg = ValidationConfig(
         engine={"type": "ray"},
@@ -479,6 +506,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "referential_events_user": q_referential_events_user,
         "referential_orders_cust": q_referential_orders_cust,
         "filter_documents": q_filter_documents,
+        "filter_lineitem_custom": q_filter_lineitem_custom,
         "violations_events_value": q_violations_events_value,
         "stats_lineitem_quantity": q_stats_lineitem_quantity,
         "grouped_documents_lang": q_grouped_documents_lang,
@@ -553,6 +581,13 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT * FROM documents WHERE text IS NOT NULL "
             "AND n_chars >= 100 AND n_chars <= 5000 "
             "AND regexp_matches(lang, '^[a-z]{2}$')"
+        ),
+        "filter_lineitem_custom": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+            "l_discount FROM lineitem "
+            "WHERE l_extendedprice * (1 - l_discount) >= 1000 "
+            "AND l_shipdate < DATE '1998-01-01' "
+            "AND l_quantity >= 5 AND l_quantity <= 45"
         ),
         "violations_events_value": (
             "SELECT *, 'value_range' AS rule_name FROM events "
