@@ -180,11 +180,12 @@ def knn_ivf(
         mn = m / norms
         assign = np.argmax(mn @ cents.T, axis=1)  # (batch,)
         sims = q_m @ mn.T  # (q, batch)
-        # mask vectors outside each query's probed clusters
-        in_probe = np.zeros_like(sims, dtype=bool)
-        for qi in range(len(q_ids)):
-            in_probe[qi] = np.isin(assign, probe_sets[qi])
-        sims = np.where(in_probe, sims, -np.inf)
+        # mask vectors outside each query's probed clusters, fully
+        # vectorized: (q, n_centroids) membership matrix gathered by
+        # each vector's cluster assignment
+        probes = np.zeros((len(q_ids), len(cents)), dtype=bool)
+        np.put_along_axis(probes, probe_sets, True, axis=1)
+        sims = np.where(probes[:, assign], sims, -np.inf)
         if exclude_self:
             sims = np.where(q_ids[:, None] == ids[None, :], -np.inf, sims)
         kk = min(k, sims.shape[1])
