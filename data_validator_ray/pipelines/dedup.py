@@ -107,6 +107,10 @@ def _shingle_frame(texts_col, n: int) -> "pl.DataFrame":
 def _as_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
     if isinstance(source, Dataset):
         return source
+    if isinstance(source, pa.Table):
+        return ray.data.from_arrow(source.select(columns) if columns else source)
+    if isinstance(source, pd.DataFrame):
+        return ray.data.from_pandas(source[columns] if columns else source)
     return ray.data.read_parquet(str(source), columns=columns)
 
 
@@ -395,29 +399,39 @@ class MinHashStage:
         self.rows_per_band = num_perms // bands
         self.a, self.b = _perm_params(num_perms, seed)
 
-    def _signatures(self, batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+    def _signatures(
+        self, batch: pa.Table
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n_docs = len(ids)
         sig = np.full((n_docs, self.num_perms), np.iinfo(np.uint64).max, np.uint64)
         sh = _shingle_frame(batch[self.text_col], self.n)
         if len(sh) == 0:
-            return ids, sig
+            return ids, sig, np.zeros(n_docs, bool)
         doc_of = sh["row"].to_numpy()  # sorted ascending by construction
         h = sh["shingle_hash"].to_numpy().astype(np.uint64)
-        # reduceat needs contiguous segments: doc_of is already sorted
+        # reduceat needs contiguous in-range segments: restrict to docs
+        # that own ≥1 shingle (trailing empty docs would index past the
+        # end of ``h``), then scatter the minima back by mask.
         seg_starts = np.searchsorted(doc_of, np.arange(n_docs))
         nonempty = np.searchsorted(doc_of, np.arange(n_docs), side="right") > seg_starts
+        ne_starts = seg_starts[nonempty]
         chunk = 16  # perms per chunk → ≤ (16 × |shingles|) temp matrix
         for c0 in range(0, self.num_perms, chunk):
             a = self.a[c0 : c0 + chunk, None]
             b = self.b[c0 : c0 + chunk, None]
             vals = (a * h[None, :] + b) % _MERSENNE  # (chunk, S)
-            mins = np.minimum.reduceat(vals, seg_starts, axis=1)  # (chunk, docs)
-            sig[nonempty, c0 : c0 + chunk] = mins.T[nonempty]
-        return ids, sig
+            mins = np.minimum.reduceat(vals, ne_starts, axis=1)  # (chunk, nonempty)
+            sig[nonempty, c0 : c0 + chunk] = mins.T
+        return ids, sig, nonempty
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, sig = self._signatures(batch)
+        ids, sig, nonempty = self._signatures(batch)
+        # Empty/short docs have no shingles → all-max signatures; emitting
+        # them would make every such doc collide in every band (quadratic
+        # candidate blowup on dirty corpora). They can never be near-dups
+        # (no shingles), so drop them from band emission.
+        ids, sig = ids[nonempty], sig[nonempty]
         n_docs = len(ids)
         band_hashes = np.empty((n_docs, self.bands), np.uint64)
         for bi in range(self.bands):
@@ -495,7 +509,10 @@ def _exact_jaccard_for_pairs(
     texts = dict(zip(sub[id_col], sub[text_col]))
 
     def sh_set(t: str) -> set:
-        toks = (t or "").split()
+        # split on single spaces + drop empties — the exact tokenization
+        # of _shingle_frame (and the SQL oracles); .split() (any
+        # whitespace) would disagree on tabs/newlines/double spaces
+        toks = [w for w in (t or "").split(" ") if w]
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
     sets = {i: sh_set(texts.get(i, "")) for i in involved}

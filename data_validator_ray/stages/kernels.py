@@ -35,7 +35,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import ValidationRule
-from ..functions.expr import compile_predicate, predicate_true_mask
+from ..functions.expr import (
+    compile_predicate,
+    parse_aggregate_query,
+    predicate_true_mask,
+)
 from ..functions.sketches import BloomFilter, HyperLogLog, TDigest, hash64
 from .registry import CheckKernel, register_check
 
@@ -201,13 +205,48 @@ class CustomKernel(CheckKernel):
         super().__init__(rule)
         if not rule.expression:
             raise ValueError("Custom rule requires an expression")
-        self.evaluator = compile_predicate(rule.expression)
+        # grouped-aggregate form (SELECT <agg> ... HAVING <agg-pred>) —
+        # the reference's own sample config uses it; runs as mergeable
+        # aggregate partials in the fused pass (see AggregateQuery)
+        self.agg_query = parse_aggregate_query(rule.expression)
+        self.evaluator = (
+            None if self.agg_query else compile_predicate(rule.expression)
+        )
 
     def mask_failing(self, batch: pa.Table):
+        if self.agg_query:
+            return None  # table-level verdict; no per-row mask exists
         return predicate_true_mask(self.evaluator, batch)
 
     def mask_keep(self, batch: pa.Table):
+        if self.agg_query:
+            return None  # aggregate rules filter nothing (reference F5)
         return predicate_true_mask(self.evaluator, batch)
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        if not self.agg_query:
+            return super().partial(batch)
+        p = self.agg_query.partial(batch)
+        p["total"] = batch.num_rows
+        p["failed"] = 0
+        return p
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        if not self.agg_query:
+            return super().combine(partials)
+        total = sum(p.pop("total") for p in partials)
+        for p in partials:
+            p.pop("failed", None)
+        failed, agg_values = self.agg_query.evaluate(
+            self.agg_query.combine(partials)
+        )
+        out: Dict[str, Any] = {"total": total, "failed": failed}
+        out.update(
+            (k, v)
+            for k, v in agg_values.items()
+            if isinstance(v, (int, float, str, bool)) or v is None
+        )
+        return out
 
 
 @register_check("uniqueness")

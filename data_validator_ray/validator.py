@@ -102,7 +102,12 @@ def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
     from .functions.expr import referenced_columns
 
     if rule.rule_type == "custom" and rule.expression:
+        from .functions.expr import parse_aggregate_query
+
         try:
+            agg = parse_aggregate_query(rule.expression)
+            if agg is not None:
+                return agg.columns()
             return sorted(referenced_columns(rule.expression))
         except Exception:
             return None

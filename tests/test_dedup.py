@@ -143,3 +143,55 @@ def test_embedding_lsh_subset_of_exact(ray_session, vectors):
     assert set(map(tuple, lsh.values)) <= set(map(tuple, exact[["id_a", "id_b"]].values))
     # the planted nearly-parallel pair survives bucketing (same signs)
     assert (0, 30) in set(map(tuple, lsh.values))
+
+
+# --------------------------------------------------------------------------- #
+# round 2 regressions (ADVICE.md)                                             #
+# --------------------------------------------------------------------------- #
+
+
+def test_minhash_empty_and_short_docs(ray_session):
+    """Trailing/interior empty or <n-token docs must not crash the
+    signature stage (np.minimum.reduceat rejected out-of-range trailing
+    segment starts) and must never appear as near-dup candidates."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "",  # interior empty
+                "the quick brown fox jumps over the lazy dog again and again",
+                "hi",  # < n tokens
+                "completely different text about ships and harbors and tides here",
+                "",  # trailing empty — the reduceat IndexError repro
+            ],
+        }
+    )
+    out = D.minhash_near_dup_pairs(df, threshold=0.5)
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 2) in pairs
+    involved = {i for p in pairs for i in p}
+    assert involved <= {0, 2, 4}  # empty/short docs never matched
+
+
+def test_minhash_stage_all_empty_batch(ray_session):
+    import pyarrow as pa
+
+    stage = D.MinHashStage()
+    out = stage(pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                          "text": pa.array(["", "x"], pa.string())}))
+    # both docs shingle-free → zero band rows emitted
+    assert out.num_rows == 0
+
+
+def test_exact_jaccard_tokenization_matches_shingle_frame(ray_session):
+    """Multi-space / tab / newline texts: verification must agree with
+    candidate generation (split on single space, drop empties)."""
+    a = "alpha  beta\tgamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha  beta\tgamma delta epsilon zeta eta theta iota lambda"
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [a, b]})
+    out = D.minhash_near_dup_pairs(df, threshold=0.3)
+    exact = D.ngram_jaccard_pairs(df, threshold=0.3)
+    assert list(out.id_a) == list(exact.id_a)
+    assert list(out.intersection) == list(exact.intersection)
+    assert list(out.size_a) == list(exact.size_a)
