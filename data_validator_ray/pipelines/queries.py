@@ -127,6 +127,39 @@ def q_custom_lineitem_expr(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_custom_orders_recent(sf_dir: str) -> pd.DataFrame:
+    """Date-arithmetic custom rule — the reference sample config's
+    ``DATE_SUB(CURRENT_DATE(), INTERVAL ...)`` form
+    (``/root/reference/examples/sample_config.yaml:96-99``)."""
+    return _single_rule_counts(
+        sf_dir, "orders",
+        ValidationRule(
+            name="x", rule_type="custom",
+            expression=(
+                "SELECT COUNT(*) FROM {table} WHERE "
+                "o_orderdate < DATE_SUB(CURRENT_DATE(), INTERVAL 30 YEAR)"
+            ),
+        ),
+    )
+
+
+def q_custom_orders_having(sf_dir: str) -> pd.DataFrame:
+    """Ungrouped aggregate rule (``SELECT ... HAVING``) — the reference
+    sample config's row_count_check form, run as mergeable aggregate
+    partials in the fused pass. failed = the SELECT aggregate when the
+    HAVING predicate holds, else 0 (DuckDB fetchone convention)."""
+    return _single_rule_counts(
+        sf_dir, "orders",
+        ValidationRule(
+            name="x", rule_type="custom",
+            expression=(
+                "SELECT COUNT(*) - COUNT(o_custkey) FROM {table} "
+                "HAVING COUNT(*) > 100"
+            ),
+        ),
+    )
+
+
 def q_referential_events_user(sf_dir: str) -> pd.DataFrame:
     return _single_rule_counts(
         sf_dir, "events",
@@ -450,6 +483,88 @@ def q_drift_events_value(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_RUNNER_PARTS = 8
+_RUNNER_RULES = [
+    ValidationRule(name="text_complete", rule_type="completeness", column="text"),
+    ValidationRule(
+        name="chars_range", rule_type="range", column="n_chars",
+        parameters={"min_value": 100, "max_value": 5000}, threshold=0.5,
+    ),
+    ValidationRule(
+        name="lang_pattern", rule_type="pattern", column="lang",
+        parameters={"pattern": "^[a-z]{2}$"}, threshold=0.9,
+    ),
+]
+
+
+def _partitioned_documents(sf_dir: str, n_parts: int = _RUNNER_PARTS) -> str:
+    """documents.parquet split into ``n_parts`` files by contiguous
+    doc_id range (partition p = doc_id // ceil(n/n_parts)) — the
+    deterministic multi-file layout the resumable runner partitions on.
+    Cached under /tmp per scale."""
+    import math
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    tag = Path(sf_dir).name
+    out = Path(tempfile.gettempdir()) / f"graft_runner_parts_{tag}"
+    if out.is_dir() and len(list(out.glob("part-*.parquet"))) == n_parts:
+        return str(out)
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    rpf = math.ceil(t.num_rows / n_parts)
+    tmp = out.with_name(out.name + ".tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    for i in range(n_parts):
+        pq.write_table(t.slice(i * rpf, rpf), tmp / f"part-{i:04d}.parquet")
+    shutil.rmtree(out, ignore_errors=True)
+    tmp.rename(out)
+    return str(out)
+
+
+def q_runner_documents_resume(sf_dir: str) -> pd.DataFrame:
+    """Resumable per-partition runner with a kill/resume proof: run the
+    first 2 chunks (4 of 8 partitions), 'die', then a FRESH runner over
+    the same checkpoint dir finishes the rest — it must skip exactly the
+    4 committed partitions. Output = per-partition metric rows (lineage
+    manifest), oracle-checked against per-range SQL aggregates."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .runner import ValidationRunner
+
+    parts_dir = _partitioned_documents(sf_dir)
+    ckpt = Path(tempfile.gettempdir()) / f"graft_runner_ckpt_{Path(sf_dir).name}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "documents",
+                 "rules": [r.model_dump() for r in _RUNNER_RULES]}],
+    )
+    # phase 1: two chunks of 2 partitions, then "killed"
+    r1 = ValidationRunner(cfg, ckpt, chunk_partitions=2, write_violations=False)
+    r1.run(parts_dir, "documents", max_chunks=2)
+    # phase 2: fresh runner, same checkpoints → must resume, not redo
+    r2 = ValidationRunner(cfg, ckpt, chunk_partitions=2, write_violations=False)
+    report = r2.run(parts_dir, "documents")
+    if report["partitions_skipped_on_resume"] != 4:
+        raise RuntimeError(
+            f"resume skipped {report['partitions_skipped_on_resume']} != 4"
+        )
+    if report["partitions_total"] != _RUNNER_PARTS:
+        raise RuntimeError("incomplete partition coverage after resume")
+    df = r2.manifest.read_all().to_pandas()
+    out = df[["partition_id", "rule_name", "total_count", "failed_count"]].copy()
+    out["partition_id"] = out["partition_id"].astype("int64")
+    return out.sort_values(["partition_id", "rule_name"]).reset_index(drop=True)
+
+
 def _media_path(sf_dir: str) -> str:
     """Deterministic synthetic media table sized to the documents table
     (cached under /tmp per scale)."""
@@ -503,6 +618,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "membership_documents_lang": q_membership_documents_lang,
         "custom_orders_totalprice": q_custom_orders_totalprice,
         "custom_lineitem_expr": q_custom_lineitem_expr,
+        "custom_orders_recent": q_custom_orders_recent,
+        "custom_orders_having": q_custom_orders_having,
         "referential_events_user": q_referential_events_user,
         "referential_orders_cust": q_referential_orders_cust,
         "filter_documents": q_filter_documents,
@@ -526,6 +643,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q_fingerprint_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "drift_events_value": q_drift_events_value,
+        "runner_documents_resume": q_runner_documents_resume,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -566,6 +684,18 @@ def oracle_sql() -> Dict[str, str]:
             failed="COUNT(*) FILTER (WHERE l_extendedprice * (1 - l_discount) > 30000 "
                    "AND l_returnflag != 'R' AND l_shipdate >= DATE '1995-01-01')",
             t="lineitem",
+        ),
+        "custom_orders_recent": counts.format(
+            failed="COUNT(*) FILTER (WHERE o_orderdate < "
+                   "CURRENT_DATE - INTERVAL 30 YEAR)",
+            t="orders",
+        ),
+        "custom_orders_having": (
+            # the oracle literally runs the HAVING query, DuckDB
+            # fetchone semantics with no-row → 0
+            "SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS total_count, "
+            "COALESCE((SELECT COUNT(*) - COUNT(o_custkey) FROM orders "
+            "HAVING COUNT(*) > 100), 0)::BIGINT AS failed_count"
         ),
         "referential_events_user": counts.format(
             failed="COUNT(*) FILTER (WHERE user_id IS NOT NULL AND user_id NOT IN "
@@ -663,6 +793,25 @@ def oracle_sql() -> Dict[str, str]:
             "(8000 + (media_id % 4) * 4000))::BIGINT AS duration_ms, "
             "(12 + 2 * (256 + (media_id * 13) % 1024))::BIGINT AS n_bytes "
             "FROM ids ORDER BY media_id"
+        ),
+        "runner_documents_resume": (
+            "WITH rpf AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS v "
+            "             FROM documents), "
+            "p AS (SELECT doc_id // (SELECT v FROM rpf) AS partition_id, "
+            "             text, n_chars, lang FROM documents) "
+            "SELECT partition_id::BIGINT AS partition_id, "
+            "'text_complete' AS rule_name, COUNT(*)::BIGINT AS total_count, "
+            "COUNT(*) FILTER (WHERE text IS NULL)::BIGINT AS failed_count "
+            "FROM p GROUP BY partition_id "
+            "UNION ALL "
+            "SELECT partition_id::BIGINT, 'chars_range', COUNT(*)::BIGINT, "
+            "COUNT(*) FILTER (WHERE n_chars < 100 OR n_chars > 5000)::BIGINT "
+            "FROM p GROUP BY partition_id "
+            "UNION ALL "
+            "SELECT partition_id::BIGINT, 'lang_pattern', COUNT(*)::BIGINT, "
+            "COUNT(*) FILTER (WHERE NOT regexp_matches(lang, '^[a-z]{2}$'))"
+            "::BIGINT FROM p GROUP BY partition_id "
+            "ORDER BY partition_id, rule_name"
         ),
         "fingerprint_documents": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "

@@ -108,12 +108,20 @@ class _PartitionedPartials:
                     }
                 )
         if bad_parts:
-            out_dir = Path(self.violations_dir) / f"part={pid}"
-            out_dir.mkdir(parents=True, exist_ok=True)
+            # worker-side write through pyarrow.fs: object-store-capable
+            # on a real cluster (a pathlib write would land on the
+            # worker's local disk only)
             import uuid
 
+            from ..state import resolve_filesystem
+
+            fs, root = resolve_filesystem(self.violations_dir)
+            out_dir = f"{root}/part={pid}"
+            fs.create_dir(out_dir, recursive=True)
             tbl = pa.concat_tables(bad_parts)
-            pq.write_table(tbl, out_dir / f"v-{uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(
+                tbl, f"{out_dir}/v-{uuid.uuid4().hex[:12]}.parquet", filesystem=fs
+            )
         return rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -159,7 +167,8 @@ class ValidationRunner:
         batch_size: int = 64 * 1024,
     ):
         self.config = config
-        self.checkpoint_dir = Path(checkpoint_dir)
+        # keep the root as a string: Path would mangle scheme:// URIs
+        self.checkpoint_dir = str(checkpoint_dir)
         self.manifest = PartitionManifest(self.checkpoint_dir)
         self.write_violations = write_violations
         self.chunk_partitions = chunk_partitions
@@ -169,9 +178,19 @@ class ValidationRunner:
         files = sorted(Path(input_dir).glob("**/*.parquet"))
         return list(enumerate(files))
 
-    def run(self, input_dir: "str | Path", table_name: str) -> Dict[str, Any]:
+    def run(
+        self,
+        input_dir: "str | Path",
+        table_name: str,
+        max_chunks: Optional[int] = None,
+    ) -> Dict[str, Any]:
         """Validate all not-yet-completed partitions; returns the
-        aggregated report plus resume accounting."""
+        aggregated report plus resume accounting.
+
+        ``max_chunks`` stops after that many committed chunks — the
+        deterministic stand-in for a mid-run kill (checkpoints for the
+        completed chunks are durable; a fresh runner resumes past
+        them)."""
         rules = [r for r in self.config.get_enabled_rules(table_name) if r.enabled]
         # uniqueness within the runner is per-partition → force the
         # mergeable HLL tier so it lives inside the fused pass
@@ -194,11 +213,15 @@ class ValidationRunner:
         skipped = len(parts) - len(todo)
 
         viol_dir = (
-            str(self.checkpoint_dir / "violations") if self.write_violations else None
+            f"{self.checkpoint_dir}/violations" if self.write_violations else None
         )
         rule_names = [r.name for r in rules]
 
-        for chunk_start in range(0, len(todo), self.chunk_partitions):
+        for chunk_no, chunk_start in enumerate(
+            range(0, len(todo), self.chunk_partitions)
+        ):
+            if max_chunks is not None and chunk_no >= max_chunks:
+                break
             chunk = todo[chunk_start: chunk_start + self.chunk_partitions]
             t0 = time.time()
             path_to_pid = {str(f): pid for pid, f in chunk}

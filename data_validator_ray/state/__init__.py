@@ -74,42 +74,73 @@ METRICS_SCHEMA = pa.schema(
 )
 
 
+def resolve_filesystem(root: "str | Path"):
+    """(filesystem, path) for a local path or a ``scheme://`` URI.
+
+    Everything the runner writes from worker tasks goes through
+    ``pyarrow.fs`` so the same code works on a multi-node cluster
+    against an object store (s3://, gcs://) — a plain ``pathlib.Path``
+    write would only land on one worker's local disk."""
+    from pyarrow import fs as pafs
+
+    s = str(root)
+    if "://" in s:
+        fs, path = pafs.FileSystem.from_uri(s)
+        return fs, path
+    return pafs.LocalFileSystem(), str(Path(s).absolute())
+
+
 class PartitionManifest:
     """Per-partition checkpoint manifest backed by one Parquet file per
-    completed partition (atomic: temp file + rename), so a killed run
-    resumes by skipping partitions whose metric file exists."""
+    completed partition (atomic: temp file + move), so a killed run
+    resumes by skipping partitions whose metric file exists. All I/O
+    goes through ``pyarrow.fs`` (object-store-capable)."""
 
     def __init__(self, checkpoint_dir: "str | Path"):
-        self.root = Path(checkpoint_dir)
-        self.metrics_dir = self.root / "metrics"
-        self.metrics_dir.mkdir(parents=True, exist_ok=True)
+        self.fs, self.root = resolve_filesystem(checkpoint_dir)
+        self.metrics_dir = f"{self.root}/metrics"
+        self.fs.create_dir(self.metrics_dir, recursive=True)
+
+    def _metric_files(self) -> List[str]:
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(self.metrics_dir, allow_not_found=True)
+        out = []
+        for info in self.fs.get_file_info(sel):
+            name = info.base_name
+            if name.startswith("part-") and name.endswith(".parquet"):
+                out.append(info.path)
+        return sorted(out)
 
     def completed_partitions(self) -> Set[int]:
         done: Set[int] = set()
-        for p in self.metrics_dir.glob("part-*.parquet"):
+        for p in self._metric_files():
+            stem = p.rsplit("/", 1)[-1][: -len(".parquet")]
             try:
-                done.add(int(p.stem.split("-")[1]))
+                done.add(int(stem.split("-")[1]))
             except (IndexError, ValueError):
                 continue
         return done
 
-    def write_partition(self, partition_id: int, rows: List[dict]) -> Path:
+    def write_partition(self, partition_id: int, rows: List[dict]) -> str:
         """Atomically persist one partition's metric/lineage rows."""
         for r in rows:
             r.setdefault("partition_id", partition_id)
         table = pa.Table.from_pylist(rows, schema=METRICS_SCHEMA)
-        final = self.metrics_dir / f"part-{partition_id:05d}.parquet"
-        tmp = final.with_suffix(".parquet.tmp")
-        pq.write_table(table, tmp)
-        tmp.rename(final)
+        final = f"{self.metrics_dir}/part-{partition_id:05d}.parquet"
+        tmp = f"{final}.tmp"
+        pq.write_table(table, tmp, filesystem=self.fs)
+        self.fs.move(tmp, final)
         return final
 
     def read_all(self) -> pa.Table:
-        files = sorted(self.metrics_dir.glob("part-*.parquet"))
+        files = self._metric_files()
         if not files:
             return METRICS_SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files])
+        return pa.concat_tables(
+            [pq.read_table(f, filesystem=self.fs) for f in files]
+        )
 
     def reset(self) -> None:
-        for p in self.metrics_dir.glob("part-*.parquet"):
-            p.unlink()
+        for p in self._metric_files():
+            self.fs.delete_file(p)

@@ -1,6 +1,7 @@
 """Partitioned runner: per-partition verdicts, lineage, violations, and
 kill/resume semantics."""
 
+from pathlib import Path
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -52,7 +53,7 @@ def test_resume_skips_completed(ray_session, webpages_dir, tmp_path):
     # remove 3 partitions' checkpoints → they must be re-run; the other
     # 5 must be skipped
     for pid in (2, 5, 7):
-        (manifest.metrics_dir / f"part-{pid:05d}.parquet").unlink()
+        (Path(manifest.metrics_dir) / f"part-{pid:05d}.parquet").unlink()
     report2 = runner.run(webpages_dir, "webpages")
     assert report2["partitions_skipped_on_resume"] == 5
     assert manifest.completed_partitions() == set(range(8))
@@ -90,3 +91,44 @@ def test_per_partition_verdicts_present(ray_session, webpages_dir, tmp_path):
     runner = make_runner(tmp_path)
     report = runner.run(webpages_dir, "webpages")
     assert len(report["per_partition_failed"]) == 8
+
+
+def test_kill_after_k_chunks_then_resume(ray_session, webpages_dir, tmp_path):
+    """max_chunks = the deterministic mid-run kill: first runner commits
+    2 chunks (4 partitions) and stops; a FRESH runner over the same
+    checkpoint dir must skip exactly those 4 and finish the rest."""
+    r1 = make_runner(tmp_path, chunk_partitions=2)
+    partial = r1.run(webpages_dir, "webpages", max_chunks=2)
+    assert partial["partitions_total"] == 4  # only committed ones in manifest
+    assert PartitionManifest(tmp_path / "ckpt").completed_partitions() == {0, 1, 2, 3}
+
+    r2 = make_runner(tmp_path, chunk_partitions=2)
+    report = r2.run(webpages_dir, "webpages")
+    assert report["partitions_skipped_on_resume"] == 4
+    assert report["partitions_total"] == 8
+
+    # aggregate equals an uninterrupted run elsewhere
+    r3 = ValidationRunner(webpages_config(), tmp_path / "ckpt2")
+    full = r3.run(webpages_dir, "webpages")
+    s_resumed = {r.rule_name: (r.total_count, r.failed_count)
+                 for r in report["summary"].results}
+    s_full = {r.rule_name: (r.total_count, r.failed_count)
+              for r in full["summary"].results}
+    assert s_resumed == s_full
+
+
+def test_manifest_uri_root(ray_session, webpages_dir, tmp_path):
+    """Checkpoint root given as a file:// URI exercises the pyarrow.fs
+    path (the multi-node / object-store write route)."""
+    uri = f"file://{tmp_path}/ckpt_uri"
+    runner = ValidationRunner(webpages_config(), uri, chunk_partitions=4)
+    report = runner.run(webpages_dir, "webpages")
+    assert report["partitions_total"] == 8
+    # durable and resumable through the same URI
+    m = PartitionManifest(uri)
+    assert m.completed_partitions() == set(range(8))
+    report2 = ValidationRunner(webpages_config(), uri).run(webpages_dir, "webpages")
+    assert report2["partitions_skipped_on_resume"] == 8
+    # violations also landed under the URI root
+    vroot = Path(f"{tmp_path}/ckpt_uri/violations")
+    assert any(vroot.glob("part=*/*.parquet"))
