@@ -195,3 +195,46 @@ def test_exact_jaccard_tokenization_matches_shingle_frame(ray_session):
     assert list(out.id_a) == list(exact.id_a)
     assert list(out.intersection) == list(exact.intersection)
     assert list(out.size_a) == list(exact.size_a)
+
+
+def test_distributed_verify_inflated_candidate_set(ray_session):
+    """verify_pairs_distributed must return exact Jaccard stats for
+    every candidate — including false candidates (low similarity) and
+    pairs of unrelated docs — and nothing else, matching a per-pair
+    python-set reference."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(80)]
+    docs = {i: " ".join(rng.choice(vocab, size=40)) for i in range(20)}
+    docs[50] = docs[3]  # exact dup pair (3, 50)
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    # inflate: the true dup pair + many unrelated pairs + a non-pair id
+    cand_pairs = [(3, 50)] + [(i, i + 10) for i in range(8)] + [(2, 17)]
+    cand = ray.data.from_pandas(
+        pd.DataFrame(cand_pairs, columns=["id_a", "id_b"])
+    )
+    got = (
+        D.verify_pairs_distributed(df, cand, "doc_id", "text", 3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    def sh(t):
+        toks = [w for w in t.split(" ") if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for _, row in got.iterrows():
+        a, b = sh(docs[row.id_a]), sh(docs[row.id_b])
+        assert row.intersection == len(a & b)
+        assert row.size_a == len(a) and row.size_b == len(b)
+    got_pairs = set(zip(got.id_a, got.id_b))
+    assert (3, 50) in got_pairs
+    # only candidate pairs may appear
+    assert got_pairs <= set(cand_pairs)
+    # every candidate with nonzero overlap appears
+    for a, b in cand_pairs:
+        if len(sh(docs[a]) & sh(docs[b])):
+            assert (a, b) in got_pairs
