@@ -238,3 +238,40 @@ def test_distributed_verify_inflated_candidate_set(ray_session):
     for a, b in cand_pairs:
         if len(sh(docs[a]) & sh(docs[b])):
             assert (a, b) in got_pairs
+
+
+def test_stop_shingle_skew_guard_bounds_pair_emission(ray_session):
+    """Planted stop-shingle: one 3-gram shared by EVERY doc would emit
+    k(k-1)/2 pairs without the guard. With max_shingle_freq set, groups
+    larger than the bound emit nothing, so pair count stays bounded by
+    the genuine near-dup structure."""
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(300)]
+    stop = "click here now"  # the planted hot shingle
+    docs = {}
+    for i in range(60):
+        docs[i] = stop + " " + " ".join(rng.choice(vocab, size=40))
+    docs[200] = docs[0]  # one true dup pair
+
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    unguarded = D.ngram_jaccard_pairs(
+        ray.data.from_pandas(df), threshold=0.0, max_shingle_freq=None
+    )
+    # every doc pairs with every other through the stop shingle
+    assert len(unguarded) == 61 * 60 // 2
+
+    guarded = D.ngram_jaccard_pairs(
+        ray.data.from_pandas(df), threshold=0.0, max_shingle_freq=10
+    )
+    # the hot-shingle group (61 docs) is dropped; only pairs that share
+    # a NON-hot shingle remain — the true dup pair must survive
+    assert len(guarded) < len(unguarded) / 10
+    got = set(map(tuple, guarded[["id_a", "id_b"]].values))
+    assert (0, 200) in got
+    # the surviving dup pair's stats exclude nothing: sizes are true
+    row = guarded[(guarded.id_a == 0) & (guarded.id_b == 200)].iloc[0]
+    assert row.size_a == row.size_b
+    # documented bound: each surviving shingle group of size g ≤ bound
+    # emits ≤ g(g-1)/2 pairs — total is bounded by #shingles × 45
+    assert (guarded.intersection >= 1).all()

@@ -80,3 +80,60 @@ def test_decode_rejects_wrong_payload():
     )
     with pytest.raises(ValueError, match="FIMG"):
         M.ImageDecodeStage()(bad)
+
+
+def test_image_decode_uses_real_codec_when_importable(ray_session):
+    """Round-2 fix: a present imaging library must be USED for non-FIMG
+    payloads (the old guard raised NotImplementedError whenever PIL was
+    importable), and FIMG payloads must still use the fake parser."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.multimodal import (
+        IMG_MAGIC,
+        ImageDecodeStage,
+        synth_media_batch,
+    )
+
+    class FakeImg:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+
+    class FakePIL:
+        @staticmethod
+        def open(fp):
+            data = np.frombuffer(fp.read(), np.uint8)
+            side = int(np.sqrt(len(data) // 3))
+            return FakeImg(data[: side * side * 3].reshape(side, side, 3))
+
+    stage = ImageDecodeStage()
+    stage._pil = FakePIL  # stubbed codec module
+
+    # a non-FIMG payload routes through the codec
+    raw = bytes(range(256)) * 3  # 16x16x3
+    batch = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([raw], pa.binary()),
+        }
+    )
+    out = stage(batch).to_pydict()
+    assert out["width"] == [16] and out["height"] == [16]
+    assert out["channels"] == [3]
+
+    # FIMG payloads still take the fake parser even with a codec present
+    fimg = synth_media_batch(np.array([0], np.int64))
+    out2 = stage(fimg.select(["media_id", "payload"])).to_pydict()
+    assert out2["media_id"] == [0]
+    assert out2["width"] == [8]
+
+    # no codec + non-FIMG → clear error, never NotImplementedError
+    stage2 = ImageDecodeStage()
+    stage2._pil = None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no imaging codec"):
+        stage2(batch)

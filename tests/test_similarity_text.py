@@ -217,3 +217,61 @@ def test_ivf_prunes_storage_and_matches_masked_reference(ray_session, vec_df, tm
     assert ivf[["query_id", "rank", "neighbor_id"]].equals(
         ivf2[["query_id", "rank", "neighbor_id"]]
     )
+
+
+def test_winnow_vectorized_byte_identical_to_per_doc(ray_session):
+    """The round-2 flat-array winnow must be byte-identical to the
+    per-document formulation on a fuzz corpus (unicode, empties, nulls,
+    short docs, sub-window docs)."""
+
+    def reference(texts, k=5, window=4):
+        rows = []
+        for t in texts:
+            t = t or ""
+            if len(t) < k:
+                rows.append((0, 0))
+                continue
+            grams = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            gv = np.lib.stride_tricks.sliding_window_view(grams, k).astype(np.uint64)
+            h = np.zeros(len(gv), np.uint64)
+            for c in range(k):
+                h = h * np.uint64(1099511628211) + gv[:, c]
+            if len(h) < window:
+                mins = np.array([h.min()], np.uint64)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            uniq = np.unique(mins)
+            rows.append((len(uniq), int(np.bitwise_xor.reduce(uniq))))
+        return rows
+
+    rng = np.random.default_rng(0)
+    texts = []
+    for i in range(120):
+        c = i % 6
+        if c == 0:
+            texts.append("")
+        elif c == 1:
+            texts.append("ab")
+        elif c == 2:
+            texts.append("héllo wörld ünïcode ß 北京 txt" * int(rng.integers(1, 4)))
+        elif c == 3:
+            texts.append(None)
+        elif c == 4:
+            texts.append("aaaaa")
+        else:
+            texts.append(
+                " ".join(rng.choice([f"w{j}" for j in range(50)],
+                                    size=int(rng.integers(1, 60))))
+            )
+    df = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": pd.array(texts, dtype="string")}
+    )
+    out = (
+        T.winnow_fingerprints(ray.data.from_pandas(df), k=5, window=4, batch_size=37)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, (nfp, xr) in enumerate(reference(texts)):
+        assert out.loc[i, "n_fingerprints"] == nfp, i
+        assert int(out.loc[i, "fingerprint_xor"]) == xr, i
