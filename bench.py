@@ -103,7 +103,9 @@ def bench_webpages_suite(
     from data_validator_ray.validator import RayDataValidator
 
     t0 = time.perf_counter()
-    v = RayDataValidator(webpages_config(approx_uniqueness=approx))
+    v = RayDataValidator(
+        webpages_config(approx_uniqueness=approx, post_extraction=extract)
+    )
     source = extracted_webpages(input_dir) if extract else input_dir
     summary = v.validate_table(source, "webpages")
     elapsed = time.perf_counter() - t0

@@ -25,7 +25,7 @@ except ImportError:  # pragma: no cover — polars is baked into this env
     _pl = None
 
 
-def hash64(values) -> np.ndarray:
+def hash64(values, seed: int = 0) -> np.ndarray:
     """Vectorized 64-bit hash of an arbitrary array-like (nulls allowed).
 
     Prefers polars' Rust xxhash (27× faster than pandas' SipHash on
@@ -34,6 +34,8 @@ def hash64(values) -> np.ndarray:
     property sketch merging and shuffle bucketing need. Accepts Arrow
     arrays directly (zero-copy into polars — the pandas round-trip cost
     more than the hashing). Falls back to pandas when polars is absent.
+    Distinct ``seed`` values give independent hash families (used by the
+    128-bit collision-checked distinct scheme).
     """
     import pyarrow as pa
 
@@ -43,13 +45,20 @@ def hash64(values) -> np.ndarray:
                 ser = _pl.from_arrow(values)
             else:
                 ser = _pl.Series(values)
-            return ser.hash(seed=0).to_numpy().astype(np.uint64)
+            return ser.hash(seed=seed).to_numpy().astype(np.uint64)
         except (TypeError, ValueError):
             pass  # exotic dtype → pandas path
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_pandas()
     ser = pd.Series(values)
-    return pd.util.hash_pandas_object(ser, index=False).to_numpy(dtype=np.uint64)
+    if seed == 0:
+        return pd.util.hash_pandas_object(ser, index=False).to_numpy(
+            dtype=np.uint64
+        )
+    key = f"{seed:016d}"[-16:]
+    return pd.util.hash_pandas_object(
+        ser, index=False, hash_key=key
+    ).to_numpy(dtype=np.uint64)
 
 
 class HyperLogLog:

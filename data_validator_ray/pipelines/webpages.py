@@ -65,23 +65,48 @@ WEBPAGES_SCHEMA = pa.schema(
 _TAG_RE = r"<[^>]*>"
 
 
-def extract_text_arrow(html: "pa.Array | pa.ChunkedArray") -> "pa.Array":
-    """Pure html→text extraction kernel, Arrow-native (RE2 kernels).
-
-    Deterministic by construction: strip tags → unescape the three
-    entities the generator emits → collapse whitespace → trim; NULL
-    html extracts to ''. No locale, no threading, no Python-object
-    string paths — byte-identical output per url on every run at every
-    parallelism level (the north-rule invariant, asserted in
-    tests/test_webpages.py)."""
+def _extract_text_arrow_reference(html: "pa.Array | pa.ChunkedArray") -> "pa.Array":
+    """Round-1 Arrow/RE2 extraction kernel, kept as the byte-identity
+    reference for the flat-byte kernel below (tests compare the two)."""
     s = pc.cast(html, pa.string())
     s = pc.replace_substring_regex(s, _TAG_RE, " ")
     s = pc.replace_substring(s, "&lt;", "<")
     s = pc.replace_substring(s, "&gt;", ">")
     s = pc.replace_substring(s, "&amp;", "&")
-    # whitespace collapse + trim via native split/join — byte-identical
-    # to replace_substring_regex(r"\s+", " ") + trim (asserted in
-    # tests), 2.7× faster (the regex pass was 60% of kernel time)
+    s = pc.binary_join(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(s)), " ")
+    return pc.fill_null(s, "")
+
+
+def extract_text_arrow(html: "pa.Array | pa.ChunkedArray") -> "pa.Array":
+    """Pure html→text extraction kernel: strip tags → unescape the three
+    entities the generator emits → collapse whitespace → trim; NULL html
+    extracts to ''.
+
+    Hybrid of the two fastest vectorized string engines available
+    (profiled per 16Ki-row batch): polars' Rust regex for the tag strip
+    (23 ms vs 36 ms for Arrow RE2 — both are `<[^>]*>` semantics), then
+    Arrow kernels for entity unescape and split/join whitespace
+    collapse (54 ms vs 64 ms for a Rust `\s+` replace). A flat numpy
+    byte-pass variant was tried and rejected: numpy's cumsum/accumulate
+    are sequential scalar loops (~30 ms per pass on this build), making
+    it slower than either engine.
+
+    Byte-identical to :func:`_extract_text_arrow_reference` (pure
+    Arrow/RE2), asserted over adversarial + fuzz corpora in
+    tests/test_webpages.py. Deterministic: no locale, no threading
+    (polars is pinned to one thread inside Ray workers), no
+    Python-object string paths — byte-identical per url on every run at
+    every parallelism level (the north-rule invariant)."""
+    import polars as pl
+
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    s = pc.cast(html, pa.string())
+    s = pl.from_arrow(s).str.replace_all(r"<[^>]*>", " ").to_arrow()
+    s = pc.cast(s, pa.string())  # polars emits large_string
+    s = pc.replace_substring(s, "&lt;", "<")
+    s = pc.replace_substring(s, "&gt;", ">")
+    s = pc.replace_substring(s, "&amp;", "&")
     s = pc.binary_join(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(s)), " ")
     return pc.fill_null(s, "")
 
@@ -191,35 +216,55 @@ def write_webpages(sf_dir: str, out_dir: str, num_files: int = 8) -> str:
     return out_dir
 
 
-def extracted_webpages(input_dir: str) -> Dataset:
+def extracted_webpages(input_dir: str, *, keep_html: bool = False) -> Dataset:
     """The extraction-inclusive flagship input: read stored CC pages
     (url, warc_ts, html, lang — the ``text`` column is NOT read; it is
     re-derived) and extract text from html per batch. This is the real
     10^12-scale workload shape: extraction is part of the pipeline, not
-    preprocessing."""
+    preprocessing.
+
+    ``html`` (the dominant share of the bytes) is DROPPED right after
+    extraction by default — downstream stages validate the extracted
+    stream, and carrying the raw page bodies through the object store
+    roughly doubled the headline pipeline's memory traffic (round-1
+    verdict item)."""
     ds = ray.data.read_parquet(
         input_dir, columns=["url", "warc_ts", "html", "lang"]
     )
 
     def ex(batch: pa.Table) -> pa.Table:
         text = extract_text_arrow(batch["html"].combine_chunks())
-        return pa.table(
-            {
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "html": batch["html"],
-                "text": text,
-                "lang": batch["lang"],
-            }
-        )
+        cols = {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "text": text,
+            "lang": batch["lang"],
+        }
+        if keep_html:
+            cols["html"] = batch["html"]
+        return pa.table(cols)
 
     return ds.map_batches(
         ex, batch_format="pyarrow", batch_size=16384, zero_copy_batch=True
     )
 
 
-def webpages_config(*, approx_uniqueness: bool = False) -> ValidationConfig:
-    """The full CC constraint suite (north-star check list)."""
+def webpages_config(
+    *, approx_uniqueness: bool = False, post_extraction: bool = False
+) -> ValidationConfig:
+    """The full CC constraint suite (north-star check list).
+
+    ``post_extraction=True`` declares the schema of the extracted
+    stream (html already dropped by :func:`extracted_webpages`)."""
+    schema_cols = {
+        "url": "string",
+        "warc_ts": "timestamp[us]",
+        "html": "binary",
+        "text": "string",
+        "lang": "string",
+    }
+    if post_extraction:
+        schema_cols.pop("html")
     rules = [
         ValidationRule(name="url_complete", rule_type="completeness",
                        column="url", threshold=0.98),
@@ -248,15 +293,7 @@ def webpages_config(*, approx_uniqueness: bool = False) -> ValidationConfig:
                        column="text", threshold=0.97),
         ValidationRule(
             name="schema_conforms", rule_type="schema",
-            parameters={
-                "columns": {
-                    "url": "string",
-                    "warc_ts": "timestamp[us]",
-                    "html": "binary",
-                    "text": "string",
-                    "lang": "string",
-                }
-            },
+            parameters={"columns": schema_cols},
         ),
         ValidationRule(
             name="text_len_median", rule_type="quantile", column="text",

@@ -143,3 +143,44 @@ def test_extract_collapse_equals_regex_semantics():
         pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", " ")), ""
     )
     assert got.equals(ref)
+
+
+def test_extract_kernel_matches_re2_reference(ray_session):
+    """The production (polars-hybrid) kernel must stay byte-identical to
+    the pure Arrow/RE2 reference on adversarial + fuzz html."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.webpages import (
+        _extract_text_arrow_reference,
+        extract_text_arrow,
+    )
+
+    cases = [
+        b"<html><body><p>hi &amp; bye &lt;x&gt;</p></body></html>",
+        None, b"", b"unclosed <tag never ends", b"<a<b>nested</x>",
+        b"> stray < open >", b"  lead trail  ", b"<>empty<>",
+        "unicode éü 北京 <b>x</b>".encode(),
+        b"\ttabs\nnewlines\r\n",
+    ]
+    arr = pa.array(cases, pa.binary())
+    assert (
+        extract_text_arrow(arr).to_pylist()
+        == _extract_text_arrow_reference(arr).to_pylist()
+    )
+    sl = arr.slice(2, 6)  # sliced-buffer path
+    assert (
+        extract_text_arrow(sl).to_pylist()
+        == _extract_text_arrow_reference(sl).to_pylist()
+    )
+    rng = np.random.default_rng(5)
+    alphabet = list("abc <>&;lt&g\t\n xyz") + ["&amp;", "&lt;", "<b>", "</b>", "  "]
+    fuzz = [
+        "".join(rng.choice(alphabet, size=int(rng.integers(0, 80)))).encode()
+        for _ in range(1500)
+    ]
+    fa = pa.array(fuzz, pa.binary())
+    assert (
+        extract_text_arrow(fa).to_pylist()
+        == _extract_text_arrow_reference(fa).to_pylist()
+    )
