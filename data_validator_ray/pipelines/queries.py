@@ -357,6 +357,18 @@ def q_minhash_near_dup_documents(sf_dir: str) -> pd.DataFrame:
     return minhash_near_dup_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
 
 
+def q_near_dup_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate-aware dedup: MinHash pairs (J ≥ 0.5) → union-find
+    clusters → drop every non-minimum member via a broadcast drop-set.
+    Oracle = recursive-CTE connected components over the exact Jaccard
+    pair list."""
+    from .dedup import near_dup_dedup
+
+    out = near_dup_dedup(f"{sf_dir}/documents.parquet", threshold=0.5)
+    df = out.to_pandas()[["doc_id"]].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_documents(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup pairs, hamming ≤ 3 (rows-only: the 64-bit
     simhash itself has no SQL equivalent; recall is exact by the
@@ -633,6 +645,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "approx_uniqueness_events": q_approx_uniqueness_events,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
+        "near_dup_dedup_documents": q_near_dup_dedup_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -742,6 +755,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL.format(threshold=0.2),
         "minhash_near_dup_documents": _NGRAM_JACCARD_SQL.format(threshold=0.5),
+        "near_dup_dedup_documents": _NEAR_DUP_DEDUP_SQL,
         "embedding_cosine_pairs": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -847,6 +861,24 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+_NEAR_DUP_DEDUP_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + _NGRAM_JACCARD_SQL.format(threshold=0.5)
+    .replace("ORDER BY id_a, id_b", "")
+    + "), edges AS ("
+    "  SELECT id_a AS a, id_b AS b FROM pairs"
+    "  UNION SELECT id_b, id_a FROM pairs"
+    "), reach(src, dst) AS ("
+    "  SELECT a, b FROM edges"
+    "  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a"
+    "), lbl AS ("
+    "  SELECT src, LEAST(src, MIN(dst)) AS root FROM reach GROUP BY src"
+    ") "
+    "SELECT doc_id::BIGINT AS doc_id FROM documents "
+    "WHERE doc_id NOT IN (SELECT src FROM lbl WHERE root < src) "
+    "ORDER BY doc_id"
+)
 
 _EN_STOP = "'the','a','of','and','to','in','is','it'"
 

@@ -170,8 +170,12 @@ def build_ivf_index(
 
     This is the storage-level pruning structure: a query later reads
     ONLY its probed cluster directories. Build cost = one scan + one
-    (batch × centroids) matmul per batch; the partitioned write needs no
-    shuffle (each task splits its own batch by cluster)."""
+    (batch × centroids) matmul per batch + ONE sort shuffle on the
+    cluster id. The sort is what keeps each cluster to a handful of
+    contiguous files — without it every write task emits a fragment
+    into every cluster dir (tasks × clusters tiny files), and the
+    per-file planning cost at query time dwarfs the pruning win
+    (measured 20× slower than brute force on 2M vectors)."""
     from pathlib import Path as _P
 
     C = (
@@ -194,9 +198,9 @@ def build_ivf_index(
     out = _P(str(index_dir))
     out.mkdir(parents=True, exist_ok=True)
     ds = _as_dataset(source, columns=[id_col, vec_col])
-    ds.map_batches(assign, batch_format="pyarrow", batch_size=batch_size).write_parquet(
-        str(out), partition_cols=["cluster"]
-    )
+    ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size
+    ).sort("cluster").write_parquet(str(out), partition_cols=["cluster"])
     np.save(out / "_centroids.npy", C)
     return C
 
@@ -255,27 +259,61 @@ def knn_ivf(
         C = np.load(idx / "_centroids.npy")
 
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    per_cluster: dict[int, np.ndarray] = {}
-    for c in sorted(set(probe.reshape(-1).tolist())):
-        per_cluster[c] = np.nonzero((probe == c).any(axis=1))[0]
-
-    scored: List[Dataset] = []
-    for c, q_idx in per_cluster.items():
-        cdir = idx / f"cluster={c}"
-        if not cdir.is_dir():
-            continue  # empty cluster — nothing was assigned to it
-        ref = ray.put((qids[q_idx], Qn[q_idx]))
-        sub = ray.data.read_parquet(str(cdir), columns=[id_col, vec_col])
-        scored.append(
-            sub.map_batches(
-                _make_batch_topk(ref, id_col, vec_col, k, exclude_self),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-            )
-        )
-    if not scored:
+    probed = sorted(set(probe.reshape(-1).tolist()))
+    paths = [
+        str(f)
+        for c in probed
+        for f in sorted((idx / f"cluster={c}").glob("*.parquet"))
+        if (idx / f"cluster={c}").is_dir()
+    ]
+    if not paths:
         return _topk_merge(
             pd.DataFrame(columns=["query_id", "neighbor_id", "score"]), k
         )
-    ds = scored[0].union(*scored[1:]) if len(scored) > 1 else scored[0]
-    return _topk_merge(ds.to_pandas(), k)
+    # (q, n_centroids) probe-membership mask: a vector in cluster c
+    # scores only for queries probing c
+    probe_mask = np.zeros((len(qids), len(C)), dtype=bool)
+    np.put_along_axis(probe_mask, probe, True, axis=1)
+    ref = ray.put((qids, Qn, probe_mask))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        q_ids, q_m, mask = ray.get(ref)
+        m = _embedding_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # cluster per row, parsed once per distinct file path in batch
+        path_col = batch["path"].to_numpy(zero_copy_only=False)
+        clusters = np.empty(len(ids), np.int64)
+        for p in np.unique(path_col):
+            c = int(_re.search(r"cluster=(\d+)", p).group(1))
+            clusters[path_col == p] = c
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = q_m @ (m / norms).T  # (q, batch) — probed rows only
+        sims = np.where(mask[:, clusters], sims, -np.inf)
+        if exclude_self:
+            sims = np.where(q_ids[:, None] == ids[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(q_ids, kk)
+        cols = part.reshape(-1)
+        scores = sims[np.repeat(np.arange(len(q_ids)), kk), cols]
+        keep = np.isfinite(scores)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep], pa.int64()),
+                "neighbor_id": pa.array(ids[cols][keep], pa.int64()),
+                "score": pa.array(scores[keep], pa.float64()),
+            }
+        )
+
+    # ONE read over exactly the probed cluster dirs (partition pruning
+    # at the path level; one dataset execution, not one per cluster)
+    ds = ray.data.read_parquet(
+        paths, columns=[id_col, vec_col], include_paths=True
+    )
+    cands = ds.map_batches(
+        batch_topk, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    return _topk_merge(cands, k)

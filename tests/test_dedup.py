@@ -275,3 +275,28 @@ def test_stop_shingle_skew_guard_bounds_pair_emission(ray_session):
     # documented bound: each surviving shingle group of size g ≤ bound
     # emits ≤ g(g-1)/2 pairs — total is bounded by #shingles × 45
     assert (guarded.intersection >= 1).all()
+
+
+def test_connected_components_union_find():
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10, 11, 20], "id_b": [2, 3, 11, 12, 21]}
+    )
+    comp = D.connected_components(pairs)
+    by = dict(zip(comp.doc_id, comp.cluster_id))
+    assert by == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # empty pair list → empty frame
+    empty = D.connected_components(pairs.iloc[0:0])
+    assert len(empty) == 0
+
+
+def test_near_dup_dedup_keeps_min_per_cluster(ray_session, corpus):
+    out = D.near_dup_dedup(
+        ray.data.from_pandas(corpus), threshold=0.5
+    ).to_pandas()
+    kept = set(out.doc_id)
+    # cluster {0,100,101} → keep 0; cluster {1,110} → keep 1
+    assert 0 in kept and 100 not in kept and 101 not in kept
+    assert 1 in kept and 110 not in kept
+    # all singleton docs survive with full columns
+    assert set(corpus.columns) == set(out.columns)
+    assert kept == set(corpus.doc_id) - {100, 101, 110}
