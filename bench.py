@@ -172,7 +172,7 @@ def bench_exact_dedup(input_dir: str) -> float:
 
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(input_dir, columns=["url", "text"])
-    n = exact_dedup(ds, "text").count()
+    n = exact_dedup(ds, "text", tiebreak="url").count()
     assert n > 0
     return time.perf_counter() - t0
 
@@ -348,7 +348,7 @@ def run_bench() -> dict:
     # shuffle).
     # steady-state = best of N timed passes (run-to-run variance on a
     # shared box is ±15%; production throughput is the sustained rate)
-    passes = int(os.environ.get("GRAFT_TIMED_PASSES", "2"))
+    passes = int(os.environ.get("GRAFT_TIMED_PASSES", "3"))
     results = [
         bench_webpages_suite(str(input_dir), approx=True, extract=True)
         for _ in range(passes)

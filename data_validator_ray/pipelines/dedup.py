@@ -257,15 +257,29 @@ def _rename(ds: Dataset, mapping: Dict[str, str]) -> Dataset:
 # --------------------------------------------------------------------------- #
 
 
-def exact_dedup(source: Any, key: str, *, num_buckets: int = 256) -> Dataset:
-    """Keep one row per key value (the lexicographically-first row of
-    each group). One shuffle on a coarse bucket of ``hash(key)``; within
-    a bucket a single vectorized ``drop_duplicates`` handles every key."""
+def exact_dedup(
+    source: Any,
+    key: str,
+    *,
+    num_buckets: int = 256,
+    tiebreak: Optional[str] = None,
+) -> Dataset:
+    """Keep one row per key value. One shuffle on a coarse bucket of
+    ``hash(key)``; within a bucket a single vectorized
+    ``drop_duplicates`` handles every key.
+
+    With ``tiebreak`` (a short column, e.g. an id/url): keep the
+    minimum-tiebreak row per key — only the cheap column is sorted,
+    never the (potentially huge) key strings; duplicate-group
+    identification is hash-based inside ``drop_duplicates``. Without
+    it: keep the lexicographically-first row over all columns (the
+    round-1 semantics — deterministic but sorts whole rows)."""
     ds = _as_dataset(source)
 
     def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        order = [tiebreak] if tiebreak else list(bucket.columns)
         return (
-            bucket.sort_values(list(bucket.columns), kind="stable")
+            bucket.sort_values(order, kind="stable")
             .drop_duplicates(subset=[key], keep="first")
         )
 

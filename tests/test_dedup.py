@@ -300,3 +300,20 @@ def test_near_dup_dedup_keeps_min_per_cluster(ray_session, corpus):
     # all singleton docs survive with full columns
     assert set(corpus.columns) == set(out.columns)
     assert kept == set(corpus.doc_id) - {100, 101, 110}
+
+
+def test_exact_dedup_tiebreak_keeps_min(ray_session):
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "c"],
+            "id": [5, 2, 9, 1, 7],
+            "text": ["long text x", "long text y", "p", "q", "r"],
+        }
+    )
+    out = (
+        D.exact_dedup(ray.data.from_pandas(df), "k", tiebreak="id")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.id.tolist() == [2, 1, 7]  # min id per key survives
