@@ -206,6 +206,30 @@ def bench_text_analysis(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_text_profile(input_dir: str) -> float:
+    """The FUSED profile pass (quality + lang-id + fingerprint in one
+    read / one explode) — compare against text_analysis_webpages."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.text import text_profile
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    assert text_profile(ds).count() > 0
+    return time.perf_counter() - t0
+
+
 def _bench_embeddings_dir() -> Path:
     tag = Path(SF_DIR).name
     return Path(f"/tmp/graft_bench/embeddings_{tag}_x4000")
@@ -367,6 +391,9 @@ def run_bench() -> dict:
         )
         queries["text_analysis_webpages"] = round(
             bench_text_analysis(str(input_dir)), 3
+        )
+        queries["text_profile_webpages"] = round(
+            bench_text_profile(str(input_dir)), 3
         )
         emb_dir = _bench_embeddings_dir()
         if not emb_dir.exists():

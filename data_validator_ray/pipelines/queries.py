@@ -434,6 +434,15 @@ def q_language_id_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_text_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Fused single-pass document profile (quality + language ID + md5
+    fingerprint); oracle = join of the three single-op oracles."""
+    from .text import text_profile
+
+    out = text_profile(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     """md5 fingerprint of normalized text per doc."""
     from .text import fingerprint_md5
@@ -577,6 +586,52 @@ def q_runner_documents_resume(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["partition_id", "rule_name"]).reset_index(drop=True)
 
 
+def q_windowed_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value stats.
+    Pre-aggregated inside map_batches; the shuffle moves only (window,
+    type) partial rows."""
+    from .relational import windowed_aggregate
+
+    out = windowed_aggregate(
+        f"{sf_dir}/events.parquet", "ts", "value",
+        key_cols=["event_type"], window_seconds=3600,
+    ).to_pandas()
+    out["value_sum"] = out["value_sum"].round(6)
+    out["value_avg"] = out["value_avg"].round(6)
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def q_asof_events_orders(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event pairs with the user's latest order at or
+    before the event time (right side pre-deduplicated to one order per
+    (customer, date) for deterministic ties). Oracle = DuckDB ASOF
+    JOIN."""
+    import pyarrow.parquet as pq
+
+    from .relational import asof_join
+
+    # deterministic right side: max orderkey per (custkey, orderdate)
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    ).to_pandas()
+    idx = orders.groupby(["o_custkey", "o_orderdate"])["o_orderkey"].idxmax()
+    dedup = orders.loc[idx].reset_index(drop=True)
+
+    out = asof_join(
+        f"{sf_dir}/events.parquet",
+        dedup,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+    ).to_pandas()
+    out = out[["event_id", "user_id", "ts", "o_orderkey", "o_totalprice"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _media_path(sf_dir: str) -> str:
     """Deterministic synthetic media table sized to the documents table
     (cached under /tmp per scale)."""
@@ -654,9 +709,12 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "quality_stats_documents": q_quality_stats_documents,
         "language_id_documents": q_language_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "text_profile_documents": q_text_profile_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "drift_events_value": q_drift_events_value,
         "runner_documents_resume": q_runner_documents_resume,
+        "windowed_events": q_windowed_events,
+        "asof_events_orders": q_asof_events_orders,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -756,6 +814,28 @@ def oracle_sql() -> Dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL.format(threshold=0.2),
         "minhash_near_dup_documents": _NGRAM_JACCARD_SQL.format(threshold=0.5),
         "near_dup_dedup_documents": _NEAR_DUP_DEDUP_SQL,
+        "windowed_events": (
+            "SELECT time_bucket(INTERVAL 3600 SECONDS, ts) AS window_start, "
+            "event_type, COUNT(*)::BIGINT AS n_events, "
+            "ROUND(SUM(value), 6) AS value_sum, MIN(value) AS value_min, "
+            "MAX(value) AS value_max, ROUND(AVG(value), 6) AS value_avg "
+            "FROM events WHERE ts IS NOT NULL "
+            "GROUP BY window_start, event_type "
+            "ORDER BY window_start, event_type"
+        ),
+        "asof_events_orders": (
+            "WITH r AS (SELECT o_custkey, o_orderdate, "
+            "           MAX(o_orderkey) AS o_orderkey "
+            "           FROM orders GROUP BY o_custkey, o_orderdate), "
+            "r2 AS (SELECT r.o_custkey, r.o_orderdate, r.o_orderkey, "
+            "              o.o_totalprice "
+            "       FROM r JOIN orders o ON o.o_orderkey = r.o_orderkey) "
+            "SELECT e.event_id, e.user_id, e.ts, r2.o_orderkey, "
+            "r2.o_totalprice "
+            "FROM events e ASOF JOIN r2 "
+            "ON e.user_id = r2.o_custkey AND e.ts >= r2.o_orderdate "
+            "ORDER BY e.event_id"
+        ),
         "embedding_cosine_pairs": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -785,6 +865,23 @@ def oracle_sql() -> Dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "language_id_documents": _LANGUAGE_ID_SQL,
+        "text_profile_documents": (
+            "WITH q AS ({q}), l AS ({l}), f AS ({f}) "
+            "SELECT q.*, l.* EXCLUDE (doc_id), f.fingerprint "
+            "FROM q JOIN l ON q.doc_id = l.doc_id "
+            "JOIN f ON q.doc_id = f.doc_id ORDER BY q.doc_id"
+        ).format(
+            q="SELECT doc_id, length(text)::BIGINT AS n_chars, "
+              "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT "
+              "AS n_tokens, "
+              f"len(list_filter(string_split(text, ' '), x -> x IN ({_EN_STOP})))"
+              "::BIGINT AS n_stopwords, "
+              "len(list_distinct(list_filter(string_split(text, ' '), "
+              "x -> x <> '')))::BIGINT AS n_unique_tokens FROM documents",
+            l=_LANGUAGE_ID_SQL.replace(" ORDER BY doc_id", ""),
+            f="SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
+              "'g'))) AS fingerprint FROM documents",
+        ),
         "multimodal_image_decode": (
             "WITH seq AS (SELECT (row_number() OVER ()) - 1 AS media_id "
             "FROM documents), "

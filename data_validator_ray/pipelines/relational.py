@@ -1,0 +1,210 @@
+"""Relational operators Ray Data lacks natively: tumbling-window
+aggregates and as-of joins (named explicitly by the build brief as
+custom-operator targets; no reference analogue).
+
+Both follow the engine's scale patterns:
+
+* :func:`windowed_aggregate` — tumbling time windows via ONE
+  pre-aggregating ``map_batches`` pass (pyarrow ``Table.group_by``
+  inside each batch collapses rows to (window, key) partials) followed
+  by a SMALL global groupby over the partial rows. The shuffle moves
+  per-(window,key) partials, never raw events — at 100 TB the exchange
+  volume is bounded by windows × keys, not rows.
+* :func:`asof_join` — for each left row, the latest right row of the
+  same key with ``right_ts ≤ left_ts`` (backward direction; DuckDB
+  ``ASOF JOIN`` semantics). Both sides are hash-bucketed on the join
+  key (equal keys co-locate — the documented partitioning assumption),
+  then each bucket runs ONE vectorized ``pd.merge_asof`` over all its
+  keys. Inner semantics: unmatched left rows drop (ties broken
+  deterministically by pre-deduplicating the right side upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .dedup import _as_dataset, bucketed_groupby
+
+Dataset = ray.data.Dataset
+
+
+def windowed_aggregate(
+    source: Any,
+    ts_col: str,
+    value_col: str,
+    *,
+    key_cols: Optional[List[str]] = None,
+    window_seconds: int = 3600,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Tumbling-window stats of ``value_col`` per (window, key):
+    ``window_start, *key_cols, n_events, value_sum, value_min,
+    value_max, value_avg``.
+
+    Window origin is the Unix epoch; for hour/day windows this matches
+    DuckDB ``time_bucket(INTERVAL .. , ts)`` exactly (both origins are
+    midnight-aligned). NULL timestamps drop (no window); NULL values
+    count toward ``n_events`` but not the value stats (SQL aggregate
+    semantics)."""
+    key_cols = list(key_cols or [])
+    w_us = np.int64(window_seconds) * 1_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))
+        # normalize to µs first: pandas-born blocks carry ns timestamps
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, w_us), w_us)  # floor to window
+        t = batch.select(key_cols + [value_col]).append_column("__w", win)
+        g = t.group_by(["__w"] + key_cols).aggregate(
+            [
+                ("__w", "count"),
+                (value_col, "sum"),
+                (value_col, "min"),
+                (value_col, "max"),
+                (value_col, "count"),
+            ]
+        )
+        return g.rename_columns(
+            ["__w"] + key_cols + ["n", "v_sum", "v_min", "v_max", "v_cnt"]
+        )
+
+    ds = _as_dataset(source, columns=[ts_col, value_col] + key_cols)
+    part = ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = part.groupby(["__w"] + key_cols).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("v_sum", alias_name="value_sum"),
+        Min("v_min", alias_name="value_min"),
+        Max("v_max", alias_name="value_max"),
+        Sum("v_cnt", alias_name="__vc"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        win = pa.array(
+            batch["__w"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        )
+        avg = pc.divide(
+            pc.cast(batch["value_sum"], pa.float64()),
+            pc.cast(batch["__vc"], pa.float64()),
+        )
+        cols = {"window_start": win}
+        for k in key_cols:
+            cols[k] = batch[k]
+        cols["n_events"] = pc.cast(batch["n_events"], pa.int64())
+        cols["value_sum"] = batch["value_sum"]
+        cols["value_min"] = batch["value_min"]
+        cols["value_max"] = batch["value_max"]
+        cols["value_avg"] = avg
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def asof_join(
+    left: Any,
+    right: Any,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    direction: str = "backward",
+    num_buckets: int = 64,
+) -> Dataset:
+    """As-of join: each left row pairs with the latest right row of the
+    same key whose ``right_ts`` ≤ ``left_ts`` (``direction="backward"``;
+    ``"forward"`` = earliest ≥). Inner semantics — left rows with no
+    match drop, mirroring DuckDB ``ASOF JOIN``.
+
+    Output columns: ``left_cols + [left_ts] + right_cols`` (names must
+    be disjoint). Rows with NULL key or NULL timestamp on either side
+    never match (SQL comparison semantics) and are dropped up front.
+
+    Partitioning assumption (documented): equal join keys co-locate via
+    ``hash(key) % num_buckets``; each bucket must fit one worker —
+    raise ``num_buckets`` at scale, and pre-deduplicate the right side
+    if (key, ts) ties exist (tie order within equal timestamps is
+    otherwise unspecified, as in DuckDB)."""
+    lcols = [left_key, left_ts] + [c for c in left_cols if c not in (left_key, left_ts)]
+    rcols = [right_key, right_ts] + [
+        c for c in right_cols if c not in (right_key, right_ts)
+    ]
+    l_ds = _as_dataset(left, columns=lcols)
+    r_ds = _as_dataset(right, columns=rcols)
+    r_extra = [c for c in right_cols if c not in (right_key, right_ts)]
+    l_extra = [c for c in left_cols if c not in (left_key, left_ts)]
+
+    # the two sides must union with an identical schema: probe each
+    # side's column types once so null-fills are typed correctly
+    l_schema = l_ds.schema()
+    r_schema = r_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+
+    def norm_typed(side: int, key: str, ts: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[ts]))
+            batch = batch.filter(keep)
+            cols = {
+                "__key": pc.cast(batch[key], pa.int64()),
+                "__ts": pc.cast(batch[ts], pa.timestamp("us")),
+                "__side": pa.array(np.full(batch.num_rows, side, np.int8)),
+            }
+            for c in l_extra:
+                cols[c] = (
+                    batch[c] if side == 0 else pa.nulls(batch.num_rows, l_types[c])
+                )
+            for c in r_extra:
+                cols[c] = (
+                    batch[c] if side == 1 else pa.nulls(batch.num_rows, r_types[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    tagged = l_ds.map_batches(
+        norm_typed(0, left_key, left_ts), batch_format="pyarrow"
+    ).union(r_ds.map_batches(norm_typed(1, right_key, right_ts), batch_format="pyarrow"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lft = df[df.__side == 0].sort_values("__ts", kind="stable")
+        rgt = df[df.__side == 1].sort_values("__ts", kind="stable")
+        if len(lft) == 0:
+            return df.iloc[0:0].drop(columns="__side")
+        merged = pd.merge_asof(
+            lft[["__key", "__ts"] + l_extra],
+            rgt[["__key", "__ts"] + r_extra],
+            on="__ts",
+            by="__key",
+            direction=direction,
+        )
+        # inner semantics: drop unmatched left rows (every right extra
+        # is NaN iff no match, since matched right rows are non-null by
+        # construction only when the source column is; use the sentinel
+        # of ALL right extras null)
+        if r_extra:
+            matched = ~merged[r_extra].isna().all(axis=1)
+            merged = merged[matched]
+        return merged
+
+    out = bucketed_groupby(tagged, ["__key"], per_bucket, num_buckets=num_buckets)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = [
+            {"__key": left_key, "__ts": left_ts}.get(c, c)
+            for c in batch.column_names
+        ]
+        return batch.rename_columns(names)
+
+    return out.map_batches(rename, batch_format="pyarrow")

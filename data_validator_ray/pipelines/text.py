@@ -344,3 +344,76 @@ def winnow_fingerprints(
 
     ds = _as_dataset(source, columns=[id_col, text_col])
     return ds.map_batches(winnow, batch_format="pyarrow", batch_size=batch_size)
+
+
+def text_profile(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    stopwords: Optional[List[str]] = None,
+    batch_size: int = 8192,
+) -> Dataset:
+    """FUSED document profile: quality counters + language ID + md5
+    fingerprint in ONE streaming pass — one read, one exploded-token
+    frame, one normalization, where running :func:`quality_stats`,
+    :func:`language_id` and :func:`fingerprint_md5` separately costs
+    three reads and three Rust split/explode passes (bench:
+    ``text_profile_webpages`` vs ``text_analysis_webpages``).
+
+    Output: id, n_chars, n_tokens, n_stopwords, n_unique_tokens,
+    hits_<lang>.., detected_lang, fingerprint. Each column is
+    byte-identical to its single-op counterpart (asserted in tests and
+    by the joined SQL oracle)."""
+    stop = list(stopwords if stopwords is not None else LANG_PROFILES["en"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        ex, n = _exploded_tokens(batch[text_col])
+        aggs = [
+            pl.len().alias("n_tokens"),
+            pl.col("t").is_in(stop).sum().alias("n_stopwords"),
+            pl.col("t").n_unique().alias("n_unique_tokens"),
+        ] + [
+            pl.col("t").is_in(list(LANG_PROFILES[lang])).sum().alias(f"hits_{lang}")
+            for lang in LANGS
+        ]
+        out = _reindex(ex.group_by("doc").agg(*aggs), n)
+
+        hit_mat = np.stack(
+            [out[f"hits_{lang}"].to_numpy().astype(np.int64) for lang in LANGS],
+            axis=1,
+        )
+        best = np.argmax(hit_mat, axis=1)  # first max → alphabetical tie-break
+
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_chars = pc.fill_null(pc.utf8_length(pc.fill_null(col, "")), 0)
+        norm = (
+            pl.from_arrow(col)
+            .fill_null("")
+            .str.to_lowercase()
+            .str.replace_all(r"\s+", " ")
+            .str.strip_chars()
+        )
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+
+        cols = {
+            id_col: batch[id_col],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy().astype(np.int64)),
+            "n_stopwords": pa.array(out["n_stopwords"].to_numpy().astype(np.int64)),
+            "n_unique_tokens": pa.array(
+                out["n_unique_tokens"].to_numpy().astype(np.int64)
+            ),
+        }
+        for li, lang in enumerate(LANGS):
+            cols[f"hits_{lang}"] = pa.array(hit_mat[:, li], pa.int64())
+        cols["detected_lang"] = pa.array(
+            np.array(LANGS, dtype=object)[best], pa.string()
+        )
+        cols["fingerprint"] = pa.array(digests, pa.string())
+        return pa.table(cols)
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(profile, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,140 @@
+"""Windowed aggregates + as-of join: semantics pinned against pandas
+references on adversarial fixtures (nulls, unmatched keys, ties,
+direction)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from data_validator_ray.pipelines.relational import asof_join, windowed_aggregate
+
+
+@pytest.fixture()
+def events_df():
+    base = datetime(2024, 1, 1)
+    return pd.DataFrame(
+        {
+            "ts": [
+                base, base + timedelta(minutes=30),
+                base + timedelta(hours=1, minutes=5),
+                base + timedelta(hours=2), None,
+            ],
+            "kind": ["a", "b", "a", "a", "a"],
+            "value": [1.0, 2.0, None, 4.0, 9.0],
+        }
+    )
+
+
+def test_windowed_aggregate_semantics(ray_session, events_df):
+    out = (
+        windowed_aggregate(
+            ray.data.from_pandas(events_df), "ts", "value",
+            key_cols=["kind"], window_seconds=3600,
+        )
+        .to_pandas()
+        .sort_values(["window_start", "kind"])
+        .reset_index(drop=True)
+    )
+    # NULL ts dropped → 3 windows: h0 has a+b, h1 has a, h2 has a
+    assert len(out) == 4
+    h0a = out[(out.kind == "a") & (out.window_start == datetime(2024, 1, 1))].iloc[0]
+    assert h0a.n_events == 1 and h0a.value_sum == 1.0
+    h1a = out[(out.window_start == datetime(2024, 1, 1, 1))].iloc[0]
+    # NULL value: counts as an event, excluded from value stats
+    assert h1a.n_events == 1
+    assert pd.isna(h1a.value_sum) or h1a.value_sum == 0  # no non-null values
+    h2a = out[(out.window_start == datetime(2024, 1, 1, 2))].iloc[0]
+    assert h2a.value_avg == 4.0 and h2a.value_min == 4.0
+
+
+def test_windowed_aggregate_partials_merge(ray_session):
+    """Tiny batches must give the same result as one batch (mergeable
+    partial proof)."""
+    rng = np.random.default_rng(0)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "k": rng.choice(["x", "y", "z"], n),
+            "v": rng.normal(size=n),
+        }
+    )
+    a = (
+        windowed_aggregate(ray.data.from_pandas(df), "ts", "v",
+                           key_cols=["k"], batch_size=64)
+        .to_pandas().sort_values(["window_start", "k"]).reset_index(drop=True)
+    )
+    b = (
+        windowed_aggregate(ray.data.from_pandas(df), "ts", "v",
+                           key_cols=["k"], batch_size=100000)
+        .to_pandas().sort_values(["window_start", "k"]).reset_index(drop=True)
+    )
+    assert a.n_events.tolist() == b.n_events.tolist()
+    assert np.allclose(a.value_sum, b.value_sum)
+    assert np.allclose(a.value_min, b.value_min)
+
+
+@pytest.fixture()
+def asof_fixture():
+    base = datetime(2024, 1, 1)
+    left = pd.DataFrame(
+        {
+            "k": pd.array([1, 1, 2, 3, None, 2], dtype="Int64"),
+            "lts": [
+                base + timedelta(hours=2), base + timedelta(hours=5),
+                base + timedelta(hours=1), base + timedelta(hours=9),
+                base, base - timedelta(hours=5),
+            ],
+            "lid": [10, 11, 12, 13, 14, 15],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": [1, 1, 2, 9],
+            "rts": [base + timedelta(hours=1), base + timedelta(hours=4),
+                    base, base],
+            "price": [100.0, 200.0, 50.0, 7.0],
+        }
+    )
+    return left, right
+
+
+def test_asof_join_backward(ray_session, asof_fixture):
+    left, right = asof_fixture
+    out = (
+        asof_join(
+            left, right,
+            left_key="k", right_key="rk", left_ts="lts", right_ts="rts",
+            left_cols=["lid"], right_cols=["price"], num_buckets=4,
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    got = dict(zip(out.lid, out.price))
+    # lid 10 (k=1, h2) → right@h1 (100); lid 11 (h5) → right@h4 (200);
+    # lid 12 (k=2, h1) → right@h0 (50); lid 13 (k=3) unmatched → dropped;
+    # lid 14 null key dropped; lid 15 (k=2, before any right) dropped
+    assert got == {10: 100.0, 11: 200.0, 12: 50.0}
+
+
+def test_asof_join_forward(ray_session, asof_fixture):
+    left, right = asof_fixture
+    out = (
+        asof_join(
+            left, right,
+            left_key="k", right_key="rk", left_ts="lts", right_ts="rts",
+            left_cols=["lid"], right_cols=["price"],
+            direction="forward", num_buckets=4,
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    got = dict(zip(out.lid, out.price))
+    # forward: earliest right at/after left ts
+    # lid 10 (h2) → right@h4 (200); lid 11 (h5) → none; lid 12 (h1) → none
+    # (right k=2 only at h0); lid 15 (h-5) → right@h0 (50)
+    assert got == {10: 200.0, 15: 50.0}

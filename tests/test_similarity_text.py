@@ -275,3 +275,27 @@ def test_winnow_vectorized_byte_identical_to_per_doc(ray_session):
     for i, (nfp, xr) in enumerate(reference(texts)):
         assert out.loc[i, "n_fingerprints"] == nfp, i
         assert int(out.loc[i, "fingerprint_xor"]) == xr, i
+
+
+def test_text_profile_fused_equals_separate_ops(ray_session, docs_df):
+    p = (
+        T.text_profile(ray.data.from_pandas(docs_df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    q = (
+        T.quality_stats(ray.data.from_pandas(docs_df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    l = (
+        T.language_id(ray.data.from_pandas(docs_df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    f = (
+        T.fingerprint_md5(ray.data.from_pandas(docs_df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ("n_chars", "n_tokens", "n_stopwords", "n_unique_tokens"):
+        assert p[c].tolist() == q[c].tolist(), c
+    for c in [f"hits_{x}" for x in T.LANGS] + ["detected_lang"]:
+        assert p[c].tolist() == l[c].tolist(), c
+    assert p.fingerprint.tolist() == f.fingerprint.tolist()
