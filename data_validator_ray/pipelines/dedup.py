@@ -273,7 +273,14 @@ def exact_dedup(
     never the (potentially huge) key strings; duplicate-group
     identification is hash-based inside ``drop_duplicates``. Without
     it: keep the lexicographically-first row over all columns (the
-    round-1 semantics — deterministic but sorts whole rows)."""
+    round-1 semantics — deterministic but sorts whole rows).
+
+    The same keep-first reduce runs BATCH-LOCALLY before the shuffle
+    (it is associative: min-of-mins = global min), so on heavily
+    duplicated corpora the shuffle ships one survivor per (batch, key)
+    instead of every row — at a 1600× duplication factor that is a
+    ~1000× exchange-volume cut (the pre-aggregate-before-groupby scale
+    pattern, SURVEY.md §4.3.2)."""
     ds = _as_dataset(source)
 
     def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -283,7 +290,16 @@ def exact_dedup(
             .drop_duplicates(subset=[key], keep="first")
         )
 
-    return bucketed_groupby(ds, [key], keep_first, num_buckets=num_buckets)
+    def local_combine(batch: pa.Table) -> pa.Table:
+        # polars (Rust) keep-first — a pandas round-trip on big string
+        # batches costs more than the reduce itself
+        d = pl.from_arrow(batch)
+        order = [tiebreak] if tiebreak else list(d.columns)
+        out = d.sort(order).unique(subset=[key], keep="first", maintain_order=True)
+        return out.select(batch.column_names).to_arrow().cast(batch.schema)
+
+    combined = ds.map_batches(local_combine, batch_format="pyarrow")
+    return bucketed_groupby(combined, [key], keep_first, num_buckets=num_buckets)
 
 
 # --------------------------------------------------------------------------- #

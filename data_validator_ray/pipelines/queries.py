@@ -632,6 +632,28 @@ def q_asof_events_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_range_join_events_bands(sf_dir: str) -> pd.DataFrame:
+    """Broadcast range join: each event's value lands in a [lo, hi)
+    band from a small interval table (sorted non-overlapping →
+    searchsorted fast path). Negative values match no band and drop."""
+    from .relational import range_join_broadcast
+
+    bands = pd.DataFrame(
+        {
+            "lo": [0.0, 10.0, 25.0, 50.0, 100.0],
+            "hi": [10.0, 25.0, 50.0, 100.0, 1e9],
+            "band": ["xs", "s", "m", "l", "xl"],
+        }
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    out = range_join_broadcast(ds, bands, value_col="value").to_pandas()
+    out = out[["event_id", "band"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _media_path(sf_dir: str) -> str:
     """Deterministic synthetic media table sized to the documents table
     (cached under /tmp per scale)."""
@@ -715,6 +737,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "runner_documents_resume": q_runner_documents_resume,
         "windowed_events": q_windowed_events,
         "asof_events_orders": q_asof_events_orders,
+        "range_join_events_bands": q_range_join_events_bands,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -822,6 +845,12 @@ def oracle_sql() -> Dict[str, str]:
             "FROM events WHERE ts IS NOT NULL "
             "GROUP BY window_start, event_type "
             "ORDER BY window_start, event_type"
+        ),
+        "range_join_events_bands": (
+            "SELECT e.event_id, b.band FROM events e JOIN (VALUES "
+            "(0.0, 10.0, 'xs'), (10.0, 25.0, 's'), (25.0, 50.0, 'm'), "
+            "(50.0, 100.0, 'l'), (100.0, 1e9, 'xl')) AS b(lo, hi, band) "
+            "ON e.value >= b.lo AND e.value < b.hi ORDER BY e.event_id"
         ),
         "asof_events_orders": (
             "WITH r AS (SELECT o_custkey, o_orderdate, "

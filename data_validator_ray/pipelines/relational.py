@@ -208,3 +208,68 @@ def asof_join(
         return batch.rename_columns(names)
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def range_join_broadcast(
+    source: Any,
+    intervals: pd.DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    keep_cols: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Range (interval) join with a broadcast small side: each left row
+    pairs with every interval where ``lo ≤ value < hi`` (half-open, so
+    band tables never double-match at the boundary). Inner semantics —
+    rows matching no interval drop; NULL values never match.
+
+    The interval table is shipped once via ``ray.put`` and read per
+    task — never re-shipped per batch and never shuffled. Two tiers,
+    chosen automatically:
+
+    * sorted non-overlapping intervals → one ``np.searchsorted`` per
+      batch (O(log k) per row);
+    * overlapping intervals → one vectorized mask per interval
+      (O(k) passes; fine for the broadcast-sized k this operator is
+      for — a large right side needs a shuffle join, not this).
+    """
+    keep_cols = list(keep_cols or [c for c in intervals.columns
+                                   if c not in (lo_col, hi_col)])
+    iv = intervals.sort_values(lo_col, kind="stable").reset_index(drop=True)
+    lo = iv[lo_col].to_numpy(np.float64)
+    hi = iv[hi_col].to_numpy(np.float64)
+    non_overlapping = bool((hi[:-1] <= lo[1:]).all()) if len(iv) > 1 else True
+    payload = {c: iv[c].to_numpy() for c in keep_cols}
+    import ray as _ray
+
+    ref = _ray.put((lo, hi, payload, non_overlapping))
+
+    def join(batch: pa.Table) -> pa.Table:
+        lo_a, hi_a, pay, fast = _ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(v)
+        if fast:
+            idx = np.searchsorted(lo_a, v, side="right") - 1
+            ok = valid & (idx >= 0) & (v < hi_a[np.clip(idx, 0, None)])
+            rows = np.nonzero(ok)[0]
+            ivx = idx[rows]
+        else:
+            row_parts, ivx_parts = [], []
+            for i in range(len(lo_a)):
+                m = valid & (v >= lo_a[i]) & (v < hi_a[i])
+                r = np.nonzero(m)[0]
+                row_parts.append(r)
+                ivx_parts.append(np.full(len(r), i, np.int64))
+            rows = np.concatenate(row_parts) if row_parts else np.zeros(0, np.int64)
+            ivx = np.concatenate(ivx_parts) if ivx_parts else np.zeros(0, np.int64)
+            order = np.argsort(rows, kind="stable")  # deterministic row order
+            rows, ivx = rows[order], ivx[order]
+        out = batch.take(pa.array(rows, pa.int64()))
+        for c in keep_cols:
+            out = out.append_column(c, pa.array(pay[c][ivx]))
+        return out
+
+    ds = _as_dataset(source)
+    return ds.map_batches(join, batch_format="pyarrow", batch_size=batch_size)

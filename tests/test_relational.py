@@ -138,3 +138,34 @@ def test_asof_join_forward(ray_session, asof_fixture):
     # lid 10 (h2) → right@h4 (200); lid 11 (h5) → none; lid 12 (h1) → none
     # (right k=2 only at h0); lid 15 (h-5) → right@h0 (50)
     assert got == {10: 200.0, 15: 50.0}
+
+
+def test_range_join_fast_and_general_paths(ray_session):
+    from data_validator_ray.pipelines.relational import range_join_broadcast
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5, 6],
+                       "v": [5.0, 15.0, None, 55.0, 200.0, -1.0]})
+    bands = pd.DataFrame(
+        {"lo": [0.0, 10.0, 50.0], "hi": [10.0, 50.0, 100.0],
+         "band": ["low", "mid", "high"]}
+    )
+    out = range_join_broadcast(
+        ray.data.from_pandas(df), bands, value_col="v"
+    ).to_pandas()
+    # nulls, below-range and above-range rows drop (inner, [lo,hi))
+    assert sorted(zip(out.id, out.band)) == [(1, "low"), (2, "mid"), (4, "high")]
+
+    # overlapping intervals → one row per match, deterministic order
+    ov = pd.DataFrame({"lo": [0.0, 5.0], "hi": [20.0, 60.0], "band": ["a", "b"]})
+    out2 = range_join_broadcast(
+        ray.data.from_pandas(df), ov, value_col="v"
+    ).to_pandas()
+    assert sorted(zip(out2.id, out2.band)) == [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (4, "b")
+    ]
+    # boundary: value == hi of one band == lo of next → next band only
+    edge = pd.DataFrame({"id": [9], "v": [10.0]})
+    out3 = range_join_broadcast(
+        ray.data.from_pandas(edge), bands, value_col="v"
+    ).to_pandas()
+    assert list(out3.band) == ["mid"]
