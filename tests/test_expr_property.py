@@ -1,0 +1,103 @@
+"""Property-based DSL↔DuckDB equivalence: hypothesis generates random
+predicates from the DSL grammar (a SQL subset, so the same string runs
+on both engines) and the TRUE-row counts must agree exactly."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_validator_ray.functions.expr import compile_predicate, predicate_true_mask
+
+
+@pytest.fixture(scope="module")
+def table() -> pa.Table:
+    df = pd.DataFrame(
+        {
+            "a": pd.array(
+                [1, -2, None, 4, 5, -3, 0, 10, 7, None, 100, -50], dtype="Int64"
+            ),
+            "b": [1.5, -2.0, 3.25, None, 0.0, 9.5, 2.5, -1.0, None, 4.0, 0.5, -7.75],
+            "s": ["foo", "bar", None, "", "foobar", "xyz", "FOO", "ba r",
+                  "zz", "fo", "o'brien", "%_"],
+        }
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+NUM_COLS = ["a", "b"]
+STR_COLS = ["s"]
+NUM_LITS = ["0", "1", "-3", "2.5", "7", "100", "-0.5"]
+STR_LITS = ["'foo'", "''", "'zz'", "'ba r'", "'o''brien'"]
+NONZERO_LITS = ["2", "3", "-4", "2.5"]
+
+
+def num_term():
+    atom = st.one_of(st.sampled_from(NUM_COLS), st.sampled_from(NUM_LITS))
+
+    def extend(children):
+        return st.one_of(
+            st.tuples(children, st.sampled_from(["+", "-", "*"]), children).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            st.tuples(children, st.sampled_from(["/", "%"]),
+                      st.sampled_from(NONZERO_LITS)).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+        )
+
+    return st.recursive(atom, extend, max_leaves=4)
+
+
+def predicate():
+    num_cmp = st.tuples(
+        num_term(), st.sampled_from(["=", "!=", "<", "<=", ">", ">="]), num_term()
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
+    str_cmp = st.tuples(
+        st.sampled_from(STR_COLS), st.sampled_from(["=", "!="]),
+        st.sampled_from(STR_LITS),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
+    null_chk = st.tuples(
+        st.sampled_from(NUM_COLS + STR_COLS),
+        st.sampled_from(["IS NULL", "IS NOT NULL"]),
+    ).map(lambda t: f"{t[0]} {t[1]}")
+    between = st.tuples(num_term(), st.sampled_from(NUM_LITS),
+                        st.sampled_from(NUM_LITS)).map(
+        lambda t: f"{t[0]} BETWEEN {t[1]} AND {t[2]}"
+    )
+    in_list = st.tuples(
+        st.sampled_from(STR_COLS),
+        st.lists(st.sampled_from(STR_LITS), min_size=1, max_size=3),
+    ).map(lambda t: f"{t[0]} IN ({', '.join(t[1])})")
+    like = st.tuples(
+        st.sampled_from(STR_COLS), st.sampled_from(["'fo%'", "'%o%'", "'__'", "'%r'"])
+    ).map(lambda t: f"{t[0]} LIKE {t[1]}")
+    atom = st.one_of(num_cmp, str_cmp, null_chk, between, in_list, like)
+
+    def extend(children):
+        return st.one_of(
+            st.tuples(children, st.sampled_from(["AND", "OR"]), children).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            children.map(lambda c: f"NOT ({c})"),
+        )
+
+    return st.recursive(atom, extend, max_leaves=5)
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate())
+def test_random_predicate_matches_duckdb(table, pred):
+    con = duckdb.connect()
+    con.register("t", table)
+    expected = con.execute(f"SELECT COUNT(*) FROM t WHERE {pred}").fetchone()[0]
+    mask = predicate_true_mask(compile_predicate(pred), table)
+    got = pc.sum(mask).as_py() or 0
+    assert got == expected, pred
