@@ -285,12 +285,27 @@ def knn_ivf(
         # cluster per row, parsed once per distinct file path in batch
         path_col = batch["path"].to_numpy(zero_copy_only=False)
         clusters = np.empty(len(ids), np.int64)
+        batch_clusters = []
         for p in np.unique(path_col):
             c = int(_re.search(r"cluster=(\d+)", p).group(1))
             clusters[path_col == p] = c
+            batch_clusters.append(c)
+        # score ONLY the queries probing a cluster present in this batch
+        # (a batch usually spans one cluster file → the matmul shrinks
+        # by ~nprobe/n_centroids vs scoring every query and masking)
+        q_sub = np.nonzero(mask[:, batch_clusters].any(axis=1))[0]
+        if len(q_sub) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        q_ids, q_m, mask = q_ids[q_sub], q_m[q_sub], mask[q_sub]
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        sims = q_m @ (m / norms).T  # (q, batch) — probed rows only
+        sims = q_m @ (m / norms).T  # (q_sub, batch) — probed rows only
         sims = np.where(mask[:, clusters], sims, -np.inf)
         if exclude_self:
             sims = np.where(q_ids[:, None] == ids[None, :], -np.inf, sims)
