@@ -72,3 +72,20 @@ def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) >= 0
     assert "rule_name" in df.columns
+
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs_and_is_deterministic(ray_session, name):
+    """Queries without a SQL oracle (approximate / sketch / derived by
+    design) must still run through the driver contract, return rows
+    with a stable schema, and be deterministic across invocations (the
+    north-rule byte-stability requirement)."""
+    a = normalize(to_pandas(QUERIES[name](SF)))
+    b = normalize(to_pandas(QUERIES[name](SF)))
+    assert len(a) >= 0 and list(a.columns)
+    assert list(a.columns) == list(b.columns), name
+    assert a.shape == b.shape, name
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
