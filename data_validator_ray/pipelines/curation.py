@@ -1,0 +1,526 @@
+"""Training-data curation operators (Ray-Data-first, net-new tier).
+
+Beyond the reference's validation surface (see SURVEY.md §2.7), a
+100-TB training-data pipeline needs corpus-curation passes: repetition
+/ quality gating (Gopher-style rules), PII redaction, benchmark
+decontamination, deterministic domain mixing, token-budget shard
+packing and semantic (embedding-space) dedup. Each operator here is a
+streaming Ray Data pipeline whose formulas are chosen to be exactly
+replicable in ANSI SQL wherever SQL can express them (integer counters,
+RE2 regexes shared by Arrow and DuckDB, modular-arithmetic hashes) so
+the driver's DuckDB oracle comparison is bit-exact.
+
+Scale notes (100 TB):
+- Every text pass is one ``map_batches`` over Arrow batches with the
+  token work done in polars (Rust split/explode) — no shuffle, no
+  driver materialization.
+- ``decontaminate`` broadcasts the benchmark shingle set once via
+  ``ray.put`` (eval benchmarks are tiny vs the corpus); for a large
+  benchmark swap the exact string set for a hashed bloom prefilter +
+  exact confirm, same stage shape.
+- ``pack_shards`` is a distributed two-pass prefix scan: per-bucket
+  token sums (tiny aggregate) → driver exclusive prefix → per-bucket
+  cumulative assignment. Only (doc_id, n_tokens) rows — 16 bytes/row —
+  ever move through the shuffle.
+- ``semantic_dedup`` is SemDeDup-shaped: k-means partitions the space
+  so the O(m²) in-cluster similarity stays bounded; raise
+  ``n_clusters`` with corpus size to keep m small.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .dedup import _as_dataset
+
+try:
+    import polars as pl
+except ImportError:  # pragma: no cover — polars is baked into this env
+    pl = None
+
+Dataset = ray.data.Dataset
+
+
+# --------------------------------------------------------------------------- #
+# Gopher-style repetition / quality statistics                                #
+# --------------------------------------------------------------------------- #
+
+def _token_frame(texts_col) -> "tuple[pl.DataFrame, int]":
+    """(row, t) exploded tokens, split on single spaces, empties
+    dropped — the ``list_filter(string_split(text,' '), x -> x <> '')``
+    oracle tokenization (same convention as text._exploded_tokens)."""
+    s = pl.from_arrow(
+        texts_col.combine_chunks()
+        if isinstance(texts_col, pa.ChunkedArray)
+        else texts_col
+    ).fill_null("")
+    n = len(s)
+    ex = (
+        pl.DataFrame({"row": pl.int_range(0, n, eager=True), "t": s})
+        .with_columns(pl.col("t").str.split(" "))
+        .explode("t")
+        .filter(pl.col("t").is_not_null() & (pl.col("t") != ""))
+    )
+    return ex, n
+
+
+def gopher_stats(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-doc integer repetition/quality counters (Gopher-rule inputs,
+    oracle-exact):
+
+    - ``n_tokens``            tokens (single-space split, empties dropped)
+    - ``n_2grams``            consecutive-token 2-grams (with repeats)
+    - ``n_unique_2grams``     distinct 2-grams
+    - ``top_2gram_count``     occurrences of the most frequent 2-gram
+    - ``total_token_chars``   sum of per-token char lengths
+    - ``n_symbol_chars``      chars outside ``[a-z0-9 ]``
+
+    The float Gopher ratios (duplicate-2gram fraction, symbol-to-word
+    ratio, mean word length) derive from these downstream;
+    :func:`gopher_filter` applies them as pure integer comparisons so
+    the kept-set is SQL-replicable.
+
+    One streaming ``map_batches`` pass; token work in polars (Rust
+    split/explode + shifted concat), char counts in Arrow kernels.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ex, n = _token_frame(batch[text_col])
+        # consecutive 2-grams via shifted concat, masked at doc bounds
+        sh = (
+            ex.with_columns(
+                pl.concat_str(
+                    [pl.col("t"), pl.col("t").shift(-1)], separator=" "
+                ).alias("sh"),
+                (pl.col("row") == pl.col("row").shift(-1)).alias("ok"),
+            )
+            .filter(pl.col("ok").fill_null(False))
+            .select("row", "sh")
+        )
+        per_sh = sh.group_by("row", "sh").len()
+        agg2 = per_sh.group_by("row").agg(
+            pl.col("len").sum().alias("n_2grams"),
+            pl.len().alias("n_unique_2grams"),
+            pl.col("len").max().alias("top_2gram_count"),
+        )
+        agg1 = ex.group_by("row").agg(
+            pl.len().alias("n_tokens"),
+            pl.col("t").str.len_chars().sum().alias("total_token_chars"),
+        )
+        full = (
+            pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
+            .join(agg1, on="row", how="left")
+            .join(agg2, on="row", how="left")
+            .fill_null(0)
+            .sort("row")
+        )
+        text = pc.fill_null(batch[text_col], "")
+        n_chars = pc.utf8_length(text)
+        stripped = pc.replace_substring_regex(text, "[^a-z0-9 ]", "")
+        n_sym = pc.subtract(n_chars, pc.utf8_length(stripped))
+
+        def col(name):
+            return pa.array(full[name].to_numpy().astype(np.int64), pa.int64())
+
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": col("n_tokens"),
+                "n_2grams": col("n_2grams"),
+                "n_unique_2grams": col("n_unique_2grams"),
+                "top_2gram_count": col("top_2gram_count"),
+                "total_token_chars": col("total_token_chars"),
+                "n_symbol_chars": pc.cast(n_sym, pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=batch_size)
+
+
+def gopher_filter(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 5,
+    max_top_2gram_x5: bool = True,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Gopher-style repetition gate → kept doc ids. All thresholds are
+    integer-arithmetic comparisons over :func:`gopher_stats` counters
+    (no float ratios), so the kept-set is bit-exact vs SQL:
+
+    - ``n_tokens >= min_tokens``
+    - top 2-gram occupies ≤ 20 %: ``top_2gram_count * 5 <= n_2grams``
+    - symbol chars ≤ 10 % of total token chars:
+      ``n_symbol_chars * 10 <= total_token_chars``
+    - mean token length in [2, 12]:
+      ``2*n_tokens <= total_token_chars <= 12*n_tokens``
+    """
+    stats = gopher_stats(
+        source, id_col, text_col, batch_size=batch_size
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"]
+        m = pc.and_(
+            pc.greater_equal(nt, min_tokens),
+            pc.and_(
+                pc.less_equal(
+                    pc.multiply(batch["n_symbol_chars"], 10),
+                    batch["total_token_chars"],
+                ),
+                pc.and_(
+                    pc.less_equal(
+                        pc.multiply(nt, 2), batch["total_token_chars"]
+                    ),
+                    pc.less_equal(
+                        batch["total_token_chars"], pc.multiply(nt, 12)
+                    ),
+                ),
+            ),
+        )
+        if max_top_2gram_x5:
+            m = pc.and_(
+                m,
+                pc.less_equal(
+                    pc.multiply(batch["top_2gram_count"], 5),
+                    batch["n_2grams"],
+                ),
+            )
+        return batch.filter(m).select([id_col])
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# PII redaction                                                               #
+# --------------------------------------------------------------------------- #
+
+# RE2 syntax only — the same engine backs Arrow's *_regex kernels and
+# DuckDB's regexp_* functions, so counts and replacements agree exactly.
+PII_PATTERNS = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    patterns=None,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Scrub PII-shaped spans (emails, phone numbers, IPv4 addresses)
+    and count them per doc. One streaming pass; each pattern is one
+    vectorized RE2 count + replace over the whole batch (patterns are
+    applied in declaration order — email first, so its dotted host
+    never half-matches as an IP).
+
+    Output: ``(id, redacted_text, n_email, n_phone, n_ip)``.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        cols = {id_col: batch[id_col]}
+        for name, pat, repl in pats:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+            text = pc.replace_substring_regex(text, pat, repl)
+        cols["redacted_text"] = text
+        return pa.table(cols)
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------- #
+# benchmark decontamination                                                   #
+# --------------------------------------------------------------------------- #
+
+def _distinct_shingle_strings(ex: "pl.DataFrame", n: int) -> "pl.DataFrame":
+    """(row, sh) distinct n-gram STRINGS per row from an exploded token
+    frame (strings, not hashes — decontamination is membership against
+    an exact benchmark set, and the oracle compares strings)."""
+    parts = [pl.col("t")] + [pl.col("t").shift(-i) for i in range(1, n)]
+    return (
+        ex.with_columns(
+            pl.concat_str(parts, separator=" ").alias("sh"),
+            (pl.col("row") == pl.col("row").shift(-(n - 1))).alias("ok"),
+        )
+        .filter(pl.col("ok").fill_null(False))
+        .select("row", "sh")
+        .unique(subset=["row", "sh"], maintain_order=True)
+    )
+
+
+def benchmark_shingles(
+    texts: List[Optional[str]], ngram: int = 5
+) -> List[str]:
+    """Distinct n-gram strings across a (small) benchmark text set."""
+    ex, _ = _token_frame(pa.array(texts, pa.string()))
+    return (
+        _distinct_shingle_strings(ex, ngram)["sh"].unique().sort().to_list()
+    )
+
+
+def decontaminate(
+    source: Any,
+    benchmark_texts: List[Optional[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 5,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Flag corpus docs that share any token n-gram with a benchmark
+    set (train/eval decontamination, FLAN/GPT-3-style 13-gram check —
+    parameterized n). Output: ``(id, n_hits, is_contaminated)`` where
+    ``n_hits`` counts the doc's DISTINCT n-grams present in the
+    benchmark union set.
+
+    The benchmark set is broadcast ONCE via ``ray.put`` (benchmarks are
+    tiny vs a 100-TB corpus); each batch explodes its distinct shingles
+    in polars and hash-joins against the set (``is_in``). For very
+    large benchmark sets, put a hashed bloom prefilter in front of the
+    exact membership — same stage shape.
+    """
+    bench = benchmark_shingles(benchmark_texts, ngram)
+    bench_ref = ray.put(pl.Series("b", bench))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ex, n = _token_frame(batch[text_col])
+        sh = _distinct_shingle_strings(ex, ngram)
+        hits = (
+            sh.filter(pl.col("sh").is_in(bset))
+            .group_by("row")
+            .len()
+            .rename({"len": "n_hits"})
+        )
+        full = (
+            pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
+            .join(hits, on="row", how="left")
+            .fill_null(0)
+            .sort("row")
+        )
+        n_hits = full["n_hits"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "is_contaminated": pa.array(n_hits > 0, pa.bool_()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------- #
+# deterministic domain mixing                                                 #
+# --------------------------------------------------------------------------- #
+
+KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def domain_sample(
+    source: Any,
+    rate_permille: Dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    *,
+    default_permille: int = 1000,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic per-domain downsampling (training-mixture
+    reweighting): keep a row iff ``(id * 2654435761) % 1000 <
+    rate_permille[domain]``. Pure int64 modular arithmetic — no RNG, no
+    state, reproducible across runs/engines and exactly expressible in
+    SQL, which is what makes sampled pipelines resumable and
+    re-runnable at scale.
+
+    ``rate_permille`` maps domain → kept per-mille (e.g. 250 = 25 %);
+    unlisted domains keep ``default_permille``.
+    """
+    rates = dict(rate_permille or {})
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * KNUTH) % 1000
+        dom = batch[domain_col].to_pandas()
+        thr = dom.map(rates).fillna(default_permille).to_numpy(np.int64)
+        return batch.filter(pa.array(h < thr, pa.bool_()))
+
+    ds = _as_dataset(source, columns=None)
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------- #
+# token-budget shard packing                                                  #
+# --------------------------------------------------------------------------- #
+
+def pack_shards(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    budget: int = 2048,
+    bucket_size: int = 4096,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Assign docs (ordered by id) to training shards of ~``budget``
+    tokens: ``shard_id = floor(exclusive_prefix_sum(n_tokens) /
+    budget)`` — the window-function contract
+    ``floor((SUM(n) OVER (ORDER BY id) - n) / budget)``.
+
+    Distributed two-pass prefix scan (nothing materializes the corpus):
+
+    1. streaming ``map_batches`` → ``(id, n_tokens, bucket=id//B)``;
+    2. per-bucket token sums via ``groupby.aggregate`` — #buckets rows
+       to the driver, which takes the exclusive prefix in bucket order
+       and broadcasts the offset table via ``ray.put``;
+    3. ``groupby(bucket).map_groups``: sort the bucket by id, local
+       cumsum + the bucket's global offset → shard id.
+
+    Only 16-byte ``(id, n_tokens)`` pairs move through the shuffle; the
+    offset table is #buckets × 16 bytes. At 100 TB raise
+    ``bucket_size`` so #buckets stays ~1e5.
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch[text_col], ""), r"\S+"
+            ),
+            pa.int64(),
+        )
+        b = pc.cast(
+            pc.floor(pc.divide(pc.cast(batch[id_col], pa.float64()), bucket_size)),
+            pa.int64(),
+        )
+        return pa.table(
+            {id_col: batch[id_col], "n_tokens": n, "__bucket": b}
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    cnts = ds.map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
+
+    bucket_sums = (
+        cnts.groupby("__bucket")
+        .aggregate(Sum("n_tokens", alias_name="bucket_total"))
+        .to_pandas()
+        .sort_values("__bucket")
+    )
+    totals = bucket_sums["bucket_total"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    offset_map = dict(
+        zip(bucket_sums["__bucket"].to_numpy(np.int64), offsets)
+    )
+    offsets_ref = ray.put(offset_map)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        omap = ray.get(offsets_ref)
+        g = group.sort_values(id_col)
+        base = omap[int(g["__bucket"].iloc[0])]
+        cum = base + g["n_tokens"].to_numpy(np.int64).cumsum()
+        excl = cum - g["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "n_tokens": g["n_tokens"].to_numpy(np.int64),
+                "shard_id": excl // budget,
+            }
+        )
+
+    return cnts.groupby("__bucket").map_groups(assign, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------- #
+# semantic dedup (SemDeDup-shaped)                                            #
+# --------------------------------------------------------------------------- #
+
+def semantic_dedup(
+    source: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 0x5EED,
+) -> Dataset:
+    """Embedding-space dedup à la SemDeDup (Abbas et al. 2023): k-means
+    partition the corpus, then within each cluster drop any vector that
+    has cosine ≥ ``threshold`` with a LOWER-id vector in the same
+    cluster (keep-first, deterministic — no RNG at drop time).
+
+    Scale shape: one k-means pass (sampled fit + streaming assign), one
+    shuffle on the cluster key, O(m²) similarity only WITHIN a cluster
+    — ``n_clusters`` grows with corpus size to bound m. Cross-cluster
+    near-dups are missed by construction (the SemDeDup approximation).
+
+    Output: kept ``(id, cluster)`` rows.
+    """
+    from .dedup import _embedding_matrix
+    from .similarity import train_ivf_centroids
+
+    C = train_ivf_centroids(
+        source, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_clusters, seed=seed,
+    )
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    C_ref = ray.put(Cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cn_ = ray.get(C_ref)
+        M = _embedding_matrix(batch, vec_col)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(Mn @ Cn_.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "cluster": pa.array(cl, pa.int64()),
+            }
+        )
+
+    def dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Mn @ Mn.T
+        drop = (np.tril(S, -1) >= threshold).any(axis=1)
+        kept = g.loc[~drop]
+        return pd.DataFrame(
+            {
+                id_col: kept[id_col].to_numpy(np.int64),
+                "cluster": kept["cluster"].to_numpy(np.int64),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )

@@ -697,6 +697,127 @@ def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+# --------------------------------------------------------------------- #
+# curation tier (pipelines/curation.py)                                 #
+# --------------------------------------------------------------------- #
+
+def q_gopher_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-rule integer counters per doc (repetition + symbol +
+    token-length inputs); every counter oracle-exact."""
+    from .curation import gopher_stats
+
+    out = gopher_stats(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_gopher_filter_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition gate → kept doc ids (pure integer-threshold
+    comparisons, bit-exact vs the SQL WHERE clause)."""
+    from .curation import gopher_filter
+
+    out = gopher_filter(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def q_pii_redact_documents(sf_dir: str) -> pd.DataFrame:
+    """PII scrub over a derived text with injected email/phone/IP spans
+    (deterministic doc_id-mod injection, replicated in the oracle's
+    CASE expression); counts and redacted text are RE2-exact on both
+    sides."""
+    from .curation import pii_redact
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idstr = ids.astype("U")
+        suffix = np.select(
+            [ids % 7 == 0, ids % 11 == 0, ids % 13 == 0],
+            [
+                np.char.add(
+                    np.char.add(" contact user", idstr),
+                    "@example.com for info",
+                ),
+                np.full(len(ids), " call 555-0142 or 555-9999 today"),
+                np.full(len(ids), " origin 10.0.0.1 and 192.168.1.77"),
+            ],
+            default="",
+        )
+        text = pc.fill_null(batch["text"], "").to_pandas().to_numpy(str)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(np.char.add(text, suffix), pa.string()),
+            }
+        )
+
+    out = pii_redact(
+        ds.map_batches(inject, batch_format="pyarrow")
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_decontaminate_documents(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag docs sharing any 5-gram with the
+    benchmark slice (doc_id % 97 == 0 — a stand-in for a held-out eval
+    set). Broadcast-set membership on the Ray side, shingle join in the
+    oracle."""
+    from .curation import decontaminate
+
+    bench = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .filter(lambda r: r["doc_id"] % 97 == 0)
+        .to_pandas()["text"]
+        .tolist()
+    )
+    out = decontaminate(
+        f"{sf_dir}/documents.parquet", bench, ngram=5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_domain_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic domain-mixture downsampling: per-source keep rates
+    ((idx % 4) + 1) × 200 ‰ via the Knuth multiplicative hash on
+    doc_id — no RNG, bit-exact vs the SQL modular arithmetic."""
+    from .curation import domain_sample
+
+    rates = {f"src{i}": ((i % 4) + 1) * 200 for i in range(256)}
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = domain_sample(ds, rates).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pack_shards_documents(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard packing (distributed two-pass prefix scan);
+    oracle = the window-function exclusive prefix sum."""
+    from .curation import pack_shards
+
+    out = pack_shards(
+        f"{sf_dir}/documents.parquet", budget=2048
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style embedding dedup (rows-only: seeded k-means has no
+    SQL equivalent; keep-first rule pinned by unit tests)."""
+    from .curation import semantic_dedup
+
+    out = semantic_dedup(
+        f"{sf_dir}/embeddings.parquet", threshold=0.95, n_clusters=8
+    ).to_pandas()
+    return (
+        out.sort_values("vec_id").reset_index(drop=True).astype("int64")
+    )
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -741,6 +862,13 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "gopher_stats_documents": q_gopher_stats_documents,
+        "gopher_filter_documents": q_gopher_filter_documents,
+        "pii_redact_documents": q_pii_redact_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "domain_sample_documents": q_domain_sample_documents,
+        "pack_shards_documents": q_pack_shards_documents,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     }
 
 
@@ -957,11 +1085,18 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
             "'g'))) AS fingerprint FROM documents ORDER BY doc_id"
         ),
+        "gopher_stats_documents": _GOPHER_STATS_SQL,
+        "gopher_filter_documents": _GOPHER_FILTER_SQL,
+        "pii_redact_documents": _PII_REDACT_SQL,
+        "decontaminate_documents": _DECONTAMINATE_SQL,
+        "domain_sample_documents": _DOMAIN_SAMPLE_SQL,
+        "pack_shards_documents": _PACK_SHARDS_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
         # (hash/ANN structures), winnow_fingerprints_documents (rolling
-        # hash), drift_events_value (t-digest bins)
+        # hash), drift_events_value (t-digest bins),
+        # semantic_dedup_embeddings (seeded k-means)
     }
 
 
@@ -1035,3 +1170,130 @@ def _language_id_sql() -> str:
 
 
 _LANGUAGE_ID_SQL = _language_id_sql()
+
+
+# --------------------------------------------------------------------- #
+# curation-tier oracle SQL                                              #
+# --------------------------------------------------------------------- #
+
+# Shared tokenization: single-space split, empty tokens dropped — the
+# exact semantics of curation._token_frame.
+_GOPHER_BASE = (
+    "WITH base AS ("
+    "  SELECT doc_id, coalesce(text, '') AS text,"
+    "         list_filter(string_split(coalesce(text, ''), ' '),"
+    "                     x -> x <> '') AS toks"
+    "  FROM documents"
+    "), t1 AS ("
+    "  SELECT doc_id,"
+    "         len(toks)::BIGINT AS n_tokens,"
+    "         coalesce(list_sum(list_transform(toks, x -> len(x))), 0)::BIGINT"
+    "           AS total_token_chars,"
+    "         (len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::BIGINT"
+    "           AS n_symbol_chars"
+    "  FROM base"
+    "), sh AS ("
+    "  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),"
+    "         i -> toks[i] || ' ' || toks[i+1])) AS sh"
+    "  FROM base"
+    "), cnt AS ("
+    "  SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2"
+    "), t2 AS ("
+    "  SELECT doc_id, sum(c)::BIGINT AS n_2grams,"
+    "         count(*)::BIGINT AS n_unique_2grams,"
+    "         max(c)::BIGINT AS top_2gram_count"
+    "  FROM cnt GROUP BY doc_id"
+    "), g AS ("
+    "  SELECT t1.doc_id, n_tokens, coalesce(n_2grams, 0) AS n_2grams,"
+    "         coalesce(n_unique_2grams, 0) AS n_unique_2grams,"
+    "         coalesce(top_2gram_count, 0) AS top_2gram_count,"
+    "         total_token_chars, n_symbol_chars"
+    "  FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id"
+    ") "
+)
+
+_GOPHER_STATS_SQL = _GOPHER_BASE + "SELECT * FROM g ORDER BY doc_id"
+
+_GOPHER_FILTER_SQL = _GOPHER_BASE + (
+    "SELECT doc_id FROM g"
+    " WHERE n_tokens >= 5"
+    "   AND top_2gram_count * 5 <= n_2grams"
+    "   AND n_symbol_chars * 10 <= total_token_chars"
+    "   AND 2 * n_tokens <= total_token_chars"
+    "   AND total_token_chars <= 12 * n_tokens"
+    " ORDER BY doc_id"
+)
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+_PII_REDACT_SQL = (
+    "WITH injected AS ("
+    "  SELECT doc_id, coalesce(text, '') || CASE"
+    "    WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id ||"
+    "         '@example.com for info'"
+    "    WHEN doc_id % 11 = 0 THEN ' call 555-0142 or 555-9999 today'"
+    "    WHEN doc_id % 13 = 0 THEN ' origin 10.0.0.1 and 192.168.1.77'"
+    "    ELSE '' END AS t0"
+    "  FROM documents"
+    "), s1 AS ("
+    f"  SELECT doc_id, len(regexp_extract_all(t0, '{_PII_EMAIL}'))::BIGINT"
+    "     AS n_email,"
+    f"    regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1"
+    "  FROM injected"
+    "), s2 AS ("
+    f"  SELECT doc_id, n_email, len(regexp_extract_all(t1, '{_PII_PHONE}'))::BIGINT"
+    "     AS n_phone,"
+    f"    regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2"
+    "  FROM s1"
+    ") "
+    f"SELECT doc_id, n_email, n_phone,"
+    f"  len(regexp_extract_all(t2, '{_PII_IP}'))::BIGINT AS n_ip,"
+    f"  regexp_replace(t2, '{_PII_IP}', '<IP>', 'g') AS redacted_text"
+    " FROM s2 ORDER BY doc_id"
+)
+
+_DECONTAMINATE_SQL = (
+    "WITH base AS ("
+    "  SELECT doc_id,"
+    "         list_filter(string_split(coalesce(text, ''), ' '),"
+    "                     x -> x <> '') AS toks"
+    "  FROM documents"
+    "), sh AS ("
+    "  SELECT DISTINCT doc_id,"
+    "    unnest(list_transform(generate_series(1, len(toks) - 4),"
+    "      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||"
+    "           toks[i+3] || ' ' || toks[i+4])) AS sh"
+    "  FROM base"
+    "), bench AS ("
+    "  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0"
+    "), hits AS ("
+    "  SELECT s.doc_id, count(*)::BIGINT AS n_hits"
+    "  FROM sh s JOIN bench b ON s.sh = b.sh GROUP BY 1"
+    ") "
+    "SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,"
+    "       coalesce(h.n_hits, 0) > 0 AS is_contaminated"
+    " FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+    " ORDER BY d.doc_id"
+)
+
+_DOMAIN_SAMPLE_SQL = (
+    "SELECT doc_id, source FROM documents"
+    " WHERE (doc_id * 2654435761) % 1000 <"
+    "       ((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 200"
+    " ORDER BY doc_id"
+)
+
+_PACK_SHARDS_SQL = (
+    "WITH n AS ("
+    "  SELECT doc_id,"
+    "    len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_tokens"
+    "  FROM documents"
+    ") "
+    "SELECT doc_id, n_tokens,"
+    "  ((SUM(n_tokens) OVER (ORDER BY doc_id"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    "    - n_tokens) // 2048)::BIGINT AS shard_id"
+    " FROM n ORDER BY doc_id"
+)

@@ -1,0 +1,246 @@
+"""Unit tests for the curation tier (pipelines/curation.py): edge
+cases the driver's sf0.01 oracle comparison doesn't reach — empty/null
+text, repeated-2gram docs, symbol-heavy docs, crafted PII spans,
+benchmark overlap, sampling-rate extremes, shard-budget boundaries and
+the SemDeDup keep-first rule."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_validator_ray.pipelines.curation import (
+    benchmark_shingles,
+    decontaminate,
+    domain_sample,
+    gopher_filter,
+    gopher_stats,
+    pack_shards,
+    pii_redact,
+    semantic_dedup,
+)
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+# --------------------------------------------------------------------- #
+# gopher stats / filter                                                 #
+# --------------------------------------------------------------------- #
+
+def test_gopher_stats_edge_docs(ray_session):
+    out = (
+        gopher_stats(_docs([None, "", "one", "a b a b a b", "xx  yy"]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [0, 0, 1, 6, 2]
+    # "a b a b a b": 5 2-grams, 2 distinct ("a b" ×3, "b a" ×2)
+    assert out["n_2grams"].tolist() == [0, 0, 0, 5, 1]
+    assert out["n_unique_2grams"].tolist() == [0, 0, 0, 2, 1]
+    assert out["top_2gram_count"].tolist() == [0, 0, 0, 3, 1]
+    assert out["total_token_chars"].tolist() == [0, 0, 3, 6, 4]
+    # double space: both spaces are in [a-z0-9 ] → 0 symbols
+    assert out["n_symbol_chars"].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_gopher_stats_symbols(ray_session):
+    out = gopher_stats(_docs(["a! b? #c$"])).to_pandas()
+    assert out["n_symbol_chars"].tolist() == [4]
+    # tokens keep their symbol chars: "a!" "b?" "#c$"
+    assert out["total_token_chars"].tolist() == [7]
+
+
+def test_gopher_filter_rules(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # keep
+        "spam spam spam spam spam spam",                 # top-2gram > 20%
+        "only four tokens here",                         # < 5 tokens
+        "!!!! @@@@ #### $$$$ %%%% ^^^^",                 # symbol-heavy
+        "a b c d e f g h",                               # mean len < 2
+        "the quick brown fox jumps over lazy dogs fast", # keep
+    ]
+    kept = gopher_filter(_docs(texts)).to_pandas()["doc_id"].tolist()
+    assert sorted(kept) == [0, 5]
+
+
+# --------------------------------------------------------------------- #
+# PII redaction                                                         #
+# --------------------------------------------------------------------- #
+
+def test_pii_redact_counts_and_text(ray_session):
+    out = (
+        pii_redact(_docs([
+            "mail bob.smith@corp.example.org now",
+            "call 555-0100 or 555-1234",
+            "host 10.0.0.1 and 192.168.001.255 up",
+            "mixed a@b.co 555-9999 1.2.3.4",
+            "clean text with no pii at all",
+            None,
+        ]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_email"].tolist() == [1, 0, 0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert out["n_ip"].tolist() == [0, 0, 2, 1, 0, 0]
+    assert out["redacted_text"].tolist() == [
+        "mail <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "host <IP> and <IP> up",
+        "mixed <EMAIL> <PHONE> <IP>",
+        "clean text with no pii at all",
+        "",
+    ]
+
+
+def test_pii_phone_word_boundary(ray_session):
+    # 1555-12345 must NOT match (\b on both sides)
+    out = pii_redact(_docs(["x1555-12345y and 555-4321."]))\
+        .to_pandas()
+    assert out["n_phone"].tolist() == [1]
+    assert out["redacted_text"].tolist() == ["x1555-12345y and <PHONE>."]
+
+
+# --------------------------------------------------------------------- #
+# decontamination                                                       #
+# --------------------------------------------------------------------- #
+
+def test_decontaminate_overlap(ray_session):
+    bench = ["alpha beta gamma delta epsilon zeta"]
+    corpus = _docs([
+        "alpha beta gamma delta epsilon other",   # shares 1 distinct 5-gram
+        "alpha beta gamma delta epsilon zeta eta",  # shares 2
+        "totally unrelated words in this doc",    # 0
+        "short doc",                              # <5 tokens → 0
+    ])
+    out = (
+        decontaminate(corpus, bench, ngram=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_hits"].tolist() == [1, 2, 0, 0]
+    assert out["is_contaminated"].tolist() == [True, True, False, False]
+
+
+def test_benchmark_shingles_distinct_and_sorted():
+    sh = benchmark_shingles(["a b c d e a b c d e", None], ngram=5)
+    assert sh == sorted(set(sh))
+    assert "a b c d e" in sh
+
+
+# --------------------------------------------------------------------- #
+# domain sampling                                                       #
+# --------------------------------------------------------------------- #
+
+def test_domain_sample_rates_and_determinism(ray_session):
+    n = 2000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+    })
+    rates = {"a": 0, "b": 1000}
+    out1 = domain_sample(tbl, rates).to_pandas().sort_values("doc_id")
+    out2 = domain_sample(tbl, rates).to_pandas().sort_values("doc_id")
+    # rate 0 drops everything; rate 1000 keeps everything
+    assert set(out1["source"]) == {"b"}
+    assert len(out1) == n // 2
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), out2.reset_index(drop=True)
+    )
+
+
+def test_domain_sample_default_rate(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "source": pa.array(["unknown"] * 100),
+    })
+    out = domain_sample(tbl, {"x": 0}, default_permille=500).to_pandas()
+    # deterministic Knuth-hash keep set, roughly half
+    assert 30 < len(out) < 70
+    h = (out["doc_id"].to_numpy(np.int64) * 2654435761) % 1000
+    assert (h < 500).all()
+
+
+# --------------------------------------------------------------------- #
+# shard packing                                                         #
+# --------------------------------------------------------------------- #
+
+def test_pack_shards_matches_window_contract(ray_session):
+    rng = np.random.default_rng(7)
+    n = 500
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    tbl = _docs(texts)
+    out = (
+        pack_shards(tbl, budget=100, bucket_size=64)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    ref_tokens = np.array([len(t.split()) for t in texts], np.int64)
+    excl = np.concatenate([[0], np.cumsum(ref_tokens)[:-1]])
+    assert out["n_tokens"].tolist() == ref_tokens.tolist()
+    assert out["shard_id"].tolist() == (excl // 100).tolist()
+    # shard ids are nondecreasing in doc order and start at 0
+    assert out["shard_id"].iloc[0] == 0
+    assert (np.diff(out["shard_id"].to_numpy()) >= 0).all()
+
+
+def test_pack_shards_sparse_ids_cross_buckets(ray_session):
+    # non-dense ids spread across many buckets
+    ids = [3, 4096, 4097, 999999]
+    tbl = _docs(["a b c", "d e", "f", "g h i j"], ids=ids)
+    out = (
+        pack_shards(tbl, budget=4, bucket_size=4096)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # tokens 3,2,1,4 → exclusive prefix 0,3,5,6 → // 4 = 0,0,1,1
+    assert out["shard_id"].tolist() == [0, 0, 1, 1]
+
+
+# --------------------------------------------------------------------- #
+# semantic dedup                                                        #
+# --------------------------------------------------------------------- #
+
+def _emb_table(vectors, ids=None):
+    ids = ids if ids is not None else list(range(len(vectors)))
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, v)) for v in vectors],
+            pa.list_(pa.float32()),
+        ),
+    })
+
+
+def test_semantic_dedup_keep_first(ray_session):
+    # two identical pairs + two unique vectors
+    v = [
+        [1, 0, 0, 0], [1, 0, 0, 0],      # dup pair → keep vec_id 0
+        [0, 1, 0, 0],
+        [0, 0, 1, 0], [0, 0, 1.0001, 0], # cos ≈ 1 → keep vec_id 3
+        [0, 0, 0, 1],
+    ]
+    out = (
+        semantic_dedup(_emb_table(v), threshold=0.95, n_clusters=4)
+        .to_pandas().sort_values("vec_id")
+    )
+    assert out["vec_id"].tolist() == [0, 2, 3, 5]
+
+
+def test_semantic_dedup_threshold_spares_distinct(ray_session):
+    # cos(v0,v1) ≈ 0.894 < 0.95 → both kept
+    v = [[1, 0], [2, 1], [0, 1]]
+    out = (
+        semantic_dedup(_emb_table(v), threshold=0.95, n_clusters=1)
+        .to_pandas().sort_values("vec_id")
+    )
+    assert out["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_semantic_dedup_deterministic(ray_session):
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(200, 8))
+    a = semantic_dedup(_emb_table(V), threshold=0.8, n_clusters=4)\
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = semantic_dedup(_emb_table(V), threshold=0.8, n_clusters=4)\
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
