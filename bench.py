@@ -230,6 +230,63 @@ def bench_text_profile(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_curation_profile(input_dir: str) -> float:
+    """The fused curation pass (Gopher counters + PII counts +
+    decontamination in one read / one explode) over the 8M-row bench
+    input. Benchmark set = the sf base documents with doc_id % 97 == 0
+    (the realistic tiny-eval-set shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.curation import curation_profile
+
+    base = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    bench_texts = base.loc[base["doc_id"] % 97 == 0, "text"].tolist()
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    assert curation_profile(ds, bench_texts).count() > 0
+    return time.perf_counter() - t0
+
+
+def bench_pack_shards(input_dir: str) -> float:
+    """Distributed prefix-scan shard packing over the 8M-row bench
+    input (ids from the url hash → sparse, exercises the bucket-offset
+    path)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.curation import pack_shards
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    assert pack_shards(ds, budget=65536, num_buckets=512).count() > 0
+    return time.perf_counter() - t0
+
+
 def _bench_embeddings_dir() -> Path:
     tag = Path(SF_DIR).name
     return Path(f"/tmp/graft_bench/embeddings_{tag}_x4000")
@@ -394,6 +451,12 @@ def run_bench() -> dict:
         )
         queries["text_profile_webpages"] = round(
             bench_text_profile(str(input_dir)), 3
+        )
+        queries["curation_profile_webpages"] = round(
+            bench_curation_profile(str(input_dir)), 3
+        )
+        queries["pack_shards_webpages"] = round(
+            bench_pack_shards(str(input_dir)), 3
         )
         emb_dir = _bench_embeddings_dir()
         if not emb_dir.exists():

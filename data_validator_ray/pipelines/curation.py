@@ -72,6 +72,57 @@ def _token_frame(texts_col) -> "tuple[pl.DataFrame, int]":
     return ex, n
 
 
+def _gopher_columns(
+    batch: pa.Table, ex: "pl.DataFrame", n: int, text_col: str
+) -> Dict[str, pa.Array]:
+    """Gopher counter columns for one batch, given its exploded token
+    frame (shared with other kernels in the fused pass)."""
+    # consecutive 2-grams via shifted concat, masked at doc bounds
+    sh = (
+        ex.with_columns(
+            pl.concat_str(
+                [pl.col("t"), pl.col("t").shift(-1)], separator=" "
+            ).alias("sh"),
+            (pl.col("row") == pl.col("row").shift(-1)).alias("ok"),
+        )
+        .filter(pl.col("ok").fill_null(False))
+        .select("row", "sh")
+    )
+    per_sh = sh.group_by("row", "sh").len()
+    agg2 = per_sh.group_by("row").agg(
+        pl.col("len").sum().alias("n_2grams"),
+        pl.len().alias("n_unique_2grams"),
+        pl.col("len").max().alias("top_2gram_count"),
+    )
+    agg1 = ex.group_by("row").agg(
+        pl.len().alias("n_tokens"),
+        pl.col("t").str.len_chars().sum().alias("total_token_chars"),
+    )
+    full = (
+        pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
+        .join(agg1, on="row", how="left")
+        .join(agg2, on="row", how="left")
+        .fill_null(0)
+        .sort("row")
+    )
+    text = pc.fill_null(batch[text_col], "")
+    n_chars = pc.utf8_length(text)
+    stripped = pc.replace_substring_regex(text, "[^a-z0-9 ]", "")
+    n_sym = pc.subtract(n_chars, pc.utf8_length(stripped))
+
+    def col(name):
+        return pa.array(full[name].to_numpy().astype(np.int64), pa.int64())
+
+    return {
+        "n_tokens": col("n_tokens"),
+        "n_2grams": col("n_2grams"),
+        "n_unique_2grams": col("n_unique_2grams"),
+        "top_2gram_count": col("top_2gram_count"),
+        "total_token_chars": col("total_token_chars"),
+        "n_symbol_chars": pc.cast(n_sym, pa.int64()),
+    }
+
+
 def gopher_stats(
     source: Any,
     id_col: str = "doc_id",
@@ -100,52 +151,8 @@ def gopher_stats(
 
     def stats(batch: pa.Table) -> pa.Table:
         ex, n = _token_frame(batch[text_col])
-        # consecutive 2-grams via shifted concat, masked at doc bounds
-        sh = (
-            ex.with_columns(
-                pl.concat_str(
-                    [pl.col("t"), pl.col("t").shift(-1)], separator=" "
-                ).alias("sh"),
-                (pl.col("row") == pl.col("row").shift(-1)).alias("ok"),
-            )
-            .filter(pl.col("ok").fill_null(False))
-            .select("row", "sh")
-        )
-        per_sh = sh.group_by("row", "sh").len()
-        agg2 = per_sh.group_by("row").agg(
-            pl.col("len").sum().alias("n_2grams"),
-            pl.len().alias("n_unique_2grams"),
-            pl.col("len").max().alias("top_2gram_count"),
-        )
-        agg1 = ex.group_by("row").agg(
-            pl.len().alias("n_tokens"),
-            pl.col("t").str.len_chars().sum().alias("total_token_chars"),
-        )
-        full = (
-            pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
-            .join(agg1, on="row", how="left")
-            .join(agg2, on="row", how="left")
-            .fill_null(0)
-            .sort("row")
-        )
-        text = pc.fill_null(batch[text_col], "")
-        n_chars = pc.utf8_length(text)
-        stripped = pc.replace_substring_regex(text, "[^a-z0-9 ]", "")
-        n_sym = pc.subtract(n_chars, pc.utf8_length(stripped))
-
-        def col(name):
-            return pa.array(full[name].to_numpy().astype(np.int64), pa.int64())
-
         return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_tokens": col("n_tokens"),
-                "n_2grams": col("n_2grams"),
-                "n_unique_2grams": col("n_unique_2grams"),
-                "top_2gram_count": col("top_2gram_count"),
-                "total_token_chars": col("total_token_chars"),
-                "n_symbol_chars": pc.cast(n_sym, pa.int64()),
-            }
+            {id_col: batch[id_col], **_gopher_columns(batch, ex, n, text_col)}
         )
 
     ds = _as_dataset(source, columns=[id_col, text_col])
@@ -221,6 +228,21 @@ PII_PATTERNS = [
 ]
 
 
+def _pii_columns(text_col, pats) -> "tuple[Dict[str, pa.Array], pa.Array]":
+    """(per-pattern count columns, fully-redacted text) for one batch.
+    Counts are taken on the progressively-redacted text in declaration
+    order — email first, so its dotted host never half-matches as an
+    IP (the oracle chains identically)."""
+    text = pc.fill_null(text_col, "")
+    counts: Dict[str, pa.Array] = {}
+    for name, pat, repl in pats:
+        counts[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(text, pat), pa.int64()
+        )
+        text = pc.replace_substring_regex(text, pat, repl)
+    return counts, text
+
+
 def pii_redact(
     source: Any,
     id_col: str = "doc_id",
@@ -240,15 +262,10 @@ def pii_redact(
     pats = patterns if patterns is not None else PII_PATTERNS
 
     def scrub(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(batch[text_col], "")
-        cols = {id_col: batch[id_col]}
-        for name, pat, repl in pats:
-            cols[f"n_{name}"] = pc.cast(
-                pc.count_substring_regex(text, pat), pa.int64()
-            )
-            text = pc.replace_substring_regex(text, pat, repl)
-        cols["redacted_text"] = text
-        return pa.table(cols)
+        counts, redacted = _pii_columns(batch[text_col], pats)
+        return pa.table(
+            {id_col: batch[id_col], **counts, "redacted_text": redacted}
+        )
 
     ds = _as_dataset(source, columns=[id_col, text_col])
     return ds.map_batches(scrub, batch_format="pyarrow", batch_size=batch_size)
@@ -311,30 +328,84 @@ def decontaminate(
     def flag(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
         ex, n = _token_frame(batch[text_col])
-        sh = _distinct_shingle_strings(ex, ngram)
-        hits = (
-            sh.filter(pl.col("sh").is_in(bset))
-            .group_by("row")
-            .len()
-            .rename({"len": "n_hits"})
-        )
-        full = (
-            pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
-            .join(hits, on="row", how="left")
-            .fill_null(0)
-            .sort("row")
-        )
-        n_hits = full["n_hits"].to_numpy().astype(np.int64)
         return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_hits": pa.array(n_hits, pa.int64()),
-                "is_contaminated": pa.array(n_hits > 0, pa.bool_()),
-            }
+            {id_col: batch[id_col], **_decontam_columns(ex, n, bset, ngram)}
         )
 
     ds = _as_dataset(source, columns=[id_col, text_col])
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _decontam_columns(
+    ex: "pl.DataFrame", n: int, bset: "pl.Series", ngram: int
+) -> Dict[str, pa.Array]:
+    """(n_hits, is_contaminated) columns for one batch, given its
+    exploded token frame."""
+    sh = _distinct_shingle_strings(ex, ngram)
+    hits = (
+        sh.filter(pl.col("sh").is_in(bset))
+        .group_by("row")
+        .len()
+        .rename({"len": "n_hits"})
+    )
+    full = (
+        pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
+        .join(hits, on="row", how="left")
+        .fill_null(0)
+        .sort("row")
+    )
+    n_hits = full["n_hits"].to_numpy().astype(np.int64)
+    return {
+        "n_hits": pa.array(n_hits, pa.int64()),
+        "is_contaminated": pa.array(n_hits > 0, pa.bool_()),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# fused curation profile                                                      #
+# --------------------------------------------------------------------------- #
+
+def curation_profile(
+    source: Any,
+    benchmark_texts: Optional[List[Optional[str]]] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 5,
+    batch_size: int = 8192,
+) -> Dataset:
+    """The fused curation pass: Gopher counters + PII counts +
+    benchmark decontamination in ONE read and ONE token explode per
+    batch (the explode dominates per-batch compute, so fusing the three
+    kernels costs barely more than the cheapest of them — same argument
+    as ``text.text_profile``). At 100 TB this is the shape that
+    matters: each additional standalone pass re-reads and re-tokenizes
+    the corpus.
+
+    Columns are byte-identical to the standalone operators'
+    (``gopher_stats`` + ``pii_redact`` counts + ``decontaminate``);
+    the oracle is the join of their per-op SQL.
+    """
+    bench = benchmark_shingles(benchmark_texts or [], ngram)
+    bench_ref = ray.put(pl.Series("b", bench))
+
+    def profile(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ex, n = _token_frame(batch[text_col])
+        pii_counts, _ = _pii_columns(batch[text_col], PII_PATTERNS)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                **_gopher_columns(batch, ex, n, text_col),
+                **pii_counts,
+                **_decontam_columns(ex, n, bset, ngram),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(
+        profile, batch_format="pyarrow", batch_size=batch_size
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -386,7 +457,7 @@ def pack_shards(
     text_col: str = "text",
     *,
     budget: int = 2048,
-    bucket_size: int = 4096,
+    num_buckets: int = 512,
     batch_size: int = 65536,
 ) -> Dataset:
     """Assign docs (ordered by id) to training shards of ~``budget``
@@ -394,18 +465,25 @@ def pack_shards(
     budget)`` — the window-function contract
     ``floor((SUM(n) OVER (ORDER BY id) - n) / budget)``.
 
-    Distributed two-pass prefix scan (nothing materializes the corpus):
+    Distributed two-pass prefix scan:
 
-    1. streaming ``map_batches`` → ``(id, n_tokens, bucket=id//B)``;
-    2. per-bucket token sums via ``groupby.aggregate`` — #buckets rows
+    1. streaming ``map_batches`` → ``(id, n_tokens)``, materialized
+       (16 bytes/row — ~0.1 % of the corpus; re-tokenizing per pass
+       would cost far more);
+    2. range-partition ids into ``num_buckets`` buckets via sampled
+       quantile boundaries (a deterministic 1/1024 id sample — NOT
+       ``id // K``, which degenerates to one tiny group per row for
+       sparse hash-derived ids and hits per-group overhead);
+    3. per-bucket token sums via ``groupby.aggregate`` — #buckets rows
        to the driver, which takes the exclusive prefix in bucket order
        and broadcasts the offset table via ``ray.put``;
-    3. ``groupby(bucket).map_groups``: sort the bucket by id, local
-       cumsum + the bucket's global offset → shard id.
+    4. ``groupby(bucket).map_groups``: sort the bucket by id, local
+       cumsum + the bucket's global offset → shard id (ONE vectorized
+       call per bucket).
 
     Only 16-byte ``(id, n_tokens)`` pairs move through the shuffle; the
     offset table is #buckets × 16 bytes. At 100 TB raise
-    ``bucket_size`` so #buckets stays ~1e5.
+    ``num_buckets`` so each bucket fits one worker.
     """
     from ray.data.aggregate import Sum
 
@@ -416,19 +494,42 @@ def pack_shards(
             ),
             pa.int64(),
         )
-        b = pc.cast(
-            pc.floor(pc.divide(pc.cast(batch[id_col], pa.float64()), bucket_size)),
-            pa.int64(),
-        )
-        return pa.table(
-            {id_col: batch[id_col], "n_tokens": n, "__bucket": b}
-        )
+        return pa.table({id_col: batch[id_col], "n_tokens": n})
 
     ds = _as_dataset(source, columns=[id_col, text_col])
-    cnts = ds.map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
+    cnts = ds.map_batches(
+        counts, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    # deterministic ~1/1024 id sample → quantile bucket boundaries
+    def sample_ids(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * np.int64(KNUTH)) % 1024 == 0
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
+
+    sdf = cnts.map_batches(sample_ids, batch_format="pyarrow").to_pandas()
+    sampled = (
+        np.sort(sdf[id_col].to_numpy(np.int64))
+        if id_col in sdf.columns
+        else np.empty(0, np.int64)  # all-empty sample → single bucket
+    )
+    if len(sampled) > 1:
+        q = np.linspace(0, len(sampled) - 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(sampled[q.astype(np.int64)])
+    else:
+        bounds = np.empty(0, np.int64)
+    bounds_ref = ray.put(bounds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b_ = ray.get(bounds_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = np.searchsorted(b_, ids, side="right").astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bkt, pa.int64()))
+
+    bucketed = cnts.map_batches(add_bucket, batch_format="pyarrow")
 
     bucket_sums = (
-        cnts.groupby("__bucket")
+        bucketed.groupby("__bucket")
         .aggregate(Sum("n_tokens", alias_name="bucket_total"))
         .to_pandas()
         .sort_values("__bucket")
@@ -444,17 +545,19 @@ def pack_shards(
         omap = ray.get(offsets_ref)
         g = group.sort_values(id_col)
         base = omap[int(g["__bucket"].iloc[0])]
-        cum = base + g["n_tokens"].to_numpy(np.int64).cumsum()
-        excl = cum - g["n_tokens"].to_numpy(np.int64)
+        toks = g["n_tokens"].to_numpy(np.int64)
+        excl = base + toks.cumsum() - toks
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(np.int64),
-                "n_tokens": g["n_tokens"].to_numpy(np.int64),
+                "n_tokens": toks,
                 "shard_id": excl // budget,
             }
         )
 
-    return cnts.groupby("__bucket").map_groups(assign, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        assign, batch_format="pandas"
+    )
 
 
 # --------------------------------------------------------------------------- #

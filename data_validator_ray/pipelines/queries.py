@@ -805,6 +805,26 @@ def q_pack_shards_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curation_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Fused curation pass (Gopher + PII counts + decontamination in
+    one read / one explode); oracle = join of the three per-op CTEs.
+    Columns byte-identical to the standalone operators'."""
+    from .curation import curation_profile
+
+    bench = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .filter(lambda r: r["doc_id"] % 97 == 0)
+        .to_pandas()["text"]
+        .tolist()
+    )
+    out = curation_profile(
+        f"{sf_dir}/documents.parquet", bench, ngram=5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     """SemDeDup-style embedding dedup (rows-only: seeded k-means has no
     SQL equivalent; keep-first rule pinned by unit tests)."""
@@ -869,6 +889,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "domain_sample_documents": q_domain_sample_documents,
         "pack_shards_documents": q_pack_shards_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "curation_profile_documents": q_curation_profile_documents,
     }
 
 
@@ -1091,6 +1112,7 @@ def oracle_sql() -> Dict[str, str]:
         "decontaminate_documents": _DECONTAMINATE_SQL,
         "domain_sample_documents": _DOMAIN_SAMPLE_SQL,
         "pack_shards_documents": _PACK_SHARDS_SQL,
+        "curation_profile_documents": _CURATION_PROFILE_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
@@ -1296,4 +1318,39 @@ _PACK_SHARDS_SQL = (
     "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     "    - n_tokens) // 2048)::BIGINT AS shard_id"
     " FROM n ORDER BY doc_id"
+)
+
+_CURATION_PROFILE_SQL = _GOPHER_BASE + (
+    ", sh5 AS ("
+    "  SELECT DISTINCT doc_id,"
+    "    unnest(list_transform(generate_series(1, len(toks) - 4),"
+    "      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||"
+    "           toks[i+3] || ' ' || toks[i+4])) AS sh"
+    "  FROM base"
+    "), bench5 AS ("
+    "  SELECT DISTINCT sh FROM sh5 WHERE doc_id % 97 = 0"
+    "), hits5 AS ("
+    "  SELECT s.doc_id, count(*)::BIGINT AS n_hits"
+    "  FROM sh5 s JOIN bench5 b ON s.sh = b.sh GROUP BY 1"
+    "), p1 AS ("
+    f"  SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '{_PII_EMAIL}'))::BIGINT"
+    "     AS n_email,"
+    f"    regexp_replace(coalesce(text, ''), '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1"
+    "  FROM documents"
+    "), p2 AS ("
+    f"  SELECT doc_id, n_email, len(regexp_extract_all(t1, '{_PII_PHONE}'))::BIGINT"
+    "     AS n_phone,"
+    f"    regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2"
+    "  FROM p1"
+    "), pii AS ("
+    f"  SELECT doc_id, n_email, n_phone,"
+    f"    len(regexp_extract_all(t2, '{_PII_IP}'))::BIGINT AS n_ip"
+    "  FROM p2"
+    ") "
+    "SELECT g.*, pii.n_email, pii.n_phone, pii.n_ip,"
+    "       coalesce(h.n_hits, 0)::BIGINT AS n_hits,"
+    "       coalesce(h.n_hits, 0) > 0 AS is_contaminated"
+    " FROM g JOIN pii ON g.doc_id = pii.doc_id"
+    " LEFT JOIN hits5 h ON g.doc_id = h.doc_id"
+    " ORDER BY g.doc_id"
 )

@@ -172,7 +172,7 @@ def test_pack_shards_matches_window_contract(ray_session):
     texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
     tbl = _docs(texts)
     out = (
-        pack_shards(tbl, budget=100, bucket_size=64)
+        pack_shards(tbl, budget=100, num_buckets=8)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     ref_tokens = np.array([len(t.split()) for t in texts], np.int64)
@@ -189,7 +189,7 @@ def test_pack_shards_sparse_ids_cross_buckets(ray_session):
     ids = [3, 4096, 4097, 999999]
     tbl = _docs(["a b c", "d e", "f", "g h i j"], ids=ids)
     out = (
-        pack_shards(tbl, budget=4, bucket_size=4096)
+        pack_shards(tbl, budget=4, num_buckets=4)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     # tokens 3,2,1,4 → exclusive prefix 0,3,5,6 → // 4 = 0,0,1,1
@@ -244,3 +244,58 @@ def test_semantic_dedup_deterministic(ray_session):
     b = semantic_dedup(_emb_table(V), threshold=0.8, n_clusters=4)\
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------------- #
+# fused profile                                                         #
+# --------------------------------------------------------------------- #
+
+def test_curation_profile_matches_standalone_ops(ray_session):
+    from data_validator_ray.pipelines.curation import curation_profile
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "mail a@b.co or call 555-0100 from 1.2.3.4 x y z",
+        "spam spam spam spam spam",
+        None,
+        "alpha beta gamma delta epsilon other tail",
+    ]
+    bench = [texts[0]]
+    tbl = _docs(texts)
+    fused = (
+        curation_profile(tbl, bench, ngram=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    g = gopher_stats(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    p = pii_redact(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    d = decontaminate(tbl, bench, ngram=5)\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ["n_tokens", "n_2grams", "n_unique_2grams", "top_2gram_count",
+              "total_token_chars", "n_symbol_chars"]:
+        assert fused[c].tolist() == g[c].tolist(), c
+    for c in ["n_email", "n_phone", "n_ip"]:
+        assert fused[c].tolist() == p[c].tolist(), c
+    for c in ["n_hits", "is_contaminated"]:
+        assert fused[c].tolist() == d[c].tolist(), c
+
+
+def test_curation_profile_empty_benchmark(ray_session):
+    from data_validator_ray.pipelines.curation import curation_profile
+
+    out = curation_profile(_docs(["a b c d e f"]), None).to_pandas()
+    assert out["n_hits"].tolist() == [0]
+    assert out["is_contaminated"].tolist() == [False]
+
+
+def test_pack_shards_negative_and_huge_ids(ray_session):
+    # hash-derived ids: negative and beyond 2^53 (float64 would lose
+    # exactness) — the window contract must hold in signed id order
+    ids = [-(1 << 62) - 3, -5, 7, (1 << 62) + 11]
+    tbl = _docs(["a b", "c d e", "f", "g h i j"], ids=ids)
+    out = (
+        pack_shards(tbl, budget=3, num_buckets=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # tokens in id order: 2,3,1,4 → excl prefix 0,2,5,6 → //3 = 0,0,1,2
+    assert out["doc_id"].tolist() == sorted(ids)
+    assert out["shard_id"].tolist() == [0, 0, 1, 2]
