@@ -805,6 +805,28 @@ def q_pack_shards_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition_rule_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition gate as a registry rule (rule_type=repetition)
+    run through the fused validation pass; min_tokens=30 makes the
+    failed count non-trivial on the testdata corpus."""
+    return _single_rule_counts(
+        sf_dir, "documents",
+        ValidationRule(
+            name="rep", rule_type="repetition", column="text",
+            parameters={"min_tokens": 30},
+        ),
+    )
+
+
+def q_pii_rule_documents(sf_dir: str) -> pd.DataFrame:
+    """PII-presence rule (rule_type=pii) through the fused pass —
+    failing row = any email/phone/IPv4 span in the column."""
+    return _single_rule_counts(
+        sf_dir, "documents",
+        ValidationRule(name="pii", rule_type="pii", column="text"),
+    )
+
+
 def q_curation_profile_documents(sf_dir: str) -> pd.DataFrame:
     """Fused curation pass (Gopher + PII counts + decontamination in
     one read / one explode); oracle = join of the three per-op CTEs.
@@ -890,6 +912,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pack_shards_documents": q_pack_shards_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "curation_profile_documents": q_curation_profile_documents,
+        "repetition_rule_documents": q_repetition_rule_documents,
+        "pii_rule_documents": q_pii_rule_documents,
     }
 
 
@@ -1113,6 +1137,8 @@ def oracle_sql() -> Dict[str, str]:
         "domain_sample_documents": _DOMAIN_SAMPLE_SQL,
         "pack_shards_documents": _PACK_SHARDS_SQL,
         "curation_profile_documents": _CURATION_PROFILE_SQL,
+        "repetition_rule_documents": _REPETITION_RULE_SQL,
+        "pii_rule_documents": _PII_RULE_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
@@ -1353,4 +1379,24 @@ _CURATION_PROFILE_SQL = _GOPHER_BASE + (
     " FROM g JOIN pii ON g.doc_id = pii.doc_id"
     " LEFT JOIN hits5 h ON g.doc_id = h.doc_id"
     " ORDER BY g.doc_id"
+)
+
+_REPETITION_RULE_SQL = _GOPHER_BASE + (
+    "SELECT COUNT(*)::BIGINT AS total_count,"
+    " COUNT(*) FILTER (WHERE NOT ("
+    "   n_tokens >= 30"
+    "   AND top_2gram_count * 5 <= n_2grams"
+    "   AND n_symbol_chars * 10 <= total_token_chars"
+    "   AND 2 * n_tokens <= total_token_chars"
+    "   AND total_token_chars <= 12 * n_tokens"
+    " ))::BIGINT AS failed_count FROM g"
+)
+
+_PII_RULE_SQL = (
+    "SELECT COUNT(*)::BIGINT AS total_count,"
+    " COUNT(*) FILTER (WHERE"
+    f"   regexp_matches(text, '{_PII_EMAIL}')"
+    f"   OR regexp_matches(text, '{_PII_PHONE}')"
+    f"   OR regexp_matches(text, '{_PII_IP}')"
+    " )::BIGINT AS failed_count FROM documents"
 )

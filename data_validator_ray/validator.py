@@ -46,6 +46,7 @@ from .settings import load_config
 from .state import PipelineState
 from .stages import kernels as _kernels  # noqa: F401 — registers built-ins
 from .stages import drift as _drift  # noqa: F401 — registers the drift check
+from .stages import curation_rules as _cur  # noqa: F401 — registers pii/repetition
 from .stages.registry import CheckKernel, kernel_for
 
 Dataset = ray.data.Dataset

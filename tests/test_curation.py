@@ -299,3 +299,76 @@ def test_pack_shards_negative_and_huge_ids(ray_session):
     # tokens in id order: 2,3,1,4 → excl prefix 0,2,5,6 → //3 = 0,0,1,2
     assert out["doc_id"].tolist() == sorted(ids)
     assert out["shard_id"].tolist() == [0, 0, 1, 2]
+
+
+# --------------------------------------------------------------------- #
+# registry rules: pii / repetition                                      #
+# --------------------------------------------------------------------- #
+
+def _validate(tbl, rule):
+    from data_validator_ray.config import ValidationConfig
+    from data_validator_ray.validator import RayDataValidator
+
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "t", "rules": [rule.model_dump()]}],
+    )
+    v = RayDataValidator(cfg)
+    return v, cfg
+
+
+def test_pii_rule_counts_and_filter(ray_session):
+    from data_validator_ray.config import ValidationRule
+
+    tbl = _docs([
+        "mail a@b.co now",
+        "clean doc",
+        "ip 1.2.3.4 here",
+        None,
+    ])
+    rule = ValidationRule(name="pii", rule_type="pii", column="text")
+    v, _ = _validate(tbl, rule)
+    s = v.validate_table(tbl, "t")
+    assert (s.results[0].total_count, s.results[0].failed_count) == (4, 2)
+    kept = v.apply_filters(tbl, "t").to_pandas()
+    # filter mode drops PII rows AND the NULL row (F3 asymmetry)
+    assert kept["doc_id"].tolist() == [1]
+
+
+def test_repetition_rule_counts_and_filter(ray_session):
+    from data_validator_ray.config import ValidationRule
+
+    tbl = _docs([
+        "the quick brown fox jumps over the lazy dog",
+        "spam spam spam spam spam spam",
+        None,
+    ])
+    rule = ValidationRule(
+        name="rep", rule_type="repetition", column="text",
+        parameters={"min_tokens": 5},
+    )
+    v, _ = _validate(tbl, rule)
+    s = v.validate_table(tbl, "t")
+    assert (s.results[0].total_count, s.results[0].failed_count) == (3, 2)
+    kept = v.apply_filters(tbl, "t").to_pandas()
+    assert kept["doc_id"].tolist() == [0]
+
+
+def test_pii_rule_custom_patterns(ray_session):
+    from data_validator_ray.config import ValidationRule
+
+    tbl = _docs(["has secret token", "clean"])
+    rule = ValidationRule(
+        name="pii", rule_type="pii", column="text",
+        parameters={"patterns": ["secret"]},
+    )
+    v, _ = _validate(tbl, rule)
+    s = v.validate_table(tbl, "t")
+    assert s.results[0].failed_count == 1
+
+
+def test_curation_rules_registered():
+    from data_validator_ray.stages.registry import registered_types
+    import data_validator_ray.validator  # noqa: F401 — triggers registration
+
+    assert {"pii", "repetition"} <= set(registered_types())
