@@ -805,6 +805,63 @@ def q_pack_shards_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _derived_urls(sf_dir: str):
+    """Deterministic URL table derived from doc_id (mixed case, www,
+    query strings, fragments, trailing slashes — every normalization
+    case), mirrored 1:1 in the oracle's CASE/concat expression."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_ = ids.astype("U")
+        url = np.char.add("https://WWW.Host", (ids % 7).astype("U"))
+        url = np.char.add(url, ".Example.COM/page/")
+        url = np.char.add(url, (ids % 13).astype("U"))
+        url = np.char.add(url, np.where(ids % 11 == 0, "/", ""))
+        url = np.char.add(
+            url,
+            np.where(
+                ids % 3 == 0,
+                np.char.add("?utm_source=x&sid=", s_),
+                np.full(len(ids), ""),
+            ),
+        )
+        url = np.char.add(url, np.where(ids % 5 == 0, "#frag", ""))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(url, pa.string())}
+        )
+
+    return ds.map_batches(inject, batch_format="pyarrow")
+
+
+def q_url_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """URL normalization + domain extraction (RE2-exact both sides)."""
+    from .urls import url_profile
+
+    out = url_profile(_derived_urls(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_url_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Keep-first per normalized URL — scheme/www/query/fragment
+    variants of a page collapse to one representative."""
+    from .urls import url_dedup
+
+    out = url_dedup(_derived_urls(sf_dir)).to_pandas()
+    return out.sort_values("norm_url").reset_index(drop=True)
+
+
+def q_domain_counts_documents(sf_dir: str) -> pd.DataFrame:
+    """Pages per domain with in-batch pre-aggregation."""
+    from .urls import domain_counts
+
+    out = domain_counts(_derived_urls(sf_dir)).to_pandas()
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def q_repetition_rule_documents(sf_dir: str) -> pd.DataFrame:
     """Gopher repetition gate as a registry rule (rule_type=repetition)
     run through the fused validation pass; min_tokens=30 makes the
@@ -914,6 +971,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "curation_profile_documents": q_curation_profile_documents,
         "repetition_rule_documents": q_repetition_rule_documents,
         "pii_rule_documents": q_pii_rule_documents,
+        "url_profile_documents": q_url_profile_documents,
+        "url_dedup_documents": q_url_dedup_documents,
+        "domain_counts_documents": q_domain_counts_documents,
     }
 
 
@@ -1139,6 +1199,9 @@ def oracle_sql() -> Dict[str, str]:
         "curation_profile_documents": _CURATION_PROFILE_SQL,
         "repetition_rule_documents": _REPETITION_RULE_SQL,
         "pii_rule_documents": _PII_RULE_SQL,
+        "url_profile_documents": _URL_PROFILE_SQL,
+        "url_dedup_documents": _URL_DEDUP_SQL,
+        "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
@@ -1399,4 +1462,43 @@ _PII_RULE_SQL = (
     f"   OR regexp_matches(text, '{_PII_PHONE}')"
     f"   OR regexp_matches(text, '{_PII_IP}')"
     " )::BIGINT AS failed_count FROM documents"
+)
+
+_URL_BASE = (
+    "WITH u AS ("
+    "  SELECT doc_id,"
+    "    'https://WWW.Host' || (doc_id % 7) || '.Example.COM/page/' ||"
+    "    (doc_id % 13) ||"
+    "    CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||"
+    "    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&sid=' || doc_id"
+    "         ELSE '' END ||"
+    "    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url"
+    "  FROM documents"
+    "), n AS ("
+    "  SELECT doc_id,"
+    "    regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "      lower(url),"
+    "      '^[a-z][a-z0-9+.-]*://', ''),"
+    "      '^www\\.', ''),"
+    "      '[?#].*$', ''),"
+    "      '/+$', '') AS norm_url"
+    "  FROM u"
+    ") "
+)
+
+_URL_PROFILE_SQL = _URL_BASE + (
+    "SELECT doc_id, norm_url,"
+    " regexp_replace(norm_url, '/.*$', '') AS domain"
+    " FROM n ORDER BY doc_id"
+)
+
+_URL_DEDUP_SQL = _URL_BASE + (
+    "SELECT norm_url, min(doc_id)::BIGINT AS doc_id"
+    " FROM n GROUP BY norm_url ORDER BY norm_url"
+)
+
+_DOMAIN_COUNTS_SQL = _URL_BASE + (
+    "SELECT regexp_replace(norm_url, '/.*$', '') AS domain,"
+    " count(*)::BIGINT AS n_pages"
+    " FROM n GROUP BY 1 ORDER BY 1"
 )

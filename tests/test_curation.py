@@ -372,3 +372,25 @@ def test_curation_rules_registered():
     import data_validator_ray.validator  # noqa: F401 — triggers registration
 
     assert {"pii", "repetition"} <= set(registered_types())
+
+
+def test_decontaminate_hashed_equals_string_sets(ray_session):
+    # the hashed rolling-shingle membership must agree with exact
+    # string-set membership (collision-free in practice)
+    import itertools
+    rng_words = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    corpus_texts = [
+        " ".join(p) for p in itertools.permutations(rng_words, 5)
+    ][:200]
+    bench = corpus_texts[::17]
+    out = (
+        decontaminate(_docs(corpus_texts), bench, ngram=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bench_sets = {
+        tuple(b.split()) for b in bench
+    }
+    expect = [
+        1 if tuple(t.split()) in bench_sets else 0 for t in corpus_texts
+    ]
+    assert out["n_hits"].tolist() == expect
