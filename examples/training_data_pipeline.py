@@ -1,5 +1,8 @@
-"""End-to-end training-data curation over a documents table: validate →
-near-dup dedup → text profile → write the curated stream.
+"""End-to-end training-data curation over a documents table:
+
+validate → quality/PII gate (fused rule pass) → near-dup dedup →
+decontaminate vs a benchmark set → domain-mixture downsample →
+text profile → token-budget shard packing → write the curated stream.
 
 python examples/training_data_pipeline.py /root/testdata/sf0.001 /tmp/curated
 """
@@ -9,6 +12,11 @@ import sys
 import ray
 
 from data_validator_ray import RayDataValidator, ValidationConfig, ValidationRule
+from data_validator_ray.pipelines.curation import (
+    decontaminate,
+    domain_sample,
+    pack_shards,
+)
 from data_validator_ray.pipelines.dedup import near_dup_dedup
 from data_validator_ray.pipelines.text import text_profile
 
@@ -18,7 +26,8 @@ def main(sf_dir: str, out_dir: str) -> None:
     try:
         docs = f"{sf_dir}/documents.parquet"
 
-        # 1. validate the raw stream (one fused pass)
+        # 1. validate the raw stream — one fused pass over one read;
+        #    pii/repetition plug in like any built-in rule type
         rules = [
             ValidationRule(name="text_present", rule_type="completeness",
                            column="text", threshold=0.95),
@@ -27,26 +36,56 @@ def main(sf_dir: str, out_dir: str) -> None:
             ValidationRule(name="len_band", rule_type="range", column="n_chars",
                            parameters={"min_value": 10, "max_value": 100_000},
                            threshold=0.9),
+            ValidationRule(name="no_pii", rule_type="pii", column="text",
+                           threshold=0.99),
+            ValidationRule(name="not_repetitive", rule_type="repetition",
+                           column="text", threshold=0.5),
         ]
         cfg = ValidationConfig(
             engine={"type": "ray"},
             tables=[{"name": "documents",
                      "rules": [r.model_dump() for r in rules]}],
         )
-        summary = RayDataValidator(cfg).validate_table(docs, "documents")
+        v = RayDataValidator(cfg)
+        summary = v.validate_table(docs, "documents")
         for r in summary.results:
             print(f"  {r.rule_name:16s} passed={r.passed} "
                   f"{r.failed_count}/{r.total_count}")
 
-        # 2. near-duplicate-aware dedup (MinHash-LSH + union-find clusters)
-        surviving = near_dup_dedup(docs, threshold=0.5)
+        # 2. gate: the same rules in filter mode (drop PII/repetitive/
+        #    invalid rows in one fused pass)
+        gated = v.apply_filters(docs, "documents")
 
-        # 3. per-doc profile (quality + language + fingerprint, one pass)
-        profiled = text_profile(surviving)
+        # 3. near-duplicate-aware dedup (MinHash-LSH + union-find)
+        surviving = near_dup_dedup(gated, threshold=0.5)
 
-        # 4. curated output (partitioned parquet — resumable layout)
-        profiled.write_parquet(out_dir)
-        print(f"curated profile written to {out_dir}")
+        # 4. decontaminate against a (stand-in) benchmark slice
+        bench = (
+            ray.data.read_parquet(docs, columns=["doc_id", "text"])
+            .filter(lambda r: r["doc_id"] % 97 == 0)
+            .to_pandas()["text"].tolist()
+        )
+        flags = decontaminate(surviving, bench, ngram=5)
+        clean_ids = set(
+            flags.filter(lambda r: not r["is_contaminated"])
+            .to_pandas()["doc_id"]
+        )
+        surviving = surviving.filter(lambda r: r["doc_id"] in clean_ids)
+
+        # 5. deterministic domain-mixture downsampling (no RNG —
+        #    resumable/re-runnable by construction)
+        mixed = domain_sample(surviving, {"src0": 500}, default_permille=900)
+
+        # 6. per-doc profile (quality + language + fingerprint, one pass)
+        profiled = text_profile(mixed)
+
+        # 7. token-budget shards for the trainer
+        shards = pack_shards(mixed, budget=2048)
+
+        # 8. curated output (partitioned parquet — resumable layout)
+        profiled.write_parquet(f"{out_dir}/profile")
+        shards.write_parquet(f"{out_dir}/shards")
+        print(f"curated profile + shard map written to {out_dir}")
     finally:
         ray.shutdown()
 
