@@ -862,6 +862,17 @@ def q_domain_counts_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("domain").reset_index(drop=True)
 
 
+def q_token_doc_freq_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary document frequencies (combiner pattern:
+    per-batch distinct-per-doc pre-aggregation before the global
+    groupby)."""
+    from .text import token_doc_freq
+
+    out = token_doc_freq(f"{sf_dir}/documents.parquet", min_df=2).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def q_repetition_rule_documents(sf_dir: str) -> pd.DataFrame:
     """Gopher repetition gate as a registry rule (rule_type=repetition)
     run through the fused validation pass; min_tokens=30 makes the
@@ -974,6 +985,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "url_profile_documents": q_url_profile_documents,
         "url_dedup_documents": q_url_dedup_documents,
         "domain_counts_documents": q_domain_counts_documents,
+        "token_doc_freq_documents": q_token_doc_freq_documents,
     }
 
 
@@ -1202,6 +1214,7 @@ def oracle_sql() -> Dict[str, str]:
         "url_profile_documents": _URL_PROFILE_SQL,
         "url_dedup_documents": _URL_DEDUP_SQL,
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
+        "token_doc_freq_documents": _TOKEN_DF_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
@@ -1501,4 +1514,15 @@ _DOMAIN_COUNTS_SQL = _URL_BASE + (
     "SELECT regexp_replace(norm_url, '/.*$', '') AS domain,"
     " count(*)::BIGINT AS n_pages"
     " FROM n GROUP BY 1 ORDER BY 1"
+)
+
+_TOKEN_DF_SQL = (
+    "WITH tok AS ("
+    "  SELECT DISTINCT doc_id,"
+    "    unnest(list_filter(string_split(coalesce(text, ''), ' '),"
+    "                       x -> x <> '')) AS token"
+    "  FROM documents"
+    ") "
+    "SELECT token, count(*)::BIGINT AS df FROM tok"
+    " GROUP BY token HAVING count(*) >= 2 ORDER BY token"
 )

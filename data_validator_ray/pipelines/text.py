@@ -417,3 +417,52 @@ def text_profile(
 
     ds = _as_dataset(source, columns=[id_col, text_col])
     return ds.map_batches(profile, batch_format="pyarrow", batch_size=batch_size)
+
+
+def token_doc_freq(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_df: int = 1,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Corpus vocabulary with document frequencies: for every token,
+    the number of DISTINCT docs containing it (the IDF denominator /
+    stopword-discovery statistic).
+
+    Scale shape — the combiner pattern at token scale: each batch
+    pre-aggregates ``(token, df_partial)`` over its own docs (distinct
+    per doc first, then counted, all in polars), so the global groupby
+    exchanges one row per (batch, distinct-token) — vocabulary-bounded,
+    not token-occurrence-bounded. At web scale the exchange volume is
+    ~|vocab| × #batches, orders of magnitude below the corpus token
+    stream; a heavy-hitter (stopword) key is pre-summed per batch so no
+    single reducer sees per-occurrence rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex, _ = _exploded_tokens(batch[text_col])
+        df = (
+            ex.unique(subset=["doc", "t"])
+            .group_by("t")
+            .len()
+            .rename({"t": "token", "len": "df"})
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_list(), pa.string()),
+                "df": pa.array(df["df"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    out = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+    if min_df > 1:
+        out = out.filter(expr=f"df >= {min_df}")
+    return out

@@ -299,3 +299,23 @@ def test_text_profile_fused_equals_separate_ops(ray_session, docs_df):
     for c in [f"hits_{x}" for x in T.LANGS] + ["detected_lang"]:
         assert p[c].tolist() == l[c].tolist(), c
     assert p.fingerprint.tolist() == f.fingerprint.tolist()
+
+
+def test_token_doc_freq(ray_session):
+    import pyarrow as pa
+    from data_validator_ray.pipelines.text import token_doc_freq
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "apple banana apple",   # distinct-per-doc: apple counts ONCE
+            "banana cherry",
+            "apple  cherry",        # double space → empties dropped
+        ]),
+    })
+    out = token_doc_freq(tbl).to_pandas().sort_values("token")
+    assert dict(zip(out["token"], out["df"])) == {
+        "apple": 2, "banana": 2, "cherry": 2,
+    }
+    out2 = token_doc_freq(tbl, min_df=3).to_pandas()
+    assert len(out2) == 0
