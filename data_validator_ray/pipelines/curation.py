@@ -128,7 +128,7 @@ def gopher_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
-    batch_size: int = 8192,
+    batch_size: int = 16384,
 ) -> Dataset:
     """Per-doc integer repetition/quality counters (Gopher-rule inputs,
     oracle-exact):
@@ -166,7 +166,7 @@ def gopher_filter(
     *,
     min_tokens: int = 5,
     max_top_2gram_x5: bool = True,
-    batch_size: int = 8192,
+    batch_size: int = 16384,
 ) -> Dataset:
     """Gopher-style repetition gate → kept doc ids. All thresholds are
     integer-arithmetic comparisons over :func:`gopher_stats` counters
@@ -347,7 +347,7 @@ def decontaminate(
     text_col: str = "text",
     *,
     ngram: int = 5,
-    batch_size: int = 8192,
+    batch_size: int = 16384,
 ) -> Dataset:
     """Flag corpus docs that share any token n-gram with a benchmark
     set (train/eval decontamination, FLAN/GPT-3-style 13-gram check —
@@ -411,7 +411,7 @@ def curation_profile(
     text_col: str = "text",
     *,
     ngram: int = 5,
-    batch_size: int = 8192,
+    batch_size: int = 16384,
 ) -> Dataset:
     """The fused curation pass: Gopher counters + PII counts +
     benchmark decontamination in ONE read and ONE token explode per
