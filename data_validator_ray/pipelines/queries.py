@@ -586,6 +586,38 @@ def q_runner_documents_resume(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["partition_id", "rule_name"]).reset_index(drop=True)
 
 
+def q_transform_runner_documents(sf_dir: str) -> pd.DataFrame:
+    """Resumable TRANSFORM runner over the 8-file split: run the
+    Gopher gate for 3 partitions, kill, resume with a fresh runner —
+    per-partition (rows_in, rows_out) must match the window-ranked
+    oracle regardless of the kill point."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .curation import gopher_filter
+    from .runner import TransformRunner
+
+    parts_dir = _partitioned_documents(sf_dir)
+    work = Path(tempfile.mkdtemp(prefix="graft_transform_runner_"))
+    try:
+        ckpt, out = work / "ckpt", work / "out"
+        first = TransformRunner(ckpt)
+        rep = first.run(parts_dir, gopher_filter, out, op_name="gopher",
+                        max_partitions=3)
+        if rep["partitions_processed"] != 3:
+            raise RuntimeError("kill stand-in did not stop after 3")
+        resumed = TransformRunner(ckpt)
+        rep2 = resumed.run(parts_dir, gopher_filter, out, op_name="gopher")
+        if rep2["partitions_skipped"] != 3:
+            raise RuntimeError("resume did not skip the committed 3")
+        m = rep2["metrics"].to_pandas()
+        out_df = m[["partition_id", "rows_in", "rows_out"]].astype("int64")
+        return out_df.sort_values("partition_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_windowed_events(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour windows per event_type: count + value stats.
     Pre-aggregated inside map_batches; the shuffle moves only (window,
@@ -986,6 +1018,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "url_dedup_documents": q_url_dedup_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "token_doc_freq_documents": q_token_doc_freq_documents,
+        "transform_runner_documents": q_transform_runner_documents,
     }
 
 
@@ -1215,6 +1248,7 @@ def oracle_sql() -> Dict[str, str]:
         "url_dedup_documents": _URL_DEDUP_SQL,
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,
+        "transform_runner_documents": _TRANSFORM_RUNNER_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
@@ -1525,4 +1559,23 @@ _TOKEN_DF_SQL = (
     ") "
     "SELECT token, count(*)::BIGINT AS df FROM tok"
     " GROUP BY token HAVING count(*) >= 2 ORDER BY token"
+)
+
+# partition p = rank // ceil(n / 8) over doc_id order — the exact
+# _partitioned_documents layout
+_TRANSFORM_RUNNER_SQL = _GOPHER_BASE.replace("WITH base", "WITH ranked AS ("
+    "  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,"
+    "         count(*) OVER () AS cnt FROM documents"
+    "), base") + (
+    "SELECT ((r.rn - 1) // ((r.cnt + 7) // 8))::BIGINT AS partition_id,"
+    " count(*)::BIGINT AS rows_in,"
+    " COUNT(*) FILTER (WHERE"
+    "   g.n_tokens >= 5"
+    "   AND g.top_2gram_count * 5 <= g.n_2grams"
+    "   AND g.n_symbol_chars * 10 <= g.total_token_chars"
+    "   AND 2 * g.n_tokens <= g.total_token_chars"
+    "   AND g.total_token_chars <= 12 * g.n_tokens"
+    " )::BIGINT AS rows_out"
+    " FROM g JOIN ranked r ON g.doc_id = r.doc_id"
+    " GROUP BY 1 ORDER BY 1"
 )

@@ -326,3 +326,117 @@ class ValidationRunner:
             },
             "summary": summary,
         }
+
+
+# --------------------------------------------------------------------------- #
+# resumable TRANSFORM runner (curation streams)                               #
+# --------------------------------------------------------------------------- #
+
+TRANSFORM_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("op_name", pa.string()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("input_files", pa.list_(pa.string())),
+        ("output_dir", pa.string()),
+        ("transform_tag", pa.string()),
+        ("wall_time_s", pa.float64()),
+    ]
+)
+
+
+class TransformRunner:
+    """Resumable per-partition TRANSFORM runner — the "resumable
+    output" layout for curation streams (filter/redact/profile), not
+    just validation verdicts.
+
+    Each input Parquet file is one partition. A partition is processed
+    as: read → ``transform(Dataset) -> Dataset`` → write Parquet under
+    ``{out_dir}/part={pid}/`` → commit one manifest row (atomic temp +
+    move, ``pyarrow.fs`` so the same code hits an object store on a
+    real cluster). A killed run resumes by skipping partitions whose
+    manifest row exists; a partition whose OUTPUT exists but whose
+    manifest row does not (killed mid-write) is wiped and redone, so
+    the output directory never holds duplicate rows.
+
+    Scale notes: partitions are WARC-shard-sized at 100 TB, so the
+    per-partition Dataset execution overhead (~0.2 s) is amortized;
+    within a partition Ray still parallelizes across row groups /
+    blocks. Partitions are independent — at cluster scale run several
+    runners over disjoint partition ranges, sharing one manifest dir.
+    """
+
+    def __init__(self, checkpoint_dir: "str | Path"):
+        self.checkpoint_dir = str(checkpoint_dir)
+        self.manifest = PartitionManifest(
+            self.checkpoint_dir, schema=TRANSFORM_SCHEMA
+        )
+
+    def partitions(self, input_dir: "str | Path") -> List[Tuple[int, Path]]:
+        files = sorted(Path(input_dir).glob("**/*.parquet"))
+        return list(enumerate(files))
+
+    def run(
+        self,
+        input_dir: "str | Path",
+        transform,
+        out_dir: "str | Path",
+        *,
+        op_name: str = "transform",
+        transform_tag: str = "",
+        max_partitions: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Process all not-yet-completed partitions; ``max_partitions``
+        stops after that many commits (the deterministic stand-in for a
+        mid-run kill)."""
+        from ..state import resolve_filesystem
+
+        parts = self.partitions(input_dir)
+        done = self.manifest.completed_partitions()
+        todo = [(pid, f) for pid, f in parts if pid not in done]
+        skipped = len(parts) - len(todo)
+        out_fs, out_root = resolve_filesystem(out_dir)
+
+        processed = 0
+        for pid, f in todo:
+            if max_partitions is not None and processed >= max_partitions:
+                break
+            part_dir = f"{out_root}/part={pid}"
+            # uncommitted leftovers from a mid-write kill → wipe first
+            out_fs.delete_dir_contents(
+                part_dir, missing_dir_ok=True
+            )
+            out_fs.create_dir(part_dir, recursive=True)
+            t0 = time.time()
+            rows_in = pq.read_metadata(f).num_rows
+            ds = transform(ray.data.read_parquet(str(f)))
+            ds = ds.materialize()
+            rows_out = ds.count()
+            ds.write_parquet(part_dir)
+            self.manifest.write_partition(
+                pid,
+                [
+                    {
+                        "partition_id": pid,
+                        "op_name": op_name,
+                        "rows_in": int(rows_in),
+                        "rows_out": int(rows_out),
+                        "input_files": [str(f)],
+                        "output_dir": part_dir,
+                        "transform_tag": transform_tag,
+                        "wall_time_s": time.time() - t0,
+                    }
+                ],
+            )
+            processed += 1
+
+        t = self.manifest.read_all()
+        return {
+            "partitions_total": len(parts),
+            "partitions_skipped": skipped,
+            "partitions_processed": processed,
+            "rows_in": int(pa.compute.sum(t["rows_in"]).as_py() or 0),
+            "rows_out": int(pa.compute.sum(t["rows_out"]).as_py() or 0),
+            "metrics": t,
+        }

@@ -96,9 +96,14 @@ class PartitionManifest:
     resumes by skipping partitions whose metric file exists. All I/O
     goes through ``pyarrow.fs`` (object-store-capable)."""
 
-    def __init__(self, checkpoint_dir: "str | Path"):
+    def __init__(
+        self,
+        checkpoint_dir: "str | Path",
+        schema: "pa.Schema | None" = None,
+    ):
         self.fs, self.root = resolve_filesystem(checkpoint_dir)
         self.metrics_dir = f"{self.root}/metrics"
+        self.schema = schema if schema is not None else METRICS_SCHEMA
         self.fs.create_dir(self.metrics_dir, recursive=True)
 
     def _metric_files(self) -> List[str]:
@@ -126,7 +131,7 @@ class PartitionManifest:
         """Atomically persist one partition's metric/lineage rows."""
         for r in rows:
             r.setdefault("partition_id", partition_id)
-        table = pa.Table.from_pylist(rows, schema=METRICS_SCHEMA)
+        table = pa.Table.from_pylist(rows, schema=self.schema)
         final = f"{self.metrics_dir}/part-{partition_id:05d}.parquet"
         tmp = f"{final}.tmp"
         pq.write_table(table, tmp, filesystem=self.fs)
@@ -136,7 +141,7 @@ class PartitionManifest:
     def read_all(self) -> pa.Table:
         files = self._metric_files()
         if not files:
-            return METRICS_SCHEMA.empty_table()
+            return self.schema.empty_table()
         return pa.concat_tables(
             [pq.read_table(f, filesystem=self.fs) for f in files]
         )

@@ -132,3 +132,94 @@ def test_manifest_uri_root(ray_session, webpages_dir, tmp_path):
     # violations also landed under the URI root
     vroot = Path(f"{tmp_path}/ckpt_uri/violations")
     assert any(vroot.glob("part=*/*.parquet"))
+
+
+# --------------------------------------------------------------------- #
+# TransformRunner (resumable curation output)                           #
+# --------------------------------------------------------------------- #
+
+def _split_docs(tmp_path, n_parts=6, n_rows=120):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    rows_per = n_rows // n_parts
+    for p in range(n_parts):
+        ids = list(range(p * rows_per, (p + 1) * rows_per))
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(
+                ["keep this doc with enough good tokens here"
+                 if i % 3 else "spam spam spam spam spam spam"
+                 for i in ids]
+            ),
+        })
+        pq.write_table(t, d / f"part-{p:04d}.parquet")
+    return d
+
+
+def test_transform_runner_kill_resume(ray_session, tmp_path):
+    from data_validator_ray.pipelines.curation import gopher_filter
+    from data_validator_ray.pipelines.runner import TransformRunner
+
+    src = _split_docs(tmp_path)
+    ckpt, out = tmp_path / "ckpt", tmp_path / "out"
+
+    r1 = TransformRunner(ckpt)
+    rep1 = r1.run(src, gopher_filter, out, op_name="gopher",
+                  max_partitions=2)
+    assert rep1["partitions_processed"] == 2
+    assert rep1["partitions_skipped"] == 0
+
+    # fresh runner resumes: skips exactly the 2 committed partitions
+    r2 = TransformRunner(ckpt)
+    rep2 = r2.run(src, gopher_filter, out, op_name="gopher")
+    assert rep2["partitions_skipped"] == 2
+    assert rep2["partitions_processed"] == 4
+
+    # output = one dir per partition, total rows == direct full run
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(out).to_pandas().sort_values("doc_id")
+    direct = gopher_filter(str(src)).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == direct["doc_id"].tolist()
+    # 2/3 of docs pass the gate
+    assert len(got) == 80
+
+
+def test_transform_runner_wipes_uncommitted_output(ray_session, tmp_path):
+    from data_validator_ray.pipelines.curation import gopher_filter
+    from data_validator_ray.pipelines.runner import TransformRunner
+
+    src = _split_docs(tmp_path)
+    ckpt, out = tmp_path / "ckpt", tmp_path / "out"
+    # simulate a mid-write kill: partition dir exists with stale junk,
+    # but no manifest row
+    stale = out / "part=0"
+    stale.mkdir(parents=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([999999], pa.int64())}),
+        stale / "stale.parquet",
+    )
+    TransformRunner(ckpt).run(src, gopher_filter, out, op_name="gopher")
+    got = pq.read_table(out).to_pandas()
+    assert 999999 not in set(got["doc_id"])
+
+
+def test_transform_runner_rows_accounting(ray_session, tmp_path):
+    from data_validator_ray.pipelines.curation import pii_redact
+    from data_validator_ray.pipelines.runner import TransformRunner
+
+    src = _split_docs(tmp_path)
+    rep = TransformRunner(tmp_path / "c").run(
+        src, pii_redact, tmp_path / "o", op_name="pii",
+    )
+    # map transform: rows preserved
+    assert rep["rows_in"] == rep["rows_out"] == 120
+    m = rep["metrics"].to_pandas()
+    assert sorted(m["partition_id"]) == list(range(6))
+    assert (m["op_name"] == "pii").all()
