@@ -633,6 +633,21 @@ def q_windowed_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
+def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands sessionization of events per user (30-min
+    gap); oracle = the lag/cumsum window formulation."""
+    from .relational import sessionize
+
+    out = sessionize(
+        f"{sf_dir}/events.parquet", "user_id", "ts", "event_id",
+        gap_seconds=1800,
+    ).to_pandas()
+    out = out.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    out["session_end"] = out["session_end"].astype("datetime64[us]")
+    return out
+
+
 def q_asof_events_orders(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event pairs with the user's latest order at or
     before the event time (right side pre-deduplicated to one order per
@@ -1019,6 +1034,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "domain_counts_documents": q_domain_counts_documents,
         "token_doc_freq_documents": q_token_doc_freq_documents,
         "transform_runner_documents": q_transform_runner_documents,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -1249,6 +1265,7 @@ def oracle_sql() -> Dict[str, str]:
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,
         "transform_runner_documents": _TRANSFORM_RUNNER_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
@@ -1578,4 +1595,24 @@ _TRANSFORM_RUNNER_SQL = _GOPHER_BASE.replace("WITH base", "WITH ranked AS ("
     " )::BIGINT AS rows_out"
     " FROM g JOIN ranked r ON g.doc_id = r.doc_id"
     " GROUP BY 1 ORDER BY 1"
+)
+
+_SESSIONIZE_SQL = (
+    "WITH e AS ("
+    "  SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL"
+    "), l AS ("
+    "  SELECT *, lag(ts) OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e"
+    "), f AS ("
+    "  SELECT *, CASE WHEN prev IS NULL"
+    "    OR ts - prev > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS s FROM l"
+    "), g AS ("
+    "  SELECT *, SUM(s) OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id"
+    "    ROWS UNBOUNDED PRECEDING) AS session_seq FROM f"
+    ") "
+    "SELECT user_id, session_seq::BIGINT AS session_seq,"
+    " min(ts) AS session_start, max(ts) AS session_end,"
+    " count(*)::BIGINT AS n_events"
+    " FROM g GROUP BY 1, 2 ORDER BY 1, 2"
 )

@@ -273,3 +273,75 @@ def range_join_broadcast(
 
     ds = _as_dataset(source)
     return ds.map_batches(join, batch_format="pyarrow", batch_size=batch_size)
+
+
+def sessionize(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    *,
+    gap_seconds: int = 1800,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Session assignment (gaps-and-islands): per key, events ordered
+    by (ts, order_col) start a new session when the gap from the
+    previous event exceeds ``gap_seconds``. Output: one row per
+    session — ``key, session_seq (1-based per key), session_start,
+    session_end, n_events``.
+
+    Scale shape: hash-bucket the keys (``bucketed_groupby`` — equal
+    keys co-locate; ONE vectorized numpy pass per bucket computes the
+    flags/cumsums for ALL its users), so the exchange is one shuffle of
+    (key, ts, order) rows and no per-user Python calls. NULL
+    timestamps drop (no session). Matches the SQL
+    ``lag ... over (partition by key order by ts, order_col)``
+    gaps-and-islands formulation exactly.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    gap_ns = np.int64(gap_seconds) * 1_000_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        u = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy("datetime64[ns]").astype(np.int64)
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(len(g), bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_ns
+        new_sess = new_user | gap
+        sid = np.cumsum(new_sess)  # global (within bucket) session id
+        base = np.maximum.accumulate(np.where(new_user, sid, 0))
+        seq = sid - base + 1  # 1-based per-key session sequence
+        out = pd.DataFrame(
+            {
+                key_col: u,
+                "session_seq": seq.astype(np.int64),
+                "__ts": g[ts_col].to_numpy("datetime64[ns]"),
+            }
+        )
+        agg = out.groupby([key_col, "session_seq"], sort=False).agg(
+            session_start=("__ts", "min"),
+            session_end=("__ts", "max"),
+            n_events=("__ts", "size"),
+        ).reset_index()
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    def drop_null_ts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[ts_col]))
+
+    ds = _as_dataset(source, columns=[key_col, ts_col, order_col])
+    ds = ds.map_batches(
+        drop_null_ts, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

@@ -169,3 +169,67 @@ def test_range_join_fast_and_general_paths(ray_session):
         ray.data.from_pandas(edge), bands, value_col="v"
     ).to_pandas()
     assert list(out3.band) == ["mid"]
+
+
+# --------------------------------------------------------------------- #
+# sessionize                                                            #
+# --------------------------------------------------------------------- #
+
+def test_sessionize_gap_boundaries(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = np.timedelta64(60, "s")
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([
+            base,                    # u1 s1
+            base + 30 * mins,        # gap == 1800s → SAME session
+            base + 30 * mins + np.timedelta64(1800, "s")
+                 + np.timedelta64(1, "us"),  # gap > 1800s → new session
+            base + 200 * mins,       # u1 s3? gap from prev ~109min → s3
+            base,                    # u2 s1
+            base + 31 * mins,        # gap 1860s > 1800 → u2 s2
+            None,                    # NULL ts dropped
+        ], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    out = (
+        sessionize(tbl, "user_id", "ts", "event_id", gap_seconds=1800)
+        .to_pandas().sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["user_id"], out["session_seq"], out["n_events"]))
+    assert got == [(1, 1, 2), (1, 2, 1), (1, 3, 1), (2, 1, 1), (2, 2, 1)]
+    # session 1 of user 1 spans the two grouped events
+    s11 = out[(out["user_id"] == 1) & (out["session_seq"] == 1)].iloc[0]
+    assert s11["session_start"] == pd.Timestamp("2024-01-01 00:00:00")
+    assert s11["session_end"] == pd.Timestamp("2024-01-01 00:30:00")
+
+
+def test_sessionize_deterministic_across_buckets(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import sessionize
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    base = np.datetime64("2024-01-01", "us")
+    tbl = pa.table({
+        "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "ts": pa.array(
+            base + rng.integers(0, 86_400, n) * np.timedelta64(1_000_000, "us"),
+            pa.timestamp("us")),
+        "event_id": pa.array(range(n), pa.int64()),
+    })
+    a = sessionize(tbl, "user_id", "ts", "event_id", num_buckets=7)\
+        .to_pandas().sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    b = sessionize(tbl, "user_id", "ts", "event_id", num_buckets=64)\
+        .to_pandas().sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
