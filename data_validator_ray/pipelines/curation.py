@@ -667,3 +667,70 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------- #
+# deterministic per-group sampling                                            #
+# --------------------------------------------------------------------------- #
+
+_SAMPLE_MOD = 1_000_000_007  # large prime — hash order for sampling
+
+
+def group_sample(
+    source: Any,
+    group_col: str,
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic uniform k-sample PER GROUP (e.g. "show me 10 docs
+    from every source/domain for inspection"): keep the k rows with the
+    smallest ``(id · 2654435761) % 1000000007`` per group, ties broken
+    by id. No RNG — the same sample every run, on any engine, which is
+    what makes sampled QA reports diffable across pipeline versions.
+
+    Scale shape: each batch pre-truncates to its own per-group top-k
+    (a batch can contribute at most k rows per group), so the final
+    per-group selection sees ≤ k × #batches rows per group, never the
+    group's full membership.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * KNUTH) % _SAMPLE_MOD
+        df = pl.DataFrame(
+            {
+                "g": pl.from_arrow(
+                    batch[group_col].combine_chunks()
+                    if isinstance(batch[group_col], pa.ChunkedArray)
+                    else batch[group_col]
+                ),
+                "i": ids,
+                "h": h,
+            }
+        )
+        top = (
+            df.sort(["g", "h", "i"])
+            .group_by("g", maintain_order=True)
+            .head(k)
+        )
+        return pa.table(
+            {
+                group_col: pa.array(top["g"].to_list()),
+                id_col: pa.array(top["i"].to_numpy(), pa.int64()),
+                "__h": pa.array(top["h"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col]).head(k)
+        return g[[group_col, id_col]].reset_index(drop=True)
+
+    ds = _as_dataset(source, columns=[id_col, group_col])
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby(group_col).map_groups(
+        final, batch_format="pandas"
+    )

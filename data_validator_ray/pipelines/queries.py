@@ -633,6 +633,19 @@ def q_windowed_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
+def q_group_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-source 5-sample (hash-ordered, RNG-free)."""
+    from .curation import group_sample
+
+    out = group_sample(
+        f"{sf_dir}/documents.parquet", "source", "doc_id", k=5
+    ).to_pandas()
+    return (
+        out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Gaps-and-islands sessionization of events per user (30-min
     gap); oracle = the lag/cumsum window formulation."""
@@ -1035,6 +1048,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "token_doc_freq_documents": q_token_doc_freq_documents,
         "transform_runner_documents": q_transform_runner_documents,
         "sessionize_events": q_sessionize_events,
+        "group_sample_documents": q_group_sample_documents,
     }
 
 
@@ -1266,6 +1280,7 @@ def oracle_sql() -> Dict[str, str]:
         "token_doc_freq_documents": _TOKEN_DF_SQL,
         "transform_runner_documents": _TRANSFORM_RUNNER_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "group_sample_documents": _GROUP_SAMPLE_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
@@ -1615,4 +1630,12 @@ _SESSIONIZE_SQL = (
     " min(ts) AS session_start, max(ts) AS session_end,"
     " count(*)::BIGINT AS n_events"
     " FROM g GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+_GROUP_SAMPLE_SQL = (
+    "SELECT source, doc_id FROM documents"
+    " QUALIFY row_number() OVER ("
+    "   PARTITION BY source"
+    "   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) <= 5"
+    " ORDER BY source, doc_id"
 )

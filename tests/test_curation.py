@@ -394,3 +394,33 @@ def test_decontaminate_hashed_equals_string_sets(ray_session):
         1 if tuple(t.split()) in bench_sets else 0 for t in corpus_texts
     ]
     assert out["n_hits"].tolist() == expect
+
+
+def test_group_sample_deterministic_and_bounded(ray_session):
+    from data_validator_ray.pipelines.curation import group_sample
+
+    n = 1000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+    })
+    a = group_sample(tbl, "source", k=7).to_pandas()\
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = group_sample(tbl, "source", k=7, batch_size=64).to_pandas()\
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    # batch-size invariant (partial top-k combiner is exact)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("source").size() == 7).all()
+    # hash-order selection, not first-k: sample is spread across ids
+    assert a["doc_id"].max() > 500
+
+
+def test_group_sample_small_groups_keep_all(ray_session):
+    from data_validator_ray.pipelines.curation import group_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["a", "a", "b"]),
+    })
+    out = group_sample(tbl, "source", k=10).to_pandas()
+    assert len(out) == 3
