@@ -633,6 +633,20 @@ def q_windowed_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
+def q_approx_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per event type via mergeable per-group HLL
+    partials (rows-only: approximate by design, ~1.6 % at p=12;
+    exchange volume is #groups × #batches register blobs, independent
+    of row count)."""
+    from .relational import grouped_approx_distinct
+
+    out = grouped_approx_distinct(
+        f"{sf_dir}/events.parquet", "event_type", "user_id"
+    ).to_pandas()
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_group_sample_documents(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-source 5-sample (hash-ordered, RNG-free)."""
     from .curation import group_sample
@@ -1049,6 +1063,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "transform_runner_documents": q_transform_runner_documents,
         "sessionize_events": q_sessionize_events,
         "group_sample_documents": q_group_sample_documents,
+        "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
     }
 
 

@@ -345,3 +345,69 @@ def sessionize(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def grouped_approx_distinct(
+    source: Any,
+    group_col: str,
+    value_col: str,
+    *,
+    p: int = 12,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Approximate COUNT(DISTINCT value) PER GROUP via mergeable
+    HyperLogLog partials — the "distinct users per event type over a
+    trillion rows" shape where exact per-group distinct would shuffle
+    every (group, value) pair.
+
+    Each batch builds one HLL register blob per group it sees (a batch
+    contributes ≤ #groups blobs of 2^p bytes, never per-row data); the
+    global groupby merges register blobs with elementwise max. Exchange
+    volume is #groups × #batches × 4 KiB at p=12 — independent of row
+    count. ~1.6 % standard error at p=12; raise ``p`` for tighter.
+
+    Output: ``group, approx_distinct (int64)``.
+    """
+    import pandas as pd
+
+    from ..functions.sketches import HyperLogLog, hash64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col]
+        valid = pc.is_valid(vals)
+        t = batch.filter(valid)
+        if t.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], batch[group_col].type),
+                 "__hll": pa.array([], pa.binary())}
+            )
+        h = hash64(t[value_col].to_numpy(zero_copy_only=False))
+        groups, blobs = [], []
+        df = pd.DataFrame({
+            "g": t[group_col].to_numpy(zero_copy_only=False), "h": h,
+        })
+        for g, sub in df.groupby("g", sort=False):
+            hll = HyperLogLog(p)
+            hll.add_hashes(sub["h"].to_numpy())
+            groups.append(g)
+            blobs.append(hll.registers.tobytes())
+        return pa.table(
+            {group_col: pa.array(groups),
+             "__hll": pa.array(blobs, pa.binary())}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, np.uint8)
+        for b in g["__hll"]:
+            regs = np.maximum(regs, np.frombuffer(b, np.uint8))
+        est = HyperLogLog(p, regs).estimate()
+        return pd.DataFrame(
+            {group_col: [g[group_col].iloc[0]],
+             "approx_distinct": [np.int64(round(est))]}
+        )
+
+    ds = _as_dataset(source, columns=[group_col, value_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return part.groupby(group_col).map_groups(merge, batch_format="pandas")

@@ -233,3 +233,39 @@ def test_sessionize_deterministic_across_buckets(ray_session):
     b = sessionize(tbl, "user_id", "ts", "event_id", num_buckets=64)\
         .to_pandas().sort_values(["user_id", "session_seq"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import grouped_approx_distinct
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # group-specific distinct cardinalities: a ~1000, b ~5000, c ~200
+    card = {"a": 1000, "b": 5000, "c": 200}
+    vals = np.array([rng.integers(0, card[g]) for g in groups], np.int64)
+    tbl = pa.table({
+        "g": pa.array(groups), "v": pa.array(vals, pa.int64()),
+    })
+    out = grouped_approx_distinct(tbl, "g", "v").to_pandas()
+    got = dict(zip(out["g"], out["approx_distinct"]))
+    import pandas as pd
+    exact = pd.DataFrame({"g": groups, "v": vals}).groupby("g")["v"].nunique()
+    for g in ["a", "b", "c"]:
+        assert abs(got[g] - exact[g]) / exact[g] < 0.05, (g, got[g], exact[g])
+
+
+def test_grouped_approx_distinct_null_values_ignored(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import grouped_approx_distinct
+
+    tbl = pa.table({
+        "g": pa.array(["x", "x", "x"]),
+        "v": pa.array([1, None, 1], pa.int64()),
+    })
+    out = grouped_approx_distinct(tbl, "g", "v").to_pandas()
+    assert out["approx_distinct"].tolist() == [1]
