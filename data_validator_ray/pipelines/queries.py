@@ -647,6 +647,15 @@ def q_approx_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_compression_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """zlib compression counters per doc (rows-only: SQL has no zlib;
+    determinism + formula pinned by unit tests)."""
+    from .text import compression_stats
+
+    out = compression_stats(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_group_sample_documents(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-source 5-sample (hash-ordered, RNG-free)."""
     from .curation import group_sample
@@ -1064,6 +1073,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
+        "compression_stats_documents": q_compression_stats_documents,
     }
 
 

@@ -319,3 +319,26 @@ def test_token_doc_freq(ray_session):
     }
     out2 = token_doc_freq(tbl, min_df=3).to_pandas()
     assert len(out2) == 0
+
+
+def test_compression_stats(ray_session):
+    import zlib
+
+    import pyarrow as pa
+    from data_validator_ray.pipelines.text import compression_stats
+
+    texts = ["spam " * 200, "the quick brown fox", None, ""]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = compression_stats(tbl).to_pandas().sort_values("doc_id")
+    assert out["raw_len"].tolist() == [1000, 19, 0, 0]
+    assert out["compressed_len"].tolist() == [
+        len(zlib.compress(("spam " * 200).encode(), 6)),
+        len(zlib.compress(b"the quick brown fox", 6)),
+        len(zlib.compress(b"", 6)),
+        len(zlib.compress(b"", 6)),
+    ]
+    # the repetitive doc compresses an order of magnitude better
+    assert out["compressed_len"].iloc[0] * 10 < out["raw_len"].iloc[0]
