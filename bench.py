@@ -165,7 +165,6 @@ def bench_exact_dedup(input_dir: str) -> float:
     """Keep-first exact dedup on text over the bench webpages input
     (every replica repeats the base texts → heavy duplication, the
     worst case for the bucketed shuffle)."""
-    import pyarrow.compute as pc
     import ray.data
 
     from data_validator_ray.pipelines.dedup import exact_dedup

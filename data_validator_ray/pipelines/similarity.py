@@ -24,7 +24,7 @@ The brute-force tier is oracle-checked against DuckDB
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -18,14 +18,12 @@ import re
 from typing import Any, Dict, List, Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 
 from .dedup import _as_dataset
-from ..functions.sketches import hash64
 
 Dataset = ray.data.Dataset
 
