@@ -388,6 +388,22 @@ def bench_knn(input_dir: str) -> dict:
     return out
 
 
+def bench_semantic_dedup(input_dir: str) -> float:
+    """SemDeDup at 8M × 64d: 1024 k-means clusters (sampled fit),
+    streaming assignment, bucketed in-cluster keep-first with chunked
+    triangular matmuls — the scale tier where per-cluster m ≈ 8k keeps
+    the O(m²) bounded."""
+    from data_validator_ray.pipelines.curation import semantic_dedup
+
+    t0 = time.perf_counter()
+    n = semantic_dedup(
+        input_dir, threshold=0.97, n_clusters=1024,
+        sample_size=16384, n_iters=5,
+    ).count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     # pin intra-worker thread pools to the task's single CPU slot —
     # polars' Rayon pool otherwise grabs every PHYSICAL core from inside
@@ -469,6 +485,9 @@ def run_bench() -> dict:
             emb_dir.parent.mkdir(parents=True, exist_ok=True)
             generate_bench_embeddings(emb_dir)
         queries.update(bench_knn(str(emb_dir)))
+        queries["semantic_dedup_8m"] = round(
+            bench_semantic_dedup(str(emb_dir)), 3
+        )
 
     result = {
         "metric": "validated docs/sec (full constraint suite)",

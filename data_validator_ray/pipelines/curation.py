@@ -612,6 +612,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_clusters: int = 16,
     seed: int = 0x5EED,
+    sample_size: int = 65536,
+    n_iters: int = 10,
 ) -> Dataset:
     """Embedding-space dedup à la SemDeDup (Abbas et al. 2023): k-means
     partition the corpus, then within each cluster drop any vector that
@@ -631,6 +633,7 @@ def semantic_dedup(
     C = train_ivf_centroids(
         source, id_col=id_col, vec_col=vec_col,
         n_centroids=n_clusters, seed=seed,
+        sample_size=sample_size, n_iters=n_iters,
     )
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     C_ref = ray.put(Cn)
@@ -648,24 +651,75 @@ def semantic_dedup(
             }
         )
 
-    def dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        S = Mn @ Mn.T
-        drop = (np.tril(S, -1) >= threshold).any(axis=1)
-        kept = g.loc[~drop]
-        return pd.DataFrame(
+    def _dedup_slice(Mn: np.ndarray) -> np.ndarray:
+        """Keep-first drop mask for ONE cluster's normalized rows
+        (pre-sorted by id). Chunked lower-triangular similarity: peak
+        memory is chunk × m, never m × m (a hot cluster of 500k
+        vectors would otherwise need a 2 TB similarity matrix)."""
+        m = len(Mn)
+        chunk = 2048
+        drop = np.zeros(m, bool)
+        thr = np.float32(threshold)
+        for s0 in range(0, m, chunk):
+            s1 = min(s0 + chunk, m)
+            rows = Mn[s0:s1]
+            # rectangle vs ALL prior blocks: every column is a lower id,
+            # no triangular mask (np.tril on the big rectangle was the
+            # stage's hidden allocation cost)
+            if s0:
+                drop[s0:s1] = (rows @ Mn[:s0].T >= thr).any(axis=1)
+            # small in-slab square: strictly-lower triangle only
+            S2 = rows @ rows.T
+            drop[s0:s1] |= (np.tril(S2, -1) >= thr).any(axis=1)
+        return drop
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        # one map_groups call handles ALL clusters of its bucket
+        # (cluster % B): per-group Ray overhead stays O(B), not
+        # O(n_clusters), and the embedding matrix extracts zero-copy
+        # from Arrow (a pandas group would box one ndarray per row)
+        from .dedup import _embedding_matrix
+
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _embedding_matrix(group, vec_col).astype(np.float32)
+        order = np.lexsort((ids, cl))
+        ids, cl, M = ids[order], cl[order], M[order]
+        Mn = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), np.float32(1e-12)
+        )
+        drop = np.zeros(len(ids), bool)
+        starts = np.flatnonzero(np.diff(cl, prepend=cl[0] - 1 if len(cl) else 0))
+        bounds = list(starts) + [len(cl)]
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            drop[s0:s1] = _dedup_slice(Mn[s0:s1])
+        keep = ~drop
+        return pa.table(
             {
-                id_col: kept[id_col].to_numpy(np.int64),
-                "cluster": kept["cluster"].to_numpy(np.int64),
+                id_col: pa.array(ids[keep], pa.int64()),
+                "cluster": pa.array(cl[keep], pa.int64()),
             }
         )
 
+    buckets = min(n_clusters, 64)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                batch["cluster"],
+                pc.multiply(pc.divide(batch["cluster"], buckets), buckets),
+            ),
+            pa.int64(),
+        )
+        return batch.append_column("__gb", b)
+
     ds = _as_dataset(source, columns=[id_col, vec_col])
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
-    return assigned.groupby("cluster").map_groups(
-        dedup_cluster, batch_format="pandas"
+    assigned = ds.map_batches(assign, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+    return (
+        assigned.groupby("__gb")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
 
 
