@@ -669,6 +669,24 @@ def q_group_sample_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_broadcast_join_events(sf_dir: str) -> pd.DataFrame:
+    """Dimension enrichment: events joined to the (small) customer
+    table via one broadcast + per-batch searchsorted probe — no
+    shuffle of the event stream."""
+    from .relational import broadcast_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    out = broadcast_join(
+        ev, f"{sf_dir}/customer.parquet",
+        on="user_id", right_on="c_custkey",
+        right_cols=["c_name", "c_nationkey"], how="inner",
+    ).to_pandas()
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
     """Gaps-and-islands sessionization of events per user (30-min
     gap); oracle = the lag/cumsum window formulation."""
@@ -1074,6 +1092,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
+        "broadcast_join_events": q_broadcast_join_events,
     }
 
 
@@ -1305,6 +1324,11 @@ def oracle_sql() -> Dict[str, str]:
         "token_doc_freq_documents": _TOKEN_DF_SQL,
         "transform_runner_documents": _TRANSFORM_RUNNER_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "broadcast_join_events": (
+            "SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey"
+            " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+            " ORDER BY e.event_id"
+        ),
         "group_sample_documents": _GROUP_SAMPLE_SQL,
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -411,3 +411,75 @@ def grouped_approx_distinct(
         partials, batch_format="pyarrow", batch_size=batch_size
     )
     return part.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def broadcast_join(
+    left: Any,
+    right: Any,
+    *,
+    on: str,
+    right_on: Optional[str] = None,
+    right_cols: Optional[List[str]] = None,
+    how: str = "inner",
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Broadcast hash join: enrich a huge left stream with a SMALL
+    right table (dimension enrichment — events × customers). The right
+    side is collected once, shipped once via ``ray.put``, and probed
+    inside every ``map_batches`` call with vectorized
+    ``searchsorted`` — no shuffle of the big side, the canonical
+    small-side pattern the brief names. ``how``: ``inner`` drops
+    unmatched left rows, ``left`` null-fills.
+
+    NULL join keys never match (SQL semantics). The right side must be
+    unique on its key (duplicate keys raise — fan-out joins need the
+    shuffle path, which `bucketed_groupby` composes if ever needed).
+    """
+    rkey = right_on or on
+    r_ds = _as_dataset(right, columns=None)
+    r_tbl = pa.concat_tables(
+        r_ds.iter_batches(batch_size=65536, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    rc = right_cols or [c for c in r_tbl.column_names if c != rkey]
+    keys = r_tbl[rkey].to_numpy(zero_copy_only=False)
+    valid = ~pd.isna(keys)
+    keys = keys[valid].astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError("broadcast_join right side has duplicate keys")
+    payload = {
+        c: r_tbl[c].to_numpy(zero_copy_only=False)[valid][order] for c in rc
+    }
+    side_ref = ray.put((keys, payload))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        k_sorted, pay = ray.get(side_ref)
+        lk = batch[on]
+        lk_np = lk.to_numpy(zero_copy_only=False)
+        lk_valid = pc.is_valid(lk).to_numpy(zero_copy_only=False)
+        safe = np.where(lk_valid, lk_np, 0).astype(np.int64)
+        pos = np.searchsorted(k_sorted, safe)
+        pos_c = np.minimum(pos, max(len(k_sorted) - 1, 0))
+        hit = (
+            lk_valid
+            & (len(k_sorted) > 0)
+            & (k_sorted[pos_c] == safe)
+        )
+        if how == "inner":
+            batch = batch.filter(pa.array(hit, pa.bool_()))
+            pos_c = pos_c[hit]
+            hit = np.ones(len(pos_c), bool)
+        cols = {c: batch[c] for c in batch.column_names}
+        for c, arr in pay.items():
+            vals = arr[pos_c]
+            cols[c] = pa.array(
+                np.where(hit, vals, None) if how == "left" else vals
+            )
+        return pa.table(cols)
+
+    l_ds = _as_dataset(left, columns=None)
+    return l_ds.map_batches(
+        probe, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -269,3 +269,35 @@ def test_grouped_approx_distinct_null_values_ignored(ray_session):
     })
     out = grouped_approx_distinct(tbl, "g", "v").to_pandas()
     assert out["approx_distinct"].tolist() == [1]
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.relational import broadcast_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, None], pa.int64()),
+        "x": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 3, 5], pa.int64()),
+        "name": pa.array(["a", "c", "e"]),
+    })
+    inner = broadcast_join(left, right, on="k", right_on="rk")\
+        .to_pandas().sort_values("k")
+    assert inner["k"].tolist() == [1, 3]
+    assert inner["name"].tolist() == ["a", "c"]
+
+    lj = broadcast_join(left, right, on="k", right_on="rk", how="left")\
+        .to_pandas().sort_values("x")
+    assert lj["name"].tolist()[0] == "a"
+    assert lj["name"].isna().tolist() == [False, True, False, True]
+
+    dup = pa.table({
+        "rk": pa.array([1, 1], pa.int64()),
+        "name": pa.array(["a", "b"]),
+    })
+    with _pytest.raises(Exception):
+        broadcast_join(left, dup, on="k", right_on="rk").to_pandas()
