@@ -669,6 +669,18 @@ def q_group_sample_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_grouped_quantiles_events(sf_dir: str) -> pd.DataFrame:
+    """p50/p95/p99 of event value per event type via mergeable
+    t-digest partials (rows-only: approximate by design; blobs merged
+    in canonical order for determinism)."""
+    from .relational import grouped_quantiles
+
+    out = grouped_quantiles(
+        f"{sf_dir}/events.parquet", "event_type", "value"
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_broadcast_join_events(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment: events joined to the (small) customer
     table via one broadcast + per-batch searchsorted probe — no
@@ -1093,6 +1105,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
         "broadcast_join_events": q_broadcast_join_events,
+        "grouped_quantiles_events": q_grouped_quantiles_events,
     }
 
 

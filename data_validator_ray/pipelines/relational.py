@@ -483,3 +483,66 @@ def broadcast_join(
     return l_ds.map_batches(
         probe, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def grouped_quantiles(
+    source: Any,
+    group_col: str,
+    value_col: str,
+    *,
+    quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+    delta: int = 200,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Approximate per-group quantiles via mergeable t-digest partials
+    (p50/p95/p99 latency per endpoint over a trillion events): each
+    batch emits one digest blob per group it sees; the groupby merges
+    blobs and evaluates the quantiles. Exchange volume is #groups ×
+    #batches × O(delta) centroids — row-count-independent.
+
+    Deterministic: t-digest merge is order-sensitive, so blobs are
+    merged in canonical (byte-sorted) order regardless of shuffle
+    arrival order. NULL values are ignored (SQL aggregate semantics).
+    """
+    import pandas as pd
+
+    from ..functions.sketches import TDigest
+
+    qcols = [f"p{int(q * 100)}" for q in quantiles]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        if t.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], batch[group_col].type),
+                 "__td": pa.array([], pa.binary())}
+            )
+        df = pd.DataFrame({
+            "g": t[group_col].to_numpy(zero_copy_only=False),
+            "v": t[value_col].to_numpy(zero_copy_only=False).astype(np.float64),
+        })
+        groups, blobs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            td = TDigest(delta)
+            td.add(sub["v"].to_numpy())
+            groups.append(g)
+            blobs.append(td.to_bytes())
+        return pa.table(
+            {group_col: pa.array(groups), "__td": pa.array(blobs, pa.binary())}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        td = None
+        for b in sorted(g["__td"]):  # canonical order → deterministic
+            d = TDigest.from_bytes(b)
+            td = d if td is None else td.merge(d)
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q, c in zip(quantiles, qcols):
+            row[c] = [td.quantile(q)]
+        return pd.DataFrame(row)
+
+    ds = _as_dataset(source, columns=[group_col, value_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return part.groupby(group_col).map_groups(merge, batch_format="pandas")

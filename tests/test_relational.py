@@ -301,3 +301,29 @@ def test_broadcast_join_inner_and_left(ray_session):
     })
     with _pytest.raises(Exception):
         broadcast_join(left, dup, on="k", right_on="rk").to_pandas()
+
+
+def test_grouped_quantiles_accuracy_and_determinism(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import grouped_quantiles
+
+    rng = np.random.default_rng(13)
+    n = 40_000
+    g = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    v = np.where(g == "a", rng.normal(100, 10, n), rng.exponential(50, n))
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v, pa.float64())})
+    out = grouped_quantiles(tbl, "g", "v").to_pandas().sort_values("g")
+    ref = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"]
+    for q, c in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+        exact = ref.quantile(q)
+        for grp in ["a", "b"]:
+            got = float(out.loc[out["g"] == grp, c].iloc[0])
+            spread = ref.quantile(0.995)[grp] - ref.quantile(0.005)[grp]
+            assert abs(got - exact[grp]) < 0.05 * spread, (grp, c)
+    out2 = grouped_quantiles(tbl, "g", "v").to_pandas().sort_values("g")
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), out2.reset_index(drop=True)
+    )
