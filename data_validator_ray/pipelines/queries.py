@@ -681,6 +681,21 @@ def q_grouped_quantiles_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_hopping_window_events(sf_dir: str) -> pd.DataFrame:
+    """1h windows hopping every 15min over events (each event counts
+    in 4 overlapping windows); oracle = unnest over the 4 covering
+    window starts."""
+    from .relational import hopping_window_aggregate
+
+    out = hopping_window_aggregate(
+        f"{sf_dir}/events.parquet", "ts", "value",
+        window_seconds=3600, hop_seconds=900,
+    ).to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["value_sum"] = out["value_sum"].round(6)
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def q_broadcast_join_events(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment: events joined to the (small) customer
     table via one broadcast + per-batch searchsorted probe — no
@@ -1106,6 +1121,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "compression_stats_documents": q_compression_stats_documents,
         "broadcast_join_events": q_broadcast_join_events,
         "grouped_quantiles_events": q_grouped_quantiles_events,
+        "hopping_window_events": q_hopping_window_events,
     }
 
 
@@ -1337,6 +1353,7 @@ def oracle_sql() -> Dict[str, str]:
         "token_doc_freq_documents": _TOKEN_DF_SQL,
         "transform_runner_documents": _TRANSFORM_RUNNER_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "hopping_window_events": _HOPPING_WINDOW_SQL,
         "broadcast_join_events": (
             "SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey"
             " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
@@ -1700,4 +1717,18 @@ _GROUP_SAMPLE_SQL = (
     "   PARTITION BY source"
     "   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) <= 5"
     " ORDER BY source, doc_id"
+)
+
+_HOPPING_WINDOW_SQL = (
+    "WITH e AS ("
+    "  SELECT ts, value FROM events WHERE ts IS NOT NULL"
+    "), w AS ("
+    "  SELECT value, unnest(list_transform(generate_series(0, 3),"
+    "    i -> time_bucket(INTERVAL 900 SECOND, ts)"
+    "         - to_seconds(i * 900))) AS window_start"
+    "  FROM e"
+    ") "
+    "SELECT window_start, count(*)::BIGINT AS n_events,"
+    " ROUND(sum(value), 6) AS value_sum"
+    " FROM w GROUP BY 1 ORDER BY 1"
 )

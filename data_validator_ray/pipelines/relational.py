@@ -546,3 +546,75 @@ def grouped_quantiles(
         partials, batch_format="pyarrow", batch_size=batch_size
     )
     return part.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def hopping_window_aggregate(
+    source: Any,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_seconds: int = 3600,
+    hop_seconds: int = 900,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Hopping (sliding) window stats: every ``hop_seconds`` a window
+    of length ``window_seconds`` closes; events belong to
+    ``window/hop`` overlapping windows. Output:
+    ``window_start, n_events, value_sum`` (int64 sums over the events
+    table's float values are kept as float64).
+
+    Implementation: each batch REPLICATES its rows into their covering
+    windows via vectorized repeat (the inflation factor window/hop is
+    explicit and bounded), pre-aggregates per window in-batch, then a
+    small global groupby merges partials — same two-level shape as the
+    tumbling tier, exchange bounded by #windows × #batches.
+    """
+    if window_seconds % hop_seconds:
+        raise ValueError("window_seconds must be a multiple of hop_seconds")
+    k = window_seconds // hop_seconds
+    hop_us = np.int64(hop_seconds) * 1_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))
+        ts = (
+            batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # latest window containing ts starts at floor(ts/hop)*hop;
+        # the k covering windows step back by hop each
+        last = (ts // hop_us) * hop_us
+        wins = last[:, None] - (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        flat_w = wins.reshape(-1)
+        flat_v = np.repeat(v, k)
+        t = pa.table(
+            {"__w": pa.array(flat_w, pa.int64()),
+             "v": pa.array(flat_v, pa.float64())}
+        )
+        g = t.group_by("__w").aggregate([("v", "count"), ("v", "sum")])
+        return g.rename_columns(["__w", "n", "v_sum"])
+
+    ds = _as_dataset(source, columns=[ts_col, value_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    from ray.data.aggregate import Sum
+
+    out = part.groupby("__w").aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("v_sum", alias_name="value_sum"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        win = pa.array(
+            batch["__w"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        )
+        return pa.table(
+            {
+                "window_start": win,
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "value_sum": batch["value_sum"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -327,3 +327,49 @@ def test_grouped_quantiles_accuracy_and_determinism(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), out2.reset_index(drop=True)
     )
+
+
+def test_hopping_window_covering_count(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import (
+        hopping_window_aggregate,
+    )
+
+    base = np.datetime64("2024-01-01T02:07:00", "us")
+    tbl = pa.table({
+        "ts": pa.array([base, None], pa.timestamp("us")),
+        "value": pa.array([2.0, 9.0], pa.float64()),
+    })
+    out = (
+        hopping_window_aggregate(
+            tbl, "ts", "value", window_seconds=3600, hop_seconds=900
+        )
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    # one event → exactly window/hop = 4 covering windows; NULL ts drops
+    assert len(out) == 4
+    assert out["n_events"].tolist() == [1, 1, 1, 1]
+    assert out["value_sum"].tolist() == [2.0] * 4
+    # windows step by 15 min and the latest one starts at 02:00
+    starts = out["window_start"].astype("datetime64[us]")
+    assert str(starts.iloc[-1]) == "2024-01-01 02:00:00"
+    deltas = np.diff(starts.to_numpy()).astype("timedelta64[s]")
+    assert (deltas == np.timedelta64(900, "s")).all()
+
+
+def test_hopping_window_rejects_non_divisible(ray_session):
+    import pytest as _pytest
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import (
+        hopping_window_aggregate,
+    )
+
+    with _pytest.raises(ValueError):
+        hopping_window_aggregate(
+            pa.table({"ts": pa.array([], pa.timestamp("us")),
+                      "value": pa.array([], pa.float64())}),
+            "ts", "value", window_seconds=3600, hop_seconds=1000,
+        )
