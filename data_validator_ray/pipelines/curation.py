@@ -788,3 +788,104 @@ def group_sample(
     return partials.groupby(group_col).map_groups(
         final, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------- #
+# full document profile (everything in one pass)                              #
+# --------------------------------------------------------------------------- #
+
+def full_profile(
+    source: Any,
+    benchmark_texts: Optional[List[Optional[str]]] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 5,
+    batch_size: int = 16384,
+) -> Dataset:
+    """EVERY per-doc signal in ONE read and ONE token explode:
+    quality counters + language ID + md5 fingerprint (the text tier)
+    plus Gopher repetition counters + PII counts + benchmark
+    decontamination (the curation tier). At 100 TB this is the shape
+    that matters — each signal run standalone re-reads and
+    re-tokenizes the corpus; fused, the explode amortizes across all
+    of them.
+
+    Columns are byte-identical to the standalone operators'
+    (``text_profile`` ∪ ``gopher_stats`` ∪ PII counts ∪
+    ``decontaminate``); the oracle is the join of their per-op SQL.
+    """
+    import hashlib
+
+    from .text import LANGS, LANG_PROFILES
+
+    stop = list(LANG_PROFILES["en"])
+    bench_ref = ray.put(
+        _benchmark_shingle_hashes(benchmark_texts or [], ngram)
+    )
+
+    def profile(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ex, n = _token_frame(batch[text_col])
+
+        # text tier: stopword/diversity counters + per-lang hits
+        aggs = [
+            pl.col("t").is_in(stop).sum().alias("n_stopwords"),
+            pl.col("t").n_unique().alias("n_unique_tokens"),
+        ] + [
+            pl.col("t").is_in(list(LANG_PROFILES[lang])).sum()
+            .alias(f"hits_{lang}")
+            for lang in LANGS
+        ]
+        tagg = (
+            pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
+            .join(ex.group_by("row").agg(*aggs), on="row", how="left")
+            .fill_null(0)
+            .sort("row")
+        )
+        hit_mat = np.stack(
+            [tagg[f"hits_{lang}"].to_numpy().astype(np.int64)
+             for lang in LANGS],
+            axis=1,
+        )
+        best = np.argmax(hit_mat, axis=1)  # first max → alphabetical
+
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_chars = pc.fill_null(pc.utf8_length(pc.fill_null(col, "")), 0)
+        norm = (
+            pl.from_arrow(col).fill_null("")
+            .str.to_lowercase()
+            .str.replace_all(r"\s+", " ")
+            .str.strip_chars()
+        )
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+
+        pii_counts, _ = _pii_columns(batch[text_col], PII_PATTERNS)
+
+        cols = {
+            id_col: batch[id_col],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_stopwords": pa.array(
+                tagg["n_stopwords"].to_numpy().astype(np.int64)
+            ),
+            "n_unique_tokens": pa.array(
+                tagg["n_unique_tokens"].to_numpy().astype(np.int64)
+            ),
+        }
+        for li, lang in enumerate(LANGS):
+            cols[f"hits_{lang}"] = pa.array(hit_mat[:, li], pa.int64())
+        cols["detected_lang"] = pa.array(
+            np.array(LANGS, dtype=object)[best], pa.string()
+        )
+        cols["fingerprint"] = pa.array(digests, pa.string())
+        cols.update(_gopher_columns(batch, ex, n, text_col))
+        cols.update(pii_counts)
+        cols.update(_decontam_columns(ex, n, bset, ngram))
+        return pa.table(cols)
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(
+        profile, batch_format="pyarrow", batch_size=batch_size
+    )

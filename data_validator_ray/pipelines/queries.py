@@ -1043,6 +1043,27 @@ def q_curation_profile_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_full_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Everything-in-one-pass document profile: text tier (quality +
+    language ID + fingerprint) ∪ curation tier (Gopher + PII +
+    decontamination) in ONE read and ONE token explode. Oracle = join
+    of the per-op oracles, each column exactly once."""
+    from .curation import full_profile
+
+    bench = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .filter(lambda r: r["doc_id"] % 97 == 0)
+        .to_pandas()["text"]
+        .tolist()
+    )
+    out = full_profile(
+        f"{sf_dir}/documents.parquet", bench, ngram=5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     """SemDeDup-style embedding dedup (rows-only: seeded k-means has no
     SQL equivalent; keep-first rule pinned by unit tests)."""
@@ -1108,6 +1129,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pack_shards_documents": q_pack_shards_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "curation_profile_documents": q_curation_profile_documents,
+        "full_profile_documents": q_full_profile_documents,
         "repetition_rule_documents": q_repetition_rule_documents,
         "pii_rule_documents": q_pii_rule_documents,
         "url_profile_documents": q_url_profile_documents,
@@ -1345,6 +1367,7 @@ def oracle_sql() -> Dict[str, str]:
         "domain_sample_documents": _DOMAIN_SAMPLE_SQL,
         "pack_shards_documents": _PACK_SHARDS_SQL,
         "curation_profile_documents": _CURATION_PROFILE_SQL,
+        "full_profile_documents": _FULL_PROFILE_SQL,
         "repetition_rule_documents": _REPETITION_RULE_SQL,
         "pii_rule_documents": _PII_RULE_SQL,
         "url_profile_documents": _URL_PROFILE_SQL,
@@ -1567,7 +1590,9 @@ _PACK_SHARDS_SQL = (
     " FROM n ORDER BY doc_id"
 )
 
-_CURATION_PROFILE_SQL = _GOPHER_BASE + (
+# Middle CTEs shared by the fused-profile oracles: 5-gram
+# decontamination hits + ordered PII counts.
+_CURATION_CTES = (
     ", sh5 AS ("
     "  SELECT DISTINCT doc_id,"
     "    unnest(list_transform(generate_series(1, len(toks) - 4),"
@@ -1594,12 +1619,48 @@ _CURATION_PROFILE_SQL = _GOPHER_BASE + (
     f"    len(regexp_extract_all(t2, '{_PII_IP}'))::BIGINT AS n_ip"
     "  FROM p2"
     ") "
+)
+
+_CURATION_PROFILE_SQL = _GOPHER_BASE + _CURATION_CTES + (
     "SELECT g.*, pii.n_email, pii.n_phone, pii.n_ip,"
     "       coalesce(h.n_hits, 0)::BIGINT AS n_hits,"
     "       coalesce(h.n_hits, 0) > 0 AS is_contaminated"
     " FROM g JOIN pii ON g.doc_id = pii.doc_id"
     " LEFT JOIN hits5 h ON g.doc_id = h.doc_id"
     " ORDER BY g.doc_id"
+)
+
+# Everything-in-one-pass profile: text tier (quality counters +
+# language ID + md5 fingerprint) ∪ curation tier (Gopher + PII +
+# decontamination). Column set = union of the per-op oracles, each
+# column exactly once (n_tokens comes from the Gopher CTE; the
+# quality-stats formula is identical).
+_FULL_PROFILE_SQL = _GOPHER_BASE + _CURATION_CTES + (
+    ", q AS ("
+    "  SELECT doc_id, length(text)::BIGINT AS n_chars,"
+    f"  len(list_filter(string_split(text, ' '), x -> x IN ({_EN_STOP})))"
+    "::BIGINT AS n_stopwords,"
+    "  len(list_distinct(list_filter(string_split(text, ' '),"
+    " x -> x <> '')))::BIGINT AS n_unique_tokens"
+    "  FROM documents"
+    "), l AS ("
+    + _LANGUAGE_ID_SQL.replace(" ORDER BY doc_id", "")
+    + "), f AS ("
+    "  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ',"
+    " 'g'))) AS fingerprint FROM documents"
+    ") "
+    "SELECT q.doc_id, q.n_chars, q.n_stopwords, q.n_unique_tokens,"
+    " l.* EXCLUDE (doc_id), f.fingerprint,"
+    " g.* EXCLUDE (doc_id),"
+    " pii.n_email, pii.n_phone, pii.n_ip,"
+    " coalesce(h.n_hits, 0)::BIGINT AS n_hits,"
+    " coalesce(h.n_hits, 0) > 0 AS is_contaminated"
+    " FROM q JOIN l ON q.doc_id = l.doc_id"
+    " JOIN f ON q.doc_id = f.doc_id"
+    " JOIN g ON q.doc_id = g.doc_id"
+    " JOIN pii ON q.doc_id = pii.doc_id"
+    " LEFT JOIN hits5 h ON q.doc_id = h.doc_id"
+    " ORDER BY q.doc_id"
 )
 
 _REPETITION_RULE_SQL = _GOPHER_BASE + (

@@ -287,6 +287,61 @@ def test_curation_profile_empty_benchmark(ray_session):
     assert out["is_contaminated"].tolist() == [False]
 
 
+def test_full_profile_matches_standalone_ops(ray_session):
+    from data_validator_ray.pipelines.curation import full_profile
+    from data_validator_ray.pipelines.text import (
+        fingerprint_md5,
+        language_id,
+        quality_stats,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "the cat and the dog mail a@b.co or call 555-0100 from 1.2.3.4",
+        "spam spam spam spam spam",
+        None,
+        "",
+        "der und die das alpha beta gamma delta epsilon tail",
+        "  doubled  spaces\tand\ttabs  ",
+    ]
+    bench = [texts[0]]
+    tbl = _docs(texts)
+    fused = (
+        full_profile(tbl, bench, ngram=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    q = quality_stats(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    l = language_id(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    f = fingerprint_md5(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    g = gopher_stats(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    p = pii_redact(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    d = decontaminate(tbl, bench, ngram=5)\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ["n_chars", "n_stopwords", "n_unique_tokens"]:
+        assert fused[c].tolist() == q[c].tolist(), c
+    for c in [col for col in l.columns if col != "doc_id"]:
+        assert fused[c].tolist() == l[c].tolist(), c
+    assert fused["fingerprint"].tolist() == f["fingerprint"].tolist()
+    for c in ["n_tokens", "n_2grams", "n_unique_2grams", "top_2gram_count",
+              "total_token_chars", "n_symbol_chars"]:
+        assert fused[c].tolist() == g[c].tolist(), c
+    for c in ["n_email", "n_phone", "n_ip"]:
+        assert fused[c].tolist() == p[c].tolist(), c
+    for c in ["n_hits", "is_contaminated"]:
+        assert fused[c].tolist() == d[c].tolist(), c
+    # quality-tier n_tokens (same tokenization) agrees with the gopher one
+    assert fused["n_tokens"].tolist() == q["n_tokens"].tolist()
+
+
+def test_full_profile_empty_benchmark(ray_session):
+    from data_validator_ray.pipelines.curation import full_profile
+
+    out = full_profile(_docs(["the cat sat here now then"]), None).to_pandas()
+    assert out["n_hits"].tolist() == [0]
+    assert out["is_contaminated"].tolist() == [False]
+    assert out["detected_lang"].tolist() == ["en"]
+
+
 def test_pack_shards_negative_and_huge_ids(ray_session):
     # hash-derived ids: negative and beyond 2^53 (float64 would lose
     # exactness) — the window contract must hold in signed id order
