@@ -261,6 +261,37 @@ def bench_curation_profile(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_full_profile(input_dir: str) -> float:
+    """ALL per-doc signals (text tier + curation tier) in one read /
+    one explode — compare against text_profile + curation_profile run
+    separately; the fusion should land well under their sum."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.curation import full_profile
+
+    base = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    bench_texts = base.loc[base["doc_id"] % 97 == 0, "text"].tolist()
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    assert full_profile(ds, bench_texts).count() > 0
+    return time.perf_counter() - t0
+
+
 def bench_pack_shards(input_dir: str) -> float:
     """Distributed prefix-scan shard packing over the 8M-row bench
     input (ids from the url hash → sparse, exercises the bucket-offset
@@ -479,6 +510,7 @@ def run_bench() -> dict:
         queries["text_analysis_webpages"] = best_of(bench_text_analysis, str(input_dir))
         queries["text_profile_webpages"] = best_of(bench_text_profile, str(input_dir))
         queries["curation_profile_webpages"] = best_of(bench_curation_profile, str(input_dir))
+        queries["full_profile_webpages"] = best_of(bench_full_profile, str(input_dir))
         queries["pack_shards_webpages"] = best_of(bench_pack_shards, str(input_dir))
         emb_dir = _bench_embeddings_dir()
         if not emb_dir.exists():
