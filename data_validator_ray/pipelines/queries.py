@@ -696,6 +696,21 @@ def q_hopping_window_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def q_hopping_window_user_events(sf_dir: str) -> pd.DataFrame:
+    """Per-key hopping windows: 1h/15min windows PER USER (each event
+    counts in 4 overlapping windows of its user); oracle = unnest over
+    the covering window starts, grouped by (user_id, window_start)."""
+    from .relational import hopping_window_aggregate
+
+    out = hopping_window_aggregate(
+        f"{sf_dir}/events.parquet", "ts", "value",
+        window_seconds=3600, hop_seconds=900, key_cols=["user_id"],
+    ).to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["value_sum"] = out["value_sum"].round(6)
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
 def q_broadcast_join_events(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment: events joined to the (small) customer
     table via one broadcast + per-batch searchsorted probe — no
@@ -1144,6 +1159,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "broadcast_join_events": q_broadcast_join_events,
         "grouped_quantiles_events": q_grouped_quantiles_events,
         "hopping_window_events": q_hopping_window_events,
+        "hopping_window_user_events": q_hopping_window_user_events,
     }
 
 
@@ -1377,6 +1393,7 @@ def oracle_sql() -> Dict[str, str]:
         "transform_runner_documents": _TRANSFORM_RUNNER_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "hopping_window_events": _HOPPING_WINDOW_SQL,
+        "hopping_window_user_events": _HOPPING_WINDOW_USER_SQL,
         "broadcast_join_events": (
             "SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey"
             " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
@@ -1792,4 +1809,19 @@ _HOPPING_WINDOW_SQL = (
     "SELECT window_start, count(*)::BIGINT AS n_events,"
     " ROUND(sum(value), 6) AS value_sum"
     " FROM w GROUP BY 1 ORDER BY 1"
+)
+
+_HOPPING_WINDOW_USER_SQL = (
+    "WITH e AS ("
+    "  SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL"
+    "), w AS ("
+    "  SELECT user_id, value,"
+    "    unnest(list_transform(generate_series(0, 3),"
+    "    i -> time_bucket(INTERVAL 900 SECOND, ts)"
+    "         - to_seconds(i * 900))) AS window_start"
+    "  FROM e"
+    ") "
+    "SELECT user_id, window_start, count(*)::BIGINT AS n_events,"
+    " ROUND(sum(value), 6) AS value_sum"
+    " FROM w GROUP BY 1, 2 ORDER BY 1, 2"
 )

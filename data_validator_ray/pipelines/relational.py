@@ -555,22 +555,26 @@ def hopping_window_aggregate(
     *,
     window_seconds: int = 3600,
     hop_seconds: int = 900,
+    key_cols: Optional[List[str]] = None,
     batch_size: int = 64 * 1024,
 ) -> Dataset:
     """Hopping (sliding) window stats: every ``hop_seconds`` a window
     of length ``window_seconds`` closes; events belong to
     ``window/hop`` overlapping windows. Output:
-    ``window_start, n_events, value_sum`` (int64 sums over the events
-    table's float values are kept as float64).
+    ``[*key_cols,] window_start, n_events, value_sum`` (int64 sums
+    over the events table's float values are kept as float64).
+    ``key_cols`` makes the windows per-key (e.g. per user).
 
     Implementation: each batch REPLICATES its rows into their covering
     windows via vectorized repeat (the inflation factor window/hop is
-    explicit and bounded), pre-aggregates per window in-batch, then a
-    small global groupby merges partials — same two-level shape as the
-    tumbling tier, exchange bounded by #windows × #batches.
+    explicit and bounded), pre-aggregates per (key, window) in-batch,
+    then a small global groupby merges partials — same two-level shape
+    as the tumbling tier, exchange bounded by #(keys × windows) ×
+    #batches.
     """
     if window_seconds % hop_seconds:
         raise ValueError("window_seconds must be a multiple of hop_seconds")
+    keys = list(key_cols or [])
     k = window_seconds // hop_seconds
     hop_us = np.int64(hop_seconds) * 1_000_000
 
@@ -587,20 +591,27 @@ def hopping_window_aggregate(
         wins = last[:, None] - (np.arange(k, dtype=np.int64) * hop_us)[None, :]
         flat_w = wins.reshape(-1)
         flat_v = np.repeat(v, k)
-        t = pa.table(
-            {"__w": pa.array(flat_w, pa.int64()),
-             "v": pa.array(flat_v, pa.float64())}
+        cols = {"__w": pa.array(flat_w, pa.int64()),
+                "v": pa.array(flat_v, pa.float64())}
+        if keys:
+            # key columns replicate by row-index take (works for any
+            # key dtype, no numpy round-trip)
+            idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), k))
+            for kc in keys:
+                cols[kc] = batch[kc].take(idx)
+        t = pa.table(cols)
+        g = t.group_by(keys + ["__w"]).aggregate(
+            [("v", "count"), ("v", "sum")]
         )
-        g = t.group_by("__w").aggregate([("v", "count"), ("v", "sum")])
-        return g.rename_columns(["__w", "n", "v_sum"])
+        return g.rename_columns(keys + ["__w", "n", "v_sum"])
 
-    ds = _as_dataset(source, columns=[ts_col, value_col])
+    ds = _as_dataset(source, columns=keys + [ts_col, value_col])
     part = ds.map_batches(
         partials, batch_format="pyarrow", batch_size=batch_size
     )
     from ray.data.aggregate import Sum
 
-    out = part.groupby("__w").aggregate(
+    out = part.groupby(keys + ["__w"]).aggregate(
         Sum("n", alias_name="n_events"),
         Sum("v_sum", alias_name="value_sum"),
     )
@@ -609,12 +620,14 @@ def hopping_window_aggregate(
         win = pa.array(
             batch["__w"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         )
-        return pa.table(
+        cols = {kc: batch[kc] for kc in keys}
+        cols.update(
             {
                 "window_start": win,
                 "n_events": pc.cast(batch["n_events"], pa.int64()),
                 "value_sum": batch["value_sum"],
             }
         )
+        return pa.table(cols)
 
     return out.map_batches(finalize, batch_format="pyarrow")

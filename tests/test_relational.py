@@ -359,6 +359,54 @@ def test_hopping_window_covering_count(ray_session):
     assert (deltas == np.timedelta64(900, "s")).all()
 
 
+def test_hopping_window_per_key(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import (
+        hopping_window_aggregate,
+    )
+
+    base = np.datetime64("2024-01-01T02:07:00", "us")
+    tbl = pa.table({
+        "user_id": pa.array([7, 7, 8, 8], pa.int64()),
+        # two users share one timestamp; user 7 has a second event in
+        # a later hop, user 8 a NULL ts that must drop
+        "ts": pa.array(
+            [base, base + np.timedelta64(900, "s"), base, None],
+            pa.timestamp("us"),
+        ),
+        "value": pa.array([2.0, 3.0, 5.0, 9.0], pa.float64()),
+    })
+    out = (
+        hopping_window_aggregate(
+            tbl, "ts", "value",
+            window_seconds=3600, hop_seconds=900, key_cols=["user_id"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # user 8: one event → 4 windows of 1 event each
+    u8 = out[out["user_id"] == 8]
+    assert len(u8) == 4 and u8["n_events"].tolist() == [1] * 4
+    assert u8["value_sum"].tolist() == [5.0] * 4
+    # user 7: two events one hop apart → 5 distinct windows; the 3
+    # overlapping middle windows hold both events
+    u7 = out[out["user_id"] == 7]
+    assert len(u7) == 5
+    assert u7["n_events"].tolist() == [1, 2, 2, 2, 1]
+    assert u7["value_sum"].tolist() == [2.0, 5.0, 5.0, 5.0, 3.0]
+    # keyless call unchanged: global windows sum both users
+    g = (
+        hopping_window_aggregate(
+            tbl, "ts", "value", window_seconds=3600, hop_seconds=900
+        )
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    assert g["n_events"].sum() == u7["n_events"].sum() + u8["n_events"].sum()
+
+
 def test_hopping_window_rejects_non_divisible(ray_session):
     import pytest as _pytest
     import pyarrow as pa
