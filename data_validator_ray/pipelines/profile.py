@@ -1,0 +1,220 @@
+"""Column-profiling operators: frequent values (exact and sketched)
+and equi-width histograms. No reference analogue — these are the
+"what is in this column" primitives a 100-TB curation pipeline runs
+before choosing filters (reference scope: data quality checks,
+/root/reference/src/data_validator/validator.py; profiling is the
+natural pre-step the reference leaves to the user).
+
+Scale shapes:
+
+* :func:`top_values` — EXACT heavy hitters. Per-batch pyarrow
+  ``group_by`` collapses each batch to its distinct values (the
+  combiner), the global groupby then moves one row per (value, batch)
+  — bounded by batch-distincts, never raw rows. Exchange is
+  distinct-bounded: right for moderate-cardinality columns (status
+  codes, languages, domains). For unbounded-cardinality columns use
+  :func:`misra_gries_topk`.
+* :func:`misra_gries_topk` — the sketch tier. Each batch compresses
+  to ≤ ``capacity`` (value, count) counters via the one-shot
+  Misra-Gries decrement (subtract the (capacity+1)-th largest count,
+  keep positives), so the exchange is capacity × #batches rows no
+  matter the column's cardinality. Merged counts are lower bounds;
+  the summed decrements give the per-value upper bound. Any value
+  with true frequency > n/(capacity+1) is guaranteed present.
+* :func:`histogram` — fixed equi-width bins, one ``np.bincount`` per
+  batch (the combiner), then a tiny groupby over (bin, count)
+  partials. Out-of-range values drop (explicit contract); emit only
+  non-empty bins.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .dedup import _as_dataset
+
+Dataset = ray.data.Dataset
+
+
+def top_values(
+    source: Any,
+    column: str,
+    *,
+    k: int = 10,
+    drop_null: bool = True,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Exact top-k most frequent values of ``column``:
+    ``(value, n)`` sorted by count desc, value asc (deterministic
+    tie-break). NULLs drop by default.
+
+    Two-level exact count: in-batch ``group_by`` combiner → global
+    groupby sum → sort → limit k. The limit is applied after the
+    global sort (k is tiny; the sort input is one row per distinct
+    value)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.select([column])
+        if drop_null:
+            col = col.filter(pc.is_valid(col[column]))
+        g = col.group_by(column).aggregate([([], "count_all")])
+        return g.rename_columns(["value", "n"])
+
+    ds = _as_dataset(source, columns=[column])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("value")
+        .sum("n")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "value": batch["value"],
+                "n": pc.cast(batch["sum(n)"], pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(finalize, batch_format="pyarrow")
+        .sort(["n", "value"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def misra_gries_topk(
+    source: Any,
+    column: str,
+    *,
+    k: int = 10,
+    capacity: int = 256,
+    batch_size: int = 64 * 1024,
+) -> "pa.Table":
+    """Approximate top-k frequent values with a mergeable Misra-Gries
+    summary: exchange is ≤ ``capacity`` rows per batch regardless of
+    the column's cardinality (the scale tier for unbounded-cardinality
+    columns, where :func:`top_values` would shuffle every distinct).
+
+    Returns a small arrow table ``(value, est_count, upper_bound)``:
+    ``est_count`` never overestimates, ``upper_bound = est_count +
+    total decrement`` never underestimates, and any value with true
+    count > n/(capacity+1) per batch is guaranteed to survive. Ties
+    break by value for determinism.
+    """
+
+    def partial_with_sentinel(batch: pa.Table) -> pa.Table:
+        col = batch.select([column]).filter(pc.is_valid(batch[column]))
+        g = col.group_by(column).aggregate([([], "count_all")])
+        vals, counts = g[column], g["count_all"].to_numpy(zero_copy_only=False)
+        delta = np.int64(0)
+        if len(counts) > capacity:
+            # one-shot Misra-Gries: subtract the (capacity+1)-th
+            # largest count; ≤ capacity positives remain
+            delta = np.partition(counts, -capacity - 1)[-capacity - 1]
+            keep = counts > delta
+            vals = vals.filter(pa.array(keep))
+            counts = counts[keep] - delta
+        # the batch's decrement rides as ONE sentinel row (value NULL)
+        # so the global groupby can recover the total error bound
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return pa.table(
+            {
+                "value": pa.concat_arrays(
+                    [vals, pa.array([None], vals.type)]
+                ),
+                "est": pa.array(
+                    np.append(counts.astype(np.int64), np.int64(delta)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[column])
+    merged = (
+        ds.map_batches(
+            partial_with_sentinel,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        .groupby("value")
+        .sum("est")
+        .to_pandas()  # ≤ capacity × #batches + #batches rows — tiny
+    )
+    null_mask = merged["value"].isna()
+    total_delta = int(merged.loc[null_mask, "sum(est)"].sum())
+    top = (
+        merged.loc[~null_mask]
+        .rename(columns={"sum(est)": "est_count"})
+        .sort_values(
+            ["est_count", "value"], ascending=[False, True], kind="stable"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["est_count"] = top["est_count"].astype(np.int64)
+    top["upper_bound"] = top["est_count"] + total_delta
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def histogram(
+    source: Any,
+    column: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Equi-width histogram of a numeric column over ``[lo, hi)``:
+    ``(bin_id, bin_lo, bin_hi, n)`` for non-empty bins. NULLs and
+    out-of-range values drop (explicit contract — callers wanting
+    clamped edge bins can pre-clip with an expression).
+
+    One ``np.bincount`` per batch (the combiner: each batch collapses
+    to ≤ n_bins rows), then a tiny global groupby."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v < hi)]
+        b = ((v - lo) / width).astype(np.int64)
+        # float roundoff can push v==hi-eps into bin n_bins; clip
+        np.clip(b, 0, n_bins - 1, out=b)
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bin_id": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[column])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bin_id")
+        .sum("n")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        b = batch["bin_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bin_id": pa.array(b, pa.int64()),
+                "bin_lo": pa.array(lo + b * width, pa.float64()),
+                "bin_hi": pa.array(lo + (b + 1) * width, pa.float64()),
+                "n": pc.cast(batch["sum(n)"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort("bin_id")

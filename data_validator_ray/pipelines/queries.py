@@ -1079,6 +1079,42 @@ def q_full_profile_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_top_values_events_user(sf_dir: str) -> pd.DataFrame:
+    """Exact top-10 most frequent user_ids in events (heavy hitters,
+    two-level exact count; ties break by value asc)."""
+    from .profile import top_values
+
+    out = top_values(
+        f"{sf_dir}/events.parquet", "user_id", k=10
+    ).to_pandas()
+    return out.reset_index(drop=True)
+
+
+def q_misra_gries_events_user(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries sketched top-10 user_ids (capacity 64 < 150
+    distinct users — the decrement path is exercised; rows-only:
+    est_count depends on batch boundaries by design)."""
+    from .profile import misra_gries_topk
+
+    out = misra_gries_topk(
+        f"{sf_dir}/events.parquet", "user_id", k=10, capacity=64
+    ).to_pandas()
+    for c in ["value", "est_count", "upper_bound"]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_histogram_events_value(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of events.value over [0, 512), 32 bins of
+    width 16 (exactly representable — bin edges hash-exact vs SQL)."""
+    from .profile import histogram
+
+    out = histogram(
+        f"{sf_dir}/events.parquet", "value", lo=0.0, hi=512.0, n_bins=32
+    ).to_pandas()
+    return out.sort_values("bin_id").reset_index(drop=True)
+
+
 def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     """SemDeDup-style embedding dedup (rows-only: seeded k-means has no
     SQL equivalent; keep-first rule pinned by unit tests)."""
@@ -1145,6 +1181,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "curation_profile_documents": q_curation_profile_documents,
         "full_profile_documents": q_full_profile_documents,
+        "top_values_events_user": q_top_values_events_user,
+        "misra_gries_events_user": q_misra_gries_events_user,
+        "histogram_events_value": q_histogram_events_value,
         "repetition_rule_documents": q_repetition_rule_documents,
         "pii_rule_documents": q_pii_rule_documents,
         "url_profile_documents": q_url_profile_documents,
@@ -1384,6 +1423,19 @@ def oracle_sql() -> Dict[str, str]:
         "pack_shards_documents": _PACK_SHARDS_SQL,
         "curation_profile_documents": _CURATION_PROFILE_SQL,
         "full_profile_documents": _FULL_PROFILE_SQL,
+        "top_values_events_user": (
+            "SELECT user_id AS value, COUNT(*)::BIGINT AS n FROM events"
+            " GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 10"
+        ),
+        "histogram_events_value": (
+            "WITH v AS (SELECT value FROM events"
+            "  WHERE value IS NOT NULL AND value >= 0 AND value < 512),"
+            " b AS (SELECT LEAST(CAST(FLOOR(value / 16.0) AS BIGINT), 31)"
+            "       AS bin_id FROM v) "
+            "SELECT bin_id, bin_id * 16.0 AS bin_lo,"
+            " (bin_id + 1) * 16.0 AS bin_hi, COUNT(*)::BIGINT AS n"
+            " FROM b GROUP BY 1 ORDER BY 1"
+        ),
         "repetition_rule_documents": _REPETITION_RULE_SQL,
         "pii_rule_documents": _PII_RULE_SQL,
         "url_profile_documents": _URL_PROFILE_SQL,
