@@ -499,11 +499,22 @@ def pack_shards(
     budget: int = 2048,
     num_buckets: int = 512,
     batch_size: int = 65536,
+    counts_source: Any = None,
 ) -> Dataset:
     """Assign docs (ordered by id) to training shards of ~``budget``
     tokens: ``shard_id = floor(exclusive_prefix_sum(n_tokens) /
     budget)`` — the window-function contract
     ``floor((SUM(n) OVER (ORDER BY id) - n) / budget)``.
+
+    ``counts_source`` lets the counts pass ride on an upstream profile
+    instead of re-reading and re-tokenizing the corpus: any source
+    with ``(id_col, n_tokens)`` columns works — e.g. the output of
+    :func:`gopher_stats`, :func:`full_profile` or ``quality_stats``.
+    Note the profile ops split on single spaces (the oracle
+    convention) while the built-in counter splits on whitespace runs
+    (``\\S+``): counts agree on single-space-separated text; for text
+    with tabs/newlines the choice of counts source IS the choice of
+    token definition. When given, ``source`` is ignored.
 
     Distributed two-pass prefix scan:
 
@@ -536,10 +547,17 @@ def pack_shards(
         )
         return pa.table({id_col: batch[id_col], "n_tokens": n})
 
-    ds = _as_dataset(source, columns=[id_col, text_col])
-    cnts = ds.map_batches(
-        counts, batch_format="pyarrow", batch_size=batch_size
-    ).materialize()
+    if counts_source is not None:
+        cnts = (
+            _as_dataset(counts_source, columns=[id_col, "n_tokens"])
+            .select_columns([id_col, "n_tokens"])
+            .materialize()
+        )
+    else:
+        ds = _as_dataset(source, columns=[id_col, text_col])
+        cnts = ds.map_batches(
+            counts, batch_format="pyarrow", batch_size=batch_size
+        ).materialize()
 
     # deterministic ~1/1024 id sample → quantile bucket boundaries
     def sample_ids(batch: pa.Table) -> pa.Table:

@@ -333,6 +333,23 @@ def test_full_profile_matches_standalone_ops(ray_session):
     assert fused["n_tokens"].tolist() == q["n_tokens"].tolist()
 
 
+def test_pack_shards_rides_on_profile_counts(ray_session):
+    from data_validator_ray.pipelines.curation import pack_shards
+
+    texts = ["a b c", "d e", "f g h i", "j", "k l m"]
+    tbl = _docs(texts)
+    direct = (
+        pack_shards(tbl, budget=4, num_buckets=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    counts = gopher_stats(tbl)  # wider table; pack_shards selects cols
+    fused = (
+        pack_shards(None, budget=4, num_buckets=2, counts_source=counts)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, fused)
+
+
 def test_full_profile_empty_benchmark(ray_session):
     from data_validator_ray.pipelines.curation import full_profile
 
