@@ -487,6 +487,45 @@ def domain_sample(
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
 
 
+def assign_splits(
+    source: Any,
+    splits: "Optional[Dict[str, int]]" = None,
+    id_col: str = "doc_id",
+    *,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic train/val/test assignment: hash each id with the
+    Knuth multiplicative constant and slice ``[0, 1000)`` into
+    consecutive per-mille bands, one per split (insertion order).
+    Same RNG-free contract as :func:`domain_sample` — re-runnable,
+    resumable, exactly expressible in SQL, and stable under
+    repartitioning (the label depends only on the id, never on row
+    order or worker count).
+
+    ``splits`` maps name → per-mille width (must sum to ≤ 1000; ids
+    hashing past the last band get the FIRST split — train absorbs
+    the remainder). Default ``{"train": 980, "val": 10, "test": 10}``.
+    Output: every input column plus ``split``.
+    """
+    bands = dict(splits or {"train": 980, "val": 10, "test": 10})
+    if sum(bands.values()) > 1000:
+        raise ValueError("split per-mille widths must sum to <= 1000")
+    names = list(bands)
+    edges = np.cumsum([0] + [bands[n] for n in names])  # len = #splits+1
+
+    def label(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * KNUTH) % 1000
+        # band index; h >= edges[-1] falls back to split 0
+        idx = np.searchsorted(edges, h, side="right") - 1
+        idx[idx >= len(names)] = 0
+        lab = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(lab, pa.string()))
+
+    ds = _as_dataset(source, columns=None)
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=batch_size)
+
+
 # --------------------------------------------------------------------------- #
 # token-budget shard packing                                                  #
 # --------------------------------------------------------------------------- #

@@ -1079,6 +1079,18 @@ def q_full_profile_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_assign_splits_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split labels (Knuth-hash per-mille
+    bands — RNG-free, stable under repartitioning)."""
+    from .curation import assign_splits
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    out = assign_splits(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_top_values_events_user(sf_dir: str) -> pd.DataFrame:
     """Exact top-10 most frequent user_ids in events (heavy hitters,
     two-level exact count; ties break by value asc)."""
@@ -1181,6 +1193,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "curation_profile_documents": q_curation_profile_documents,
         "full_profile_documents": q_full_profile_documents,
+        "assign_splits_documents": q_assign_splits_documents,
         "top_values_events_user": q_top_values_events_user,
         "misra_gries_events_user": q_misra_gries_events_user,
         "histogram_events_value": q_histogram_events_value,
@@ -1423,6 +1436,13 @@ def oracle_sql() -> Dict[str, str]:
         "pack_shards_documents": _PACK_SHARDS_SQL,
         "curation_profile_documents": _CURATION_PROFILE_SQL,
         "full_profile_documents": _FULL_PROFILE_SQL,
+        "assign_splits_documents": (
+            "WITH h AS (SELECT doc_id,"
+            " (doc_id * 2654435761) % 1000 AS hh FROM documents) "
+            "SELECT doc_id, CASE WHEN hh < 980 THEN 'train'"
+            " WHEN hh < 990 THEN 'val' ELSE 'test' END AS split"
+            " FROM h ORDER BY doc_id"
+        ),
         "top_values_events_user": (
             "SELECT user_id AS value, COUNT(*)::BIGINT AS n FROM events"
             " GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 10"

@@ -350,6 +350,30 @@ def test_pack_shards_rides_on_profile_counts(ray_session):
     pd.testing.assert_frame_equal(direct, fused)
 
 
+def test_assign_splits_bands_and_remainder(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.curation import KNUTH, assign_splits
+
+    ids = list(range(200))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = (
+        assign_splits(tbl, {"a": 500, "b": 200})
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    h = (np.array(ids, np.int64) * KNUTH) % 1000
+    want = np.where(h < 500, "a", np.where(h < 700, "b", "a"))
+    assert out["split"].tolist() == want.tolist()
+    # default bands cover everything, deterministic across calls
+    d1 = assign_splits(tbl).to_pandas().sort_values("doc_id")
+    d2 = assign_splits(tbl).to_pandas().sort_values("doc_id")
+    assert d1["split"].tolist() == d2["split"].tolist()
+    assert set(d1["split"]) <= {"train", "val", "test"}
+    with _pytest.raises(ValueError):
+        assign_splits(tbl, {"a": 600, "b": 600})
+
+
 def test_full_profile_empty_benchmark(ray_session):
     from data_validator_ray.pipelines.curation import full_profile
 
