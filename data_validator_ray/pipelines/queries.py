@@ -1079,6 +1079,17 @@ def q_full_profile_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_top_ngrams_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus top-20 bigrams (boilerplate statistic; combiner
+    per batch, global sum, (count desc, text asc) tie-break)."""
+    from .text import top_ngrams
+
+    out = top_ngrams(
+        f"{sf_dir}/documents.parquet", n=2, k=20
+    ).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def q_assign_splits_documents(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test split labels (Knuth-hash per-mille
     bands — RNG-free, stable under repartitioning)."""
@@ -1194,6 +1205,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "curation_profile_documents": q_curation_profile_documents,
         "full_profile_documents": q_full_profile_documents,
         "assign_splits_documents": q_assign_splits_documents,
+        "top_ngrams_documents": q_top_ngrams_documents,
         "top_values_events_user": q_top_values_events_user,
         "misra_gries_events_user": q_misra_gries_events_user,
         "histogram_events_value": q_histogram_events_value,
@@ -1436,6 +1448,16 @@ def oracle_sql() -> Dict[str, str]:
         "pack_shards_documents": _PACK_SHARDS_SQL,
         "curation_profile_documents": _CURATION_PROFILE_SQL,
         "full_profile_documents": _FULL_PROFILE_SQL,
+        "top_ngrams_documents": (
+            "WITH base AS (SELECT list_filter(string_split("
+            "coalesce(text, ''), ' '), x -> x <> '') AS toks"
+            " FROM documents),"
+            " g AS (SELECT unnest(list_transform("
+            "generate_series(1, len(toks) - 1),"
+            " i -> toks[i] || ' ' || toks[i+1])) AS ngram FROM base) "
+            "SELECT ngram, COUNT(*)::BIGINT AS n FROM g"
+            " GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20"
+        ),
         "assign_splits_documents": (
             "WITH h AS (SELECT doc_id,"
             " (doc_id * 2654435761) % 1000 AS hh FROM documents) "

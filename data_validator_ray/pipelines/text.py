@@ -466,6 +466,76 @@ def token_doc_freq(
     return out
 
 
+def top_ngrams(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    k: int = 20,
+    capacity: Optional[int] = None,
+    batch_size: int = 8192,
+) -> "pa.Table":
+    """Corpus-level top-k most frequent token n-grams (with repeats —
+    the boilerplate / template-phrase statistic). Deterministic
+    tie-break by n-gram text asc.
+
+    Exact by default: in-batch polars explode + shifted-concat n-gram
+    build + per-batch counts (the combiner), global groupby sum,
+    driver-side top-k over the (small) merged vocabulary. With
+    ``capacity`` set, each batch Misra-Gries-compresses to ≤ capacity
+    counters before the shuffle (the unbounded-vocabulary scale tier;
+    counts become lower bounds, any n-gram with per-batch frequency >
+    batch_ngrams/(capacity+1) is guaranteed present).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex, _ = _exploded_tokens(batch[text_col])
+        shifted = ex.with_columns(
+            pl.concat_str(
+                [pl.col("t").shift(-i) for i in range(n)], separator=" "
+            ).alias("g"),
+            # rows are doc-contiguous: same doc n-1 ahead ⇒ the whole
+            # n-gram sits inside one doc
+            (pl.col("doc") == pl.col("doc").shift(-(n - 1))).alias("ok"),
+        )
+        counts = (
+            shifted.filter(pl.col("ok").fill_null(False))
+            .group_by("g")
+            .len()
+        )
+        vals = counts["g"].to_list()
+        cnt = counts["len"].to_numpy().astype(np.int64)
+        if capacity is not None and len(cnt) > capacity:
+            delta = np.partition(cnt, -capacity - 1)[-capacity - 1]
+            keep = cnt > delta
+            vals = [v for v, m in zip(vals, keep) if m]
+            cnt = cnt[keep] - delta
+        return pa.table(
+            {
+                "ngram": pa.array(vals, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded (capacity × #batches if capped)
+    )
+    top = (
+        merged.sort_values(["n", "ngram"], ascending=[False, True],
+                           kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["n"] = top["n"].astype(np.int64)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def compression_stats(
     source: Any,
     id_col: str = "doc_id",

@@ -321,6 +321,59 @@ def test_token_doc_freq(ray_session):
     assert len(out2) == 0
 
 
+def test_top_ngrams_exact(ray_session):
+    import pyarrow as pa
+    from data_validator_ray.pipelines.text import top_ngrams
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a b a b c",        # "a b" x2, "b a" x1, "b c" x1
+            "a b",              # "a b" x1 — no cross-doc "c a"!
+            "x",                # too short for a bigram
+        ]),
+    })
+    out = top_ngrams(tbl, n=2, k=10).to_pandas()
+    assert out["ngram"].tolist() == ["a b", "b a", "b c"]
+    assert out["n"].tolist() == [3, 1, 1]
+    # trigram + tie-break by text asc among count ties
+    out3 = top_ngrams(tbl, n=3, k=10).to_pandas()
+    # doc0 trigrams: "a b a", "b a b", "a b c" — ties order by text asc
+    assert out3["ngram"].tolist() == ["a b a", "a b c", "b a b"]
+    assert out3["n"].tolist() == [1, 1, 1]
+
+
+def test_top_ngrams_no_cross_doc(ray_session):
+    import pyarrow as pa
+    from data_validator_ray.pipelines.text import top_ngrams
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["p q", "r s"]),
+    })
+    out = top_ngrams(tbl, n=2, k=10).to_pandas()
+    # "q r" must NOT appear (doc boundary)
+    assert set(out["ngram"]) == {"p q", "r s"}
+
+
+def test_top_ngrams_capacity_keeps_heavy_hitter(ray_session):
+    import pyarrow as pa
+    from data_validator_ray.pipelines.text import top_ngrams
+
+    texts = ["the cat " * 50] * 4 + [f"u{i} v{i}" for i in range(40)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = top_ngrams(tbl, n=2, k=3, capacity=8).to_pandas()
+    assert out["ngram"].iloc[0] in {"the cat", "cat the"}
+    exact = top_ngrams(tbl, n=2, k=3).to_pandas()
+    # capped counts are lower bounds of the exact ones
+    m = dict(zip(exact["ngram"], exact["n"]))
+    for ng, c in zip(out["ngram"], out["n"]):
+        assert c <= m[ng]
+
+
 def test_compression_stats(ray_session):
     import zlib
 
