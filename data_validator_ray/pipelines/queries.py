@@ -711,6 +711,25 @@ def q_hopping_window_user_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def q_hash_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    """Large-×-large shuffle hash join (lineitem ⋈ orders on
+    orderkey): both sides bucket on the key hash, one vectorized
+    merge per bucket."""
+    from .relational import hash_join
+
+    out = hash_join(
+        f"{sf_dir}/lineitem.parquet",
+        f"{sf_dir}/orders.parquet",
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_linenumber", "l_quantity"],
+        right_cols=["o_custkey", "o_totalprice"],
+    ).to_pandas()
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber"]
+    ).reset_index(drop=True)
+
+
 def q_broadcast_join_events(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment: events joined to the (small) customer
     table via one broadcast + per-batch searchsorted probe — no
@@ -1224,6 +1243,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_quantiles_events": q_grouped_quantiles_events,
         "hopping_window_events": q_hopping_window_events,
         "hopping_window_user_events": q_hopping_window_user_events,
+        "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
     }
 
 
@@ -1488,6 +1508,12 @@ def oracle_sql() -> Dict[str, str]:
         "sessionize_events": _SESSIONIZE_SQL,
         "hopping_window_events": _HOPPING_WINDOW_SQL,
         "hopping_window_user_events": _HOPPING_WINDOW_USER_SQL,
+        "hash_join_lineitem_orders": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,"
+            " o.o_custkey, o.o_totalprice"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " ORDER BY l.l_orderkey, l.l_linenumber"
+        ),
         "broadcast_join_events": (
             "SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey"
             " FROM events e JOIN customer c ON e.user_id = c.c_custkey"

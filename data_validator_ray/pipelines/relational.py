@@ -210,6 +210,89 @@ def asof_join(
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def hash_join(
+    left: Any,
+    right: Any,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    num_buckets: int = 64,
+) -> Dataset:
+    """Large-×-large inner equi-join via ONE hash-bucketed shuffle of
+    each side (the shuffle-join tier; for a small right side use
+    :func:`broadcast_join` — no shuffle at all).
+
+    Both sides bucket on ``hash(key) % num_buckets`` so equal keys
+    co-locate, then each bucket runs ONE vectorized ``pd.merge``
+    handling all its keys (the bucketed-groupby pattern: per-group
+    overhead is O(#buckets), never O(#keys)). Duplicate keys on both
+    sides produce the full per-key cross product, as in SQL.
+
+    Output columns: ``[left_key] + left_cols + right_cols`` (names
+    must be disjoint; the right key is dropped — it equals the left).
+    NULL keys never match and are dropped (SQL semantics). Keys must
+    share a comparable dtype across sides (the right key is cast to
+    the left key's type). Partitioning assumption (documented): each
+    bucket fits one worker — raise ``num_buckets`` at scale; salt a
+    pathologically hot key upstream if one key's cross product alone
+    exceeds a worker.
+    """
+    l_extra = [c for c in left_cols if c != left_key]
+    r_extra = [c for c in right_cols if c != right_key]
+    if set(l_extra) & set(r_extra):
+        raise ValueError("left/right output columns must be disjoint")
+    l_ds = _as_dataset(left, columns=[left_key] + l_extra)
+    r_ds = _as_dataset(right, columns=[right_key] + r_extra)
+
+    l_schema = l_ds.schema()
+    r_schema = r_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    key_type = l_types[left_key]
+
+    def norm_typed(side: int, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch[key]))
+            cols = {
+                "__key": pc.cast(batch[key], key_type),
+                "__side": pa.array(np.full(batch.num_rows, side, np.int8)),
+            }
+            for c in l_extra:
+                cols[c] = (
+                    batch[c] if side == 0 else pa.nulls(batch.num_rows, l_types[c])
+                )
+            for c in r_extra:
+                cols[c] = (
+                    batch[c] if side == 1 else pa.nulls(batch.num_rows, r_types[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    tagged = l_ds.map_batches(
+        norm_typed(0, left_key), batch_format="pyarrow"
+    ).union(r_ds.map_batches(norm_typed(1, right_key), batch_format="pyarrow"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lft = df.loc[df.__side == 0, ["__key"] + l_extra]
+        rgt = df.loc[df.__side == 1, ["__key"] + r_extra]
+        if len(lft) == 0 or len(rgt) == 0:
+            return df.iloc[0:0].drop(columns="__side")
+        return pd.merge(lft, rgt, on="__key", how="inner")
+
+    out = bucketed_groupby(tagged, ["__key"], per_bucket, num_buckets=num_buckets)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = [
+            left_key if c == "__key" else c for c in batch.column_names
+        ]
+        return batch.rename_columns(names)
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def range_join_broadcast(
     source: Any,
     intervals: pd.DataFrame,

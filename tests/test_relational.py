@@ -359,6 +359,47 @@ def test_hopping_window_covering_count(ray_session):
     assert (deltas == np.timedelta64(900, "s")).all()
 
 
+def test_hash_join_cross_product_and_nulls(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import hash_join
+
+    left = pa.table({
+        "lk": pa.array([1, 1, 2, 3, None], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 1, 2, None], pa.int64()),
+        "rv": pa.array([10.0, 20.0, 30.0, 99.0], pa.float64()),
+    })
+    out = (
+        hash_join(
+            left, right,
+            left_key="lk", right_key="rk",
+            left_cols=["lv"], right_cols=["rv"],
+            num_buckets=4,
+        )
+        .to_pandas().sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
+    )
+    # key 1: 2×2 cross product; key 2: 1×1; key 3 + NULLs: no match
+    assert out["lk"].tolist() == [1, 1, 1, 1, 2]
+    assert out["lv"].tolist() == ["a", "a", "b", "b", "c"]
+    assert out["rv"].tolist() == [10.0, 20.0, 10.0, 20.0, 30.0]
+
+
+def test_hash_join_rejects_column_collision(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.relational import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    with _pytest.raises(ValueError):
+        hash_join(t, t, left_key="k", right_key="k",
+                  left_cols=["v"], right_cols=["v"])
+
+
 def test_hopping_window_per_key(ray_session):
     import numpy as np
     import pyarrow as pa
