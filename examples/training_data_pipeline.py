@@ -13,12 +13,13 @@ import ray
 
 from data_validator_ray import RayDataValidator, ValidationConfig, ValidationRule
 from data_validator_ray.pipelines.curation import (
+    assign_splits,
     decontaminate,
     domain_sample,
+    full_profile,
     pack_shards,
 )
 from data_validator_ray.pipelines.dedup import near_dup_dedup
-from data_validator_ray.pipelines.text import text_profile
 
 
 def main(sf_dir: str, out_dir: str) -> None:
@@ -76,16 +77,25 @@ def main(sf_dir: str, out_dir: str) -> None:
         #    resumable/re-runnable by construction)
         mixed = domain_sample(surviving, {"src0": 500}, default_permille=900)
 
-        # 6. per-doc profile (quality + language + fingerprint, one pass)
-        profiled = text_profile(mixed)
+        # 6. EVERY per-doc signal in one pass (quality + language +
+        #    fingerprint + Gopher + PII + decontamination columns)
+        profiled = full_profile(mixed, bench).materialize()
 
-        # 7. token-budget shards for the trainer
-        shards = pack_shards(mixed, budget=2048)
+        # 7. token-budget shards for the trainer — the counts pass
+        #    rides on the profile (no corpus re-read / re-tokenize)
+        shards = pack_shards(None, budget=2048, counts_source=profiled)
 
-        # 8. curated output (partitioned parquet — resumable layout)
+        # 8. deterministic train/val/test labels (hash bands — stable
+        #    under resume and repartitioning)
+        splits = assign_splits(mixed)
+
+        # 9. curated output (partitioned parquet — resumable layout)
         profiled.write_parquet(f"{out_dir}/profile")
         shards.write_parquet(f"{out_dir}/shards")
-        print(f"curated profile + shard map written to {out_dir}")
+        splits.select_columns(["doc_id", "split"]).write_parquet(
+            f"{out_dir}/splits"
+        )
+        print(f"curated profile + shard map + splits written to {out_dir}")
     finally:
         ray.shutdown()
 
