@@ -711,6 +711,37 @@ def q_hopping_window_user_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def q_anti_join_events_customer(sf_dir: str) -> pd.DataFrame:
+    """Blocklist filter: events whose user_id has NO customer row
+    (broadcast anti-semi-join — the big side never shuffles)."""
+    from .relational import anti_join_broadcast
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    # blocklist: every third customer id (the full customer table
+    # covers all event users at this sf — the anti-join would be empty)
+    block = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).filter(lambda r: r["c_custkey"] % 3 == 0)
+    out = anti_join_broadcast(
+        ev, block, key_col="user_id", block_key="c_custkey"
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_pivot_counts_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type breakdown as fixed pivot columns (one-hot
+    sums per batch, plain Sum merge — no post-shuffle pivot)."""
+    from .relational import pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = pivot_counts(
+        f"{sf_dir}/events.parquet", "user_id", "event_type", cats
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_hash_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
     """Large-×-large shuffle hash join (lineitem ⋈ orders on
     orderkey): both sides bucket on the key hash, one vectorized
@@ -1244,6 +1275,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "hopping_window_events": q_hopping_window_events,
         "hopping_window_user_events": q_hopping_window_user_events,
         "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
+        "anti_join_events_customer": q_anti_join_events_customer,
+        "pivot_counts_events": q_pivot_counts_events,
     }
 
 
@@ -1513,6 +1546,26 @@ def oracle_sql() -> Dict[str, str]:
             " o.o_custkey, o.o_totalprice"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
             " ORDER BY l.l_orderkey, l.l_linenumber"
+        ),
+        "anti_join_events_customer": (
+            "SELECT event_id, user_id FROM events e"
+            " WHERE NOT EXISTS (SELECT 1 FROM customer c"
+            "   WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 = 0)"
+            " ORDER BY event_id"
+        ),
+        "pivot_counts_events": (
+            "SELECT user_id,"
+            " COUNT(*) FILTER (WHERE event_type = 'click')::BIGINT"
+            "   AS n_click,"
+            " COUNT(*) FILTER (WHERE event_type = 'error')::BIGINT"
+            "   AS n_error,"
+            " COUNT(*) FILTER (WHERE event_type = 'purchase')::BIGINT"
+            "   AS n_purchase,"
+            " COUNT(*) FILTER (WHERE event_type = 'signup')::BIGINT"
+            "   AS n_signup,"
+            " COUNT(*) FILTER (WHERE event_type = 'view')::BIGINT"
+            "   AS n_view"
+            " FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "broadcast_join_events": (
             "SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey"

@@ -430,6 +430,100 @@ def sessionize(
     )
 
 
+def anti_join_broadcast(
+    source: Any,
+    blocklist: Any,
+    *,
+    key_col: str,
+    block_key: Optional[str] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Blocklist filter (NOT IN / anti-semi-join): keep source rows
+    whose key does NOT appear in the blocklist. The blocklist is
+    collected once, sorted, broadcast via ONE ``ray.put``, and each
+    batch probes it with ``np.searchsorted`` — the big side never
+    shuffles (the documented small-side assumption: opt-out lists,
+    banned domains, leaked-benchmark ids are tiny next to the corpus;
+    for a blocklist too big to broadcast, use :func:`hash_join`
+    machinery with an anti flag per bucket instead).
+
+    SQL ``NOT IN`` nuance handled the pragmatic way: NULL source keys
+    are KEPT (they match nothing), and NULL blocklist entries are
+    ignored — i.e. ``anti join`` / ``NOT EXISTS`` semantics, not the
+    three-valued ``NOT IN`` footgun.
+    """
+    bk = block_key or key_col
+    bl = _as_dataset(blocklist, columns=[bk]).to_pandas()
+    # an empty Ray dataset drops its schema → defend the column access
+    col = bl[bk] if bk in bl.columns else pd.Series([], dtype=object)
+    keys = np.sort(col.dropna().unique())
+    keys_ref = ray.put(keys)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        v = batch[key_col].to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(v)
+        hit = np.zeros(len(v), bool)
+        if valid.any() and len(ks):
+            idx = np.searchsorted(ks, v[valid])
+            idx[idx >= len(ks)] = 0
+            hit[valid] = ks[idx] == v[valid]
+        return batch.filter(pa.array(~hit, pa.bool_()))
+
+    ds = _as_dataset(source, columns=None)
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+
+
+def pivot_counts(
+    source: Any,
+    key_col: str,
+    cat_col: str,
+    categories: List[str],
+    *,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Pivoted categorical counts: one row per key with a ``n_<cat>``
+    int64 column per listed category (e.g. per-user event-type
+    breakdown). Categories outside the list are ignored; the column
+    set is FIXED up front so the schema is stable and the combiner
+    stays one vectorized pass.
+
+    Scale shape: each batch one-hot-sums per key (pyarrow
+    ``group_by`` over boolean casts — the combiner), the global
+    groupby then merges ≤ #keys × #batches partial rows with plain
+    Sums. No pivot stage after the shuffle — the wide layout exists
+    from the first pass."""
+    from ray.data.aggregate import Sum
+
+    names = [f"n_{c}" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch[cat_col]
+        cols = {key_col: batch[key_col]}
+        for c, nm in zip(categories, names):
+            cols[nm] = pc.cast(
+                pc.fill_null(pc.equal(cat, c), False), pa.int64()
+            )
+        t = pa.table(cols)
+        g = t.group_by(key_col).aggregate([(nm, "sum") for nm in names])
+        return g.rename_columns([key_col] + names)
+
+    ds = _as_dataset(source, columns=[key_col, cat_col])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(key_col)
+        .aggregate(*[Sum(nm, alias_name=nm) for nm in names])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col]}
+        for nm in names:
+            cols[nm] = pc.cast(batch[nm], pa.int64())
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def grouped_approx_distinct(
     source: Any,
     group_col: str,

@@ -359,6 +359,58 @@ def test_hopping_window_covering_count(ray_session):
     assert (deltas == np.timedelta64(900, "s")).all()
 
 
+def test_anti_join_broadcast_semantics(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import anti_join_broadcast
+
+    src = pa.table({
+        "k": pa.array([1, 2, 3, None], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"]),
+    })
+    block = pa.table({"bk": pa.array([2, None], pa.int64())})
+    out = (
+        anti_join_broadcast(src, block, key_col="k", block_key="bk")
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    # k=2 blocked; NULL source key KEPT (anti-join semantics, not the
+    # three-valued NOT IN); NULL blocklist entry ignored
+    assert out["v"].tolist() == ["a", "c", "d"]
+    # empty blocklist keeps everything
+    empty = pa.table({"bk": pa.array([], pa.int64())})
+    out2 = anti_join_broadcast(src, empty, key_col="k", block_key="bk")
+    assert out2.count() == 4
+
+
+def test_anti_join_broadcast_string_keys(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import anti_join_broadcast
+
+    src = pa.table({"d": pa.array(["x.com", "y.com", "z.com"])})
+    block = pa.table({"d": pa.array(["y.com"])})
+    out = anti_join_broadcast(src, block, key_col="d").to_pandas()
+    assert sorted(out["d"]) == ["x.com", "z.com"]
+
+
+def test_pivot_counts(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import pivot_counts
+
+    tbl = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "t": pa.array(["a", "a", "b", "b", None, "zzz"]),
+    })
+    out = (
+        pivot_counts(tbl, "u", "t", ["a", "b"])
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert out["u"].tolist() == [1, 2, 3]
+    assert out["n_a"].tolist() == [2, 0, 0]
+    assert out["n_b"].tolist() == [1, 1, 0]  # NULL and unlisted ignored
+
+
 def test_hash_join_cross_product_and_nulls(ray_session):
     import pyarrow as pa
 
