@@ -1201,6 +1201,34 @@ def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_exact_quantiles_events(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group continuous quantiles (bit-exact vs DuckDB
+    quantile_cont; the t-digest tier's exact counterpart)."""
+    from .relational import grouped_exact_quantiles
+
+    out = grouped_exact_quantiles(
+        f"{sf_dir}/events.parquet", "event_type", "value",
+        quantiles=(0.25, 0.5, 0.75, 0.95),
+    ).to_pandas()
+    for c in ("p25", "p50", "p75", "p95"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_iqr_outliers_events(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier rows per event_type (exact grouped
+    quantiles → broadcast fences → one flagging pass)."""
+    from .relational import iqr_outliers
+
+    out = iqr_outliers(
+        f"{sf_dir}/events.parquet", "event_type", "value",
+        ["event_id"], k=1.5,
+    ).to_pandas()
+    out = out[["event_id", "event_type", "value"]]
+    out["value"] = out["value"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1277,6 +1305,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
         "anti_join_events_customer": q_anti_join_events_customer,
         "pivot_counts_events": q_pivot_counts_events,
+        "exact_quantiles_events": q_exact_quantiles_events,
+        "iqr_outliers_events": q_iqr_outliers_events,
     }
 
 
@@ -1573,6 +1603,25 @@ def oracle_sql() -> Dict[str, str]:
             " ORDER BY e.event_id"
         ),
         "group_sample_documents": _GROUP_SAMPLE_SQL,
+        "exact_quantiles_events": (
+            "SELECT event_type,"
+            " ROUND(quantile_cont(value, 0.25), 6) AS p25,"
+            " ROUND(quantile_cont(value, 0.50), 6) AS p50,"
+            " ROUND(quantile_cont(value, 0.75), 6) AS p75,"
+            " ROUND(quantile_cont(value, 0.95), 6) AS p95"
+            " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "iqr_outliers_events": (
+            "WITH q AS (SELECT event_type,"
+            " quantile_cont(value, 0.25) AS q1,"
+            " quantile_cont(value, 0.75) AS q3"
+            " FROM events GROUP BY event_type)"
+            " SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value"
+            " FROM events e JOIN q USING (event_type)"
+            " WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)"
+            "    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)"
+            " ORDER BY e.event_id"
+        ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings

@@ -514,3 +514,81 @@ def test_hopping_window_rejects_non_divisible(ray_session):
                       "value": pa.array([], pa.float64())}),
             "ts", "value", window_seconds=3600, hop_seconds=1000,
         )
+
+
+def test_grouped_exact_quantiles_matches_duckdb(ray_session):
+    """Bit-exact parity with quantile_cont, incl. NULL handling."""
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import grouped_exact_quantiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 200),
+            "v": rng.normal(size=200),
+        }
+    )
+    df.loc[df.index[:10], "v"] = None  # some null values
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["allnull", "allnull"], "v": [None, None]})],
+        ignore_index=True,
+    )
+    out = (
+        grouped_exact_quantiles(
+            ray.data.from_pandas(df), "g", "v", quantiles=(0.25, 0.5, 0.9)
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        "SELECT g, quantile_cont(v, 0.25) p25, quantile_cont(v, 0.5) p50,"
+        " quantile_cont(v, 0.9) p90 FROM t GROUP BY g ORDER BY g"
+    ).df()
+    assert list(out.g) == list(ref.g)
+    for mine, theirs in (("p25", "p25"), ("p50", "p50"), ("p90", "p90")):
+        a, b = out[mine].to_numpy(), ref[theirs].to_numpy()
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert np.all(both_nan | (a == b))  # bit-exact where defined
+
+
+def test_grouped_exact_quantiles_single_value_group(ray_session):
+    from data_validator_ray.pipelines.relational import grouped_exact_quantiles
+
+    df = pd.DataFrame({"g": ["a"], "v": [3.5]})
+    out = grouped_exact_quantiles(
+        ray.data.from_pandas(df), "g", "v", quantiles=(0.0, 0.5, 1.0)
+    ).to_pandas()
+    assert out.iloc[0].p0 == 3.5 and out.iloc[0].p50 == 3.5 and out.iloc[0].p100 == 3.5
+
+
+def test_iqr_outliers_flags_and_null_safety(ray_session):
+    from data_validator_ray.pipelines.relational import iqr_outliers
+
+    df = pd.DataFrame(
+        {
+            "id": range(12),
+            "g": ["a"] * 10 + ["a", None],
+            "v": [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 1000.0, 5.0],
+        }
+    )
+    df.loc[3, "v"] = None  # null value never flags
+    out = (
+        iqr_outliers(ray.data.from_pandas(df), "g", "v", ["id"], k=1.5)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(out.id) == [10]  # only the 1000.0 spike
+    assert out.iloc[0].fence_lo < out.iloc[0].fence_hi
+
+
+def test_iqr_outliers_empty_fences(ray_session):
+    from data_validator_ray.pipelines.relational import iqr_outliers
+
+    df = pd.DataFrame({"id": [1, 2], "g": ["a", "b"], "v": [None, None]})
+    out = iqr_outliers(ray.data.from_pandas(df), "g", "v", ["id"]).to_pandas()
+    assert len(out) == 0
