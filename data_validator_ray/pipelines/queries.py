@@ -1229,6 +1229,30 @@ def q_iqr_outliers_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_psi_events_split(sf_dir: str) -> pd.DataFrame:
+    """Fixed-bin PSI between the even- and odd-event_id halves of
+    events (the oracle-exact drift tier: fixed edges, searchsorted
+    membership = SQL count-of-edges<=v; no division on either side)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import psi_fixed_bins
+
+    edges = [float(x) for x in range(0, 101, 10)]
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return psi_fixed_bins(side(0), side(1), "value", edges).to_pandas()
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1307,6 +1331,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pivot_counts_events": q_pivot_counts_events,
         "exact_quantiles_events": q_exact_quantiles_events,
         "iqr_outliers_events": q_iqr_outliers_events,
+        "psi_events_split": q_psi_events_split,
     }
 
 
@@ -1621,6 +1646,32 @@ def oracle_sql() -> Dict[str, str]:
             " WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)"
             "    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)"
             " ORDER BY e.event_id"
+        ),
+        "psi_events_split": (
+            # bin = count of edges <= v (searchsorted right), 12 bins
+            # over interior edges 0,10,..,100; comparison-based (no
+            # division) so membership is bit-exact vs the engine
+            "WITH edges AS (SELECT [0.0,10.0,20.0,30.0,40.0,50.0,60.0,"
+            "70.0,80.0,90.0,100.0] AS e), "
+            "b AS (SELECT len(list_filter((SELECT e FROM edges), "
+            "x -> value >= x)) AS bin FROM events "
+            "WHERE event_id % 2 = 0 AND value IS NOT NULL), "
+            "c AS (SELECT len(list_filter((SELECT e FROM edges), "
+            "x -> value >= x)) AS bin FROM events "
+            "WHERE event_id % 2 = 1 AND value IS NOT NULL), "
+            "grid AS (SELECT unnest(generate_series(0, 11)) AS bin), "
+            "bn AS (SELECT grid.bin, GREATEST(COALESCE(cnt, 0), 1e-6) AS n "
+            "FROM grid LEFT JOIN (SELECT bin, COUNT(*)::DOUBLE AS cnt "
+            "FROM b GROUP BY bin) t USING (bin)), "
+            "cn AS (SELECT grid.bin, GREATEST(COALESCE(cnt, 0), 1e-6) AS n "
+            "FROM grid LEFT JOIN (SELECT bin, COUNT(*)::DOUBLE AS cnt "
+            "FROM c GROUP BY bin) t USING (bin)), "
+            "bp AS (SELECT bin, n / SUM(n) OVER () AS p FROM bn), "
+            "cp AS (SELECT bin, n / SUM(n) OVER () AS p FROM cn) "
+            "SELECT (SELECT COUNT(*) FROM b)::BIGINT AS n_base, "
+            "(SELECT COUNT(*) FROM c)::BIGINT AS n_current, "
+            "ROUND(SUM((cp.p - bp.p) * LN(cp.p / bp.p)), 6) AS psi_value "
+            "FROM bp JOIN cp USING (bin)"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -275,3 +275,62 @@ class DriftKernel(CheckKernel):
             "stat": round(stat, 6),
             "max_value": self.max_value,
         }
+
+
+def psi_fixed_bins(
+    source_base: Any,
+    source_current: Any,
+    value_col: str,
+    edges: List[float],
+    *,
+    batch_size: int = 64 * 1024,
+) -> "pa.Table":
+    """Population Stability Index between two datasets over FIXED,
+    caller-supplied bin edges — the oracle-exact sibling of the
+    equi-depth/t-digest :class:`DriftKernel` tier (fixed edges are
+    SQL-expressible; t-digest edges are not).
+
+    ``edges`` are interior cut points: ``len(edges)+1`` bins, open at
+    both extremes, ``searchsorted(side="right")`` membership (a value
+    equal to an edge falls in the bin BELOW it, matching the SQL
+    formulation ``count of edges <= v``). Each side reduces in one
+    streaming ``map_batches`` pass to per-batch count vectors (one row
+    of ``len(edges)+1`` ints per batch — row-count-independent
+    exchange); the driver sums them and applies the standard
+    clip(1e-6)+renormalize PSI. NULL values drop.
+
+    Returns a one-row ``pa.Table``: ``n_base, n_current, psi_value``
+    (psi rounded to 6, the engine's float-hash convention)."""
+    import ray.data
+
+    from ..pipelines.dedup import _as_dataset
+
+    e = np.asarray(edges, dtype=np.float64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vals = _numeric_values(batch, value_col)
+        c = histogram_counts(vals, e)
+        return pa.table({"counts": pa.array([c.tolist()], pa.list_(pa.int64()))})
+
+    def side_counts(src: Any) -> np.ndarray:
+        ds = _as_dataset(src, columns=[value_col])
+        part = ds.map_batches(
+            partials, batch_format="pyarrow", batch_size=batch_size
+        )
+        total = np.zeros(len(e) + 1, dtype=np.int64)
+        for r in part.take_all():
+            total += np.asarray(r["counts"], dtype=np.int64)
+        return total
+
+    cb = side_counts(source_base)
+    cc = side_counts(source_current)
+    return pa.table(
+        {
+            "n_base": pa.array([int(cb.sum())], pa.int64()),
+            "n_current": pa.array([int(cc.sum())], pa.int64()),
+            "psi_value": pa.array(
+                [round(psi(cb.astype(np.float64), cc.astype(np.float64)), 6)],
+                pa.float64(),
+            ),
+        }
+    )

@@ -141,3 +141,42 @@ def test_drift_bad_params_error_result(ray_session):
     assert not r.passed
     assert r.failed_count == -1 and r.total_count == -1
     assert "Rule execution failed" in r.message
+
+
+# --------------------------------------------------------------------------- #
+# psi_fixed_bins (oracle-exact fixed-edge tier)                               #
+# --------------------------------------------------------------------------- #
+
+
+def test_psi_fixed_bins_identical_sides(ray_session):
+    from data_validator_ray.stages.drift import psi_fixed_bins
+
+    df = pd.DataFrame({"v": np.linspace(0.0, 99.0, 500)})
+    out = psi_fixed_bins(df, df.copy(), "v", [25.0, 50.0, 75.0])
+    row = out.to_pylist()[0]
+    assert row["n_base"] == 500 and row["n_current"] == 500
+    assert row["psi_value"] == 0.0
+
+
+def test_psi_fixed_bins_edge_membership_and_nulls(ray_session):
+    # a value EQUAL to an edge falls in the bin below it (side="right"
+    # searchsorted == SQL count-of-edges<=v); NULLs drop from counts.
+    from data_validator_ray.stages.drift import psi_fixed_bins
+
+    base = pd.DataFrame({"v": [10.0, 10.0, 10.0, None]})
+    cur = pd.DataFrame({"v": [9.999, 9.999, 9.999]})
+    out = psi_fixed_bins(base, cur, "v", [10.0]).to_pylist()[0]
+    assert out["n_base"] == 3 and out["n_current"] == 3
+    # all mass moved from bin 1 to bin 0 -> strongly positive PSI
+    assert out["psi_value"] > 1.0
+
+
+def test_psi_fixed_bins_empty_side(ray_session):
+    from data_validator_ray.stages.drift import psi_fixed_bins
+
+    base = pd.DataFrame({"v": [1.0, 2.0, 3.0]})
+    cur = pd.DataFrame({"v": pd.array([None, None], dtype="Float64")})
+    out = psi_fixed_bins(base, cur, "v", [2.0]).to_pylist()[0]
+    assert out["n_base"] == 3 and out["n_current"] == 0
+    # degenerate current side renormalizes to uniform over eps bins
+    assert np.isfinite(out["psi_value"])
