@@ -1253,6 +1253,29 @@ def q_psi_events_split(sf_dir: str) -> pd.DataFrame:
     return psi_fixed_bins(side(0), side(1), "value", edges).to_pandas()
 
 
+def q_ks_events_split(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample KS between the even- and odd-event_id halves
+    of events.value (distributed range-partitioned prefix scan;
+    cumulative-count/total divisions identical to the window-function
+    oracle, so the statistic is bit-exact)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import ks_exact
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return ks_exact(side(0), side(1), "value", num_buckets=32).to_pandas()
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1332,6 +1355,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "exact_quantiles_events": q_exact_quantiles_events,
         "iqr_outliers_events": q_iqr_outliers_events,
         "psi_events_split": q_psi_events_split,
+        "ks_events_split": q_ks_events_split,
     }
 
 
@@ -1672,6 +1696,27 @@ def oracle_sql() -> Dict[str, str]:
             "(SELECT COUNT(*) FROM c)::BIGINT AS n_current, "
             "ROUND(SUM((cp.p - bp.p) * LN(cp.p / bp.p)), 6) AS psi_value "
             "FROM bp JOIN cp USING (bin)"
+        ),
+        "ks_events_split": (
+            # exact two-sample KS: cumulative per-side counts over the
+            # sorted distinct values; int/int -> DOUBLE divisions match
+            # the engine bit-exactly
+            "WITH a AS (SELECT value AS v FROM events "
+            "WHERE event_id % 2 = 0 AND value IS NOT NULL), "
+            "b AS (SELECT value AS v FROM events "
+            "WHERE event_id % 2 = 1 AND value IS NOT NULL), "
+            "u AS (SELECT v, "
+            "COUNT(*) FILTER (WHERE side = 0) AS ca, "
+            "COUNT(*) FILTER (WHERE side = 1) AS cb "
+            "FROM (SELECT v, 0 AS side FROM a "
+            "UNION ALL SELECT v, 1 AS side FROM b) GROUP BY v), "
+            "c AS (SELECT SUM(ca) OVER (ORDER BY v) AS cca, "
+            "SUM(cb) OVER (ORDER BY v) AS ccb FROM u) "
+            "SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n_base, "
+            "(SELECT COUNT(*) FROM b)::BIGINT AS n_current, "
+            "ROUND(MAX(ABS(cca::DOUBLE / (SELECT COUNT(*) FROM a) "
+            "- ccb::DOUBLE / (SELECT COUNT(*) FROM b))), 6) AS ks_value "
+            "FROM c"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

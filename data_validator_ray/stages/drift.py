@@ -334,3 +334,153 @@ def psi_fixed_bins(
             ),
         }
     )
+
+
+def ks_exact(
+    source_base: Any,
+    source_current: Any,
+    value_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> "pa.Table":
+    """EXACT two-sample Kolmogorov-Smirnov statistic
+    ``max_x |ECDF_base(x) − ECDF_current(x)|`` — the oracle-exact
+    sibling of the t-digest :func:`ks_stat` tier.
+
+    The global ECDF needs a cumulative count over sorted values — an
+    all-to-all at heart — so this runs the same distributed two-pass
+    prefix scan as ``pack_shards`` (`curation.py`), but over VALUES:
+
+    1. per side, one streaming pass reduces each batch to distinct
+       ``(value, count)`` partials (exchange is per-batch-distinct
+       bounded, 12 bytes/row); sides union with separate count
+       columns;
+    2. values range-partition into ``num_buckets`` buckets on sampled
+       quantile boundaries (equal values can never split across
+       buckets — bucket id comes from ``searchsorted`` on value);
+    3. ``groupby(bucket).aggregate(Sum)`` → #buckets rows; the driver
+       takes per-side exclusive prefix counts in bucket order and
+       broadcasts them via ``ray.put``;
+    4. ``groupby(bucket).map_groups``: ONE vectorized
+       sort + per-value sum + cumsum per bucket; each cumulative
+       count plus the bucket's global offset yields the two ECDFs at
+       every distinct value in the bucket — one ``(bucket, local max
+       |Fa−Fb|)`` row comes back.
+
+    ECDF divisions are ``int64 cumulative / int64 total`` in float64 —
+    bit-identical to a SQL ``SUM(...) OVER (ORDER BY v) / COUNT(*)``
+    oracle, and independent of the (sampling-chosen) bucket layout,
+    so reruns are byte-stable. NULLs drop. Returns a one-row table:
+    ``n_base, n_current, ks_value`` (rounded to 6).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.curation import KNUTH
+    from ..pipelines.dedup import _as_dataset
+
+    def side_partials(src: Any, side: int):
+        other = "cb" if side == 0 else "ca"
+        mine = "ca" if side == 0 else "cb"
+
+        def partials(batch: pa.Table) -> pa.Table:
+            vals = _numeric_values(batch, value_col)
+            uniq, cnt = np.unique(vals, return_counts=True)
+            return pa.table(
+                {
+                    "v": pa.array(uniq, pa.float64()),
+                    mine: pa.array(cnt.astype(np.int64), pa.int64()),
+                    other: pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
+                }
+            ).select(["v", "ca", "cb"])
+
+        ds = _as_dataset(src, columns=[value_col])
+        return ds.map_batches(
+            partials, batch_format="pyarrow", batch_size=batch_size
+        )
+
+    cnts = side_partials(source_base, 0).union(
+        side_partials(source_current, 1)
+    ).materialize()
+
+    # deterministic ~1/1024 sample of distinct values → quantile bounds
+    def sample_vals(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        h = (v.view(np.int64) * np.int64(KNUTH)) % 1024
+        return pa.table({"v": pa.array(v[h == 0], pa.float64())})
+
+    sdf = cnts.map_batches(sample_vals, batch_format="pyarrow").to_pandas()
+    sampled = (
+        np.sort(sdf["v"].to_numpy(np.float64))
+        if "v" in sdf.columns and len(sdf)
+        else np.empty(0, np.float64)
+    )
+    if len(sampled) > 1:
+        q = np.linspace(0, len(sampled) - 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(sampled[q.astype(np.int64)])
+    else:
+        bounds = np.empty(0, np.float64)
+    bounds_ref = ray.put(bounds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b_ = ray.get(bounds_ref)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        bkt = np.searchsorted(b_, v, side="right").astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bkt, pa.int64()))
+
+    bucketed = cnts.map_batches(add_bucket, batch_format="pyarrow")
+
+    sums = (
+        bucketed.groupby("__bucket")
+        .aggregate(Sum("ca", alias_name="sa"), Sum("cb", alias_name="sb"))
+        .to_pandas()
+        .sort_values("__bucket")
+    )
+    sa = sums["sa"].to_numpy(np.int64)
+    sb = sums["sb"].to_numpy(np.int64)
+    na, nb = int(sa.sum()), int(sb.sum())
+    if na == 0 or nb == 0:
+        return pa.table(
+            {
+                "n_base": pa.array([na], pa.int64()),
+                "n_current": pa.array([nb], pa.int64()),
+                "ks_value": pa.array([0.0], pa.float64()),
+            }
+        )
+    offs = {
+        int(b): (int(oa), int(ob))
+        for b, oa, ob in zip(
+            sums["__bucket"].to_numpy(np.int64),
+            np.concatenate([[0], np.cumsum(sa)[:-1]]),
+            np.concatenate([[0], np.cumsum(sb)[:-1]]),
+        )
+    }
+    offs_ref = ray.put(offs)
+
+    def bucket_max(group: pd.DataFrame) -> pd.DataFrame:
+        omap = ray.get(offs_ref)
+        oa, ob = omap[int(group["__bucket"].iloc[0])]
+        g = (
+            group.groupby("v", sort=True)[["ca", "cb"]]
+            .sum()
+            .reset_index()
+        )
+        fa = (oa + g["ca"].to_numpy(np.int64).cumsum()) / na
+        fb = (ob + g["cb"].to_numpy(np.int64).cumsum()) / nb
+        return pd.DataFrame({"d": [float(np.max(np.abs(fa - fb)))]})
+
+    dmax = (
+        bucketed.groupby("__bucket")
+        .map_groups(bucket_max, batch_format="pandas")
+        .to_pandas()["d"]
+        .max()
+    )
+    return pa.table(
+        {
+            "n_base": pa.array([na], pa.int64()),
+            "n_current": pa.array([nb], pa.int64()),
+            "ks_value": pa.array([round(float(dmax), 6)], pa.float64()),
+        }
+    )

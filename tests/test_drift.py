@@ -180,3 +180,46 @@ def test_psi_fixed_bins_empty_side(ray_session):
     assert out["n_base"] == 3 and out["n_current"] == 0
     # degenerate current side renormalizes to uniform over eps bins
     assert np.isfinite(out["psi_value"])
+
+
+def test_ks_exact_matches_numpy_reference(ray_session):
+    from data_validator_ray.stages.drift import ks_exact
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, 4000)
+    b = rng.normal(0.3, 1.2, 3000)
+    pts = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    ref = round(float(np.max(np.abs(fa - fb))), 6)
+    out = ks_exact(
+        pd.DataFrame({"v": a}),
+        pd.DataFrame({"v": b}),
+        "v",
+        num_buckets=8,
+        batch_size=512,
+    ).to_pylist()[0]
+    assert out["ks_value"] == ref
+    assert (out["n_base"], out["n_current"]) == (4000, 3000)
+
+
+def test_ks_exact_ties_nulls_and_empty(ray_session):
+    from data_validator_ray.stages.drift import ks_exact
+
+    base = pd.DataFrame({"v": [1.0, 1.0, 2.0, None, 3.0]})
+    cur = pd.DataFrame({"v": [1.0, 2.0, 2.0, 2.0]})
+    out = ks_exact(base, cur, "v").to_pylist()[0]
+    # ECDF pts 1,2,3: Fa=[.5,.75,1], Fb=[.25,1,1] -> D = 0.25
+    assert out == {"n_base": 4, "n_current": 4, "ks_value": 0.25}
+
+    empty = pd.DataFrame({"v": pd.array([None], dtype="Float64")})
+    out2 = ks_exact(base, empty, "v").to_pylist()[0]
+    assert out2["n_current"] == 0 and out2["ks_value"] == 0.0
+
+
+def test_ks_exact_identical_sides_is_zero(ray_session):
+    from data_validator_ray.stages.drift import ks_exact
+
+    df = pd.DataFrame({"v": np.linspace(-5, 5, 1000)})
+    out = ks_exact(df, df.copy(), "v", num_buckets=4).to_pylist()[0]
+    assert out["ks_value"] == 0.0
