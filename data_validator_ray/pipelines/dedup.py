@@ -994,3 +994,164 @@ def near_dup_dedup(
         return batch.filter(mask)
 
     return _as_dataset(source).map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# paragraph-level exact dedup (C4/RefinedWeb-style line dedup)                #
+# --------------------------------------------------------------------------- #
+
+
+def paragraph_dedup(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    num_hash_buckets: int = 256,
+    num_doc_buckets: int = 64,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Corpus-wide EXACT paragraph dedup: split every document on
+    ``sep``, keep only the globally FIRST occurrence (min
+    ``(doc_id, para_idx)``) of each distinct paragraph, and rebuild
+    each document from its surviving paragraphs in original order —
+    the C4 / RefinedWeb line-dedup step (no reference analogue;
+    net-new per SURVEY §2.7).
+
+    Two shuffles, both bounded:
+
+    1. **paragraph identity** — the explode pass emits only 32-byte
+       ``(h1, h2, doc_id, para_idx)`` rows (the collision-checked
+       128-bit double-hash scheme of ``_exact_distinct``,
+       ``validator.py``; paragraph text never shuffles), bucketed on
+       ``h1 % num_hash_buckets``; ONE vectorized sort + duplicated()
+       per bucket emits the DROP rows (duplicates beyond first) —
+       exchange bounded by the duplicate count;
+    2. **reassembly** — drop rows and the corpus co-locate on
+       ``knuth(doc_id) % num_doc_buckets``; each bucket re-splits its
+       docs (polars explode), anti-joins its drop set on
+       ``(doc_id, para_idx)`` and re-joins with ``sep`` in one
+       vectorized pass. The corpus crosses the wire once — inherent
+       to an op that rewrites every document.
+
+    NULL text is treated as ``''`` (one empty paragraph — matches
+    ``string_split(COALESCE(text, ''), sep)``). A document whose every
+    paragraph was seen earlier comes back as ``''``. Output:
+    ``(id_col, text_col, n_dropped)``, deterministic under any
+    batch/bucket layout (keep-first is a global (doc_id, para_idx)
+    order, not arrival order).
+    """
+    import polars as pl
+
+    from ..functions.sketches import hash64
+    from .curation import KNUTH
+
+    def explode_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = pc.split_pattern(
+            pc.fill_null(batch[text_col].combine_chunks(), ""), sep
+        )
+        lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(parts)
+        parent = np.repeat(ids, lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pidx = np.arange(len(flat), dtype=np.int64) - starts
+        h1 = hash64(flat)
+        h2 = hash64(flat, seed=0x9E3779B9)
+        return pa.table(
+            {
+                "__h1": pa.array(h1, pa.uint64()),
+                "__h2": pa.array(h2, pa.uint64()),
+                id_col: pa.array(parent, pa.int64()),
+                "para_idx": pa.array(pidx, pa.int64()),
+                "__bucket": pa.array(
+                    (h1 % np.uint64(num_hash_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def emit_drops(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__h1", "__h2", id_col, "para_idx"])
+        dup = g.duplicated(["__h1", "__h2"], keep="first")
+        d = g.loc[dup, [id_col, "para_idx"]]
+        return pd.DataFrame(
+            {id_col: d[id_col].to_numpy(np.int64),
+             "para_idx": d["para_idx"].to_numpy(np.int64)}
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    drops = (
+        ds.map_batches(
+            explode_hashes, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("__bucket")
+        .map_groups(emit_drops, batch_format="pandas")
+    )
+
+    def doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.int64) * np.int64(KNUTH))
+            % np.int64(num_doc_buckets)
+        ).astype(np.int64)
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.array([None] * len(batch), pa.string()),
+                "para_idx": batch["para_idx"],
+                "__bucket": pa.array(doc_bucket(ids), pa.int64()),
+            }
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pc.fill_null(batch[text_col].combine_chunks(), ""),
+                "para_idx": pa.array(np.full(len(batch), -1, np.int64)),
+                "__bucket": pa.array(doc_bucket(ids), pa.int64()),
+            }
+        )
+
+    unioned = ds.map_batches(
+        tag_doc, batch_format="pyarrow", batch_size=batch_size
+    ).union(drops.map_batches(tag_drop, batch_format="pyarrow"))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        g = pl.from_arrow(group)
+        docs = g.filter(pl.col("para_idx") < 0).select([id_col, text_col])
+        dr = g.filter(pl.col("para_idx") >= 0).select([id_col, "para_idx"])
+        ex = (
+            docs.with_columns(pl.col(text_col).str.split(sep))
+            .explode(text_col)
+            .with_columns(
+                (pl.int_range(pl.len()).over(id_col)).alias("para_idx")
+            )
+        )
+        kept = ex.join(dr, on=[id_col, "para_idx"], how="anti")
+        joined = (
+            kept.sort([id_col, "para_idx"])
+            .group_by(id_col, maintain_order=True)
+            .agg(pl.col(text_col).str.join(sep))
+        )
+        out = (
+            docs.select(id_col)
+            .join(joined, on=id_col, how="left")
+            .with_columns(pl.col(text_col).fill_null(""))
+            .join(
+                dr.group_by(id_col).agg(pl.len().alias("n_dropped")),
+                on=id_col,
+                how="left",
+            )
+            .with_columns(pl.col("n_dropped").fill_null(0).cast(pl.Int64))
+            .sort(id_col)
+        )
+        return out.to_arrow()
+
+    return unioned.groupby("__bucket").map_groups(
+        reassemble, batch_format="pyarrow"
+    )

@@ -1276,6 +1276,19 @@ def q_ks_events_split(sf_dir: str) -> pd.DataFrame:
     return ks_exact(side(0), side(1), "value", num_buckets=32).to_pandas()
 
 
+def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide paragraph (segment) dedup over documents — C4/
+    RefinedWeb line dedup. The testdata text has no newlines, so the
+    segment separator is the frequent token boundary ``' the '``
+    (2.5 segments/doc, 54 cross-doc duplicate segments at sf0.01)."""
+    from .dedup import paragraph_dedup
+
+    out = paragraph_dedup(
+        f"{sf_dir}/documents.parquet", sep=" the "
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1356,6 +1369,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "iqr_outliers_events": q_iqr_outliers_events,
         "psi_events_split": q_psi_events_split,
         "ks_events_split": q_ks_events_split,
+        "paragraph_dedup_documents": q_paragraph_dedup_documents,
     }
 
 
@@ -1717,6 +1731,20 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(MAX(ABS(cca::DOUBLE / (SELECT COUNT(*) FROM a) "
             "- ccb::DOUBLE / (SELECT COUNT(*) FROM b))), 6) AS ks_value "
             "FROM c"
+        ),
+        "paragraph_dedup_documents": (
+            # keep the globally first (doc_id, idx) occurrence of each
+            # distinct segment; rebuild docs from survivors in order
+            "WITH p AS (SELECT doc_id, "
+            "unnest(string_split(COALESCE(text, ''), ' the ')) AS part, "
+            "generate_subscripts(string_split(COALESCE(text, ''), "
+            "' the '), 1) AS idx FROM documents), "
+            "r AS (SELECT doc_id, idx, part, ROW_NUMBER() OVER "
+            "(PARTITION BY part ORDER BY doc_id, idx) AS rn FROM p) "
+            "SELECT doc_id, COALESCE(string_agg(CASE WHEN rn = 1 THEN "
+            "part END, ' the ' ORDER BY idx), '') AS text, "
+            "(COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped "
+            "FROM r GROUP BY doc_id ORDER BY doc_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -317,3 +317,74 @@ def test_exact_dedup_tiebreak_keeps_min(ray_session):
         .reset_index(drop=True)
     )
     assert out.id.tolist() == [2, 1, 7]  # min id per key survives
+
+
+# --------------------------------------------------------------------------- #
+# paragraph-level exact dedup                                                 #
+# --------------------------------------------------------------------------- #
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(ray_session):
+    from data_validator_ray.pipelines.dedup import paragraph_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha\nbeta\ngamma",
+                "beta\ndelta",          # beta dropped (doc 1 has it)
+                "alpha\nbeta",          # both dropped -> empty doc
+            ],
+        }
+    )
+    out = (
+        paragraph_dedup(df, num_hash_buckets=4, num_doc_buckets=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["alpha\nbeta\ngamma", "delta", ""]
+    assert out["n_dropped"].tolist() == [0, 1, 2]
+
+
+def test_paragraph_dedup_null_text_and_empty_segments(ray_session):
+    from data_validator_ray.pipelines.dedup import paragraph_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [None, "x\n", "y\n"],  # trailing sep -> '' segment
+        }
+    )
+    out = (
+        paragraph_dedup(df, num_hash_buckets=3, num_doc_buckets=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 10: NULL -> [''] keeps the first '' corpus-wide
+    # doc 11: ['x',''] -> '' already seen -> "x"
+    # doc 12: ['y',''] -> "y"
+    assert out["text"].tolist() == ["", "x", "y"]
+    assert out["n_dropped"].tolist() == [0, 1, 1]
+
+
+def test_paragraph_dedup_layout_independent(ray_session):
+    from data_validator_ray.pipelines.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(11)
+    segs = [f"s{i}" for i in range(20)]
+    texts = [
+        "\n".join(rng.choice(segs, size=rng.integers(1, 6)))
+        for _ in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": range(60), "text": texts})
+    a = (
+        paragraph_dedup(df, num_hash_buckets=2, num_doc_buckets=2, batch_size=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        paragraph_dedup(df, num_hash_buckets=17, num_doc_buckets=5, batch_size=64)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
