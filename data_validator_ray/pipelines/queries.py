@@ -1289,6 +1289,23 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_running_window_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user running window over events ordered by (ts, event_id):
+    ROW_NUMBER, cumulative SUM(value) (ROWS UNBOUNDED PRECEDING,
+    ROUND 6), LAG(value)."""
+    from .relational import running_window
+
+    out = running_window(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+    ).to_pandas()
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1370,6 +1387,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "psi_events_split": q_psi_events_split,
         "ks_events_split": q_ks_events_split,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
+        "running_window_events": q_running_window_events,
     }
 
 
@@ -1745,6 +1763,17 @@ def oracle_sql() -> Dict[str, str]:
             "part END, ' the ' ORDER BY idx), '') AS text, "
             "(COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped "
             "FROM r GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "running_window_events": (
+            "SELECT user_id, ts, event_id, value, "
+            "ROW_NUMBER() OVER w AS row_seq, "
+            "ROUND(SUM(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW), 6) AS running_sum, "
+            "LAG(value) OVER w AS prev_value "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "ORDER BY user_id, ts, event_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

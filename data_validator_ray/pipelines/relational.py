@@ -430,6 +430,77 @@ def sessionize(
     )
 
 
+def running_window(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key ORDERED running aggregates — the `ROWS UNBOUNDED
+    PRECEDING` window family: for each key, rows ordered by
+    ``order_cols`` get ``row_seq`` (ROW_NUMBER), ``running_sum``
+    (cumulative SUM of ``value_col``, NULL until the key's first
+    non-NULL value, rounded to 6 — the float-hash convention) and
+    ``prev_value`` (LAG, NULL at each key's first row).
+
+    Scale shape: identical to :func:`sessionize` — ONE hash-bucket
+    shuffle co-locates each key, then ONE vectorized numpy pass per
+    bucket (sort + segment-boundary masks + cumsum with per-key
+    offsets) computes all three windows for ALL the bucket's keys; no
+    per-key Python. NULL order values sort last (both pandas
+    ``na_position`` and the SQL ``ASC NULLS LAST`` default).
+    ``order_cols`` must totally order each key's rows (include a
+    tiebreak id) or ties make ``prev_value`` arrival-dependent.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col] + order_cols, kind="mergesort", na_position="last"
+        )
+        n = len(g)
+        u = g[key_col].to_numpy()
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        row_seq = idx - seg_start + 1
+
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        nn = ~np.isnan(vals)
+        contrib = np.where(nn, vals, 0.0)
+        cs = np.cumsum(contrib)
+        base = cs[seg_start] - contrib[seg_start]
+        running = cs - base
+        cnn = np.cumsum(nn.astype(np.int64))
+        nn_base = cnn[seg_start] - nn[seg_start]
+        seen = cnn - nn_base  # non-null values so far within the key
+        running_sum = np.where(seen > 0, np.round(running, 6), np.nan)
+
+        prev = np.empty(n, np.float64)
+        prev[0] = np.nan
+        prev[1:] = vals[:-1]
+        prev[new_key] = np.nan
+
+        out = g.copy()
+        out["row_seq"] = row_seq
+        out["running_sum"] = running_sum
+        out["prev_value"] = prev
+        return out
+
+    ds = _as_dataset(source, columns=[key_col, *order_cols, value_col])
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def anti_join_broadcast(
     source: Any,
     blocklist: Any,

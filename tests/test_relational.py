@@ -592,3 +592,81 @@ def test_iqr_outliers_empty_fences(ray_session):
     df = pd.DataFrame({"id": [1, 2], "g": ["a", "b"], "v": [None, None]})
     out = iqr_outliers(ray.data.from_pandas(df), "g", "v", ["id"]).to_pandas()
     assert len(out) == 0
+
+
+# --------------------------------------------------------------------------- #
+# running_window (per-key ordered cumulative aggregates)                      #
+# --------------------------------------------------------------------------- #
+
+
+def test_running_window_basic(ray_session):
+    from data_validator_ray.pipelines.relational import running_window
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "o": [10, 20, 30, 10, 20],
+            "v": [1.0, 2.0, 3.0, 5.0, 7.0],
+        }
+    )
+    out = (
+        running_window(df, "k", ["o"], "v", num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["row_seq"].tolist() == [1, 2, 3, 1, 2]
+    assert out["running_sum"].tolist() == [1.0, 3.0, 6.0, 5.0, 12.0]
+    assert out["prev_value"].tolist()[:1] == [None] or np.isnan(
+        out["prev_value"].iloc[0]
+    )
+    assert out["prev_value"].tolist()[1:3] == [1.0, 2.0]
+    assert np.isnan(out["prev_value"].iloc[3]) and out["prev_value"].iloc[4] == 5.0
+
+
+def test_running_window_null_values_sql_semantics(ray_session):
+    # SUM OVER ignores NULLs but stays NULL until the first non-null;
+    # LAG passes the NULL through.
+    from data_validator_ray.pipelines.relational import running_window
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1],
+            "o": [1, 2, 3, 4],
+            "v": [None, 2.0, None, 3.0],
+        }
+    )
+    out = (
+        running_window(df, "k", ["o"], "v", num_buckets=1)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    rs = out["running_sum"].tolist()
+    assert np.isnan(rs[0]) and rs[1:] == [2.0, 2.0, 5.0]
+    assert np.isnan(out["prev_value"].iloc[0])
+    assert np.isnan(out["prev_value"].iloc[1])  # lag of NULL first value
+    assert out["prev_value"].iloc[2] == 2.0
+    assert np.isnan(out["prev_value"].iloc[3])
+
+
+def test_running_window_bucket_layout_independent(ray_session):
+    from data_validator_ray.pipelines.relational import running_window
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 500),
+            "o": np.arange(500),
+            "v": rng.normal(size=500),
+        }
+    )
+    a = (
+        running_window(df, "k", ["o"], "v", num_buckets=3, batch_size=64)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    b = (
+        running_window(df, "k", ["o"], "v", num_buckets=64, batch_size=500)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
