@@ -1306,6 +1306,20 @@ def q_running_window_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_unpivot_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Wide→long reshape of four lineitem measure columns."""
+    from .relational import unpivot
+
+    out = unpivot(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).to_pandas()
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber", "variable"]
+    ).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1388,6 +1402,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "ks_events_split": q_ks_events_split,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
     }
 
 
@@ -1774,6 +1789,18 @@ def oracle_sql() -> Dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
             "ORDER BY user_id, ts, event_id"
+        ),
+        "unpivot_lineitem": (
+            "SELECT l_orderkey, l_linenumber, variable, value FROM ("
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, "
+            "l_quantity::DOUBLE AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_discount', l_discount::DOUBLE FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_tax', l_tax::DOUBLE FROM lineitem) "
+            "ORDER BY l_orderkey, l_linenumber, variable"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -501,6 +501,47 @@ def running_window(
     )
 
 
+def unpivot(
+    source: Any,
+    id_cols: List[str],
+    value_cols: List[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Wide→long reshape (melt / SQL UNPIVOT): each input row becomes
+    ``len(value_cols)`` rows ``(id_cols…, variable, value)``. Value
+    columns cast to float64 (the common supertype — SQL UNPIVOT
+    likewise unifies the value column's type). NULL values are KEPT
+    (DuckDB ``UNPIVOT … INCLUDE NULLS`` / the UNION ALL formulation).
+
+    Embarrassingly parallel — a pure per-batch ``map_batches`` with no
+    shuffle; the ×``len(value_cols)`` row inflation happens inside the
+    streaming pass, never materialized."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            parts.append(
+                pa.table(
+                    {
+                        **{ic: batch[ic] for ic in id_cols},
+                        var_name: pa.array(
+                            np.full(batch.num_rows, vc), pa.string()
+                        ),
+                        value_name: pc.cast(batch[vc], pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ds = _as_dataset(source, columns=[*id_cols, *value_cols])
+    return ds.map_batches(
+        melt, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def anti_join_broadcast(
     source: Any,
     blocklist: Any,

@@ -670,3 +670,22 @@ def test_running_window_bucket_layout_independent(ray_session):
         .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_unpivot_nulls_kept_and_types(ray_session):
+    from data_validator_ray.pipelines.relational import unpivot
+
+    df = pd.DataFrame(
+        {"id": [1, 2], "a": [1.5, None], "b": [3, 4]}
+    )
+    out = (
+        unpivot(df, ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out["variable"].tolist() == ["a", "b", "a", "b"]
+    assert out["value"].tolist()[0] == 1.5 and out["value"].tolist()[1] == 3.0
+    assert np.isnan(out["value"].iloc[2]) and out["value"].iloc[3] == 4.0
+    assert out["value"].dtype == np.float64
