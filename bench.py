@@ -176,6 +176,34 @@ def bench_exact_dedup(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_paragraph_dedup(input_dir: str) -> float:
+    """Corpus-wide segment dedup (C4/RefinedWeb line dedup) over the
+    bench webpages input, segmented on the frequent ' the ' boundary.
+    The replicated corpus repeats every base text ~1600× → nearly all
+    segments are duplicates: worst case for both the drop-row exchange
+    and the reassembly shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.dedup import paragraph_dedup
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    n = paragraph_dedup(ds, sep=" the ").count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
 def bench_text_analysis(input_dir: str) -> float:
     """quality_stats + language_id + md5 fingerprints over the bench
     input (id derived from url hash — shuffle-free map passes)."""
@@ -507,6 +535,9 @@ def run_bench() -> dict:
         queries["lineitem_checks"] = best_of(bench_lineitem_checks)
         queries["events_referential"] = best_of(bench_events_referential)
         queries["exact_dedup_webpages"] = best_of(bench_exact_dedup, str(input_dir))
+        queries["paragraph_dedup_webpages"] = best_of(
+            bench_paragraph_dedup, str(input_dir)
+        )
         queries["text_analysis_webpages"] = best_of(bench_text_analysis, str(input_dir))
         queries["text_profile_webpages"] = best_of(bench_text_profile, str(input_dir))
         queries["curation_profile_webpages"] = best_of(bench_curation_profile, str(input_dir))

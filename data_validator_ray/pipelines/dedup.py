@@ -1041,8 +1041,6 @@ def paragraph_dedup(
     batch/bucket layout (keep-first is a global (doc_id, para_idx)
     order, not arrival order).
     """
-    import polars as pl
-
     from ..functions.sketches import hash64
     from .curation import KNUTH
 
@@ -1081,12 +1079,19 @@ def paragraph_dedup(
         )
 
     ds = _as_dataset(source, columns=[id_col, text_col])
+    # materialize() here is load-bearing: the drop table is two int64
+    # columns (~16 B × duplicate count, object-store-spillable), and
+    # pinning it breaks the groupby→union→groupby operator chain —
+    # Ray's streaming executor handles the two sort shuffles back to
+    # back pathologically (measured >10× on the 8M-row bench), while
+    # shuffle-materialize-shuffle runs at full speed.
     drops = (
         ds.map_batches(
             explode_hashes, batch_format="pyarrow", batch_size=batch_size
         )
         .groupby("__bucket")
         .map_groups(emit_drops, batch_format="pandas")
+        .materialize()
     )
 
     def doc_bucket(ids: np.ndarray) -> np.ndarray:
@@ -1122,35 +1127,74 @@ def paragraph_dedup(
     ).union(drops.map_batches(tag_drop, batch_format="pyarrow"))
 
     def reassemble(group: pa.Table) -> pa.Table:
-        g = pl.from_arrow(group)
-        docs = g.filter(pl.col("para_idx") < 0).select([id_col, text_col])
-        dr = g.filter(pl.col("para_idx") >= 0).select([id_col, "para_idx"])
-        ex = (
-            docs.with_columns(pl.col(text_col).str.split(sep))
-            .explode(text_col)
-            .with_columns(
-                (pl.int_range(pl.len()).over(id_col)).alias("para_idx")
+        # Pure Arrow/numpy (no polars: its rayon pool intermittently
+        # deadlocked on repeat in-worker calls under pinned threads):
+        # re-split the bucket's docs, key every segment as
+        # (local_doc_row, para_idx), searchsorted-drop the flagged
+        # keys, rebuild list offsets and join with ONE vectorized
+        # pc.binary_join.
+        pidx = group["para_idx"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_doc = pidx < 0
+        doc_ids = ids[is_doc]
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                    "n_dropped": pa.array([], pa.int64()),
+                }
             )
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        texts = (
+            group[text_col]
+            .combine_chunks()
+            .filter(pa.array(is_doc))
+            .take(pa.array(order))
         )
-        kept = ex.join(dr, on=[id_col, "para_idx"], how="anti")
-        joined = (
-            kept.sort([id_col, "para_idx"])
-            .group_by(id_col, maintain_order=True)
-            .agg(pl.col(text_col).str.join(sep))
+        parts = pc.split_pattern(texts, sep)
+        lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(parts)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        seg_starts = np.cumsum(lens) - lens
+        fpidx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            seg_starts, lens
         )
-        out = (
-            docs.select(id_col)
-            .join(joined, on=id_col, how="left")
-            .with_columns(pl.col(text_col).fill_null(""))
-            .join(
-                dr.group_by(id_col).agg(pl.len().alias("n_dropped")),
-                on=id_col,
-                how="left",
-            )
-            .with_columns(pl.col("n_dropped").fill_null(0).cast(pl.Int64))
-            .sort(id_col)
+        stride = np.int64(lens.max() if n else 0) + 1
+        keys = row_of * stride + fpidx
+
+        d_ids = ids[~is_doc]
+        d_pidx = pidx[~is_doc].astype(np.int64)
+        drow = np.searchsorted(doc_ids, d_ids)
+        dkeys = np.unique(drow * stride + d_pidx)
+        keep = np.ones(len(keys), bool)
+        pos = np.searchsorted(dkeys, keys)
+        inb = pos < len(dkeys)
+        keep[inb] = dkeys[pos[inb]] != keys[inb]
+
+        kept_counts = np.bincount(
+            row_of[keep], minlength=n
+        ).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        # binary_join has list<string> kernels only; int32 offsets are
+        # ample per bucket (raise num_doc_buckets before a bucket's
+        # segment count nears 2^31)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pc.cast(flat.filter(pa.array(keep)), pa.string()),
         )
-        return out.to_arrow()
+        joined = pc.binary_join(la, sep)
+        n_dropped = np.bincount(drow, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, pa.int64()),
+                text_col: joined,
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+            }
+        )
 
     return unioned.groupby("__bucket").map_groups(
         reassemble, batch_format="pyarrow"
