@@ -1320,6 +1320,23 @@ def q_unpivot_lineitem(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_json_extract_events(sf_dir: str) -> pd.DataFrame:
+    """Structured extraction of the integer $.k field from the events
+    props JSON column (SQL ->> convention: unquoted text, cast)."""
+    import pyarrow as _pa
+
+    from .relational import json_extract
+
+    out = json_extract(
+        f"{sf_dir}/events.parquet",
+        "props",
+        {"k": "$.k"},
+        types={"k": _pa.int64()},
+    ).to_pandas()
+    out = out[["event_id", "k"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1403,6 +1420,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "json_extract_events": q_json_extract_events,
     }
 
 
@@ -1801,6 +1819,10 @@ def oracle_sql() -> Dict[str, str]:
             "UNION ALL SELECT l_orderkey, l_linenumber, "
             "'l_tax', l_tax::DOUBLE FROM lineitem) "
             "ORDER BY l_orderkey, l_linenumber, variable"
+        ),
+        "json_extract_events": (
+            "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k "
+            "FROM events ORDER BY event_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

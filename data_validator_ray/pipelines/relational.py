@@ -21,7 +21,7 @@ Both follow the engine's scale patterns:
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -498,6 +498,45 @@ def running_window(
     return bucketed_groupby(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
+def json_extract(
+    source: Any,
+    json_col: str,
+    fields: "Dict[str, str]",
+    *,
+    types: "Optional[Dict[str, pa.DataType]]" = None,
+    keep_json: bool = False,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Structured extraction from a JSON string column: for each output
+    name in ``fields`` (name → JSON path like ``"$.k"`` or
+    ``"$.a.b"``), append a column with the matched value. Scalars come
+    back as their unquoted text (the SQL ``->>`` convention) and are
+    optionally cast via ``types``; missing paths, JSON nulls and
+    unparseable documents all yield NULL — no row ever errors out.
+
+    Pure per-batch ``map_batches`` (polars' Rust JSON-path kernel per
+    field — no Python-level parsing, no shuffle); the JSON column is
+    dropped after extraction unless ``keep_json``."""
+    import polars as pl
+
+    tmap = types or {}
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.select([json_col]))[json_col]
+        out = batch if keep_json else batch.drop([json_col])
+        for name, path in fields.items():
+            v = s.str.json_path_match(path).to_arrow()
+            if name in tmap:
+                v = pc.cast(v, tmap[name])
+            out = out.append_column(name, v)
+        return out
+
+    ds = _as_dataset(source)
+    return ds.map_batches(
+        extract, batch_format="pyarrow", batch_size=batch_size
     )
 
 

@@ -689,3 +689,36 @@ def test_unpivot_nulls_kept_and_types(ray_session):
     assert out["value"].tolist()[0] == 1.5 and out["value"].tolist()[1] == 3.0
     assert np.isnan(out["value"].iloc[2]) and out["value"].iloc[3] == 4.0
     assert out["value"].dtype == np.float64
+
+
+def test_json_extract_scalars_missing_invalid(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import json_extract
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "j": [
+                '{"k": 7, "s": "hi", "nest": {"x": 1.5}}',
+                '{"s": "a b"}',          # k missing
+                'not json',               # unparseable
+                None,                     # NULL document
+                '{"k": null}',            # JSON null
+            ],
+        }
+    )
+    out = (
+        json_extract(
+            df, "j",
+            {"k": "$.k", "s": "$.s", "x": "$.nest.x"},
+            types={"k": pa.int64(), "x": pa.float64()},
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert "j" not in out.columns
+    assert out["k"].tolist()[0] == 7 and out["k"].isna().tolist()[1:] == [True] * 4
+    assert out["s"].tolist()[:2] == ["hi", "a b"]  # ->> unquoted text
+    assert out["x"].iloc[0] == 1.5
