@@ -1337,6 +1337,20 @@ def q_json_extract_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_rollup_documents(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(lang, source) over documents: counts + n_chars sums at
+    every prefix level in one pass."""
+    from .relational import rollup_aggregate
+
+    out = rollup_aggregate(
+        f"{sf_dir}/documents.parquet", ["lang", "source"], "n_chars"
+    ).to_pandas()
+    out = out[["level", "lang", "source", "n_rows", "value_sum"]]
+    return out.sort_values(
+        ["level", "lang", "source"], na_position="last"
+    ).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1421,6 +1435,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "running_window_events": q_running_window_events,
         "unpivot_lineitem": q_unpivot_lineitem,
         "json_extract_events": q_json_extract_events,
+        "rollup_documents": q_rollup_documents,
     }
 
 
@@ -1823,6 +1838,13 @@ def oracle_sql() -> Dict[str, str]:
         "json_extract_events": (
             "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k "
             "FROM events ORDER BY event_id"
+        ),
+        "rollup_documents": (
+            "SELECT CAST(GROUPING(lang) + GROUPING(source) AS BIGINT) "
+            "AS level, lang, source, COUNT(*)::BIGINT AS n_rows, "
+            "CAST(SUM(n_chars) AS BIGINT) AS value_sum "
+            "FROM documents GROUP BY ROLLUP(lang, source) "
+            "ORDER BY level, lang NULLS LAST, source NULLS LAST"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

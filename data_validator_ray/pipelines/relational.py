@@ -501,6 +501,100 @@ def running_window(
     )
 
 
+def rollup_aggregate(
+    source: Any,
+    key_cols: List[str],
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: aggregates at every prefix
+    level — ``(k1,k2,…)``, ``(k1,…)``, …, ``()`` — in ONE pass. Output
+    rows carry ``level`` (= number of rolled-up keys, the SQL
+    ``GROUPING(k1)+…`` convention), the key columns (NULL where rolled
+    up — disambiguated from REAL null keys by ``level``), ``n_rows``
+    and ``value_sum`` (int64 exact for integer inputs, else float64
+    rounded to 6).
+
+    Scale shape: each batch pre-aggregates ALL levels with pyarrow
+    ``group_by`` (exchange bounded by levels × per-batch distinct
+    keys, never rows), then one null-safe ``bucketed_groupby`` merge
+    (pandas ``dropna=False``) — real NULL keys group correctly, which
+    a plain Ray groupby can't guarantee."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    L = len(key_cols)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vt = batch[value_col].type
+        is_int = pa.types.is_integer(vt)
+        val = pc.cast(
+            batch[value_col], pa.int64() if is_int else pa.float64()
+        )
+        out = []
+        for lvl in range(L + 1):
+            keys = key_cols[: L - lvl]
+            t = pa.table(
+                {
+                    **{c: batch[c] for c in keys},
+                    "__n": pa.array(
+                        np.ones(batch.num_rows, np.int64), pa.int64()
+                    ),
+                    "__v": val,
+                }
+            )
+            if keys:
+                g = t.group_by(keys).aggregate(
+                    [("__n", "sum"), ("__v", "sum")]
+                )
+            else:
+                g = pa.table(
+                    {
+                        "__n_sum": pa.array(
+                            [batch.num_rows], pa.int64()
+                        ),
+                        "__v_sum": pa.array(
+                            [pc.sum(val).as_py() or 0],
+                            pa.int64() if is_int else pa.float64(),
+                        ),
+                    }
+                )
+            cols = {"level": pa.array(np.full(g.num_rows, lvl, np.int64))}
+            for c in key_cols:
+                cols[c] = (
+                    g[c]
+                    if c in g.column_names
+                    else pa.nulls(g.num_rows, batch[c].type)
+                )
+            cols["__n"] = g["__n_sum"]
+            cols["__v"] = g["__v_sum"]
+            out.append(pa.table(cols))
+        return pa.concat_tables(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["level"] + key_cols, dropna=False, sort=False)
+            .agg(n_rows=("__n", "sum"), value_sum=("__v", "sum"))
+            .reset_index()
+        )
+        if np.issubdtype(agg["value_sum"].dtype, np.floating):
+            agg["value_sum"] = agg["value_sum"].round(6)
+        agg["n_rows"] = agg["n_rows"].astype(np.int64)
+        return agg
+
+    ds = _as_dataset(source, columns=[*key_cols, value_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        part, ["level"] + key_cols, merge,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def json_extract(
     source: Any,
     json_col: str,

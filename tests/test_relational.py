@@ -722,3 +722,47 @@ def test_json_extract_scalars_missing_invalid(ray_session):
     assert out["k"].tolist()[0] == 7 and out["k"].isna().tolist()[1:] == [True] * 4
     assert out["s"].tolist()[:2] == ["hi", "a b"]  # ->> unquoted text
     assert out["x"].iloc[0] == 1.5
+
+
+def test_rollup_levels_and_null_keys(ray_session):
+    from data_validator_ray.pipelines.relational import rollup_aggregate
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", None, "y"],
+            "b": ["p", "q", "p", None],
+            "v": [1, 2, 4, 8],
+        }
+    )
+    out = (
+        rollup_aggregate(df, ["a", "b"], "v", num_buckets=2)
+        .to_pandas()
+        .sort_values(["level", "a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # level 0: (x,p) (x,q) (y,None) (None,p) — real NULL keys are groups
+    lvl0 = out[out.level == 0]
+    assert len(lvl0) == 4 and lvl0.value_sum.sum() == 15
+    # level 1: a groups incl. the real-NULL a
+    lvl1 = out[out.level == 1].set_index("a", drop=False)
+    assert lvl1.loc["x", "value_sum"] == 3
+    assert lvl1.loc["y", "value_sum"] == 8
+    assert lvl1[lvl1.a.isna()].value_sum.iloc[0] == 4
+    # grand total
+    lvl2 = out[out.level == 2]
+    assert len(lvl2) == 1 and lvl2.n_rows.iloc[0] == 4 and lvl2.value_sum.iloc[0] == 15
+    # integer input stays exact int64
+    assert out.value_sum.dtype == np.int64
+
+
+def test_rollup_float_values_rounded(ray_session):
+    from data_validator_ray.pipelines.relational import rollup_aggregate
+
+    df = pd.DataFrame({"a": ["x"] * 3, "v": [0.1, 0.2, 0.4]})
+    out = (
+        rollup_aggregate(df, ["a"], "v", num_buckets=1)
+        .to_pandas()
+        .sort_values("level")
+        .reset_index(drop=True)
+    )
+    assert out.value_sum.tolist() == [0.7, 0.7]
