@@ -1351,6 +1351,43 @@ def q_rollup_documents(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_except_customers_events(sf_dir: str) -> pd.DataFrame:
+    """Customers with no event activity: c_custkey EXCEPT
+    events.user_id (distinct set semantics — 1350 rows at sf0.01)."""
+    from .relational import set_op
+
+    out = set_op(
+        f"{sf_dir}/customer.parquet",
+        f"{sf_dir}/events.parquet",
+        "except",
+        ["c_custkey"],
+        right_cols=["user_id"],
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_intersect_events_users(sf_dir: str) -> pd.DataFrame:
+    """User ids present in BOTH the even- and odd-event_id halves of
+    events (INTERSECT distinct)."""
+    import pyarrow.compute as _pc
+
+    from .relational import set_op
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+
+    out = set_op(side(0), side(1), "intersect", ["user_id"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1436,6 +1473,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "json_extract_events": q_json_extract_events,
         "rollup_documents": q_rollup_documents,
+        "except_customers_events": q_except_customers_events,
+        "intersect_events_users": q_intersect_events_users,
     }
 
 
@@ -1845,6 +1884,17 @@ def oracle_sql() -> Dict[str, str]:
             "CAST(SUM(n_chars) AS BIGINT) AS value_sum "
             "FROM documents GROUP BY ROLLUP(lang, source) "
             "ORDER BY level, lang NULLS LAST, source NULLS LAST"
+        ),
+        "except_customers_events": (
+            "SELECT c_custkey FROM customer "
+            "EXCEPT SELECT user_id FROM events "
+            "ORDER BY c_custkey"
+        ),
+        "intersect_events_users": (
+            "SELECT user_id FROM events WHERE event_id % 2 = 0 "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_id % 2 = 1 "
+            "ORDER BY user_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

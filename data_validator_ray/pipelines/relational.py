@@ -595,6 +595,70 @@ def rollup_aggregate(
     )
 
 
+def set_op(
+    left: Any,
+    right: Any,
+    op: str,
+    key_cols: List[str],
+    *,
+    right_cols: Optional[List[str]] = None,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL set operations with DISTINCT semantics: ``intersect``
+    (rows in both) and ``except`` (rows in left, not in right).
+    Output columns take the LEFT side's names (the SQL convention);
+    NULLs compare equal (``IS NOT DISTINCT FROM`` — a NULL row present
+    on both sides intersects).
+
+    Scale shape: each side pre-distincts per batch (pyarrow
+    ``group_by`` combiner — exchange is per-batch-distinct bounded),
+    sides union with a 0/1 tag, then ONE null-safe bucketed groupby
+    decides membership per distinct row. No side ever broadcasts."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op: {op!r}")
+    rcols = right_cols or key_cols
+
+    def side_partials(src: Any, cols: List[str], side: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.select(cols).group_by(cols).aggregate([])
+            if cols != key_cols:
+                g = g.rename_columns(key_cols)
+            return g.append_column(
+                "__side",
+                pa.array(np.full(g.num_rows, side, np.int64)),
+            )
+
+        return _as_dataset(src, columns=cols).map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size
+        )
+
+    unioned = side_partials(left, key_cols, 0).union(
+        side_partials(right, rcols, 1)
+    )
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(key_cols, dropna=False, sort=False)["__side"]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        if op == "intersect":
+            keep = (agg["min"] == 0) & (agg["max"] == 1)
+        else:
+            keep = agg["max"] == 0
+        return agg.loc[keep, key_cols].reset_index(drop=True)
+
+    return bucketed_groupby(
+        unioned, key_cols, decide,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def json_extract(
     source: Any,
     json_col: str,

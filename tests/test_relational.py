@@ -766,3 +766,44 @@ def test_rollup_float_values_rounded(ray_session):
         .reset_index(drop=True)
     )
     assert out.value_sum.tolist() == [0.7, 0.7]
+
+
+def test_set_op_intersect_except_null_semantics(ray_session):
+    from data_validator_ray.pipelines.relational import set_op
+
+    left = pd.DataFrame({"k": [1.0, 1.0, 2.0, None, 5.0]})
+    right = pd.DataFrame({"r": [2.0, None, 3.0]})
+    inter = (
+        set_op(left, right, "intersect", ["k"], right_cols=["r"],
+               num_buckets=2)
+        .to_pandas()["k"].tolist()
+    )
+    # NULL intersects NULL (IS NOT DISTINCT FROM); distinct output
+    assert sorted(x for x in inter if x == x) == [2.0]
+    assert any(x != x for x in inter)  # the NULL row survived
+    exc = (
+        set_op(left, right, "except", ["k"], right_cols=["r"],
+               num_buckets=2)
+        .to_pandas()["k"].dropna().sort_values().tolist()
+    )
+    assert exc == [1.0, 5.0]
+
+
+def test_set_op_multi_column(ray_session):
+    from data_validator_ray.pipelines.relational import set_op
+
+    left = pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "x"]})
+    right = pd.DataFrame({"a": [1, 2], "b": ["y", "z"]})
+    out = (
+        set_op(left, right, "intersect", ["a", "b"], num_buckets=1)
+        .to_pandas()
+    )
+    assert list(map(tuple, out[["a", "b"]].values)) == [(1, "y")]
+
+
+def test_set_op_rejects_unknown_op(ray_session):
+    from data_validator_ray.pipelines.relational import set_op
+
+    with pytest.raises(ValueError):
+        set_op(pd.DataFrame({"k": [1]}), pd.DataFrame({"k": [1]}),
+               "union", ["k"])
