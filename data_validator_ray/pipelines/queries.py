@@ -1388,6 +1388,30 @@ def q_intersect_events_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_cube_events(sf_dir: str) -> pd.DataFrame:
+    """CUBE(event_type, user_id % 4) over events: all four grouping
+    sets in one pass; grouping_id is the SQL GROUPING bitmask."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .relational import cube_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "user_band",
+            _pc.cast(_pc.bit_wise_and(b["user_id"], 3), _pa.int64()),
+        ).drop(["user_id"]),
+        batch_format="pyarrow",
+    )
+    out = cube_aggregate(ds, ["event_type", "user_band"], "value").to_pandas()
+    out = out[["grouping_id", "event_type", "user_band", "n_rows", "value_sum"]]
+    return out.sort_values(
+        ["grouping_id", "event_type", "user_band"], na_position="last"
+    ).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1475,6 +1499,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "rollup_documents": q_rollup_documents,
         "except_customers_events": q_except_customers_events,
         "intersect_events_users": q_intersect_events_users,
+        "cube_events": q_cube_events,
     }
 
 
@@ -1895,6 +1920,17 @@ def oracle_sql() -> Dict[str, str]:
             "INTERSECT "
             "SELECT user_id FROM events WHERE event_id % 2 = 1 "
             "ORDER BY user_id"
+        ),
+        "cube_events": (
+            "WITH e AS (SELECT event_type, user_id % 4 AS user_band, "
+            "value FROM events) "
+            "SELECT CAST(GROUPING(event_type) * 2 + GROUPING(user_band) "
+            "AS BIGINT) AS grouping_id, event_type, user_band, "
+            "COUNT(*)::BIGINT AS n_rows, "
+            "ROUND(SUM(value), 6) AS value_sum "
+            "FROM e GROUP BY CUBE(event_type, user_band) "
+            "ORDER BY grouping_id, event_type NULLS LAST, "
+            "user_band NULLS LAST"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -501,32 +501,26 @@ def running_window(
     )
 
 
-def rollup_aggregate(
+def _grouping_sets_aggregate(
     source: Any,
     key_cols: List[str],
     value_col: str,
-    *,
-    num_buckets: int = 64,
-    batch_size: int = 64 * 1024,
+    sets: "List[tuple[int, List[str]]]",
+    level_name: str,
+    num_buckets: int,
+    batch_size: int,
 ) -> Dataset:
-    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: aggregates at every prefix
-    level — ``(k1,k2,…)``, ``(k1,…)``, …, ``()`` — in ONE pass. Output
-    rows carry ``level`` (= number of rolled-up keys, the SQL
-    ``GROUPING(k1)+…`` convention), the key columns (NULL where rolled
-    up — disambiguated from REAL null keys by ``level``), ``n_rows``
-    and ``value_sum`` (int64 exact for integer inputs, else float64
-    rounded to 6).
-
-    Scale shape: each batch pre-aggregates ALL levels with pyarrow
-    ``group_by`` (exchange bounded by levels × per-batch distinct
-    keys, never rows), then one null-safe ``bucketed_groupby`` merge
-    (pandas ``dropna=False``) — real NULL keys group correctly, which
-    a plain Ray groupby can't guarantee."""
+    """Shared engine for ROLLUP / CUBE / arbitrary GROUPING SETS: each
+    batch pre-aggregates EVERY grouping set with pyarrow ``group_by``
+    (exchange bounded by #sets × per-batch distinct keys, never rows),
+    then one null-safe ``bucketed_groupby`` merge (pandas
+    ``dropna=False``) — real NULL keys group correctly, which a plain
+    Ray groupby can't guarantee, and stay distinguishable from
+    rolled-up NULLs via the ``level_name`` id column. ``value_sum`` is
+    int64 exact for integer inputs, else float64 rounded to 6."""
     import pandas as pd
 
     from .dedup import bucketed_groupby
-
-    L = len(key_cols)
 
     def partials(batch: pa.Table) -> pa.Table:
         vt = batch[value_col].type
@@ -535,8 +529,7 @@ def rollup_aggregate(
             batch[value_col], pa.int64() if is_int else pa.float64()
         )
         out = []
-        for lvl in range(L + 1):
-            keys = key_cols[: L - lvl]
+        for set_id, keys in sets:
             t = pa.table(
                 {
                     **{c: batch[c] for c in keys},
@@ -562,7 +555,9 @@ def rollup_aggregate(
                         ),
                     }
                 )
-            cols = {"level": pa.array(np.full(g.num_rows, lvl, np.int64))}
+            cols = {
+                level_name: pa.array(np.full(g.num_rows, set_id, np.int64))
+            }
             for c in key_cols:
                 cols[c] = (
                     g[c]
@@ -576,7 +571,7 @@ def rollup_aggregate(
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         agg = (
-            g.groupby(["level"] + key_cols, dropna=False, sort=False)
+            g.groupby([level_name] + key_cols, dropna=False, sort=False)
             .agg(n_rows=("__n", "sum"), value_sum=("__v", "sum"))
             .reset_index()
         )
@@ -590,8 +585,58 @@ def rollup_aggregate(
         partials, batch_format="pyarrow", batch_size=batch_size
     )
     return bucketed_groupby(
-        part, ["level"] + key_cols, merge,
+        part, [level_name] + key_cols, merge,
         num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
+def rollup_aggregate(
+    source: Any,
+    key_cols: List[str],
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: aggregates at every prefix
+    level — ``(k1,k2,…)``, ``(k1,…)``, …, ``()`` — in ONE pass. Output
+    rows carry ``level`` (= number of rolled-up keys, the SQL
+    ``GROUPING(k1)+…`` convention), the key columns (NULL where rolled
+    up), ``n_rows`` and ``value_sum``. See
+    :func:`_grouping_sets_aggregate` for the scale shape."""
+    L = len(key_cols)
+    sets = [(lvl, key_cols[: L - lvl]) for lvl in range(L + 1)]
+    return _grouping_sets_aggregate(
+        source, key_cols, value_col, sets, "level",
+        num_buckets, batch_size,
+    )
+
+
+def cube_aggregate(
+    source: Any,
+    key_cols: List[str],
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``GROUP BY CUBE(k1, …, kn)``: aggregates over ALL 2^n key
+    subsets in ONE pass. Output rows carry ``grouping_id`` — the SQL
+    bitmask convention ``GROUPING(k1)·2^(n-1) + … + GROUPING(kn)``
+    (bit set ⇔ that key is rolled up), which unlike a plain level
+    count is unique per subset. See :func:`_grouping_sets_aggregate`
+    for the scale shape; #sets is 2^n, so keep ``n`` small (the SQL
+    planner's own constraint)."""
+    L = len(key_cols)
+    sets = []
+    for mask in range(1 << L):
+        keys = [
+            key_cols[i] for i in range(L) if not (mask >> (L - 1 - i)) & 1
+        ]
+        sets.append((mask, keys))
+    return _grouping_sets_aggregate(
+        source, key_cols, value_col, sets, "grouping_id",
+        num_buckets, batch_size,
     )
 
 

@@ -807,3 +807,25 @@ def test_set_op_rejects_unknown_op(ray_session):
     with pytest.raises(ValueError):
         set_op(pd.DataFrame({"k": [1]}), pd.DataFrame({"k": [1]}),
                "union", ["k"])
+
+
+def test_cube_all_subsets_bitmask(ray_session):
+    from data_validator_ray.pipelines.relational import cube_aggregate
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": [1, 2, 1], "v": [10, 20, 40]}
+    )
+    out = (
+        cube_aggregate(df, ["a", "b"], "v", num_buckets=2)
+        .to_pandas()
+        .sort_values(["grouping_id", "a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # gid 0 = (a,b); 1 = (a); 2 = (b); 3 = ()
+    assert sorted(out.grouping_id.unique()) == [0, 1, 2, 3]
+    g1 = out[out.grouping_id == 1].set_index("a")
+    assert g1.loc["x", "value_sum"] == 30 and g1.loc["y", "value_sum"] == 40
+    g2 = out[out.grouping_id == 2].set_index("b")
+    assert g2.loc[1, "value_sum"] == 50 and g2.loc[2, "value_sum"] == 20
+    assert out[out.grouping_id == 3].value_sum.iloc[0] == 70
+    assert out[out.grouping_id == 2].a.isna().all()
