@@ -1412,6 +1412,36 @@ def q_cube_events(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_top_events_by_value(sf_dir: str) -> pd.DataFrame:
+    """Global ORDER BY value DESC LIMIT 100 without a full sort
+    (per-batch argpartition partial top-k, driver merge)."""
+    from .relational import top_k_rows
+
+    return top_k_rows(
+        f"{sf_dir}/events.parquet",
+        "value",
+        100,
+        descending=True,
+        tiebreak_cols=["event_id"],
+        columns=["event_id", "value"],
+    )
+
+
+def q_global_rank_events(sf_dir: str) -> pd.DataFrame:
+    """Global ROW_NUMBER + NTILE(7) over events ordered by
+    (value, event_id) — distributed prefix-scan ranking."""
+    from .relational import global_rank
+
+    out = global_rank(
+        f"{sf_dir}/events.parquet",
+        "value",
+        tiebreak_cols=["event_id"],
+        ntile=7,
+    ).to_pandas()
+    out = out[["event_id", "value", "rank", "tile"]]
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1500,6 +1530,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "except_customers_events": q_except_customers_events,
         "intersect_events_users": q_intersect_events_users,
         "cube_events": q_cube_events,
+        "top_events_by_value": q_top_events_by_value,
+        "global_rank_events": q_global_rank_events,
     }
 
 
@@ -1931,6 +1963,17 @@ def oracle_sql() -> Dict[str, str]:
             "FROM e GROUP BY CUBE(event_type, user_band) "
             "ORDER BY grouping_id, event_type NULLS LAST, "
             "user_band NULLS LAST"
+        ),
+        "top_events_by_value": (
+            "SELECT event_id, value FROM events "
+            "WHERE value IS NOT NULL "
+            "ORDER BY value DESC, event_id LIMIT 100"
+        ),
+        "global_rank_events": (
+            "SELECT event_id, value, "
+            "ROW_NUMBER() OVER w AS rank, NTILE(7) OVER w AS tile "
+            "FROM events WINDOW w AS (ORDER BY value, event_id) "
+            "ORDER BY rank"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

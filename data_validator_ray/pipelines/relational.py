@@ -640,6 +640,165 @@ def cube_aggregate(
     )
 
 
+def top_k_rows(
+    source: Any,
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak_cols: Optional[List[str]] = None,
+    columns: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Global ``ORDER BY order_col [DESC] LIMIT k`` WITHOUT a full
+    sort: each batch keeps its own top-k via ``np.argpartition``
+    (O(rows) per batch), so only ``k × #batches`` candidate rows reach
+    the driver for the final exact sort — the same partial-top-k shape
+    as ``knn_brute``. ``tiebreak_cols`` make the cut deterministic
+    when ``order_col`` ties at the boundary; NULL order values never
+    rank (SQL-filter them oracle-side). Returns the k rows as a
+    (small) pandas DataFrame."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[order_col]))
+        if batch.num_rows == 0:
+            return batch
+        v = batch[order_col].to_numpy(zero_copy_only=False)
+        key = -v if descending else v
+        if batch.num_rows > k:
+            idx = np.argpartition(key, k)[:k]
+            batch = batch.take(pa.array(np.sort(idx)))
+        return batch
+
+    cols = columns
+    if cols is not None:
+        need = {order_col, *(tiebreak_cols or [])}
+        cols = list(dict.fromkeys([*cols, *need]))
+    ds = _as_dataset(source, columns=cols)
+    cands = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    sort_cols = [order_col] + (tiebreak_cols or [])
+    asc = [not descending] + [True] * len(tiebreak_cols or [])
+    out = cands.sort_values(
+        sort_cols, ascending=asc, kind="mergesort"
+    ).head(k)
+    if columns is not None:
+        out = out[columns]
+    return out.reset_index(drop=True)
+
+
+def global_rank(
+    source: Any,
+    order_col: str,
+    *,
+    tiebreak_cols: Optional[List[str]] = None,
+    ntile: Optional[int] = None,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Global ordered window over the WHOLE dataset: appends ``rank``
+    (1-based ``ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks)``)
+    and, when ``ntile`` is given, ``tile`` (SQL ``NTILE(n)`` — first
+    ``N % n`` tiles get the extra row). NULL order values rank last
+    (the ASC ``NULLS LAST`` default); ``tiebreak_cols`` must complete
+    a total order for deterministic output.
+
+    A global rank is a prefix scan, not a full sort: values
+    range-partition on sampled bounds (``searchsorted`` keeps ties in
+    one bucket), per-bucket counts give the driver an exclusive
+    prefix, and ONE vectorized sort per bucket assigns
+    ``offset + arange``. Only bucket counts reach the driver."""
+    import pandas as pd
+
+    sort_cols = [order_col] + (tiebreak_cols or [])
+
+    def sample_bounds(batch: pa.Table) -> pa.Table:
+        v = batch[order_col].drop_null()
+        return pa.table({"v": v[:: 1024]})
+
+    ds = _as_dataset(source)
+    sdf = ds.map_batches(
+        sample_bounds, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    if "v" in sdf.columns and len(sdf):
+        sampled = np.sort(sdf["v"].to_numpy())
+        q = np.linspace(0, len(sampled) - 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(sampled[q.astype(np.int64)])
+    else:
+        bounds = np.empty(0)
+    bounds_ref = ray.put(bounds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b_ = ray.get(bounds_ref)
+        v = batch[order_col].to_numpy(zero_copy_only=False)
+        bkt = (
+            np.searchsorted(b_, v, side="right").astype(np.int64)
+            if len(b_)
+            else np.zeros(len(v), np.int64)
+        )
+        # NaN/NaT compare false against every bound -> bucket 0; send
+        # them to the LAST bucket instead (NULLS LAST)
+        null_mask = pc.is_null(batch[order_col]).to_numpy(
+            zero_copy_only=False
+        )
+        if null_mask.any():
+            bkt[null_mask] = len(b_)
+        return batch.append_column("__bucket", pa.array(bkt, pa.int64()))
+
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    # bucket counts WITHOUT a shuffle: per-batch bincount vectors
+    # (≤ num_buckets+1 ints each) summed on the driver
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = batch["__bucket"].to_numpy(zero_copy_only=False)
+        c = np.bincount(b, minlength=num_buckets + 1)
+        return pa.table(
+            {"counts": pa.array([c.tolist()], pa.list_(pa.int64()))}
+        )
+
+    cnt = np.zeros(num_buckets + 1, dtype=np.int64)
+    for r in bucketed.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).take_all():
+        c = np.asarray(r["counts"], dtype=np.int64)
+        cnt[: len(c)] += c
+    total = int(cnt.sum())
+    offs = dict(
+        zip(
+            range(num_buckets + 1),
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]),
+        )
+    )
+    offs_ref = ray.put(offs)
+    n = ntile
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        omap = ray.get(offs_ref)
+        base = omap[int(group["__bucket"].iloc[0])]
+        g = group.sort_values(
+            sort_cols, kind="mergesort", na_position="last"
+        ).drop(columns="__bucket")
+        r0 = base + np.arange(len(g), dtype=np.int64)  # 0-based
+        g["rank"] = r0 + 1
+        if n:
+            q, rem = divmod(total, n)
+            split = rem * (q + 1)
+            tile = np.where(
+                r0 < split,
+                r0 // (q + 1) if q + 1 > 0 else 0,
+                rem + (np.maximum(r0 - split, 0) // q if q else 0),
+            )
+            g["tile"] = tile.astype(np.int64) + 1
+        return g
+
+    return bucketed.groupby("__bucket").map_groups(
+        assign, batch_format="pandas"
+    )
+
+
 def set_op(
     left: Any,
     right: Any,

@@ -829,3 +829,61 @@ def test_cube_all_subsets_bitmask(ray_session):
     assert g2.loc[1, "value_sum"] == 50 and g2.loc[2, "value_sum"] == 20
     assert out[out.grouping_id == 3].value_sum.iloc[0] == 70
     assert out[out.grouping_id == 2].a.isna().all()
+
+
+def test_top_k_rows_boundary_ties_and_nulls(ray_session):
+    from data_validator_ray.pipelines.relational import top_k_rows
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "v": [9.0, 9.0, 9.0, 1.0, None, 5.0],
+        }
+    )
+    out = top_k_rows(
+        df, "v", 2, descending=True, tiebreak_cols=["id"],
+        batch_size=2,
+    )
+    # ties at the cut resolved by id; NULL never ranks
+    assert out["id"].tolist() == [1, 2]
+    asc = top_k_rows(df, "v", 3, descending=False, tiebreak_cols=["id"],
+                     batch_size=2)
+    assert asc["id"].tolist() == [4, 6, 1]
+
+
+def test_global_rank_and_ntile(ray_session):
+    from data_validator_ray.pipelines.relational import global_rank
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"id": np.arange(100), "v": rng.normal(size=100)})
+    df.loc[7, "v"] = None
+    df.loc[13, "v"] = df["v"].iloc[20]  # tie
+    out = (
+        global_rank(df, "v", tiebreak_cols=["id"], ntile=7,
+                    num_buckets=5, batch_size=16)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out["rank"].tolist() == list(range(1, 101))
+    # reference: pandas ordering, NULLS LAST
+    ref = df.sort_values(["v", "id"], na_position="last")["id"].tolist()
+    assert out["id"].tolist() == ref
+    # NTILE: 100 rows / 7 tiles -> first 2 tiles of 15, rest 14
+    sizes = out.groupby("tile").size()
+    assert sizes.tolist() == [15, 15, 14, 14, 14, 14, 14]
+    assert out[out["id"] == 7]["rank"].iloc[0] == 100  # NULL ranks last
+
+
+def test_global_rank_layout_independent(ray_session):
+    from data_validator_ray.pipelines.relational import global_rank
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"id": np.arange(500), "v": rng.integers(0, 50, 500)})
+    a = (global_rank(df, "v", tiebreak_cols=["id"], num_buckets=3,
+                     batch_size=50)
+         .to_pandas().sort_values("rank").reset_index(drop=True))
+    b = (global_rank(df, "v", tiebreak_cols=["id"], num_buckets=64,
+                     batch_size=500)
+         .to_pandas().sort_values("rank").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
