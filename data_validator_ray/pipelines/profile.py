@@ -218,3 +218,104 @@ def histogram(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow").sort("bin_id")
+
+
+# --------------------------------------------------------------------------- #
+# grouped statistical moments (mean / variance / correlation)                 #
+# --------------------------------------------------------------------------- #
+
+
+def grouped_stats(
+    source: Any,
+    key_cols: "list[str]",
+    x_col: str,
+    y_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Per-group one-pass statistical moments: ``n_x`` (non-null x),
+    ``avg_x``, ``var_x`` (sample variance), and ``corr_xy`` (Pearson,
+    over PAIRWISE-complete rows — SQL ``CORR`` ignores a row when
+    either side is NULL, while ``AVG/VAR_SAMP`` ignore only their own
+    column's NULLs; both conventions preserved). Floats rounded to 6;
+    ``var_x`` NULL when n<2, ``corr_xy`` NULL on zero variance —
+    DuckDB's conventions.
+
+    Scale shape: each batch reduces to per-group moment sums via ONE
+    pyarrow ``group_by`` (sums of x, x², y, xy, y² plus two counts —
+    exchange is groups × batches, row-count-independent), merged by a
+    null-safe bucketed groupby; the closed-form moments are evaluated
+    per group at the end. Magnitude note: the sums-of-squares form is
+    fine while ``n·var ≫ mean²·n·eps``; for extreme means, center the
+    column first."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[x_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = pc.cast(batch[y_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        vx = ~np.isnan(x)
+        vp = vx & ~np.isnan(y)
+        x0 = np.where(vx, x, 0.0)
+        xp = np.where(vp, x, 0.0)
+        yp = np.where(vp, y, 0.0)
+        t = pa.table(
+            {
+                **{c: batch[c] for c in key_cols},
+                "__nx": pa.array(vx.astype(np.int64)),
+                "__sx": pa.array(x0),
+                "__sxx": pa.array(x0 * x0),
+                "__np": pa.array(vp.astype(np.int64)),
+                "__px": pa.array(xp),
+                "__py": pa.array(yp),
+                "__pxx": pa.array(xp * xp),
+                "__pyy": pa.array(yp * yp),
+                "__pxy": pa.array(xp * yp),
+            }
+        )
+        aggs = [(c, "sum") for c in t.column_names if c.startswith("__")]
+        return t.group_by(key_cols).aggregate(aggs)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(key_cols, dropna=False, sort=False)
+            .sum(numeric_only=True)
+            .reset_index()
+        )
+        nx = s["__nx_sum"].to_numpy(np.float64)
+        sx, sxx = s["__sx_sum"].to_numpy(), s["__sxx_sum"].to_numpy()
+        npair = s["__np_sum"].to_numpy(np.float64)
+        px, py = s["__px_sum"].to_numpy(), s["__py_sum"].to_numpy()
+        pxx, pyy = s["__pxx_sum"].to_numpy(), s["__pyy_sum"].to_numpy()
+        pxy = s["__pxy_sum"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = sx / nx
+            var = (sxx - sx * sx / nx) / (nx - 1)
+            cnum = npair * pxy - px * py
+            cden = np.sqrt(
+                (npair * pxx - px * px) * (npair * pyy - py * py)
+            )
+            corr = cnum / cden
+        out = s[key_cols].copy()
+        out["n_x"] = s["__nx_sum"].to_numpy(np.int64)
+        out["avg_x"] = np.where(nx > 0, np.round(avg, 6), np.nan)
+        out["var_x"] = np.where(nx > 1, np.round(var, 6), np.nan)
+        out["corr_xy"] = np.where(
+            (npair > 1) & (cden > 0), np.round(corr, 6), np.nan
+        )
+        return out
+
+    ds = _as_dataset(source, columns=[*key_cols, x_col, y_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        part, key_cols, merge,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

@@ -1442,6 +1442,20 @@ def q_global_rank_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("rank").reset_index(drop=True)
 
 
+def q_grouped_stats_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag moments: count/avg/var_samp of l_quantity and
+    Pearson corr(l_quantity, l_extendedprice) in one pass."""
+    from .profile import grouped_stats
+
+    out = grouped_stats(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    ).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1532,6 +1546,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "cube_events": q_cube_events,
         "top_events_by_value": q_top_events_by_value,
         "global_rank_events": q_global_rank_events,
+        "grouped_stats_lineitem": q_grouped_stats_lineitem,
     }
 
 
@@ -1974,6 +1989,13 @@ def oracle_sql() -> Dict[str, str]:
             "ROW_NUMBER() OVER w AS rank, NTILE(7) OVER w AS tile "
             "FROM events WINDOW w AS (ORDER BY value, event_id) "
             "ORDER BY rank"
+        ),
+        "grouped_stats_lineitem": (
+            "SELECT l_returnflag, COUNT(l_quantity)::BIGINT AS n_x, "
+            "ROUND(AVG(l_quantity), 6) AS avg_x, "
+            "ROUND(VAR_SAMP(l_quantity), 6) AS var_x, "
+            "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

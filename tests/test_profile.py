@@ -82,3 +82,67 @@ def test_histogram_rejects_bad_range(ray_session):
     tbl = pa.table({"v": pa.array([1.0], pa.float64())})
     with pytest.raises(ValueError):
         histogram(tbl, "v", lo=5.0, hi=5.0, n_bins=4)
+
+
+# --------------------------------------------------------------------------- #
+# grouped_stats (moments + correlation)                                       #
+# --------------------------------------------------------------------------- #
+
+
+def test_grouped_stats_null_conventions(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.profile import grouped_stats
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "a", "b", "b"],
+            "x": [1.0, 2.0, 3.0, None, 5.0, 5.0],
+            "y": [2.0, None, 6.0, 9.0, 1.0, 2.0],
+        }
+    )
+    out = (
+        grouped_stats(df, ["g"], "x", "y", num_buckets=2, batch_size=2)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    a = out.iloc[0]
+    # AVG/VAR over x-non-null rows (3); CORR over pairwise rows (1,2),(3,6)
+    assert a.n_x == 3 and a.avg_x == 2.0 and a.var_x == 1.0
+    assert a.corr_xy == 1.0  # two points -> perfect correlation
+    b = out.iloc[1]
+    # zero x-variance -> corr NULL; var defined
+    assert b.n_x == 2 and b.avg_x == 5.0 and b.var_x == 0.0
+    assert np.isnan(b.corr_xy)
+
+
+def test_grouped_stats_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.profile import grouped_stats
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["p", "q", "r"], 3000),
+            "x": rng.normal(10, 3, 3000),
+            "y": rng.normal(size=3000),
+        }
+    )
+    df["y"] += 0.5 * df["x"]
+    out = (
+        grouped_stats(df, ["g"], "x", "y", batch_size=256)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    ref = df.groupby("g").agg(
+        avg=("x", "mean"), var=("x", "var")
+    ).reset_index()
+    corr_ref = df.groupby("g").apply(
+        lambda t: t["x"].corr(t["y"]), include_groups=False
+    ).reset_index(drop=True)
+    assert np.allclose(out.avg_x, ref["avg"].round(6))
+    assert np.allclose(out.var_x, ref["var"], atol=1e-5)
+    assert np.allclose(out.corr_xy, corr_ref, atol=1e-5)
