@@ -700,10 +700,18 @@ def semantic_dedup(
         M = _embedding_matrix(batch, vec_col)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         cl = np.argmax(Mn @ Cn_.T, axis=1).astype(np.int64)
+        # ship NORMALIZED float32 fixed-size-list vectors through the
+        # shuffle: half the bytes of the float64 input lists, and the
+        # dedup stage consumes them zero-copy without re-normalizing
+        Mn32 = np.ascontiguousarray(Mn, dtype=np.float32)
+        d = Mn32.shape[1] if Mn32.size else 0
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(Mn32.reshape(-1), pa.float32()), d or 1
+        )
         return pa.table(
             {
                 id_col: batch[id_col],
-                vec_col: batch[vec_col],
+                vec_col: fsl,
                 "cluster": pa.array(cl, pa.int64()),
             }
         )
@@ -739,12 +747,10 @@ def semantic_dedup(
 
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
-        M = _embedding_matrix(group, vec_col).astype(np.float32)
+        # assign() already normalized and downcast to f32
+        M = _embedding_matrix(group, vec_col, dtype=np.float32)
         order = np.lexsort((ids, cl))
-        ids, cl, M = ids[order], cl[order], M[order]
-        Mn = M / np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), np.float32(1e-12)
-        )
+        ids, cl, Mn = ids[order], cl[order], M[order]
         drop = np.zeros(len(ids), bool)
         starts = np.flatnonzero(np.diff(cl, prepend=cl[0] - 1 if len(cl) else 0))
         bounds = list(starts) + [len(cl)]

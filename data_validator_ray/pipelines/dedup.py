@@ -794,11 +794,21 @@ def simhash_pairs(
 # --------------------------------------------------------------------------- #
 
 
-def _embedding_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+def _embedding_matrix(
+    batch: pa.Table, vec_col: str, dtype: "np.dtype | type" = np.float64
+) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return np.empty((0, 0))
+        return flat.astype(dtype, copy=False).reshape(-1, dim)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(
+        dtype, copy=False
+    )
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offsets)
     if len(widths) == 0:
