@@ -1456,6 +1456,20 @@ def q_grouped_stats_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_explode_embeddings(sf_dir: str) -> pd.DataFrame:
+    """UNNEST WITH ORDINALITY of the embedding list column (1-based
+    pos, one row per element)."""
+    from .relational import explode_column
+
+    out = explode_column(
+        f"{sf_dir}/embeddings.parquet",
+        "embedding",
+        keep_cols=["vec_id"],
+        value_name="emb_val",
+    ).to_pandas()
+    return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1547,6 +1561,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "top_events_by_value": q_top_events_by_value,
         "global_rank_events": q_global_rank_events,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
+        "explode_embeddings": q_explode_embeddings,
     }
 
 
@@ -1996,6 +2011,12 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(VAR_SAMP(l_quantity), 6) AS var_x, "
             "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "explode_embeddings": (
+            "SELECT vec_id, "
+            "generate_subscripts(embedding, 1)::BIGINT AS pos, "
+            "unnest(embedding) AS emb_val "
+            "FROM embeddings ORDER BY vec_id, pos"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

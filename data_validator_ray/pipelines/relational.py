@@ -902,6 +902,52 @@ def json_extract(
     )
 
 
+def explode_column(
+    source: Any,
+    list_col: str,
+    *,
+    keep_cols: List[str],
+    pos_name: str = "pos",
+    value_name: Optional[str] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``UNNEST … WITH ORDINALITY``: one output row per list
+    element, carrying ``keep_cols``, a 1-based ``pos_name`` and the
+    element value. NULL and empty lists produce no rows (the SQL
+    convention). Pure per-batch reshape — flatten + vectorized repeat,
+    no Python loop, no shuffle."""
+    vname = value_name or f"{list_col}_item"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(col)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        pos = (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(starts, lens)
+            + 1
+        )
+        cols = {
+            c: batch[c].take(pa.array(idx)) for c in keep_cols
+        }
+        cols[pos_name] = pa.array(pos, pa.int64())
+        cols[vname] = flat
+        return pa.table(cols)
+
+    ds = _as_dataset(source, columns=[*keep_cols, list_col])
+    return ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def unpivot(
     source: Any,
     id_cols: List[str],

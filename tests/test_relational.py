@@ -887,3 +887,28 @@ def test_global_rank_layout_independent(ray_session):
                      batch_size=500)
          .to_pandas().sort_values("rank").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_explode_column_nulls_empties_ordinality(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import explode_column
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "xs": pa.array(
+                [[10, 20], [], None, [30]], pa.list_(pa.int64())
+            ),
+        }
+    )
+    out = (
+        explode_column(tbl, "xs", keep_cols=["id"], value_name="x")
+        .to_pandas()
+        .sort_values(["id", "pos"])
+        .reset_index(drop=True)
+    )
+    # NULL and empty lists produce no rows; pos is 1-based
+    assert list(map(tuple, out[["id", "pos", "x"]].values)) == [
+        (1, 1, 10), (1, 2, 20), (4, 1, 30)
+    ]
