@@ -952,3 +952,185 @@ def full_profile(
     return ds.map_batches(
         profile, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+# --------------------------------------------------------------------------- #
+# duplicated-span coverage (suffix-style dedup signal)                        #
+# --------------------------------------------------------------------------- #
+
+
+def duplicated_span_stats(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    num_hash_buckets: int = 256,
+    num_doc_buckets: int = 64,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Per-document duplicated-span coverage — the substring-dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") in its scalable n-gram form: a token is
+    *duplicated* when some ``n``-gram window covering it occurs at
+    least ``min_count`` times in the WHOLE corpus. Output per doc:
+    ``n_tokens``, ``n_dup_tokens`` (size of the union of duplicated
+    windows) — the ratio drives span-level removal / doc-drop
+    decisions.
+
+    Tokenization is the oracle convention (single-space split, empty
+    tokens dropped). Two bounded shuffles, mirroring
+    ``paragraph_dedup``:
+
+    1. positional rolling-hash ``n``-grams (no shingle strings
+       materialize — token-hash polynomial combine, two independent
+       64-bit seeds, collision odds ~2^-128) bucket on ``h1``; one
+       vectorized group-size pass per bucket emits the DUPLICATED
+       ``(doc_id, pos)`` rows only;
+    2. dup positions co-locate with per-doc token counts on
+       ``knuth(doc_id)`` buckets; ONE vectorized interval-union sweep
+       per bucket (sort + per-doc cummax of window ends) computes the
+       covered-token count for all its docs.
+    """
+    K = pl.lit(_HASH_K, dtype=pl.UInt64)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ex, nrows = _token_frame(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ex):
+            return pa.table(
+                {
+                    "__h1": pa.array([], pa.uint64()),
+                    "__h2": pa.array([], pa.uint64()),
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int64()),
+                }
+            )
+        hx = ex.with_columns(
+            pl.col("t").hash(seed=0).alias("a"),
+            pl.col("t").hash(seed=7).alias("b"),
+            (pl.int_range(pl.len()).over("row") + 1).alias("pos"),
+        )
+        for name in ("a", "b"):
+            cols = [pl.col(name)] + [
+                pl.col(name).shift(-i) for i in range(1, n)
+            ]
+            comb = cols[0]
+            for c in cols[1:]:
+                comb = comb * K + c
+            hx = hx.with_columns(comb.alias(name))
+        hx = hx.filter(
+            (pl.col("row") == pl.col("row").shift(-(n - 1))).fill_null(
+                False
+            )
+        )
+        row = hx["row"].to_numpy()
+        h1 = hx["a"].to_numpy()
+        return pa.table(
+            {
+                "__h1": pa.array(h1, pa.uint64()),
+                "__h2": pa.array(hx["b"].to_numpy(), pa.uint64()),
+                id_col: pa.array(ids[row], pa.int64()),
+                "pos": pa.array(hx["pos"].to_numpy().astype(np.int64)),
+                "__bucket": pa.array(
+                    (h1 % np.uint64(num_hash_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def emit_dups(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["__h1", "__h2"])["pos"].transform("size")
+        d = g.loc[cnt >= min_count, [id_col, "pos"]]
+        return pd.DataFrame(
+            {
+                id_col: d[id_col].to_numpy(np.int64),
+                "pos": d["pos"].to_numpy(np.int64),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    dups = (
+        ds.map_batches(
+            shingle_rows, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("__bucket")
+        .map_groups(emit_dups, batch_format="pandas")
+        .materialize()  # small (dup positions only); breaks the
+        #                 sort→union→sort operator chain (NOTES lesson)
+    )
+
+    def doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.int64) * np.int64(KNUTH))
+            % np.int64(num_doc_buckets)
+        ).astype(np.int64)
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch[text_col], ""), r"[^ ]+"
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pos": pa.array(np.full(len(batch), -1, np.int64)),
+                "n_tokens": ntok,
+                "__bucket": pa.array(doc_bucket(ids), pa.int64()),
+            }
+        )
+
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pos": batch["pos"],
+                "n_tokens": pa.array(np.zeros(len(batch), np.int64)),
+                "__bucket": pa.array(doc_bucket(ids), pa.int64()),
+            }
+        )
+
+    unioned = ds.map_batches(
+        tag_counts, batch_format="pyarrow", batch_size=batch_size
+    ).union(dups.map_batches(tag_dups, batch_format="pyarrow"))
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0][[id_col, "n_tokens"]]
+        d = g[g["pos"] >= 0][[id_col, "pos"]]
+        if len(d):
+            d = d.sort_values([id_col, "pos"], kind="mergesort")
+            p = d["pos"].to_numpy(np.int64)
+            end = p + n - 1
+            # vectorized per-doc running max of interval end, exclusive
+            dd = pd.DataFrame({id_col: d[id_col].to_numpy(), "end": end})
+            prev = (
+                dd.groupby(id_col)["end"].cummax().shift().to_numpy()
+            )
+            newdoc = dd[id_col].to_numpy() != np.roll(
+                dd[id_col].to_numpy(), 1
+            )
+            newdoc[0] = True
+            prev = np.where(newdoc, 0, prev).astype(np.int64)
+            contrib = np.clip(end - np.maximum(p - 1, prev), 0, None)
+            cov = (
+                pd.DataFrame({id_col: dd[id_col], "c": contrib})
+                .groupby(id_col)["c"].sum()
+            )
+        else:
+            cov = pd.Series(dtype=np.int64)
+        out = docs.copy()
+        out["n_dup_tokens"] = (
+            out[id_col].map(cov).fillna(0).astype(np.int64)
+        )
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        return out.sort_values(id_col).reset_index(drop=True)
+
+    return unioned.groupby("__bucket").map_groups(
+        coverage, batch_format="pandas"
+    )

@@ -1470,6 +1470,18 @@ def q_explode_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
 
 
+def q_dup_span_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Duplicated-span coverage (Lee et al. substring-dedup signal):
+    per doc, tokens covered by any 8-gram occurring >=2 times
+    corpus-wide (2430 of 27165 tokens at sf0.01)."""
+    from .curation import duplicated_span_stats
+
+    out = duplicated_span_stats(
+        f"{sf_dir}/documents.parquet", n=8, min_count=2
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1562,6 +1574,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "global_rank_events": q_global_rank_events,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "explode_embeddings": q_explode_embeddings,
+        "dup_span_stats_documents": q_dup_span_stats_documents,
     }
 
 
@@ -2017,6 +2030,31 @@ def oracle_sql() -> Dict[str, str]:
             "generate_subscripts(embedding, 1)::BIGINT AS pos, "
             "unnest(embedding) AS emb_val "
             "FROM embeddings ORDER BY vec_id, pos"
+        ),
+        "dup_span_stats_documents": (
+            # token t is duplicated iff some 8-gram window [p, p+7]
+            # covering it occurs >= 2 times corpus-wide
+            "WITH toks AS (SELECT doc_id, list_filter(string_split("
+            "COALESCE(text, ''), ' '), x -> x <> '') AS ts "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(ts) - 7)) AS p "
+            "FROM toks WHERE len(ts) >= 8), "
+            "sh AS (SELECT pos.doc_id, p, array_to_string((SELECT ts "
+            "FROM toks t WHERE t.doc_id = pos.doc_id)[p:p+7], ' ') AS s "
+            "FROM pos), "
+            "dup AS (SELECT doc_id, p FROM sh WHERE s IN "
+            "(SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2)), "
+            "tok AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(ts))) AS t FROM toks), "
+            "cov AS (SELECT DISTINCT tok.doc_id, t FROM tok JOIN dup "
+            "ON dup.doc_id = tok.doc_id AND dup.p <= t "
+            "AND t <= dup.p + 7) "
+            "SELECT toks.doc_id, len(ts)::BIGINT AS n_tokens, "
+            "COALESCE(cv.n, 0)::BIGINT AS n_dup_tokens "
+            "FROM toks LEFT JOIN (SELECT doc_id, COUNT(*) AS n "
+            "FROM cov GROUP BY doc_id) cv USING (doc_id) "
+            "ORDER BY doc_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

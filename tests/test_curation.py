@@ -520,3 +520,62 @@ def test_group_sample_small_groups_keep_all(ray_session):
     })
     out = group_sample(tbl, "source", k=10).to_pandas()
     assert len(out) == 3
+
+
+# --------------------------------------------------------------------------- #
+# duplicated-span coverage                                                    #
+# --------------------------------------------------------------------------- #
+
+
+def test_dup_span_coverage_overlap_union(ray_session):
+    from data_validator_ray.pipelines.curation import duplicated_span_stats
+
+    seq = " ".join(f"w{i}" for i in range(10))  # 10-token run
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                seq + " uniqA uniqB",     # 12 tokens, shares the run
+                seq + " uniqC",           # 11 tokens, shares the run
+                "x1 x2 x3 x4 x5 x6 x7 x8 x9",  # unique 9 tokens
+            ],
+        }
+    )
+    out = (
+        duplicated_span_stats(df, n=8, min_count=2,
+                              num_hash_buckets=4, num_doc_buckets=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # docs 1/2 share three 8-grams (p=1..3 of the run) -> union covers
+    # tokens 1..10 in both; doc 3 has no repeated 8-gram
+    assert out.n_tokens.tolist() == [12, 11, 9]
+    assert out.n_dup_tokens.tolist() == [10, 10, 0]
+
+
+def test_dup_span_within_doc_repeat_counts(ray_session):
+    from data_validator_ray.pipelines.curation import duplicated_span_stats
+
+    rep = " ".join(f"t{i}" for i in range(8))
+    df = pd.DataFrame(
+        {"doc_id": [7], "text": rep + " mid " + rep}
+    )  # same 8-gram twice WITHIN one doc (positions 1 and 10)
+    out = duplicated_span_stats(
+        df, n=8, min_count=2, num_hash_buckets=2, num_doc_buckets=1
+    ).to_pandas()
+    assert out.n_tokens.iloc[0] == 17
+    # both windows duplicated: covers 1..8 and 10..17 -> 16 tokens
+    assert out.n_dup_tokens.iloc[0] == 16
+
+
+def test_dup_span_short_and_null_docs(ray_session):
+    from data_validator_ray.pipelines.curation import duplicated_span_stats
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c", None]}
+    )
+    out = (
+        duplicated_span_stats(df, n=8, min_count=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.n_tokens.tolist() == [3, 0]
+    assert out.n_dup_tokens.tolist() == [0, 0]
