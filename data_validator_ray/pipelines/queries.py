@@ -1482,6 +1482,45 @@ def q_dup_span_stats_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_forward_fill_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user forward fill (LOCF) over events ordered by
+    (ts, event_id) — LAST_VALUE IGNORE NULLS window parity. The sf
+    tables carry no NULLs, so every 5th event_id's value is NULLed
+    deterministically on BOTH sides to exercise the fill."""
+    import pyarrow.compute as _pc
+
+    from .relational import forward_fill
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("value"),
+            "value",
+            _pc.if_else(
+                _pc.equal(
+                    _pc.subtract(
+                        b["event_id"],
+                        _pc.multiply(_pc.divide(b["event_id"], 5), 5),
+                    ),
+                    0,
+                ),
+                None,
+                b["value"],
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = forward_fill(
+        ds, "user_id", ["ts", "event_id"], "value"
+    ).to_pandas()
+    out = out[["user_id", "ts", "event_id", "value", "value_filled"]]
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1575,6 +1614,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
+        "forward_fill_events": q_forward_fill_events,
     }
 
 
@@ -2055,6 +2095,17 @@ def oracle_sql() -> Dict[str, str]:
             "FROM toks LEFT JOIN (SELECT doc_id, COUNT(*) AS n "
             "FROM cov GROUP BY doc_id) cv USING (doc_id) "
             "ORDER BY doc_id"
+        ),
+        "forward_fill_events": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END "
+            "AS value FROM events) "
+            "SELECT user_id, ts, event_id, value, "
+            "LAST_VALUE(value IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS value_filled "
+            "FROM e ORDER BY user_id, ts, event_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -948,6 +948,63 @@ def explode_column(
     )
 
 
+def forward_fill(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    filled_name: Optional[str] = None,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key ordered forward fill (LOCF): appends ``filled_name``
+    (default ``{value_col}_filled``) = the last non-NULL value at or
+    before each row in ``order_cols`` order — SQL
+    ``LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY key ORDER BY …
+    ROWS UNBOUNDED PRECEDING)``. Rows before a key's first non-NULL
+    stay NULL. Same single-shuffle hash-bucket shape as
+    :func:`running_window`; the fill itself is one vectorized
+    last-valid-index propagation (``np.maximum.accumulate``) per
+    bucket, reset at key boundaries."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    out_name = filled_name or f"{value_col}_filled"
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col] + order_cols, kind="mergesort", na_position="last"
+        )
+        m = len(g)
+        u = g[key_col].to_numpy()
+        new_key = np.empty(m, bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        valid = g[value_col].notna().to_numpy()
+        idx = np.arange(m, dtype=np.int64)
+        # last valid index at/before each row: a global running max of
+        # valid indices, clamped to this key's segment — any index from
+        # an earlier key is < seg_start, so the clamp alone prevents
+        # cross-key leakage
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        gmax = np.maximum.accumulate(np.where(valid, idx, -1))
+        last = np.where(gmax >= seg_start, gmax, -1)
+        vals = g[value_col].to_numpy()
+        out = g.copy()
+        filled = pd.Series(vals[np.maximum(last, 0)], index=g.index)
+        filled[last < 0] = None
+        out[out_name] = filled
+        return out
+
+    ds = _as_dataset(source, columns=[key_col, *order_cols, value_col])
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def unpivot(
     source: Any,
     id_cols: List[str],

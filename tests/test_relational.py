@@ -912,3 +912,26 @@ def test_explode_column_nulls_empties_ordinality(ray_session):
     assert list(map(tuple, out[["id", "pos", "x"]].values)) == [
         (1, 1, 10), (1, 2, 20), (4, 1, 30)
     ]
+
+
+def test_forward_fill_locf_semantics(ray_session):
+    from data_validator_ray.pipelines.relational import forward_fill
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "o": [1, 2, 3, 4, 1, 2],
+            "v": [None, 5.0, None, 7.0, None, None],
+        }
+    )
+    out = (
+        forward_fill(df, "k", ["o"], "v", num_buckets=2, batch_size=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    got = out["v_filled"].tolist()
+    # k=1: [NULL, 5, 5, 7]; k=2 never fills (no prior non-null,
+    # and k=1's 7.0 must not leak across the key boundary)
+    assert np.isnan(got[0]) and got[1:4] == [5.0, 5.0, 7.0]
+    assert np.isnan(got[4]) and np.isnan(got[5])
