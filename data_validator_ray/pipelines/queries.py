@@ -1521,6 +1521,23 @@ def q_forward_fill_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_grouped_top_k_events(sf_dir: str) -> pd.DataFrame:
+    """Top-3 events per user by value (QUALIFY ROW_NUMBER <= 3
+    pattern; per-batch combiner bounds the exchange)."""
+    from .relational import grouped_top_k
+
+    out = grouped_top_k(
+        f"{sf_dir}/events.parquet",
+        ["user_id"],
+        "value",
+        3,
+        descending=True,
+        tiebreak_cols=["event_id"],
+    ).to_pandas()
+    out = out[["user_id", "event_id", "value"]]
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1615,6 +1632,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
         "forward_fill_events": q_forward_fill_events,
+        "grouped_top_k_events": q_grouped_top_k_events,
     }
 
 
@@ -2106,6 +2124,13 @@ def oracle_sql() -> Dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             "AS value_filled "
             "FROM e ORDER BY user_id, ts, event_id"
+        ),
+        "grouped_top_k_events": (
+            "SELECT user_id, event_id, value FROM ("
+            "SELECT user_id, event_id, value, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC, event_id) "
+            "AS rn FROM events WHERE value IS NOT NULL) "
+            "WHERE rn <= 3 ORDER BY user_id, event_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -799,6 +799,60 @@ def global_rank(
     )
 
 
+def grouped_top_k(
+    source: Any,
+    key_cols: List[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak_cols: Optional[List[str]] = None,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key top-k rows by ``order_col`` — the SQL
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY order
+    [DESC], tiebreaks) <= k`` pattern (k=1 ≡ a deterministic
+    ``arg_max``/``arg_min``). NULL order values never rank.
+
+    Scale shape: a per-batch COMBINER keeps at most k rows per key
+    before the shuffle (sort + groupby-head, C-speed), so the
+    exchange is bounded by k × #batches × #keys-per-batch, never the
+    row count; one bucketed groupby then takes the exact top-k per
+    key. ``tiebreak_cols`` must complete a total order for
+    deterministic output."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    sort_cols = [*key_cols, order_col] + (tiebreak_cols or [])
+    asc = [True] * len(key_cols) + [not descending] + [True] * len(
+        tiebreak_cols or []
+    )
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[order_col].notna()]
+        if not len(df):
+            return df
+        return (
+            df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            .groupby(key_cols, dropna=False, sort=False)
+            .head(k)
+        )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return head_k(batch.to_pandas()).reset_index(drop=True)
+
+    ds = _as_dataset(source)
+    part = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        part, key_cols, lambda g: head_k(g).reset_index(drop=True),
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def set_op(
     left: Any,
     right: Any,

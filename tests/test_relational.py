@@ -935,3 +935,31 @@ def test_forward_fill_locf_semantics(ray_session):
     # and k=1's 7.0 must not leak across the key boundary)
     assert np.isnan(got[0]) and got[1:4] == [5.0, 5.0, 7.0]
     assert np.isnan(got[4]) and np.isnan(got[5])
+
+
+def test_grouped_top_k_combiner_and_ties(ray_session):
+    from data_validator_ray.pipelines.relational import grouped_top_k
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "id": [10, 11, 12, 13, 20, 21],
+            "v": [5.0, 9.0, 9.0, None, 1.0, 2.0],
+        }
+    )
+    out = (
+        grouped_top_k(df, ["k"], "v", 2, descending=True,
+                      tiebreak_cols=["id"], num_buckets=2, batch_size=2)
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    )
+    # k=1: two 9.0s tie -> ids 11,12 (NULL never ranks); k=2: both rows
+    assert list(map(tuple, out[["k", "id"]].values)) == [
+        (1, 11), (1, 12), (2, 20), (2, 21)
+    ]
+    asc = (
+        grouped_top_k(df, ["k"], "v", 1, descending=False,
+                      tiebreak_cols=["id"], num_buckets=2, batch_size=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # deterministic arg_min per key
+    assert asc["id"].tolist() == [10, 20]
