@@ -1538,6 +1538,22 @@ def q_grouped_top_k_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+def q_calendar_agg_events(sf_dir: str) -> pd.DataFrame:
+    """Calendar-week aggregation (date_trunc('week') parity: Monday
+    weeks, calendar-aware) of events.value per event_type."""
+    from .relational import calendar_aggregate
+
+    out = calendar_aggregate(
+        f"{sf_dir}/events.parquet",
+        "ts",
+        "value",
+        key_cols=["event_type"],
+        unit="week",
+    ).to_pandas()
+    out = out[["period", "event_type", "n_events", "value_sum", "value_avg"]]
+    return out.sort_values(["period", "event_type"]).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1633,6 +1649,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "dup_span_stats_documents": q_dup_span_stats_documents,
         "forward_fill_events": q_forward_fill_events,
         "grouped_top_k_events": q_grouped_top_k_events,
+        "calendar_agg_events": q_calendar_agg_events,
     }
 
 
@@ -2131,6 +2148,14 @@ def oracle_sql() -> Dict[str, str]:
             "(PARTITION BY user_id ORDER BY value DESC, event_id) "
             "AS rn FROM events WHERE value IS NOT NULL) "
             "WHERE rn <= 3 ORDER BY user_id, event_id"
+        ),
+        "calendar_agg_events": (
+            "SELECT date_trunc('week', ts) AS period, event_type, "
+            "COUNT(*)::BIGINT AS n_events, "
+            "ROUND(SUM(value), 6) AS value_sum, "
+            "ROUND(SUM(value) / COUNT(value), 6) AS value_avg "
+            "FROM events GROUP BY period, event_type "
+            "ORDER BY period, event_type"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events (HLL sketch),

@@ -1002,6 +1002,84 @@ def explode_column(
     )
 
 
+def calendar_aggregate(
+    source: Any,
+    ts_col: str,
+    value_col: str,
+    *,
+    key_cols: Optional[List[str]] = None,
+    unit: str = "month",
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Calendar-unit aggregation — the ``date_trunc`` family that
+    epoch-arithmetic tumbling windows can't express (months/quarters/
+    years vary in length; weeks align to Monday): per
+    (``date_trunc(unit, ts)``, keys) emit ``n_events``, ``value_sum``
+    and ``value_avg`` (floats rounded to 6). Same combiner shape as
+    :func:`windowed_aggregate` — in-batch pyarrow ``group_by`` flooring
+    with ``pc.floor_temporal`` (calendar-aware, Monday weeks = the SQL
+    convention), then a small global groupby; exchange bounded by
+    periods × keys × batches. NULL timestamps drop; NULL values count
+    toward ``n_events`` only."""
+    key_cols = list(key_cols or [])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))
+        ts = batch[ts_col].cast(pa.timestamp("us"))
+        win = pc.cast(
+            pc.floor_temporal(ts, unit=unit), pa.timestamp("us")
+        ).cast(pa.int64())
+        t = batch.select(key_cols + [value_col]).append_column("__w", win)
+        g = t.group_by(["__w"] + key_cols).aggregate(
+            [
+                ("__w", "count"),
+                (value_col, "sum"),
+                (value_col, "count"),
+            ]
+        )
+        return g.rename_columns(
+            ["__w"] + key_cols + ["n", "v_sum", "v_cnt"]
+        )
+
+    ds = _as_dataset(source, columns=[ts_col, value_col] + key_cols)
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    from ray.data.aggregate import Sum
+
+    out = part.groupby(["__w"] + key_cols).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("v_sum", alias_name="__vs"),
+        Sum("v_cnt", alias_name="__vc"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        period = pa.array(
+            batch["__w"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        vs = batch["__vs"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        vc = batch["__vc"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = np.where(vc > 0, np.round(vs / vc, 6), np.nan)
+            vsum = np.where(vc > 0, np.round(vs, 6), np.nan)
+        cols = {"period": period}
+        for c in key_cols:
+            cols[c] = batch[c]
+        cols["n_events"] = pc.cast(batch["n_events"], pa.int64())
+        cols["value_sum"] = pa.array(vsum, pa.float64())
+        cols["value_avg"] = pa.array(avg, pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def forward_fill(
     source: Any,
     key_col: str,

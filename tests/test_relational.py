@@ -963,3 +963,34 @@ def test_grouped_top_k_combiner_and_ties(ray_session):
     )
     # deterministic arg_min per key
     assert asc["id"].tolist() == [10, 20]
+
+
+def test_calendar_aggregate_month_and_week_boundaries(ray_session):
+    from data_validator_ray.pipelines.relational import calendar_aggregate
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-31 23:59:59",  # Jan; week of Mon 2024-01-29
+            "2024-02-01 00:00:00",  # Feb; same Monday week
+            "2024-02-29 12:00:00",  # leap-day Feb
+            None,                    # dropped
+        ]
+    )
+    df = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, None, 9.0]})
+    months = (
+        calendar_aggregate(df, "ts", "v", unit="month")
+        .to_pandas().sort_values("period").reset_index(drop=True)
+    )
+    assert months.period.tolist() == pd.to_datetime(
+        ["2024-01-01", "2024-02-01"]
+    ).tolist()
+    assert months.n_events.tolist() == [1, 2]
+    # Feb: NULL value counts as event, not in sum/avg
+    assert months.value_sum.tolist() == [1.0, 2.0]
+    weeks = (
+        calendar_aggregate(df, "ts", "v", unit="week")
+        .to_pandas().sort_values("period").reset_index(drop=True)
+    )
+    # Jan 31 + Feb 1 share the Monday-2024-01-29 week
+    assert weeks.period.iloc[0] == pd.Timestamp("2024-01-29")
+    assert weeks.n_events.iloc[0] == 2
