@@ -2158,11 +2158,15 @@ def oracle_sql() -> Dict[str, str]:
             "ORDER BY period, event_type"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
-        # (derived table), approx_uniqueness_events (HLL sketch),
+        # (derived table), approx_uniqueness_events /
+        # approx_distinct_users_by_type (HLL sketches),
         # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
         # (hash/ANN structures), winnow_fingerprints_documents (rolling
-        # hash), drift_events_value (t-digest bins),
-        # semantic_dedup_embeddings (seeded k-means)
+        # hash), drift_events_value / grouped_quantiles_events
+        # (t-digest bins), semantic_dedup_embeddings (seeded k-means),
+        # misra_gries_events_user (batch-boundary-dependent sketch),
+        # compression_stats_documents (no SQL zlib),
+        # multimodal_frame_sample (payload-derived)
     }
 
 
