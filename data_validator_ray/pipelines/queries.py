@@ -1554,6 +1554,20 @@ def q_calendar_agg_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["period", "event_type"]).reset_index(drop=True)
 
 
+def q_regex_extract_events(sf_dir: str) -> pd.DataFrame:
+    """Named-group RE2 extraction from the props JSON text (engine
+    NULL-on-no-match ≡ oracle NULLIF(regexp_extract, ''))."""
+    from .relational import regex_extract
+
+    out = regex_extract(
+        f"{sf_dir}/events.parquet",
+        "props",
+        r'"k": (?P<kraw>\d+)',
+        keep_cols=["event_id"],
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1650,6 +1664,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "forward_fill_events": q_forward_fill_events,
         "grouped_top_k_events": q_grouped_top_k_events,
         "calendar_agg_events": q_calendar_agg_events,
+        "regex_extract_events": q_regex_extract_events,
     }
 
 
@@ -2156,6 +2171,11 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(SUM(value) / COUNT(value), 6) AS value_avg "
             "FROM events GROUP BY period, event_type "
             "ORDER BY period, event_type"
+        ),
+        "regex_extract_events": (
+            "SELECT event_id, NULLIF(regexp_extract(props, "
+            "'\"k\": (\\d+)', 1), '') AS kraw "
+            "FROM events ORDER BY event_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events /

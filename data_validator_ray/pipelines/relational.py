@@ -917,6 +917,49 @@ def set_op(
     )
 
 
+def regex_extract(
+    source: Any,
+    text_col: str,
+    pattern: str,
+    *,
+    keep_cols: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Structured extraction via an RE2 pattern with NAMED groups
+    (``(?P<name>…)``): one column per group, NULL when the pattern
+    does not match (SQL ``regexp_extract`` convention — both Arrow
+    and DuckDB run RE2, so matches are engine-exact). First match
+    wins (search semantics). Pure per-batch ``pc.extract_regex``
+    (one Rust pass per batch, no shuffle)."""
+    import re as _re
+
+    group_names = list(_re.compile(pattern).groupindex)
+    if not group_names:
+        raise ValueError("pattern must contain named groups (?P<name>…)")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = batch[text_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        st = pc.extract_regex(pc.fill_null(s, ""), pattern)
+        cols = {
+            c: batch[c]
+            for c in (keep_cols if keep_cols is not None else batch.column_names)
+        }
+        for g in group_names:
+            cols[g] = pc.struct_field(st, g)
+        return pa.table(cols)
+
+    need = keep_cols if keep_cols is not None else None
+    ds = _as_dataset(
+        source,
+        columns=(list(dict.fromkeys([*need, text_col])) if need else None),
+    )
+    return ds.map_batches(
+        extract, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def json_extract(
     source: Any,
     json_col: str,

@@ -994,3 +994,26 @@ def test_calendar_aggregate_month_and_week_boundaries(ray_session):
     # Jan 31 + Feb 1 share the Monday-2024-01-29 week
     assert weeks.period.iloc[0] == pd.Timestamp("2024-01-29")
     assert weeks.n_events.iloc[0] == 2
+
+
+def test_regex_extract_groups_nomatch_null(ray_session):
+    from data_validator_ray.pipelines.relational import regex_extract
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "s": ["a=10 b=x", "a=7 b=y", None],
+        }
+    )
+    out = (
+        regex_extract(
+            df, "s", r"a=(?P<anum>\d+) b=(?P<btag>\w+)",
+            keep_cols=["id"],
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert out["anum"].tolist()[:2] == ["10", "7"]
+    assert out["btag"].tolist()[:2] == ["x", "y"]
+    assert out["anum"].isna().iloc[2] and out["btag"].isna().iloc[2]
+    with pytest.raises(ValueError):
+        regex_extract(df, "s", r"a=\d+")  # no named groups
