@@ -1437,8 +1437,11 @@ def q_global_rank_events(sf_dir: str) -> pd.DataFrame:
         "value",
         tiebreak_cols=["event_id"],
         ntile=7,
+        percentiles=True,
     ).to_pandas()
-    out = out[["event_id", "value", "rank", "tile"]]
+    out = out[
+        ["event_id", "value", "rank", "tile", "percent_rank", "cume_dist"]
+    ]
     return out.sort_values("rank").reset_index(drop=True)
 
 
@@ -2104,7 +2107,9 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "global_rank_events": (
             "SELECT event_id, value, "
-            "ROW_NUMBER() OVER w AS rank, NTILE(7) OVER w AS tile "
+            "ROW_NUMBER() OVER w AS rank, NTILE(7) OVER w AS tile, "
+            "PERCENT_RANK() OVER w AS percent_rank, "
+            "CUME_DIST() OVER w AS cume_dist "
             "FROM events WINDOW w AS (ORDER BY value, event_id) "
             "ORDER BY rank"
         ),

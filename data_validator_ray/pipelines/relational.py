@@ -694,13 +694,17 @@ def global_rank(
     *,
     tiebreak_cols: Optional[List[str]] = None,
     ntile: Optional[int] = None,
+    percentiles: bool = False,
     num_buckets: int = 64,
     batch_size: int = 64 * 1024,
 ) -> Dataset:
     """Global ordered window over the WHOLE dataset: appends ``rank``
-    (1-based ``ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks)``)
-    and, when ``ntile`` is given, ``tile`` (SQL ``NTILE(n)`` — first
-    ``N % n`` tiles get the extra row). NULL order values rank last
+    (1-based ``ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks)``),
+    when ``ntile`` is given ``tile`` (SQL ``NTILE(n)`` — first
+    ``N % n`` tiles get the extra row), and when ``percentiles`` is
+    set ``percent_rank`` = (rank−1)/(N−1) and ``cume_dist`` = rank/N
+    (bit-exact vs SQL under a total order: identical int/int float64
+    divisions). NULL order values rank last
     (the ASC ``NULLS LAST`` default); ``tiebreak_cols`` must complete
     a total order for deterministic output.
 
@@ -792,6 +796,11 @@ def global_rank(
                 rem + (np.maximum(r0 - split, 0) // q if q else 0),
             )
             g["tile"] = tile.astype(np.int64) + 1
+        if percentiles:
+            g["percent_rank"] = (
+                r0 / (total - 1) if total > 1 else np.zeros(len(g))
+            )
+            g["cume_dist"] = (r0 + 1) / total
         return g
 
     return bucketed.groupby("__bucket").map_groups(

@@ -1017,3 +1017,16 @@ def test_regex_extract_groups_nomatch_null(ray_session):
     assert out["anum"].isna().iloc[2] and out["btag"].isna().iloc[2]
     with pytest.raises(ValueError):
         regex_extract(df, "s", r"a=\d+")  # no named groups
+
+
+def test_global_rank_percentiles(ray_session):
+    from data_validator_ray.pipelines.relational import global_rank
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    out = (
+        global_rank(df, "v", tiebreak_cols=["id"], percentiles=True,
+                    num_buckets=2)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert out["percent_rank"].tolist() == [0.0, 1 / 3, 2 / 3, 1.0]
+    assert out["cume_dist"].tolist() == [0.25, 0.5, 0.75, 1.0]
