@@ -1571,6 +1571,39 @@ def q_regex_extract_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_try_cast_events(sf_dir: str) -> pd.DataFrame:
+    """TRY_CAST over a deterministically dirtied string column (every
+    7th event_id becomes 'bad'): invalid strings land as NULL, valid
+    ones parse back exactly."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .relational import try_cast_columns
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "s",
+            _pc.if_else(
+                _pc.equal(
+                    _pc.subtract(
+                        b["event_id"],
+                        _pc.multiply(_pc.divide(b["event_id"], 7), 7),
+                    ),
+                    0,
+                ),
+                "bad",
+                _pc.cast(b["event_id"], _pa.string()),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = try_cast_columns(ds, {"s": _pa.int64()}).to_pandas()
+    out = out.rename(columns={"s": "parsed"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1668,6 +1701,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_top_k_events": q_grouped_top_k_events,
         "calendar_agg_events": q_calendar_agg_events,
         "regex_extract_events": q_regex_extract_events,
+        "try_cast_events": q_try_cast_events,
     }
 
 
@@ -2181,6 +2215,11 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, NULLIF(regexp_extract(props, "
             "'\"k\": (\\d+)', 1), '') AS kraw "
             "FROM events ORDER BY event_id"
+        ),
+        "try_cast_events": (
+            "SELECT event_id, TRY_CAST(CASE WHEN event_id % 7 = 0 "
+            "THEN 'bad' ELSE CAST(event_id AS VARCHAR) END AS BIGINT) "
+            "AS parsed FROM events ORDER BY event_id"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events /

@@ -926,6 +926,64 @@ def set_op(
     )
 
 
+_TRY_INT_RE = r"^[+-]?\d{1,18}$"
+_TRY_FLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
+def try_cast_columns(
+    source: Any,
+    types: "Dict[str, pa.DataType]",
+    *,
+    ts_format: str = "%Y-%m-%d %H:%M:%S",
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``TRY_CAST`` for string columns: cast each named column to
+    its target type, yielding NULL (never an error) for values that
+    don't parse — the dirty-ingestion primitive. Whitespace is trimmed
+    first and empty strings are NULL (DuckDB's conventions). Integer
+    targets accept ``[+-]?\\d{1,18}`` (≤18 digits guarantees an int64
+    fit; DuckDB additionally accepts 19-digit values under 2^63 — the
+    one documented divergence), float targets plain/scientific
+    notation, timestamp targets parse via ``ts_format`` with
+    parse-errors → NULL. Pure per-batch Arrow kernels (regex validity
+    mask + cast / ``strptime(error_is_null)``), no shuffle."""
+
+    def cast_batch(batch: pa.Table) -> pa.Table:
+        for name, dt in types.items():
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+            if pa.types.is_integer(dt):
+                ok = pc.match_substring_regex(s, _TRY_INT_RE)
+                # Arrow's int parser rejects an explicit leading '+'
+                # (SQL accepts it) — strip it before the cast
+                digits = pc.replace_substring_regex(s, r"^\+", "")
+                out = pc.cast(pc.if_else(ok, digits, None), dt)
+            elif pa.types.is_floating(dt):
+                ok = pc.match_substring_regex(s, _TRY_FLOAT_RE)
+                out = pc.cast(pc.if_else(ok, s, None), dt)
+            elif pa.types.is_timestamp(dt):
+                out = pc.cast(
+                    pc.strptime(s, format=ts_format, unit=dt.unit,
+                                error_is_null=True),
+                    dt,
+                )
+            else:
+                raise ValueError(
+                    f"unsupported try-cast target for {name!r}: {dt}"
+                )
+            batch = batch.set_column(
+                batch.schema.get_field_index(name), name, out
+            )
+        return batch
+
+    ds = _as_dataset(source)
+    return ds.map_batches(
+        cast_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def regex_extract(
     source: Any,
     text_col: str,

@@ -1030,3 +1030,38 @@ def test_global_rank_percentiles(ray_session):
     )
     assert out["percent_rank"].tolist() == [0.0, 1 / 3, 2 / 3, 1.0]
     assert out["cume_dist"].tolist() == [0.25, 0.5, 0.75, 1.0]
+
+
+def test_try_cast_int_float_timestamp(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import try_cast_columns
+
+    df = pd.DataFrame(
+        {
+            "i": [" 42 ", "+7", "-0", "4.5", "bad", "", None,
+                  "987654321"],  # int64 nulls → pandas float64, so
+            # keep the big value under 2^53 (the conversion is lossy
+            # above that; the Arrow column itself is exact int64)
+            "f": ["1.5", "-.5", "2e3", "nope", "", None, "7", "1e999"],
+            "t": ["2024-01-02 03:04:05", "not a time", None,
+                  "2024-13-40 00:00:00", "2024-02-29 00:00:00",
+                  "x", "y", "z"],
+        }
+    )
+    out = try_cast_columns(
+        df,
+        {"i": pa.int64(), "f": pa.float64(), "t": pa.timestamp("us")},
+    ).to_pandas()
+    i = out["i"].tolist()
+    assert i[0] == 42 and i[1] == 7 and i[2] == 0
+    assert pd.isna(i[3]) and pd.isna(i[4]) and pd.isna(i[5]) and pd.isna(i[6])
+    assert i[7] == 987654321
+    f = out["f"].tolist()
+    assert f[0] == 1.5 and f[1] == -0.5 and f[2] == 2000.0
+    assert pd.isna(f[3]) and pd.isna(f[4]) and pd.isna(f[5]) and f[6] == 7.0
+    assert f[7] == float("inf")  # 1e999 parses, overflows to inf (IEEE)
+    t = out["t"].tolist()
+    assert t[0] == pd.Timestamp("2024-01-02 03:04:05")
+    assert pd.isna(t[1]) and pd.isna(t[2]) and pd.isna(t[3])
+    assert t[4] == pd.Timestamp("2024-02-29")  # leap day valid
