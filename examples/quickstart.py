@@ -4,6 +4,10 @@ python examples/quickstart.py /path/to/table.parquet
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 import ray
 

@@ -8,6 +8,10 @@ python examples/training_data_pipeline.py /root/testdata/sf0.001 /tmp/curated
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 import ray
 
