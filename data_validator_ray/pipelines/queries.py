@@ -1604,6 +1604,26 @@ def q_try_cast_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Sample covariance matrix of the embedding corpus (PCA/whitening
+    input), long form (i, j, cov) with 1-based dims, ROUND 6."""
+    from .similarity import embedding_covariance
+
+    mean, cov, n = embedding_covariance(
+        f"{sf_dir}/embeddings.parquet"
+    )
+    d = len(mean)
+    i = np.repeat(np.arange(1, d + 1), d)
+    j = np.tile(np.arange(1, d + 1), d)
+    return pd.DataFrame(
+        {
+            "i": i.astype(np.int64),
+            "j": j.astype(np.int64),
+            "cov": np.round(cov.reshape(-1), 6),
+        }
+    ).sort_values(["i", "j"]).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1702,6 +1722,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "calendar_agg_events": q_calendar_agg_events,
         "regex_extract_events": q_regex_extract_events,
         "try_cast_events": q_try_cast_events,
+        "embedding_covariance_matrix": q_embedding_covariance,
     }
 
 
@@ -2220,6 +2241,15 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, TRY_CAST(CASE WHEN event_id % 7 = 0 "
             "THEN 'bad' ELSE CAST(event_id AS VARCHAR) END AS BIGINT) "
             "AS parsed FROM events ORDER BY event_id"
+        ),
+        "embedding_covariance_matrix": (
+            "WITH e AS (SELECT vec_id, "
+            "generate_subscripts(embedding, 1)::BIGINT AS pos, "
+            "unnest(embedding)::DOUBLE AS val FROM embeddings) "
+            "SELECT a.pos AS i, b.pos AS j, "
+            "ROUND(COVAR_SAMP(a.val, b.val), 6) AS cov "
+            "FROM e a JOIN e b USING (vec_id) "
+            "GROUP BY a.pos, b.pos ORDER BY i, j"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events /

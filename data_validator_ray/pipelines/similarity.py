@@ -380,3 +380,52 @@ def knn_ivf(
         batch_topk, batch_format="pyarrow", batch_size=batch_size
     ).to_pandas()
     return _topk_merge(cands, k)
+
+
+# --------------------------------------------------------------------------- #
+# distributed covariance / mean of an embedding column                        #
+# --------------------------------------------------------------------------- #
+
+
+def embedding_covariance(
+    source: Any,
+    *,
+    vec_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "tuple[np.ndarray, np.ndarray, int]":
+    """Mean vector and SAMPLE covariance matrix of an embedding column
+    — the building block for PCA whitening / OPQ rotation of a vector
+    corpus. One streaming pass: each batch reduces to the mergeable
+    moment triple ``(n, Σx, ΣxxT)`` (d + d² floats — row-count
+    independent; d=64 → 33 KB per batch), summed on the driver, then
+    ``cov = (ΣxxT − Σx·ΣxTᵀ/n)/(n−1)`` in closed form. Returns
+    ``(mean, cov, n)``."""
+    from .dedup import _as_dataset, _embedding_matrix
+
+    def moments(batch: pa.Table) -> pa.Table:
+        M = _embedding_matrix(batch, vec_col)
+        n, d = M.shape if M.size else (0, 0)
+        sx = M.sum(axis=0) if n else np.zeros(0)
+        sxx = (M.T @ M).reshape(-1) if n else np.zeros(0)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sx": pa.array([sx.tolist()], pa.list_(pa.float64())),
+                "sxx": pa.array([sxx.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[vec_col])
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    parts = [p for p in parts if p["n"]]
+    if not parts:
+        return np.zeros(0), np.zeros((0, 0)), 0
+    n = sum(p["n"] for p in parts)
+    sx = np.sum([np.asarray(p["sx"]) for p in parts], axis=0)
+    sxx = np.sum([np.asarray(p["sxx"]) for p in parts], axis=0)
+    d = len(sx)
+    mean = sx / n
+    cov = (sxx.reshape(d, d) - np.outer(sx, sx) / n) / max(n - 1, 1)
+    return mean, cov, int(n)

@@ -395,3 +395,30 @@ def test_compression_stats(ray_session):
     ]
     # the repetitive doc compresses an order of magnitude better
     assert out["compressed_len"].iloc[0] * 10 < out["raw_len"].iloc[0]
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.similarity import embedding_covariance
+
+    rng = np.random.default_rng(13)
+    M = rng.normal(size=(500, 8))
+    df = pd.DataFrame(
+        {"vec_id": range(500), "embedding": [list(r) for r in M]}
+    )
+    mean, cov, n = embedding_covariance(df, batch_size=64)
+    assert n == 500
+    assert np.allclose(mean, M.mean(axis=0))
+    assert np.allclose(cov, np.cov(M, rowvar=False), atol=1e-9)
+
+
+def test_embedding_covariance_empty(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.similarity import embedding_covariance
+
+    df = pd.DataFrame({"vec_id": [], "embedding": []})
+    mean, cov, n = embedding_covariance(df)
+    assert n == 0 and mean.size == 0
