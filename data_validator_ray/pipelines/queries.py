@@ -1624,6 +1624,23 @@ def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
     ).sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def q_pca_project_embeddings(sf_dir: str) -> pd.DataFrame:
+    """PCA-reduce embeddings to 8 components (rows-only: no SQL
+    eigendecomposition; sign-fixed components keep reruns stable).
+    Emits per-vector projections rounded to 6."""
+    from .similarity import pca_project
+
+    ds, comps, evar = pca_project(
+        f"{sf_dir}/embeddings.parquet", 8
+    )
+    out = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    proj = np.round(np.stack(out["pca"].to_numpy()), 6)
+    cols = {"vec_id": out["vec_id"].to_numpy(np.int64)}
+    for c in range(proj.shape[1]):
+        cols[f"pc{c + 1}"] = proj[:, c]
+    return pd.DataFrame(cols)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -1723,6 +1740,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "regex_extract_events": q_regex_extract_events,
         "try_cast_events": q_try_cast_events,
         "embedding_covariance_matrix": q_embedding_covariance,
+        "pca_project_embeddings": q_pca_project_embeddings,
     }
 
 
@@ -2260,7 +2278,8 @@ def oracle_sql() -> Dict[str, str]:
         # (t-digest bins), semantic_dedup_embeddings (seeded k-means),
         # misra_gries_events_user (batch-boundary-dependent sketch),
         # compression_stats_documents (no SQL zlib),
-        # multimodal_frame_sample (payload-derived)
+        # multimodal_frame_sample (payload-derived),
+        # pca_project_embeddings (no SQL eigendecomposition)
     }
 
 

@@ -429,3 +429,61 @@ def embedding_covariance(
     mean = sx / n
     cov = (sxx.reshape(d, d) - np.outer(sx, sx) / n) / max(n - 1, 1)
     return mean, cov, int(n)
+
+
+def pca_project(
+    source: Any,
+    n_components: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    batch_size: int = 8192,
+) -> "tuple[Dataset, np.ndarray, np.ndarray]":
+    """PCA-reduce an embedding column: the covariance comes from ONE
+    streaming :func:`embedding_covariance` pass, the (tiny, d×d)
+    eigendecomposition runs on the driver, and the projection is one
+    more ``map_batches`` matmul per batch against the broadcast
+    component matrix — the whole corpus is touched exactly twice and
+    never materialized.
+
+    Components are the top ``n_components`` eigenvectors by
+    eigenvalue, sign-fixed so each component's largest-|coefficient|
+    entry is positive (eigh's sign is otherwise arbitrary → output
+    would not be rerun-stable). Returns ``(dataset with (id_col,
+    out_col), components (k×d), explained_variance (k,))``."""
+    mean, cov, n = embedding_covariance(
+        source, vec_col=vec_col, batch_size=batch_size
+    )
+    if n == 0:
+        raise ValueError("empty embedding source")
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T  # (k, d)
+    flip = np.sign(
+        comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)]
+    )
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    evar = w[order]
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, C = ray.get(ref)
+        M = _embedding_matrix(batch, vec_col)
+        P = (M - mu) @ C.T if M.size else np.zeros((0, len(C)))
+        d = P.shape[1] if P.size else len(C)
+        flat = pa.array(P.reshape(-1), pa.float64())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                out_col: pa.FixedSizeListArray.from_arrays(
+                    flat, d or 1
+                ),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow", batch_size=batch_size
+    )
+    return ds, comps, evar

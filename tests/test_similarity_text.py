@@ -422,3 +422,30 @@ def test_embedding_covariance_empty(ray_session):
     df = pd.DataFrame({"vec_id": [], "embedding": []})
     mean, cov, n = embedding_covariance(df)
     assert n == 0 and mean.size == 0
+
+
+def test_pca_project_recovers_planted_axes(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.similarity import pca_project
+
+    rng = np.random.default_rng(3)
+    # variance concentrated on two planted orthogonal directions
+    base = rng.normal(size=(600, 6)) * 0.05
+    base[:, 1] += rng.normal(scale=3.0, size=600)
+    base[:, 4] += rng.normal(scale=1.5, size=600)
+    df = pd.DataFrame(
+        {"vec_id": range(600), "embedding": [list(r) for r in base]}
+    )
+    ds, comps, evar = pca_project(df, 2, batch_size=100)
+    assert comps.shape == (2, 6)
+    assert evar[0] >= evar[1] > 0
+    # top components align with the planted axes (up to tiny mixing)
+    assert abs(comps[0][1]) > 0.99 and abs(comps[1][4]) > 0.99
+    # sign fix: the dominant coefficient is positive
+    assert comps[0][np.abs(comps[0]).argmax()] > 0
+    out = ds.to_pandas()
+    P = np.stack(out.sort_values("vec_id")["pca"].to_numpy())
+    # projection variance matches eigenvalues
+    assert np.allclose(P.var(axis=0, ddof=1), evar, rtol=1e-6)
