@@ -968,6 +968,186 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _star_round(
+    edges: Dataset, *, large: bool, num_buckets: int
+) -> Dataset:
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) over canonical
+    ``(u, v)`` edges with ``v < u``.
+
+    * large-star: group the SYMMETRIZED edges by ``u``; with
+      ``m = min(N(u) ∪ {u}})``, emit ``(v, m)`` for every neighbor
+      ``v > u`` — larger neighbors re-attach to the local minimum.
+    * small-star: group canonical edges by the larger endpoint ``u``
+      (all neighbors ``< u``); with ``m = min N(u)``, emit ``(u, m)``
+      and ``(v, m)`` for the other small neighbors — the local
+      neighborhood collapses toward its minimum.
+
+    Emitted edges are canonical by construction (``m`` is a minimum, so
+    the second element is always strictly smaller). Input duplicates
+    are removed per bucket — globally correct because equal edges share
+    ``u`` and therefore a bucket; output duplicates (same edge emitted
+    from two different groups) are transient and vanish at the next
+    round's input dedup.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if large:
+            u, v = np.concatenate([u, v]), np.concatenate([v, u])
+        b = (hash64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        fresh = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        u, v = u[fresh], v[fresh]  # in-bucket dedup == global dedup
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[seg, len(u)])
+        mins = np.minimum.reduceat(v, seg) if len(u) else np.empty(0, np.int64)
+        if large:
+            m = np.minimum(mins, u[seg])
+            mf = np.repeat(m, counts)
+            mask = v > u
+            out_u, out_v = v[mask], mf[mask]
+        else:
+            mf = np.repeat(mins, counts)
+            mask = v != mf
+            out_u = np.concatenate([u[seg], v[mask]])
+            out_v = np.concatenate([mins, mf[mask]])
+        return pd.DataFrame(
+            {
+                "u": pd.Series(out_u, dtype=np.int64),
+                "v": pd.Series(out_v, dtype=np.int64),
+            }
+        )
+
+    return (
+        edges.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _edge_checksum(edges: Dataset) -> Tuple[int, int]:
+    """(count, order-independent multiset hash) of a canonical edge
+    Dataset — tiny partial per batch, summed driver-side."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash64(u) * np.uint64(0x9E3779B97F4A7C15) + hash64(v)
+        chk = int(h.sum(dtype=np.uint64) & np.uint64((1 << 63) - 1))
+        return pa.table(
+            {
+                "cnt": pa.array([len(u)], pa.int64()),
+                "chk": pa.array([chk], pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return 0, 0
+    return int(parts["cnt"].sum()), int(parts["chk"].sum() & ((1 << 63) - 1))
+
+
+def connected_components_distributed(
+    pairs: Any,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    num_buckets: int = 64,
+    max_rounds: int = 50,
+) -> Dataset:
+    """Distributed connected components over an ``(id_a, id_b)`` pair
+    Dataset → ``(doc_id, cluster_id)`` labels, ``cluster_id`` = the
+    minimum member of each component — the scale tier of
+    :func:`connected_components` (which is a driver-side union-find
+    over a collected pair list).
+
+    Alternating large-star / small-star rounds (Kiveris et al., SoCC
+    2014) converge in O(log n) rounds to star graphs centered at each
+    component's minimum; each round is ONE bucketed shuffle of 16-byte
+    ``(u, v)`` int64 edges with a vectorized sort + ``reduceat`` kernel
+    per bucket — no driver-side state, edge text never moves, per-task
+    memory bounded by the largest bucket (raise ``num_buckets`` at
+    scale). Convergence is detected by an order-independent edge-set
+    checksum (two scans of the tiny edge table per round); the edge
+    Dataset is pinned with ``materialize()`` between rounds
+    (back-to-back sort shuffles in one lazy DAG are a known Ray Data
+    pathology — see NOTES.md).
+
+    Output labels cover every node that appears in ``pairs`` (roots
+    label themselves) and are byte-stable under any batch/bucket
+    layout. Returns a Dataset; collect it only if the node count is
+    known small.
+    """
+    src = _as_dataset(pairs, columns=None)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, v = np.maximum(a, b), np.minimum(a, b)
+        keep = u != v
+        return pa.table(
+            {
+                "u": pa.array(u[keep], pa.int64()),
+                "v": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    edges = src.map_batches(canon, batch_format="pyarrow").materialize()
+    prev: Optional[Tuple[int, int]] = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True, num_buckets=num_buckets)
+        edges = _star_round(
+            edges, large=False, num_buckets=num_buckets
+        ).materialize()
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_distributed: no fixpoint in "
+            f"{max_rounds} rounds"
+        )
+
+    def to_labels(batch: pa.Table) -> pa.Table:
+        # star edges (child, root): children label directly; roots
+        # label themselves (deduped below — a root appears once per
+        # child).
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        roots = np.unique(v)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([u, roots]), pa.int64()),
+                "cluster_id": pa.array(
+                    np.concatenate([v, roots]), pa.int64()
+                ),
+            }
+        )
+
+    labels = edges.map_batches(to_labels, batch_format="pyarrow")
+    return bucketed_groupby(
+        labels,
+        ["doc_id"],
+        lambda df: df.drop_duplicates("doc_id"),
+        num_buckets=num_buckets,
+    )
+
+
 def near_dup_dedup(
     source: Any,
     id_col: str = "doc_id",
@@ -978,19 +1158,31 @@ def near_dup_dedup(
     num_perms: int = 128,
     bands: int = 32,
     seed: int = 0x5EED,
+    cc: str = "driver",
 ) -> Dataset:
     """Near-duplicate-aware dedup of a document stream: MinHash-LSH +
     distributed exact verification find the J ≥ threshold pairs;
-    union-find clusters them; every non-minimum member of a cluster is
-    dropped from the stream via a broadcast drop-set (``ray.put`` once,
-    `pc.is_in` per batch — no shuffle touches the full corpus).
+    connected components cluster them; every non-minimum member of a
+    cluster is dropped from the stream via a broadcast drop-set
+    (``ray.put`` once, `pc.is_in` per batch — no shuffle touches the
+    full corpus).
+
+    ``cc="driver"`` clusters via the driver-side union-find
+    (:func:`connected_components` — fine while the pair list is small);
+    ``cc="distributed"`` uses the large-star/small-star rounds of
+    :func:`connected_components_distributed` (identical labels, no
+    driver-side graph state — the 100-TB path for dirty corpora whose
+    candidate-pair list itself is large).
 
     Returns the surviving rows (all columns of ``source``)."""
     pairs = minhash_near_dup_pairs(
         source, id_col, text_col, n=n, threshold=threshold,
         num_perms=num_perms, bands=bands, seed=seed,
     )
-    comp = connected_components(pairs)
+    if cc == "distributed":
+        comp = connected_components_distributed(pairs).to_pandas()
+    else:
+        comp = connected_components(pairs)
     drop = comp.loc[comp.doc_id != comp.cluster_id, "doc_id"].to_numpy(np.int64)
     drop_ref = ray.put(pa.array(drop, pa.int64()))
 

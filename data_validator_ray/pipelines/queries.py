@@ -369,6 +369,17 @@ def q_near_dup_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cc_labels_documents(sf_dir: str) -> pd.DataFrame:
+    """Distributed connected components (large-star/small-star rounds)
+    over the MinHash near-dup pair list → (doc_id, cluster_id) labels.
+    Oracle = recursive-CTE reachability over the exact Jaccard pairs."""
+    from .dedup import connected_components_distributed, minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
+    out = connected_components_distributed(pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_documents(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup pairs, hamming ≤ 3 (rows-only: the 64-bit
     simhash itself has no SQL equivalent; recall is exact by the
@@ -1667,6 +1678,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "near_dup_dedup_documents": q_near_dup_dedup_documents,
+        "cc_labels_documents": q_cc_labels_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1837,6 +1849,7 @@ def oracle_sql() -> Dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL.format(threshold=0.2),
         "minhash_near_dup_documents": _NGRAM_JACCARD_SQL.format(threshold=0.5),
         "near_dup_dedup_documents": _NEAR_DUP_DEDUP_SQL,
+        "cc_labels_documents": _CC_LABELS_SQL,
         "windowed_events": (
             "SELECT time_bucket(INTERVAL 3600 SECONDS, ts) AS window_start, "
             "event_type, COUNT(*)::BIGINT AS n_events, "
@@ -2322,6 +2335,22 @@ _NEAR_DUP_DEDUP_SQL = (
     "SELECT doc_id::BIGINT AS doc_id FROM documents "
     "WHERE doc_id NOT IN (SELECT src FROM lbl WHERE root < src) "
     "ORDER BY doc_id"
+)
+
+_CC_LABELS_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + _NGRAM_JACCARD_SQL.format(threshold=0.5)
+    .replace("ORDER BY id_a, id_b", "")
+    + "), edges AS ("
+    "  SELECT id_a AS a, id_b AS b FROM pairs"
+    "  UNION SELECT id_b, id_a FROM pairs"
+    "), reach(src, dst) AS ("
+    "  SELECT a, b FROM edges"
+    "  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a"
+    ") "
+    "SELECT src::BIGINT AS doc_id,"
+    "       LEAST(src, MIN(dst))::BIGINT AS cluster_id "
+    "FROM reach GROUP BY src ORDER BY doc_id"
 )
 
 _EN_STOP = "'the','a','of','and','to','in','is','it'"

@@ -289,6 +289,56 @@ def test_connected_components_union_find():
     assert len(empty) == 0
 
 
+def test_connected_components_distributed_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    edges = []
+    chain = np.arange(100, 300)  # 200-node path: forces several rounds
+    edges += list(zip(chain[:-1], chain[1:]))
+    for _ in range(50):
+        grp = rng.choice(
+            np.arange(1000, 5000), size=rng.integers(2, 8), replace=False
+        )
+        edges += list(zip(grp[:-1], grp[1:]))
+    edges.append((9999, 9998))
+    pairs = pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    # duplicates + reversed orientation + self-loops must not matter
+    rev = pairs.sample(frac=0.3, random_state=1).rename(
+        columns={"id_a": "id_b", "id_b": "id_a"}
+    )
+    loops = pd.DataFrame({"id_a": [100, 9999], "id_b": [100, 9999]})
+    noisy = pd.concat([pairs, rev, loops], ignore_index=True)
+    exp = (
+        D.connected_components(pairs)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        D.connected_components_distributed(noisy, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_connected_components_distributed_empty(ray_session):
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    )
+    out = D.connected_components_distributed(empty).to_pandas()
+    assert len(out) == 0
+
+
+def test_near_dup_dedup_distributed_cc(ray_session, corpus):
+    drv = D.near_dup_dedup(
+        ray.data.from_pandas(corpus), threshold=0.5
+    ).to_pandas()
+    dist = D.near_dup_dedup(
+        ray.data.from_pandas(corpus), threshold=0.5, cc="distributed"
+    ).to_pandas()
+    assert sorted(dist.doc_id) == sorted(drv.doc_id)
+
+
 def test_near_dup_dedup_keeps_min_per_cluster(ray_session, corpus):
     out = D.near_dup_dedup(
         ray.data.from_pandas(corpus), threshold=0.5
