@@ -772,6 +772,27 @@ def q_hash_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_hash_join_salted_events(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware salted shuffle join (events ⋈ customer on user_id):
+    hot keys spread over 4 salt sub-buckets, right hot rows replicated
+    per salt — output identical to the unsalted join (oracle = plain
+    SQL join)."""
+    from .relational import hash_join
+
+    out = hash_join(
+        f"{sf_dir}/events.parquet",
+        f"{sf_dir}/customer.parquet",
+        left_key="user_id",
+        right_key="c_custkey",
+        left_cols=["event_id"],
+        right_cols=["c_acctbal"],
+        num_buckets=16,
+        salt=4,
+        hot_keys=list(range(1, 51)),
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_broadcast_join_events(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment: events joined to the (small) customer
     table via one broadcast + per-batch searchsorted probe — no
@@ -1727,6 +1748,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "hopping_window_events": q_hopping_window_events,
         "hopping_window_user_events": q_hopping_window_user_events,
         "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
+        "hash_join_salted_events": q_hash_join_salted_events,
         "anti_join_events_customer": q_anti_join_events_customer,
         "pivot_counts_events": q_pivot_counts_events,
         "exact_quantiles_events": q_exact_quantiles_events,
@@ -2023,6 +2045,11 @@ def oracle_sql() -> Dict[str, str]:
             " o.o_custkey, o.o_totalprice"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
             " ORDER BY l.l_orderkey, l.l_linenumber"
+        ),
+        "hash_join_salted_events": (
+            "SELECT e.user_id, e.event_id, c.c_acctbal"
+            " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+            " ORDER BY e.event_id"
         ),
         "anti_join_events_customer": (
             "SELECT event_id, user_id FROM events e"

@@ -219,6 +219,8 @@ def hash_join(
     left_cols: List[str],
     right_cols: List[str],
     num_buckets: int = 64,
+    salt: int = 1,
+    hot_keys: Any = None,
 ) -> Dataset:
     """Large-×-large inner equi-join via ONE hash-bucketed shuffle of
     each side (the shuffle-join tier; for a small right side use
@@ -230,14 +232,24 @@ def hash_join(
     overhead is O(#buckets), never O(#keys)). Duplicate keys on both
     sides produce the full per-key cross product, as in SQL.
 
+    **Skew handling**: with ``salt > 1``, rows whose key is in the hot
+    set are spread across ``salt`` sub-buckets — left hot rows get a
+    round-robin salt, right hot rows are REPLICATED once per salt value
+    (the classic salted-join trade: ``salt×`` copies of the hot right
+    rows buy ``salt×`` parallelism over the hot left rows). Matching is
+    on ``(key, salt)``, so output is identical to the unsalted join.
+    ``hot_keys`` is an explicit list of key values or ``"auto"`` — a
+    Misra-Gries heavy-hitter pass over the left key marks every key
+    whose estimated count exceeds ``n_left / num_buckets`` (one extra
+    cheap scan; the MG exchange is O(capacity) rows per batch).
+
     Output columns: ``[left_key] + left_cols + right_cols`` (names
     must be disjoint; the right key is dropped — it equals the left).
     NULL keys never match and are dropped (SQL semantics). Keys must
     share a comparable dtype across sides (the right key is cast to
     the left key's type). Partitioning assumption (documented): each
-    bucket fits one worker — raise ``num_buckets`` at scale; salt a
-    pathologically hot key upstream if one key's cross product alone
-    exceeds a worker.
+    (key, salt) bucket fits one worker — raise ``num_buckets`` and/or
+    ``salt`` at scale.
     """
     l_extra = [c for c in left_cols if c != left_key]
     r_extra = [c for c in right_cols if c != right_key]
@@ -252,21 +264,62 @@ def hash_join(
     r_types = dict(zip(r_schema.names, r_schema.types))
     key_type = l_types[left_key]
 
+    hot_ref = None
+    if salt > 1:
+        if isinstance(hot_keys, str) and hot_keys == "auto":
+            from .profile import misra_gries_topk
+
+            n_left = l_ds.count()
+            mg = misra_gries_topk(
+                l_ds, left_key, k=16, capacity=max(4 * num_buckets, 64)
+            )
+            thr = max(1, n_left // num_buckets)
+            hot_vals = [
+                v
+                for v, ub in zip(
+                    mg["value"].to_pylist(), mg["upper_bound"].to_pylist()
+                )
+                if ub > thr
+            ]
+        elif hot_keys is None:
+            raise ValueError("salt > 1 requires hot_keys (a list or 'auto')")
+        else:
+            hot_vals = list(hot_keys)
+        hot_ref = ray.put(pa.array(hot_vals, key_type))
+
     def norm_typed(side: int, key: str):
         def fn(batch: pa.Table) -> pa.Table:
             batch = batch.filter(pc.is_valid(batch[key]))
+            kcol = pc.cast(batch[key], key_type)
+            if isinstance(kcol, pa.ChunkedArray):
+                kcol = kcol.combine_chunks()
+            n = len(kcol)
+            if hot_ref is not None:
+                hot = pc.fill_null(
+                    pc.is_in(kcol, value_set=ray.get(hot_ref)), False
+                ).to_numpy(zero_copy_only=False)
+                if side == 0:
+                    s = np.where(hot, np.arange(n, dtype=np.int64) % salt, 0)
+                else:
+                    reps = np.where(hot, salt, 1).astype(np.int64)
+                    take = np.repeat(np.arange(n, dtype=np.int64), reps)
+                    offs = np.repeat(np.cumsum(reps) - reps, reps)
+                    s = np.arange(len(take), dtype=np.int64) - offs
+                    idx = pa.array(take)
+                    batch = batch.take(idx)
+                    kcol = kcol.take(idx)
+                    n = len(kcol)
+            else:
+                s = np.zeros(n, np.int64)
             cols = {
-                "__key": pc.cast(batch[key], key_type),
-                "__side": pa.array(np.full(batch.num_rows, side, np.int8)),
+                "__key": kcol,
+                "__salt": pa.array(s, pa.int64()),
+                "__side": pa.array(np.full(n, side, np.int8)),
             }
             for c in l_extra:
-                cols[c] = (
-                    batch[c] if side == 0 else pa.nulls(batch.num_rows, l_types[c])
-                )
+                cols[c] = batch[c] if side == 0 else pa.nulls(n, l_types[c])
             for c in r_extra:
-                cols[c] = (
-                    batch[c] if side == 1 else pa.nulls(batch.num_rows, r_types[c])
-                )
+                cols[c] = batch[c] if side == 1 else pa.nulls(n, r_types[c])
             return pa.table(cols)
 
         return fn
@@ -276,13 +329,17 @@ def hash_join(
     ).union(r_ds.map_batches(norm_typed(1, right_key), batch_format="pyarrow"))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lft = df.loc[df.__side == 0, ["__key"] + l_extra]
-        rgt = df.loc[df.__side == 1, ["__key"] + r_extra]
+        lft = df.loc[df.__side == 0, ["__key", "__salt"] + l_extra]
+        rgt = df.loc[df.__side == 1, ["__key", "__salt"] + r_extra]
         if len(lft) == 0 or len(rgt) == 0:
-            return df.iloc[0:0].drop(columns="__side")
-        return pd.merge(lft, rgt, on="__key", how="inner")
+            return df.iloc[0:0].drop(columns=["__side", "__salt"])
+        return pd.merge(lft, rgt, on=["__key", "__salt"], how="inner").drop(
+            columns="__salt"
+        )
 
-    out = bucketed_groupby(tagged, ["__key"], per_bucket, num_buckets=num_buckets)
+    out = bucketed_groupby(
+        tagged, ["__key", "__salt"], per_bucket, num_buckets=num_buckets
+    )
 
     def rename(batch: pa.Table) -> pa.Table:
         names = [

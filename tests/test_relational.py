@@ -439,6 +439,61 @@ def test_hash_join_cross_product_and_nulls(ray_session):
     assert out["rv"].tolist() == [10.0, 20.0, 10.0, 20.0, 30.0]
 
 
+def test_hash_join_salted_matches_unsalted_on_skew(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(3)
+    # one pathologically hot key (80% of rows) + a cold tail
+    lk = np.where(rng.random(5000) < 0.8, 7, rng.integers(100, 200, 5000))
+    left = pa.table({
+        "lk": pa.array(lk, pa.int64()),
+        "lv": pa.array(np.arange(5000), pa.int64()),
+    })
+    rk = np.array([7, 7, 7] + list(range(100, 200)), np.int64)
+    right = pa.table({
+        "rk": pa.array(rk, pa.int64()),
+        "rv": pa.array(np.arange(len(rk)) * 1.5, pa.float64()),
+    })
+    kw = dict(left_key="lk", right_key="rk",
+              left_cols=["lv"], right_cols=["rv"], num_buckets=8)
+    base = (
+        hash_join(left, right, **kw)
+        .to_pandas().sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
+    )
+    for hot in ([7], "auto"):
+        salted = (
+            hash_join(left, right, salt=4, hot_keys=hot, **kw)
+            .to_pandas().sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(salted, base)
+    # exact expectation from pandas
+    exp = (
+        left.to_pandas().rename(columns={"lk": "k"})
+        .merge(right.to_pandas().rename(columns={"rk": "k"}), on="k")
+        .rename(columns={"k": "lk"})
+        .sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        base, exp[base.columns.tolist()], check_dtype=False
+    )
+
+
+def test_hash_join_salt_requires_hot_keys(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.relational import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    with _pytest.raises(ValueError):
+        hash_join(t, t, left_key="k", right_key="k",
+                  left_cols=["v"], right_cols=[], salt=4)
+
+
 def test_hash_join_rejects_column_collision(ray_session):
     import pyarrow as pa
     import pytest as _pytest
