@@ -319,3 +319,64 @@ def grouped_stats(
         part, key_cols, merge,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def grouped_mode(
+    source: Any,
+    key_cols: "list[str]",
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Per-group modal value: the most frequent non-NULL ``value_col``
+    per ``key_cols`` group, ties broken to the SMALLEST value —
+    deterministic under any batch/bucket layout, matching a
+    ``ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, value)`` SQL oracle.
+
+    Scale shape: each batch collapses to per-(group, value) counts via
+    ONE pyarrow ``group_by`` (the combiner — exchange is bounded by
+    per-batch distinct pairs, never raw rows); groups co-locate via a
+    bucketed groupby on the key hash; each bucket sums its partials and
+    takes the per-group argmax in one vectorized sort +
+    ``drop_duplicates`` sweep. Output: ``key_cols + (mode_value,
+    mode_count)``.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([*key_cols, value_col]).filter(
+            pc.is_valid(batch[value_col])
+        )
+        return t.group_by([*key_cols, value_col]).aggregate(
+            [([], "count_all")]
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            df.groupby([*key_cols, value_col], dropna=False, sort=False)[
+                "count_all"
+            ]
+            .sum()
+            .reset_index()
+        )
+        s = s.sort_values(
+            [*key_cols, "count_all", value_col],
+            ascending=[True] * len(key_cols) + [False, True],
+            kind="stable",
+        ).drop_duplicates(key_cols)
+        s["count_all"] = s["count_all"].astype(np.int64)
+        return s.rename(
+            columns={value_col: "mode_value", "count_all": "mode_count"}
+        )
+
+    ds = _as_dataset(source, columns=[*key_cols, value_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        part, key_cols, per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

@@ -793,6 +793,63 @@ def q_hash_join_salted_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_hash_join_left_customer_events(sf_dir: str) -> pd.DataFrame:
+    """LEFT outer shuffle join: every customer row survives; the 1350
+    customers with no events carry NULL event_id."""
+    from .relational import hash_join
+
+    out = hash_join(
+        f"{sf_dir}/customer.parquet",
+        f"{sf_dir}/events.parquet",
+        left_key="c_custkey",
+        right_key="user_id",
+        left_cols=["c_name"],
+        right_cols=["event_id"],
+        how="left",
+    ).to_pandas()
+    return out.sort_values(["c_custkey", "event_id"]).reset_index(drop=True)
+
+
+def q_hash_join_full_customer_events(sf_dir: str) -> pd.DataFrame:
+    """FULL outer shuffle join over filtered subsets so BOTH sides have
+    unmatched rows; the key column carries COALESCE(left, right)."""
+    from .relational import hash_join
+
+    def keep_mod(col: str, m: int):
+        def fn(batch: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as _pc
+
+            return batch.filter(
+                _pc.equal(_pc.bit_wise_and(batch[col], m - 1), 0)
+                if (m & (m - 1)) == 0
+                else _pc.equal(
+                    _pc.subtract(
+                        batch[col],
+                        _pc.multiply(_pc.divide(batch[col], m), m),
+                    ),
+                    0,
+                )
+            )
+
+        return fn
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(keep_mod("c_custkey", 3), batch_format="pyarrow")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    ).map_batches(keep_mod("event_id", 5), batch_format="pyarrow")
+    out = hash_join(
+        cust, ev,
+        left_key="c_custkey",
+        right_key="user_id",
+        left_cols=["c_acctbal"],
+        right_cols=["event_id", "value"],
+        how="full",
+    ).to_pandas()
+    return out.sort_values(["c_custkey", "event_id"]).reset_index(drop=True)
+
+
 def q_broadcast_join_events(sf_dir: str) -> pd.DataFrame:
     """Dimension enrichment: events joined to the (small) customer
     table via one broadcast + per-batch searchsorted probe — no
@@ -1491,6 +1548,17 @@ def q_grouped_stats_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_grouped_mode_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user modal event_type (ties → smallest value): per-batch
+    (group, value) count combiner + bucketed argmax merge."""
+    from .profile import grouped_mode
+
+    out = grouped_mode(
+        f"{sf_dir}/events.parquet", ["user_id"], "event_type"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_explode_embeddings(sf_dir: str) -> pd.DataFrame:
     """UNNEST WITH ORDINALITY of the embedding list column (1-based
     pos, one row per element)."""
@@ -1749,6 +1817,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "hopping_window_user_events": q_hopping_window_user_events,
         "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
         "hash_join_salted_events": q_hash_join_salted_events,
+        "hash_join_left_customer_events": q_hash_join_left_customer_events,
+        "hash_join_full_customer_events": q_hash_join_full_customer_events,
         "anti_join_events_customer": q_anti_join_events_customer,
         "pivot_counts_events": q_pivot_counts_events,
         "exact_quantiles_events": q_exact_quantiles_events,
@@ -1766,6 +1836,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "top_events_by_value": q_top_events_by_value,
         "global_rank_events": q_global_rank_events,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
+        "grouped_mode_events": q_grouped_mode_events,
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
         "forward_fill_events": q_forward_fill_events,
@@ -2051,6 +2122,19 @@ def oracle_sql() -> Dict[str, str]:
             " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
             " ORDER BY e.event_id"
         ),
+        "hash_join_left_customer_events": (
+            "SELECT c.c_custkey, c.c_name, e.event_id"
+            " FROM customer c LEFT JOIN events e ON c.c_custkey = e.user_id"
+            " ORDER BY c.c_custkey, e.event_id"
+        ),
+        "hash_join_full_customer_events": (
+            "SELECT COALESCE(c.c_custkey, e.user_id) AS c_custkey,"
+            " c.c_acctbal, e.event_id, e.value"
+            " FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c"
+            " FULL JOIN (SELECT * FROM events WHERE event_id % 5 = 0) e"
+            "   ON c.c_custkey = e.user_id"
+            " ORDER BY 1, 3"
+        ),
         "anti_join_events_customer": (
             "SELECT event_id, user_id FROM events e"
             " WHERE NOT EXISTS (SELECT 1 FROM customer c"
@@ -2232,6 +2316,15 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(VAR_SAMP(l_quantity), 6) AS var_x, "
             "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "grouped_mode_events": (
+            "SELECT user_id, mode_value, cnt::BIGINT AS mode_count FROM ("
+            "  SELECT user_id, event_type AS mode_value, COUNT(*) AS cnt,"
+            "         ROW_NUMBER() OVER (PARTITION BY user_id"
+            "           ORDER BY COUNT(*) DESC, event_type) AS rn"
+            "  FROM events WHERE event_type IS NOT NULL"
+            "  GROUP BY user_id, event_type"
+            ") WHERE rn = 1 ORDER BY user_id"
         ),
         "explode_embeddings": (
             "SELECT vec_id, "

@@ -221,10 +221,19 @@ def hash_join(
     num_buckets: int = 64,
     salt: int = 1,
     hot_keys: Any = None,
+    how: str = "inner",
 ) -> Dataset:
-    """Large-×-large inner equi-join via ONE hash-bucketed shuffle of
-    each side (the shuffle-join tier; for a small right side use
-    :func:`broadcast_join` — no shuffle at all).
+    """Large-×-large equi-join via ONE hash-bucketed shuffle of each
+    side (the shuffle-join tier; for a small right side use
+    :func:`broadcast_join` — no shuffle at all). ``how`` is ``inner``
+    (default), ``left`` or ``full``; outer modes keep unmatched rows
+    with NULLs on the other side. NULL keys never MATCH (SQL
+    semantics) but outer modes preserve null-keyed rows of the kept
+    side(s) via a shuffle-free bypass stream; in ``full`` mode the
+    output key column carries ``COALESCE(left.key, right.key)`` so
+    unmatched right keys are not lost. ``salt > 1`` requires
+    ``how="inner"`` (replicated hot right rows would duplicate
+    unmatched-right output otherwise).
 
     Both sides bucket on ``hash(key) % num_buckets`` so equal keys
     co-locate, then each bucket runs ONE vectorized ``pd.merge``
@@ -251,6 +260,10 @@ def hash_join(
     (key, salt) bucket fits one worker — raise ``num_buckets`` and/or
     ``salt`` at scale.
     """
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be inner|left|full, got {how!r}")
+    if salt > 1 and how != "inner":
+        raise ValueError("salt > 1 requires how='inner'")
     l_extra = [c for c in left_cols if c != left_key]
     r_extra = [c for c in right_cols if c != right_key]
     if set(l_extra) & set(r_extra):
@@ -328,18 +341,46 @@ def hash_join(
         norm_typed(0, left_key), batch_format="pyarrow"
     ).union(r_ds.map_batches(norm_typed(1, right_key), batch_format="pyarrow"))
 
+    pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         lft = df.loc[df.__side == 0, ["__key", "__salt"] + l_extra]
         rgt = df.loc[df.__side == 1, ["__key", "__salt"] + r_extra]
-        if len(lft) == 0 or len(rgt) == 0:
+        if how == "inner" and (len(lft) == 0 or len(rgt) == 0):
             return df.iloc[0:0].drop(columns=["__side", "__salt"])
-        return pd.merge(lft, rgt, on=["__key", "__salt"], how="inner").drop(
+        # in-bucket keys are never NULL (filtered before tagging), so
+        # pandas' NaN-matches-NaN merge quirk cannot fire here
+        return pd.merge(lft, rgt, on=["__key", "__salt"], how=pd_how).drop(
             columns="__salt"
         )
 
     out = bucketed_groupby(
         tagged, ["__key", "__salt"], per_bucket, num_buckets=num_buckets
     )
+
+    if how in ("left", "full"):
+        # shuffle-free bypass for null-keyed rows of the preserved side(s)
+        def null_side(side: int, key: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                b = batch.filter(pc.is_null(batch[key]))
+                n = b.num_rows
+                cols = {"__key": pa.nulls(n, key_type)}
+                for c in l_extra:
+                    cols[c] = b[c] if side == 0 else pa.nulls(n, l_types[c])
+                for c in r_extra:
+                    cols[c] = b[c] if side == 1 else pa.nulls(n, r_types[c])
+                return pa.table(cols)
+
+            return fn
+
+        bypass = l_ds.map_batches(
+            null_side(0, left_key), batch_format="pyarrow"
+        )
+        if how == "full":
+            bypass = bypass.union(
+                r_ds.map_batches(null_side(1, right_key), batch_format="pyarrow")
+            )
+        out = out.union(bypass)
 
     def rename(batch: pa.Table) -> pa.Table:
         names = [

@@ -146,3 +146,56 @@ def test_grouped_stats_matches_pandas_reference(ray_session):
     assert np.allclose(out.avg_x, ref["avg"].round(6))
     assert np.allclose(out.var_x, ref["var"], atol=1e-5)
     assert np.allclose(out.corr_xy, corr_ref, atol=1e-5)
+
+
+def test_grouped_mode_ties_and_nulls(ray_session):
+    from data_validator_ray.pipelines.profile import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "b", "b", "c"],
+            "v": ["x", "y", "y", "q", "p", "q", "p", None],
+        }
+    )
+    out = (
+        grouped_mode(df, ["g"], "v", num_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # a: y(2) beats x(1); b: p==q tie → smallest value p; c: all NULL → no row
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["mode_value"].tolist() == ["y", "p"]
+    assert out["mode_count"].tolist() == [2, 2]
+
+
+def test_grouped_mode_layout_invariance(ray_session):
+    import ray as _ray
+
+    from data_validator_ray.pipelines.profile import grouped_mode
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 20, 3000),
+            "v": rng.integers(0, 5, 3000),
+        }
+    )
+    a = (
+        grouped_mode(_ray.data.from_pandas(df), ["g"], "v", batch_size=100)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        grouped_mode(_ray.data.from_pandas(df), ["g"], "v", batch_size=64 * 1024,
+                     num_buckets=3)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # pandas reference: max count, min value tie-break
+    exp = (
+        df.groupby(["g", "v"]).size().reset_index(name="c")
+        .sort_values(["g", "c", "v"], ascending=[True, False, True])
+        .drop_duplicates("g").reset_index(drop=True)
+    )
+    assert a["mode_value"].tolist() == exp["v"].tolist()
+    assert a["mode_count"].tolist() == exp["c"].tolist()

@@ -481,6 +481,56 @@ def test_hash_join_salted_matches_unsalted_on_skew(ray_session):
     )
 
 
+def test_hash_join_outer_modes_match_pandas(ray_session):
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.relational import hash_join
+
+    left = pa.table({
+        "lk": pa.array([1, 1, 2, 3, None, None], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e", "f"]),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 2, 2, 9, None], pa.int64()),
+        "rv": pa.array([10.0, 20.0, 30.0, 99.0, -1.0], pa.float64()),
+    })
+
+    def run(how):
+        return (
+            hash_join(left, right, left_key="lk", right_key="rk",
+                      left_cols=["lv"], right_cols=["rv"],
+                      num_buckets=4, how=how)
+            .to_pandas()
+            .sort_values(["lk", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    # LEFT: keys 1,1,2 match; 3 unmatched; NULL-key left rows preserved
+    lout = run("left")
+    assert len(lout) == 2 + 2 + 1 + 2  # 1×(1,1) + 1×(1,1) ... see below
+    # key 1 two left rows × one right row = 2; key 2 one left × two right = 2;
+    # key 3 unmatched = 1; two NULL-key left rows = 2
+    assert lout["rv"].isna().sum() == 3
+    assert set(lout.loc[lout.lv == "d", "rv"].isna()) == {True}
+
+    # FULL: adds unmatched right (rk=9 → key coalesced, rk NULL row)
+    fout = run("full")
+    assert len(fout) == len(lout) + 2
+    assert 9 in fout["lk"].dropna().astype(int).tolist()
+    # unmatched-right NULL-key row: lv NULL, rv == -1
+    assert ((fout["lv"].isna()) & (fout["rv"] == -1.0)).sum() == 1
+
+    with _pytest_raises_value_error():
+        hash_join(left, right, left_key="lk", right_key="rk",
+                  left_cols=["lv"], right_cols=["rv"], how="cross")
+
+
+def _pytest_raises_value_error():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError)
+
+
 def test_hash_join_salt_requires_hot_keys(ray_session):
     import pyarrow as pa
     import pytest as _pytest
