@@ -1155,6 +1155,28 @@ def q_token_doc_freq_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_normalize_text_documents(sf_dir: str) -> pd.DataFrame:
+    """Canonical text normalization (NFC → lower → whitespace collapse
+    → trim): Arrow and DuckDB share utf8proc + RE2, so the kernels are
+    byte-identical."""
+    from .text import normalize_text
+
+    out = normalize_text(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_tfidf_top_terms_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-5 TF-IDF terms: df pass → per-batch tf combiner
+    → shuffle join on token → grouped_top_k per doc (rounded-score
+    ranking, token tie-break)."""
+    from .text import tfidf_top_terms
+
+    out = tfidf_top_terms(f"{sf_dir}/documents.parquet", k=5).to_pandas()
+    return out.sort_values(
+        ["doc_id", "score", "token"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 def q_repetition_rule_documents(sf_dir: str) -> pd.DataFrame:
     """Gopher repetition gate as a registry rule (rule_type=repetition)
     run through the fused validation pass; min_tokens=30 makes the
@@ -1806,6 +1828,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "url_dedup_documents": q_url_dedup_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "token_doc_freq_documents": q_token_doc_freq_documents,
+        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "normalize_text_documents": q_normalize_text_documents,
         "transform_runner_documents": q_transform_runner_documents,
         "sessionize_events": q_sessionize_events,
         "group_sample_documents": q_group_sample_documents,
@@ -2107,6 +2131,13 @@ def oracle_sql() -> Dict[str, str]:
         "url_dedup_documents": _URL_DEDUP_SQL,
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,
+        "tfidf_top_terms_documents": _TFIDF_SQL,
+        "normalize_text_documents": (
+            "SELECT doc_id, trim(regexp_replace("
+            "lower(nfc_normalize(coalesce(text, ''))),"
+            " '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')"
+            " AS norm_text FROM documents ORDER BY doc_id"
+        ),
         "transform_runner_documents": _TRANSFORM_RUNNER_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "hopping_window_events": _HOPPING_WINDOW_SQL,
@@ -2771,6 +2802,32 @@ _TOKEN_DF_SQL = (
     ") "
     "SELECT token, count(*)::BIGINT AS df FROM tok"
     " GROUP BY token HAVING count(*) >= 2 ORDER BY token"
+)
+
+_TFIDF_SQL = (
+    "WITH toks AS ("
+    "  SELECT doc_id,"
+    "    unnest(list_filter(string_split(coalesce(text, ''), ' '),"
+    "                       x -> x <> '')) AS token"
+    "  FROM documents"
+    "), tf AS ("
+    "  SELECT doc_id, token, COUNT(*)::BIGINT AS tf"
+    "  FROM toks GROUP BY doc_id, token"
+    "), df AS ("
+    "  SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df"
+    "  FROM toks GROUP BY token"
+    "), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents"
+    "), scored AS ("
+    "  SELECT tf.doc_id, tf.token, tf.tf, df.df,"
+    "         ROUND(tf.tf * LN((n.n + 1.0) / (df.df + 1.0)), 6) AS score"
+    "  FROM tf JOIN df USING (token) CROSS JOIN n"
+    "), ranked AS ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id"
+    "    ORDER BY score DESC, token) AS rn"
+    "  FROM scored"
+    ") "
+    "SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 5"
+    " ORDER BY doc_id, score DESC, token"
 )
 
 # partition p = rank // ceil(n / 8) over doc_id order — the exact

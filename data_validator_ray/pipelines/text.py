@@ -569,3 +569,136 @@ def compression_stats(
 
     ds = _as_dataset(source, columns=[id_col, text_col])
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=batch_size)
+
+
+def tfidf_top_terms(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    num_buckets: int = 64,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-document top-k TF-IDF terms — the "what is this document
+    about" signal (and the retrieval-index feed) over a web corpus.
+    ``score = tf × ln((N+1)/(df+1))`` (smoothed IDF), rounded to 6
+    decimals BEFORE ranking so ordering is stable across float
+    libraries; ties break on token asc.
+
+    Composition of existing scale-safe operators (no new shuffle
+    machinery): (1) :func:`token_doc_freq` builds the (token, df)
+    vocabulary — exchange is vocabulary-bounded; (2) a per-batch
+    polars combiner emits exact ``(doc, token, tf)`` counts;
+    (3) ``hash_join`` co-locates tf rows with their df on the token
+    hash — the vocabulary can exceed worker memory, so this is a
+    shuffle join, NOT a broadcast; (4) ``grouped_top_k`` keeps k rows
+    per doc with a pre-shuffle combiner. Output: ``(doc_id, token,
+    tf, df, score)``, k rows per non-empty doc.
+    """
+    from .relational import grouped_top_k, hash_join
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    n_docs = ds.count()
+    dfreq = token_doc_freq(ds, id_col, text_col, batch_size=batch_size)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ex, _ = _exploded_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = ex.group_by(["doc", "t"]).len()
+        return pa.table(
+            {
+                "token": pa.array(tf["t"].to_list(), pa.string()),
+                id_col: pa.array(
+                    ids[tf["doc"].to_numpy()], pa.int64()
+                ),
+                "tf": pa.array(
+                    tf["len"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    tf_ds = ds.map_batches(
+        tf_rows, batch_format="pyarrow", batch_size=batch_size
+    )
+    joined = hash_join(
+        tf_ds,
+        dfreq,
+        left_key="token",
+        right_key="token",
+        left_cols=[id_col, "tf"],
+        right_cols=["df"],
+        num_buckets=num_buckets,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        # the join's union-with-nulls promotes ints to float; cast back
+        tf = pc.cast(batch["tf"], pa.int64())
+        dfv = pc.cast(batch["df"], pa.int64())
+        s = np.round(
+            tf.to_numpy(zero_copy_only=False)
+            * np.log(
+                (n_docs + 1.0)
+                / (dfv.to_numpy(zero_copy_only=False) + 1.0)
+            ),
+            6,
+        )
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "token": batch["token"],
+                "tf": tf,
+                "df": dfv,
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_top_k(
+        scored,
+        [id_col],
+        "score",
+        k,
+        descending=True,
+        tiebreak_cols=["token"],
+        num_buckets=num_buckets,
+    )
+
+
+def normalize_text(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    batch_size: int = 16 * 1024,
+) -> Dataset:
+    """Canonical text normalization — the standard pre-dedup /
+    pre-fingerprint cleanup: Unicode NFC normalization (polars' Rust
+    kernel — pyarrow 16's ``utf8_normalize`` only decomposes, it never
+    recomposes, for every form), Unicode lowercasing (utf8proc, same
+    tables as DuckDB), ASCII-whitespace runs collapsed to single
+    spaces, and a plain-space trim, in that order. The whitespace
+    class is EXPLICIT (``[ \\t\\n\\r\\f\\v]+``) because DuckDB's RE2
+    runs ``\\s`` Unicode-aware (NBSP matches) while Arrow's is
+    ASCII-only — the explicit class makes both engines byte-identical
+    (likewise the SQL oracle must use ``trim(x, ' ')``: DuckDB's
+    one-arg ``trim`` strips Unicode whitespace). NULL text → ``''``.
+
+    Pure streaming map — no shuffle. Output: ``(id_col, norm_text)``.
+    """
+    _WS_CLASS = "[ \\t\\n\\r\\f\\v]+"
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = pl.from_arrow(pc.fill_null(col, "")).str.normalize("NFC")
+        t = t.to_arrow()
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=_WS_CLASS, replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table({id_col: batch[id_col], "norm_text": t})
+
+    return _as_dataset(source, columns=[id_col, text_col]).map_batches(
+        norm, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -449,3 +449,78 @@ def test_pca_project_recovers_planted_axes(ray_session):
     P = np.stack(out.sort_values("vec_id")["pca"].to_numpy())
     # projection variance matches eigenvalues
     assert np.allclose(P.var(axis=0, ddof=1), evar, rtol=1e-6)
+
+
+def test_tfidf_top_terms_hand_checked(ray_session):
+    import pyarrow as pa
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple apple banana",
+                "banana cherry",
+                "apple cherry cherry cherry",
+                "",
+            ],
+        }
+    )
+    out = (
+        T.tfidf_top_terms(pa.Table.from_pandas(df), k=2, num_buckets=4)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "token"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    n = 4.0
+    import math
+    idf = lambda dfc: math.log((n + 1) / (dfc + 1))
+    # doc 1: apple tf=2 df=2, banana tf=1 df=2
+    d1 = out[out.doc_id == 1]
+    assert d1.token.tolist() == ["apple", "banana"]
+    assert d1.score.tolist() == [round(2 * idf(2), 6), round(1 * idf(2), 6)]
+    # doc 2: banana/cherry both tf=1 df=2 → tie broken alphabetically
+    d2 = out[out.doc_id == 2]
+    assert d2.token.tolist() == ["banana", "cherry"]
+    # doc 4 empty → no rows
+    assert (out.doc_id == 4).sum() == 0
+    # layout invariance: tiny batches, different bucket count
+    out2 = (
+        T.tfidf_top_terms(
+            ray.data.from_pandas(df), k=2, num_buckets=7, batch_size=1
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "score", "token"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_normalize_text_unicode_parity_with_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+
+    texts = [
+        "Hello   WORLD\t\nfoo",
+        "  Ümläute ÉTÉ Straße  ",
+        "e\u0301te\u0301 combining",  # NFD é → NFC
+        "ΣΊΣΥΦΟΣ greek FINAL sigma ς",
+        "\u00a0nbsp is not RE2 \\s\u00a0",
+        None,
+        "",
+        "ﬁ ligature ǅungla titlecase",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (
+        T.normalize_text(tbl)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+        "coalesce(text, ''))), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')"
+        " AS norm_text FROM tbl ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
