@@ -382,11 +382,26 @@ def hash_join(
             )
         out = out.union(bypass)
 
+    # the per-bucket pandas merge pads the absent side with NULLs, which
+    # promotes integer columns to float64 — cast back to the input Arrow
+    # types so inner joins return the exact source dtypes
+    out_types = {
+        left_key: key_type,
+        **{c: l_types[c] for c in l_extra},
+        **{c: r_types[c] for c in r_extra},
+    }
+
     def rename(batch: pa.Table) -> pa.Table:
         names = [
             left_key if c == "__key" else c for c in batch.column_names
         ]
-        return batch.rename_columns(names)
+        batch = batch.rename_columns(names)
+        cols = {}
+        for c in batch.column_names:
+            col = batch[c]
+            want = out_types[c]
+            cols[c] = col if col.type == want else pc.cast(col, want)
+        return pa.table(cols)
 
     return out.map_batches(rename, batch_format="pyarrow")
 
@@ -676,9 +691,24 @@ def _grouping_sets_aggregate(
         if np.issubdtype(agg["value_sum"].dtype, np.floating):
             agg["value_sum"] = agg["value_sum"].round(6)
         agg["n_rows"] = agg["n_rows"].astype(np.int64)
+        # rolled-up string keys: emit None (SQL NULL), not float NaN —
+        # pandas blocks can reach the caller without an Arrow round-trip,
+        # and NaN-in-object-column diverges from every SQL client's output
+        # (an all-null bucket comes back float64, hence the forced astype)
+        for c in string_keys:
+            agg[c] = agg[c].astype(object)
+            agg.loc[pd.isna(agg[c]), c] = None
         return agg
 
     ds = _as_dataset(source, columns=[*key_cols, value_col])
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    def _is_stringy(t) -> bool:
+        if isinstance(t, pa.DataType):
+            return pa.types.is_string(t) or pa.types.is_large_string(t)
+        return t is object or t is str  # pandas-block schema types
+
+    string_keys = [c for c in key_cols if _is_stringy(types[c])]
     part = ds.map_batches(
         partials, batch_format="pyarrow", batch_size=batch_size
     )
