@@ -1417,6 +1417,24 @@ def q_running_window_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_moving_window_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user moving window (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW) over events ordered by (ts, event_id): trailing sum/avg
+    (ROUND 6), min/max and non-NULL count."""
+    from .relational import moving_window
+
+    out = moving_window(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        preceding=3,
+    ).to_pandas()
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+
+
 def q_unpivot_lineitem(sf_dir: str) -> pd.DataFrame:
     """Wide→long reshape of four lineitem measure columns."""
     from .relational import unpivot
@@ -1851,6 +1869,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "ks_events_split": q_ks_events_split,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
+        "moving_window_events": q_moving_window_events,
         "unpivot_lineitem": q_unpivot_lineitem,
         "json_extract_events": q_json_extract_events,
         "rollup_documents": q_rollup_documents,
@@ -2281,6 +2300,19 @@ def oracle_sql() -> Dict[str, str]:
             "LAG(value) OVER w AS prev_value "
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "ORDER BY user_id, ts, event_id"
+        ),
+        "moving_window_events": (
+            "SELECT user_id, ts, event_id, value, "
+            "CASE WHEN COUNT(value) OVER w > 0 THEN "
+            "ROUND(SUM(value) OVER w, 6) END AS mov_sum, "
+            "ROUND(AVG(value) OVER w, 6) AS mov_avg, "
+            "MIN(value) OVER w AS mov_min, "
+            "MAX(value) OVER w AS mov_max, "
+            "COUNT(value) OVER w AS mov_count "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts, event_id"
         ),
         "unpivot_lineitem": (

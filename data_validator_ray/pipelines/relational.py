@@ -614,6 +614,130 @@ def running_window(
     )
 
 
+def moving_window(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    preceding: int,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key MOVING-window aggregates — SQL ``ROWS BETWEEN k
+    PRECEDING AND CURRENT ROW``: for each key, rows ordered by
+    ``order_cols`` get ``mov_sum`` / ``mov_avg`` (rounded to 6, the
+    float-hash convention), ``mov_min`` / ``mov_max`` (exact input
+    values) and ``mov_count`` (non-NULL count) over the trailing
+    ``preceding + 1`` rows of the same key. SQL NULL semantics: NULL
+    values are ignored inside the window; an all-NULL window yields
+    NULL sum/avg/min/max and count 0.
+
+    Scale shape: same as :func:`running_window` — ONE hash-bucket
+    shuffle co-locates each key, then ONE vectorized pass per bucket.
+    sum/avg/count are cumulative-sum differences with per-key-clamped
+    window starts; min/max use a log-doubling sparse table (O(n·log k)
+    numpy, no per-row Python), querying each row's variable-length
+    range ``[max(seg_start, i-k), i]`` as two overlapping power-of-two
+    windows. ``order_cols`` must totally order each key's rows
+    (include a tiebreak id); NULL order values sort last (SQL ``ASC
+    NULLS LAST``).
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+
+    def _trailing_extrema(
+        m0: np.ndarray, win_len: np.ndarray, op
+    ) -> np.ndarray:
+        """extrema over [i - win_len[i] + 1, i] for every i, via a
+        log-doubling sparse table; win_len >= 1 and never crosses a
+        segment boundary by construction of the caller's clamping."""
+        n = len(m0)
+        max_len = int(win_len.max()) if n else 1
+        levels = [m0]
+        j, span = 0, 1
+        while span * 2 <= max_len:
+            prev = levels[j]
+            nxt = prev.copy()
+            op(nxt[span:], prev[:-span], out=nxt[span:])
+            levels.append(nxt)
+            j += 1
+            span *= 2
+        # j_q = floor(log2(win_len)); combine the 2^j_q-window ending at
+        # i with the one ending at (start + 2^j_q - 1)
+        j_q = np.floor(np.log2(win_len)).astype(np.int64)
+        j_q = np.minimum(j_q, len(levels) - 1)
+        spans = np.int64(1) << j_q
+        idx = np.arange(n, dtype=np.int64)
+        left_end = idx - win_len + spans
+        stacked = np.empty(n, m0.dtype)
+        for lvl in range(len(levels)):
+            sel = j_q == lvl
+            if not sel.any():
+                continue
+            L = levels[lvl]
+            stacked[sel] = op(L[idx[sel]], L[left_end[sel]])
+        return stacked
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col] + order_cols, kind="mergesort", na_position="last"
+        )
+        n = len(g)
+        if n == 0:
+            out = g.copy()
+            for c in ("mov_sum", "mov_avg", "mov_min", "mov_max"):
+                out[c] = np.array([], np.float64)
+            out["mov_count"] = np.array([], np.int64)
+            return out
+        u = g[key_col].to_numpy()
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        w_start = np.maximum(seg_start, idx - preceding)
+        win_len = idx - w_start + 1
+
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        nn = ~np.isnan(vals)
+        contrib = np.where(nn, vals, 0.0)
+        cs0 = np.concatenate(([0.0], np.cumsum(contrib)))
+        cn0 = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
+        wsum = cs0[idx + 1] - cs0[w_start]
+        wcnt = cn0[idx + 1] - cn0[w_start]
+        has = wcnt > 0
+        mov_sum = np.where(has, np.round(wsum, 6), np.nan)
+        mov_avg = np.where(has, np.round(wsum / np.maximum(wcnt, 1), 6), np.nan)
+
+        mins = _trailing_extrema(
+            np.where(nn, vals, np.inf), win_len, np.minimum
+        )
+        maxs = _trailing_extrema(
+            np.where(nn, vals, -np.inf), win_len, np.maximum
+        )
+        mov_min = np.where(has, mins, np.nan)
+        mov_max = np.where(has, maxs, np.nan)
+
+        out = g.copy()
+        out["mov_sum"] = mov_sum
+        out["mov_avg"] = mov_avg
+        out["mov_min"] = mov_min
+        out["mov_max"] = mov_max
+        out["mov_count"] = wcnt
+        return out
+
+    ds = _as_dataset(source, columns=[key_col, *order_cols, value_col])
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def _grouping_sets_aggregate(
     source: Any,
     key_cols: List[str],

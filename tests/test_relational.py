@@ -1170,3 +1170,96 @@ def test_try_cast_int_float_timestamp(ray_session):
     assert t[0] == pd.Timestamp("2024-01-02 03:04:05")
     assert pd.isna(t[1]) and pd.isna(t[2]) and pd.isna(t[3])
     assert t[4] == pd.Timestamp("2024-02-29")  # leap day valid
+
+
+def test_moving_window_basic(ray_session):
+    from data_validator_ray.pipelines.relational import moving_window
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1, 2, 2],
+            "o": [1, 2, 3, 4, 5, 1, 2],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+        }
+    )
+    out = (
+        moving_window(df, "k", ["o"], "v", preceding=2, num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    # trailing 3-row windows, clamped at each key's start
+    assert out["mov_sum"].tolist() == [1.0, 3.0, 6.0, 9.0, 12.0, 10.0, 30.0]
+    assert out["mov_min"].tolist() == [1.0, 1.0, 1.0, 2.0, 3.0, 10.0, 10.0]
+    assert out["mov_max"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0]
+    assert out["mov_count"].tolist() == [1, 2, 3, 3, 3, 1, 2]
+    assert out["mov_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 4.0, 10.0, 15.0]
+
+
+def test_moving_window_nulls_and_preceding_zero(ray_session):
+    from data_validator_ray.pipelines.relational import moving_window
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1],
+            "o": [1, 2, 3, 4],
+            "v": [None, 2.0, None, None],
+        }
+    )
+    out = (
+        moving_window(df, "k", ["o"], "v", preceding=1, num_buckets=1)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    # all-NULL windows yield NULL aggregates and count 0 (SQL)
+    assert pd.isna(out["mov_sum"].iloc[0]) and out["mov_count"].iloc[0] == 0
+    assert out["mov_sum"].iloc[1] == 2.0 and out["mov_min"].iloc[1] == 2.0
+    assert out["mov_sum"].iloc[2] == 2.0  # window [2.0, NULL]
+    assert pd.isna(out["mov_sum"].iloc[3]) and out["mov_count"].iloc[3] == 0
+
+    z = (
+        moving_window(df, "k", ["o"], "v", preceding=0, num_buckets=1)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert z["mov_count"].tolist() == [0, 1, 0, 0]
+    assert z["mov_max"].iloc[1] == 2.0
+
+
+def test_moving_window_random_vs_duckdb(ray_session):
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import moving_window
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, n),
+            "o": np.arange(n),
+            "v": np.where(
+                rng.random(n) < 0.1, np.nan, rng.normal(0, 100, n).round(3)
+            ),
+        }
+    )
+    out = (
+        moving_window(df, "k", ["o"], "v", preceding=7, num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT k, o, v, ROUND(SUM(v) OVER w, 6) AS mov_sum, "
+        "ROUND(AVG(v) OVER w, 6) AS mov_avg, MIN(v) OVER w AS mov_min, "
+        "MAX(v) OVER w AS mov_max, COUNT(v) OVER w AS mov_count FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY o "
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) ORDER BY k, o"
+    ).df()
+    for c in ("mov_sum", "mov_avg", "mov_min", "mov_max"):
+        a, b = out[c].to_numpy(), exp[c].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    assert (out["mov_count"].to_numpy() == exp["mov_count"].to_numpy()).all()
