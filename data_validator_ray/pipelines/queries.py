@@ -741,6 +741,48 @@ def q_anti_join_events_customer(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_semi_join_events_bigspenders(sf_dir: str) -> pd.DataFrame:
+    """EXISTS filter: events whose user has a customer row with
+    c_acctbal > 9000 (broadcast semi-join — the corpus never
+    shuffles, set-side duplicates never duplicate rows)."""
+    import pyarrow.compute as _pc
+
+    from .relational import semi_join_broadcast
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    rich = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.filter(
+            _pc.fill_null(_pc.greater(b["c_acctbal"], 9000.0), False)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = semi_join_broadcast(
+        ev, rich, key_col="user_id", set_key="c_custkey"
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_string_agg_events_by_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered id concatenation — SQL string_agg(event_id,
+    ',' ORDER BY ts, event_id): one binary_join kernel per bucket, no
+    per-group Python."""
+    from .relational import grouped_string_agg
+
+    out = grouped_string_agg(
+        f"{sf_dir}/events.parquet",
+        ["user_id"],
+        "event_id",
+        order_cols=["ts", "event_id"],
+        sep=",",
+        out_col="ids",
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_pivot_counts_events(sf_dir: str) -> pd.DataFrame:
     """Per-user event-type breakdown as fixed pivot columns (one-hot
     sums per batch, plain Sum merge — no post-shuffle pivot)."""
@@ -1862,6 +1904,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "hash_join_left_customer_events": q_hash_join_left_customer_events,
         "hash_join_full_customer_events": q_hash_join_full_customer_events,
         "anti_join_events_customer": q_anti_join_events_customer,
+        "semi_join_events_bigspenders": q_semi_join_events_bigspenders,
+        "string_agg_events_by_user": q_string_agg_events_by_user,
         "pivot_counts_events": q_pivot_counts_events,
         "exact_quantiles_events": q_exact_quantiles_events,
         "iqr_outliers_events": q_iqr_outliers_events,
@@ -2190,6 +2234,17 @@ def oracle_sql() -> Dict[str, str]:
             " WHERE NOT EXISTS (SELECT 1 FROM customer c"
             "   WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 = 0)"
             " ORDER BY event_id"
+        ),
+        "semi_join_events_bigspenders": (
+            "SELECT event_id, user_id, value FROM events e"
+            " WHERE EXISTS (SELECT 1 FROM customer c"
+            "   WHERE c.c_custkey = e.user_id AND c.c_acctbal > 9000)"
+            " ORDER BY event_id"
+        ),
+        "string_agg_events_by_user": (
+            "SELECT user_id, string_agg(event_id::VARCHAR, ','"
+            " ORDER BY ts, event_id) AS ids"
+            " FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "pivot_counts_events": (
             "SELECT user_id,"

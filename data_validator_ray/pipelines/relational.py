@@ -1584,6 +1584,121 @@ def anti_join_broadcast(
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
 
 
+def semi_join_broadcast(
+    source: Any,
+    keyset: Any,
+    *,
+    key_col: str,
+    set_key: Optional[str] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """EXISTS / semi-join filter: keep source rows whose key DOES
+    appear in the (small) key set — the mirror of
+    :func:`anti_join_broadcast` with the same scale shape: the set is
+    collected once, sorted, broadcast via ONE ``ray.put``, and each
+    batch probes it with ``np.searchsorted``; the corpus never
+    shuffles. NULL source keys are dropped (they match nothing —
+    EXISTS semantics) and NULL set entries are ignored. Source rows
+    are never duplicated regardless of set-side duplicates, which is
+    what distinguishes a semi-join from an inner join."""
+    sk = set_key or key_col
+    kd = _as_dataset(keyset, columns=[sk]).to_pandas()
+    col = kd[sk] if sk in kd.columns else pd.Series([], dtype=object)
+    keys = np.sort(col.dropna().unique())
+    keys_ref = ray.put(keys)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        v = batch[key_col].to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(v)
+        hit = np.zeros(len(v), bool)
+        if valid.any() and len(ks):
+            idx = np.searchsorted(ks, v[valid])
+            idx[idx >= len(ks)] = 0
+            hit[valid] = ks[idx] == v[valid]
+        return batch.filter(pa.array(hit, pa.bool_()))
+
+    ds = _as_dataset(source, columns=None)
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+
+
+def grouped_string_agg(
+    source: Any,
+    key_cols: List[str],
+    value_col: str,
+    *,
+    order_cols: List[str],
+    sep: str = ",",
+    out_col: str = "agg",
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``string_agg(value, sep ORDER BY …)`` per group: one row per
+    key with the group's non-NULL values stringified and joined in
+    ``order_cols`` order (NULL order values sort last, the SQL ``ASC
+    NULLS LAST`` default). Groups whose values are all NULL emit a NULL
+    aggregate, as SQL does. ``order_cols`` must totally order each
+    group's rows (include a tiebreak) or the concatenation is
+    arrival-dependent.
+
+    Scale shape: ONE hash-bucket shuffle co-locates each group, then
+    ONE vectorized pass per bucket — sort, rebuild ``list<string>``
+    offsets over the non-NULL values, and a single ``pc.binary_join``
+    kernel concatenates every group at C speed (no per-group Python;
+    the same reassembly trick as paragraph dedup). Documented
+    assumption: one group's concatenation fits a worker's heap."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            key_cols + order_cols, kind="mergesort", na_position="last"
+        )
+        n = len(g)
+        if n == 0:
+            cols = {c: g[c] for c in key_cols}
+            cols[out_col] = pd.Series([], dtype=object)
+            return pd.DataFrame(cols)
+        new_grp = np.zeros(n, bool)
+        new_grp[0] = True
+        for c in key_cols:
+            k = g[c].to_numpy()
+            isna = pd.isna(k)
+            with np.errstate(invalid="ignore"):
+                neq = k[1:] != k[:-1]
+            # NULL keys group together (NaN != NaN would split them)
+            both_na = isna[1:] & isna[:-1]
+            new_grp[1:] |= np.asarray(neq, bool) & ~both_na
+            new_grp[1:] |= isna[1:] != isna[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        n_grps = int(grp_id[-1]) + 1
+
+        vals = g[value_col]
+        nn = vals.notna().to_numpy()
+        strs = vals[nn].astype(str).to_numpy()
+        counts = np.bincount(grp_id[nn], minlength=n_grps)
+        offsets = np.zeros(n_grps + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(strs, pa.string())
+        )
+        joined = pc.binary_join(lst, sep).to_pandas()
+        joined[counts == 0] = None
+
+        first = np.flatnonzero(new_grp)
+        out = {c: g[c].to_numpy()[first] for c in key_cols}
+        out[out_col] = joined
+        return pd.DataFrame(out)
+
+    cols = list(dict.fromkeys([*key_cols, *order_cols, value_col]))
+    ds = _as_dataset(source, columns=cols)
+    return bucketed_groupby(
+        ds, key_cols, per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def pivot_counts(
     source: Any,
     key_col: str,

@@ -1263,3 +1263,87 @@ def test_moving_window_random_vs_duckdb(ray_session):
         a, b = out[c].to_numpy(), exp[c].to_numpy()
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
     assert (out["mov_count"].to_numpy() == exp["mov_count"].to_numpy()).all()
+
+
+def test_semi_join_broadcast_semantics(ray_session):
+    from data_validator_ray.pipelines.relational import semi_join_broadcast
+
+    src = pd.DataFrame(
+        {"k": [1, 2, 3, None, 2], "x": ["a", "b", "c", "d", "e"]}
+    )
+    # duplicate set entries must not duplicate source rows; NULL set
+    # entries ignored; NULL source keys dropped (EXISTS semantics)
+    keyset = pd.DataFrame({"k": [2, 2, 9, None]})
+    out = (
+        semi_join_broadcast(src, keyset, key_col="k")
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert out["x"].tolist() == ["b", "e"]
+    assert (out["k"] == 2).all()
+
+    empty = semi_join_broadcast(
+        src, pd.DataFrame({"k": pd.Series([], dtype="float64")}), key_col="k"
+    ).to_pandas()
+    assert len(empty) == 0
+
+
+def test_grouped_string_agg_nulls_and_order(ray_session):
+    from data_validator_ray.pipelines.relational import grouped_string_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "o": [3, 1, 2, 1, 2, 1],
+            "v": ["z", "x", None, None, None, "solo"],
+        }
+    )
+    out = (
+        grouped_string_agg(
+            df, ["k"], "v", order_cols=["o"], sep="|", num_buckets=2
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == ["a", "b", "c"]
+    # NULL values skipped (no separator), all-NULL group -> NULL
+    assert out["agg"].tolist()[0] == "x|z"
+    assert pd.isna(out["agg"].iloc[1])
+    assert out["agg"].iloc[2] == "solo"
+
+
+def test_grouped_string_agg_vs_duckdb_random(ray_session):
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import grouped_string_agg
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 53, n),
+            "o": rng.permutation(n),
+            "v": np.where(
+                rng.random(n) < 0.05, None, rng.integers(0, 10**6, n).astype(str)
+            ),
+        }
+    )
+    out = (
+        grouped_string_agg(
+            df, ["k"], "v", order_cols=["o"], sep=",", num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT k, string_agg(v, ',' ORDER BY o) AS agg FROM t "
+        "GROUP BY k ORDER BY k"
+    ).df()
+    assert out["k"].tolist() == exp["k"].tolist()
+    a, b = out["agg"], exp["agg"]
+    assert ((a == b) | (a.isna() & b.isna())).all()
