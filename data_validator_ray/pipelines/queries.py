@@ -1219,6 +1219,16 @@ def q_tfidf_top_terms_documents(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_unigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality signal: per-doc mean unigram
+    log-probability under the corpus's own unigram model (counts pass
+    → broadcast ln-prob table → per-batch Rust join + doc reduce)."""
+    from .text import unigram_logprob
+
+    out = unigram_logprob(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_repetition_rule_documents(sf_dir: str) -> pd.DataFrame:
     """Gopher repetition gate as a registry rule (rule_type=repetition)
     run through the fused validation pass; min_tokens=30 makes the
@@ -1889,6 +1899,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "domain_counts_documents": q_domain_counts_documents,
         "token_doc_freq_documents": q_token_doc_freq_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "transform_runner_documents": q_transform_runner_documents,
         "sessionize_events": q_sessionize_events,
@@ -2195,6 +2206,19 @@ def oracle_sql() -> Dict[str, str]:
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,
         "tfidf_top_terms_documents": _TFIDF_SQL,
+        "unigram_logprob_documents": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS t FROM documents), "
+            "freq AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t), "
+            "tot AS (SELECT SUM(c) AS s FROM freq), "
+            "per_doc AS (SELECT tok.doc_id, COUNT(*)::BIGINT AS n_tokens, "
+            "ROUND(SUM(LN(c / s)) / COUNT(*), 6) AS logprob_mean "
+            "FROM tok JOIN freq USING (t) CROSS JOIN tot "
+            "GROUP BY tok.doc_id) "
+            "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, "
+            "p.logprob_mean FROM documents d "
+            "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
+        ),
         "normalize_text_documents": (
             "SELECT doc_id, trim(regexp_replace("
             "lower(nfc_normalize(coalesce(text, ''))),"

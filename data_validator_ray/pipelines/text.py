@@ -571,6 +571,92 @@ def compression_stats(
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=batch_size)
 
 
+def unigram_logprob(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    vocab_size: Optional[int] = None,
+    oov_count: float = 0.5,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-doc mean unigram log-probability — the CCNet-style language
+    -model quality signal (gibberish / boilerplate scores far below
+    fluent text under the corpus's own unigram model; a KenLM stand-in
+    built from public-API pieces). Two streaming passes:
+
+    1. corpus unigram counts: per-batch token counts (the combiner)
+       → one vocab-bounded global groupby — exchange is distinct-
+       bounded, never occurrence-bounded;
+    2. score: the ``(token, ln(count/total))`` table is broadcast ONCE
+       via ``ray.put``; each batch explodes tokens (polars Rust
+       split), joins against the broadcast vocab (Rust hash join) and
+       reduces to per-doc sums — no per-row Python, no shuffle.
+
+    With ``vocab_size`` set, only the top-V tokens (count desc, token
+    asc) keep exact probabilities and every other token scores
+    ``ln(oov_count/total)`` — the bounded-memory tier for unbounded
+    vocabularies; ``total`` still counts ALL occurrences so in-vocab
+    probabilities are unchanged. Output: ``id_col``, ``n_tokens``
+    (int64), ``logprob_mean`` (mean ln p per token, rounded to 6 — the
+    float-hash convention; NULL for zero-token docs).
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ex, _ = _exploded_tokens(batch[text_col])
+        agg = ex.group_by("t").len()
+        return pa.table(
+            {
+                "t": pa.array(agg["t"].to_list(), pa.string()),
+                "cnt": pa.array(agg["len"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    vocab = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("t")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded
+    )
+    total = float(vocab["n"].sum()) if len(vocab) else 1.0
+    if vocab_size is not None and len(vocab) > vocab_size:
+        vocab = (
+            vocab.sort_values(["n", "t"], ascending=[False, True],
+                              kind="stable")
+            .head(vocab_size)
+        )
+    logp = np.log(vocab["n"].to_numpy(np.float64) / total)
+    oov_logp = float(np.log(oov_count / total))
+    vocab_ref = ray.put(
+        pl.DataFrame({"t": vocab["t"].to_numpy(), "lp": logp})
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        vc = ray.get(vocab_ref)
+        ex, n = _exploded_tokens(batch[text_col])
+        joined = ex.join(vc, on="t", how="left").with_columns(
+            pl.col("lp").fill_null(oov_logp)
+        )
+        agg = joined.group_by("doc").agg(
+            pl.len().alias("n_tokens"), pl.col("lp").sum().alias("s")
+        )
+        agg = _reindex(agg, n)
+        nt = agg["n_tokens"].to_numpy().astype(np.int64)
+        s = agg["s"].to_numpy().astype(np.float64)
+        mean = np.where(nt > 0, np.round(s / np.maximum(nt, 1), 6), np.nan)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(nt, pa.int64()),
+                "logprob_mean": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
+
+
 def tfidf_top_terms(
     source: Any,
     id_col: str = "doc_id",
