@@ -429,6 +429,27 @@ def q_knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "neighbor_id"]].astype("int64")
 
 
+def q_knn_ivf_fullprobe_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF with nprobe = n_centroids: every cluster is probed, so the
+    result is EXACT top-10 — which makes the whole index machinery
+    (k-means assignment, hive cluster layout, per-cluster scoring,
+    merge) oracle-checkable against the same SQL as brute force. The
+    approximate tier stays `knn_ivf_embeddings` (rows-only)."""
+    from .dedup import load_embeddings
+    from .similarity import knn_ivf
+
+    ids, M = load_embeddings(f"{sf_dir}/embeddings.parquet")
+    out = knn_ivf(
+        f"{sf_dir}/embeddings.parquet",
+        M[:5],
+        ids[:5],
+        k=10,
+        n_centroids=16,
+        nprobe=16,
+    )
+    return out[["query_id", "rank", "neighbor_id"]].astype("int64")
+
+
 def q_quality_stats_documents(sf_dir: str) -> pd.DataFrame:
     """Integer quality counters per doc (oracle-exact formulas)."""
     from .text import quality_stats
@@ -1865,6 +1886,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "knn_brute_embeddings": q_knn_brute_embeddings,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "knn_ivf_fullprobe_embeddings": q_knn_ivf_fullprobe_embeddings,
         "quality_stats_documents": q_quality_stats_documents,
         "language_id_documents": q_language_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -2076,6 +2098,20 @@ def oracle_sql() -> Dict[str, str]:
             "ORDER BY id_a, id_b"
         ),
         "knn_brute_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "           FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "             list_cosine_similarity(q.qe, e.embedding) AS cos "
+            "      FROM q, embeddings e WHERE e.vec_id != q.query_id), "
+            "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC"
+            "      ) AS rank FROM s) "
+            "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
+            "FROM r WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
+        # full-probe IVF is exact, so the brute-force oracle applies —
+        # this pins the index build/layout/scored-merge path to SQL
+        "knn_ivf_fullprobe_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "           FROM embeddings WHERE vec_id < 5), "
             "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
