@@ -257,6 +257,36 @@ def bench_text_profile(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_unigram_logprob(input_dir: str) -> float:
+    """LM quality scoring (CCNet-style unigram log-prob): counts pass
+    → broadcast vocab → score pass; two streaming reads, vocab-bounded
+    exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.text import unigram_logprob
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    # vocab_size = the bounded-memory tier: this corpus has a 7.8M-token
+    # heavy-tail vocabulary; top-64Ki carries >99% of occurrences and the
+    # tail scores the OOV floor (CCNet does the same with its LM vocab)
+    assert (
+        unigram_logprob(ds, vocab_size=65536, batch_size=16384).count() > 0
+    )
+    return time.perf_counter() - t0
+
+
 def bench_curation_profile(input_dir: str) -> float:
     """The fused curation pass (Gopher counters + PII counts +
     decontamination in one read / one explode) over the 8M-row bench
@@ -543,6 +573,9 @@ def run_bench() -> dict:
         queries["curation_profile_webpages"] = best_of(bench_curation_profile, str(input_dir))
         queries["full_profile_webpages"] = best_of(bench_full_profile, str(input_dir))
         queries["pack_shards_webpages"] = best_of(bench_pack_shards, str(input_dir))
+        queries["unigram_logprob_webpages"] = best_of(
+            bench_unigram_logprob, str(input_dir)
+        )
         emb_dir = _bench_embeddings_dir()
         if not emb_dir.exists():
             emb_dir.parent.mkdir(parents=True, exist_ok=True)
