@@ -1033,8 +1033,10 @@ def q_multimodal_audio_decode(sf_dir: str) -> pd.DataFrame:
 
 
 def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
-    """Every-2nd-frame sampling of video payloads (rows-only: frame
-    bytes have no SQL equivalent; counts asserted in tests)."""
+    """Every-2nd-frame sampling of video payloads; the (media_id,
+    frame_idx) rows are oracle-exact via the nf = 4 + id%8 payload
+    formula (frame BYTES stay pinned by unit tests — SQL has no
+    payload equivalent)."""
     from .multimodal import sample_video_frames
 
     out = sample_video_frames(_media_path(sf_dir)).to_pandas()
@@ -2173,6 +2175,16 @@ def oracle_sql() -> Dict[str, str]:
             "(8000 + (media_id % 4) * 4000))::BIGINT AS duration_ms, "
             "(12 + 2 * (256 + (media_id * 13) % 1024))::BIGINT AS n_bytes "
             "FROM ids ORDER BY media_id"
+        ),
+        # every-2nd-frame sampling: nf = 4 + id%8 per the payload
+        # header formula; range() is exclusive-stop, stride 2
+        "multimodal_frame_sample": (
+            "WITH seq AS (SELECT (row_number() OVER ()) - 1 AS media_id "
+            "FROM documents), "
+            "ids AS (SELECT media_id FROM seq WHERE media_id % 3 = 2) "
+            "SELECT media_id, "
+            "unnest(range(0, 4 + media_id % 8, 2))::BIGINT AS frame_idx "
+            "FROM ids ORDER BY media_id, frame_idx"
         ),
         "runner_documents_resume": (
             "WITH rpf AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS v "
