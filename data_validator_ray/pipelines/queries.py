@@ -804,6 +804,29 @@ def q_string_agg_events_by_user(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_count_distinct_events_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch
+    distinct-pair combiner, one bucketed shuffle, C-level counts."""
+    from .relational import grouped_count_distinct
+
+    out = grouped_count_distinct(
+        f"{sf_dir}/events.parquet", "event_type", "user_id",
+        out_col="n_users",
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_distinct_rows_events(sf_dir: str) -> pd.DataFrame:
+    """SELECT DISTINCT user_id, event_type (distinct-bounded combiner
+    before the shuffle)."""
+    from .relational import distinct_rows
+
+    out = distinct_rows(
+        f"{sf_dir}/events.parquet", ["user_id", "event_type"]
+    ).to_pandas()
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
 def q_pivot_counts_events(sf_dir: str) -> pd.DataFrame:
     """Per-user event-type breakdown as fixed pivot columns (one-hot
     sums per batch, plain Sum merge — no post-shuffle pivot)."""
@@ -1941,6 +1964,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "anti_join_events_customer": q_anti_join_events_customer,
         "semi_join_events_bigspenders": q_semi_join_events_bigspenders,
         "string_agg_events_by_user": q_string_agg_events_by_user,
+        "count_distinct_events_by_type": q_count_distinct_events_by_type,
+        "distinct_rows_events": q_distinct_rows_events,
         "pivot_counts_events": q_pivot_counts_events,
         "exact_quantiles_events": q_exact_quantiles_events,
         "iqr_outliers_events": q_iqr_outliers_events,
@@ -2306,6 +2331,14 @@ def oracle_sql() -> Dict[str, str]:
             " WHERE NOT EXISTS (SELECT 1 FROM customer c"
             "   WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 = 0)"
             " ORDER BY event_id"
+        ),
+        "count_distinct_events_by_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users"
+            " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "distinct_rows_events": (
+            "SELECT DISTINCT user_id, event_type FROM events"
+            " ORDER BY user_id, event_type"
         ),
         "semi_join_events_bigspenders": (
             "SELECT event_id, user_id, value FROM events e"

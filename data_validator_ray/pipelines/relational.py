@@ -1182,6 +1182,85 @@ _TRY_INT_RE = r"^[+-]?\d{1,18}$"
 _TRY_FLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
 
 
+def grouped_count_distinct(
+    source: Any,
+    key_col: str,
+    value_col: str,
+    *,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """EXACT ``COUNT(DISTINCT value)`` per group. Each batch first
+    reduces to its distinct ``(key, value)`` pairs (one pyarrow
+    ``group_by`` — the combiner; exchange is distinct-bounded, never
+    row-bounded), then ONE hash-bucket shuffle on the key co-locates
+    each group and a vectorized ``drop_duplicates`` + C-level count
+    per bucket finishes. SQL semantics: NULL values don't count but an
+    all-NULL group still appears with 0; NULL keys form a group. The
+    approximate sibling (HLL registers, row-count-independent
+    exchange) is :func:`grouped_approx_distinct`."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, value_col]).group_by(
+            [key_col, value_col]
+        ).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key_col, value_col])
+        agg = (
+            d.groupby(key_col, dropna=False, sort=False)[value_col]
+            .count()  # non-null distinct values
+            .reset_index(name=out_col)
+        )
+        agg[out_col] = agg[out_col].astype(np.int64)
+        return agg
+
+    ds = _as_dataset(source, columns=[key_col, value_col])
+    pairs = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        pairs, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
+def distinct_rows(
+    source: Any,
+    cols: List[str],
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``SELECT DISTINCT cols``: per-batch pyarrow ``group_by``
+    pre-dedup (the combiner — exchange is distinct-bounded), then one
+    hash-bucket shuffle and a vectorized ``drop_duplicates`` per
+    bucket. NULLs are not distinct from each other (SQL DISTINCT
+    semantics; pandas ``drop_duplicates`` agrees)."""
+    import pandas as pd  # noqa: F401 — bucket fn signature
+
+    from .dedup import bucketed_groupby
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def per_bucket(g):
+        return g.drop_duplicates(cols)
+
+    ds = _as_dataset(source, columns=cols)
+    pre_ds = ds.map_batches(
+        pre, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        pre_ds, cols, per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def try_cast_columns(
     source: Any,
     types: "Dict[str, pa.DataType]",

@@ -1347,3 +1347,43 @@ def test_grouped_string_agg_vs_duckdb_random(ray_session):
     assert out["k"].tolist() == exp["k"].tolist()
     a, b = out["agg"], exp["agg"]
     assert ((a == b) | (a.isna() & b.isna())).all()
+
+
+def test_grouped_count_distinct_null_semantics(ray_session):
+    from data_validator_ray.pipelines.relational import grouped_count_distinct
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", None, None],
+            "v": [1.0, 1.0, 2.0, None, None, 3.0, 3.0],
+        }
+    )
+    out = (
+        grouped_count_distinct(df, "k", "v", num_buckets=2)
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    # a: {1,2}=2; b: all-NULL -> 0 but group present; NULL key: {3}=1
+    assert out["k"].tolist()[:2] == ["a", "b"]
+    assert pd.isna(out["k"].iloc[2])
+    assert out["n_distinct"].tolist() == [2, 0, 1]
+
+
+def test_distinct_rows_nulls_collapse(ray_session):
+    from data_validator_ray.pipelines.relational import distinct_rows
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 1, 1, None, None],
+            "b": ["x", "x", "y", None, None],
+        }
+    )
+    out = (
+        distinct_rows(df, ["a", "b"], num_buckets=2)
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # (1,x), (1,y), (NULL,NULL) — NULLs are not distinct from each other
+    assert len(out) == 3
