@@ -487,6 +487,48 @@ def domain_sample(
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
 
 
+def sample_n(
+    source: Any,
+    id_col: str,
+    n: int,
+    *,
+    columns: "Optional[List[str]]" = None,
+    modulus: int = 1 << 32,
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Deterministic uniform sample of exactly ``n`` rows: rank every
+    row by the Knuth multiplicative hash of its id and keep the ``n``
+    smallest — a seeded-shuffle-free reservoir that is reproducible
+    across runs, engines and partitionings (the :func:`domain_sample` /
+    :func:`assign_splits` convention) and exactly expressible in SQL
+    (``ORDER BY (id*2654435761)%2^32, id LIMIT n``).
+
+    Scale shape: one streaming pass; each batch keeps its own ≤ n
+    candidates via ``argpartition`` (the :func:`.relational.top_k_rows`
+    partial-top-k), so only ``n × #batches`` rows reach the driver.
+    ``id_col`` must be unique for an exactly-uniform sample; ties on
+    the hash break by id."""
+    from .relational import top_k_rows
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (ids * KNUTH) % np.int64(modulus)
+        return batch.append_column("__score", pa.array(s, pa.int64()))
+
+    cols = (
+        list(dict.fromkeys([*columns, id_col])) if columns else None
+    )
+    ds = _as_dataset(source, columns=cols)
+    ds = ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
+    out = top_k_rows(
+        ds, "__score", n, descending=False, tiebreak_cols=[id_col],
+        batch_size=batch_size,
+    ).drop(columns="__score")
+    if columns:
+        out = out[list(columns)]
+    return out.reset_index(drop=True)
+
+
 def assign_splits(
     source: Any,
     splits: "Optional[Dict[str, int]]" = None,

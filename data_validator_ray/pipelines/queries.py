@@ -1164,6 +1164,21 @@ def q_domain_sample_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sample_n_events(sf_dir: str) -> pd.DataFrame:
+    """Deterministic uniform 200-row sample: Knuth-hash rank order,
+    partial top-k per batch — RNG-free, partitioning-independent,
+    bit-exact vs the SQL ORDER BY/LIMIT."""
+    from .curation import sample_n
+
+    out = sample_n(
+        f"{sf_dir}/events.parquet",
+        "event_id",
+        200,
+        columns=["event_id", "user_id", "value"],
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_pack_shards_documents(sf_dir: str) -> pd.DataFrame:
     """Token-budget shard packing (distributed two-pass prefix scan);
     oracle = the window-function exclusive prefix sum."""
@@ -1930,6 +1945,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pii_redact_documents": q_pii_redact_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "domain_sample_documents": q_domain_sample_documents,
+        "sample_n_events": q_sample_n_events,
         "pack_shards_documents": q_pack_shards_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "curation_profile_documents": q_curation_profile_documents,
@@ -2239,6 +2255,12 @@ def oracle_sql() -> Dict[str, str]:
         "pii_redact_documents": _PII_REDACT_SQL,
         "decontaminate_documents": _DECONTAMINATE_SQL,
         "domain_sample_documents": _DOMAIN_SAMPLE_SQL,
+        "sample_n_events": (
+            "SELECT event_id, user_id, value FROM ("
+            "SELECT event_id, user_id, value FROM events "
+            "ORDER BY (event_id * 2654435761) % 4294967296, event_id "
+            "LIMIT 200) ORDER BY event_id"
+        ),
         "pack_shards_documents": _PACK_SHARDS_SQL,
         "curation_profile_documents": _CURATION_PROFILE_SQL,
         "full_profile_documents": _FULL_PROFILE_SQL,

@@ -579,3 +579,17 @@ def test_dup_span_short_and_null_docs(ray_session):
     )
     assert out.n_tokens.tolist() == [3, 0]
     assert out.n_dup_tokens.tolist() == [0, 0]
+
+
+def test_sample_n_partitioning_independent(ray_session):
+    from data_validator_ray.pipelines.curation import sample_n
+
+    df = pd.DataFrame({"id": np.arange(1000), "x": np.arange(1000) * 2})
+    a = sample_n(df, "id", 50)
+    # different batch layout must give the identical sample
+    b = sample_n(df.sample(frac=1.0, random_state=1), "id", 50, batch_size=64)
+    pd.testing.assert_frame_equal(
+        a.sort_values("id").reset_index(drop=True),
+        b.sort_values("id").reset_index(drop=True),
+    )
+    assert len(a) == 50 and a["id"].is_unique
