@@ -804,6 +804,19 @@ def q_string_agg_events_by_user(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_spine_fill_events(sf_dir: str) -> pd.DataFrame:
+    """Daily calendar spine per event_type with gap filling: missing
+    (day, type) cells appear with n_events=0 / NULL aggregates — the
+    generate_series LEFT JOIN convention."""
+    from .relational import spine_fill
+
+    out = spine_fill(
+        f"{sf_dir}/events.parquet", "ts", "value",
+        key_cols=["event_type"], unit="day",
+    )
+    return out.reset_index(drop=True)
+
+
 def q_count_distinct_events_by_type(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT user_id) per event_type: per-batch
     distinct-pair combiner, one bucketed shuffle, C-level counts."""
@@ -1981,6 +1994,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "semi_join_events_bigspenders": q_semi_join_events_bigspenders,
         "string_agg_events_by_user": q_string_agg_events_by_user,
         "count_distinct_events_by_type": q_count_distinct_events_by_type,
+        "spine_fill_events": q_spine_fill_events,
         "distinct_rows_events": q_distinct_rows_events,
         "pivot_counts_events": q_pivot_counts_events,
         "exact_quantiles_events": q_exact_quantiles_events,
@@ -2357,6 +2371,25 @@ def oracle_sql() -> Dict[str, str]:
         "count_distinct_events_by_type": (
             "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users"
             " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "spine_fill_events": (
+            "WITH agg AS (SELECT date_trunc('day', ts) AS period, "
+            "event_type, COUNT(*)::BIGINT AS n_events, "
+            "CASE WHEN COUNT(value) > 0 THEN ROUND(SUM(value), 6) END "
+            "AS value_sum, "
+            "CASE WHEN COUNT(value) > 0 THEN "
+            "ROUND(SUM(value) / COUNT(value), 6) END AS value_avg "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), "
+            "spine AS (SELECT unnest(generate_series("
+            "(SELECT MIN(period) FROM agg), (SELECT MAX(period) FROM agg), "
+            "INTERVAL 1 DAY)) AS period), "
+            "keys AS (SELECT DISTINCT event_type FROM agg) "
+            "SELECT s.period, k.event_type, "
+            "COALESCE(a.n_events, 0) AS n_events, a.value_sum, a.value_avg "
+            "FROM spine s CROSS JOIN keys k "
+            "LEFT JOIN agg a ON a.period = s.period "
+            "AND a.event_type = k.event_type "
+            "ORDER BY s.period, k.event_type"
         ),
         "distinct_rows_events": (
             "SELECT DISTINCT user_id, event_type FROM events"

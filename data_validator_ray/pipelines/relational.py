@@ -1521,6 +1521,76 @@ def calendar_aggregate(
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+_SPINE_FREQ = {
+    "minute": "min",
+    "hour": "h",
+    "day": "D",
+    "week": "W-MON",
+    "month": "MS",
+    "quarter": "QS",
+    "year": "YS",
+}
+
+
+def spine_fill(
+    source: Any,
+    ts_col: str,
+    value_col: str,
+    *,
+    key_cols: Optional[List[str]] = None,
+    unit: str = "day",
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Calendar spine with gap filling — :func:`calendar_aggregate`
+    densified so every (key, period) cell of the full grid exists:
+    missing periods get ``n_events = 0`` and NULL ``value_sum`` /
+    ``value_avg`` (the SQL ``generate_series`` spine LEFT JOIN
+    convention; the downstream use is drift-over-time and
+    :func:`forward_fill`-able series). The spine spans the GLOBAL
+    ``[min period, max period]`` range; keys are the observed distinct
+    key tuples.
+
+    Scale shape: all row-bounded work happens in the calendar
+    aggregate's combiner; the fill operates on its (periods × keys)-
+    bounded result, which is collected — the same small-result
+    convention as ``top_k_rows``. Returns a pandas DataFrame sorted by
+    (period, keys)."""
+    key_cols = list(key_cols or [])
+    agg = calendar_aggregate(
+        source, ts_col, value_col, key_cols=key_cols, unit=unit,
+        batch_size=batch_size,
+    ).to_pandas()
+    if len(agg) == 0:
+        return agg
+    freq = _SPINE_FREQ[unit]
+    periods = pd.date_range(
+        agg["period"].min(), agg["period"].max(), freq=freq
+    )
+    if key_cols:
+        keys = list(
+            agg[key_cols].drop_duplicates()
+            .sort_values(key_cols)
+            .itertuples(index=False, name=None)
+        )
+        grid = pd.MultiIndex.from_tuples(
+            [(p, *k) for p in periods for k in keys],
+            names=["period", *key_cols],
+        )
+        out = (
+            agg.set_index(["period", *key_cols])
+            .reindex(grid)
+            .reset_index()
+        )
+    else:
+        out = (
+            agg.set_index("period")
+            .reindex(periods.rename("period"))
+            .reset_index()
+        )
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    return out.sort_values(["period", *key_cols]).reset_index(drop=True)
+
+
 def forward_fill(
     source: Any,
     key_col: str,

@@ -1387,3 +1387,44 @@ def test_distinct_rows_nulls_collapse(ray_session):
     )
     # (1,x), (1,y), (NULL,NULL) — NULLs are not distinct from each other
     assert len(out) == 3
+
+
+def test_spine_fill_gaps(ray_session):
+    from data_validator_ray.pipelines.relational import spine_fill
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-04", "2024-01-04"]
+            ),
+            "k": ["a", "b", "a", "a"],
+            "v": [1.0, 2.0, None, 4.0],
+        }
+    )
+    out = spine_fill(df, "ts", "v", key_cols=["k"], unit="day")
+    # 4-day spine × 2 keys = 8 cells; Jan 2-3 are gaps for both keys
+    assert len(out) == 8
+    jan2a = out[(out["period"] == pd.Timestamp("2024-01-02")) & (out["k"] == "a")]
+    assert jan2a["n_events"].iloc[0] == 0 and pd.isna(jan2a["value_sum"].iloc[0])
+    jan4a = out[(out["period"] == pd.Timestamp("2024-01-04")) & (out["k"] == "a")]
+    # 2 events on Jan 4 for a, one NULL value: sum=4.0, n=2
+    assert jan4a["n_events"].iloc[0] == 2 and jan4a["value_sum"].iloc[0] == 4.0
+    # key b absent on Jan 4 -> gap row exists
+    jan4b = out[(out["period"] == pd.Timestamp("2024-01-04")) & (out["k"] == "b")]
+    assert jan4b["n_events"].iloc[0] == 0
+
+
+def test_spine_fill_no_keys_month_unit(ray_session):
+    from data_validator_ray.pipelines.relational import spine_fill
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-15", "2024-04-02"]),
+            "v": [1.0, 3.0],
+        }
+    )
+    out = spine_fill(df, "ts", "v", unit="month")
+    assert out["period"].tolist() == list(
+        pd.to_datetime(["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"])
+    )
+    assert out["n_events"].tolist() == [1, 0, 0, 1]
