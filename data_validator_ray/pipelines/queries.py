@@ -762,6 +762,33 @@ def q_anti_join_events_customer(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_anti_join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Large-×-large SHUFFLE anti-join (NOT EXISTS with a right side
+    too big to broadcast): orders having no high-quantity lineitem."""
+    import pyarrow.compute as _pc
+
+    from .relational import hash_join
+
+    big = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda b: b.filter(
+            _pc.fill_null(_pc.greater(b["l_quantity"], 45.0), False)
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        f"{sf_dir}/orders.parquet",
+        big,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        left_cols=["o_custkey", "o_totalprice"],
+        right_cols=["l_orderkey"],
+        how="anti",
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_semi_join_events_bigspenders(sf_dir: str) -> pd.DataFrame:
     """EXISTS filter: events whose user has a customer row with
     c_acctbal > 9000 (broadcast semi-join — the corpus never
@@ -1992,6 +2019,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "hash_join_full_customer_events": q_hash_join_full_customer_events,
         "anti_join_events_customer": q_anti_join_events_customer,
         "semi_join_events_bigspenders": q_semi_join_events_bigspenders,
+        "anti_join_orders_lineitem": q_anti_join_orders_lineitem,
         "string_agg_events_by_user": q_string_agg_events_by_user,
         "count_distinct_events_by_type": q_count_distinct_events_by_type,
         "spine_fill_events": q_spine_fill_events,
@@ -2394,6 +2422,12 @@ def oracle_sql() -> Dict[str, str]:
         "distinct_rows_events": (
             "SELECT DISTINCT user_id, event_type FROM events"
             " ORDER BY user_id, event_type"
+        ),
+        "anti_join_orders_lineitem": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o"
+            " WHERE NOT EXISTS (SELECT 1 FROM lineitem l"
+            "   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)"
+            " ORDER BY o_orderkey"
         ),
         "semi_join_events_bigspenders": (
             "SELECT event_id, user_id, value FROM events e"

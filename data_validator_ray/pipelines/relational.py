@@ -226,8 +226,13 @@ def hash_join(
     """Large-×-large equi-join via ONE hash-bucketed shuffle of each
     side (the shuffle-join tier; for a small right side use
     :func:`broadcast_join` — no shuffle at all). ``how`` is ``inner``
-    (default), ``left`` or ``full``; outer modes keep unmatched rows
-    with NULLs on the other side. NULL keys never MATCH (SQL
+    (default), ``left``, ``full``, ``semi`` or ``anti``; outer modes
+    keep unmatched rows with NULLs on the other side. ``semi``/``anti``
+    are the FILTERING joins (SQL EXISTS / NOT EXISTS) for a right side
+    too big to broadcast (cf. :func:`semi_join_broadcast`): left
+    columns only, right duplicates never multiply rows, NULL left keys
+    kept by ``anti`` (they match nothing), dropped by ``semi``.
+    NULL keys never MATCH (SQL
     semantics) but outer modes preserve null-keyed rows of the kept
     side(s) via a shuffle-free bypass stream; in ``full`` mode the
     output key column carries ``COALESCE(left.key, right.key)`` so
@@ -260,21 +265,40 @@ def hash_join(
     (key, salt) bucket fits one worker — raise ``num_buckets`` and/or
     ``salt`` at scale.
     """
-    if how not in ("inner", "left", "full"):
-        raise ValueError(f"how must be inner|left|full, got {how!r}")
+    if how not in ("inner", "left", "full", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|full|semi|anti, got {how!r}"
+        )
     if salt > 1 and how != "inner":
         raise ValueError("salt > 1 requires how='inner'")
     l_extra = [c for c in left_cols if c != left_key]
     r_extra = [c for c in right_cols if c != right_key]
+    if how in ("semi", "anti"):
+        # filtering joins return LEFT columns only; the right side
+        # contributes membership, never data
+        if r_extra:
+            raise ValueError(f"how={how!r} takes no right output columns")
     if set(l_extra) & set(r_extra):
         raise ValueError("left/right output columns must be disjoint")
     l_ds = _as_dataset(left, columns=[left_key] + l_extra)
     r_ds = _as_dataset(right, columns=[right_key] + r_extra)
 
+    def _arrow_dtype(t):
+        # pandas-block datasets report numpy dtypes / python classes
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t is str:
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
     l_schema = l_ds.schema()
     r_schema = r_ds.schema()
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = {
+        n: _arrow_dtype(t) for n, t in zip(l_schema.names, l_schema.types)
+    }
+    r_types = {
+        n: _arrow_dtype(t) for n, t in zip(r_schema.names, r_schema.types)
+    }
     key_type = l_types[left_key]
 
     hot_ref = None
@@ -341,11 +365,18 @@ def hash_join(
         norm_typed(0, left_key), batch_format="pyarrow"
     ).union(r_ds.map_batches(norm_typed(1, right_key), batch_format="pyarrow"))
 
-    pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+    pd_how = {
+        "inner": "inner", "left": "left", "full": "outer",
+        "semi": "inner", "anti": "inner",
+    }[how]
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         lft = df.loc[df.__side == 0, ["__key", "__salt"] + l_extra]
         rgt = df.loc[df.__side == 1, ["__key", "__salt"] + r_extra]
+        if how in ("semi", "anti"):
+            hit = lft["__key"].isin(rgt["__key"].unique())
+            out = lft[hit] if how == "semi" else lft[~hit]
+            return out.drop(columns="__salt")
         if how == "inner" and (len(lft) == 0 or len(rgt) == 0):
             return df.iloc[0:0].drop(columns=["__side", "__salt"])
         # in-bucket keys are never NULL (filtered before tagging), so
@@ -358,8 +389,10 @@ def hash_join(
         tagged, ["__key", "__salt"], per_bucket, num_buckets=num_buckets
     )
 
-    if how in ("left", "full"):
-        # shuffle-free bypass for null-keyed rows of the preserved side(s)
+    if how in ("left", "full", "anti"):
+        # shuffle-free bypass for null-keyed rows of the preserved
+        # side(s); for anti, NULL left keys match nothing so NOT
+        # EXISTS keeps them
         def null_side(side: int, key: str):
             def fn(batch: pa.Table) -> pa.Table:
                 b = batch.filter(pc.is_null(batch[key]))

@@ -1428,3 +1428,43 @@ def test_spine_fill_no_keys_month_unit(ray_session):
         pd.to_datetime(["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"])
     )
     assert out["n_events"].tolist() == [1, 0, 0, 1]
+
+
+def test_hash_join_semi_anti_semantics(ray_session):
+    from data_validator_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 3, None, 2], "x": ["a", "b", "c", "d", "e"]}
+    )
+    # duplicate + null right keys: duplicates must not multiply,
+    # nulls never match
+    right = pd.DataFrame({"k": [2, 2, 9, None]})
+
+    semi = (
+        hash_join(
+            left, right, left_key="k", right_key="k",
+            left_cols=["x"], right_cols=["k"], how="semi", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert semi["x"].tolist() == ["b", "e"]
+
+    anti = (
+        hash_join(
+            left, right, left_key="k", right_key="k",
+            left_cols=["x"], right_cols=["k"], how="anti", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    # NOT EXISTS keeps the NULL-keyed left row
+    assert anti["x"].tolist() == ["a", "c", "d"]
+
+    with pytest.raises(ValueError):
+        hash_join(
+            left, right, left_key="k", right_key="k",
+            left_cols=["x"], right_cols=["k", "extra"], how="anti",
+        )
