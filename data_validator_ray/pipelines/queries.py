@@ -1320,6 +1320,16 @@ def q_tfidf_top_terms_documents(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_bpe_token_count_documents(sf_dir: str) -> pd.DataFrame:
+    """BPE-pretokenizer token counts (letter/digit/symbol runs with
+    optional space prefix — the tokenizer-budget estimator); same RE2
+    pattern both sides."""
+    from .text import pretoken_count
+
+    out = pretoken_count(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_unigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     """CCNet-style LM quality signal: per-doc mean unigram
     log-probability under the corpus's own unigram model (counts pass
@@ -2003,6 +2013,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "token_doc_freq_documents": q_token_doc_freq_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        "bpe_token_count_documents": q_bpe_token_count_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "transform_runner_documents": q_transform_runner_documents,
         "sessionize_events": q_sessionize_events,
@@ -2343,6 +2354,11 @@ def oracle_sql() -> Dict[str, str]:
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,
         "tfidf_top_terms_documents": _TFIDF_SQL,
+        "bpe_token_count_documents": (
+            "SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''), "
+            r"' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT "
+            "AS n_pretokens FROM documents ORDER BY doc_id"
+        ),
         "unigram_logprob_documents": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("
             "string_split(text, ' '), x -> x <> '')) AS t FROM documents), "

@@ -571,6 +571,41 @@ def compression_stats(
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=batch_size)
 
 
+#: GPT-2-style pretokenizer, simplified to pure RE2 (no lookahead —
+#: neither Arrow nor DuckDB supports it): a token is an optionally
+#: space-prefixed letter run, digit run, or symbol run. Whitespace
+#: leftovers are not counted. Both engines run the SAME pattern, so
+#: counts are oracle-exact.
+BPE_PRETOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def pretoken_count(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    pattern: str = BPE_PRETOKEN_RE,
+    out_col: str = "n_pretokens",
+    batch_size: int = 16384,
+) -> Dataset:
+    """Tokenizer-aware token counting — the budget estimator for
+    BPE-family tokenizers (whitespace counts undershoot on punctuation
+    and digit runs). One vectorized ``pc.count_substring_regex`` (RE2)
+    pass per batch; no shuffle."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch[text_col], ""), pattern
+            ),
+            pa.int64(),
+        )
+        return pa.table({id_col: batch[id_col], out_col: n})
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=batch_size)
+
+
 def unigram_logprob(
     source: Any,
     id_col: str = "doc_id",

@@ -77,3 +77,23 @@ def test_unigram_logprob_batch_size_invariant(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pretoken_count_bpe_ish(ray_session):
+    from data_validator_ray.pipelines.text import pretoken_count
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["hello world", "a1b2, c!", "", None],
+        }
+    )
+    out = (
+        pretoken_count(df)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "hello world" -> ["hello", " world"] = 2
+    # "a1b2, c!" -> ["a","1","b","2",","," c","!"] = 7
+    assert out["n_pretokens"].tolist() == [2, 7, 0, 0]
