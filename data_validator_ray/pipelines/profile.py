@@ -225,6 +225,81 @@ def histogram(
 # --------------------------------------------------------------------------- #
 
 
+def standardize_column(
+    source: Any,
+    value_col: str,
+    *,
+    method: str = "zscore",
+    out_col: "str | None" = None,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Feature scaling (ML-prep): appends ``out_col`` (default
+    ``{value_col}_std``) = the z-score ``(v − mean)/stddev_samp``
+    (``method="zscore"``) or min-max ``(v − min)/(max − min)``
+    (``method="minmax"``), rounded to 6 — the float-hash convention.
+    NULLs stay NULL; a constant column (zero stddev / zero range)
+    yields all-NULL scores, matching SQL's NULL-on-division-by-zero.
+
+    Scale shape: TWO streaming passes — a mergeable-moments pass
+    (n, Σx, Σx², min, max per batch; a handful of floats each, combined
+    on the driver) and a broadcast-constants transform pass. Nothing
+    shuffles; nothing materializes. Magnitude note: the sums-of-squares
+    variance form matches :func:`grouped_stats` — center first for
+    extreme means."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"method must be zscore|minmax, got {method!r}")
+    name = out_col or f"{value_col}_std"
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = ~np.isnan(x)
+        x0 = np.where(v, x, 0.0)
+        return pa.table(
+            {
+                "n": pa.array([int(v.sum())], pa.int64()),
+                "s1": pa.array([float(x0.sum())], pa.float64()),
+                "s2": pa.array([float((x0 * x0).sum())], pa.float64()),
+                "mn": pa.array(
+                    [float(x[v].min()) if v.any() else np.inf], pa.float64()
+                ),
+                "mx": pa.array(
+                    [float(x[v].max()) if v.any() else -np.inf], pa.float64()
+                ),
+            }
+        )
+
+    ds = _as_dataset(source, columns=None)
+    proj = _as_dataset(source, columns=[value_col])
+    parts = proj.map_batches(
+        moments, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()  # #batches rows of 5 scalars
+    n = int(parts["n"].sum())
+    s1, s2 = float(parts["s1"].sum()), float(parts["s2"].sum())
+    mn, mx = float(parts["mn"].min()), float(parts["mx"].max())
+    if method == "zscore":
+        var = (s2 - s1 * s1 / n) / (n - 1) if n > 1 else 0.0
+        scale = float(np.sqrt(var)) if var > 0 else 0.0
+        center = s1 / n if n else 0.0
+    else:
+        center, scale = mn, mx - mn
+
+    def transform(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        if scale > 0:
+            z = np.round((x - center) / scale, 6)
+        else:
+            z = np.full(len(x), np.nan)
+        return batch.append_column(name, pa.array(z, pa.float64()))
+
+    return ds.map_batches(
+        transform, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def grouped_stats(
     source: Any,
     key_cols: "list[str]",

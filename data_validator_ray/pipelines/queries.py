@@ -1751,6 +1751,19 @@ def q_grouped_stats_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_standardize_events_value(sf_dir: str) -> pd.DataFrame:
+    """Z-score feature scaling of events.value (two streaming passes:
+    mergeable moments → broadcast-constants transform; nothing
+    shuffles)."""
+    from .profile import standardize_column
+
+    out = standardize_column(
+        f"{sf_dir}/events.parquet", "value", out_col="z"
+    ).to_pandas()
+    out = out[["event_id", "value", "z"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_grouped_mode_events(sf_dir: str) -> pd.DataFrame:
     """Per-user modal event_type (ties → smallest value): per-batch
     (group, value) count combiner + bucketed argmax merge."""
@@ -2052,6 +2065,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "top_events_by_value": q_top_events_by_value,
         "global_rank_events": q_global_rank_events,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
+        "standardize_events_value": q_standardize_events_value,
         "grouped_mode_events": q_grouped_mode_events,
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
@@ -2637,6 +2651,13 @@ def oracle_sql() -> Dict[str, str]:
             "CUME_DIST() OVER w AS cume_dist "
             "FROM events WINDOW w AS (ORDER BY value, event_id) "
             "ORDER BY rank"
+        ),
+        "standardize_events_value": (
+            "WITH s AS (SELECT AVG(value) AS m, STDDEV_SAMP(value) AS sd "
+            "FROM events) "
+            "SELECT event_id, value, "
+            "ROUND((value - s.m) / NULLIF(s.sd, 0), 6) AS z "
+            "FROM events CROSS JOIN s ORDER BY event_id"
         ),
         "grouped_stats_lineitem": (
             "SELECT l_returnflag, COUNT(l_quantity)::BIGINT AS n_x, "

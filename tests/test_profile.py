@@ -199,3 +199,36 @@ def test_grouped_mode_layout_invariance(ray_session):
     )
     assert a["mode_value"].tolist() == exp["v"].tolist()
     assert a["mode_count"].tolist() == exp["c"].tolist()
+
+
+def test_standardize_zscore_and_minmax(ray_session):
+    from data_validator_ray.pipelines.profile import standardize_column
+
+    df = pd.DataFrame({"id": [0, 1, 2, 3], "v": [1.0, 3.0, None, 5.0]})
+    z = (
+        standardize_column(df, "v", out_col="z")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # mean 3, stddev_samp 2
+    assert z["z"].tolist()[:2] == [-1.0, 0.0]
+    assert pd.isna(z["z"].iloc[2]) and z["z"].iloc[3] == 1.0
+
+    mm = (
+        standardize_column(df, "v", method="minmax", out_col="s")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert mm["s"].tolist()[:2] == [0.0, 0.5]
+    assert pd.isna(mm["s"].iloc[2]) and mm["s"].iloc[3] == 1.0
+
+    # constant column -> NULL scores (division by zero in SQL)
+    const = (
+        standardize_column(
+            pd.DataFrame({"id": [0, 1], "v": [2.0, 2.0]}), "v"
+        )
+        .to_pandas()
+    )
+    assert const["v_std"].isna().all()
