@@ -300,6 +300,86 @@ def standardize_column(
     )
 
 
+def quantile_bucketize(
+    source: Any,
+    value_col: str,
+    *,
+    n_bins: int = 4,
+    out_col: str = "bin",
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Quantile feature binning: appends ``out_col`` = the 1-based
+    quantile bin of ``value_col`` (``n_bins=4`` → quartiles), where
+    bin = 1 + #edges ≤ v and the edges are EXACT ``quantile_cont``
+    values at k/n_bins — bit-exact vs DuckDB, so boundary comparisons
+    agree with a SQL oracle. NULL values get NULL bins. Unlike NTILE
+    (rank-based, splits ties), equal values always share a bin.
+
+    Scale shape: edges come from the :func:`.relational.global_rank`
+    prefix-scan (range partition + per-bucket counts — never a full
+    sort or collect); only the ≤ 2·(n_bins−1) order-statistic rows
+    reach the driver. The transform pass broadcasts the tiny edge
+    array in-closure."""
+    from .relational import global_rank
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+
+    def nonnull(batch: pa.Table) -> pa.Table:
+        return batch.select([value_col]).filter(
+            pc.is_valid(batch[value_col])
+        )
+
+    proj = _as_dataset(source, columns=[value_col])
+    vals_ds = proj.map_batches(
+        nonnull, batch_format="pyarrow", batch_size=batch_size
+    )
+    n = vals_ds.count()
+    if n == 0:
+        edges = np.array([], np.float64)
+    else:
+        qs = [k / n_bins for k in range(1, n_bins)]
+        rns = [(n - 1) * q for q in qs]
+        need = sorted(
+            {int(np.floor(rn)) + 1 for rn in rns}
+            | {int(np.ceil(rn)) + 1 for rn in rns}
+        )
+        ranked = global_rank(vals_ds, value_col)
+        need_arr = pa.array(np.array(need, np.int64))
+        picked = (
+            ranked.map_batches(
+                lambda b: b.filter(pc.is_in(b["rank"], value_set=need_arr)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()  # <= 2*(n_bins-1) rows
+            .set_index("rank")[value_col]
+        )
+        edges = np.empty(len(qs), np.float64)
+        for i, rn in enumerate(rns):
+            frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+            lo = float(picked.loc[frn + 1])
+            if crn == frn:
+                edges[i] = lo
+            else:
+                hi = float(picked.loc[crn + 1])
+                # DuckDB quantile_cont interpolation (bit-exact form)
+                edges[i] = (crn - rn) * lo + (rn - frn) * hi
+
+    def transform(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        valid = ~np.isnan(x)
+        b = np.searchsorted(edges, x, side="right") + 1
+        arr = pa.array(b.astype(np.int64), pa.int64(), mask=~valid)
+        return batch.append_column(out_col, arr)
+
+    ds = _as_dataset(source, columns=None)
+    return ds.map_batches(
+        transform, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def grouped_stats(
     source: Any,
     key_cols: "list[str]",

@@ -1764,6 +1764,19 @@ def q_standardize_events_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_quantile_bucketize_events(sf_dir: str) -> pd.DataFrame:
+    """Quartile feature binning of events.value: exact quantile_cont
+    edges from the global-rank prefix scan, then a broadcast
+    searchsorted assignment (bit-exact edge comparisons vs SQL)."""
+    from .profile import quantile_bucketize
+
+    out = quantile_bucketize(
+        f"{sf_dir}/events.parquet", "value", n_bins=4
+    ).to_pandas()
+    out = out[["event_id", "value", "bin"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_grouped_mode_events(sf_dir: str) -> pd.DataFrame:
     """Per-user modal event_type (ties → smallest value): per-batch
     (group, value) count combiner + bucketed argmax merge."""
@@ -2066,6 +2079,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "global_rank_events": q_global_rank_events,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "standardize_events_value": q_standardize_events_value,
+        "quantile_bucketize_events": q_quantile_bucketize_events,
         "grouped_mode_events": q_grouped_mode_events,
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
@@ -2658,6 +2672,14 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, value, "
             "ROUND((value - s.m) / NULLIF(s.sd, 0), 6) AS z "
             "FROM events CROSS JOIN s ORDER BY event_id"
+        ),
+        "quantile_bucketize_events": (
+            "WITH e AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) "
+            "AS q FROM events) "
+            "SELECT event_id, value, "
+            "CASE WHEN value IS NOT NULL THEN "
+            "(1 + len(list_filter(e.q, x -> x <= value)))::BIGINT END "
+            "AS bin FROM events CROSS JOIN e ORDER BY event_id"
         ),
         "grouped_stats_lineitem": (
             "SELECT l_returnflag, COUNT(l_quantity)::BIGINT AS n_x, "

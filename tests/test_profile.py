@@ -232,3 +232,22 @@ def test_standardize_zscore_and_minmax(ray_session):
         .to_pandas()
     )
     assert const["v_std"].isna().all()
+
+
+def test_quantile_bucketize_bins_and_nulls(ray_session):
+    from data_validator_ray.pipelines.profile import quantile_bucketize
+
+    df = pd.DataFrame({"id": range(8), "v": [1.0, 2, 3, 4, 5, 6, 7, None]})
+    out = (
+        quantile_bucketize(df, "v", n_bins=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # 7 non-null values 1..7: quartile edges 2.5, 4, 5.5
+    assert out["bin"].tolist()[:7] == [1, 1, 2, 2, 3, 3, 4]
+    assert pd.isna(out["bin"].iloc[7])
+    # equal values share a bin (unlike NTILE)
+    df2 = pd.DataFrame({"id": range(4), "v": [5.0, 5.0, 5.0, 5.0]})
+    out2 = quantile_bucketize(df2, "v", n_bins=2).to_pandas()
+    assert out2["bin"].nunique() == 1
