@@ -244,8 +244,9 @@ def test_quantile_bucketize_bins_and_nulls(ray_session):
         .sort_values("id")
         .reset_index(drop=True)
     )
-    # 7 non-null values 1..7: quartile edges 2.5, 4, 5.5
-    assert out["bin"].tolist()[:7] == [1, 1, 2, 2, 3, 3, 4]
+    # 7 non-null values 1..7: quartile edges 2.5, 4, 5.5; an exact-edge
+    # value (4) lands in the UPPER bin (bin = 1 + #edges <= v)
+    assert out["bin"].tolist()[:7] == [1, 1, 2, 3, 3, 4, 4]
     assert pd.isna(out["bin"].iloc[7])
     # equal values share a bin (unlike NTILE)
     df2 = pd.DataFrame({"id": range(4), "v": [5.0, 5.0, 5.0, 5.0]})
