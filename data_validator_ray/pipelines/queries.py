@@ -1764,6 +1764,37 @@ def q_standardize_events_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_rank_dense_events(sf_dir: str) -> pd.DataFrame:
+    """Tie-aware RANK() and DENSE_RANK() over a banded value
+    (floor(value/100), deliberately tie-heavy): tie runs never cross
+    range-partition buckets, so RANK costs no extra exchange; DENSE
+    adds one distinct-bounded pre-pass."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .relational import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "band",
+            _pc.cast(
+                _pc.floor(_pc.divide(b["value"], 100.0)), _pa.float64()
+            ),
+        ).drop(["value"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        global_rank(ds, "band", tiebreak_cols=["event_id"],
+                    rank_ties=True, dense=True)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return out[["event_id", "band", "rank_ties", "dense_rank"]]
+
+
 def q_quantile_bucketize_events(sf_dir: str) -> pd.DataFrame:
     """Quartile feature binning of events.value: exact quantile_cont
     edges from the global-rank prefix scan, then a broadcast
@@ -2080,6 +2111,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "standardize_events_value": q_standardize_events_value,
         "quantile_bucketize_events": q_quantile_bucketize_events,
+        "rank_dense_events": q_rank_dense_events,
         "grouped_mode_events": q_grouped_mode_events,
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
@@ -2672,6 +2704,13 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, value, "
             "ROUND((value - s.m) / NULLIF(s.sd, 0), 6) AS z "
             "FROM events CROSS JOIN s ORDER BY event_id"
+        ),
+        "rank_dense_events": (
+            "SELECT event_id, FLOOR(value / 100.0) AS band, "
+            "RANK() OVER (ORDER BY FLOOR(value / 100.0)) AS rank_ties, "
+            "DENSE_RANK() OVER (ORDER BY FLOOR(value / 100.0)) "
+            "AS dense_rank "
+            "FROM events ORDER BY event_id"
         ),
         "quantile_bucketize_events": (
             "WITH e AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) "

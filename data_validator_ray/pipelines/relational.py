@@ -980,6 +980,8 @@ def global_rank(
     tiebreak_cols: Optional[List[str]] = None,
     ntile: Optional[int] = None,
     percentiles: bool = False,
+    rank_ties: bool = False,
+    dense: bool = False,
     num_buckets: int = 64,
     batch_size: int = 64 * 1024,
 ) -> Dataset:
@@ -997,7 +999,16 @@ def global_rank(
     range-partition on sampled bounds (``searchsorted`` keeps ties in
     one bucket), per-bucket counts give the driver an exclusive
     prefix, and ONE vectorized sort per bucket assigns
-    ``offset + arange``. Only bucket counts reach the driver."""
+    ``offset + arange``. Only bucket counts reach the driver.
+
+    ``rank_ties`` adds SQL ``RANK()`` (ties — equal ``order_col``
+    values, NULLs tying with NULLs — share the rank of their first
+    row) at NO extra exchange: a tie run never crosses a bucket, so
+    the existing row-count offsets suffice. ``dense`` adds
+    ``DENSE_RANK()``, which needs the count of distinct values in
+    every PRIOR bucket — one extra distinct-bounded pre-pass
+    (per-batch distinct ``(bucket, value)`` pairs merged driver-side;
+    meant for categorical/banded columns, where distinct ≪ rows)."""
     import pandas as pd
 
     sort_cols = [order_col] + (tiebreak_cols or [])
@@ -1064,14 +1075,61 @@ def global_rank(
     offs_ref = ray.put(offs)
     n = ntile
 
+    dense_offs_ref = None
+    if dense:
+        # distinct-bounded pre-pass: per-batch distinct (bucket, value)
+        # pairs, merged on the driver (categorical/banded columns)
+        def distinct_pairs(batch: pa.Table) -> pa.Table:
+            return batch.select(["__bucket", order_col]).group_by(
+                ["__bucket", order_col]
+            ).aggregate([])
+
+        pairs = bucketed.map_batches(
+            distinct_pairs, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas().drop_duplicates()
+        isna = pairs[order_col].isna()
+        per_bucket = (
+            pairs[~isna].groupby("__bucket")[order_col].nunique()
+            .add(pairs[isna].groupby("__bucket").size(), fill_value=0)
+            .astype(np.int64)
+        )
+        d_cnt = np.zeros(num_buckets + 1, np.int64)
+        d_cnt[per_bucket.index.to_numpy()] = per_bucket.to_numpy()
+        dense_offs = dict(
+            zip(
+                range(num_buckets + 1),
+                np.concatenate([[0], np.cumsum(d_cnt)[:-1]]),
+            )
+        )
+        dense_offs_ref = ray.put(dense_offs)
+
     def assign(group: pd.DataFrame) -> pd.DataFrame:
         omap = ray.get(offs_ref)
-        base = omap[int(group["__bucket"].iloc[0])]
+        bkt = int(group["__bucket"].iloc[0])
+        base = omap[bkt]
         g = group.sort_values(
             sort_cols, kind="mergesort", na_position="last"
         ).drop(columns="__bucket")
         r0 = base + np.arange(len(g), dtype=np.int64)  # 0-based
         g["rank"] = r0 + 1
+        if rank_ties or dense:
+            v = g[order_col].to_numpy()
+            na = g[order_col].isna().to_numpy()
+            m = len(g)
+            new_run = np.ones(m, bool)
+            if m > 1:
+                with np.errstate(invalid="ignore"):
+                    neq = v[1:] != v[:-1]
+                new_run[1:] = (np.asarray(neq, bool) & ~(na[1:] & na[:-1])) | (
+                    na[1:] != na[:-1]
+                )
+            idx = np.arange(m, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+            if rank_ties:
+                g["rank_ties"] = base + run_start + 1
+            if dense:
+                dbase = ray.get(dense_offs_ref)[bkt]
+                g["dense_rank"] = dbase + np.cumsum(new_run)
         if n:
             q, rem = divmod(total, n)
             split = rem * (q + 1)

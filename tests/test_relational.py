@@ -1468,3 +1468,35 @@ def test_hash_join_semi_anti_semantics(ray_session):
             left, right, left_key="k", right_key="k",
             left_cols=["x"], right_cols=["k", "extra"], how="anti",
         )
+
+
+def test_global_rank_ties_and_dense(ray_session):
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import global_rank
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "v": np.where(
+                rng.random(n) < 0.05, np.nan, rng.integers(0, 40, n).astype(float)
+            ),
+        }
+    )
+    out = (
+        global_rank(df, "v", tiebreak_cols=["id"], rank_ties=True,
+                    dense=True, num_buckets=8)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT id, RANK() OVER (ORDER BY v) AS rank_ties, "
+        "DENSE_RANK() OVER (ORDER BY v) AS dense_rank FROM t ORDER BY id"
+    ).df()
+    assert (out["rank_ties"].to_numpy() == exp["rank_ties"].to_numpy()).all()
+    assert (out["dense_rank"].to_numpy() == exp["dense_rank"].to_numpy()).all()
