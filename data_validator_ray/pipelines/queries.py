@@ -1764,6 +1764,57 @@ def q_standardize_events_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_snapshot_diff_events(sf_dir: str) -> pd.DataFrame:
+    """Dataset-version diff (CDC-style audit): old = event_id < 8000,
+    new = event_id >= 2000 with every 5th value bumped — added /
+    removed / changed rows only, NULL-safe compare."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .relational import snapshot_diff
+
+    def side(lo: "int | None", hi: "int | None", bump: bool):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+
+        def fn(b: _pa.Table) -> _pa.Table:
+            keep = _pa.array(np.ones(b.num_rows, bool))
+            if lo is not None:
+                keep = _pc.and_(keep, _pc.greater_equal(b["event_id"], lo))
+            if hi is not None:
+                keep = _pc.and_(keep, _pc.less(b["event_id"], hi))
+            b = b.filter(keep)
+            if bump:
+                # event_id % 5 == 0 via truncating int divide (ids >= 0)
+                mod5 = _pc.equal(
+                    _pc.subtract(
+                        b["event_id"],
+                        _pc.multiply(
+                            _pc.divide(b["event_id"], 5), 5
+                        ),
+                    ),
+                    0,
+                )
+                v = _pc.if_else(
+                    mod5, _pc.add(b["value"], 1.0), b["value"]
+                )
+                b = b.set_column(
+                    b.schema.get_field_index("value"), "value", v
+                )
+            return b
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    out = snapshot_diff(
+        side(None, 8000, False),
+        side(2000, None, True),
+        ["event_id"],
+        ["value"],
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_rank_dense_events(sf_dir: str) -> pd.DataFrame:
     """Tie-aware RANK() and DENSE_RANK() over a banded value
     (floor(value/100), deliberately tie-heavy): tie runs never cross
@@ -2112,6 +2163,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "standardize_events_value": q_standardize_events_value,
         "quantile_bucketize_events": q_quantile_bucketize_events,
         "rank_dense_events": q_rank_dense_events,
+        "snapshot_diff_events": q_snapshot_diff_events,
         "grouped_mode_events": q_grouped_mode_events,
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
@@ -2704,6 +2756,22 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, value, "
             "ROUND((value - s.m) / NULLIF(s.sd, 0), 6) AS z "
             "FROM events CROSS JOIN s ORDER BY event_id"
+        ),
+        "snapshot_diff_events": (
+            "WITH old AS (SELECT event_id, value FROM events "
+            "WHERE event_id < 8000), "
+            "new AS (SELECT event_id, CASE WHEN event_id % 5 = 0 "
+            "THEN value + 1 ELSE value END AS value FROM events "
+            "WHERE event_id >= 2000) "
+            "SELECT COALESCE(o.event_id, n.event_id) AS event_id, "
+            "CASE WHEN o.event_id IS NULL THEN 'added' "
+            "WHEN n.event_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change, "
+            "o.value AS value_old, n.value AS value_new "
+            "FROM old o FULL JOIN new n ON o.event_id = n.event_id "
+            "WHERE o.event_id IS NULL OR n.event_id IS NULL "
+            "OR (o.value IS DISTINCT FROM n.value) "
+            "ORDER BY event_id"
         ),
         "rank_dense_events": (
             "SELECT event_id, FLOOR(value / 100.0) AS band, "

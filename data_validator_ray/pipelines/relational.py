@@ -1352,6 +1352,79 @@ def distinct_rows(
     )
 
 
+def snapshot_diff(
+    old: Any,
+    new: Any,
+    key_cols: List[str],
+    value_cols: List[str],
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Diff two dataset snapshots by key — the data-versioning /
+    CDC-style audit: one row per key that was ``added`` (new only),
+    ``removed`` (old only) or ``changed`` (present in both with any
+    value column differing; NULL-safe compare — NULL equals NULL, the
+    SQL ``IS DISTINCT FROM`` convention). Unchanged keys emit nothing.
+    Output: ``key_cols``, ``change``, and ``{c}_old`` / ``{c}_new``
+    per value column (NULL on the absent side).
+
+    Scale shape: both snapshots tag a side column and shuffle ONCE on
+    the key hash (equal keys co-locate), then one vectorized outer
+    merge + compare per bucket — the :func:`hash_join` shape. Assumes
+    keys are unique within each snapshot (a snapshot, not a log);
+    duplicate keys produce join-style row multiplication."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    o_ds = _as_dataset(old, columns=[*key_cols, *value_cols])
+    n_ds = _as_dataset(new, columns=[*key_cols, *value_cols])
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side",
+                pa.array(np.full(batch.num_rows, side, np.int8)),
+            )
+
+        return fn
+
+    tagged = o_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        n_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g.__side == 0, [*key_cols, *value_cols]]
+        n = g.loc[g.__side == 1, [*key_cols, *value_cols]]
+        m = pd.merge(
+            o, n, on=key_cols, how="outer", suffixes=("_old", "_new"),
+            indicator=True,
+        )
+        status = m["_merge"].map(
+            {"left_only": "removed", "right_only": "added", "both": None}
+        )
+        both = status.isna()
+        if both.any():
+            diff = np.zeros(len(m), bool)
+            for c in value_cols:
+                a, b = m[f"{c}_old"], m[f"{c}_new"]
+                diff |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+            status = status.where(~(both & diff), "changed")
+        keep = status.notna()
+        out = m.loc[keep, [*key_cols]].copy()
+        out["change"] = status[keep].astype(str)
+        for c in value_cols:
+            out[f"{c}_old"] = m.loc[keep, f"{c}_old"]
+            out[f"{c}_new"] = m.loc[keep, f"{c}_new"]
+        return out
+
+    return bucketed_groupby(
+        tagged, key_cols, per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def try_cast_columns(
     source: Any,
     types: "Dict[str, pa.DataType]",

@@ -1500,3 +1500,28 @@ def test_global_rank_ties_and_dense(ray_session):
     ).df()
     assert (out["rank_ties"].to_numpy() == exp["rank_ties"].to_numpy()).all()
     assert (out["dense_rank"].to_numpy() == exp["dense_rank"].to_numpy()).all()
+
+
+def test_snapshot_diff_semantics(ray_session):
+    from data_validator_ray.pipelines.relational import snapshot_diff
+
+    old = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": [10.0, 20.0, None, 40.0]}
+    )
+    new = pd.DataFrame(
+        {"k": [2, 3, 4, 5], "v": [99.0, None, 40.0, 50.0]}
+    )
+    out = (
+        snapshot_diff(old, new, ["k"], ["v"], num_buckets=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 removed; k=2 changed; k=3 NULL==NULL unchanged (absent);
+    # k=4 equal unchanged (absent); k=5 added
+    assert out["k"].tolist() == [1, 2, 5]
+    assert out["change"].tolist() == ["removed", "changed", "added"]
+    assert out["value_old" if "value_old" in out else "v_old"].iloc[0] == 10.0
+    assert pd.isna(out["v_new"].iloc[0])
+    assert out["v_new"].iloc[1] == 99.0 and out["v_old"].iloc[1] == 20.0
+    assert pd.isna(out["v_old"].iloc[2]) and out["v_new"].iloc[2] == 50.0
