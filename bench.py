@@ -621,16 +621,30 @@ def run_scaling() -> dict:
     # other pairs.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    r_lo, r_hi = run_at(lo), run_at(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    # interleaved best-of-N legs (the BASELINE.md protocol): co-tenant
+    # load on this shared box degrades SINGLE legs 1.5-2x while the
+    # other leg of the same pass is unaffected, so a one-pass ratio is
+    # dominated by whichever leg got hit. Alternating lo/hi legs and
+    # taking the best per level measures the pipeline, not the tenant.
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    legs_lo, legs_hi = [], []
+    r_lo = r_hi = None
+    for _ in range(rounds):
+        r_lo = run_at(lo)
+        legs_lo.append(r_lo["value"])
+        r_hi = run_at(hi)
+        legs_hi.append(r_hi["value"])
+    t_lo, t_hi = min(legs_lo), min(legs_hi)
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "cpus_lo": lo,
         "cpus_hi": hi,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        f"legs_{lo}": [round(x, 3) for x in legs_lo],
+        f"legs_{hi}": [round(x, 3) for x in legs_hi],
+        f"docs_per_sec_{lo}": round(r_lo["rows"] / t_lo, 1),
+        f"docs_per_sec_{hi}": round(r_hi["rows"] / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "rows": r_hi["rows"],
         "sf": r_hi["sf"],
