@@ -529,6 +529,57 @@ def sample_n(
     return out.reset_index(drop=True)
 
 
+def sample_weighted(
+    source: Any,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    columns: "Optional[List[str]]" = None,
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Deterministic weighted (PPS) sample of ``n`` rows — sequential
+    Poisson sampling (Ohlsson): rank rows by ``u/w`` where
+    ``u = ((id·KNUTH) % 2³² + 1) / 2³²`` is the Knuth-hash uniform and
+    ``w`` the weight, keep the ``n`` smallest. Selection probability
+    grows ∝ weight; RNG-free and partitioning-independent like
+    :func:`sample_n`, and the score is a plain float expression an SQL
+    oracle evaluates bit-identically. Rows with NULL or non-positive
+    weights are never sampled (they carry no mass).
+
+    Scale shape: one streaming pass, per-batch partial top-k; only
+    ``n × #batches`` candidates reach the driver."""
+    from .relational import top_k_rows
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = pc.cast(batch[weight_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        u = (((ids * KNUTH) % np.int64(1 << 32)) + 1) / float(1 << 32)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = u / w
+            valid = ~np.isnan(w) & (w > 0)
+        batch = batch.append_column("__score", pa.array(s, pa.float64()))
+        return batch.filter(pa.array(valid, pa.bool_()))
+
+    cols = (
+        list(dict.fromkeys([*columns, id_col, weight_col]))
+        if columns
+        else None
+    )
+    ds = _as_dataset(source, columns=cols)
+    ds = ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
+    # NaN scores (invalid weights) never rank — top_k_rows drops them
+    out = top_k_rows(
+        ds, "__score", n, descending=False, tiebreak_cols=[id_col],
+        batch_size=batch_size,
+    ).drop(columns="__score")
+    if columns:
+        out = out[list(columns)]
+    return out.reset_index(drop=True)
+
+
 def assign_splits(
     source: Any,
     splits: "Optional[Dict[str, int]]" = None,

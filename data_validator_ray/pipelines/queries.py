@@ -1219,6 +1219,22 @@ def q_sample_n_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_sample_weighted_events(sf_dir: str) -> pd.DataFrame:
+    """Deterministic PPS sample (sequential Poisson): 150 events
+    ranked by u/weight with the Knuth-hash uniform; NULL/non-positive
+    weights never sampled; bit-exact vs the SQL score expression."""
+    from .curation import sample_weighted
+
+    out = sample_weighted(
+        f"{sf_dir}/events.parquet",
+        "event_id",
+        "value",
+        150,
+        columns=["event_id", "user_id", "value"],
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_pack_shards_documents(sf_dir: str) -> pd.DataFrame:
     """Token-budget shard packing (distributed two-pass prefix scan);
     oracle = the window-function exclusive prefix sum."""
@@ -2104,6 +2120,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "domain_sample_documents": q_domain_sample_documents,
         "sample_n_events": q_sample_n_events,
+        "sample_weighted_events": q_sample_weighted_events,
         "pack_shards_documents": q_pack_shards_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "curation_profile_documents": q_curation_profile_documents,
@@ -2425,6 +2442,14 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, user_id, value FROM events "
             "ORDER BY (event_id * 2654435761) % 4294967296, event_id "
             "LIMIT 200) ORDER BY event_id"
+        ),
+        "sample_weighted_events": (
+            "SELECT event_id, user_id, value FROM ("
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE value IS NOT NULL AND value > 0 "
+            "ORDER BY (((event_id * 2654435761) % 4294967296) + 1)"
+            " / 4294967296.0 / value, event_id "
+            "LIMIT 150) ORDER BY event_id"
         ),
         "pack_shards_documents": _PACK_SHARDS_SQL,
         "curation_profile_documents": _CURATION_PROFILE_SQL,

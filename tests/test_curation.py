@@ -593,3 +593,31 @@ def test_sample_n_partitioning_independent(ray_session):
         b.sort_values("id").reset_index(drop=True),
     )
     assert len(a) == 50 and a["id"].is_unique
+
+
+def test_sample_weighted_pps_properties(ray_session):
+    from data_validator_ray.pipelines.curation import sample_weighted
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            # half the rows carry 50x the weight; some invalid weights
+            "w": np.where(np.arange(n) % 2 == 0, 50.0, 1.0),
+        }
+    )
+    df.loc[5, "w"] = 0.0
+    df.loc[7, "w"] = -3.0
+    df.loc[9, "w"] = np.nan
+    out = sample_weighted(df, "id", "w", 400)
+    assert len(out) == 400 and out["id"].is_unique
+    # invalid weights never sampled
+    assert not set(out["id"]) & {5, 7, 9}
+    # heavy rows dominate the sample (expected ~98%)
+    heavy = (out["id"] % 2 == 0).mean()
+    assert heavy > 0.9
+    # partitioning-independent
+    out2 = sample_weighted(
+        df.sample(frac=1.0, random_state=3), "id", "w", 400, batch_size=128
+    )
+    assert sorted(out["id"]) == sorted(out2["id"])
