@@ -173,6 +173,25 @@ def q_referential_events_user(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_referential_events_nation_approx(sf_dir: str) -> pd.DataFrame:
+    """Scale-tier referential check: per-block partial Bloom filters
+    OR-reduced (never a driver key collect) — `approx: true`. With the
+    default 2^23-bit / k=5 filter and a small dim the FP probability is
+    ~1e-15, so the verdict is deterministic and oracle-exact at test
+    scale; at 100 TB the driver holds 1 MiB of registers either way."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="fk_approx", rule_type="referential", column="user_id",
+            parameters={
+                "ref_path": f"{sf_dir}/nation.parquet",
+                "ref_column": "n_nationkey",
+                "approx": True,
+            },
+        ),
+    )
+
+
 def q_referential_orders_cust(sf_dir: str) -> pd.DataFrame:
     return _single_rule_counts(
         sf_dir, "orders",
@@ -2082,6 +2101,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "custom_orders_having": q_custom_orders_having,
         "referential_events_user": q_referential_events_user,
         "referential_orders_cust": q_referential_orders_cust,
+        "referential_events_nation_approx": q_referential_events_nation_approx,
         "filter_documents": q_filter_documents,
         "filter_lineitem_custom": q_filter_lineitem_custom,
         "violations_events_value": q_violations_events_value,
@@ -2250,6 +2270,11 @@ def oracle_sql() -> Dict[str, str]:
             failed="COUNT(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
                    "(SELECT c_custkey FROM customer))",
             t="orders",
+        ),
+        "referential_events_nation_approx": counts.format(
+            failed="COUNT(*) FILTER (WHERE user_id IS NOT NULL AND user_id NOT IN "
+                   "(SELECT n_nationkey FROM nation))",
+            t="events",
         ),
         "filter_documents": (
             "SELECT * FROM documents WHERE text IS NOT NULL "

@@ -307,10 +307,12 @@ class UniquenessKernel(CheckKernel):
 class ReferentialKernel(CheckKernel):
     """Failing row: FK NOT NULL and not present in the referenced key set.
 
-    The referenced keys are collected once on the driver (dimension
-    side is small) or sketched into a Bloom filter (scale tier,
-    ``parameters.approx: true``) and broadcast via ``ray.put`` — a
-    semi-join without a shuffle (SURVEY.md §2.6 C7). NULL FKs never
+    The referenced keys are distilled distributedly — per-block
+    ``pc.unique`` partials union-merged into one Arrow array (exact
+    tier), or per-block partial Bloom filters OR-reduced into ~2 MB of
+    registers (scale tier, ``parameters.approx: true``) — and broadcast
+    via ``ray.put``: a semi-join without a shuffle (SURVEY.md §2.6 C7);
+    the driver never materializes per-row Python keys. NULL FKs never
     fail (SQL ``NOT IN`` semantics); pair with a completeness rule.
 
     Parameters: ``ref_table``/``ref_path`` + ``ref_column``; the

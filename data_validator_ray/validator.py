@@ -221,20 +221,67 @@ class RayDataValidator:
             source = self._sources[source]
         return _load_dataset(source, columns)
 
-    def _resolve_ref_keys(self, rule: ValidationRule) -> pa.Array:
-        """Distinct non-null key values of the referenced column.
+    def _resolve_ref_keys(self, rule: ValidationRule):
+        """Key-side state for a referential check, built distributedly.
 
-        The dimension side of a referential check; collected driver-side
-        and broadcast (``ray.put``) — never a shuffle join."""
+        Exact tier: per-block distinct partials (``pc.unique`` inside
+        ``map_batches``) flow back as Arrow arrays and are union-distinct
+        on the driver — the driver only ever holds *distinct* keys as a
+        single Arrow buffer, never per-row Python objects. Approx tier
+        (``parameters.approx: true``): each block hashes its keys into a
+        local Bloom filter and ships only the fixed-size bit registers;
+        the driver OR-reduces them streaming, holding two registers at a
+        time (~2 MB) regardless of dimension-table size. Either result is
+        then broadcast (``ray.put``) — never a shuffle join."""
         p = rule.parameters
         src = p.get("ref_path") or p.get("ref_table")
         ref_col = p["ref_column"]
         ds = self.load_data(src, columns=[ref_col])
-        values: set = set()
-        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            col = batch[ref_col].drop_null()
-            values.update(col.to_pylist())
-        return pa.array(sorted(values))
+
+        if bool(p.get("approx", False)):
+            from .functions.sketches import BloomFilter, hash64
+
+            proto = BloomFilter()
+            n_bits, k = proto.n_bits, proto.k
+
+            def partial_bloom(batch: pa.Table) -> pa.Table:
+                bloom = BloomFilter(n_bits, k)
+                col = batch[ref_col].drop_null()
+                if len(col):
+                    bloom.add_hashes(hash64(col))
+                return pa.table(
+                    {"bits": pa.array([bloom.bits.tobytes()], type=pa.binary())}
+                )
+
+            import numpy as np
+
+            bits = np.zeros(n_bits // 8, dtype=np.uint8)
+            parts = ds.map_batches(
+                partial_bloom, batch_format="pyarrow", batch_size=None
+            )
+            for b in parts.iter_batches(batch_size=8, batch_format="pyarrow"):
+                for chunk in b["bits"].chunks:
+                    for i in range(len(chunk)):
+                        np.bitwise_or(
+                            bits,
+                            np.frombuffer(chunk[i].as_buffer(), dtype=np.uint8),
+                            out=bits,
+                        )
+            return BloomFilter(n_bits, k, bits)
+
+        def distinct_partial(batch: pa.Table) -> pa.Table:
+            vals = pc.unique(batch[ref_col].drop_null().combine_chunks())
+            return pa.table({ref_col: vals})
+
+        key_type = ds.schema().base_schema.field(ref_col).type
+        chunks: List[pa.Array] = []
+        parts = ds.map_batches(distinct_partial, batch_format="pyarrow")
+        for b in parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            chunks.append(b[ref_col].combine_chunks())
+        if not chunks:
+            return pa.array([], type=key_type)
+        keys = pc.unique(pa.concat_arrays(chunks)).drop_null()
+        return keys.take(pc.array_sort_indices(keys))
 
     # ------------------------------------------------------------------ #
     # validation                                                         #
