@@ -415,9 +415,23 @@ def q_embedding_cosine_pairs(sf_dir: str) -> pd.DataFrame:
     return embedding_cosine_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.4)
 
 
-def q_embedding_lsh_pairs(sf_dir: str) -> pd.DataFrame:
-    """Random-hyperplane LSH-bucketed cosine pairs (rows-only:
-    approximate by design — subset of the exact pairs)."""
+def q_embedding_cosine_pairs_blocked(sf_dir: str) -> pd.DataFrame:
+    """Block-partitioned exact cosine pairs — same output as the
+    broadcast tier but no worker ever holds the full corpus matrix
+    (each block-pair group sees ~2/n_blocks of the rows). Oracle-exact:
+    every unordered pair lands in exactly one block-pair group."""
+    from .dedup import embedding_cosine_pairs_blocked
+
+    out = embedding_cosine_pairs_blocked(
+        f"{sf_dir}/embeddings.parquet", threshold=0.4, n_blocks=4
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_embedding_lsh_pairs(sf_dir: str):
+    """Banded random-hyperplane LSH cosine pairs (rows-only:
+    approximate by design — always a subset of the exact pairs, with
+    multi-band recall 1−(1−p^r)^b instead of a single-table cliff)."""
     from .dedup import embedding_lsh_pairs
 
     return embedding_lsh_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.4)
@@ -2117,6 +2131,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "cc_labels_documents": q_cc_labels_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_cosine_pairs_blocked": q_embedding_cosine_pairs_blocked,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "knn_brute_embeddings": q_knn_brute_embeddings,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
@@ -2342,6 +2357,12 @@ def oracle_sql() -> Dict[str, str]:
             "ORDER BY e.event_id"
         ),
         "embedding_cosine_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 "
+            "ORDER BY id_a, id_b"
+        ),
+        "embedding_cosine_pairs_blocked": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 "

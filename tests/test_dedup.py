@@ -137,12 +137,73 @@ def test_embedding_cosine_pairs_exact(ray_session, vectors):
     assert set(map(tuple, out[["id_a", "id_b"]].values)) == truth
 
 
+def test_embedding_cosine_pairs_blocked_matches_brute(ray_session, vectors):
+    """The block-partitioned tier must produce exactly the broadcast
+    tier's pairs (every unordered pair lands in one block-pair group),
+    for several block counts including nb > number of rows per block."""
+    brute = D.embedding_cosine_pairs(ray.data.from_pandas(vectors), threshold=0.9)
+    truth = set(map(tuple, brute[["id_a", "id_b"]].values))
+    for nb in (1, 3, 8):
+        out = D.embedding_cosine_pairs_blocked(
+            ray.data.from_pandas(vectors), threshold=0.9, n_blocks=nb
+        ).to_pandas()
+        assert set(map(tuple, out[["id_a", "id_b"]].values)) == truth, nb
+
+
+def test_embedding_cosine_pairs_routes_past_guard(ray_session, vectors):
+    """Above max_broadcast_rows the broadcast tier must route to the
+    blocked implementation and return identical pairs."""
+    routed = D.embedding_cosine_pairs(
+        ray.data.from_pandas(vectors), threshold=0.9, max_broadcast_rows=10
+    )
+    brute = D.embedding_cosine_pairs(ray.data.from_pandas(vectors), threshold=0.9)
+    pd.testing.assert_frame_equal(routed, brute)
+
+
 def test_embedding_lsh_subset_of_exact(ray_session, vectors):
     exact = D.embedding_cosine_pairs(ray.data.from_pandas(vectors), threshold=0.9)
-    lsh = D.embedding_lsh_pairs(ray.data.from_pandas(vectors), threshold=0.9)
-    assert set(map(tuple, lsh.values)) <= set(map(tuple, exact[["id_a", "id_b"]].values))
-    # the planted nearly-parallel pair survives bucketing (same signs)
-    assert (0, 30) in set(map(tuple, lsh.values))
+    lsh = D.embedding_lsh_pairs(
+        ray.data.from_pandas(vectors), threshold=0.9
+    ).to_pandas()
+    got = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    assert got <= set(map(tuple, exact[["id_a", "id_b"]].values))
+    # the planted nearly-parallel pair survives banding (≥1 band agrees)
+    assert (0, 30) in got
+
+
+def test_embedding_lsh_banded_recall(ray_session):
+    """Planted near-dup recall (mirror of the MinHash recall test): 12
+    pairs at cosine ≈ 0.999 must ALL collide in at least one of the
+    b=8 × r=8 seeded band tables — expected miss probability per pair
+    is (1 − p^8)^8 ≈ 1e-12 at this angle, and the planes are seeded, so
+    the assertion is deterministic."""
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(12, 32))
+    rows, ids = [], []
+    for i, v in enumerate(base):
+        rows.append(v)
+        ids.append(i)
+        rows.append(v + rng.normal(scale=0.01, size=32))  # near-parallel twin
+        ids.append(100 + i)
+    # background noise vectors (should produce no extra pairs at 0.95)
+    for j, v in enumerate(rng.normal(size=(40, 32))):
+        rows.append(v)
+        ids.append(1000 + j)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.array(ids, np.int64),
+            "embedding": [r.astype(np.float32).tolist() for r in rows],
+        }
+    )
+    out = D.embedding_lsh_pairs(
+        ray.data.from_pandas(df), threshold=0.95
+    ).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    planted = {(i, 100 + i) for i in range(12)}
+    assert planted <= got, planted - got
+    # verification is exact in-bucket: nothing below threshold leaks
+    exact = D.embedding_cosine_pairs(ray.data.from_pandas(df), threshold=0.95)
+    assert got <= set(map(tuple, exact[["id_a", "id_b"]].values))
 
 
 # --------------------------------------------------------------------------- #
