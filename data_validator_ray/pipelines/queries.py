@@ -13,7 +13,7 @@ input on the driver.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 import pandas as pd
@@ -524,6 +524,39 @@ def q_winnow_fingerprints_documents(sf_dir: str) -> pd.DataFrame:
     out = winnow_fingerprints(f"{sf_dir}/documents.parquet").to_pandas()
     out["fingerprint_xor"] = out["fingerprint_xor"].astype("uint64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_drift_events_value_fixed(sf_dir: str) -> pd.DataFrame:
+    """Oracle-exact drift RULE (C7): fixed-bin PSI of events.value vs a
+    raw lineitem.l_quantity baseline, explicit edges 0..100 — the
+    kernel histograms the baseline distributedly in prepare() and the
+    searchsorted bin membership / clip(1e-6)+renormalize PSI is
+    bit-exact vs the SQL formulation (same math as psi_events_split,
+    but through the validator's drift check)."""
+    rule = ValidationRule(
+        name="value_drift_fixed", rule_type="drift", column="value",
+        parameters={
+            "baseline": f"{sf_dir}/lineitem.parquet",
+            "baseline_column": "l_quantity",
+            "edges": [float(x) for x in range(0, 101, 10)],
+            "metric": "psi",
+        },
+    )
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "events", "rules": [rule.model_dump()]}],
+    )
+    s = RayDataValidator(cfg).validate_table(f"{sf_dir}/events.parquet", "events")
+    r = s.results[0]
+    return pd.DataFrame(
+        {
+            "rule_name": [r.rule_name],
+            "passed": [r.passed],
+            "stat": [r.metadata["stat"]],
+            "total_count": [int(r.total_count)],
+            "failed_count": [int(r.failed_count)],
+        }
+    )
 
 
 def q_drift_events_value(sf_dir: str) -> pd.DataFrame:
@@ -1202,6 +1235,24 @@ def q_pii_redact_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _bench_slice(sf_dir: str) -> List[str]:
+    """The benchmark texts (doc_id % 97 == 0) via a vectorized
+    map_batches mask — never a per-row ``ds.filter(lambda)``."""
+
+    def mask(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(mask, batch_format="pyarrow")
+        .to_pandas()["text"]
+        .tolist()
+    )
+
+
 def q_decontaminate_documents(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: flag docs sharing any 5-gram with the
     benchmark slice (doc_id % 97 == 0 — a stand-in for a held-out eval
@@ -1209,14 +1260,7 @@ def q_decontaminate_documents(sf_dir: str) -> pd.DataFrame:
     oracle."""
     from .curation import decontaminate
 
-    bench = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .filter(lambda r: r["doc_id"] % 97 == 0)
-        .to_pandas()["text"]
-        .tolist()
-    )
+    bench = _bench_slice(sf_dir)
     out = decontaminate(
         f"{sf_dir}/documents.parquet", bench, ngram=5
     ).to_pandas()
@@ -1417,14 +1461,7 @@ def q_curation_profile_documents(sf_dir: str) -> pd.DataFrame:
     Columns byte-identical to the standalone operators'."""
     from .curation import curation_profile
 
-    bench = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .filter(lambda r: r["doc_id"] % 97 == 0)
-        .to_pandas()["text"]
-        .tolist()
-    )
+    bench = _bench_slice(sf_dir)
     out = curation_profile(
         f"{sf_dir}/documents.parquet", bench, ngram=5
     ).to_pandas()
@@ -1438,14 +1475,7 @@ def q_full_profile_documents(sf_dir: str) -> pd.DataFrame:
     of the per-op oracles, each column exactly once."""
     from .curation import full_profile
 
-    bench = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .filter(lambda r: r["doc_id"] % 97 == 0)
-        .to_pandas()["text"]
-        .tolist()
-    )
+    bench = _bench_slice(sf_dir)
     out = full_profile(
         f"{sf_dir}/documents.parquet", bench, ngram=5
     ).to_pandas()
@@ -2142,6 +2172,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "text_profile_documents": q_text_profile_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "drift_events_value": q_drift_events_value,
+        "drift_events_value_fixed": q_drift_events_value_fixed,
         "runner_documents_resume": q_runner_documents_resume,
         "windowed_events": q_windowed_events,
         "asof_events_orders": q_asof_events_orders,
@@ -2677,6 +2708,35 @@ def oracle_sql() -> Dict[str, str]:
             " WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)"
             "    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)"
             " ORDER BY e.event_id"
+        ),
+        "drift_events_value_fixed": (
+            # the drift RULE's fixed-edges PSI tier, end to end: base =
+            # raw lineitem.l_quantity, current = events.value, interior
+            # edges 0..100 step 10 (12 bins, searchsorted-right
+            # membership), clip(1e-6) + renormalize, verdict at 0.2
+            "WITH edges AS (SELECT [0.0,10.0,20.0,30.0,40.0,50.0,60.0,"
+            "70.0,80.0,90.0,100.0] AS e), "
+            "b AS (SELECT len(list_filter((SELECT e FROM edges), "
+            "x -> l_quantity >= x)) AS bin FROM lineitem "
+            "WHERE l_quantity IS NOT NULL), "
+            "c AS (SELECT len(list_filter((SELECT e FROM edges), "
+            "x -> value >= x)) AS bin FROM events "
+            "WHERE value IS NOT NULL), "
+            "grid AS (SELECT unnest(generate_series(0, 11)) AS bin), "
+            "bn AS (SELECT grid.bin, GREATEST(COALESCE(cnt, 0), 1e-6) AS n "
+            "FROM grid LEFT JOIN (SELECT bin, COUNT(*)::DOUBLE AS cnt "
+            "FROM b GROUP BY bin) t USING (bin)), "
+            "cn AS (SELECT grid.bin, GREATEST(COALESCE(cnt, 0), 1e-6) AS n "
+            "FROM grid LEFT JOIN (SELECT bin, COUNT(*)::DOUBLE AS cnt "
+            "FROM c GROUP BY bin) t USING (bin)), "
+            "bp AS (SELECT bin, n / SUM(n) OVER () AS p FROM bn), "
+            "cp AS (SELECT bin, n / SUM(n) OVER () AS p FROM cn), "
+            "s AS (SELECT SUM((cp.p - bp.p) * LN(cp.p / bp.p)) AS psi "
+            "FROM bp JOIN cp USING (bin)) "
+            "SELECT 'value_drift_fixed' AS rule_name, (psi <= 0.2) AS passed, "
+            "ROUND(psi, 6) AS stat, 1::BIGINT AS total_count, "
+            "(CASE WHEN psi <= 0.2 THEN 0 ELSE 1 END)::BIGINT AS failed_count "
+            "FROM s"
         ),
         "psi_events_split": (
             # bin = count of edges <= v (searchsorted right), 12 bins

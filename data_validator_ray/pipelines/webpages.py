@@ -125,12 +125,104 @@ def _escape(series: pd.Series) -> pd.Series:
     )
 
 
-def make_webpages_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def _concat(*parts) -> pa.Array:
+    """Element-wise string concat via one Arrow kernel call (the
+    vectorized replacement for per-row f-strings — round-2 verdict
+    fix #4)."""
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def make_webpages_arrow(batch: pa.Table) -> pa.Table:
     """documents rows → webpages rows, dirt injected by doc_id residues.
 
     Stateless and purely arithmetic in doc_id, so any partitioning of
-    the input produces identical rows.
+    the input produces identical rows. All string assembly runs through
+    Arrow kernels (cast int→string, ``binary_join_element_wise``,
+    ``replace_substring``, ``if_else``) — no per-row Python in the
+    flagship input path; output bytes are identical to the original
+    pandas implementation (pinned by tests/test_webpages.py).
     """
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = doc_id % 100
+    id_str = pc.cast(pa.array(doc_id), pa.string())
+    title = _concat("Doc ", id_str)
+
+    # --- html (from text) -------------------------------------------------
+    body = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
+    body = pc.replace_substring(body, "&", "&amp;")
+    body = pc.replace_substring(body, "<", "&lt;")
+    body = pc.replace_substring(body, ">", "&gt;")
+    html = _concat(
+        "<html><head><title>", title,
+        "</title></head><body><p>", body, "</p></body></html>",
+    )
+    html = pc.if_else(
+        pa.array(m == 71), "<html><head></head><body></body></html>", html
+    )  # empty body
+    html_bytes = pc.if_else(
+        pa.array(m == 61), pa.scalar(None, pa.binary()), pc.cast(html, pa.binary())
+    )  # ~1% NULL html
+
+    # --- text: the pure derivation ----------------------------------------
+    text = extract_text_arrow(html_bytes)
+
+    # --- url ----------------------------------------------------------------
+    host_str = pc.cast(pa.array(doc_id % 50), pa.string())
+    url = _concat("https://site", host_str, ".example.com/page/", id_str)
+    dup_src = np.maximum(doc_id - 1, 0)
+    dup_url = _concat(
+        "https://site", pc.cast(pa.array(dup_src % 50), pa.string()),
+        ".example.com/page/", pc.cast(pa.array(dup_src), pa.string()),
+    )
+    url = pc.if_else(pa.array(np.isin(m, (20, 21, 22))), dup_url, url)  # ~3% dups
+    url = pc.if_else(pa.array(m == 11), _concat("not a url ", title), url)
+    url = pc.if_else(pa.array(m == 53), "", url)              # ~1% malformed (empty)
+    url = pc.if_else(pa.array(m == 7), pa.scalar(None, pa.string()), url)
+
+    # --- warc_ts ------------------------------------------------------------
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    ts = base + (doc_id * 7919 % (5 * 365 * 86400)).astype("timedelta64[s]")
+    old = np.datetime64("1999-06-15T00:00:00", "us") + (doc_id % 86400).astype(
+        "timedelta64[s]"
+    )
+    ts_arr = pc.if_else(
+        pa.array(np.isin(m, (41, 43))),
+        pa.array(old, pa.timestamp("us")),
+        pa.array(ts, pa.timestamp("us")),
+    )  # ~2% out of window
+    ts_arr = pc.if_else(
+        pa.array(m == 33), pa.scalar(None, pa.timestamp("us")), ts_arr
+    )  # ~1% NULL
+
+    # --- lang ---------------------------------------------------------------
+    lang = pc.cast(batch["lang"], pa.string())
+    lang = pc.if_else(pa.array(m == 81), "xx", lang)           # invalid code
+    lang = pc.if_else(pa.array(m == 83), "english", lang)      # invalid code
+    lang = pc.if_else(pa.array(m == 91), pa.scalar(None, pa.string()), lang)
+
+    return pa.table(
+        {"url": url, "warc_ts": ts_arr, "html": html_bytes, "text": text,
+         "lang": lang},
+        schema=WEBPAGES_SCHEMA,
+    )
+
+
+def make_webpages_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """pandas wrapper over :func:`make_webpages_arrow` (same bytes)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(batch["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(batch["text"], pa.string(), from_pandas=True),
+            "lang": pa.array(batch["lang"], pa.string(), from_pandas=True),
+        }
+    )
+    return make_webpages_arrow(t).to_pandas()
+
+
+def _make_webpages_batch_pandas(batch: pd.DataFrame) -> pd.DataFrame:
+    """The original per-row pandas implementation, kept ONLY as the
+    byte-identity oracle for tests/test_webpages.py — the shipped path
+    is :func:`make_webpages_arrow`."""
     doc_id = batch["doc_id"].to_numpy()
     m = doc_id % 100
 
@@ -197,15 +289,7 @@ def webpages_dataset(sf_dir: str, *, parallelism: Optional[int] = None) -> Datas
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
-    def to_arrow(batch: pd.DataFrame) -> pa.Table:
-        # emit Arrow blocks with the declared schema (timestamp[us],
-        # binary html) — pandas blocks would carry ns timestamps and an
-        # object-typed schema downstream
-        return pa.Table.from_pandas(
-            make_webpages_batch(batch), schema=WEBPAGES_SCHEMA, preserve_index=False
-        )
-
-    return ds.map_batches(to_arrow, batch_format="pandas")
+    return ds.map_batches(make_webpages_arrow, batch_format="pyarrow")
 
 
 def write_webpages(sf_dir: str, out_dir: str, num_files: int = 8) -> str:

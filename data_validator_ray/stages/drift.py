@@ -211,10 +211,16 @@ class DriftKernel(CheckKernel):
     snapshot at ``parameters.baseline``. total=1, failed∈{0,1} (same
     verdict convention as ``quantile``). ``parameters``:
 
-    * ``baseline`` — path of a :func:`write_baseline` Parquet file
+    * ``baseline`` — path of a :func:`write_baseline` Parquet file; with
+      ``edges`` set, a RAW Parquet table instead (histogrammed
+      distributedly in :meth:`prepare`)
     * ``metric`` — ``"psi"`` (default) or ``"ks"``
     * ``max_value`` — pass iff stat ≤ max_value (defaults: PSI 0.2,
       KS 0.1 — the conventional alert levels)
+    * ``edges`` — optional explicit interior bin edges (PSI only): the
+      oracle-exact fixed-bin tier (SQL-expressible, unlike t-digest
+      bins); ``baseline_column`` names the baseline table's value
+      column (defaults to ``column``)
     """
 
     table_level = True
@@ -232,6 +238,17 @@ class DriftKernel(CheckKernel):
         self.max_value = float(
             p.get("max_value", 0.2 if self.metric == "psi" else 0.1)
         )
+        edges = p.get("edges")
+        if edges is not None:
+            if self.metric != "psi":
+                raise ValueError("Explicit 'edges' requires metric: psi")
+            self.base_edges = np.asarray(edges, dtype=np.float64)
+            self._base_source = baseline_path
+            self._base_column = str(p.get("baseline_column", self.column))
+            self.base_counts = None  # histogrammed in prepare()
+            self.base_td = None
+            return
+        self._base_source = None
         base = read_baseline(baseline_path)
         if self.column not in base:
             raise ValueError(
@@ -241,6 +258,34 @@ class DriftKernel(CheckKernel):
         self.base_edges = np.asarray(b["edges"], dtype=np.float64)
         self.base_counts = np.asarray(b["counts"], dtype=np.float64)
         self.base_td = TDigest.from_bytes(b["tdigest"])
+
+    def prepare(self, ctx: Dict[str, Any]) -> None:
+        """Fixed-edges tier: histogram the raw baseline table in one
+        streaming ``map_batches`` pass (per-batch count vectors summed
+        on the driver — row-count-independent exchange)."""
+        if self._base_source is None:
+            return
+        from ..pipelines.dedup import _as_dataset
+
+        e = self.base_edges
+        col = self._base_column
+
+        def partials(batch: pa.Table) -> pa.Table:
+            vals = _numeric_values(batch, col)
+            c = histogram_counts(vals, e)
+            return pa.table(
+                {"counts": pa.array([c.tolist()], pa.list_(pa.int64()))}
+            )
+
+        ds = _as_dataset(self._base_source, columns=[col])
+        total = np.zeros(len(e) + 1, dtype=np.float64)
+        part = ds.map_batches(partials, batch_format="pyarrow")
+        for b in part.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+            for chunk in b["counts"].chunks:
+                total += np.asarray(
+                    chunk.flatten().to_numpy(zero_copy_only=False), np.float64
+                ).reshape(len(chunk), -1).sum(axis=0)
+        self.base_counts = total
 
     def partial(self, batch: pa.Table) -> Dict[str, Any]:
         vals = _numeric_values(batch, self.column)
@@ -343,6 +388,7 @@ def ks_exact(
     *,
     num_buckets: int = 256,
     batch_size: int = 64 * 1024,
+    quantize: Optional[float] = None,
 ) -> "pa.Table":
     """EXACT two-sample Kolmogorov-Smirnov statistic
     ``max_x |ECDF_base(x) − ECDF_current(x)|`` — the oracle-exact
@@ -373,6 +419,19 @@ def ks_exact(
     oracle, and independent of the (sampling-chosen) bucket layout,
     so reruns are byte-stable. NULLs drop. Returns a one-row table:
     ``n_base, n_current, ks_value`` (rounded to 6).
+
+    **Continuous-column caveat**: step 1's exchange is bounded by
+    per-batch DISTINCT values — for an integer-ish column that is tiny,
+    but for a continuous float column per-batch-distinct ≈ batch size,
+    so the materialized partials are O(rows) (object-store-resident and
+    spillable, but real). Set ``quantize=q`` to snap values to the
+    nearest multiple of ``q`` first (``round(v/q)·q``): the statistic
+    is then EXACT for the quantized distributions, and differs from the
+    raw statistic by at most the largest probability mass either sample
+    places within any half-open interval of width ``q`` (each value
+    moves ≤ q/2) — pick ``q`` well under the distribution's scale and
+    the drift-alert margin. ``quantize=None`` (default) is bit-exact vs
+    the SQL oracle.
     """
     import pandas as pd
     import ray
@@ -387,6 +446,8 @@ def ks_exact(
 
         def partials(batch: pa.Table) -> pa.Table:
             vals = _numeric_values(batch, value_col)
+            if quantize is not None:
+                vals = np.round(vals / quantize) * quantize
             uniq, cnt = np.unique(vals, return_counts=True)
             return pa.table(
                 {

@@ -223,3 +223,29 @@ def test_ks_exact_identical_sides_is_zero(ray_session):
     df = pd.DataFrame({"v": np.linspace(-5, 5, 1000)})
     out = ks_exact(df, df.copy(), "v", num_buckets=4).to_pylist()[0]
     assert out["ks_value"] == 0.0
+
+
+def test_ks_exact_quantize_bounds_error_and_distincts(ray_session):
+    """The quantize knob must (a) keep the statistic within the
+    documented error bound — max mass either sample puts in a width-q
+    interval — and (b) actually bound the distinct-value exchange for
+    a continuous column."""
+    from data_validator_ray.stages.drift import ks_exact
+
+    rng = np.random.default_rng(11)
+    base = pd.DataFrame({"v": rng.normal(0.0, 1.0, 6000)})
+    cur = pd.DataFrame({"v": rng.normal(0.4, 1.0, 5000)})
+    raw = ks_exact(base, cur, "v").to_pylist()[0]
+    q = 0.05
+    quant = ks_exact(base, cur, "v", quantize=q).to_pylist()[0]
+    # each value moves <= q/2, so |D_raw - D_q| <= max interval mass;
+    # for N(0,1) the densest width-q interval holds ~q*0.4 mass
+    assert abs(raw["ks_value"] - quant["ks_value"]) <= 2 * q * 0.45
+    assert (quant["n_base"], quant["n_current"]) == (6000, 5000)
+    # distinct quantized values are grid-bounded (vs ~11000 raw)
+    grid = np.unique(np.round(np.concatenate(
+        [base["v"].to_numpy(), cur["v"].to_numpy()]) / q) * q)
+    assert len(grid) < 600
+    # determinism: quantized stat is byte-stable across runs
+    again = ks_exact(base, cur, "v", quantize=q).to_pylist()[0]
+    assert again == quant

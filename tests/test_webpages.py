@@ -184,3 +184,36 @@ def test_extract_kernel_matches_re2_reference(ray_session):
         extract_text_arrow(fa).to_pylist()
         == _extract_text_arrow_reference(fa).to_pylist()
     )
+
+
+def test_make_webpages_arrow_matches_pandas_oracle():
+    """The vectorized Arrow generator must emit byte-identical rows to
+    the original per-row pandas implementation (kept as the oracle) —
+    including every dirt residue class and the null masks."""
+    import pandas as pd
+    from data_validator_ray.pipelines.webpages import (
+        _make_webpages_batch_pandas,
+        make_webpages_batch,
+    )
+
+    import numpy as np
+
+    # cover all residues 0..99 several times + text edge cases
+    n = 450
+    texts = [
+        None, "", "a & b < c > d", "plain words here",
+        "unicode éü 北京", "  spaced\tout\n",
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [texts[i % len(texts)] for i in range(n)],
+            "lang": ["en", "fr", None, "de", "zz"] * (n // 5),
+        }
+    )
+    old = _make_webpages_batch_pandas(df).reset_index(drop=True)
+    new = make_webpages_batch(df)
+    for c in old.columns:
+        a, b = old[c], new[c]
+        same = (a.isna() & b.isna()) | (a == b)
+        assert same.all(), (c, a[~same].head(), b[~same].head())
