@@ -474,7 +474,43 @@ def bench_knn(input_dir: str) -> dict:
                 index_dir=idx_dir, batch_size=65536,
             )
         )
+    # large query batch: per-cluster probe sharing scores each cluster
+    # once against exactly the queries probing it (64 queries × p8 over
+    # 64 clusters probes ~everything, so this tier is read-bound — the
+    # point is that compute stays Σ|queries(c)|×|rows(c)|, not q×rows)
+    Q64, qids64 = M[:64], ids[:64]
+    out["knn_ivf_8m_p8_q64"] = timed(
+        lambda: knn_ivf(
+            input_dir, Q64, qids64, k=10, n_centroids=64, nprobe=8,
+            index_dir=idx_dir, batch_size=65536,
+        )
+    )
     return out
+
+
+def bench_cosine_pairs_blocked(input_dir: str) -> float:
+    """Block-partitioned exact all-pairs cosine (no corpus broadcast)
+    over a 200k-row slice of the 8M bench embeddings — all-pairs at the
+    full 8M is inherently O(n²)=3·10¹³ sims and belongs to the LSH /
+    SemDeDup tiers; this row prices the blocked exact tier at a size
+    where exact is still sane (4·10¹⁰ sims)."""
+    import pyarrow.compute as _pc
+
+    import ray.data
+    from data_validator_ray.pipelines.dedup import embedding_cosine_pairs_blocked
+
+    ds = ray.data.read_parquet(input_dir, columns=["vec_id", "embedding"])
+
+    def head_slice(b):
+        return b.filter(_pc.less(b["vec_id"], 200_000))
+
+    sliced = ds.map_batches(head_slice, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    n = embedding_cosine_pairs_blocked(
+        sliced, threshold=0.995, n_blocks=16
+    ).count()
+    assert n >= 0
+    return time.perf_counter() - t0
 
 
 def bench_semantic_dedup(input_dir: str) -> float:
@@ -581,6 +617,9 @@ def run_bench() -> dict:
             emb_dir.parent.mkdir(parents=True, exist_ok=True)
             generate_bench_embeddings(emb_dir)
         queries.update(bench_knn(str(emb_dir)))
+        queries["cosine_pairs_blocked_200k"] = round(
+            bench_cosine_pairs_blocked(str(emb_dir)), 3
+        )
         queries["semantic_dedup_8m"] = round(
             bench_semantic_dedup(str(emb_dir)), 3
         )

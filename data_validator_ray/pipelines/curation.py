@@ -487,6 +487,19 @@ def domain_sample(
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _check_hash_id_domain(ids: np.ndarray, id_col: str) -> None:
+    """Knuth-hash sampling is only SQL-oracle-exact for 0 ≤ id < 2³²:
+    beyond that numpy wraps the int64 product silently while SQL either
+    errors (overflow) or floor-mods differently on negatives. Fail loud
+    instead of silently diverging from the documented SQL definition."""
+    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= (1 << 32)):
+        raise ValueError(
+            f"{id_col} values must be in [0, 2^32) for deterministic "
+            "hash sampling (got values outside the domain); remap ids "
+            "or hash a bounded surrogate key first"
+        )
+
+
 def sample_n(
     source: Any,
     id_col: str,
@@ -507,12 +520,21 @@ def sample_n(
     candidates via ``argpartition`` (the :func:`.relational.top_k_rows`
     partial-top-k), so only ``n × #batches`` rows reach the driver.
     ``id_col`` must be unique for an exactly-uniform sample; ties on
-    the hash break by id."""
+    the hash break by id.
+
+    Id domain: ``0 ≤ id < 2³²`` is REQUIRED and validated per batch —
+    outside it numpy would silently wrap the 64-bit product while the
+    SQL oracle expression overflows (DuckDB errors) and SQL ``%``
+    differs from numpy floor-mod on negatives, so the sample would
+    silently diverge from its SQL definition (ADVICE round 2)."""
     from .relational import top_k_rows
 
     def score(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = (ids * KNUTH) % np.int64(modulus)
+        _check_hash_id_domain(ids, id_col)
+        s = ((ids.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(modulus)).astype(
+            np.int64
+        )
         return batch.append_column("__score", pa.array(s, pa.int64()))
 
     cols = (
@@ -548,15 +570,20 @@ def sample_weighted(
     weights are never sampled (they carry no mass).
 
     Scale shape: one streaming pass, per-batch partial top-k; only
-    ``n × #batches`` candidates reach the driver."""
+    ``n × #batches`` candidates reach the driver. Id domain
+    ``0 ≤ id < 2³²`` is required and validated (see :func:`sample_n`)."""
     from .relational import top_k_rows
 
     def score(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_hash_id_domain(ids, id_col)
         w = pc.cast(batch[weight_col], pa.float64()).to_numpy(
             zero_copy_only=False
         )
-        u = (((ids * KNUTH) % np.int64(1 << 32)) + 1) / float(1 << 32)
+        u = (
+            ((ids.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(1 << 32))
+            .astype(np.float64) + 1
+        ) / float(1 << 32)
         with np.errstate(invalid="ignore", divide="ignore"):
             s = u / w
             valid = ~np.isnan(w) & (w > 0)

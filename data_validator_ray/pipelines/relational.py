@@ -739,9 +739,17 @@ def moving_window(
         vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
         nn = ~np.isnan(vals)
         contrib = np.where(nn, vals, 0.0)
-        cs0 = np.concatenate(([0.0], np.cumsum(contrib)))
+        # cumulative sums in extended precision (80-bit longdouble on
+        # x86): window sums are differences of nearby prefixes, so the
+        # error is bounded by the prefix rounding ~ |Σvalues|·2⁻⁶⁴ —
+        # the 6-decimal ROUND stays exact while the running |prefix|
+        # is ≲ 9e12 (vs ~4e9 for a float64 cumsum; ADVICE round 2).
+        # Beyond that envelope, pre-split the key's series.
+        cs0 = np.concatenate(
+            ([0.0], np.cumsum(contrib, dtype=np.longdouble))
+        )
         cn0 = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
-        wsum = cs0[idx + 1] - cs0[w_start]
+        wsum = (cs0[idx + 1] - cs0[w_start]).astype(np.float64)
         wcnt = cn0[idx + 1] - cn0[w_start]
         has = wcnt > 0
         mov_sum = np.where(has, np.round(wsum, 6), np.nan)
@@ -984,6 +992,7 @@ def global_rank(
     dense: bool = False,
     num_buckets: int = 64,
     batch_size: int = 64 * 1024,
+    max_dense_distinct: int = 5_000_000,
 ) -> Dataset:
     """Global ordered window over the WHOLE dataset: appends ``rank``
     (1-based ``ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks)``),
@@ -1084,9 +1093,20 @@ def global_rank(
                 ["__bucket", order_col]
             ).aggregate([])
 
-        pairs = bucketed.map_batches(
+        pairs_ds = bucketed.map_batches(
             distinct_pairs, batch_format="pyarrow", batch_size=batch_size
-        ).to_pandas().drop_duplicates()
+        ).materialize()
+        n_pairs = pairs_ds.count()
+        if n_pairs > max_dense_distinct:
+            raise ValueError(
+                f"global_rank(dense=True) would collect {n_pairs} distinct "
+                f"(bucket, {order_col}) pairs to the driver (cap "
+                f"{max_dense_distinct}); DENSE_RANK needs the distinct "
+                "values, which for a continuous column is O(rows) — band "
+                "or quantize the order column first, or raise "
+                "max_dense_distinct explicitly"
+            )
+        pairs = pairs_ds.to_pandas().drop_duplicates()
         isna = pairs[order_col].isna()
         per_bucket = (
             pairs[~isna].groupby("__bucket")[order_col].nunique()
@@ -1704,6 +1724,7 @@ def spine_fill(
     key_cols: Optional[List[str]] = None,
     unit: str = "day",
     batch_size: int = 64 * 1024,
+    max_cells: int = 10_000_000,
 ) -> pd.DataFrame:
     """Calendar spine with gap filling — :func:`calendar_aggregate`
     densified so every (key, period) cell of the full grid exists:
@@ -1731,20 +1752,25 @@ def spine_fill(
         agg["period"].min(), agg["period"].max(), freq=freq
     )
     if key_cols:
-        keys = list(
+        kdf = (
             agg[key_cols].drop_duplicates()
             .sort_values(key_cols)
-            .itertuples(index=False, name=None)
+            .reset_index(drop=True)
         )
-        grid = pd.MultiIndex.from_tuples(
-            [(p, *k) for p in periods for k in keys],
-            names=["period", *key_cols],
-        )
-        out = (
-            agg.set_index(["period", *key_cols])
-            .reindex(grid)
-            .reset_index()
-        )
+        n_cells = len(periods) * len(kdf)
+        if n_cells > max_cells:
+            raise ValueError(
+                f"spine_fill grid is {len(periods)} periods × {len(kdf)} "
+                f"key tuples = {n_cells} cells (cap {max_cells}); narrow "
+                "the time range / coarsen the unit / reduce key "
+                "cardinality, or raise max_cells explicitly"
+            )
+        # build the dense grid with repeat/tile (no Python tuple list —
+        # ADVICE round 2), in the same (period, *keys) sorted order
+        grid_df = pd.DataFrame({"period": np.repeat(periods.values, len(kdf))})
+        for c in key_cols:
+            grid_df[c] = np.tile(kdf[c].to_numpy(), len(periods))
+        out = grid_df.merge(agg, on=["period", *key_cols], how="left")
     else:
         out = (
             agg.set_index("period")

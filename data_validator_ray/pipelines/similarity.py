@@ -24,7 +24,7 @@ The brute-force tier is oracle-checked against DuckDB
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -338,36 +338,46 @@ def knn_ivf(
             c = int(_re.search(r"cluster=(\d+)", p).group(1))
             clusters[path_col == p] = c
             batch_clusters.append(c)
-        # score ONLY the queries probing a cluster present in this batch
-        # (a batch usually spans one cluster file → the matmul shrinks
-        # by ~nprobe/n_centroids vs scoring every query and masking)
-        q_sub = np.nonzero(mask[:, batch_clusters].any(axis=1))[0]
-        if len(q_sub) == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        q_ids, q_m, mask = q_ids[q_sub], q_m[q_sub], mask[q_sub]
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        sims = q_m @ (m / norms).T  # (q_sub, batch) — probed rows only
-        sims = np.where(mask[:, clusters], sims, -np.inf)
-        if exclude_self:
-            sims = np.where(q_ids[:, None] == ids[None, :], -np.inf, sims)
-        kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows_q = np.repeat(q_ids, kk)
-        cols = part.reshape(-1)
-        scores = sims[np.repeat(np.arange(len(q_ids)), kk), cols]
-        keep = np.isfinite(scores)
+        mn = m / norms
+        # probe sharing: each distinct cluster in the batch is scored
+        # ONCE against exactly the queries probing it — per-cluster
+        # rectangle matmuls instead of a (q_sub × batch) matmul + -inf
+        # masking (the masking path allocated two full score-sized
+        # temporaries and scored rows queries never probed; with large
+        # query batches the submatmuls shrink compute to the true
+        # Σ_c |queries(c)| × |rows(c)| work)
+        out_q: List[np.ndarray] = []
+        out_n: List[np.ndarray] = []
+        out_s: List[np.ndarray] = []
+        for c in batch_clusters:
+            rows_c = np.nonzero(clusters == c)[0]
+            q_c = np.nonzero(mask[:, c])[0]
+            if len(rows_c) == 0 or len(q_c) == 0:
+                continue
+            sims = q_m[q_c] @ mn[rows_c].T  # (|q_c|, |rows_c|)
+            ids_c = ids[rows_c]
+            if exclude_self:
+                sims = np.where(
+                    q_ids[q_c][:, None] == ids_c[None, :], -np.inf, sims
+                )
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            cols = part.reshape(-1)
+            scores = sims[np.repeat(np.arange(len(q_c)), kk), cols]
+            keep = np.isfinite(scores)
+            out_q.append(np.repeat(q_ids[q_c], kk)[keep])
+            out_n.append(ids_c[cols][keep])
+            out_s.append(scores[keep])
+        qv = np.concatenate(out_q) if out_q else np.empty(0, np.int64)
+        nv = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        sv = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
         return pa.table(
             {
-                "query_id": pa.array(rows_q[keep], pa.int64()),
-                "neighbor_id": pa.array(ids[cols][keep], pa.int64()),
-                "score": pa.array(scores[keep], pa.float64()),
+                "query_id": pa.array(qv, pa.int64()),
+                "neighbor_id": pa.array(nv, pa.int64()),
+                "score": pa.array(sv, pa.float64()),
             }
         )
 

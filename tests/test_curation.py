@@ -621,3 +621,20 @@ def test_sample_weighted_pps_properties(ray_session):
         df.sample(frac=1.0, random_state=3), "id", "w", 400, batch_size=128
     )
     assert sorted(out["id"]) == sorted(out2["id"])
+
+
+def test_sample_hash_id_domain_guard(ray_session):
+    """Ids outside [0, 2^32) must fail loudly — numpy would wrap the
+    Knuth product while the SQL oracle overflows (ADVICE round 2)."""
+    import pandas as pd
+    import pytest
+    import ray
+
+    from data_validator_ray.pipelines.curation import sample_n, sample_weighted
+
+    bad = pd.DataFrame({"id": [1, -5, 7], "w": [1.0, 1.0, 1.0]})
+    with pytest.raises(Exception, match="2\\^32"):
+        sample_n(ray.data.from_pandas(bad), "id", 2)
+    big = pd.DataFrame({"id": [1, 2**33, 7], "w": [1.0, 1.0, 1.0]})
+    with pytest.raises(Exception, match="2\\^32"):
+        sample_weighted(ray.data.from_pandas(big), "id", "w", 2)

@@ -1525,3 +1525,34 @@ def test_snapshot_diff_semantics(ray_session):
     assert pd.isna(out["v_new"].iloc[0])
     assert out["v_new"].iloc[1] == 99.0 and out["v_old"].iloc[1] == 20.0
     assert pd.isna(out["v_old"].iloc[2]) and out["v_new"].iloc[2] == 50.0
+
+
+def test_global_rank_dense_cardinality_guard(ray_session):
+    """dense=True collects distinct (bucket, value) pairs; past the cap
+    it must error with guidance instead of OOMing the driver."""
+    from data_validator_ray.pipelines import relational as R
+
+    df = pd.DataFrame({"v": np.arange(500, dtype=np.float64)})
+    with pytest.raises(Exception, match="distinct"):
+        R.global_rank(
+            ray.data.from_pandas(df), "v", dense=True, max_dense_distinct=100
+        ).to_pandas()
+
+
+def test_spine_fill_cell_count_guard(ray_session):
+    """periods × key-tuples past max_cells errors instead of building
+    the grid."""
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2020-01-01", "2021-12-31"] * 50),
+            "v": np.arange(100, dtype=np.float64),
+            "k": [f"k{i}" for i in range(100)],
+        }
+    )
+    from data_validator_ray.pipelines import relational as R
+
+    with pytest.raises(Exception, match="cells"):
+        R.spine_fill(
+            ray.data.from_pandas(df), "ts", "v", key_cols=["k"],
+            unit="day", max_cells=1000,
+        )
