@@ -1106,6 +1106,43 @@ def q_asof_events_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_interval_join_events_orders(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-tier interval join (both sides large, neither broadcast):
+    events.value against intervals [o_totalprice/1000, +5) derived from
+    every 20th order — binned co-location, each qualifying pair meets
+    in exactly one bin."""
+    from .relational import interval_join_shuffle
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = keys % 20 == 0
+        b = b.filter(pa.array(keep))
+        lo = pc.divide(pc.cast(b["o_totalprice"], pa.float64()), 1000.0)
+        return pa.table(
+            {
+                "iv_key": b["o_orderkey"],
+                "lo": lo,
+                "hi": pc.add(lo, 5.0),
+            }
+        )
+
+    iv = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(mk_iv, batch_format="pyarrow")
+    out = interval_join_shuffle(
+        ev, iv, value_col="value", left_cols=["event_id"],
+        right_cols=["iv_key"], bin_width=5.0, num_buckets=32,
+    ).to_pandas()
+    out = out[["event_id", "iv_key", "lo", "hi"]]
+    out["lo"] = out["lo"].round(6)
+    out["hi"] = out["hi"].round(6)
+    return out.sort_values(["event_id", "iv_key"]).reset_index(drop=True)
+
+
 def q_range_join_events_bands(sf_dir: str) -> pd.DataFrame:
     """Broadcast range join: each event's value lands in a [lo, hi)
     band from a small interval table (sorted non-overlapping →
@@ -1430,6 +1467,17 @@ def q_unigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     from .text import unigram_logprob
 
     out = unigram_logprob(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
+    """Order-2 LM quality signal: per-doc mean conditional bigram
+    log-probability P(w2|w1)=c(w1,w2)/c(w1,·) under the corpus's own
+    pair counts (pair-hash partials → one lexsort merge → broadcast
+    searchsorted probe). Docs with < 2 tokens score NULL."""
+    from .text import bigram_logprob
+
+    out = bigram_logprob(f"{sf_dir}/documents.parquet").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2177,6 +2225,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "windowed_events": q_windowed_events,
         "asof_events_orders": q_asof_events_orders,
         "range_join_events_bands": q_range_join_events_bands,
+        "interval_join_events_orders": q_interval_join_events_orders,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2204,6 +2253,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "token_doc_freq_documents": q_token_doc_freq_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        "bigram_logprob_documents": q_bigram_logprob_documents,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "transform_runner_documents": q_transform_runner_documents,
@@ -2373,6 +2423,15 @@ def oracle_sql() -> Dict[str, str]:
             "(0.0, 10.0, 'xs'), (10.0, 25.0, 's'), (25.0, 50.0, 'm'), "
             "(50.0, 100.0, 'l'), (100.0, 1e9, 'xl')) AS b(lo, hi, band) "
             "ON e.value >= b.lo AND e.value < b.hi ORDER BY e.event_id"
+        ),
+        "interval_join_events_orders": (
+            "WITH iv AS (SELECT o_orderkey AS iv_key, "
+            "o_totalprice / 1000.0 AS lo, o_totalprice / 1000.0 + 5 AS hi "
+            "FROM orders WHERE o_orderkey % 20 = 0) "
+            "SELECT e.event_id, iv.iv_key, ROUND(iv.lo, 6) AS lo, "
+            "ROUND(iv.hi, 6) AS hi "
+            "FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi "
+            "ORDER BY e.event_id, iv.iv_key"
         ),
         "asof_events_orders": (
             "WITH r AS (SELECT o_custkey, o_orderdate, "
@@ -2583,6 +2642,24 @@ def oracle_sql() -> Dict[str, str]:
             "FROM tok JOIN freq USING (t) CROSS JOIN tot "
             "GROUP BY tok.doc_id) "
             "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, "
+            "p.logprob_mean FROM documents d "
+            "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "bigram_logprob_documents": (
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS t, "
+            "generate_subscripts(ts, 1) AS i FROM ("
+            "SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS ts FROM documents)), "
+            "big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2 FROM tok a "
+            "JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+            "cnt AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM big "
+            "GROUP BY w1, w2), "
+            "lc AS (SELECT w1, SUM(c) AS cl FROM cnt GROUP BY w1), "
+            "per_doc AS (SELECT big.doc_id, COUNT(*)::BIGINT AS n_bigrams, "
+            "ROUND(SUM(LN(c / cl)) / COUNT(*), 6) AS logprob_mean "
+            "FROM big JOIN cnt USING (w1, w2) JOIN lc USING (w1) "
+            "GROUP BY big.doc_id) "
+            "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, "
             "p.logprob_mean FROM documents d "
             "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
         ),

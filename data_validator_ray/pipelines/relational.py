@@ -439,6 +439,162 @@ def hash_join(
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def interval_join_shuffle(
+    left: Any,
+    right: Any,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    left_cols: Optional[List[str]] = None,
+    right_cols: Optional[List[str]] = None,
+    bin_width: float,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+    max_bins_per_interval: int = 4096,
+) -> Dataset:
+    """Interval join where BOTH sides are large (the shuffle tier of
+    :func:`range_join_broadcast`): every (left row, interval) pair with
+    ``lo ≤ value < hi`` (half-open; NULL values/bounds never match).
+
+    Scale shape — the classic binned interval join: the value domain
+    splits into fixed ``bin_width`` bins; a left row ships ONCE to the
+    bin of its value, an interval replicates to every bin it overlaps
+    (``⌊lo/w⌋ .. ⌈hi/w⌉−1``), and each qualifying pair meets in exactly
+    one bin (the row's), so no distinct pass is needed. One shared
+    hash-bucketed shuffle co-locates bins; per bucket, ONE vectorized
+    sweep per bin segment matches values against that bin's intervals.
+
+    Tuning: right-side traffic is Σ ``span/w`` copies — pick ``w``
+    near the typical interval width so replication is O(1) per
+    interval while per-bin interval counts stay small (the per-bin
+    match is O(n_bin × k_bin) vectorized). ``max_bins_per_interval``
+    fails loudly when an interval would fan out wider than that
+    (raise ``bin_width`` instead of silently exploding the shuffle).
+
+    Output: ``[value_col] + left_cols + [lo_col, hi_col] + right_cols``
+    (names must be disjoint).
+    """
+    l_extra = list(left_cols or [])
+    r_extra = list(right_cols or [])
+    if set(l_extra) & set(r_extra):
+        raise ValueError("left/right output columns must be disjoint")
+    w = float(bin_width)
+    if not (w > 0):
+        raise ValueError("bin_width must be positive")
+    l_ds = _as_dataset(left, columns=[value_col] + l_extra)
+    r_ds = _as_dataset(right, columns=[lo_col, hi_col] + r_extra)
+
+    def _arrow_dtype(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t is str:
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    l_schema, r_schema = l_ds.schema(), r_ds.schema()
+    l_types = {n: _arrow_dtype(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _arrow_dtype(t) for n, t in zip(r_schema.names, r_schema.types)}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        ok = ~np.isnan(v)
+        batch = batch.filter(pa.array(ok))
+        v = v[ok]
+        n = len(v)
+        bins = np.floor(v / w).astype(np.int64)
+        cols = {
+            "__bin": pa.array(bins, pa.int64()),
+            "__side": pa.array(np.zeros(n, np.int8)),
+            "__v": pa.array(v, pa.float64()),
+            "__lo": pa.nulls(n, pa.float64()),
+            "__hi": pa.nulls(n, pa.float64()),
+        }
+        for c in l_extra:
+            cols[c] = batch[c]
+        for c in r_extra:
+            cols[c] = pa.nulls(n, r_types[c])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        lo = pc.cast(batch[lo_col], pa.float64()).to_numpy(zero_copy_only=False)
+        hi = pc.cast(batch[hi_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lo) & ~np.isnan(hi) & (hi > lo)
+        batch = batch.filter(pa.array(ok))
+        lo, hi = lo[ok], hi[ok]
+        b_lo = np.floor(lo / w).astype(np.int64)
+        b_hi = (np.ceil(hi / w) - 1).astype(np.int64)
+        spans = b_hi - b_lo + 1
+        if len(spans) and int(spans.max()) > max_bins_per_interval:
+            raise ValueError(
+                f"an interval spans {int(spans.max())} bins at "
+                f"bin_width={w} (cap {max_bins_per_interval}); raise "
+                "bin_width or split wide intervals"
+            )
+        take = np.repeat(np.arange(len(lo), dtype=np.int64), spans)
+        offs = np.arange(len(take), dtype=np.int64) - np.repeat(
+            np.cumsum(spans) - spans, spans
+        )
+        bins = b_lo[take] + offs
+        rep = batch.take(pa.array(take, pa.int64()))
+        n = len(take)
+        cols = {
+            "__bin": pa.array(bins, pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8)),
+            "__v": pa.nulls(n, pa.float64()),
+            "__lo": pa.array(lo[take], pa.float64()),
+            "__hi": pa.array(hi[take], pa.float64()),
+        }
+        for c in l_extra:
+            cols[c] = pa.nulls(n, l_types[c])
+        for c in r_extra:
+            cols[c] = rep[c]
+        return pa.table(cols)
+
+    tagged = l_ds.map_batches(
+        tag_left, batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        r_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["__v"] + l_extra + ["__lo", "__hi"] + r_extra
+        parts: List[pd.DataFrame] = []
+        for _, g in df.groupby("__bin", sort=False):
+            lft = g[g.__side == 0]
+            rgt = g[g.__side == 1]
+            if len(lft) == 0 or len(rgt) == 0:
+                continue
+            v = lft["__v"].to_numpy(np.float64)
+            lo = rgt["__lo"].to_numpy(np.float64)
+            hi = rgt["__hi"].to_numpy(np.float64)
+            # vectorized (n_bin × k_bin) containment — k_bin is small by
+            # bin-width construction
+            m = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+            r, c = np.nonzero(m)
+            if len(r) == 0:
+                continue
+            lp = lft.iloc[r][["__v"] + l_extra].reset_index(drop=True)
+            rp = rgt.iloc[c][["__lo", "__hi"] + r_extra].reset_index(drop=True)
+            parts.append(pd.concat([lp, rp], axis=1))
+        if not parts:
+            return df.iloc[0:0][out_cols]
+        return pd.concat(parts, ignore_index=True)[out_cols]
+
+    out = bucketed_groupby(tagged, ["__bin"], per_bucket, num_buckets=num_buckets)
+
+    out_names = {"__v": value_col, "__lo": lo_col, "__hi": hi_col}
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [out_names.get(c, c) for c in batch.column_names]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def range_join_broadcast(
     source: Any,
     intervals: pd.DataFrame,

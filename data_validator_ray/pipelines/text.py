@@ -736,6 +736,155 @@ def unigram_logprob(
     return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
 
 
+_BIGRAM_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _bigram_hashes(ex: "pl.DataFrame") -> "tuple[np.ndarray, np.ndarray]":
+    """(doc_index, combined bigram hash) for every consecutive in-doc
+    token pair of an exploded (doc, t) frame. The pair key is
+    ``h(w1)·MIX + h(w2)`` in wrapping uint64 — order-sensitive, so
+    ("a","b") ≠ ("b","a"); collisions merge scores at probability
+    ≈ pairs²/2⁶⁵ (the unigram tier's documented convention)."""
+    hs = ex["t"].hash(seed=0).to_numpy().astype(np.uint64)
+    doc = ex["doc"].to_numpy()
+    if len(hs) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    same = doc[1:] == doc[:-1]
+    hc = (hs[:-1] * _BIGRAM_MIX + hs[1:]).view(np.int64)
+    return doc[1:][same], hc[same]
+
+
+def bigram_logprob(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_bigrams: Optional[int] = None,
+    oov_logp: float = -20.0,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-doc mean bigram conditional log-probability — the next step
+    up from :func:`unigram_logprob` on the CCNet-style quality ladder
+    (a KenLM-order-2 stand-in): fluent text repeats the corpus's
+    common word PAIRS, so boilerplate with plausible unigrams but
+    scrambled order scores low. Model: MLE
+    ``P(w2|w1) = count(w1,w2) / count(w1,·)`` over the corpus's own
+    consecutive-pair counts; score = mean ``ln P`` over a doc's
+    ``n_tokens − 1`` bigrams (NULL for docs with < 2 tokens).
+
+    Two streaming passes, same scale shape as the unigram tier:
+
+    1. corpus pair counts — per-batch ``(h_left, h_pair, cnt)``
+       partials (distinct-bounded exchange, 24 B/row; token strings
+       never leave the worker), driver sorted-reduce merge; left
+       totals fall out of a second ``reduceat`` over the ``h_left``
+       runs of the SAME sorted array (no extra pass);
+    2. score — the sorted ``(h_pair, ln P)`` table broadcasts ONCE via
+       ``ray.put`` and every batch probes it with ``searchsorted``.
+
+    ``max_bigrams`` caps the broadcast table to the top-V pairs by
+    count (deterministic cut: count desc, hash asc); pairs outside the
+    cap score ``oov_logp`` — the bounded-memory tier for unbounded
+    pair vocabularies (rows-only; uncapped is oracle-exact since every
+    scored pair exists in its own training counts)."""
+    ds = _as_dataset(source, columns=[id_col, text_col])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ex, _ = _exploded_tokens(batch[text_col])
+        hs = ex["t"].hash(seed=0).to_numpy().astype(np.uint64)
+        doc = ex["doc"].to_numpy()
+        if len(hs) < 2:
+            return pa.table(
+                {
+                    "hl": pa.array([], pa.int64()),
+                    "hp": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        same = doc[1:] == doc[:-1]
+        hl = hs[:-1][same].view(np.int64)
+        hp = (hs[:-1] * _BIGRAM_MIX + hs[1:]).view(np.int64)[same]
+        # per-batch combine on the pair key (hl is a function of hp's
+        # left component, so grouping by hp alone is sufficient)
+        o = np.argsort(hp, kind="stable")
+        hp, hl = hp[o], hl[o]
+        new = np.empty(len(hp), bool)
+        new[0] = True
+        new[1:] = hp[1:] != hp[:-1]
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "hl": pa.array(hl[st], pa.int64()),
+                "hp": pa.array(hp[st], pa.int64()),
+                "cnt": pa.array(
+                    np.diff(np.append(st, len(hp))).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    part = ds.map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
+    hl_p, hp_p, c_p = [], [], []
+    for b in part.iter_batches(batch_format="pyarrow"):
+        hl_p.append(b["hl"].to_numpy())
+        hp_p.append(b["hp"].to_numpy())
+        c_p.append(b["cnt"].to_numpy())
+    if hl_p and sum(map(len, hp_p)):
+        hl_all = np.concatenate(hl_p)
+        hp_all = np.concatenate(hp_p)
+        c_all = np.concatenate(c_p)
+        # ONE lexsort gives both groupings: pair runs (inner) nest
+        # inside left-token runs (outer)
+        o = np.lexsort((hp_all, hl_all))
+        hl_all, hp_all, c_all = hl_all[o], hp_all[o], c_all[o]
+        new_p = np.empty(len(hp_all), bool)
+        new_p[0] = True
+        new_p[1:] = (hp_all[1:] != hp_all[:-1]) | (hl_all[1:] != hl_all[:-1])
+        st = np.flatnonzero(new_p)
+        vp = hp_all[st]
+        vl = hl_all[st]
+        vc = np.add.reduceat(c_all, st)
+        new_l = np.empty(len(vl), bool)
+        new_l[0] = True
+        new_l[1:] = vl[1:] != vl[:-1]
+        lst = np.flatnonzero(new_l)
+        ltot = np.add.reduceat(vc, lst)  # count(w1, ·) per left run
+        left_tot = np.repeat(ltot, np.diff(np.append(lst, len(vl))))
+        vlp = np.log(vc.astype(np.float64) / left_tot.astype(np.float64))
+        if max_bigrams is not None and len(vp) > max_bigrams:
+            keep = np.lexsort((vp, -vc))[:max_bigrams]
+            vp, vlp = vp[keep], vlp[keep]
+        o2 = np.argsort(vp)
+        vp, vlp = vp[o2], vlp[o2]
+    else:
+        vp = np.array([], np.int64)
+        vlp = np.array([], np.float64)
+    vocab_ref = ray.put((vp, vlp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v_p, v_lp = ray.get(vocab_ref)
+        ex, n = _exploded_tokens(batch[text_col])
+        bdoc, hc = _bigram_hashes(ex)
+        if len(v_p) and len(hc):
+            pos = np.searchsorted(v_p, hc)
+            pos_c = np.minimum(pos, len(v_p) - 1)
+            hit = v_p[pos_c] == hc
+            lp = np.where(hit, v_lp[pos_c], oov_logp)
+        else:
+            lp = np.full(len(hc), oov_logp)
+        sums = np.bincount(bdoc, weights=lp, minlength=n)
+        nb = np.bincount(bdoc, minlength=n).astype(np.int64)
+        mean = np.where(nb > 0, np.round(sums / np.maximum(nb, 1), 6), np.nan)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "logprob_mean": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
+
+
 def tfidf_top_terms(
     source: Any,
     id_col: str = "doc_id",

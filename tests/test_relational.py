@@ -1556,3 +1556,54 @@ def test_spine_fill_cell_count_guard(ray_session):
             ray.data.from_pandas(df), "ts", "v", key_cols=["k"],
             unit="day", max_cells=1000,
         )
+
+
+def test_interval_join_shuffle_matches_brute(ray_session):
+    """Binned shuffle interval join == brute-force O(n·k) containment:
+    overlapping intervals, negative values, boundary exactness (half-
+    open hi), NULLs on both sides, several bin widths."""
+    from data_validator_ray.pipelines import relational as R
+
+    rng = np.random.default_rng(9)
+    v = np.round(rng.uniform(-10, 10, 300), 3)
+    left = pd.DataFrame({"value": v, "lid": np.arange(300, dtype=np.int64)})
+    left.loc[5, "value"] = np.nan
+    lo = np.round(rng.uniform(-12, 9, 80), 3)
+    right = pd.DataFrame(
+        {
+            "lo": lo,
+            "hi": np.round(lo + rng.uniform(0.1, 6, 80), 3),
+            "iv": np.arange(80, dtype=np.int64),
+        }
+    )
+    right.loc[3, "hi"] = right.loc[3, "lo"]  # empty interval: no match
+    # boundary case: a value exactly at someone's hi must NOT match it
+    right.loc[7, ["lo", "hi"]] = [0.0, float(left.loc[0, "value"])]
+
+    lv = left["value"].to_numpy()
+    truth = set()
+    for _, r in right.iterrows():
+        m = (lv >= r.lo) & (lv < r.hi)
+        for li in left["lid"].to_numpy()[np.nan_to_num(m, nan=False).astype(bool)]:
+            truth.add((int(li), int(r.iv)))
+    for bw in (0.5, 2.0, 7.0):
+        out = R.interval_join_shuffle(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            value_col="value", left_cols=["lid"], right_cols=["iv"],
+            bin_width=bw, num_buckets=8,
+        ).to_pandas()
+        got = set(map(tuple, out[["lid", "iv"]].astype(int).values))
+        assert got == truth, f"bin_width={bw}"
+
+
+def test_interval_join_shuffle_span_guard(ray_session):
+    from data_validator_ray.pipelines import relational as R
+
+    left = pd.DataFrame({"value": [1.0], "lid": [0]})
+    right = pd.DataFrame({"lo": [0.0], "hi": [1e6], "iv": [0]})
+    with pytest.raises(Exception, match="spans"):
+        R.interval_join_shuffle(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            value_col="value", left_cols=["lid"], right_cols=["iv"],
+            bin_width=1.0, max_bins_per_interval=100,
+        ).to_pandas()

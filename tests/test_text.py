@@ -97,3 +97,48 @@ def test_pretoken_count_bpe_ish(ray_session):
     # "hello world" -> ["hello", " world"] = 2
     # "a1b2, c!" -> ["a","1","b","2",","," c","!"] = 7
     assert out["n_pretokens"].tolist() == [2, 7, 0, 0]
+
+
+def test_bigram_logprob_edges_and_cap(ray_session):
+    """<2-token docs score NULL with n_bigrams=0; MLE conditionals are
+    exact (c(w1,w2)/c(w1,.)); the max_bigrams cap floors out-of-table
+    pairs at oov_logp deterministically."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    from data_validator_ray.pipelines.text import bigram_logprob
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["a b a b", "a b", "solo", "", None],
+        }
+    )
+    out = (
+        bigram_logprob(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # corpus bigrams: (a,b)x3, (b,a)x1 -> P(b|a)=3/3=1? no: c(a,.)=3? pairs
+    # doc0: (a,b),(b,a),(a,b); doc1: (a,b) -> c(a,b)=3, c(b,a)=1,
+    # c(a,.)=3, c(b,.)=1 -> P(b|a)=1.0, P(a|b)=1.0
+    assert out["n_bigrams"].tolist() == [3, 1, 0, 0, 0]
+    assert out.loc[0, "logprob_mean"] == 0.0  # ln(1) everywhere
+    assert out.loc[1, "logprob_mean"] == 0.0
+    assert all(pd.isna(out.loc[i, "logprob_mean"]) for i in (2, 3, 4))
+
+    # cap: keep only the single most common pair; (b,a) falls to oov
+    capped = (
+        bigram_logprob(
+            ray.data.from_pandas(df), max_bigrams=1, oov_logp=-20.0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc0 = mean(ln P(a,b)=ln1, -20, ln1) = -20/3
+    assert math.isclose(capped.loc[0, "logprob_mean"], round(-20.0 / 3, 6))
+    assert capped.loc[1, "logprob_mean"] == 0.0
