@@ -300,6 +300,74 @@ def standardize_column(
     )
 
 
+def robust_scale_by_group(
+    source: Any,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: "str | None" = None,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Per-group ROBUST feature scaling (ML-prep for heavy-tailed
+    columns): appends ``out_col`` (default ``{value_col}_robust``) =
+    ``(v − median_g) / (p75_g − p25_g)`` with the group's own exact
+    continuous quantiles — outlier-insensitive where the z-score is
+    not. Rounded to 6 (float-hash convention). NULL values stay NULL;
+    a zero-IQR group (constant bulk) yields all-NULL scores (SQL
+    NULL-on-division-by-zero); rows whose group key is NULL get NULL.
+
+    Composition of existing scale-safe pieces: ONE
+    :func:`.relational.grouped_exact_quantiles` shuffle produces the
+    per-group (p25, p50, p75) table — #groups rows, collected and
+    broadcast via ``ray.put`` — then one broadcast-lookup transform
+    pass over the full stream (searchsorted on the sorted group keys;
+    no second shuffle). Partitioning assumption: the quantile tier's
+    (each group's values fit a worker); the constants table must fit
+    the driver (#groups × 4 scalars)."""
+    from .relational import grouped_exact_quantiles
+
+    name = out_col or f"{value_col}_robust"
+    qt = grouped_exact_quantiles(
+        source, group_col, value_col, quantiles=(0.25, 0.5, 0.75),
+        num_buckets=num_buckets, batch_size=batch_size,
+    ).to_pandas()
+    qt = qt.sort_values(group_col).reset_index(drop=True)
+    keys = qt[group_col].to_numpy()
+    med = qt["p50"].to_numpy(np.float64)
+    iqr = qt["p75"].to_numpy(np.float64) - qt["p25"].to_numpy(np.float64)
+    ref = ray.put((keys, med, iqr))
+
+    def transform(batch: pa.Table) -> pa.Table:
+        k_arr, m_arr, i_arr = ray.get(ref)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        z = np.full(len(x), np.nan)
+        if len(k_arr):
+            # NULL group keys can't be compared/searched — mask them
+            # out and substitute a sentinel so searchsorted stays typed
+            valid_g = pc.is_valid(batch[group_col]).to_numpy(
+                zero_copy_only=False
+            )
+            g_safe = np.where(valid_g, g, k_arr[0])
+            pos = np.searchsorted(k_arr, g_safe)
+            pos_c = np.minimum(pos, len(k_arr) - 1)
+            with np.errstate(invalid="ignore"):
+                hit = (k_arr[pos_c] == g_safe) & valid_g
+                ok = hit & ~np.isnan(x) & (i_arr[pos_c] > 0)
+                z[ok] = np.round(
+                    (x[ok] - m_arr[pos_c][ok]) / i_arr[pos_c][ok], 6
+                )
+        return batch.append_column(name, pa.array(z, pa.float64()))
+
+    ds = _as_dataset(source, columns=None)
+    return ds.map_batches(
+        transform, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def quantile_bucketize(
     source: Any,
     value_col: str,

@@ -1654,6 +1654,35 @@ def q_psi_events_split(sf_dir: str) -> pd.DataFrame:
     return psi_fixed_bins(side(0), side(1), "value", edges).to_pandas()
 
 
+def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
+    """Per-event_type fixed-bin PSI between the even- and odd-event_id
+    halves — the sliced drift monitor (a shift confined to one slice
+    is invisible to the global PSI). Exchange is groups × bins tidy
+    partial rows; one bucketed groupby computes every group's PSI."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import psi_by_group
+
+    edges = [float(x) for x in range(0, 101, 10)]
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = psi_by_group(
+        side(0), side(1), "value", "event_type", edges
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_ks_events_split(sf_dir: str) -> pd.DataFrame:
     """EXACT two-sample KS between the even- and odd-event_id halves
     of events.value (distributed range-partitioned prefix scan;
@@ -1876,6 +1905,20 @@ def q_grouped_stats_lineitem(sf_dir: str) -> pd.DataFrame:
         "l_extendedprice",
     ).to_pandas()
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_robust_scale_events(sf_dir: str) -> pd.DataFrame:
+    """Per-event_type robust scaling (v − median)/IQR with exact
+    quantile_cont constants — the outlier-insensitive sibling of the
+    z-score tier (one grouped-quantile shuffle, then a broadcast-lookup
+    transform pass)."""
+    from .profile import robust_scale_by_group
+
+    out = robust_scale_by_group(
+        f"{sf_dir}/events.parquet", "event_type", "value", out_col="r"
+    ).to_pandas()
+    out = out[["event_id", "value", "r"]]
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def q_standardize_events_value(sf_dir: str) -> pd.DataFrame:
@@ -2280,6 +2323,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "exact_quantiles_events": q_exact_quantiles_events,
         "iqr_outliers_events": q_iqr_outliers_events,
         "psi_events_split": q_psi_events_split,
+        "psi_by_group_events": q_psi_by_group_events,
         "ks_events_split": q_ks_events_split,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
@@ -2294,6 +2338,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "global_rank_events": q_global_rank_events,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "standardize_events_value": q_standardize_events_value,
+        "robust_scale_events": q_robust_scale_events,
         "quantile_bucketize_events": q_quantile_bucketize_events,
         "rank_dense_events": q_rank_dense_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -2841,6 +2886,46 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(SUM((cp.p - bp.p) * LN(cp.p / bp.p)), 6) AS psi_value "
             "FROM bp JOIN cp USING (bin)"
         ),
+        "psi_by_group_events": (
+            # per-event_type PSI between halves: same bin/clip math as
+            # psi_events_split, grids and renormalization per group
+            "WITH edges AS (SELECT [0.0,10.0,20.0,30.0,40.0,50.0,60.0,"
+            "70.0,80.0,90.0,100.0] AS e), "
+            "b AS (SELECT event_type, len(list_filter((SELECT e FROM edges), "
+            "x -> value >= x)) AS bin FROM events WHERE event_id % 2 = 0 "
+            "AND value IS NOT NULL AND event_type IS NOT NULL), "
+            "c AS (SELECT event_type, len(list_filter((SELECT e FROM edges), "
+            "x -> value >= x)) AS bin FROM events WHERE event_id % 2 = 1 "
+            "AND value IS NOT NULL AND event_type IS NOT NULL), "
+            "grps AS (SELECT DISTINCT event_type FROM ("
+            "SELECT event_type FROM b UNION ALL SELECT event_type FROM c)), "
+            "grid AS (SELECT g.event_type, t.bin FROM grps g CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 11)) AS bin) t), "
+            "bn AS (SELECT grid.event_type, grid.bin, "
+            "GREATEST(COALESCE(cnt, 0), 1e-6) AS n FROM grid "
+            "LEFT JOIN (SELECT event_type, bin, COUNT(*)::DOUBLE AS cnt "
+            "FROM b GROUP BY event_type, bin) t USING (event_type, bin)), "
+            "cn AS (SELECT grid.event_type, grid.bin, "
+            "GREATEST(COALESCE(cnt, 0), 1e-6) AS n FROM grid "
+            "LEFT JOIN (SELECT event_type, bin, COUNT(*)::DOUBLE AS cnt "
+            "FROM c GROUP BY event_type, bin) t USING (event_type, bin)), "
+            "bp AS (SELECT event_type, bin, n / SUM(n) OVER "
+            "(PARTITION BY event_type) AS p FROM bn), "
+            "cp AS (SELECT event_type, bin, n / SUM(n) OVER "
+            "(PARTITION BY event_type) AS p FROM cn), "
+            "nb AS (SELECT event_type, COUNT(*)::BIGINT AS n_base FROM b "
+            "GROUP BY event_type), "
+            "nc AS (SELECT event_type, COUNT(*)::BIGINT AS n_current FROM c "
+            "GROUP BY event_type) "
+            "SELECT g.event_type, COALESCE(nb.n_base, 0) AS n_base, "
+            "COALESCE(nc.n_current, 0) AS n_current, "
+            "ROUND(s.psi, 6) AS psi_value FROM grps g "
+            "LEFT JOIN nb USING (event_type) LEFT JOIN nc USING (event_type) "
+            "JOIN (SELECT bp.event_type, SUM((cp.p - bp.p) * LN(cp.p / bp.p)) "
+            "AS psi FROM bp JOIN cp USING (event_type, bin) "
+            "GROUP BY bp.event_type) s USING (event_type) "
+            "ORDER BY g.event_type"
+        ),
         "ks_events_split": (
             # exact two-sample KS: cumulative per-side counts over the
             # sorted distinct values; int/int -> DOUBLE divisions match
@@ -2964,6 +3049,19 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, value, "
             "ROUND((value - s.m) / NULLIF(s.sd, 0), 6) AS z "
             "FROM events CROSS JOIN s ORDER BY event_id"
+        ),
+        "robust_scale_events": (
+            "WITH q AS (SELECT event_type, "
+            "quantile_cont(value, 0.25) AS p25, "
+            "quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.75) AS p75 FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY event_type) "
+            "SELECT e.event_id, e.value, "
+            "CASE WHEN e.value IS NULL OR e.event_type IS NULL "
+            "OR (q.p75 - q.p25) <= 0 THEN NULL "
+            "ELSE ROUND((e.value - q.p50) / (q.p75 - q.p25), 6) END AS r "
+            "FROM events e LEFT JOIN q USING (event_type) "
+            "ORDER BY e.event_id"
         ),
         "snapshot_diff_events": (
             "WITH old AS (SELECT event_id, value FROM events "

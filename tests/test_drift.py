@@ -249,3 +249,39 @@ def test_ks_exact_quantize_bounds_error_and_distincts(ray_session):
     # determinism: quantized stat is byte-stable across runs
     again = ks_exact(base, cur, "v", quantize=q).to_pylist()[0]
     assert again == quant
+
+
+def test_psi_by_group_slices_and_one_sided_groups(ray_session):
+    """A shift confined to one slice must show only in that slice, and
+    a group present on one side only gets maximal drift, not a crash."""
+    from data_validator_ray.stages.drift import psi_by_group
+
+    rng = np.random.default_rng(5)
+    base = pd.DataFrame(
+        {
+            "g": ["a"] * 2000 + ["b"] * 2000 + ["only_base"] * 50,
+            "v": np.concatenate(
+                [rng.uniform(0, 50, 2000), rng.uniform(0, 50, 2000),
+                 rng.uniform(0, 50, 50)]
+            ),
+        }
+    )
+    cur = pd.DataFrame(
+        {
+            "g": ["a"] * 2000 + ["b"] * 2000,
+            "v": np.concatenate(
+                [rng.uniform(0, 50, 2000),
+                 rng.uniform(50, 100, 2000)]  # b shifted entirely
+            ),
+        }
+    )
+    edges = [float(x) for x in range(0, 101, 10)]
+    out = (
+        psi_by_group(base, cur, "v", "g", edges)
+        .to_pandas()
+        .set_index("g")
+    )
+    assert out.loc["a", "psi_value"] < 0.1          # same distribution
+    assert out.loc["b", "psi_value"] > 5.0           # total shift
+    assert out.loc["only_base", "n_current"] == 0    # one-sided group
+    assert out.loc["only_base", "psi_value"] > 5.0

@@ -252,3 +252,30 @@ def test_quantile_bucketize_bins_and_nulls(ray_session):
     df2 = pd.DataFrame({"id": range(4), "v": [5.0, 5.0, 5.0, 5.0]})
     out2 = quantile_bucketize(df2, "v", n_bins=2).to_pandas()
     assert out2["bin"].nunique() == 1
+
+
+def test_robust_scale_by_group_edges(ray_session):
+    """Zero-IQR groups and NULL keys/values yield NULL scores; known
+    quantiles produce exact scaled values."""
+    import pandas as pd
+    import ray
+
+    from data_validator_ray.pipelines.profile import robust_scale_by_group
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["const"] * 3 + [None],
+            "v": [0.0, 1.0, 2.0, 3.0, 4.0, 7.0, 7.0, 7.0, 1.0],
+            "i": list(range(9)),
+        }
+    )
+    out = (
+        robust_scale_by_group(ray.data.from_pandas(df), "g", "v", out_col="r")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # group a: p25=1, p50=2, p75=3 -> IQR=2; v=0 -> -1.0, v=4 -> 1.0
+    assert out.loc[0, "r"] == -1.0 and out.loc[4, "r"] == 1.0
+    # constant group: IQR 0 -> NULL; NULL key -> NULL
+    assert out.loc[5:8, "r"].isna().all()
