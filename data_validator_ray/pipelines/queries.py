@@ -1907,6 +1907,35 @@ def q_grouped_stats_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_numeric_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Exact slice of the one-pass table profiler: every numeric column
+    of events gets total/null counts and exact min/max/mean (mean
+    rounded to 6) from mergeable per-batch partials — the deequ-style
+    'first look' surface, oracle-checked."""
+    from ..stages.stats import table_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    prof = table_profile(ds)
+    num = prof[prof["mean_value"].notna() | (prof["dtype"].isin(
+        ["int64", "int32", "double", "float"]))]
+    out = num[[
+        "column", "total_count", "null_count",
+        "min_value", "max_value", "mean_value",
+    ]].copy()
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def q_table_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Full one-pass profile of EVERY events column (dtype, counts,
+    HLL approx-distinct, numeric min/max/mean). Rows-only: the distinct
+    estimate is an HLL sketch (deterministic, ±0.8 %)."""
+    from ..stages.stats import table_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = table_profile(ds)
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def q_robust_scale_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type robust scaling (v − median)/IQR with exact
     quantile_cont constants — the outlier-insensitive sibling of the
@@ -2339,6 +2368,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "standardize_events_value": q_standardize_events_value,
         "robust_scale_events": q_robust_scale_events,
+        "numeric_profile_events": q_numeric_profile_events,
+        "table_profile_events": q_table_profile_events,
         "quantile_bucketize_events": q_quantile_bucketize_events,
         "rank_dense_events": q_rank_dense_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3049,6 +3080,24 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, value, "
             "ROUND((value - s.m) / NULLIF(s.sd, 0), 6) AS z "
             "FROM events CROSS JOIN s ORDER BY event_id"
+        ),
+        "numeric_profile_events": (
+            "SELECT * FROM ("
+            "SELECT 'event_id' AS \"column\", COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) - COUNT(event_id))::BIGINT AS null_count, "
+            "MIN(event_id)::DOUBLE AS min_value, MAX(event_id)::DOUBLE AS max_value, "
+            "ROUND(AVG(event_id), 6) AS mean_value FROM events "
+            "UNION ALL "
+            "SELECT 'user_id', COUNT(*)::BIGINT, "
+            "(COUNT(*) - COUNT(user_id))::BIGINT, "
+            "MIN(user_id)::DOUBLE, MAX(user_id)::DOUBLE, "
+            "ROUND(AVG(user_id), 6) FROM events "
+            "UNION ALL "
+            "SELECT 'value', COUNT(*)::BIGINT, "
+            "(COUNT(*) - COUNT(value))::BIGINT, "
+            "MIN(value)::DOUBLE, MAX(value)::DOUBLE, "
+            "ROUND(AVG(value), 6) FROM events) "
+            "ORDER BY \"column\""
         ),
         "robust_scale_events": (
             "WITH q AS (SELECT event_type, "

@@ -279,3 +279,29 @@ def test_robust_scale_by_group_edges(ray_session):
     assert out.loc[0, "r"] == -1.0 and out.loc[4, "r"] == 1.0
     # constant group: IQR 0 -> NULL; NULL key -> NULL
     assert out.loc[5:8, "r"].isna().all()
+
+
+def test_table_profile_one_pass(ray_session):
+    """Every column profiled in one pass: exact counts/min/max/mean for
+    numerics, HLL distinct for hashables, NULL distinct for nested."""
+    import pandas as pd
+    import ray
+
+    from data_validator_ray.stages.stats import table_profile
+
+    df = pd.DataFrame(
+        {
+            "i": [1, 2, 2, None],
+            "s": ["a", "b", "b", "b"],
+            "v": [[1.0], [2.0], [3.0], [4.0]],  # nested: unhashable
+        }
+    )
+    out = table_profile(ray.data.from_pandas(df)).set_index("column")
+    assert out.loc["i", "total_count"] == 4
+    assert out.loc["i", "null_count"] == 1
+    assert out.loc["i", "min_value"] == 1.0
+    assert out.loc["i", "max_value"] == 2.0
+    assert abs(out.loc["i", "mean_value"] - round(5 / 3, 6)) < 1e-9
+    assert out.loc["i", "approx_distinct"] == 2
+    assert out.loc["s", "approx_distinct"] == 2
+    assert pd.isna(out.loc["s", "min_value"])  # non-numeric: no min/max
