@@ -374,6 +374,81 @@ def decontaminate(
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=batch_size)
 
 
+def decontaminate_bloom(
+    source: Any,
+    benchmark_source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bench_text_col: str = "text",
+    ngram: int = 5,
+    n_bits: int = 1 << 23,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Scale-tier decontamination: the benchmark is itself a DATASET
+    (too many eval suites to hold as a driver list). Its distinct
+    n-gram hashes are folded into per-batch partial Bloom filters and
+    OR-reduced — the driver and every worker hold only the fixed-size
+    registers (``n_bits/8`` bytes, 1 MiB default), never the shingle
+    set. Corpus docs then flag on any bloom hit.
+
+    Approximate BY DESIGN (rows-only): a bloom false positive can flag
+    a clean doc (rate ≈ (1 − e^(−k·m/n_bits))^k for m benchmark
+    shingles — size ``n_bits`` ≥ ~10× m for <1 % FP); false negatives
+    cannot happen, so nothing contaminated slips through. Exact tier:
+    :func:`decontaminate`."""
+    from ..functions.sketches import BloomFilter
+
+    proto = BloomFilter(n_bits)
+    k = proto.k
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        ex, _ = _token_frame(batch[bench_text_col])
+        sh = _distinct_shingle_hashes(ex, ngram)
+        bloom = BloomFilter(n_bits, k)
+        if len(sh):
+            bloom.add_hashes(sh["h"].to_numpy().astype(np.uint64))
+        return pa.table(
+            {"bits": pa.array([bloom.bits.tobytes()], pa.binary())}
+        )
+
+    bench_ds = _as_dataset(benchmark_source, columns=[bench_text_col])
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    parts = bench_ds.map_batches(
+        partial_bloom, batch_format="pyarrow", batch_size=batch_size
+    )
+    for b in parts.iter_batches(batch_size=8, batch_format="pyarrow"):
+        for chunk in b["bits"].chunks:
+            for i in range(len(chunk)):
+                np.bitwise_or(
+                    bits,
+                    np.frombuffer(chunk[i].as_buffer(), dtype=np.uint8),
+                    out=bits,
+                )
+    bloom_ref = ray.put(BloomFilter(n_bits, k, bits))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        ex, n = _token_frame(batch[text_col])
+        sh = _distinct_shingle_hashes(ex, ngram)
+        n_hits = np.zeros(n, np.int64)
+        if len(sh):
+            hs = sh["h"].to_numpy().astype(np.uint64)
+            rows = sh["row"].to_numpy().astype(np.int64)
+            hit = bloom.contains_hashes(hs)
+            np.add.at(n_hits, rows[hit], 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "is_contaminated": pa.array(n_hits > 0, pa.bool_()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=batch_size)
+
+
 def _decontam_columns(
     ex: "pl.DataFrame", n: int, bset: "pl.Series", ngram: int
 ) -> Dict[str, pa.Array]:

@@ -526,6 +526,36 @@ def q_winnow_fingerprints_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_rowcount_events(sf_dir: str) -> pd.DataFrame:
+    """Volume check (deequ hasSize analog): events row count must be
+    within 50% of the orders table's count. total=1; failed iff the
+    ratio falls outside the tolerance band."""
+    rule = ValidationRule(
+        name="volume", rule_type="rowcount", column=None,
+        parameters={
+            "min_rows": 1,
+            "baseline": f"{sf_dir}/orders.parquet",
+            "tolerance_pct": 50.0,
+        },
+    )
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "events", "rules": [rule.model_dump()]}],
+    )
+    s = RayDataValidator(cfg).validate_table(f"{sf_dir}/events.parquet", "events")
+    r = s.results[0]
+    return pd.DataFrame(
+        {
+            "rule_name": [r.rule_name],
+            "passed": [r.passed],
+            "row_count": [int(r.metadata["row_count"])],
+            "baseline_count": [int(r.metadata["baseline_count"])],
+            "total_count": [int(r.total_count)],
+            "failed_count": [int(r.failed_count)],
+        }
+    )
+
+
 def q_drift_events_value_fixed(sf_dir: str) -> pd.DataFrame:
     """Oracle-exact drift RULE (C7): fixed-bin PSI of events.value vs a
     raw lineitem.l_quantity baseline, explicit edges 0..100 — the
@@ -1304,6 +1334,27 @@ def q_decontaminate_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontaminate_bloom_documents(sf_dir: str) -> pd.DataFrame:
+    """Scale-tier decontamination: the benchmark's shingle hashes fold
+    into OR-reduced partial Bloom filters (workers/driver only ever
+    hold 1 MiB of registers). Oracle = the exact-tier SQL: at test
+    cardinalities the FP probability is ~1e-15, so the bloom verdicts
+    are hash-exact (pinned deterministic either way)."""
+    from .curation import decontaminate_bloom
+
+    def mask(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mask, batch_format="pyarrow")
+    out = decontaminate_bloom(
+        f"{sf_dir}/documents.parquet", bench, ngram=5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_domain_sample_documents(sf_dir: str) -> pd.DataFrame:
     """Deterministic domain-mixture downsampling: per-source keep rates
     ((idx % 4) + 1) × 200 ‰ via the Knuth multiplicative hash on
@@ -1680,6 +1731,29 @@ def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     out = psi_by_group(
         side(0), side(1), "value", "event_type", edges
     ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_ks_by_group_events(sf_dir: str) -> pd.DataFrame:
+    """Per-event_type exact two-sample KS between the even/odd halves
+    (the sliced sibling of ks_events_split)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import ks_by_group
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = ks_by_group(side(0), side(1), "value", "event_type").to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -2293,6 +2367,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "drift_events_value": q_drift_events_value,
         "drift_events_value_fixed": q_drift_events_value_fixed,
+        "rowcount_events": q_rowcount_events,
         "runner_documents_resume": q_runner_documents_resume,
         "windowed_events": q_windowed_events,
         "asof_events_orders": q_asof_events_orders,
@@ -2305,6 +2380,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "gopher_filter_documents": q_gopher_filter_documents,
         "pii_redact_documents": q_pii_redact_documents,
         "decontaminate_documents": q_decontaminate_documents,
+        "decontaminate_bloom_documents": q_decontaminate_bloom_documents,
         "domain_sample_documents": q_domain_sample_documents,
         "sample_n_events": q_sample_n_events,
         "sample_weighted_events": q_sample_weighted_events,
@@ -2353,6 +2429,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "iqr_outliers_events": q_iqr_outliers_events,
         "psi_events_split": q_psi_events_split,
         "psi_by_group_events": q_psi_by_group_events,
+        "ks_by_group_events": q_ks_by_group_events,
         "ks_events_split": q_ks_events_split,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
@@ -2648,6 +2725,10 @@ def oracle_sql() -> Dict[str, str]:
         "gopher_filter_documents": _GOPHER_FILTER_SQL,
         "pii_redact_documents": _PII_REDACT_SQL,
         "decontaminate_documents": _DECONTAMINATE_SQL,
+        # bloom tier vs the EXACT-tier SQL: false negatives are
+        # impossible and the FP probability at sf0.01 cardinalities is
+        # ~1e-15 with deterministic hashing, so the comparison is exact
+        "decontaminate_bloom_documents": _DECONTAMINATE_SQL,
         "domain_sample_documents": _DOMAIN_SAMPLE_SQL,
         "sample_n_events": (
             "SELECT event_id, user_id, value FROM ("
@@ -2862,6 +2943,16 @@ def oracle_sql() -> Dict[str, str]:
             "    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)"
             " ORDER BY e.event_id"
         ),
+        "rowcount_events": (
+            "WITH n AS (SELECT COUNT(*)::BIGINT AS rc FROM events), "
+            "b AS (SELECT COUNT(*)::BIGINT AS bc FROM orders) "
+            "SELECT 'volume' AS rule_name, "
+            "(n.rc >= 1 AND n.rc BETWEEN b.bc * 0.5 AND b.bc * 1.5) AS passed, "
+            "n.rc AS row_count, b.bc AS baseline_count, 1::BIGINT AS total_count, "
+            "(CASE WHEN n.rc >= 1 AND n.rc BETWEEN b.bc * 0.5 AND b.bc * 1.5 "
+            "THEN 0 ELSE 1 END)::BIGINT AS failed_count "
+            "FROM n CROSS JOIN b"
+        ),
         "drift_events_value_fixed": (
             # the drift RULE's fixed-edges PSI tier, end to end: base =
             # raw lineitem.l_quantity, current = events.value, interior
@@ -2956,6 +3047,33 @@ def oracle_sql() -> Dict[str, str]:
             "AS psi FROM bp JOIN cp USING (event_type, bin) "
             "GROUP BY bp.event_type) s USING (event_type) "
             "ORDER BY g.event_type"
+        ),
+        "ks_by_group_events": (
+            "WITH a AS (SELECT event_type, value AS v FROM events "
+            "WHERE event_id % 2 = 0 AND value IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "b AS (SELECT event_type, value AS v FROM events "
+            "WHERE event_id % 2 = 1 AND value IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "u AS (SELECT event_type, v, "
+            "COUNT(*) FILTER (WHERE side = 0) AS ca, "
+            "COUNT(*) FILTER (WHERE side = 1) AS cb "
+            "FROM (SELECT event_type, v, 0 AS side FROM a "
+            "UNION ALL SELECT event_type, v, 1 AS side FROM b) "
+            "GROUP BY event_type, v), "
+            "n AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb "
+            "FROM u GROUP BY event_type), "
+            "c AS (SELECT u.event_type, "
+            "SUM(ca) OVER (PARTITION BY u.event_type ORDER BY v) AS cca, "
+            "SUM(cb) OVER (PARTITION BY u.event_type ORDER BY v) AS ccb "
+            "FROM u) "
+            "SELECT n.event_type, n.na::BIGINT AS n_base, "
+            "n.nb::BIGINT AS n_current, ROUND(m.ks, 6) AS ks_value "
+            "FROM n JOIN (SELECT event_type, MAX(ABS(cca / "
+            "(SELECT na FROM n n2 WHERE n2.event_type = c.event_type) "
+            "- ccb / (SELECT nb FROM n n2 WHERE n2.event_type = "
+            "c.event_type))) AS ks FROM c GROUP BY event_type) m "
+            "USING (event_type) ORDER BY n.event_type"
         ),
         "ks_events_split": (
             # exact two-sample KS: cumulative per-side counts over the

@@ -381,6 +381,86 @@ def psi_fixed_bins(
     )
 
 
+def ks_by_group(
+    source_base: Any,
+    source_current: Any,
+    value_col: str,
+    group_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Any:
+    """Per-group EXACT two-sample KS — :func:`ks_exact` keyed by a
+    group column (the sliced sibling of :func:`psi_by_group`, for
+    continuous columns where fixed bins are awkward).
+
+    Scale shape differs from the global tier: a group's values must be
+    co-resident to take its exact ECDF, so each side reduces per batch
+    to tidy ``(group, value, side-count)`` DISTINCT partials and ONE
+    bucketed groupby on the group key runs a vectorized
+    sort + per-value sum + cumsum sweep per group segment. Exchange is
+    per-batch-distinct (value, group) pairs — integer-ish columns stay
+    tiny; continuous columns are O(rows) like the global tier's
+    default (quantize upstream if that matters). Partitioning
+    assumption: one GROUP's distinct values fit a worker. One-sided
+    groups get KS = 1 by convention (empty ECDF differs everywhere);
+    NULL groups/values drop.
+
+    Returns a Dataset of ``(group, n_base, n_current, ks_value)``
+    (rounded to 6)."""
+    import pandas as pd
+
+    from ..pipelines.dedup import _as_dataset, bucketed_groupby
+
+    def side_partials(src: Any, side: int):
+        mine, other = ("ca", "cb") if side == 0 else ("cb", "ca")
+
+        def partials(batch: pa.Table) -> pa.Table:
+            t = batch.select([group_col, value_col])
+            t = t.filter(
+                pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+            )
+            g = t[group_col].combine_chunks()
+            codes, uniq = pd.factorize(g.to_pandas(), sort=True)
+            vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            pair = np.empty(len(vals), dtype=[("g", np.int64), ("v", np.float64)])
+            pair["g"], pair["v"] = codes, vals
+            up, cnt = np.unique(pair, return_counts=True)
+            return pa.table(
+                {
+                    group_col: pa.array(np.asarray(uniq)[up["g"]]),
+                    "v": pa.array(up["v"], pa.float64()),
+                    mine: pa.array(cnt.astype(np.int64), pa.int64()),
+                    other: pa.array(np.zeros(len(cnt), np.int64), pa.int64()),
+                }
+            ).select([group_col, "v", "ca", "cb"])
+
+        ds = _as_dataset(src, columns=[group_col, value_col])
+        return ds.map_batches(
+            partials, batch_format="pyarrow", batch_size=batch_size
+        )
+
+    tidy = side_partials(source_base, 0).union(side_partials(source_current, 1))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gval, g in df.groupby(group_col, sort=True):
+            agg = g.groupby("v", sort=True)[["ca", "cb"]].sum()
+            na, nb_ = int(agg["ca"].sum()), int(agg["cb"].sum())
+            if na == 0 or nb_ == 0:
+                ks = 1.0 if (na or nb_) else 0.0
+            else:
+                fa = np.cumsum(agg["ca"].to_numpy(np.int64)) / na
+                fb = np.cumsum(agg["cb"].to_numpy(np.int64)) / nb_
+                ks = float(np.max(np.abs(fa - fb)))
+            rows.append((gval, na, nb_, round(ks, 6)))
+        return pd.DataFrame(
+            rows, columns=[group_col, "n_base", "n_current", "ks_value"]
+        )
+
+    return bucketed_groupby(tidy, [group_col], per_bucket, num_buckets=num_buckets)
+
+
 def psi_by_group(
     source_base: Any,
     source_current: Any,

@@ -368,6 +368,66 @@ class ReferentialKernel(CheckKernel):
         return pc.invert(self.mask_failing(batch))
 
 
+@register_check("rowcount")
+class RowCountKernel(CheckKernel):
+    """Table-size bound check (the deequ ``hasSize`` analog; net-new vs
+    the reference): pass iff the table's row count lies within
+    ``[min_rows, max_rows]``, and/or within ``tolerance_pct`` percent
+    of a baseline table's count (``parameters.baseline`` — a Parquet
+    path counted via dataset metadata, never scanned). The classic
+    volume-anomaly alarm: an upstream crawler that silently shipped
+    half a partition fails here before any per-row rule runs.
+
+    total=1, failed∈{0,1} (the table-level verdict convention);
+    ``row_count`` (and ``baseline_count`` when used) land in result
+    metadata."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        p = rule.parameters
+        self.min_rows = p.get("min_rows")
+        self.max_rows = p.get("max_rows")
+        self.baseline = p.get("baseline")
+        self.tolerance_pct = p.get("tolerance_pct")
+        if self.min_rows is None and self.max_rows is None and not self.baseline:
+            raise ValueError(
+                "Rowcount rule requires min_rows/max_rows or a baseline"
+            )
+        if self.baseline and self.tolerance_pct is None:
+            raise ValueError("Rowcount baseline requires tolerance_pct")
+        self._baseline_count: Optional[int] = None
+
+    def prepare(self, ctx: Dict[str, Any]) -> None:
+        if not self.baseline:
+            return
+        from ..pipelines.dedup import _as_dataset
+
+        # Dataset.count() on Parquet resolves from file metadata —
+        # no column data is read
+        self._baseline_count = int(_as_dataset(self.baseline).count())
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        return {"total": batch.num_rows, "failed": 0}
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        n = sum(p["total"] for p in partials)
+        ok = True
+        if self.min_rows is not None and n < int(self.min_rows):
+            ok = False
+        if self.max_rows is not None and n > int(self.max_rows):
+            ok = False
+        out: Dict[str, Any] = {"row_count": n}
+        if self._baseline_count is not None:
+            b = self._baseline_count
+            out["baseline_count"] = b
+            lo = b * (1 - float(self.tolerance_pct) / 100.0)
+            hi = b * (1 + float(self.tolerance_pct) / 100.0)
+            if not (lo <= n <= hi):
+                ok = False
+        out.update({"total": 1, "failed": 0 if ok else 1})
+        return out
+
+
 @register_check("schema")
 class SchemaKernel(CheckKernel):
     """Type-conformance check: declared schema vs actual dataset schema

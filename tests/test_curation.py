@@ -638,3 +638,39 @@ def test_sample_hash_id_domain_guard(ray_session):
     big = pd.DataFrame({"id": [1, 2**33, 7], "w": [1.0, 1.0, 1.0]})
     with pytest.raises(Exception, match="2\\^32"):
         sample_weighted(ray.data.from_pandas(big), "id", "w", 2)
+
+
+def test_decontaminate_bloom_matches_exact_on_testdata(ray_session):
+    """Bloom-tier decontamination: no false negatives ever; at test
+    cardinalities (1 MiB registers vs ~1e4 shingles) the FP probability
+    is ~1e-15, so the output matches the exact tier bit-for-bit."""
+    import pandas as pd
+    import ray
+
+    from data_validator_ray.pipelines.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bench_df = (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+    )
+    bench_df = bench_df[bench_df["doc_id"] % 97 == 0]
+    exact = (
+        decontaminate(f"{sf}/documents.parquet", bench_df["text"].tolist())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bloom = (
+        decontaminate_bloom(
+            f"{sf}/documents.parquet",
+            ray.data.from_pandas(bench_df[["text"]]),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, bloom)

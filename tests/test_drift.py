@@ -285,3 +285,30 @@ def test_psi_by_group_slices_and_one_sided_groups(ray_session):
     assert out.loc["b", "psi_value"] > 5.0           # total shift
     assert out.loc["only_base", "n_current"] == 0    # one-sided group
     assert out.loc["only_base", "psi_value"] > 5.0
+
+
+def test_ks_by_group_one_sided_and_shift(ray_session):
+    from data_validator_ray.stages.drift import ks_by_group
+
+    rng = np.random.default_rng(7)
+    base = pd.DataFrame(
+        {
+            "g": ["a"] * 1000 + ["b"] * 1000 + ["gone"] * 20,
+            "v": np.concatenate(
+                [rng.normal(0, 1, 1000), rng.normal(0, 1, 1000),
+                 rng.normal(0, 1, 20)]
+            ),
+        }
+    )
+    cur = pd.DataFrame(
+        {
+            "g": ["a"] * 1000 + ["b"] * 1000,
+            "v": np.concatenate(
+                [rng.normal(0, 1, 1000), rng.normal(3, 1, 1000)]
+            ),
+        }
+    )
+    out = ks_by_group(base, cur, "v", "g").to_pandas().set_index("g")
+    assert out.loc["a", "ks_value"] < 0.15
+    assert out.loc["b", "ks_value"] > 0.8
+    assert out.loc["gone", "ks_value"] == 1.0 and out.loc["gone", "n_current"] == 0
