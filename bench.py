@@ -287,6 +287,33 @@ def bench_unigram_logprob(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_bigram_logprob(input_dir: str) -> float:
+    """Order-2 LM scoring: pair-count partials (24 B/row exchange) →
+    one driver lexsort merge → broadcast searchsorted probe; the
+    max_bigrams cap bounds the table on heavy-tail pair vocabularies."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.text import bigram_logprob
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    assert (
+        bigram_logprob(ds, max_bigrams=1 << 20, batch_size=16384).count() > 0
+    )
+    return time.perf_counter() - t0
+
+
 def bench_curation_profile(input_dir: str) -> float:
     """The fused curation pass (Gopher counters + PII counts +
     decontamination in one read / one explode) over the 8M-row bench
@@ -611,6 +638,12 @@ def run_bench() -> dict:
         queries["pack_shards_webpages"] = best_of(bench_pack_shards, str(input_dir))
         queries["unigram_logprob_webpages"] = best_of(
             bench_unigram_logprob, str(input_dir)
+        )
+        # single pass: the order-2 LM tier runs ~2 min at 8M rows (pair
+        # vocabulary ≫ token vocabulary), same policy as the other
+        # expensive single-pass tiers below
+        queries["bigram_logprob_webpages"] = round(
+            bench_bigram_logprob(str(input_dir)), 3
         )
         emb_dir = _bench_embeddings_dir()
         if not emb_dir.exists():

@@ -761,6 +761,7 @@ def bigram_logprob(
     *,
     max_bigrams: Optional[int] = None,
     oov_logp: float = -20.0,
+    distributed_merge: bool = False,
     batch_size: int = 8192,
 ) -> Dataset:
     """Per-doc mean bigram conditional log-probability — the next step
@@ -823,11 +824,33 @@ def bigram_logprob(
         )
 
     part = ds.map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
-    hl_p, hp_p, c_p = [], [], []
-    for b in part.iter_batches(batch_format="pyarrow"):
-        hl_p.append(b["hl"].to_numpy())
-        hp_p.append(b["hp"].to_numpy())
-        c_p.append(b["cnt"].to_numpy())
+    if distributed_merge:
+        # pre-merge duplicate pairs across batches with a Ray groupby
+        # BEFORE the driver sees anything: the driver then holds the
+        # TRUE-distinct pair table, not #batches × per-batch-distinct.
+        # This is the driver-memory-safe tier for corpora whose
+        # concatenated partials would not fit on the driver; on a
+        # single node the extra pair-hash shuffle costs more than the
+        # driver merge saves (8M-doc bench: 214 s vs 137 s), so the
+        # default stays False. hl is a function of hp, so Min(hl) is
+        # the (any) representative.
+        from ray.data.aggregate import Min, Sum
+
+        merged = (
+            part.groupby("hp")
+            .aggregate(Sum("cnt", alias_name="n"), Min("hl", alias_name="l"))
+        )
+        hl_p, hp_p, c_p = [], [], []
+        for b in merged.iter_batches(batch_format="pyarrow"):
+            hl_p.append(b["l"].to_numpy())
+            hp_p.append(b["hp"].to_numpy())
+            c_p.append(b["n"].to_numpy())
+    else:
+        hl_p, hp_p, c_p = [], [], []
+        for b in part.iter_batches(batch_format="pyarrow"):
+            hl_p.append(b["hl"].to_numpy())
+            hp_p.append(b["hp"].to_numpy())
+            c_p.append(b["cnt"].to_numpy())
     if hl_p and sum(map(len, hp_p)):
         hl_all = np.concatenate(hl_p)
         hp_all = np.concatenate(hp_p)

@@ -142,3 +142,35 @@ def test_bigram_logprob_edges_and_cap(ray_session):
     # doc0 = mean(ln P(a,b)=ln1, -20, ln1) = -20/3
     assert math.isclose(capped.loc[0, "logprob_mean"], round(-20.0 / 3, 6))
     assert capped.loc[1, "logprob_mean"] == 0.0
+
+
+def test_bigram_logprob_distributed_merge_parity(ray_session):
+    """distributed_merge=True (Ray groupby pre-merge of pair partials)
+    must be value-identical to the driver-merge default, including under
+    a max_bigrams cap and with pairs split across many small batches."""
+    import pandas as pd
+    import ray
+
+    from data_validator_ray.pipelines.text import bigram_logprob
+
+    rows = []
+    words = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+    for i in range(60):
+        # deterministic pseudo-text with heavy pair overlap across docs
+        toks = [words[(i * 7 + j * 3) % len(words)] for j in range(12)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+
+    def run(**kw):
+        ds = ray.data.from_pandas(df).repartition(8)
+        return (
+            bigram_logprob(ds, batch_size=8, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(), run(distributed_merge=True))
+    pd.testing.assert_frame_equal(
+        run(max_bigrams=5), run(max_bigrams=5, distributed_merge=True)
+    )
