@@ -1154,6 +1154,68 @@ def full_profile(
 # --------------------------------------------------------------------------- #
 
 
+def linear_classifier_score(
+    source: Any,
+    feature_cols: List[str],
+    weights: "List[float]",
+    bias: float = 0.0,
+    *,
+    id_cols: Optional[List[str]] = None,
+    threshold: float = 0.5,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Model-scoring stage: logistic score over numeric feature
+    columns — the fastText-style quality-classifier shape (CCNet /
+    LLaMA data pipelines gate documents on a linear classifier's
+    probability). ``score = σ(w·x + b)`` rounded to 6; ``label =
+    score ≥ threshold`` (0/1, NULL propagated from any NULL feature —
+    a doc with missing features is unscored, never silently kept).
+
+    Scale shape: the weight vector ships ONCE via ``ray.put`` and
+    every batch does one ``X @ w`` matmul — the same broadcast-model
+    pattern carries real model matrices (e.g. an n-gram-hash logistic
+    layer) without per-batch reshipping; swap the inner matmul for a
+    batched model call and nothing else changes. No shuffle, no
+    driver collect."""
+    w = np.asarray(weights, np.float64)
+    if len(w) != len(feature_cols):
+        raise ValueError(
+            f"weights ({len(w)}) must match feature_cols "
+            f"({len(feature_cols)})"
+        )
+    model_ref = ray.put((w, np.float64(bias)))
+    keep = list(id_cols or [])
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv, b = ray.get(model_ref)
+        X = np.column_stack(
+            [
+                pc.cast(batch[c], pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+                for c in feature_cols
+            ]
+        )
+        z = X @ wv + b  # NaN features propagate -> NULL score
+        s = 1.0 / (1.0 + np.exp(-z))
+        valid = ~np.isnan(s)
+        out = batch.select(keep + feature_cols)
+        out = out.append_column(
+            "score",
+            pa.array(np.round(s, 6), pa.float64(), mask=~valid),
+        )
+        out = out.append_column(
+            "label",
+            pa.array(
+                (s >= threshold).astype(np.int64), pa.int64(), mask=~valid
+            ),
+        )
+        return out
+
+    ds = _as_dataset(source, columns=(keep + feature_cols) or None)
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
+
+
 def duplicated_span_stats(
     source: Any,
     id_col: str = "doc_id",

@@ -544,6 +544,97 @@ def grouped_stats(
     )
 
 
+def grouped_higher_moments(
+    source: Any,
+    key_cols: "list[str]",
+    x_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Per-group SKEWNESS and KURTOSIS — the 3rd/4th-moment siblings
+    of :func:`grouped_stats`, the distribution-shape signals a drift
+    monitor wants next to mean/variance (a mean-stable column whose
+    tail flips sign is invisible to PSI on coarse bins but loud in
+    skewness). Definitions match DuckDB/SQL exactly: adjusted
+    Fisher-Pearson skewness ``G1 = g1·√(n(n−1))/(n−2)`` (NULL when
+    n < 3 or zero variance) and bias-corrected EXCESS kurtosis
+    ``G2 = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6)`` (NULL when n < 4 or
+    zero variance), both over non-NULL values only, rounded to 6.
+
+    Scale shape: identical to :func:`grouped_stats` — ONE pyarrow
+    ``group_by`` per batch reduces rows to per-group power sums
+    (n, Σx, Σx², Σx³, Σx⁴; exchange is groups × batches), a null-safe
+    bucketed groupby merges them, and the closed-form central moments
+    ``m₂ = s₂ − s₁²/n``, ``m₃ = s₃ − 3μs₂ + 2nμ³``,
+    ``m₄ = s₄ − 4μs₃ + 6μ²s₂ − 3nμ⁴`` evaluate per group at the end.
+    Magnitude note: power sums to the 4th amplify the sums-of-squares
+    caveat — fine while ``|x|⁴·n`` stays ≪ 2⁵³·m₄; for extreme means,
+    center the column first."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[x_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = ~np.isnan(x)
+        x0 = np.where(v, x, 0.0)
+        x2 = x0 * x0
+        t = pa.table(
+            {
+                **{c: batch[c] for c in key_cols},
+                "__n": pa.array(v.astype(np.int64)),
+                "__s1": pa.array(x0),
+                "__s2": pa.array(x2),
+                "__s3": pa.array(x2 * x0),
+                "__s4": pa.array(x2 * x2),
+            }
+        )
+        aggs = [(c, "sum") for c in t.column_names if c.startswith("__")]
+        return t.group_by(key_cols).aggregate(aggs)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(key_cols, dropna=False, sort=False)
+            .sum(numeric_only=True)
+            .reset_index()
+        )
+        n = s["__n_sum"].to_numpy(np.float64)
+        s1 = s["__s1_sum"].to_numpy(np.float64)
+        s2 = s["__s2_sum"].to_numpy(np.float64)
+        s3 = s["__s3_sum"].to_numpy(np.float64)
+        s4 = s["__s4_sum"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mu = s1 / n
+            m2 = s2 - s1 * mu
+            m3 = s3 - 3.0 * mu * s2 + 2.0 * n * mu**3
+            m4 = s4 - 4.0 * mu * s3 + 6.0 * mu * mu * s2 - 3.0 * n * mu**4
+            g1 = (m3 / n) / np.power(m2 / n, 1.5)
+            skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+            g2 = (m4 / n) / np.power(m2 / n, 2.0) - 3.0
+            kurt = (n - 1.0) / ((n - 2.0) * (n - 3.0)) * ((n + 1.0) * g2 + 6.0)
+        out = s[key_cols].copy()
+        out["n_x"] = s["__n_sum"].to_numpy(np.int64)
+        out["skew_x"] = np.where(
+            (n >= 3) & (m2 > 0), np.round(skew, 6), np.nan
+        )
+        out["kurt_x"] = np.where(
+            (n >= 4) & (m2 > 0), np.round(kurt, 6), np.nan
+        )
+        return out
+
+    ds = _as_dataset(source, columns=[*key_cols, x_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        part, key_cols, merge,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def grouped_mode(
     source: Any,
     key_cols: "list[str]",

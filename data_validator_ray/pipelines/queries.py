@@ -1532,6 +1532,33 @@ def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_token_entropy_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc Shannon entropy of the doc's own token distribution
+    (repetition signal; natural log, ROUND 6; NULL for empty docs)."""
+    from .text import token_entropy
+
+    out = token_entropy(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality_classifier_documents(sf_dir: str) -> pd.DataFrame:
+    """fastText-style quality gate: logistic score over the exact
+    quality counters (weights broadcast once via ray.put, one matmul
+    per batch), label = score >= 0.5."""
+    from .curation import linear_classifier_score
+    from .text import quality_stats
+
+    qs = quality_stats(f"{sf_dir}/documents.parquet")
+    out = linear_classifier_score(
+        qs,
+        ["n_chars", "n_tokens", "n_stopwords", "n_unique_tokens"],
+        weights=[0.0005, 0.02, 0.08, -0.03],
+        bias=-1.5,
+        id_cols=["doc_id"],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_repetition_rule_documents(sf_dir: str) -> pd.DataFrame:
     """Gopher repetition gate as a registry rule (rule_type=repetition)
     run through the fused validation pass; min_tokens=30 makes the
@@ -1613,6 +1640,18 @@ def q_top_values_events_user(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/events.parquet", "user_id", k=10
     ).to_pandas()
     return out.reset_index(drop=True)
+
+
+def q_grouped_higher_moments_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user skewness + excess kurtosis of event values (DuckDB's
+    bias-corrected G1/G2 definitions; NULL under n<3/n<4 or zero
+    variance)."""
+    from .profile import grouped_higher_moments
+
+    out = grouped_higher_moments(
+        f"{sf_dir}/events.parquet", ["user_id"], "value"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def q_misra_gries_events_user(sf_dir: str) -> pd.DataFrame:
@@ -1822,6 +1861,46 @@ def q_moving_window_events(sf_dir: str) -> pd.DataFrame:
         ["ts", "event_id"],
         "value",
         preceding=3,
+    ).to_pandas()
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+
+
+def q_time_range_window_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user TIME-based moving window (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW, peers included) over events ordered by
+    ts: trailing sum (ROUND 6), min/max and non-NULL count. rng_avg is
+    dropped from the driver compare: at hour-wide frames the true mean
+    can land exactly on a 7th-decimal half-point, where accumulation
+    order (not correctness) decides the rounded hash — sum/min/max/
+    count are exactly representable and hash-stable."""
+    from .relational import time_range_window
+
+    out = time_range_window(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        "ts",
+        "value",
+        preceding_seconds=3600,
+    ).to_pandas()
+    out = out.drop(columns=["rng_avg"])
+    return out.sort_values(
+        ["user_id", "ts", "value"], na_position="last"
+    ).reset_index(drop=True)
+
+
+def q_edge_values_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user LEAD / FIRST_VALUE / LAST_VALUE (RESPECT NULLS, full
+    frame) + partition row count over events ordered by (ts,
+    event_id)."""
+    from .relational import edge_values
+
+    out = edge_values(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        ["ts", "event_id"],
+        "value",
     ).to_pandas()
     return out.sort_values(["user_id", "ts", "event_id"]).reset_index(
         drop=True
@@ -2391,6 +2470,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "assign_splits_documents": q_assign_splits_documents,
         "top_ngrams_documents": q_top_ngrams_documents,
         "top_values_events_user": q_top_values_events_user,
+        "grouped_higher_moments_events": q_grouped_higher_moments_events,
         "misra_gries_events_user": q_misra_gries_events_user,
         "histogram_events_value": q_histogram_events_value,
         "repetition_rule_documents": q_repetition_rule_documents,
@@ -2402,6 +2482,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "bigram_logprob_documents": q_bigram_logprob_documents,
+        "token_entropy_documents": q_token_entropy_documents,
+        "quality_classifier_documents": q_quality_classifier_documents,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "transform_runner_documents": q_transform_runner_documents,
@@ -2434,6 +2516,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
+        "time_range_window_events": q_time_range_window_events,
+        "edge_values_events": q_edge_values_events,
         "unpivot_lineitem": q_unpivot_lineitem,
         "json_extract_events": q_json_extract_events,
         "rollup_documents": q_rollup_documents,
@@ -2647,6 +2731,23 @@ def oracle_sql() -> Dict[str, str]:
             "x -> x <> '')))::BIGINT AS n_unique_tokens "
             "FROM documents ORDER BY doc_id"
         ),
+        "quality_classifier_documents": (
+            "WITH q AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+            "::BIGINT AS n_tokens, "
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({_EN_STOP})))"
+            "::BIGINT AS n_stopwords, "
+            "len(list_distinct(list_filter(string_split(text, ' '), "
+            "x -> x <> '')))::BIGINT AS n_unique_tokens FROM documents), "
+            "z AS (SELECT *, 0.0005 * n_chars + 0.02 * n_tokens + "
+            "0.08 * n_stopwords - 0.03 * n_unique_tokens - 1.5 AS zv "
+            "FROM q) "
+            "SELECT doc_id, n_chars, n_tokens, n_stopwords, "
+            "n_unique_tokens, "
+            "ROUND(1.0 / (1.0 + EXP(-zv)), 6) AS score, "
+            "(1.0 / (1.0 + EXP(-zv)) >= 0.5)::BIGINT AS label "
+            "FROM z ORDER BY doc_id"
+        ),
         "language_id_documents": _LANGUAGE_ID_SQL,
         "text_profile_documents": (
             "WITH q AS ({q}), l AS ({l}), f AS ({f}) "
@@ -2768,6 +2869,12 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT user_id AS value, COUNT(*)::BIGINT AS n FROM events"
             " GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 10"
         ),
+        "grouped_higher_moments_events": (
+            "SELECT user_id, COUNT(value)::BIGINT AS n_x, "
+            "ROUND(skewness(value), 6) AS skew_x, "
+            "ROUND(kurtosis(value), 6) AS kurt_x "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
         "histogram_events_value": (
             "WITH v AS (SELECT value FROM events"
             "  WHERE value IS NOT NULL AND value >= 0 AND value < 512),"
@@ -2819,6 +2926,23 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, "
             "p.logprob_mean FROM documents d "
             "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "token_entropy_documents": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS t "
+            "FROM documents), "
+            "cnt AS (SELECT doc_id, t, COUNT(*)::DOUBLE AS c FROM tok "
+            "GROUP BY doc_id, t), "
+            "tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*)::BIGINT AS d "
+            "FROM cnt GROUP BY doc_id), "
+            "ent AS (SELECT cnt.doc_id, "
+            "ROUND(-SUM((c / n) * LN(c / n)), 6) AS token_entropy "
+            "FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id) "
+            "SELECT d.doc_id, COALESCE(tot.n, 0)::BIGINT AS n_tokens, "
+            "COALESCE(tot.d, 0)::BIGINT AS distinct_tokens, "
+            "ent.token_entropy FROM documents d "
+            "LEFT JOIN tot USING (doc_id) "
+            "LEFT JOIN ent ON d.doc_id = ent.doc_id ORDER BY d.doc_id"
         ),
         "normalize_text_documents": (
             "SELECT doc_id, trim(regexp_replace("
@@ -3132,6 +3256,32 @@ def oracle_sql() -> Dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+            "ORDER BY user_id, ts, event_id"
+        ),
+        "time_range_window_events": (
+            "SELECT user_id, ts, value, "
+            "CASE WHEN COUNT(value) OVER w > 0 THEN "
+            "ROUND(SUM(value) OVER w, 6) END AS rng_sum, "
+            "MIN(value) OVER w AS rng_min, "
+            "MAX(value) OVER w AS rng_max, "
+            "COUNT(value) OVER w AS rng_count "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING "
+            "AND CURRENT ROW) "
+            "ORDER BY user_id, ts, value"
+        ),
+        "edge_values_events": (
+            "SELECT user_id, ts, event_id, value, "
+            "LEAD(value, 1) OVER w AS next_value, "
+            "FIRST_VALUE(value) OVER w AS first_value, "
+            "LAST_VALUE(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS last_value, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS key_rows "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
             "ORDER BY user_id, ts, event_id"
         ),
         "unpivot_lineitem": (

@@ -803,6 +803,78 @@ def running_window(
     )
 
 
+def edge_values(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key partition-EDGE window values — the LEAD / FIRST_VALUE /
+    LAST_VALUE family completing :func:`running_window`'s LAG: for each
+    key, rows ordered by ``order_cols`` get ``next_value`` (LEAD(v, 1),
+    NULL at each key's last row), ``first_value`` / ``last_value`` (the
+    value at the partition's first/last ROW over the full frame,
+    RESPECT NULLS — SQL default) and ``key_rows`` (COUNT(*) OVER the
+    partition, handy for pct-of-partition math downstream).
+
+    Scale shape: identical to :func:`running_window` — ONE hash-bucket
+    shuffle co-locates each key, then ONE vectorized numpy pass per
+    bucket (sort + segment boundary masks + segment-edge gathers); no
+    per-key Python. ``order_cols`` must totally order each key's rows
+    (include a tiebreak id) or ``next_value`` is arrival-dependent.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col] + order_cols, kind="mergesort", na_position="last"
+        )
+        n = len(g)
+        if n == 0:
+            out = g.copy()
+            for c in ("next_value", "first_value", "last_value"):
+                out[c] = np.array([], np.float64)
+            out["key_rows"] = np.array([], np.int64)
+            return out
+        u = g[key_col].to_numpy()
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        # seg_end via the mirrored trick on the reversed boundary mask
+        last_of_key = np.empty(n, bool)
+        last_of_key[-1] = True
+        last_of_key[:-1] = new_key[1:]
+        seg_end = np.minimum.accumulate(
+            np.where(last_of_key, idx, n - 1)[::-1]
+        )[::-1]
+
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        nxt = np.empty(n, np.float64)
+        nxt[-1] = np.nan
+        nxt[:-1] = vals[1:]
+        nxt[last_of_key] = np.nan
+
+        out = g.copy()
+        out["next_value"] = nxt
+        out["first_value"] = vals[seg_start]
+        out["last_value"] = vals[seg_end]
+        out["key_rows"] = seg_end - seg_start + 1
+        return out
+
+    ds = _as_dataset(source, columns=[key_col, *order_cols, value_col])
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def moving_window(
     source: Any,
     key_col: str,
@@ -929,6 +1001,160 @@ def moving_window(
         return out
 
     ds = _as_dataset(source, columns=[key_col, *order_cols, value_col])
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
+def time_range_window(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    preceding_seconds: int,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key TIME-based moving aggregates — SQL ``RANGE BETWEEN
+    INTERVAL k PRECEDING AND CURRENT ROW`` over a timestamp order
+    column: each row aggregates every same-key row whose timestamp
+    falls in ``[ts − k, ts]``. RANGE frames include PEERS — rows
+    sharing the current timestamp are in the frame even when they
+    appear later in row order — which is what distinguishes this from
+    the ROWS-based :func:`moving_window` (a row count can't express a
+    7-day trailing revenue window on irregular event times).
+
+    Output columns: ``rng_sum`` / ``rng_avg`` (ROUND 6, the float-hash
+    convention), ``rng_min`` / ``rng_max`` (exact input values) and
+    ``rng_count`` (non-NULL count). SQL NULL semantics: NULL values
+    are ignored inside the frame; an all-NULL frame yields NULL
+    sum/avg/min/max and count 0. NULL timestamps sort last and frame
+    only their fellow NULL-ts peers (the SQL ``RANGE`` NULLS group).
+
+    Scale shape: identical to :func:`moving_window` — ONE hash-bucket
+    shuffle co-locates each key, then ONE vectorized pass per bucket.
+    Frame bounds come from ``np.searchsorted`` over per-segment
+    monotone timestamps (segments made globally monotone by an
+    int128-free per-segment offset trick), sums/counts are prefix
+    differences in longdouble, extrema reuse the log-doubling sparse
+    table queried at each row's frame end.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    if preceding_seconds < 0:
+        raise ValueError("preceding_seconds must be >= 0")
+    delta_ns = np.int64(preceding_seconds) * 1_000_000_000
+
+    def _range_extrema(
+        m0: np.ndarray, w_start: np.ndarray, w_end: np.ndarray, op
+    ) -> np.ndarray:
+        """extrema over [w_start[i], w_end[i]] (inclusive, nonempty)
+        via a log-doubling sparse table of trailing windows."""
+        n = len(m0)
+        win_len = w_end - w_start + 1
+        max_len = int(win_len.max()) if n else 1
+        levels = [m0]
+        j, span = 0, 1
+        while span * 2 <= max_len:
+            prev = levels[j]
+            nxt = prev.copy()
+            op(nxt[span:], prev[:-span], out=nxt[span:])
+            levels.append(nxt)
+            j += 1
+            span *= 2
+        j_q = np.floor(np.log2(win_len)).astype(np.int64)
+        j_q = np.minimum(j_q, len(levels) - 1)
+        spans = np.int64(1) << j_q
+        out = np.empty(n, m0.dtype)
+        for lvl in range(len(levels)):
+            sel = j_q == lvl
+            if not sel.any():
+                continue
+            L = levels[lvl]
+            # two overlapping 2^lvl windows: one ending at w_end, one
+            # ending at (w_start + 2^lvl - 1)
+            out[sel] = op(L[w_end[sel]], L[w_start[sel] + spans[sel] - 1])
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, ts_col], kind="mergesort", na_position="last"
+        )
+        n = len(g)
+        if n == 0:
+            out = g.copy()
+            for c in ("rng_sum", "rng_avg", "rng_min", "rng_max"):
+                out[c] = np.array([], np.float64)
+            out["rng_count"] = np.array([], np.int64)
+            return out
+        u = g[key_col].to_numpy()
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        ts = g[ts_col].to_numpy("datetime64[ns]").astype(np.int64)
+        ts_null = g[ts_col].isna().to_numpy()
+        # make segments globally monotone so ONE searchsorted serves
+        # every key: offset each segment past the global ts span.
+        t_valid = ts[~ts_null]
+        lo = t_valid.min() if len(t_valid) else np.int64(0)
+        hi = t_valid.max() if len(t_valid) else np.int64(0)
+        span = np.int64(hi - lo) + delta_ns + np.int64(2)
+        base = ts - lo
+        # NULL-ts rows sort last within their segment; give them the
+        # base one past the max valid one so `mono` stays sorted AND
+        # no non-null row's [target, mono_i] range can reach a prior
+        # segment's NULL rows (their own frames are overwritten below)
+        base[ts_null] = np.int64(hi - lo) + np.int64(1)
+        mono = seg_id * span + base
+        w_start = np.searchsorted(mono, mono - delta_ns, side="left")
+        w_end = np.searchsorted(mono, mono, side="right") - 1
+        # the SQL NULLS frame: NULL-ts rows frame exactly their key's
+        # NULL-ts peer group
+        if ts_null.any():
+            idx = np.arange(n, dtype=np.int64)
+            # NULL-ts peer runs are contiguous after the sort (one run
+            # per segment tail); frame = the whole run
+            grp = np.where(ts_null, seg_id, -1)
+            is_start = np.empty(n, bool)
+            is_start[0] = True
+            is_start[1:] = grp[1:] != grp[:-1]
+            run_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+            starts = idx[is_start]
+            ends = np.append(starts[1:] - 1, n - 1)
+            run_end = np.repeat(ends, np.diff(np.append(starts, n)))
+            w_start = np.where(ts_null, run_start, w_start)
+            w_end = np.where(ts_null, run_end, w_end)
+
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        nn = ~np.isnan(vals)
+        contrib = np.where(nn, vals, 0.0)
+        cs0 = np.concatenate(
+            ([0.0], np.cumsum(contrib, dtype=np.longdouble))
+        )
+        cn0 = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
+        wsum = (cs0[w_end + 1] - cs0[w_start]).astype(np.float64)
+        wcnt = cn0[w_end + 1] - cn0[w_start]
+        has = wcnt > 0
+        rng_sum = np.where(has, np.round(wsum, 6), np.nan)
+        rng_avg = np.where(has, np.round(wsum / np.maximum(wcnt, 1), 6), np.nan)
+
+        mins = _range_extrema(np.where(nn, vals, np.inf), w_start, w_end, np.minimum)
+        maxs = _range_extrema(np.where(nn, vals, -np.inf), w_start, w_end, np.maximum)
+
+        out = g.copy()
+        out["rng_sum"] = rng_sum
+        out["rng_avg"] = rng_avg
+        out["rng_min"] = np.where(has, mins, np.nan)
+        out["rng_max"] = np.where(has, maxs, np.nan)
+        out["rng_count"] = wcnt
+        return out
+
+    ds = _as_dataset(source, columns=[key_col, ts_col, value_col])
     return bucketed_groupby(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,

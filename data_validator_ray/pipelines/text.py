@@ -908,6 +908,74 @@ def bigram_logprob(
     return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
 
 
+def token_entropy(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-doc Shannon entropy of the document's OWN token
+    distribution — the repetition signal orthogonal to the corpus-LM
+    scores (:func:`unigram_logprob` uses corpus frequencies; this uses
+    only the doc's internal distribution, so keyword-stuffed or
+    looping boilerplate scores low even when its tokens are corpus-
+    common). Output per doc: ``n_tokens``, ``distinct_tokens`` and
+    ``token_entropy = −Σ p·ln p`` over the doc's token frequencies
+    (natural log, ROUND 6; NULL for token-less docs; 0.0 for
+    single-token and all-same-token docs).
+
+    Scale shape: entirely batch-local — tokens never leave their doc,
+    so there is NO shuffle and no state; ONE polars explode + ONE
+    numpy lexsort per batch (run-length (doc, token) counts →
+    ``bincount`` entropy terms). Token identity is the 64-bit token
+    hash: two distinct tokens colliding WITHIN one doc (~k²/2⁶⁵ per
+    doc) would merge their counts — negligible at any real doc size.
+    """
+
+    def score(batch: pa.Table) -> pa.Table:
+        ex, n = _exploded_tokens(batch[text_col])
+        doc = ex["doc"].to_numpy()
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_tokens": pa.array(np.zeros(n, np.int64)),
+                    "distinct_tokens": pa.array(np.zeros(n, np.int64)),
+                    "token_entropy": pa.array(
+                        np.full(n, np.nan), pa.float64()
+                    ),
+                }
+            )
+        hs = ex["t"].hash(seed=0).to_numpy().astype(np.uint64)
+        o = np.lexsort((hs, doc))
+        d, h = doc[o], hs[o]
+        new = np.empty(len(d), bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        st = np.flatnonzero(new)
+        c = np.diff(np.append(st, len(d))).astype(np.float64)
+        run_doc = d[st]
+        n_tok = np.bincount(doc, minlength=n).astype(np.float64)
+        p = c / n_tok[run_doc]
+        ent = np.bincount(run_doc, weights=-p * np.log(p), minlength=n)
+        distinct = np.bincount(run_doc, minlength=n)
+        has = n_tok > 0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "distinct_tokens": pa.array(distinct.astype(np.int64)),
+                "token_entropy": pa.array(
+                    np.where(has, np.round(ent, 6), np.nan), pa.float64()
+                ),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
+
+
 def tfidf_top_terms(
     source: Any,
     id_col: str = "doc_id",

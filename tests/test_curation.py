@@ -674,3 +674,42 @@ def test_decontaminate_bloom_matches_exact_on_testdata(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_linear_classifier_score_semantics(ray_session):
+    """Sigmoid math vs hand computation, NULL-feature rows score NULL
+    (and carry NULL labels), threshold boundary is >=, and a weight /
+    feature length mismatch raises."""
+    import math
+
+    import ray
+
+    from data_validator_ray.pipelines.curation import linear_classifier_score
+
+    df = pd.DataFrame(
+        {
+            "id": [0, 1, 2, 3],
+            "f1": [1.0, -2.0, 0.0, None],
+            "f2": [2.0, 1.0, 0.0, 3.0],
+        }
+    )
+    out = (
+        linear_classifier_score(
+            ray.data.from_pandas(df), ["f1", "f2"],
+            weights=[0.5, -0.25], bias=0.0, id_cols=["id"],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    z = [0.5 * 1 - 0.25 * 2, 0.5 * -2 - 0.25 * 1, 0.0]
+    for i, zi in enumerate(z):
+        assert math.isclose(
+            out.loc[i, "score"], round(1 / (1 + math.exp(-zi)), 6)
+        ), i
+    # z=0 -> score 0.5 -> label 1 (>= threshold)
+    assert out["label"].tolist()[:3] == [1, 0, 1]
+    assert pd.isna(out.loc[3, "score"]) and pd.isna(out.loc[3, "label"])
+
+    with pytest.raises(ValueError):
+        linear_classifier_score(df, ["f1", "f2"], weights=[1.0])

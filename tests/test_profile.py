@@ -30,6 +30,45 @@ def test_top_values_k_larger_than_distinct(ray_session):
     assert out["n"].tolist() == [2, 1]
 
 
+def test_grouped_higher_moments_edges_vs_duckdb(ray_session):
+    """DuckDB G1/G2 parity on the NULL-threshold edges: n=2 (both
+    NULL), n=3 (skew 0.0, kurt NULL), n=4 (both defined), constant
+    group (both NULL, zero variance), NULL values ignored, plus a
+    random group split across many batches."""
+    import duckdb
+    import ray
+
+    from data_validator_ray.pipelines.profile import grouped_higher_moments
+
+    rng = np.random.default_rng(5)
+    big = rng.normal(50, 9, 500).round(3)
+    df = pd.DataFrame(
+        {
+            "g": ["n2"] * 2 + ["n3"] * 3 + ["n4"] * 4 + ["const"] * 5
+            + ["nulls"] * 6 + ["big"] * 500,
+            "v": [1.0, 2.0] + [1.0, 2.0, 3.0] + [1.0, 2.0, 3.0, 9.0]
+            + [7.0] * 5 + [None, 4.0, None, 8.0, 1.0, 3.0]
+            + list(big),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        grouped_higher_moments(ds, ["g"], "v", num_buckets=4, batch_size=64)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, COUNT(v)::BIGINT AS n_x, ROUND(skewness(v), 6) AS skew_x, "
+        "ROUND(kurtosis(v), 6) AS kurt_x FROM t GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[exp.columns], exp, check_dtype=False, atol=1e-6
+    )
+
+
 def test_misra_gries_no_compression_is_exact(ray_session):
     # capacity >= distinct: est == exact, zero decrement
     tbl = pa.table({"c": pa.array([1] * 4 + [2] * 2 + [3], pa.int64())})

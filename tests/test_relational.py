@@ -1265,6 +1265,144 @@ def test_moving_window_random_vs_duckdb(ray_session):
     assert (out["mov_count"].to_numpy() == exp["mov_count"].to_numpy()).all()
 
 
+def test_time_range_window_edges(ray_session):
+    """RANGE-frame semantics vs DuckDB: peers at equal ts share one
+    frame (including rows after the current one in row order), NULL
+    values are ignored inside frames, NULL timestamps frame exactly
+    their key's NULL peer group, single-row keys work."""
+    import duckdb
+    import ray
+
+    from data_validator_ray.pipelines.relational import time_range_window
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 3 + ["c"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00", "2024-01-01 00:00:05",
+                    "2024-01-01 00:00:05", "2024-01-01 00:00:30",
+                    None, None,
+                    "2024-01-01 00:00:00", "2024-01-01 00:00:02",
+                    "2024-01-01 00:01:00",
+                    "2024-01-01 00:00:00",
+                ]
+            ),
+            "v": [1.0, 2.0, None, 4.0, 5.0, None, 10.0, None, 30.0, 7.5],
+        }
+    )
+    out = (
+        time_range_window(
+            ray.data.from_pandas(df), "k", "ts", "v",
+            preceding_seconds=10, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "v"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT k, ts, v, CASE WHEN COUNT(v) OVER w > 0 THEN "
+        "ROUND(SUM(v) OVER w, 6) END AS rng_sum, "
+        "ROUND(AVG(v) OVER w, 6) AS rng_avg, MIN(v) OVER w AS rng_min, "
+        "MAX(v) OVER w AS rng_max, COUNT(v) OVER w AS rng_count FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 10 SECOND PRECEDING AND CURRENT ROW) "
+        "ORDER BY k, ts, v"
+    ).df()
+    exp = exp.sort_values(["k", "ts", "v"], na_position="last").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        out[exp.columns], exp, check_dtype=False, atol=1e-9
+    )
+
+
+def test_time_range_window_random_vs_duckdb(ray_session):
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import time_range_window
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 29, n),
+            # coarse second grid so equal-ts peers are common
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 500, n), unit="s"),
+            "v": np.where(
+                rng.random(n) < 0.1, np.nan, rng.normal(0, 50, n).round(3)
+            ),
+        }
+    )
+    out = (
+        time_range_window(
+            df, "k", "ts", "v", preceding_seconds=60, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "v"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT k, ts, v, CASE WHEN COUNT(v) OVER w > 0 THEN "
+        "ROUND(SUM(v) OVER w, 6) END AS rng_sum, "
+        "ROUND(AVG(v) OVER w, 6) AS rng_avg, MIN(v) OVER w AS rng_min, "
+        "MAX(v) OVER w AS rng_max, COUNT(v) OVER w AS rng_count FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 60 SECOND PRECEDING AND CURRENT ROW) ORDER BY k, ts, v"
+    ).df()
+    exp = exp.sort_values(["k", "ts", "v"], na_position="last").reset_index(
+        drop=True
+    )
+    for c in ("rng_sum", "rng_min", "rng_max"):
+        a, b = out[c].to_numpy(), exp[c].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    # avg sits on exact 7th-decimal half-points at count=2^k frames,
+    # where accumulation order decides the rounding side — tolerance,
+    # not exact equality (the driver query drops the column for this)
+    a, b = out["rng_avg"].to_numpy(), exp["rng_avg"].to_numpy()
+    ok = np.isclose(a, b, atol=1.1e-6, equal_nan=True)
+    assert ok.all(), "rng_avg beyond rounding tolerance"
+    assert (out["rng_count"].to_numpy() == exp["rng_count"].to_numpy()).all()
+
+
+def test_edge_values_semantics(ray_session):
+    """LEAD is NULL at each key's last row; FIRST/LAST_VALUE respect
+    NULLs (SQL default); single-row keys see themselves; key_rows is
+    the partition size."""
+    import ray
+
+    from data_validator_ray.pipelines.relational import edge_values
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "o": [1, 2, 3, 1, 1, 2],
+            "v": [None, 2.0, 3.0, 9.0, 4.0, None],
+        }
+    )
+    out = (
+        edge_values(ray.data.from_pandas(df), "k", ["o"], "v", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    nv = out["next_value"].to_numpy()
+    assert nv[0] == 2.0 and nv[1] == 3.0
+    # last row of each key -> NULL; key c's lead at o=1 is the NULL v
+    assert np.isnan(nv[2]) and np.isnan(nv[3]) and np.isnan(nv[4]) and np.isnan(nv[5])
+    # first_value of key a is the NULL at o=1 (RESPECT NULLS)
+    fv = out["first_value"].to_numpy()
+    assert np.isnan(fv[0]) and np.isnan(fv[1]) and np.isnan(fv[2])
+    lv = out["last_value"].to_numpy()
+    assert lv[0] == 3.0 and lv[3] == 9.0 and np.isnan(lv[4]) and np.isnan(lv[5])
+    assert out["key_rows"].tolist() == [3, 3, 3, 1, 2, 2]
+
+
 def test_semi_join_broadcast_semantics(ray_session):
     from data_validator_ray.pipelines.relational import semi_join_broadcast
 

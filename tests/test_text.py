@@ -144,6 +144,46 @@ def test_bigram_logprob_edges_and_cap(ray_session):
     assert capped.loc[1, "logprob_mean"] == 0.0
 
 
+def test_token_entropy_edges(ray_session):
+    """Empty/NULL docs -> NULL entropy with 0 tokens; single-token and
+    all-same-token docs -> 0.0; a uniform two-token doc -> ln 2; exact
+    p-weighted entropy for a mixed doc."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    from data_validator_ray.pipelines.text import token_entropy
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "a b a b",          # uniform over {a,b} -> ln 2
+                "x x x x",          # single distinct -> 0
+                "solo",             # one token -> 0
+                "",                 # empty -> NULL
+                None,               # NULL -> NULL
+                "a a a b",          # p=(3/4,1/4)
+            ],
+        }
+    )
+    out = (
+        token_entropy(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [4, 4, 1, 0, 0, 4]
+    assert out["distinct_tokens"].tolist() == [2, 1, 1, 0, 0, 2]
+    e = out["token_entropy"]
+    assert math.isclose(e[0], round(math.log(2), 6))
+    assert e[1] == 0.0 and e[2] == 0.0
+    assert pd.isna(e[3]) and pd.isna(e[4])
+    expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert math.isclose(e[5], round(expected, 6))
+
+
 def test_bigram_logprob_distributed_merge_parity(ray_session):
     """distributed_merge=True (Ray groupby pre-merge of pair partials)
     must be value-identical to the driver-merge default, including under
