@@ -449,6 +449,32 @@ def q_knn_brute_embeddings(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "neighbor_id"]].astype("int64")
 
 
+def q_knn_graph_embeddings(sf_dir: str) -> pd.DataFrame:
+    """EXACT k-NN graph (self-join top-5 per corpus row) via
+    block-pair rectangles — no full-corpus broadcast. Integer-only
+    output; ties broken (score DESC, neighbor_id ASC)."""
+    from .similarity import knn_graph_exact
+
+    out = knn_graph_exact(
+        f"{sf_dir}/embeddings.parquet", k=5, n_blocks=4
+    ).to_pandas()
+    out = out[["query_id", "rank", "neighbor_id"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_knn_graph_clustered_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Approximate k-NN graph at the cluster-bucketed scale tier
+    (rows-only: neighbors restricted to probed clusters; recall < 1 by
+    design, deterministic seeded fit)."""
+    from .similarity import knn_graph_clustered
+
+    out = knn_graph_clustered(
+        f"{sf_dir}/embeddings.parquet", k=5, n_clusters=8, probes=2
+    ).to_pandas()
+    out = out[["query_id", "rank", "neighbor_id"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
     """IVF approximate top-10 (rows-only: probes 8/16 centroid
     buckets; recall < 1 by design)."""
@@ -2437,6 +2463,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs_blocked": q_embedding_cosine_pairs_blocked,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "knn_brute_embeddings": q_knn_brute_embeddings,
+        "knn_graph_embeddings": q_knn_graph_embeddings,
+        "knn_graph_clustered_embeddings": q_knn_graph_clustered_embeddings,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "knn_ivf_fullprobe_embeddings": q_knn_ivf_fullprobe_embeddings,
         "quality_stats_documents": q_quality_stats_documents,
@@ -2706,6 +2734,18 @@ def oracle_sql() -> Dict[str, str]:
             "      ) AS rank FROM s) "
             "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
             "FROM r WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
+        "knn_graph_embeddings": (
+            "WITH s AS (SELECT a.vec_id AS query_id, "
+            "b.vec_id AS neighbor_id, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS cos "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id != b.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC"
+            ") AS rank FROM s) "
+            "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
+            "FROM r WHERE rank <= 5 ORDER BY query_id, rank"
         ),
         # full-probe IVF is exact, so the brute-force oracle applies —
         # this pins the index build/layout/scored-merge path to SQL

@@ -29,6 +29,7 @@ from typing import Any, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -121,6 +122,263 @@ def knn_brute(
         batch_size=batch_size,
     ).to_pandas()
     return _topk_merge(cands, k)
+
+
+def _group_topk(
+    Ln: np.ndarray,
+    l_ids: np.ndarray,
+    Rn: np.ndarray,
+    r_ids: np.ndarray,
+    k: int,
+    *,
+    chunk: int = 2048,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """Exact top-k cosine neighbors of each L row within R (self-id
+    excluded), chunked so peak memory is chunk × |R|, never |L| × |R|.
+    Returns (query_id, rank, neighbor_id, score) arrays with the
+    deterministic (score DESC, neighbor_id ASC) tie-break."""
+    qs, rks, nbs, scs = [], [], [], []
+    for s0 in range(0, len(Ln), chunk):
+        s1 = min(s0 + chunk, len(Ln))
+        sims = Ln[s0:s1] @ Rn.T  # (c, R)
+        sims[l_ids[s0:s1, None] == r_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(s1 - s0), kk)
+        cols = part.reshape(-1)
+        sc = sims[rows, cols]
+        nb = r_ids[cols]
+        # in-chunk exact ordering: (query, score desc, neighbor asc)
+        o = np.lexsort((nb, -sc, rows))
+        rows, sc, nb = rows[o], sc[o], nb[o]
+        keep = np.isfinite(sc)
+        rows, sc, nb = rows[keep], sc[keep], nb[keep]
+        # per-query rank 1..k after the sort
+        new_q = np.empty(len(rows), bool)
+        if len(rows):
+            new_q[0] = True
+            new_q[1:] = rows[1:] != rows[:-1]
+            idx = np.arange(len(rows), dtype=np.int64)
+            seg = np.maximum.accumulate(np.where(new_q, idx, 0))
+            rk = idx - seg + 1
+        else:
+            rk = np.zeros(0, np.int64)
+        qs.append(l_ids[s0:s1][rows])
+        rks.append(rk)
+        nbs.append(nb)
+        scs.append(sc.astype(np.float64))
+    if not qs:
+        z = np.zeros(0, np.int64)
+        return z, z, z, np.zeros(0, np.float64)
+    return (
+        np.concatenate(qs),
+        np.concatenate(rks),
+        np.concatenate(nbs),
+        np.concatenate(scs),
+    )
+
+
+def knn_graph_exact(
+    source: Any,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_blocks: int = 4,
+    batch_size: int = 4096,
+) -> Dataset:
+    """EXACT k-NN graph: every corpus row gets its true cosine top-k
+    neighbors among all OTHER rows — the self-join backbone under
+    near-dup graphs, SemDeDup-style pruning decisions and
+    graph-cluster curation. Output ``(query_id, rank, neighbor_id,
+    score)``, tie-break (score DESC, neighbor_id ASC).
+
+    Scale shape: block-pair rectangles — rows hash into ``n_blocks``
+    left-blocks; each row ships one LEFT copy to its own block's group
+    and a RIGHT (candidate) copy to every group, so the exchange is
+    ``n × n_blocks`` normalized float64 vectors and NO full-corpus
+    broadcast ever exists. Compute is inherently O(n²·d) — this tier
+    is for corpora up to ~1M rows (raise ``n_blocks`` so one group's
+    rectangle fits a worker); beyond that use
+    :func:`knn_graph_clustered`, which bounds compute by clustering.
+    """
+    from .dedup import hash64
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _embedding_matrix(batch, vec_col)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        blk = (hash64(ids) % np.uint64(n_blocks)).astype(np.int64)
+        n, d = Mn.shape if Mn.size else (len(ids), 1)
+        rep_ids = np.tile(ids, n_blocks)
+        rep_blk = np.repeat(np.arange(n_blocks, dtype=np.int64), n)
+        rep_left = np.tile(blk, n_blocks) == rep_blk
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(Mn.reshape(-1), n_blocks), pa.float64()), d
+        )
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids, pa.int64()),
+                vec_col: fsl,
+                "__g": pa.array(rep_blk, pa.int64()),
+                "__left": pa.array(rep_left, pa.bool_()),
+            }
+        )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        Mn = _embedding_matrix(group, vec_col)
+        left = group["__left"].to_numpy(zero_copy_only=False)
+        # sort both sides by id for layout-independent determinism
+        o = np.argsort(ids, kind="stable")
+        ids, Mn, left = ids[o], Mn[o], left[o]
+        q, rk, nb, sc = _group_topk(
+            Mn[left], ids[left], Mn, ids, k
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(q, pa.int64()),
+                "rank": pa.array(rk, pa.int64()),
+                "neighbor_id": pa.array(nb, pa.int64()),
+                "score": pa.array(np.round(sc, 6), pa.float64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    rep = ds.map_batches(
+        replicate, batch_format="pyarrow", batch_size=batch_size
+    )
+    return rep.groupby("__g").map_groups(per_group, batch_format="pyarrow")
+
+
+def knn_graph_clustered(
+    source: Any,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    probes: int = 2,
+    seed: int = 0x5EED,
+    sample_size: int = 65536,
+    n_iters: int = 10,
+    batch_size: int = 4096,
+) -> Dataset:
+    """APPROXIMATE k-NN graph at scale — the IVF idea turned inward:
+    k-means partitions the corpus (seeded sampled Lloyd fit, streaming
+    assign), each row's neighbors are searched only within its PRIMARY
+    cluster's candidate pool, and each row also ships a CANDIDATE copy
+    to its ``probes`` nearest clusters so boundary neighbors one
+    cluster over are still found (the SemDeDup approximation plus
+    multi-probe recall repair). Compute drops from O(n²) to
+    Σ|cluster|·|pool| ≈ n²·probes/n_clusters; exchange is
+    ``n × probes`` NORMALIZED float32 vectors through ONE shuffle.
+    Deterministic end-to-end (seeded fit, id-sorted groups, (score
+    DESC, neighbor ASC) tie-break). Raise ``n_clusters`` with corpus
+    size; recall is pinned against :func:`knn_graph_exact` in tests.
+    """
+    if probes < 1 or probes > n_clusters:
+        raise ValueError("probes must be in [1, n_clusters]")
+    C = train_ivf_centroids(
+        source, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_clusters, seed=seed,
+        sample_size=sample_size, n_iters=n_iters,
+    )
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    C_ref = ray.put(Cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cn_ = ray.get(C_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _embedding_matrix(batch, vec_col)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = Mn @ Cn_.T
+        p = min(probes, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        # order probe list so column 0 is the primary cluster
+        row_idx = np.arange(len(ids))[:, None]
+        o = np.argsort(-sims[row_idx, top], kind="stable", axis=1)
+        top = top[row_idx, o]
+        Mn32 = np.ascontiguousarray(Mn, dtype=np.float32)
+        d = Mn32.shape[1] if Mn32.size else 1
+        rep_ids = np.repeat(ids, p)
+        rep_cl = top.reshape(-1).astype(np.int64)
+        rep_left = np.zeros(len(ids) * p, bool)
+        rep_left[0::p] = True  # primary copy is the query copy
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(Mn32, p, axis=0).reshape(-1), pa.float32()), d
+        )
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids, pa.int64()),
+                vec_col: fsl,
+                "cluster": pa.array(rep_cl, pa.int64()),
+                "__left": pa.array(rep_left, pa.bool_()),
+            }
+        )
+
+    buckets = min(n_clusters, 64)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                batch["cluster"],
+                pc.multiply(pc.divide(batch["cluster"], buckets), buckets),
+            ),
+            pa.int64(),
+        )
+        return batch.append_column("__gb", b)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        left = group["__left"].to_numpy(zero_copy_only=False)
+        Mn = _embedding_matrix(group, vec_col, dtype=np.float32)
+        o = np.lexsort((ids, cl))
+        ids, cl, left, Mn = ids[o], cl[o], left[o], Mn[o]
+        qs, rks, nbs, scs = [], [], [], []
+        starts = np.flatnonzero(
+            np.diff(cl, prepend=cl[0] - 1 if len(cl) else 0)
+        )
+        bounds = list(starts) + [len(cl)]
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            li = left[s0:s1]
+            if not li.any():
+                continue
+            # f32 matmul: half the flops/bytes of f64 — the scale
+            # tier's scores are approximate anyway (rank ties at f32
+            # resolution break by neighbor id, deterministically)
+            q, rk, nb, sc = _group_topk(
+                Mn[s0:s1][li], ids[s0:s1][li], Mn[s0:s1], ids[s0:s1], k
+            )
+            qs.append(q); rks.append(rk); nbs.append(nb); scs.append(sc)
+        if not qs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs), pa.int64()),
+                "rank": pa.array(np.concatenate(rks), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(nbs), pa.int64()),
+                "score": pa.array(
+                    np.round(np.concatenate(scs), 6), pa.float64()
+                ),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    assigned = ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size
+    ).map_batches(add_bucket, batch_format="pyarrow")
+    return assigned.groupby("__gb").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 def train_ivf_centroids(

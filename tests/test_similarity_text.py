@@ -73,6 +73,70 @@ def test_knn_ivf_reasonable_recall(ray_session, vec_df):
     assert np.mean(recalls) >= 0.4  # probing half the buckets on random data
 
 
+def test_knn_graph_exact_matches_numpy_truth(ray_session, vec_df):
+    """The block-pair self-join graph equals per-row brute force, under
+    tiny batches (replication crosses batch bounds) and any block
+    count."""
+    df, M = vec_df
+    truth = _truth_topk(M, list(range(100)), 5)
+    for n_blocks in (1, 4):
+        got = (
+            S.knn_graph_exact(
+                ray.data.from_pandas(df), k=5,
+                n_blocks=n_blocks, batch_size=17,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+        )
+        assert len(got) == 100 * 5
+        for q in range(100):
+            mine = got[got.query_id == q].neighbor_id.tolist()
+            assert mine == truth[q], f"query {q} blocks {n_blocks}"
+
+
+def test_knn_graph_clustered_recall_and_probe_repair(ray_session, vec_df):
+    """The cluster-bucketed approximate graph keeps decent top-5 recall
+    vs the exact graph, multi-probe never hurts recall, every row is
+    scored exactly once, and the result is deterministic."""
+    df, M = vec_df
+    truth = _truth_topk(M, list(range(100)), 5)
+
+    def recall(out):
+        hit = tot = 0
+        for q in range(100):
+            mine = set(out[out.query_id == q].neighbor_id.tolist())
+            hit += len(mine & set(truth[q]))
+            tot += 5
+        return hit / tot
+
+    outs = {}
+    for probes in (1, 2):
+        out = (
+            S.knn_graph_clustered(
+                ray.data.from_pandas(df), k=5, n_clusters=4,
+                probes=probes, batch_size=17,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert out.query_id.nunique() == 100  # every row got neighbors
+        outs[probes] = out
+    r1, r2 = recall(outs[1]), recall(outs[2])
+    assert r2 >= r1  # probe repair never hurts
+    assert r2 >= 0.6, (r1, r2)
+    again = (
+        S.knn_graph_clustered(
+            ray.data.from_pandas(df), k=5, n_clusters=4,
+            probes=2, batch_size=64,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(outs[2], again)
+
+
 def test_ivf_centroids_deterministic(ray_session, vec_df):
     df, _ = vec_df
     c1 = S.train_ivf_centroids(ray.data.from_pandas(df), n_centroids=8)
