@@ -1770,6 +1770,45 @@ def q_psi_events_split(sf_dir: str) -> pd.DataFrame:
     return psi_fixed_bins(side(0), side(1), "value", edges).to_pandas()
 
 
+def q_chi2_lang_split_documents(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-squared homogeneity of the documents.lang mix
+    between the even- and odd-doc_id halves — the categorical drift
+    monitor (PSI/KS need numeric bins; category-mix shift is its own
+    failure mode). Exchange is distinct-categories-per-batch counts."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import chi2_categorical
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return chi2_categorical(side(0), side(1), "lang").to_pandas()
+
+
+def q_partition_anomaly_events(sf_dir: str) -> pd.DataFrame:
+    """Per-partition (user_id % 16) profile of events.value with
+    MAD-based anomaly flags — the cross-partition consistency check
+    (a bad shard passes every within-partition rule; only comparing
+    partitions against each other catches it). ONE streaming pass,
+    partitions × batches exchange; all floats rounded to 6 BEFORE the
+    threshold compare so flags are oracle-reproducible."""
+    from ..stages.drift import partition_anomaly
+
+    out = partition_anomaly(
+        f"{sf_dir}/events.parquet", "value", "user_id",
+        num_partitions=16, mad_k=3.0,
+    ).to_pandas()
+    return out.sort_values("partition").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2538,6 +2577,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "exact_quantiles_events": q_exact_quantiles_events,
         "iqr_outliers_events": q_iqr_outliers_events,
         "psi_events_split": q_psi_events_split,
+        "chi2_lang_split_documents": q_chi2_lang_split_documents,
+        "partition_anomaly_events": q_partition_anomaly_events,
         "psi_by_group_events": q_psi_by_group_events,
         "ks_by_group_events": q_ks_by_group_events,
         "ks_events_split": q_ks_events_split,
@@ -3171,6 +3212,43 @@ def oracle_sql() -> Dict[str, str]:
             "(SELECT COUNT(*) FROM c)::BIGINT AS n_current, "
             "ROUND(SUM((cp.p - bp.p) * LN(cp.p / bp.p)), 6) AS psi_value "
             "FROM bp JOIN cp USING (bin)"
+        ),
+        "chi2_lang_split_documents": (
+            "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "
+            "FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL "
+            "GROUP BY lang), "
+            "b AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS cb "
+            "FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL "
+            "GROUP BY lang), "
+            "u AS (SELECT COALESCE(a.cat, b.cat) AS cat, "
+            "COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb "
+            "FROM a FULL OUTER JOIN b ON a.cat = b.cat), "
+            "t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM u) "
+            "SELECT na::BIGINT AS n_base, nb::BIGINT AS n_current, "
+            "COUNT(*)::BIGINT AS n_categories, "
+            "(COUNT(*) - 1)::BIGINT AS dof, "
+            "ROUND(SUM(POWER(ca - na * (ca + cb) / (na + nb), 2) "
+            "/ (na * (ca + cb) / (na + nb)) "
+            "+ POWER(cb - nb * (ca + cb) / (na + nb), 2) "
+            "/ (nb * (ca + cb) / (na + nb))), 6) AS chi2_value "
+            "FROM u CROSS JOIN t GROUP BY na, nb"
+        ),
+        "partition_anomaly_events": (
+            "WITH p AS (SELECT user_id % 16 AS partition, "
+            "COUNT(*)::BIGINT AS n, "
+            "ROUND((COUNT(*) - COUNT(value)) / CAST(COUNT(*) AS DOUBLE), 6)"
+            " AS null_rate, ROUND(AVG(value), 6) AS mean_value "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+            "m AS (SELECT MEDIAN(mean_value) AS med_m, "
+            "MEDIAN(null_rate) AS med_n FROM p), "
+            "d AS (SELECT p.*, ROUND(ABS(mean_value - med_m), 6) AS "
+            "dev_mean, ROUND(ABS(null_rate - med_n), 6) AS dev_null_rate "
+            "FROM p CROSS JOIN m), "
+            "t AS (SELECT ROUND(3.0 * MEDIAN(dev_mean), 6) AS thr_m, "
+            "ROUND(3.0 * MEDIAN(dev_null_rate), 6) AS thr_n FROM d) "
+            "SELECT partition, n, null_rate, mean_value, dev_mean, "
+            "dev_null_rate, (dev_mean > thr_m OR dev_null_rate > thr_n) "
+            "AS is_anomaly FROM d CROSS JOIN t ORDER BY partition"
         ),
         "psi_by_group_events": (
             # per-event_type PSI between halves: same bin/clip math as

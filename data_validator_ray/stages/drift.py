@@ -724,3 +724,180 @@ def ks_exact(
             "ks_value": pa.array([round(float(dmax), 6)], pa.float64()),
         }
     )
+
+
+def chi2_categorical(
+    source_base: Any,
+    source_current: Any,
+    cat_col: str,
+    *,
+    batch_size: int = 64 * 1024,
+) -> "pa.Table":
+    """Pearson chi-squared two-sample homogeneity test over a
+    CATEGORICAL column — the categorical sibling of
+    :func:`psi_fixed_bins` (language mix, domain mix, event-type mix
+    drift between a baseline corpus and a new crawl; PSI needs numeric
+    bins, chi2 works on the observed category set directly).
+
+    Scale shape: each side reduces per batch to tidy
+    ``(category, count)`` partials via ``pc.value_counts`` — the
+    exchange is bounded by distinct categories per batch, never row
+    count — and the driver merges the (categories × 2) contingency
+    table and applies the textbook statistic with expected counts
+    ``E[side, cat] = n_side · n_cat / n``. Categories observed on only
+    one side contribute their full expected-count deviation (a
+    new/vanished category is maximal drift signal). NULL categories
+    drop on both sides.
+
+    Returns a one-row table ``(n_base, n_current, n_categories, dof,
+    chi2_value)`` — chi2 rounded to 6 (the engine's float-hash
+    convention). Reference has no drift machinery (see module
+    docstring); net-new operator.
+    """
+    import pandas as pd
+
+    from ..pipelines.dedup import _as_dataset
+
+    def side_counts(src: Any) -> "pd.Series":
+        def partials(batch: pa.Table) -> pa.Table:
+            col = batch[cat_col].combine_chunks()
+            col = col.filter(pc.is_valid(col))
+            vc = pc.value_counts(col)
+            return pa.table(
+                {
+                    "cat": vc.field("values"),
+                    "cnt": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        ds = _as_dataset(src, columns=[cat_col])
+        part = ds.map_batches(
+            partials, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()
+        if not len(part):
+            return pd.Series(dtype=np.int64)
+        return part.groupby("cat", sort=True)["cnt"].sum()
+
+    ca = side_counts(source_base)
+    cb = side_counts(source_current)
+    tab = pd.DataFrame({"ca": ca, "cb": cb}).fillna(0).astype(np.int64)
+    na, nb = int(tab["ca"].sum()), int(tab["cb"].sum())
+    n = na + nb
+    k = len(tab)
+    if n == 0 or k < 2 or na == 0 or nb == 0:
+        chi2 = 0.0
+    else:
+        tot = (tab["ca"] + tab["cb"]).to_numpy(np.float64)
+        ea = na * tot / n
+        eb = nb * tot / n
+        chi2 = float(
+            ((tab["ca"].to_numpy(np.float64) - ea) ** 2 / ea).sum()
+            + ((tab["cb"].to_numpy(np.float64) - eb) ** 2 / eb).sum()
+        )
+    return pa.table(
+        {
+            "n_base": pa.array([na], pa.int64()),
+            "n_current": pa.array([nb], pa.int64()),
+            "n_categories": pa.array([k], pa.int64()),
+            "dof": pa.array([max(k - 1, 0)], pa.int64()),
+            "chi2_value": pa.array([round(chi2, 6)], pa.float64()),
+        }
+    )
+
+
+def partition_anomaly(
+    source: Any,
+    value_col: str,
+    key_col: str,
+    *,
+    num_partitions: int = 16,
+    mad_k: float = 3.0,
+    batch_size: int = 64 * 1024,
+) -> "pa.Table":
+    """Per-partition metric profile + robust anomaly flags — the
+    cross-partition consistency check a 100-TB validation run needs on
+    top of per-partition verdicts: a partition whose mean or null-rate
+    deviates from the corpus median by more than ``mad_k`` × MAD
+    (median absolute deviation) is flagged, catching a bad shard /
+    skewed source file that every within-partition rule would pass.
+
+    Rows hash into ``num_partitions`` partitions on ``key_col`` (the
+    stand-in for file/shard id; pass a real partition column with
+    ``num_partitions`` ≥ its cardinality to profile natural shards).
+    Scale shape: ONE streaming pass reduces each batch to
+    ``num_partitions`` rows of (count, null-count, sum) partials —
+    exchange is partitions × batches, never row count; the driver
+    holds only the partitions × 3 table, takes medians, and flags.
+
+    All floats are rounded to 6 BEFORE the threshold comparison so the
+    flag itself is reproducible bit-exactly against a SQL oracle (a
+    raw float compare could flip on accumulation-order noise exactly
+    at the boundary). NULL keys drop; NULL values count into
+    null-rate but not the mean.
+
+    Returns ``(partition, n, null_rate, mean_value, dev_mean,
+    dev_null_rate, is_anomaly)`` sorted by partition. Net-new operator
+    (no reference analogue).
+    """
+    from ..pipelines.dedup import _as_dataset
+
+    P = int(num_partitions)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col])
+        t = t.filter(pc.is_valid(t[key_col]))
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = keys % P
+        col = t[value_col].combine_chunks()
+        vals = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+        isnull = ~pc.is_valid(col).to_numpy(zero_copy_only=False)
+        n = np.bincount(part, minlength=P)
+        nn = np.bincount(part[isnull], minlength=P)
+        s = np.bincount(
+            part[~isnull], weights=vals[~isnull], minlength=P
+        )
+        return pa.table(
+            {
+                "partition": pa.array(np.arange(P, dtype=np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "nn": pa.array(nn.astype(np.int64)),
+                "s": pa.array(s, pa.float64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[key_col, value_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    agg = part.groupby("partition", sort=True).agg(
+        n=("n", "sum"), nn=("nn", "sum"), s=("s", "sum")
+    )
+    agg = agg[agg["n"] > 0]
+    n = agg["n"].to_numpy(np.int64)
+    nn = agg["nn"].to_numpy(np.int64)
+    mean = np.round(agg["s"].to_numpy(np.float64) / np.maximum(n - nn, 1), 6)
+    null_rate = np.round(nn / n, 6)
+
+    def devs(x: np.ndarray) -> "tuple[np.ndarray, float]":
+        med = np.median(x)
+        d = np.round(np.abs(x - med), 6)
+        # single rounding at the threshold (round(mad,6) first would
+        # double-round and can flip the flag vs the SQL formulation)
+        return d, float(np.median(d))
+
+    dm, mad_m = devs(mean)
+    dn, mad_n = devs(null_rate)
+    thr_m = round(mad_k * mad_m, 6)
+    thr_n = round(mad_k * mad_n, 6)
+    flag = (dm > thr_m) | (dn > thr_n)
+    return pa.table(
+        {
+            "partition": pa.array(agg.index.to_numpy(np.int64)),
+            "n": pa.array(n),
+            "null_rate": pa.array(null_rate, pa.float64()),
+            "mean_value": pa.array(mean, pa.float64()),
+            "dev_mean": pa.array(dm, pa.float64()),
+            "dev_null_rate": pa.array(dn, pa.float64()),
+            "is_anomaly": pa.array(flag),
+        }
+    )

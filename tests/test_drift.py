@@ -10,6 +10,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+import ray
+
 from data_validator_ray import (
     RayDataValidator,
     ValidationConfig,
@@ -312,3 +314,76 @@ def test_ks_by_group_one_sided_and_shift(ray_session):
     assert out.loc["a", "ks_value"] < 0.15
     assert out.loc["b", "ks_value"] > 0.8
     assert out.loc["gone", "ks_value"] == 1.0 and out.loc["gone", "n_current"] == 0
+
+
+def test_chi2_categorical_detects_mix_shift(ray_session):
+    """Shifted category mix yields a large chi2; identical mix yields
+    ~0; a one-side-only category contributes its full expectation."""
+    from data_validator_ray.stages.drift import chi2_categorical
+
+    base = pd.DataFrame({"c": ["x"] * 500 + ["y"] * 500})
+    same = pd.DataFrame({"c": ["x"] * 250 + ["y"] * 250})
+    shifted = pd.DataFrame({"c": ["x"] * 900 + ["y"] * 100})
+    low = chi2_categorical(base, same, "c").to_pandas()
+    high = chi2_categorical(base, shifted, "c").to_pandas()
+    assert low.chi2_value[0] == 0.0  # exact same proportions
+    assert high.chi2_value[0] > 100
+    assert int(high.dof[0]) == 1
+    # vanished category: still counted, inflates the statistic
+    gone = chi2_categorical(
+        pd.DataFrame({"c": ["x"] * 400 + ["z"] * 100}),
+        pd.DataFrame({"c": ["x"] * 400}), "c",
+    ).to_pandas()
+    assert int(gone.n_categories[0]) == 2 and gone.chi2_value[0] > 50
+
+
+def test_chi2_categorical_null_and_degenerate(ray_session):
+    from data_validator_ray.stages.drift import chi2_categorical
+
+    base = pd.DataFrame({"c": ["x", None, "x", "y"]})
+    cur = pd.DataFrame({"c": ["x", "y", None, None]})
+    out = chi2_categorical(base, cur, "c").to_pandas()
+    assert int(out.n_base[0]) == 3 and int(out.n_current[0]) == 2
+    # single category on both sides -> dof 0, chi2 0
+    one = chi2_categorical(
+        pd.DataFrame({"c": ["x"] * 10}), pd.DataFrame({"c": ["x"] * 5}), "c"
+    ).to_pandas()
+    assert one.chi2_value[0] == 0.0 and int(one.dof[0]) == 0
+
+
+def test_partition_anomaly_flags_planted_shard(ray_session):
+    """A partition whose mean is shifted far from the others (and one
+    with excess nulls) gets flagged; healthy partitions do not."""
+    from data_validator_ray.stages.drift import partition_anomaly
+
+    rng = np.random.default_rng(7)
+    n, P = 8000, 8
+    key = np.arange(n, dtype=np.int64)
+    part = key % P
+    val = rng.normal(100.0, 5.0, n)
+    val[part == 3] += 500.0           # bad shard: mean way off
+    vals = val.astype(object)
+    null_mask = (part == 5) & (rng.random(n) < 0.5)
+    vals[null_mask] = None            # bad shard: half the values null
+    df = pd.DataFrame({"k": key, "v": vals})
+    out = (
+        partition_anomaly(df, "v", "k", num_partitions=P, mad_k=3.0)
+        .to_pandas()
+        .set_index("partition")
+    )
+    assert len(out) == P
+    assert bool(out.loc[3, "is_anomaly"])
+    assert bool(out.loc[5, "is_anomaly"])
+    healthy = [p for p in range(P) if p not in (3, 5)]
+    assert not out.loc[healthy, "is_anomaly"].any()
+    assert out.loc[5, "null_rate"] > 0.3
+    # determinism across batch layouts
+    out2 = (
+        partition_anomaly(
+            ray.data.from_pandas(df).repartition(7), "v", "k",
+            num_partitions=P, mad_k=3.0,
+        )
+        .to_pandas()
+        .set_index("partition")
+    )
+    pd.testing.assert_frame_equal(out.sort_index(), out2.sort_index())
