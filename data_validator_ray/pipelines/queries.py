@@ -84,6 +84,36 @@ def q_range_events_ts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_scoped_range_events(sf_dir: str) -> pd.DataFrame:
+    """WHERE-scoped rule (ScopedKernel): the range check applies only
+    to 'click' events — SQL ``WHERE`` scoping for any rule type,
+    net-new vs the reference (one extra vectorized mask per batch, no
+    extra read or shuffle)."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="r", rule_type="range", column="value",
+            parameters={
+                "min_value": 0, "max_value": 90,
+                "where": "event_type = 'click'",
+            },
+        ),
+    )
+
+
+def q_scoped_uniqueness_events(sf_dir: str) -> pd.DataFrame:
+    """WHERE-scoped uniqueness: the exact-distinct shuffle runs over
+    the in-scope subset only (predicate mask before the 16-byte
+    double-hash exchange)."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="u", rule_type="uniqueness", column="user_id",
+            parameters={"where": "event_type = 'click'"},
+        ),
+    )
+
+
 def q_pattern_documents_lang(sf_dir: str) -> pd.DataFrame:
     return _single_rule_counts(
         sf_dir, "documents",
@@ -2475,6 +2505,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "uniqueness_events_event_id": q_uniqueness_events_event_id,
         "range_events_value": q_range_events_value,
         "range_events_ts": q_range_events_ts,
+        "scoped_range_events": q_scoped_range_events,
+        "scoped_uniqueness_events": q_scoped_uniqueness_events,
         "pattern_documents_lang": q_pattern_documents_lang,
         "membership_documents_lang": q_membership_documents_lang,
         "custom_orders_totalprice": q_custom_orders_totalprice,
@@ -2628,6 +2660,15 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "range_events_value": counts.format(
             failed="COUNT(*) FILTER (WHERE value < 0 OR value > 100)", t="events"
+        ),
+        "scoped_range_events": counts.format(
+            failed="COUNT(*) FILTER (WHERE value < 0 OR value > 90)",
+            t="events WHERE event_type = 'click'",
+        ),
+        "scoped_uniqueness_events": (
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) - COUNT(DISTINCT user_id))::BIGINT AS failed_count "
+            "FROM events WHERE event_type = 'click'"
         ),
         "range_events_ts": counts.format(
             failed="COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01 00:00:00' "

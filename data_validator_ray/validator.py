@@ -114,23 +114,32 @@ def _load_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
 
 
 def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
-    """Columns a rule reads, or None when unknown (→ no pruning)."""
+    """Columns a rule reads, or None when unknown (→ no pruning).
+    A ``parameters.where`` scope predicate widens the set by the
+    columns it references."""
     from .functions.expr import referenced_columns
 
+    extra: List[str] = []
+    where = rule.parameters.get("where") if rule.parameters else None
+    if where:
+        try:
+            extra = sorted(referenced_columns(str(where)))
+        except Exception:
+            return None
     if rule.rule_type == "custom" and rule.expression:
         from .functions.expr import parse_aggregate_query
 
         try:
             agg = parse_aggregate_query(rule.expression)
             if agg is not None:
-                return agg.columns()
-            return sorted(referenced_columns(rule.expression))
+                return sorted({*agg.columns(), *extra})
+            return sorted({*referenced_columns(rule.expression), *extra})
         except Exception:
             return None
     if rule.rule_type == "schema":
         return []
     if rule.column:
-        return [rule.column]
+        return sorted({rule.column, *extra})
     return None
 
 
@@ -474,7 +483,21 @@ class RayDataValidator:
                 extra_ms = 0.0
                 if kernel.needs_shuffle and kernel.rule_type == "uniqueness":
                     t1 = time.time()
-                    col_ds = self._column_view(data, ds, kernel.column)
+                    from .stages.registry import ScopedKernel
+
+                    if isinstance(kernel, ScopedKernel):
+                        # where-scoped uniqueness: the distinct count runs
+                        # over the in-scope subset — read key + predicate
+                        # columns (pruned), mask per batch, THEN shuffle
+                        cols = sorted({kernel.column, *kernel.where_columns})
+                        col_ds = self.load_data(data, columns=cols).map_batches(
+                            kernel.scope_batch,
+                            batch_format="pyarrow",
+                            batch_size=self.batch_size,
+                            zero_copy_batch=True,
+                        )
+                    else:
+                        col_ds = self._column_view(data, ds, kernel.column)
                     distinct = self._exact_distinct(col_ds, kernel.column)
                     combined["failed"] = combined["total"] - distinct
                     combined["distinct"] = distinct
