@@ -1839,6 +1839,26 @@ def q_partition_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("partition").reset_index(drop=True)
 
 
+def q_reconcile_orders_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Cross-table aggregate reconciliation: per-order SUM of the
+    lineitem charge expression vs orders.o_totalprice, orphans
+    surfaced both ways — the between-tables consistency check no
+    single-table rule can express. Fact side pre-aggregates per batch;
+    ONE bucketed groupby + ONE full hash join."""
+    from .relational import reconcile_tables
+
+    out = reconcile_tables(
+        f"{sf_dir}/lineitem.parquet",
+        f"{sf_dir}/orders.parquet",
+        fact_key="l_orderkey",
+        header_key="o_orderkey",
+        fact_value_expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+        header_value_col="o_totalprice",
+        tolerance=0.01,
+    ).to_pandas()
+    return out.sort_values("key").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2610,6 +2630,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "iqr_outliers_events": q_iqr_outliers_events,
         "psi_events_split": q_psi_events_split,
         "chi2_lang_split_documents": q_chi2_lang_split_documents,
+        "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
         "partition_anomaly_events": q_partition_anomaly_events,
         "psi_by_group_events": q_psi_by_group_events,
         "ks_by_group_events": q_ks_by_group_events,
@@ -3253,6 +3274,27 @@ def oracle_sql() -> Dict[str, str]:
             "(SELECT COUNT(*) FROM c)::BIGINT AS n_current, "
             "ROUND(SUM((cp.p - bp.p) * LN(cp.p / bp.p)), 6) AS psi_value "
             "FROM bp JOIN cp USING (bin)"
+        ),
+        "reconcile_orders_lineitem": (
+            # fixed-point integer micro-units: a 6-decimal ROUND of a
+            # ~1e5-magnitude double lands 1 ulp apart between engines,
+            # so only integers are safe under an exact value-hash
+            "WITH f AS (SELECT l_orderkey AS key, "
+            "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * "
+            "(1 + l_tax)) * 1e6) AS BIGINT) AS fact_sum_micros "
+            "FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1), "
+            "j AS (SELECT COALESCE(f.key, o.o_orderkey) AS key, "
+            "f.fact_sum_micros, "
+            "CAST(ROUND(o.o_totalprice * 1e6) AS BIGINT) AS "
+            "expected_micros "
+            "FROM f FULL OUTER JOIN orders o ON f.key = o.o_orderkey) "
+            "SELECT key, fact_sum_micros, expected_micros, "
+            "ABS(fact_sum_micros - expected_micros) AS diff_micros, "
+            "CASE WHEN fact_sum_micros IS NULL THEN 'missing_fact' "
+            "WHEN expected_micros IS NULL THEN 'missing_header' "
+            "WHEN ABS(fact_sum_micros - expected_micros) <= 10000 "
+            "THEN 'matched' ELSE 'mismatched' END AS status "
+            "FROM j ORDER BY key"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -2893,3 +2893,144 @@ def iqr_outliers(
 
     ds = _as_dataset(source, columns=id_cols + [group_col, value_col])
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=batch_size)
+
+
+def reconcile_tables(
+    fact_source: Any,
+    header_source: Any,
+    *,
+    fact_key: str,
+    header_key: str,
+    fact_value_expr: str,
+    header_value_col: str,
+    tolerance: float = 0.01,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Cross-table aggregate reconciliation — the consistency check a
+    validation engine needs BETWEEN tables: per-key SUM of a fact-table
+    measure (a DSL expression, e.g.
+    ``l_extendedprice * (1 - l_discount) * (1 + l_tax)``) compared
+    against a header table's stored value (e.g. ``o_totalprice``),
+    with orphans surfaced on both sides. No single-table rule can
+    catch a fact/header drift; the reference has no cross-table checks
+    at all (its referential check is key-existence only).
+
+    Scale shape: the fact side pre-aggregates per batch (pandas
+    groupby-sum combiner — exchange is distinct-keys-per-batch partial
+    sums, never raw rows), ONE bucketed groupby finalizes per-key sums,
+    and ONE :func:`hash_join` (full outer) aligns them with the header.
+
+    Values are emitted in FIXED-POINT integer micro-units
+    (``round(x · 10⁶)`` as int64): a 6-decimal ROUND of a ~1e5
+    magnitude double lands 1 ulp apart between engines
+    (``pc.round`` vs SQL ``ROUND``), so rounded DOUBLES are not safe
+    under an exact value-hash compare — integers are. The tolerance
+    compare happens in integer micros too, so a verdict can never
+    flip on float accumulation-order noise.
+
+    Returns a Dataset of ``(key, fact_sum_micros, expected_micros,
+    diff_micros, status)`` with status ∈ ``matched | mismatched |
+    missing_fact | missing_header`` — ``missing_fact`` = header key
+    with no fact rows (or whose measures are all NULL),
+    ``missing_header`` = fact rows whose key has no header row. NULL
+    fact measures are ignored inside SUM (SQL semantics); NULL keys on
+    either side drop (they can never reconcile).
+    """
+    from ..functions.expr import compile_predicate, referenced_columns
+
+    ev = compile_predicate(fact_value_expr)
+    fact_cols = sorted({fact_key, *referenced_columns(fact_value_expr)})
+
+    def fact_partials(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[fact_key]))
+        vals = ev(t)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"k": t[fact_key].to_numpy(zero_copy_only=False), "v": v}
+        )
+        agg = df.groupby("k", sort=True)["v"].sum(min_count=1).reset_index()
+        return pa.table(
+            {
+                fact_key: pa.array(agg["k"].to_numpy()),
+                "__s": pa.array(agg["v"].to_numpy(np.float64), pa.float64()),
+            }
+        )
+
+    fact = _as_dataset(fact_source, columns=fact_cols).map_batches(
+        fact_partials, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(fact_key, sort=True)["__s"]
+            .sum(min_count=1)
+            .reset_index()
+        )
+        return out.rename(columns={"__s": "fact_sum"})
+
+    fact_sums = bucketed_groupby(
+        fact, [fact_key], finalize, num_buckets=num_buckets
+    )
+
+    header = _as_dataset(
+        header_source, columns=[header_key, header_value_col]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b[header_key])),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    joined = hash_join(
+        fact_sums,
+        header,
+        left_key=fact_key,
+        right_key=header_key,
+        left_cols=[fact_key, "fact_sum"],
+        right_cols=[header_value_col],
+        num_buckets=num_buckets,
+        how="full",
+    )
+
+    tol_micros = int(round(float(tolerance) * 1_000_000))
+
+    def to_micros(col) -> "pa.Array":
+        f = pc.cast(col, pa.float64())
+        nul = pc.or_(pc.is_null(f), pc.fill_null(pc.is_nan(f), False))
+        m = pc.cast(pc.round(pc.multiply(f, 1e6), ndigits=0), pa.int64())
+        return pc.if_else(nul, pa.scalar(None, pa.int64()), m)
+
+    def status(batch: pa.Table) -> pa.Table:
+        # a key whose every measure is NULL sums to NaN in the pandas
+        # combiner; SQL SUM gives NULL — to_micros maps NaN → null so
+        # both report missing_fact identically
+        s = to_micros(batch["fact_sum"])
+        e = to_micros(batch[header_value_col])
+        d = pc.abs(pc.subtract(s, e))
+        matched = pc.fill_null(pc.less_equal(d, tol_micros), False)
+        st = pc.if_else(
+            pc.is_null(s),
+            pa.scalar("missing_fact"),
+            pc.if_else(
+                pc.is_null(e),
+                pa.scalar("missing_header"),
+                pc.if_else(
+                    matched, pa.scalar("matched"), pa.scalar("mismatched")
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "key": batch[fact_key],
+                "fact_sum_micros": s,
+                "expected_micros": e,
+                "diff_micros": d,
+                "status": st,
+            }
+        )
+
+    return joined.map_batches(
+        status, batch_format="pyarrow", batch_size=batch_size
+    )

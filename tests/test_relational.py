@@ -1745,3 +1745,36 @@ def test_interval_join_shuffle_span_guard(ray_session):
             value_col="value", left_cols=["lid"], right_cols=["iv"],
             bin_width=1.0, max_bins_per_interval=100,
         ).to_pandas()
+
+
+def test_reconcile_tables_statuses(ray_session):
+    """Matched-within-tolerance, mismatched, both orphan directions,
+    and the all-NULL-measure key (SQL SUM=NULL -> missing_fact)."""
+    from data_validator_ray.pipelines.relational import reconcile_tables
+
+    fact = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3, 3, 4, 4, 6, None],
+            "a": [10.0, 5.0, 7.0, None, None, 1.0, None, 2.0, 99.0],
+        }
+    )
+    hdr = pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5], "exp": [15.0, 7.005, 100.0, 1.5, 9.0]}
+    )
+    out = (
+        reconcile_tables(
+            fact, hdr, fact_key="k", header_key="k",
+            fact_value_expr="a", header_value_col="exp", tolerance=0.01,
+        )
+        .to_pandas()
+        .set_index("key")
+    )
+    assert out.loc[1, "status"] == "matched"        # exact
+    assert out.loc[2, "status"] == "matched"        # within tolerance
+    assert out.loc[3, "status"] == "missing_fact"   # all-NULL measure
+    assert out.loc[4, "status"] == "mismatched"     # 1.0 vs 1.5
+    assert out.loc[5, "status"] == "missing_fact"   # no fact rows
+    assert out.loc[6, "status"] == "missing_header"
+    assert len(out) == 6  # NULL fact key dropped
+    assert out.loc[2, "diff_micros"] == 5000        # 0.005 in micros
+    assert out.loc[1, "fact_sum_micros"] == 15_000_000
