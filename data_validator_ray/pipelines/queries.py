@@ -1859,6 +1859,17 @@ def q_reconcile_orders_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("key").reset_index(drop=True)
 
 
+def q_charset_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc encoding-health counters (mojibake/control/replacement
+    signals): ONE compiled-RE2 streaming pass, zero shuffle; every
+    column an exact codepoint count (RE2 classes identical in Arrow
+    and DuckDB)."""
+    from .text import charset_profile
+
+    out = charset_profile(f"{sf_dir}/documents.parquet").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2630,6 +2641,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "iqr_outliers_events": q_iqr_outliers_events,
         "psi_events_split": q_psi_events_split,
         "chi2_lang_split_documents": q_chi2_lang_split_documents,
+        "charset_profile_documents": q_charset_profile_documents,
         "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
         "partition_anomaly_events": q_partition_anomaly_events,
         "psi_by_group_events": q_psi_by_group_events,
@@ -3295,6 +3307,23 @@ def oracle_sql() -> Dict[str, str]:
             "WHEN ABS(fact_sum_micros - expected_micros) <= 10000 "
             "THEN 'matched' ELSE 'mismatched' END AS status "
             "FROM j ORDER BY key"
+        ),
+        "charset_profile_documents": (
+            "SELECT doc_id, "
+            "LENGTH(COALESCE(text, '')) AS n_chars, "
+            "LEN(regexp_extract_all(COALESCE(text, ''), "
+            "'[^\\x00-\\x7F]')) AS n_non_ascii, "
+            "LEN(regexp_extract_all(COALESCE(text, ''), "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS n_control, "
+            "LEN(regexp_extract_all(COALESCE(text, ''), '�')) "
+            "AS n_replacement, "
+            "LEN(regexp_extract_all(COALESCE(text, ''), '[0-9]')) "
+            "AS n_digits, "
+            "LEN(regexp_extract_all(COALESCE(text, ''), '[A-Z]')) "
+            "AS n_upper, "
+            "LEN(regexp_extract_all(COALESCE(text, ''), '[ \\t\\n\\r]')) "
+            "AS n_whitespace "
+            "FROM documents ORDER BY doc_id"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

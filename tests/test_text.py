@@ -214,3 +214,34 @@ def test_bigram_logprob_distributed_merge_parity(ray_session):
     pd.testing.assert_frame_equal(
         run(max_bigrams=5), run(max_bigrams=5, distributed_merge=True)
     )
+
+
+def test_charset_profile_counters(ray_session):
+    """Exact codepoint counters incl. NULL text, mojibake replacement
+    chars, C0 controls (tab/NL/CR excluded) and non-ASCII."""
+    from data_validator_ray.pipelines.text import charset_profile
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "Héllo W0rld\t!",          # 1 non-ascii, 1 digit, 2 upper
+                None,                       # all zeros
+                "a\x01b\x7fc\nd",          # 2 controls, \n is whitespace
+                "bad � decode �",  # 2 replacement (also non-ascii)
+            ],
+        }
+    )
+    out = (
+        charset_profile(df)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, ["n_non_ascii", "n_digits", "n_upper"]].tolist() == [1, 1, 2]
+    assert out.loc[0, "n_whitespace"] == 2  # space + tab
+    assert out.loc[1].tolist() == [0] * 7
+    assert out.loc[2, "n_control"] == 2 and out.loc[2, "n_whitespace"] == 1
+    assert out.loc[3, "n_replacement"] == 2
+    assert out.loc[3, "n_non_ascii"] == 2
+    assert out.loc[0, "n_chars"] == 13
