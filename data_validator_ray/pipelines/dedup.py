@@ -735,10 +735,34 @@ def simhash_pairs(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+    return hamming_pairs_from_hashes(
+        sims, id_col, hash_col="simhash",
+        max_hamming=max_hamming, num_buckets=num_buckets,
+    )
+
+
+def hamming_pairs_from_hashes(
+    hashes: "Dataset",
+    id_col: str,
+    *,
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    num_buckets: int = 128,
+) -> pd.DataFrame:
+    """Pairs of ids whose 64-bit hashes differ by ≤ ``max_hamming``
+    bits — the shared banding backend of :func:`simhash_pairs` (text)
+    and the multimodal perceptual-hash near-dup (any stage emitting a
+    64-bit locality hash plugs in here).
+
+    Candidates via 4×16-bit chunk banding — for max_hamming ≤ 3 the
+    pigeonhole principle makes recall exact (≤3 differing bits can
+    dirty at most 3 of the 4 chunks); verification is a vectorized
+    popcount on XOR inside the bucketed pair sweep. Exchange = 4 rows
+    of (16-bit chunk, id, hash) per input row, never payloads."""
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         out_id, out_chunk_id, out_chunk, out_sim = [], [], [], []
         for ci in range(4):
             chunk = (s >> np.uint64(ci * 16)) & np.uint64(0xFFFF)
@@ -755,7 +779,7 @@ def simhash_pairs(
             }
         )
 
-    exploded = sims.map_batches(explode_chunks, batch_format="pyarrow")
+    exploded = hashes.map_batches(explode_chunks, batch_format="pyarrow")
 
     def emit(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.rename(columns={id_col: "__id"})

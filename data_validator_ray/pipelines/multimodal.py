@@ -357,3 +357,106 @@ def resize_images(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class PHashStage:
+    """Actor-pool stage: 64-bit perceptual hash (pHash) per image —
+    grayscale → 32×32 nearest resize → 2-D DCT-II → low-frequency 8×8
+    block → median-threshold sign bits. Near-identical pixels map to
+    near-identical bits, so image NEAR-dup reduces to a Hamming search
+    over 64-bit hashes (same backend as text SimHash).
+
+    The DCT basis matrix is built ONCE per actor in ``__init__`` (the
+    stateful-stage pattern); per batch the work is one (n, 1024) ×
+    (1024→8×8) pair of matmuls — vectorized across the whole batch,
+    no per-image DCT calls. Decode dispatches like
+    :class:`ImageDecodeStage` (fake FIMG always; PIL when importable).
+    """
+
+    SIZE = 32
+    BLOCK = 8
+
+    def __init__(self):
+        self._decode = ImageDecodeStage()._decode
+        n, b = self.SIZE, self.BLOCK
+        # orthonormal DCT-II basis, rows = frequencies
+        k = np.arange(n)
+        self._D = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+        )
+        self._D[0] *= np.sqrt(0.5)
+        self._b = b
+
+    def _gray32(self, buf: bytes) -> np.ndarray:
+        w, h, c, pix = self._decode(buf)
+        img = pix.reshape(h, w, c).astype(np.float64).mean(axis=2)
+        t = self.SIZE
+        yi = (np.arange(t) * h // t)[:, None]
+        xi = (np.arange(t) * w // t)[None, :]
+        return img[yi, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        grays = np.stack(
+            [self._gray32(buf) for buf in batch["payload"].to_pylist()]
+        ) if batch.num_rows else np.zeros((0, self.SIZE, self.SIZE))
+        # batched 2-D DCT: D @ G @ D.T for every image at once
+        coef = np.einsum("ij,njk,lk->nil", self._D, grays, self._D)
+        b = self._b
+        block = coef[:, :b, :b].reshape(len(ids), -1)
+        # median over the 63 AC coefficients (DC dominates and would
+        # push every other bit below threshold)
+        ac = block[:, 1:]
+        med = np.median(ac, axis=1, keepdims=True)
+        bits = (ac > med).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+        ph = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "phash": pa.array(ph, pa.uint64()),
+            }
+        )
+
+
+def phash_images(
+    source: Any, *, batch_size: int = 64, concurrency: Any = (1, 4)
+) -> Dataset:
+    """Per-image 64-bit perceptual hash (images only); actor pool with
+    the decode/DCT state built once per actor."""
+    # autoscaling (min, max) pool: a FIXED pool the size of the
+    # cluster can hold every CPU while a downstream shuffle waits —
+    # deadlock on small clusters (seen at 4 CPUs); (1, 4) always leaves
+    # the executor room to drain
+    return _kind(_as_dataset(source), "image").map_batches(
+        PHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def phash_near_dup(
+    source: Any,
+    *,
+    max_hamming: int = 3,
+    batch_size: int = 64,
+    concurrency: Any = (1, 4),
+    num_buckets: int = 128,
+) -> "pd.DataFrame":
+    """Image near-duplicate pairs: pHash + the shared 4×16-bit banded
+    Hamming search (``dedup.hamming_pairs_from_hashes``) — recall is
+    EXACT for max_hamming ≤ 3 by pigeonhole. Exchange is (chunk, id,
+    hash) rows, never pixels; the only per-payload pass is the hash
+    stage itself. The multimodal dedup tier: exact-byte dedup can't
+    see re-encoded/resized copies, embedding dedup needs a model —
+    pHash is the deterministic middle tier."""
+    from .dedup import hamming_pairs_from_hashes
+
+    hashes = phash_images(
+        source, batch_size=batch_size, concurrency=concurrency
+    )
+    return hamming_pairs_from_hashes(
+        hashes, "media_id", hash_col="phash",
+        max_hamming=max_hamming, num_buckets=num_buckets,
+    )

@@ -1266,6 +1266,36 @@ def _media_path(sf_dir: str) -> str:
     return write_media(out, n)
 
 
+def q_phash_images_media(sf_dir: str) -> pd.DataFrame:
+    """Per-image 64-bit perceptual hash (grayscale→32×32→DCT→median
+    sign bits) over the synthetic media table — rows-only (no SQL DCT);
+    determinism + planted-duplicate recall pinned in
+    tests/test_multimodal.py."""
+    from .multimodal import phash_images
+
+    out = phash_images(_media_path(sf_dir)).to_pandas()
+    out["phash"] = out["phash"].astype("uint64").astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_phash_near_dup_media(sf_dir: str) -> pd.DataFrame:
+    """Image near-duplicate pairs (pHash + shared 4×16-bit banded
+    Hamming search, exact recall ≤3 by pigeonhole) over a 4× media
+    table so planted byte-identical copies (ids i, i+768) exist —
+    rows-only; pinned by the planted-pair tests."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.dataset as pads
+
+    from .multimodal import phash_near_dup, write_media
+
+    n = pads.dataset(f"{sf_dir}/documents.parquet").count_rows() * 4
+    path = write_media(Path(tempfile.gettempdir()) / f"graft_media_{n}", n)
+    out = phash_near_dup(path)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_multimodal_image_decode(sf_dir: str) -> pd.DataFrame:
     """Actor-pool image decode over binary payloads (deterministic fake
     codec — pipelines/multimodal.py); metadata formulas are replicated
@@ -2583,6 +2613,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "range_join_events_bands": q_range_join_events_bands,
         "interval_join_events_orders": q_interval_join_events_orders,
         "multimodal_image_decode": q_multimodal_image_decode,
+        "phash_images_media": q_phash_images_media,
+        "phash_near_dup_media": q_phash_near_dup_media,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "gopher_stats_documents": q_gopher_stats_documents,

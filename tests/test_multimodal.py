@@ -137,3 +137,75 @@ def test_image_decode_uses_real_codec_when_importable(ray_session):
 
     with _pytest.raises(ValueError, match="no imaging codec"):
         stage2(batch)
+
+
+def _fimg(w, h, c, pix):
+    import struct
+    import numpy as np
+
+    from data_validator_ray.pipelines.multimodal import IMG_MAGIC
+
+    return IMG_MAGIC + struct.pack("<HHB", w, h, c) + np.asarray(
+        pix, dtype=np.uint8
+    ).tobytes()
+
+
+def test_phash_near_dup_planted_and_perturbed(ray_session):
+    """Byte-identical copies hash to hamming 0; a lightly perturbed
+    copy stays within the banded search's reach; an unrelated image
+    does not pair."""
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=24 * 24).astype(np.uint8)
+    perturbed = base.copy()
+    perturbed[:12] = (perturbed[:12] + 3) % 256  # tiny local change
+    other = rng.integers(0, 256, size=24 * 24).astype(np.uint8)
+    tbl = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2, 3],
+            "kind": ["image"] * 4,
+            "payload": [
+                _fimg(24, 24, 1, base),
+                _fimg(24, 24, 1, base),       # exact copy
+                _fimg(24, 24, 1, perturbed),  # near copy
+                _fimg(24, 24, 1, other),      # unrelated
+            ],
+        }
+    )
+    ph = mm.phash_images(tbl).to_pandas().set_index("media_id")
+    assert ph.loc[0, "phash"] == ph.loc[1, "phash"]
+    from data_validator_ray.pipelines.dedup import popcount64
+
+    d_near = popcount64(
+        np.array([ph.loc[0, "phash"] ^ ph.loc[2, "phash"]], np.uint64)
+    )[0]
+    d_far = popcount64(
+        np.array([ph.loc[0, "phash"] ^ ph.loc[3, "phash"]], np.uint64)
+    )[0]
+    assert d_near <= 3 < d_far
+    pairs = mm.phash_near_dup(tbl, max_hamming=3)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_phash_synth_media_planted_dups(ray_session):
+    """ids i and i+768 of the synthetic media table are byte-identical
+    images (same dims mod 96, same pixels mod 256) — all must pair at
+    hamming 0; the search is deterministic."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines import multimodal as mm
+
+    # default (1, 4) autoscaling pool must not deadlock the 4-CPU
+    # test cluster (a FIXED 4-actor pool did — actors held every CPU
+    # while the sort shuffle waited)
+    pairs = mm.phash_near_dup(mm.synth_media_dataset(1200))
+    got = set(zip(pairs.id_a, pairs.id_b))
+    expect = [(i, i + 768) for i in range(0, 1200 - 768, 3)]
+    assert all(p in got for p in expect)
+    assert (pairs[pairs.id_b - pairs.id_a == 768].hamming == 0).all()
