@@ -1216,40 +1216,25 @@ def linear_classifier_score(
     return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
 
 
-def duplicated_span_stats(
-    source: Any,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _dup_positions(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
     *,
-    n: int = 8,
-    min_count: int = 2,
-    num_hash_buckets: int = 256,
-    num_doc_buckets: int = 64,
-    batch_size: int = 16384,
+    n: int,
+    min_count: int,
+    num_hash_buckets: int,
+    batch_size: int,
 ) -> Dataset:
-    """Per-document duplicated-span coverage — the substring-dedup
-    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
-    Language Models Better") in its scalable n-gram form: a token is
-    *duplicated* when some ``n``-gram window covering it occurs at
-    least ``min_count`` times in the WHOLE corpus. Output per doc:
-    ``n_tokens``, ``n_dup_tokens`` (size of the union of duplicated
-    windows) — the ratio drives span-level removal / doc-drop
-    decisions.
-
-    Tokenization is the oracle convention (single-space split, empty
-    tokens dropped). Two bounded shuffles, mirroring
-    ``paragraph_dedup``:
-
-    1. positional rolling-hash ``n``-grams (no shingle strings
-       materialize — token-hash polynomial combine, two independent
-       64-bit seeds, collision odds ~2^-128) bucket on ``h1``; one
-       vectorized group-size pass per bucket emits the DUPLICATED
-       ``(doc_id, pos)`` rows only;
-    2. dup positions co-locate with per-doc token counts on
-       ``knuth(doc_id)`` buckets; ONE vectorized interval-union sweep
-       per bucket (sort + per-doc cummax of window ends) computes the
-       covered-token count for all its docs.
-    """
+    """Corpus-duplicated n-gram window starts as ``(id, pos)`` rows —
+    the shared discovery phase of :func:`duplicated_span_stats`
+    (coverage counters) and :func:`remove_duplicated_spans` (the
+    actual span-removal transform). Positional rolling-hash n-grams
+    (token-hash polynomial combine, two independent 64-bit seeds, no
+    shingle strings materialize) bucket on ``h1``; one vectorized
+    group-size pass per bucket keeps positions whose window occurs
+    ≥ ``min_count`` times corpus-wide. Returned MATERIALIZED (small —
+    dup positions only; also breaks the sort→union→sort chain)."""
     K = pl.lit(_HASH_K, dtype=pl.UInt64)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
@@ -1308,15 +1293,54 @@ def duplicated_span_stats(
             }
         )
 
-    ds = _as_dataset(source, columns=[id_col, text_col])
-    dups = (
+    return (
         ds.map_batches(
             shingle_rows, batch_format="pyarrow", batch_size=batch_size
         )
         .groupby("__bucket")
         .map_groups(emit_dups, batch_format="pandas")
-        .materialize()  # small (dup positions only); breaks the
-        #                 sort→union→sort operator chain (NOTES lesson)
+        .materialize()
+    )
+
+
+def duplicated_span_stats(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    num_hash_buckets: int = 256,
+    num_doc_buckets: int = 64,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Per-document duplicated-span coverage — the substring-dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") in its scalable n-gram form: a token is
+    *duplicated* when some ``n``-gram window covering it occurs at
+    least ``min_count`` times in the WHOLE corpus. Output per doc:
+    ``n_tokens``, ``n_dup_tokens`` (size of the union of duplicated
+    windows) — the ratio drives span-level removal / doc-drop
+    decisions.
+
+    Tokenization is the oracle convention (single-space split, empty
+    tokens dropped). Two bounded shuffles, mirroring
+    ``paragraph_dedup``:
+
+    1. positional rolling-hash ``n``-grams (no shingle strings
+       materialize — token-hash polynomial combine, two independent
+       64-bit seeds, collision odds ~2^-128) bucket on ``h1``; one
+       vectorized group-size pass per bucket emits the DUPLICATED
+       ``(doc_id, pos)`` rows only;
+    2. dup positions co-locate with per-doc token counts on
+       ``knuth(doc_id)`` buckets; ONE vectorized interval-union sweep
+       per bucket (sort + per-doc cummax of window ends) computes the
+       covered-token count for all its docs.
+    """
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    dups = _dup_positions(
+        ds, id_col, text_col, n=n, min_count=min_count,
+        num_hash_buckets=num_hash_buckets, batch_size=batch_size,
     )
 
     def doc_bucket(ids: np.ndarray) -> np.ndarray:
@@ -1390,4 +1414,118 @@ def duplicated_span_stats(
 
     return unioned.groupby("__bucket").map_groups(
         coverage, batch_format="pandas"
+    )
+
+
+def remove_duplicated_spans(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    num_hash_buckets: int = 256,
+    num_doc_buckets: int = 64,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Substring-level dedup TRANSFORM — Lee et al. 2021's remedy, not
+    just its diagnosis (:func:`duplicated_span_stats` counts duplicated
+    tokens; this actually removes them): every token covered by an
+    ``n``-gram window occurring ≥ ``min_count`` times corpus-wide is
+    dropped, and each document is rebuilt from its surviving tokens.
+
+    Rebuilt text is single-space-joined surviving tokens (the engine's
+    oracle tokenization), i.e. whitespace is CANONICALIZED — runs of
+    spaces in the original collapse. NULL text → empty rebuild.
+
+    Scale shape mirrors :func:`duplicated_span_stats`: the shared
+    :func:`_dup_positions` discovery (rolling-hash n-grams, one
+    bucketed shuffle, dup positions only materialize), then dup
+    positions co-locate with full text rows on ``knuth(doc_id)``
+    buckets and ONE vectorized pass per bucket expands windows →
+    covered-token set → anti-join → per-doc ordered join. The only
+    pass that ships text is the final reassembly (inherent: output IS
+    text).
+
+    Returns ``(id, text, n_tokens, n_removed_tokens)``.
+    """
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    dups = _dup_positions(
+        ds, id_col, text_col, n=n, min_count=min_count,
+        num_hash_buckets=num_hash_buckets, batch_size=batch_size,
+    )
+
+    def doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.int64) * np.int64(KNUTH))
+            % np.int64(num_doc_buckets)
+        ).astype(np.int64)
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pc.fill_null(batch[text_col], ""),
+                "pos": pa.array(np.full(len(batch), -1, np.int64)),
+                "__bucket": pa.array(doc_bucket(ids), pa.int64()),
+            }
+        )
+
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.array([""] * len(batch), pa.string()),
+                "pos": batch["pos"],
+                "__bucket": pa.array(doc_bucket(ids), pa.int64()),
+            }
+        )
+
+    unioned = ds.map_batches(
+        tag_text, batch_format="pyarrow", batch_size=batch_size
+    ).union(dups.map_batches(tag_dups, batch_format="pyarrow"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0][[id_col, text_col]]
+        dpos = g[g["pos"] >= 0][[id_col, "pos"]]
+        # exploded tokens with 1-based positions (oracle tokenization)
+        ex = docs.assign(**{text_col: docs[text_col].str.split(" ")})
+        ex = ex.explode(text_col)
+        ex = ex[ex[text_col].notna() & (ex[text_col] != "")]
+        ex["t"] = ex.groupby(id_col).cumcount() + 1
+        n_tok = ex.groupby(id_col)["t"].size()
+        # expand dup windows [p, p+n-1] into covered positions (clipped
+        # to doc length implicitly: positions beyond the last token
+        # simply never match a real token)
+        if len(dpos):
+            rid = np.repeat(dpos[id_col].to_numpy(np.int64), n)
+            rpos = (
+                np.repeat(dpos["pos"].to_numpy(np.int64), n)
+                + np.tile(np.arange(n, dtype=np.int64), len(dpos))
+            )
+            covered_keys = np.unique(
+                rid.astype(np.uint64) * np.uint64(1 << 32)
+                + rpos.astype(np.uint64)
+            )
+            keys = ex[id_col].to_numpy(np.int64).astype(np.uint64) * np.uint64(
+                1 << 32
+            ) + ex["t"].to_numpy(np.int64).astype(np.uint64)
+            drop = np.isin(keys, covered_keys)
+        else:
+            drop = np.zeros(len(ex), dtype=bool)
+        kept = ex[~drop]
+        joined = kept.groupby(id_col)[text_col].agg(" ".join)
+        n_kept = kept.groupby(id_col)["t"].size()
+        out = docs[[id_col]].drop_duplicates().sort_values(id_col)
+        out[text_col] = out[id_col].map(joined).fillna("")
+        nt = out[id_col].map(n_tok).fillna(0).astype(np.int64)
+        nk = out[id_col].map(n_kept).fillna(0).astype(np.int64)
+        out["n_tokens"] = nt
+        out["n_removed_tokens"] = nt - nk
+        return out.reset_index(drop=True)
+
+    return unioned.groupby("__bucket").map_groups(
+        rebuild, batch_format="pandas"
     )

@@ -1296,6 +1296,19 @@ def q_phash_near_dup_media(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_remove_dup_spans_documents(sf_dir: str) -> pd.DataFrame:
+    """Substring-level dedup TRANSFORM (Lee et al. 2021): drop every
+    token covered by a corpus-duplicated 8-gram window and rebuild the
+    documents — the remedy to dup_span_stats' diagnosis. Shared
+    rolling-hash discovery + one knuth-bucketed reassembly pass."""
+    from .curation import remove_duplicated_spans
+
+    out = remove_duplicated_spans(
+        f"{sf_dir}/documents.parquet", n=8, min_count=2
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_multimodal_image_decode(sf_dir: str) -> pd.DataFrame:
     """Actor-pool image decode over binary payloads (deterministic fake
     codec — pipelines/multimodal.py); metadata formulas are replicated
@@ -2703,6 +2716,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_mode_events": q_grouped_mode_events,
         "explode_embeddings": q_explode_embeddings,
         "dup_span_stats_documents": q_dup_span_stats_documents,
+        "remove_dup_spans_documents": q_remove_dup_spans_documents,
         "forward_fill_events": q_forward_fill_events,
         "grouped_top_k_events": q_grouped_top_k_events,
         "calendar_agg_events": q_calendar_agg_events,
@@ -3694,6 +3708,35 @@ def oracle_sql() -> Dict[str, str]:
             "generate_subscripts(embedding, 1)::BIGINT AS pos, "
             "unnest(embedding) AS emb_val "
             "FROM embeddings ORDER BY vec_id, pos"
+        ),
+        "remove_dup_spans_documents": (
+            # same dup-window discovery as dup_span_stats, then keep
+            # tokens NOT covered and string_agg them back in order
+            "WITH toks AS (SELECT doc_id, list_filter(string_split("
+            "COALESCE(text, ''), ' '), x -> x <> '') AS ts "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(ts) - 7)) AS p "
+            "FROM toks WHERE len(ts) >= 8), "
+            "sh AS (SELECT pos.doc_id, p, array_to_string((SELECT ts "
+            "FROM toks t WHERE t.doc_id = pos.doc_id)[p:p+7], ' ') AS s "
+            "FROM pos), "
+            "dup AS (SELECT doc_id, p FROM sh WHERE s IN "
+            "(SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2)), "
+            "tok AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(ts))) AS t FROM toks), "
+            "cov AS (SELECT DISTINCT tok.doc_id, t FROM tok JOIN dup "
+            "ON dup.doc_id = tok.doc_id AND dup.p <= t "
+            "AND t <= dup.p + 7), "
+            "kept AS (SELECT tok.doc_id, t, (SELECT ts FROM toks x "
+            "WHERE x.doc_id = tok.doc_id)[t] AS w FROM tok "
+            "ANTI JOIN cov USING (doc_id, t)), "
+            "agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY t) AS "
+            "text, COUNT(*) AS n_kept FROM kept GROUP BY doc_id) "
+            "SELECT toks.doc_id, COALESCE(agg.text, '') AS text, "
+            "len(ts)::BIGINT AS n_tokens, "
+            "(len(ts) - COALESCE(n_kept, 0))::BIGINT AS n_removed_tokens "
+            "FROM toks LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
         ),
         "dup_span_stats_documents": (
             # token t is duplicated iff some 8-gram window [p, p+7]

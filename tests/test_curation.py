@@ -9,6 +9,9 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+import ray
+import ray.data
+
 from data_validator_ray.pipelines.curation import (
     benchmark_shingles,
     decontaminate,
@@ -713,3 +716,53 @@ def test_linear_classifier_score_semantics(ray_session):
 
     with pytest.raises(ValueError):
         linear_classifier_score(df, ["f1", "f2"], weights=[1.0])
+
+
+def test_remove_duplicated_spans_transform(ray_session):
+    """The removal transform drops exactly the tokens dup_span_stats
+    counts, rebuilds in order, canonicalizes whitespace, and leaves
+    unique docs untouched."""
+    from data_validator_ray.pipelines.curation import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"alpha beta {boiler} gamma delta",
+                f"one  two   {boiler} four",   # multi-space input
+                "totally unique text with no repeats at all here ok",
+                None,
+            ],
+        }
+    )
+    out = (
+        remove_duplicated_spans(docs, n=8, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    stats = (
+        duplicated_span_stats(docs, n=8, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out["n_removed_tokens"] == stats["n_dup_tokens"]).all()
+    assert out.loc[0, "text"] == "alpha beta gamma delta"
+    assert out.loc[1, "text"] == "one two four"  # whitespace canonicalized
+    assert out.loc[2, "text"] == docs.text[2] and out.loc[2, "n_removed_tokens"] == 0
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_tokens"] == 0
+    # determinism across partitionings
+    out2 = (
+        remove_duplicated_spans(
+            ray.data.from_pandas(docs).repartition(3), n=8, min_count=2
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, out2)
