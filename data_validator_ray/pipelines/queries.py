@@ -1913,6 +1913,33 @@ def q_charset_profile_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_funnel_events(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel (view → click → purchase, strict ts order,
+    greedy-earliest step choice): per-batch relevance filter, one
+    key-bucketed shuffle, vectorized per-step groupby-min sweeps."""
+    from .relational import funnel_steps
+
+    return funnel_steps(
+        f"{sf_dir}/events.parquet", "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+def q_cohort_retention_events(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort-retention triangle: distinct (key, week) combiner,
+    ONE key-bucketed shuffle deriving cohorts + offsets locally, tiny
+    global sum."""
+    from .relational import cohort_retention
+
+    out = cohort_retention(
+        f"{sf_dir}/events.parquet", "user_id", "ts"
+    ).to_pandas()
+    out["cohort_week"] = out["cohort_week"].astype("datetime64[us]")
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(
+        drop=True
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2663,6 +2690,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "normalize_text_documents": q_normalize_text_documents,
         "transform_runner_documents": q_transform_runner_documents,
         "sessionize_events": q_sessionize_events,
+        "funnel_events": q_funnel_events,
+        "cohort_retention_events": q_cohort_retention_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3370,6 +3399,32 @@ def oracle_sql() -> Dict[str, str]:
             "LEN(regexp_extract_all(COALESCE(text, ''), '[ \\t\\n\\r]')) "
             "AS n_whitespace "
             "FROM documents ORDER BY doc_id"
+        ),
+        "funnel_events": (
+            "WITH s1 AS (SELECT user_id, MIN(ts) t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) t2 FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) t3 FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t2 GROUP BY 1) "
+            "SELECT 1::BIGINT AS step_idx, 'view' AS step, "
+            "(SELECT COUNT(*) FROM s1)::BIGINT AS n_keys "
+            "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3) "
+            "ORDER BY step_idx"
+        ),
+        "cohort_retention_events": (
+            "WITH f AS (SELECT user_id, MIN(date_trunc('week', ts)) cw "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) w "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) "
+            "SELECT cw::DATE AS cohort_week, "
+            "CAST(date_diff('day', cw::DATE, w::DATE) / 7 AS BIGINT) "
+            "AS week_offset, COUNT(*)::BIGINT AS n_active_keys "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

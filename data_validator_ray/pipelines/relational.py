@@ -3034,3 +3034,163 @@ def reconcile_tables(
     return joined.map_batches(
         status, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def funnel_steps(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: List[str],
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Ordered-funnel analysis: how many keys (users) performed the
+    ``steps`` events in strict timestamp order — step *i* counts a key
+    iff some ``steps[i]`` event happens STRICTLY after the key's chosen
+    ``steps[i-1]`` event. Greedy earliest-valid choice per step (the
+    standard funnel semantics: taking the earliest valid occurrence is
+    optimal for completion).
+
+    Scale shape: a per-batch combiner keeps only rows whose event is IN
+    the funnel (exchange = relevant events, never the whole log); keys
+    hash-bucket via ``bucketed_groupby`` so each key's events co-locate
+    and every bucket resolves ALL its keys in ``len(steps)`` vectorized
+    groupby-min sweeps; only (bucket × step) partial counts reach the
+    driver. NULL keys/timestamps drop.
+
+    Returns a small DataFrame ``(step_idx 1-based, step, n_keys)``.
+    """
+    from .dedup import _as_dataset, bucketed_groupby
+
+    step_set = list(steps)
+
+    def relevant(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col, event_col])
+        m = pc.and_(
+            pc.is_valid(t[key_col]),
+            pc.and_(
+                pc.is_valid(t[ts_col]),
+                pc.is_in(
+                    t[event_col],
+                    value_set=pa.array(step_set, pa.string()),
+                ),
+            ),
+        )
+        return t.filter(m)
+
+    ds = _as_dataset(source, columns=[key_col, ts_col, event_col])
+    rel = ds.map_batches(
+        relevant, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev: "pd.Series | None" = None  # key -> ts of previous step
+        for i, s in enumerate(step_set):
+            m = g[g[event_col] == s]
+            if prev is not None:
+                pv = m[key_col].map(prev)
+                m = m[pv.notna() & (m[ts_col] > pv)]
+            cur = m.groupby(key_col)[ts_col].min()
+            counts.append(len(cur))
+            prev = cur
+            if not len(cur):
+                counts.extend([0] * (len(step_set) - i - 1))
+                break
+        return pd.DataFrame(
+            {
+                "step_idx": np.arange(1, len(step_set) + 1, dtype=np.int64),
+                "n_keys": np.asarray(counts, np.int64),
+            }
+        )
+
+    parts = bucketed_groupby(
+        rel, [key_col], per_bucket, num_buckets=num_buckets
+    ).to_pandas()
+    agg = parts.groupby("step_idx", sort=True)["n_keys"].sum().reset_index()
+    agg["step"] = [step_set[i - 1] for i in agg["step_idx"]]
+    return agg[["step_idx", "step", "n_keys"]].astype(
+        {"step_idx": np.int64, "n_keys": np.int64}
+    )
+
+
+def cohort_retention(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Weekly cohort-retention matrix: keys cohort by the Monday-aligned
+    week of their FIRST event; each later week they are active counts
+    into ``(cohort_week, week_offset)``. The classic retention triangle
+    over an event log.
+
+    Scale shape: a per-batch combiner reduces rows to DISTINCT
+    ``(key, week)`` pairs plus a per-key min-week partial (exchange is
+    distinct key-weeks, never raw events); ONE bucketed groupby on the
+    key then derives every key's cohort and offsets locally and emits
+    ``(cohort_week, week_offset, partial count)`` rows; a tiny global
+    groupby sums them. NULL keys/timestamps drop.
+
+    Returns a Dataset of ``(cohort_week date, week_offset int,
+    n_active_keys int)`` — ``week_offset`` 0 is the cohort week itself.
+    """
+    from .dedup import _as_dataset, bucketed_groupby
+
+    def week_of(ts: np.ndarray) -> np.ndarray:
+        d = ts.astype("datetime64[D]").astype(np.int64)
+        return d - ((d + 3) % 7)  # Monday-aligned (epoch day 0 = Thu)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        )
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = week_of(t[ts_col].to_numpy(zero_copy_only=False))
+        pair = np.unique(np.stack([k, w], axis=1), axis=0)
+        return pa.table(
+            {
+                key_col: pa.array(pair[:, 0], pa.int64()),
+                "week": pa.array(pair[:, 1], pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[key_col, ts_col])
+    pairs = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, "week"])
+        cohort = g.groupby(key_col)["week"].transform("min")
+        off = ((g["week"] - cohort) // 7).astype(np.int64)
+        out = (
+            pd.DataFrame({"cw": cohort, "off": off})
+            .groupby(["cw", "off"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    parts = bucketed_groupby(
+        pairs, [key_col], per_bucket, num_buckets=num_buckets
+    )
+
+    agg = parts.groupby(["cw", "off"]).sum("n")
+
+    def present(batch: pa.Table) -> pa.Table:
+        cw = batch["cw"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        return pa.table(
+            {
+                "cohort_week": pa.array(cw),
+                "week_offset": batch["off"],
+                "n_active_keys": pc.cast(batch["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(present, batch_format="pyarrow")

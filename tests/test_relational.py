@@ -1778,3 +1778,65 @@ def test_reconcile_tables_statuses(ray_session):
     assert len(out) == 6  # NULL fact key dropped
     assert out.loc[2, "diff_micros"] == 5000        # 0.005 in micros
     assert out.loc[1, "fact_sum_micros"] == 15_000_000
+
+
+def test_funnel_steps_strict_order(ray_session):
+    """Only keys whose step events occur in strict ts order advance;
+    equal timestamps do NOT count (strict >); later steps can never
+    exceed earlier ones."""
+    from data_validator_ray.pipelines.relational import funnel_steps
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    ev = pd.DataFrame(
+        [
+            # u1 completes in order
+            (1, t0, "a"), (1, t0 + h, "b"), (1, t0 + 2 * h, "c"),
+            # u2: b before a -> stops after a
+            (2, t0, "b"), (2, t0 + h, "a"),
+            # u3: a and b at the SAME instant -> strict order fails at b
+            (3, t0, "a"), (3, t0, "b"),
+            # u4: a->b, no c; noise events ignored
+            (4, t0, "a"), (4, t0 + h, "x"), (4, t0 + 2 * h, "b"),
+            # u5: completes using later 'a' (greedy earliest a at t0
+            # still works since b comes after)
+            (5, t0, "a"), (5, t0 + h, "b"), (5, t0 + h, "c"),  # c ties b
+        ],
+        columns=["user_id", "ts", "event_type"],
+    )
+    f = funnel_steps(ev, "user_id", "ts", "event_type", ["a", "b", "c"])
+    assert f.step.tolist() == ["a", "b", "c"]
+    # a: u1..u5 all have an 'a' = 5; b: u1, u4, u5 (u2 has no b after
+    # its a? u2's b is BEFORE a -> no; u3 ties -> no) = 3;
+    # c: u1 only (u5's c ties its b -> strict fails) = 1
+    assert f.n_keys.tolist() == [5, 3, 1]
+
+
+def test_cohort_retention_triangle(ray_session):
+    from data_validator_ray.pipelines.relational import cohort_retention
+
+    w = pd.Timestamp("2024-01-01")  # a Monday
+    wk = pd.Timedelta(days=7)
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": [w, w + wk, w + 3 * wk,          # u1: weeks 0,1,3
+                   w + wk, w + wk + pd.Timedelta(days=3),  # u2: week 1 twice
+                   w + 2 * wk],                     # u3: week 2
+        }
+    )
+    out = (
+        cohort_retention(ev, "user_id", "ts")
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (str(r.cohort_week), int(r.week_offset)): int(r.n_active_keys)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1, ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,   # u2 cohort week 1, active once
+        ("2024-01-15", 0): 1,   # u3
+    }
