@@ -694,3 +694,174 @@ def grouped_mode(
         part, key_cols, per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def grouped_ols(
+    source: Any,
+    key_cols: "list[str]",
+    x_col: str,
+    y_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Per-group simple linear regression of ``y`` on ``x`` — SQL
+    ``REGR_SLOPE/REGR_INTERCEPT/REGR_R2/REGR_COUNT`` semantics: only
+    PAIRWISE-complete rows count; slope NULL on zero x-variance; R²
+    is the squared Pearson correlation (NULL on zero variance of
+    either side). Floats rounded to 6.
+
+    Scale shape: identical to :func:`grouped_stats` — each batch
+    collapses to per-group sums (n, Σx, Σy, Σxx, Σxy, Σyy) via ONE
+    pyarrow ``group_by`` (exchange is groups × batches), a null-safe
+    bucketed groupby merges the partials, and the closed forms
+    evaluate per group at the end. Same magnitude caveat: the
+    sums-of-squares form wants ``x`` and ``y`` to not carry extreme
+    means — center epoch-like columns upstream.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[x_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = pc.cast(batch[y_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        vp = ~np.isnan(x) & ~np.isnan(y)
+        xp = np.where(vp, x, 0.0)
+        yp = np.where(vp, y, 0.0)
+        t = pa.table(
+            {
+                **{c: batch[c] for c in key_cols},
+                "__n": pa.array(vp.astype(np.int64)),
+                "__sx": pa.array(xp),
+                "__sy": pa.array(yp),
+                "__sxx": pa.array(xp * xp),
+                "__syy": pa.array(yp * yp),
+                "__sxy": pa.array(xp * yp),
+            }
+        )
+        aggs = [(c, "sum") for c in t.column_names if c.startswith("__")]
+        return t.group_by(key_cols).aggregate(aggs)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(key_cols, dropna=False, sort=False)
+            .sum(numeric_only=True)
+            .reset_index()
+        )
+        n = s["__n_sum"].to_numpy(np.float64)
+        sx, sy = s["__sx_sum"].to_numpy(), s["__sy_sum"].to_numpy()
+        sxx, syy = s["__sxx_sum"].to_numpy(), s["__syy_sum"].to_numpy()
+        sxy = s["__sxy_sum"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vx = n * sxx - sx * sx          # n² · var_pop(x)
+            vy = n * syy - sy * sy
+            cxy = n * sxy - sx * sy
+            slope = cxy / vx
+            intercept = sy / n - slope * (sx / n)
+            r2 = (cxy * cxy) / (vx * vy)
+        out = s[key_cols].copy()
+        out["regr_n"] = s["__n_sum"].to_numpy(np.int64)
+        ok = (n > 0) & (vx > 0)
+        out["slope"] = np.where(ok, np.round(slope, 6), np.nan)
+        out["intercept"] = np.where(ok, np.round(intercept, 6), np.nan)
+        out["r2"] = np.where(
+            ok & (vy > 0), np.round(r2, 6), np.nan
+        )
+        return out
+
+    ds = _as_dataset(source, columns=[*key_cols, x_col, y_col])
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        part, key_cols, merge,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
+def key_skew_profile(
+    source: Any,
+    key_col: str,
+    *,
+    top_k: int = 10,
+    batch_size: int = 64 * 1024,
+) -> "pandas.DataFrame":
+    """Partitioning-skew profile of a key column — the numbers you
+    read BEFORE choosing a shuffle key: distinct keys, total rows,
+    share of the heaviest key (``top1_share``), share of the ``top_k``
+    heaviest (``topk_share``), and the Gini coefficient of the per-key
+    row-count distribution (0 = perfectly even, → 1 = one key owns
+    everything). NULL keys drop.
+
+    Scale shape: per-batch pyarrow ``group_by`` count partials (the
+    combiner) → ONE bucketed groupby sums per-key counts, and each
+    bucket immediately collapses to its COUNT-OF-COUNTS histogram
+    (count value → #keys), so the driver only merges
+    frequency-of-frequency rows — bounded by the number of DISTINCT
+    per-key counts, never by #keys or #rows. All rank sums are exact
+    integer arithmetic over the run-length form.
+
+    Returns a one-row DataFrame ``(n_keys, n_rows, top1_share,
+    topk_share, gini)``.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col])
+        t = t.filter(pc.is_valid(t[key_col]))
+        return t.group_by([key_col]).aggregate([([], "count_all")])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_key = g.groupby(key_col, sort=False)["count_all"].sum()
+        fof = per_key.value_counts()  # count value -> #keys
+        return pd.DataFrame(
+            {"cnt": fof.index.to_numpy(np.int64),
+             "m": fof.to_numpy(np.int64)}
+        )
+
+    ds = _as_dataset(source, columns=[key_col])
+    parts = ds.map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=batch_size
+    )
+    fof = (
+        bucketed_groupby(parts, [key_col], per_bucket)
+        .groupby("cnt")
+        .sum("m")
+        .to_pandas()
+    )
+    cnt = fof["cnt"].to_numpy(np.int64)
+    m = fof["sum(m)"].to_numpy(np.int64)
+    order = np.argsort(cnt)  # ascending count
+    cnt, m = cnt[order], m[order]
+    n_keys = int(m.sum())
+    n_rows = int((cnt * m).sum())
+    # Σ rank·count over ascending ranks, run-length exact (Python ints)
+    s1, rank = 0, 1
+    for c, mm in zip(cnt.tolist(), m.tolist()):
+        s1 += c * (mm * rank + mm * (mm - 1) // 2)
+        rank += mm
+    top1 = int(cnt[-1])
+    need, topk = top_k, 0
+    for c, mm in zip(cnt[::-1].tolist(), m[::-1].tolist()):
+        take = min(mm, need)
+        topk += c * take
+        need -= take
+        if need == 0:
+            break
+    gini = (2.0 * s1) / (n_keys * n_rows) - (n_keys + 1.0) / n_keys
+    return pd.DataFrame(
+        {
+            "n_keys": [np.int64(n_keys)],
+            "n_rows": [np.int64(n_rows)],
+            "top1_share": [round(top1 / n_rows, 6)],
+            "topk_share": [round(topk / n_rows, 6)],
+            "gini": [round(gini, 6)],
+        }
+    )

@@ -1940,6 +1940,90 @@ def q_cohort_retention_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_event_transitions_events(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts of consecutive event types per user
+    (ordered by ts with event_id tiebreak): ONE key-bucketed shuffle,
+    per-bucket lexsort + shifted compare, tiny global sum."""
+    from .relational import event_transitions
+
+    out = event_transitions(
+        f"{sf_dir}/events.parquet", "user_id", "ts", "event_type",
+        tiebreak_col="event_id",
+    ).to_pandas()
+    return out.sort_values(["from_event", "to_event"]).reset_index(
+        drop=True
+    )
+
+
+def q_cdc_apply_customer_events(sf_dir: str) -> pd.DataFrame:
+    """CDC merge/upsert: events (latest per user by ts, event_id) act
+    as a change log over the customer snapshot — 'error' events delete
+    the key, others upsert its balance with the event value. ONE
+    unioned key-bucketed shuffle does reduce + full-outer merge +
+    apply."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .relational import cdc_apply
+
+    ch = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def mk(b: "pa.Table") -> "pa.Table":
+        op = pc.if_else(
+            pc.equal(b["event_type"], "error"),
+            pa.scalar("D"), pa.scalar("U"),
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "op": op,
+                "value": b["value"],
+            }
+        )
+
+    out = cdc_apply(
+        f"{sf_dir}/customer.parquet",
+        ch.map_batches(mk, batch_format="pyarrow"),
+        key_col="user_id",
+        snap_val_col="c_acctbal",
+        seq_cols=["ts_us", "event_id"],
+        op_col="op",
+        val_col="value",
+        snap_key_col="c_custkey",
+    ).to_pandas()
+    out["val"] = out["val"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_grouped_ols_events(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type OLS of value on event_id (REGR_SLOPE/INTERCEPT/
+    R2/COUNT semantics): per-batch moment-sum partials, one bucketed
+    merge, closed forms at the end."""
+    from .profile import grouped_ols
+
+    out = grouped_ols(
+        f"{sf_dir}/events.parquet", ["event_type"], "event_id", "value"
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_key_skew_events(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-key skew profile of events.user_id: distinct keys, rows,
+    top-1/top-10 share and the Gini coefficient of per-key counts —
+    computed from the count-of-counts histogram so the driver never
+    holds per-key state."""
+    from .profile import key_skew_profile
+
+    return key_skew_profile(f"{sf_dir}/events.parquet", "user_id")
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2692,6 +2776,10 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "funnel_events": q_funnel_events,
         "cohort_retention_events": q_cohort_retention_events,
+        "event_transitions_events": q_event_transitions_events,
+        "cdc_apply_customer_events": q_cdc_apply_customer_events,
+        "grouped_ols_events": q_grouped_ols_events,
+        "key_skew_events": q_key_skew_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3425,6 +3513,55 @@ def oracle_sql() -> Dict[str, str]:
             "CAST(date_diff('day', cw::DATE, w::DATE) / 7 AS BIGINT) "
             "AS week_offset, COUNT(*)::BIGINT AS n_active_keys "
             "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "event_transitions_events": (
+            "WITH s AS (SELECT user_id, event_type e, "
+            "LEAD(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) nx FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL) "
+            "SELECT e AS from_event, nx AS to_event, "
+            "COUNT(*)::BIGINT AS n_transitions "
+            "FROM s WHERE nx IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "cdc_apply_customer_events": (
+            "WITH ch AS (SELECT user_id k, CASE WHEN "
+            "event_type = 'error' THEN 'D' ELSE 'U' END op, value v, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) rn "
+            "FROM events WHERE user_id IS NOT NULL), "
+            "last AS (SELECT k, op, v FROM ch WHERE rn = 1), "
+            "merged AS (SELECT COALESCE(s.c_custkey, l.k) AS user_id, "
+            "l.op, CASE WHEN l.op = 'U' THEN l.v ELSE s.c_acctbal END "
+            "AS val FROM customer s FULL OUTER JOIN last l "
+            "ON s.c_custkey = l.k) "
+            "SELECT user_id, ROUND(val, 6) AS val FROM merged "
+            "WHERE op IS NULL OR op = 'U' ORDER BY user_id"
+        ),
+        "grouped_ols_events": (
+            "SELECT event_type, "
+            "regr_count(value, event_id::DOUBLE)::BIGINT AS regr_n, "
+            "ROUND(regr_slope(value, event_id::DOUBLE), 6) AS slope, "
+            "ROUND(regr_intercept(value, event_id::DOUBLE), 6) "
+            "AS intercept, "
+            "ROUND(regr_r2(value, event_id::DOUBLE), 6) AS r2 "
+            "FROM events WHERE event_type IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "key_skew_events": (
+            "WITH c AS (SELECT user_id, COUNT(*)::BIGINT n FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY 1), "
+            "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) i FROM c), "
+            "t AS (SELECT COUNT(*)::BIGINT nk, SUM(n)::BIGINT nr "
+            "FROM c), "
+            "tk AS (SELECT SUM(n)::BIGINT s10 FROM "
+            "(SELECT n FROM c ORDER BY n DESC LIMIT 10)), "
+            "g AS (SELECT SUM(i * n)::BIGINT s1 FROM r) "
+            "SELECT t.nk AS n_keys, t.nr AS n_rows, "
+            "ROUND((SELECT MAX(n) FROM c)::DOUBLE / t.nr, 6) "
+            "AS top1_share, "
+            "ROUND(tk.s10::DOUBLE / t.nr, 6) AS topk_share, "
+            "ROUND((2.0 * g.s1) / (t.nk * t.nr) - (t.nk + 1.0) / t.nk, "
+            "6) AS gini FROM t, tk, g"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -3194,3 +3194,215 @@ def cohort_retention(
         )
 
     return agg.map_batches(present, batch_format="pyarrow")
+
+
+def event_transitions(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    *,
+    tiebreak_col: Optional[str] = None,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Markov transition counts over an event log: for every key, order
+    its events by ``(ts, tiebreak)`` and count each consecutive
+    ``(from_event, to_event)`` pair — SQL ``LEAD(event) OVER (PARTITION
+    BY key ORDER BY ts, tiebreak)`` then ``GROUP BY pair``. The
+    sequence-mining primitive behind session-flow and anomaly models.
+
+    Scale shape: ONE key-bucketed shuffle co-locates each key's events
+    (exchange carries (key, ts, tiebreak, event) — event is a
+    low-cardinality dictionary-encoded column); each bucket resolves
+    ALL its keys in one lexsort + shifted-compare sweep and emits
+    per-bucket (from, to, count) partials; a tiny global groupby sums
+    them. NULL keys/timestamps drop; a key's last event has no
+    successor (contributes nothing).
+
+    Returns a Dataset of ``(from_event, to_event, n_transitions)``.
+    """
+    cols = [key_col, ts_col, event_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.filter(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        )
+
+    ds = _as_dataset(source, columns=cols).map_batches(
+        clean, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        g = g.sort_values(order, kind="mergesort")
+        same = g[key_col].to_numpy()[:-1] == g[key_col].to_numpy()[1:]
+        ev = g[event_col].to_numpy()
+        out = (
+            pd.DataFrame(
+                {"from_event": ev[:-1][same], "to_event": ev[1:][same]}
+            )
+            .groupby(["from_event", "to_event"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    parts = bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+    agg = parts.groupby(["from_event", "to_event"]).sum("n")
+
+    def present(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "from_event": batch["from_event"],
+                "to_event": batch["to_event"],
+                "n_transitions": pc.cast(batch["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(present, batch_format="pyarrow")
+
+
+def cdc_apply(
+    snapshot: Any,
+    changes: Any,
+    *,
+    key_col: str,
+    snap_val_col: str,
+    seq_cols: List[str],
+    op_col: str,
+    val_col: str,
+    snap_key_col: Optional[str] = None,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """CDC merge/upsert: apply a change log onto a snapshot — per key
+    the LATEST change (max ``seq_cols``, lexicographic) wins; op ``U``
+    upserts the key with the change's ``val_col`` (insert if absent),
+    op ``D`` deletes it; keys without changes keep their snapshot
+    value. The ``MERGE INTO`` / Delta `apply_changes` shape.
+
+    Scale shape: a per-batch combiner reduces the change log to its
+    per-batch latest row per key (exchange is batch-distinct keys,
+    never raw changes); snapshot rows and change partials UNION into
+    ONE key-bucketed shuffle, so reduce + full-outer merge + apply all
+    happen in a single exchange. NULL change keys drop; snapshot keys
+    are assumed unique (document upstream dedup otherwise);
+    ``snap_key_col`` names the snapshot's key when it differs from the
+    change log's (output uses ``key_col``).
+
+    Returns a Dataset of ``(key_col, val_col)`` survivors.
+    """
+    NEG = -np.float64(np.inf)
+    skey = snap_key_col or key_col
+
+    def snap_rows(batch: pa.Table) -> pa.Table:
+        t = batch.select([skey, snap_val_col])
+        t = t.filter(pc.is_valid(t[skey]))
+        n = t.num_rows
+        return pa.table(
+            {
+                key_col: pc.cast(t[skey], pa.int64()),
+                "__val": pc.cast(t[snap_val_col], pa.float64()),
+                "__op": pa.nulls(n, pa.string()),
+                "__side": pa.array(np.zeros(n, np.int8)),
+                **{
+                    f"__seq{i}": pa.array(np.full(n, NEG))
+                    for i in range(len(seq_cols))
+                },
+            }
+        )
+
+    def change_rows(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, op_col, val_col, *seq_cols])
+        t = t.filter(pc.is_valid(t[key_col]))
+        df = pd.DataFrame(
+            {
+                key_col: t[key_col].to_numpy(zero_copy_only=False),
+                "__op": t[op_col].to_numpy(zero_copy_only=False),
+                "__val": pc.cast(t[val_col], pa.float64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                **{
+                    f"__seq{i}": pc.cast(
+                        t[c], pa.float64()
+                    ).to_numpy(zero_copy_only=False)
+                    for i, c in enumerate(seq_cols)
+                },
+            }
+        )
+        seq = [f"__seq{i}" for i in range(len(seq_cols))]
+        last = df.sort_values(
+            [key_col, *seq], kind="mergesort"
+        ).drop_duplicates(key_col, keep="last")
+        n = len(last)
+        return pa.table(
+            {
+                key_col: pa.array(
+                    last[key_col].to_numpy(np.int64), pa.int64()
+                ),
+                "__val": pa.array(last["__val"].to_numpy(np.float64)),
+                "__op": pa.array(last["__op"].astype(object), pa.string()),
+                "__side": pa.array(np.ones(n, np.int8)),
+                **{
+                    s: pa.array(last[s].to_numpy(np.float64))
+                    for s in seq
+                },
+            }
+        )
+
+    snap_ds = _as_dataset(snapshot, columns=[skey, snap_val_col])
+    ch_ds = _as_dataset(changes, columns=[key_col, op_col, val_col, *seq_cols])
+    seq = [f"__seq{i}" for i in range(len(seq_cols))]
+    col_order = [key_col, "__val", "__op", "__side", *seq]
+
+    def reorder(batch: pa.Table) -> pa.Table:
+        return batch.select(col_order)
+
+    unioned = (
+        snap_ds.map_batches(
+            snap_rows, batch_format="pyarrow", batch_size=batch_size
+        )
+        .map_batches(reorder, batch_format="pyarrow")
+        .union(
+            ch_ds.map_batches(
+                change_rows, batch_format="pyarrow", batch_size=batch_size
+            ).map_batches(reorder, batch_format="pyarrow")
+        )
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g[g["__side"] == 1]
+        if len(ch):
+            ch = ch.sort_values(
+                [key_col, *seq], kind="mergesort"
+            ).drop_duplicates(key_col, keep="last")
+        sn = g[g["__side"] == 0][[key_col, "__val"]]
+        m = sn.merge(
+            ch[[key_col, "__op", "__val"]],
+            on=key_col,
+            how="outer",
+            suffixes=("_s", "_c"),
+        )
+        op = m["__op"].to_numpy(object)
+        keep = ~(op == "D")
+        m = m[keep]
+        upsert = m["__op"].to_numpy(object) == "U"
+        val = np.where(
+            upsert,
+            m["__val_c"].to_numpy(np.float64),
+            m["__val_s"].to_numpy(np.float64),
+        )
+        return pd.DataFrame({key_col: m[key_col].to_numpy(np.int64),
+                             "val": val})
+
+    return bucketed_groupby(
+        unioned, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

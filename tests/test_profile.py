@@ -344,3 +344,44 @@ def test_table_profile_one_pass(ray_session):
     assert out.loc["i", "approx_distinct"] == 2
     assert out.loc["s", "approx_distinct"] == 2
     assert pd.isna(out.loc["s", "min_value"])  # non-numeric: no min/max
+
+
+def test_grouped_ols_degenerate_groups(ray_session):
+    """Zero x-variance -> NULL slope/intercept/r2; constant y ->
+    r2 NULL (zero y-variance) but slope 0; pairwise-complete only."""
+    from data_validator_ray.pipelines.profile import grouped_ols
+
+    df = pd.DataFrame(
+        {
+            "g": ["flat_x"] * 3 + ["flat_y"] * 3 + ["line"] * 3,
+            "x": [5.0, 5.0, 5.0, 1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+            "y": [1.0, 2.0, 3.0, 7.0, 7.0, 7.0, 3.0, 5.0, 7.0],
+        }
+    )
+    out = (
+        grouped_ols(df, ["g"], "x", "y")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert pd.isna(out.loc["flat_x", "slope"])
+    assert out.loc["flat_y", "slope"] == 0.0
+    assert pd.isna(out.loc["flat_y", "r2"])
+    assert out.loc["line", "slope"] == 2.0
+    assert out.loc["line", "intercept"] == 1.0
+    assert out.loc["line", "r2"] == 1.0
+    assert int(out.loc["line", "regr_n"]) == 3
+
+
+def test_key_skew_profile_exact(ray_session):
+    """Known distribution: counts (1,1,2,4) over 4 keys -> exact
+    shares and Gini from the run-length rank formula."""
+    from data_validator_ray.pipelines.profile import key_skew_profile
+
+    keys = [1, 2, 3, 3, 4, 4, 4, 4]
+    df = pd.DataFrame({"k": keys + [None]})
+    out = key_skew_profile(df, "k", top_k=2)
+    assert int(out.n_keys[0]) == 4 and int(out.n_rows[0]) == 8
+    assert out.top1_share[0] == 0.5
+    assert out.topk_share[0] == 0.75
+    # sorted counts (1,1,2,4): gini = 2*(1*1+2*1+3*2+4*4)/(4*8) - 5/4
+    assert out.gini[0] == round(2 * 25 / 32 - 1.25, 6)

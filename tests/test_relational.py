@@ -1840,3 +1840,65 @@ def test_cohort_retention_triangle(ray_session):
         ("2024-01-08", 0): 1,   # u2 cohort week 1, active once
         ("2024-01-15", 0): 1,   # u3
     }
+
+
+def test_event_transitions_tiebreak_and_nulls(ray_session):
+    """Ties order by the tiebreak column; NULL keys/timestamps drop;
+    the last event of a key contributes no transition."""
+    from data_validator_ray.pipelines.relational import event_transitions
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, None, 3],
+            "ts": [t0, t0 + h, t0 + h, t0, pd.NaT, t0, t0],
+            "event_id": [1, 3, 2, 1, 2, 3, 4],
+            "event_type": ["a", "c", "b", "a", "b", "a", "a"],
+        }
+    )
+    out = (
+        event_transitions(ev, "user_id", "ts", "event_type",
+                          tiebreak_col="event_id")
+        .to_pandas()
+        .sort_values(["from_event", "to_event"])
+        .reset_index(drop=True)
+    )
+    # u1: a -> b (event_id 2 before 3 at equal ts) -> c; u2: only the
+    # valid 'a' row (NaT drops); u3 single event; NULL key drops.
+    got = {
+        (r.from_event, r.to_event): int(r.n_transitions)
+        for r in out.itertuples()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_cdc_apply_semantics(ray_session):
+    """Upsert beats older changes, delete removes (even snapshot-only
+    semantics: delete of an absent key emits nothing), inserts appear,
+    untouched snapshot keys survive, NULL upsert value propagates."""
+    from data_validator_ray.pipelines.relational import cdc_apply
+
+    snap = pd.DataFrame({"k": [1, 2, 3, 4], "bal": [10.0, 20.0, 30.0, 40.0]})
+    ch = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 5, 6, 7, None],
+            "seq": [1.0, 2.0, 1.0, 1.0, 1.0, 1.0, 9.0],
+            "op": ["U", "U", "D", "U", "D", "U", "U"],
+            "v": [11.0, 12.0, 99.0, 50.0, 60.0, None, 1.0],
+        }
+    )
+    out = (
+        cdc_apply(
+            snap, ch, key_col="k", snap_val_col="bal",
+            seq_cols=["seq"], op_col="op", val_col="v",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = {int(r.k): (None if pd.isna(r.val) else float(r.val))
+           for r in out.itertuples()}
+    # 1: latest U wins (12); 2: deleted; 3,4: untouched; 5: inserted;
+    # 6: delete of absent key -> nothing; 7: U with NULL value -> NULL.
+    assert got == {1: 12.0, 3: 30.0, 4: 40.0, 5: 50.0, 7: None}
