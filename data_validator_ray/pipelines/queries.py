@@ -2024,6 +2024,45 @@ def q_key_skew_events(sf_dir: str) -> pd.DataFrame:
     return key_skew_profile(f"{sf_dir}/events.parquet", "user_id")
 
 
+
+def q_fuzzy_dup_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Blocked fuzzy-duplicate pairs: docs sharing (lang, first-12-char
+    prefix) pair up and survive on byte-Levenshtein ≤ 8 over their
+    first 48 chars — ONE block-bucketed shuffle shipping 48-char
+    compare strings, chunked numpy DP per bucket."""
+    from .dedup import fuzzy_dup_pairs
+
+    out = fuzzy_dup_pairs(
+        f"{sf_dir}/documents.parquet", "doc_id", "text", ["lang"],
+        prefix_len=12, cmp_len=48, max_dist=8,
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+
+def q_boolean_search_documents(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index boolean retrieval: build the hive-sharded
+    (token, doc_id) posting index once per sf under /tmp, then answer
+    an AND query reading ONLY the shards its terms hash to."""
+    import tempfile
+    from pathlib import Path
+
+    from .search import boolean_search, build_inverted_index
+
+    tag = Path(sf_dir).name
+    idx = f"{tempfile.gettempdir()}/graft_invidx_{tag}"
+    if not Path(idx).exists():
+        build_inverted_index(
+            f"{sf_dir}/documents.parquet", idx, num_shards=16
+        )
+    out = boolean_search(
+        idx, ["batch", "join", "filter"], mode="and"
+    ).to_pandas()
+    if "doc_id" not in out.columns:  # empty result loses schema
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2780,6 +2819,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "cdc_apply_customer_events": q_cdc_apply_customer_events,
         "grouped_ols_events": q_grouped_ols_events,
         "key_skew_events": q_key_skew_events,
+        "fuzzy_dup_pairs_documents": q_fuzzy_dup_pairs_documents,
+        "boolean_search_documents": q_boolean_search_documents,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3562,6 +3603,24 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(tk.s10::DOUBLE / t.nr, 6) AS topk_share, "
             "ROUND((2.0 * g.s1) / (t.nk * t.nr) - (t.nk + 1.0) / t.nk, "
             "6) AS gini FROM t, tk, g"
+        ),
+        "fuzzy_dup_pairs_documents": (
+            "WITH d AS (SELECT doc_id, lang, substr(text, 1, 12) p, "
+            "substr(text, 1, 48) c FROM documents "
+            "WHERE text IS NOT NULL AND lang IS NOT NULL) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "levenshtein(a.c, b.c)::BIGINT AS dist "
+            "FROM d a JOIN d b ON a.lang = b.lang AND a.p = b.p "
+            "AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.c, b.c) <= 8 ORDER BY 1, 2"
+        ),
+        "boolean_search_documents": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+            "t FROM documents WHERE text IS NOT NULL) "
+            "SELECT doc_id FROM tok "
+            "WHERE t IN ('batch', 'join', 'filter') GROUP BY doc_id "
+            "HAVING COUNT(DISTINCT t) = 3 ORDER BY doc_id"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

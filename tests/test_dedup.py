@@ -499,3 +499,55 @@ def test_paragraph_dedup_layout_independent(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_levenshtein_bytes_kernel():
+    """Byte-edit semantics (non-ASCII substitution costs its UTF-8
+    byte length — DuckDB parity), empties, and asymmetric lengths."""
+    import numpy as np
+
+    from data_validator_ray.pipelines.dedup import _levenshtein_bytes
+
+    a = ["kitten", "", "abc", "héllo", "same"]
+    b = ["sitting", "ab", "", "hello", "same"]
+    got = _levenshtein_bytes(a, b)
+    # héllo vs hello: é (2 bytes) -> e (1 byte) = 1 sub + 1 del = 2
+    assert got.tolist() == [3, 2, 3, 2, 0]
+
+
+def test_fuzzy_dup_pairs_blocking(ray_session):
+    """Pairs only form inside a (block, prefix) block; the distance
+    gate applies to the cmp window; max_group drops degenerate
+    blocks."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.dedup import fuzzy_dup_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "lang": ["en", "en", "en", "fr", "en", None],
+            "text": [
+                "prefix match body one",
+                "prefix match body two",     # pair with 1: dist 3
+                "prefix match xxxxxxxxxxxx",  # dist to 1/2 > 8
+                "prefix match body one",      # other lang: no pair
+                "different prefix entirely",
+                "prefix match body one",      # NULL lang drops
+            ],
+        }
+    )
+    out = (
+        fuzzy_dup_pairs(docs, "doc_id", "text", ["lang"],
+                        prefix_len=12, cmp_len=48, max_dist=8)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert out[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert int(out.dist[0]) == 3
+    capped = fuzzy_dup_pairs(
+        docs, "doc_id", "text", ["lang"],
+        prefix_len=12, cmp_len=48, max_dist=8, max_group=2,
+    ).to_pandas()
+    assert len(capped) == 0  # the en/'prefix match' block has 3 docs

@@ -588,3 +588,36 @@ def test_normalize_text_unicode_parity_with_duckdb(ray_session):
         " AS norm_text FROM tbl ORDER BY doc_id"
     ).df()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_inverted_index_boolean_search(ray_session, tmp_path):
+    """Postings are per-doc distinct; AND needs every term, OR any;
+    unknown terms return empty (with a stable Dataset schema); only
+    the terms' shards are read."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.search import (
+        boolean_search,
+        build_inverted_index,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma",
+                "alpha alpha beta",   # repeated token: ONE posting
+                "beta delta",
+                None,                  # null text drops
+            ],
+        }
+    )
+    idx = str(tmp_path / "inv")
+    build_inverted_index(docs, idx, num_shards=4)
+    both = boolean_search(idx, ["alpha", "beta"], mode="and").to_pandas()
+    assert sorted(both.doc_id.tolist()) == [1, 2]
+    any_ = boolean_search(idx, ["gamma", "delta"], mode="or").to_pandas()
+    assert sorted(any_.doc_id.tolist()) == [1, 3]
+    none = boolean_search(idx, ["nosuch"], mode="and")
+    assert none.count() == 0
+    assert "doc_id" in none.schema().names
