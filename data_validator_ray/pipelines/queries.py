@@ -2063,6 +2063,26 @@ def q_boolean_search_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def q_bm25_search_documents(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 over the sharded inverted index (tf postings +
+    doclen sidecar): shard-pruned read, driver-side per-term idf (≤3
+    rows), one bucketed doc-id join-and-score pass, per-bucket top-k
+    then a tiny global merge."""
+    import tempfile
+    from pathlib import Path
+
+    from .search import bm25_search, build_inverted_index
+
+    tag = Path(sf_dir).name
+    idx = f"{tempfile.gettempdir()}/graft_invidx_{tag}"
+    if not Path(idx).exists():
+        build_inverted_index(
+            f"{sf_dir}/documents.parquet", idx, num_shards=16
+        )
+    return bm25_search(idx, ["batch", "join", "filter"], k=10)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2821,6 +2841,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "key_skew_events": q_key_skew_events,
         "fuzzy_dup_pairs_documents": q_fuzzy_dup_pairs_documents,
         "boolean_search_documents": q_boolean_search_documents,
+        "bm25_search_documents": q_bm25_search_documents,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3621,6 +3642,26 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT doc_id FROM tok "
             "WHERE t IN ('batch', 'join', 'filter') GROUP BY doc_id "
             "HAVING COUNT(DISTINCT t) = 3 ORDER BY doc_id"
+        ),
+        "bm25_search_documents": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+            "t FROM documents WHERE text IS NOT NULL), "
+            "len AS (SELECT doc_id, COUNT(*)::DOUBLE dl FROM tok "
+            "GROUP BY 1), "
+            "stats AS (SELECT COUNT(*)::DOUBLE n, AVG(dl) avgdl "
+            "FROM len), "
+            "tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE tf FROM tok "
+            "WHERE t IN ('batch', 'join', 'filter') GROUP BY 1, 2), "
+            "df AS (SELECT t, COUNT(*)::DOUBLE df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, "
+            "SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+            "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + "
+            "0.75 * len.dl / stats.avgdl))) s "
+            "FROM tf, stats JOIN df ON tf.t = df.t "
+            "JOIN len ON tf.doc_id = len.doc_id GROUP BY 1) "
+            "SELECT doc_id, ROUND(s, 6) AS score FROM sc "
+            "ORDER BY s DESC, doc_id LIMIT 10"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -65,7 +65,7 @@ def build_inverted_index(
         t = batch.select([id_col, text_col])
         t = t.filter(pc.is_valid(t[text_col]))
         ex, _ = _exploded_tokens(t[text_col])
-        ex = ex.unique(subset=["doc", "t"])
+        ex = ex.group_by(["doc", "t"]).len()  # one posting + its tf
         ids = t[id_col].to_numpy(zero_copy_only=False)
         tok = pc.cast(ex["t"].to_arrow(), pa.string())
         shard = (
@@ -77,6 +77,9 @@ def build_inverted_index(
                 id_col: pa.array(
                     ids[ex["doc"].to_numpy()], pa.int64()
                 ),
+                "tf": pa.array(
+                    ex["len"].to_numpy().astype(np.int64), pa.int64()
+                ),
                 "shard": pa.array(shard, pa.int64()),
             }
         )
@@ -85,11 +88,47 @@ def build_inverted_index(
     ds.map_batches(
         postings, batch_format="pyarrow", batch_size=batch_size
     ).write_parquet(out_dir, partition_cols=["shard"])
+
+    # doclen sidecar from the (already small) index itself: one
+    # groupby over postings — no second pass over the corpus. Read
+    # shard dirs explicitly so a rebuild into an existing dir never
+    # sweeps the doclen sidecar back in.
+    from pathlib import Path as _P
+
+    shard_files = [
+        str(f) for f in sorted(_P(out_dir).glob("shard=*/*.parquet"))
+    ]
+    idx = ray.data.read_parquet(shard_files, columns=[id_col, "tf"])
+    doclen = idx.groupby(id_col).sum("tf")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "dl": pc.cast(batch["sum(tf)"], pa.int64()),
+            }
+        )
+
+    doclen = doclen.map_batches(rename, batch_format="pyarrow")
+    doclen.write_parquet(f"{out_dir}/doclen")
+    agg = ray.data.read_parquet(
+        f"{out_dir}/doclen", columns=["dl"]
+    ).aggregate(ray.data.aggregate.Count(), ray.data.aggregate.Sum("dl"))
+    n_docs = int(agg["count()"])
+    avgdl = float(agg["sum(dl)"]) / n_docs if n_docs else 0.0
+
     import json
     from pathlib import Path
 
     (Path(out_dir) / "_meta.json").write_text(
-        json.dumps({"num_shards": num_shards, "id_col": id_col})
+        json.dumps(
+            {
+                "num_shards": num_shards,
+                "id_col": id_col,
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+            }
+        )
     )
     return out_dir
 
@@ -168,3 +207,142 @@ def boolean_search(
     return empty.union(
         agg.map_batches(all_terms, batch_format="pyarrow")
     )
+
+
+def bm25_search(
+    index_dir: str,
+    terms: List[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "pandas.DataFrame":
+    """BM25 ranked retrieval over a :func:`build_inverted_index`
+    layout: top-``k`` docs by ``Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl))`` with the Lucene-style smoothed
+    ``idf = ln((N−df+0.5)/(df+0.5) + 1)``. ``N``/``avgdl`` come from
+    the index meta (docs with ≥1 token).
+
+    Scale shape: only the terms' shards are read (same pruning as
+    :func:`boolean_search`); per-term document frequencies reduce from
+    the already-filtered postings (≤ |terms| rows cross the driver);
+    candidate postings join the doclen sidecar via the bucketed
+    shuffle join (both sides hash on doc id — candidates only, never
+    the corpus); scores sum per doc in the same bucketed pass and ONLY
+    the global top-k crosses back. Ties break on ascending doc id.
+
+    Returns a pandas DataFrame ``(doc_id, score)``, score rounded 6,
+    ordered by unrounded score desc then doc id.
+    """
+    import json
+    from pathlib import Path
+
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    meta = json.loads((Path(index_dir) / "_meta.json").read_text())
+    num_shards, n_docs = meta["num_shards"], meta["n_docs"]
+    avgdl = meta["avgdl"]
+    terms = sorted(set(terms))
+    shards = sorted(set(_term_shard(terms, num_shards).tolist()))
+    paths = [
+        str(f)
+        for s in shards
+        for f in sorted(Path(f"{index_dir}/shard={s}").glob("*.parquet"))
+    ]
+    out_empty = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype=np.int64),
+            "score": pd.Series(dtype=np.float64),
+        }
+    )
+    if not paths or n_docs == 0:
+        return out_empty
+    term_arr = pa.array(terms, pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["token"], value_set=term_arr)
+        return batch.filter(m).select(["token", id_col, "tf"])
+
+    postings = ray.data.read_parquet(
+        paths, columns=["token", id_col, "tf"]
+    ).map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+
+    # per-term df: ≤ |terms| rows — safe to collect
+    df_rows = postings.groupby("token").count().to_pandas()
+    idf = {
+        t: float(np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0))
+        for t, dfv in zip(df_rows["token"], df_rows["count()"])
+    }
+
+    def tag_posting(batch: pa.Table) -> pa.Table:
+        w = np.array(
+            [idf[t] for t in batch["token"].to_pylist()], np.float64
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "tf": pc.cast(batch["tf"], pa.float64()),
+                "idf": pa.array(w),
+                "dl": pa.nulls(batch.num_rows, pa.float64()),
+                "__side": pa.array(
+                    np.zeros(batch.num_rows, np.int8)
+                ),
+            }
+        )
+
+    def tag_doclen(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "tf": pa.nulls(n, pa.float64()),
+                "idf": pa.nulls(n, pa.float64()),
+                "dl": pc.cast(batch["dl"], pa.float64()),
+                "__side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    doclen = ray.data.read_parquet(f"{index_dir}/doclen")
+    unioned = postings.map_batches(
+        tag_posting, batch_format="pyarrow"
+    ).union(doclen.map_batches(tag_doclen, batch_format="pyarrow"))
+
+    def score_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        post = g[g["__side"] == 0]
+        if not len(post):
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+        dl = g[g["__side"] == 1].set_index(id_col)["dl"]
+        dlv = post[id_col].map(dl).to_numpy(np.float64)
+        tf = post["tf"].to_numpy(np.float64)
+        w = post["idf"].to_numpy(np.float64)
+        s = w * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dlv / avgdl)
+        )
+        out = (
+            pd.DataFrame({id_col: post[id_col].to_numpy(np.int64),
+                          "score": s})
+            .groupby(id_col, sort=False)["score"]
+            .sum()
+            .reset_index()
+        )
+        # per-bucket top-k: the global top-k is a subset of the
+        # per-bucket top-k's (doc scores are complete per bucket)
+        return out.nlargest(k, "score")
+
+    scored = bucketed_groupby(
+        unioned, [id_col], score_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    ).to_pandas()
+    top = scored.sort_values(
+        ["score", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    top["score"] = top["score"].round(6)
+    return top.reset_index(drop=True)

@@ -621,3 +621,35 @@ def test_inverted_index_boolean_search(ray_session, tmp_path):
     none = boolean_search(idx, ["nosuch"], mode="and")
     assert none.count() == 0
     assert "doc_id" in none.schema().names
+
+
+def test_bm25_search_ranking(ray_session, tmp_path):
+    """Rarer terms outweigh common ones; repeated tf saturates under
+    k1; doc-length normalization penalizes long docs; deterministic
+    doc-id tiebreak."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.search import (
+        bm25_search,
+        build_inverted_index,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "rare common common filler filler filler filler filler",
+                "rare common",          # short doc: wins length norm
+                "common common common",
+                "unrelated tokens only",
+            ],
+        }
+    )
+    idx = str(tmp_path / "bm")
+    build_inverted_index(docs, idx, num_shards=4)
+    out = bm25_search(idx, ["rare", "common"], k=3)
+    # docs 1 and 2 contain 'rare' (df=2) which out-idfs 'common'
+    # (df=3); doc 2 is far shorter -> highest score
+    assert out.doc_id.tolist()[0] == 2
+    assert set(out.doc_id.tolist()) == {1, 2, 3}
+    assert (out.score.to_numpy()[:-1] >= out.score.to_numpy()[1:]).all()
