@@ -2083,6 +2083,33 @@ def q_bm25_search_documents(sf_dir: str) -> pd.DataFrame:
     return bm25_search(idx, ["batch", "join", "filter"], k=10)
 
 
+
+def q_grouped_ewma_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user EWMA (α=0.3, adjust=False seed) of event values
+    ordered by (ts, event_id), evaluated in closed form so the SQL
+    pow-window oracle shares float semantics; ONE key-bucketed
+    shuffle, vectorized weights per bucket."""
+    from .relational import grouped_ewma
+
+    out = grouped_ewma(
+        f"{sf_dir}/events.parquet", "user_id", ["ts", "event_id"],
+        "value", alpha=0.3,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_winsorize_events_value(sf_dir: str) -> pd.DataFrame:
+    """Winsorize events.value at exact global p01/p99 (quantile_cont
+    interpolation): distinct-bounded quantile reduce, then a streaming
+    scalar clip."""
+    from .relational import winsorize
+
+    out = winsorize(
+        f"{sf_dir}/events.parquet", "value", id_cols=["event_id"]
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2842,6 +2869,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "fuzzy_dup_pairs_documents": q_fuzzy_dup_pairs_documents,
         "boolean_search_documents": q_boolean_search_documents,
         "bm25_search_documents": q_bm25_search_documents,
+        "grouped_ewma_events": q_grouped_ewma_events,
+        "winsorize_events_value": q_winsorize_events_value,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3662,6 +3691,24 @@ def oracle_sql() -> Dict[str, str]:
             "JOIN len ON tf.doc_id = len.doc_id GROUP BY 1) "
             "SELECT doc_id, ROUND(s, 6) AS score FROM sc "
             "ORDER BY s DESC, doc_id LIMIT 10"
+        ),
+        "grouped_ewma_events": (
+            "WITH s AS (SELECT user_id, value, "
+            "ROW_NUMBER() OVER w rn, "
+            "COUNT(*) OVER (PARTITION BY user_id) cnt "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, COUNT(*)::BIGINT n, "
+            "ROUND(SUM(CASE WHEN rn = 1 THEN pow(0.7, cnt - 1) * value "
+            "ELSE 0.3 * pow(0.7, cnt - rn) * value END), 6) AS ewma "
+            "FROM s GROUP BY 1 ORDER BY 1"
+        ),
+        "winsorize_events_value": (
+            "WITH q AS (SELECT quantile_cont(value, 0.01) lo, "
+            "quantile_cont(value, 0.99) hi FROM events) "
+            "SELECT event_id, "
+            "ROUND(LEAST(GREATEST(value, q.lo), q.hi), 6) "
+            "AS value_wins FROM events, q ORDER BY event_id"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

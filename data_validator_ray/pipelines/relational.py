@@ -3406,3 +3406,141 @@ def cdc_apply(
         unioned, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def grouped_ewma(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    alpha: float = 0.3,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key exponentially-weighted moving average, final value per
+    key: rows ordered by ``order_cols``, ``y_i = α·x_i + (1−α)·y_{i−1}``
+    seeded with ``y_1 = x_1`` (pandas ``ewm(adjust=False)``). Evaluated
+    through the CLOSED FORM — row ``i`` of an ``n``-row key weighs
+    ``α(1−α)^{n−i}`` (``(1−α)^{n−1}`` for the first row) — so the
+    engine and a SQL window oracle share pow/sum semantics instead of
+    a sequential recursion; weights underflow identically for very
+    long series. NULL keys/order values drop; NULL x propagates NaN
+    (SQL parity: the CASE sum returns NULL if any term is NULL).
+
+    Scale shape: ONE key-bucketed shuffle of (key, order, x); each
+    bucket lexsorts once and computes every key's weights in one
+    vectorized pass (segment boundaries → per-row rank/count, no
+    per-key Python). Output ``(key, n, ewma)`` — ewma rounded to 6.
+    """
+    cols = [key_col, *order_cols, value_col]
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        m = pc.is_valid(t[key_col])
+        for c in order_cols:
+            m = pc.and_(m, pc.is_valid(t[c]))
+        return t.filter(m)
+
+    ds = _as_dataset(source, columns=cols).map_batches(
+        clean, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        k = g[key_col].to_numpy()
+        x = g[value_col].to_numpy(np.float64)
+        n = len(g)
+        new = np.concatenate([[True], k[1:] != k[:-1]])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        rank = np.arange(n) - starts[seg]          # 0-based in key
+        cnt = counts[seg]
+        w = np.where(
+            rank == 0,
+            np.power(1.0 - alpha, cnt - 1.0),
+            alpha * np.power(1.0 - alpha, cnt - 1.0 - rank),
+        )
+        contrib = w * x
+        ew = np.add.reduceat(contrib, starts)
+        return pd.DataFrame(
+            {
+                key_col: k[starts],
+                "n": counts.astype(np.int64),
+                "ewma": np.round(ew, 6),
+            }
+        )
+
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
+def winsorize(
+    source: Any,
+    value_col: str,
+    *,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    id_cols: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Winsorize (clip) a numeric column at its EXACT global
+    ``lower_q``/``upper_q`` quantiles (``quantile_cont``
+    interpolation): two passes — a distinct-bounded exact-quantile
+    reduce (per-batch ``(value, count)`` partials, one tiny
+    driver-side interpolation over the merged distincts), then a
+    streaming vectorized clip with the two cutoffs closed over (no
+    broadcast join; the cutoffs are scalars). NULL values pass
+    through NULL. Adds ``{value_col}_wins`` (rounded 6) beside
+    ``id_cols``.
+    """
+    id_cols = list(id_cols or [])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([value_col])
+        t = t.filter(pc.is_valid(t[value_col]))
+        return t.group_by([value_col]).aggregate([([], "count_all")])
+
+    ds_vals = (
+        _as_dataset(source, columns=[value_col])
+        .map_batches(partials, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .groupby(value_col)
+        .sum("count_all")
+        .to_pandas()
+    )
+    vals = ds_vals[value_col].to_numpy(np.float64)
+    cnts = ds_vals["sum(count_all)"].to_numpy(np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+
+    def q_at(q: float) -> float:
+        # quantile_cont over the expanded multiset, via run lengths
+        rn = (total - 1) * q
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        lo = vals[np.searchsorted(cum, frn + 1)]
+        hi = vals[np.searchsorted(cum, crn + 1)]
+        return float(lo if crn == frn else (crn - rn) * lo + (rn - frn) * hi)
+
+    lo_cut, hi_cut = q_at(lower_q), q_at(upper_q)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        w = np.round(np.clip(x, lo_cut, hi_cut), 6)
+        return pa.table(
+            {
+                **{c: batch[c] for c in id_cols},
+                f"{value_col}_wins": pa.array(w),
+            }
+        )
+
+    return _as_dataset(source, columns=[*id_cols, value_col]).map_batches(
+        clip, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -1902,3 +1902,55 @@ def test_cdc_apply_semantics(ray_session):
     # 1: latest U wins (12); 2: deleted; 3,4: untouched; 5: inserted;
     # 6: delete of absent key -> nothing; 7: U with NULL value -> NULL.
     assert got == {1: 12.0, 3: 30.0, 4: 40.0, 5: 50.0, 7: None}
+
+
+def test_grouped_ewma_closed_form(ray_session):
+    """Closed-form weights equal the sequential recursion
+    (adjust=False); single-row keys return x itself; NULL order rows
+    drop; NULL x propagates."""
+    from data_validator_ray.pipelines.relational import grouped_ewma
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    ev = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 3, 3, 4],
+            "ts": [t0, t0 + s, t0 + 2 * s, t0, t0, pd.NaT, t0],
+            "i": [1, 2, 3, 1, 1, 2, 1],
+            "x": [1.0, 2.0, 4.0, 7.0, 5.0, 9.0, None],
+        }
+    )
+    out = (
+        grouped_ewma(ev, "k", ["ts", "i"], "x", alpha=0.5)
+        .to_pandas()
+        .set_index("k")
+    )
+    # k=1: ((1*0.5+2*0.5)*0.5 + 4*0.5) = 2.75
+    assert out.loc[1, "ewma"] == 2.75 and int(out.loc[1, "n"]) == 3
+    assert out.loc[2, "ewma"] == 7.0
+    assert out.loc[3, "ewma"] == 5.0  # NaT row dropped
+    assert pd.isna(out.loc[4, "ewma"])
+
+
+def test_winsorize_clip_bounds(ray_session):
+    """Exact interpolated cutoffs; NULLs pass through; values inside
+    the band unchanged."""
+    from data_validator_ray.pipelines.relational import winsorize
+
+    df = pd.DataFrame(
+        {"id": range(11),
+         "v": [0.0, 1, 2, 3, 4, 5, 6, 7, 8, 100, None]}
+    )
+    out = (
+        winsorize(df, "v", lower_q=0.1, upper_q=0.9, id_cols=["id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # 10 non-null values: p10 = 0.9, p90 = 8*0.9+100*0.1... via
+    # quantile_cont over (0..8,100): rn=.1*9=0.9 -> 0.9; rn=8.1 ->
+    # 0.9*8 + 0.1*100 = 17.2
+    assert out.v_wins[0] == 0.9
+    assert out.v_wins[9] == 17.2
+    assert out.v_wins[5] == 5.0
+    assert pd.isna(out.v_wins[10])
