@@ -2110,6 +2110,20 @@ def q_winsorize_events_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+
+def q_ppjoin_jaccard_documents(sf_dir: str) -> pd.DataFrame:
+    """PPJoin prefix-filtered EXACT Jaccard ≥ 0.5 pairs: the
+    pair-emitting inverted index runs over each doc's p smallest-hash
+    prefix shingles only (every true pair provably shares a prefix
+    shingle), then the MinHash-shared distributed verify pass scores
+    candidates exactly. Same oracle as the all-shingle exact tier."""
+    from .dedup import ppjoin_jaccard_pairs
+
+    return ppjoin_jaccard_pairs(
+        f"{sf_dir}/documents.parquet", threshold=0.5, num_buckets=16
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2871,6 +2885,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "bm25_search_documents": q_bm25_search_documents,
         "grouped_ewma_events": q_grouped_ewma_events,
         "winsorize_events_value": q_winsorize_events_value,
+        "ppjoin_jaccard_documents": q_ppjoin_jaccard_documents,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3041,6 +3056,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL.format(threshold=0.2),
         "minhash_near_dup_documents": _NGRAM_JACCARD_SQL.format(threshold=0.5),
+        "ppjoin_jaccard_documents": _NGRAM_JACCARD_SQL.format(threshold=0.5),
         "near_dup_dedup_documents": _NEAR_DUP_DEDUP_SQL,
         "cc_labels_documents": _CC_LABELS_SQL,
         "windowed_events": (

@@ -551,3 +551,35 @@ def test_fuzzy_dup_pairs_blocking(ray_session):
         prefix_len=12, cmp_len=48, max_dist=8, max_group=2,
     ).to_pandas()
     assert len(capped) == 0  # the en/'prefix match' block has 3 docs
+
+
+def test_ppjoin_matches_exact_pipeline(ray_session):
+    """Prefix filtering is lossless: PPJoin output equals the
+    all-shingle exact pipeline on a corpus with planted near-dups,
+    exact dups, and unrelated docs."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                base,
+                base,                                  # exact dup of 1
+                base.replace("lazy", "sleepy", 1),     # near dup
+                "completely different text with no shared shingles at all",
+                "another unrelated document about something else entirely",
+            ],
+        }
+    )
+    a = ppjoin_jaccard_pairs(docs, threshold=0.5, num_buckets=8)
+    b = ngram_jaccard_pairs(docs, threshold=0.5, num_buckets=8)
+    assert a.equals(b)
+    assert {(1, 2), (1, 3), (2, 3)} <= set(
+        zip(a.id_a.tolist(), a.id_b.tolist())
+    )
