@@ -2124,6 +2124,45 @@ def q_ppjoin_jaccard_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_interval_coverage_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user interval-union coverage: events become [ts, ts +
+    floor(value) seconds) intervals; overlaps merge, output total
+    covered microseconds + disjoint-island count per user. ONE
+    key-bucketed shuffle, Cython grouped cummax per bucket."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .relational import interval_coverage
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def mk(b: "pa.Table") -> "pa.Table":
+        t = b.filter(pc.is_valid(b["value"]))
+        end = pc.add(
+            pc.cast(t["ts"], pa.int64()),
+            pc.multiply(
+                pc.cast(pc.floor(t["value"]), pa.int64()),
+                pa.scalar(1_000_000),
+            ),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "s": t["ts"],
+                "e": pc.cast(end, pa.timestamp("us")),
+            }
+        )
+
+    out = interval_coverage(
+        src.map_batches(mk, batch_format="pyarrow"), "user_id", "s", "e"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2886,6 +2925,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_ewma_events": q_grouped_ewma_events,
         "winsorize_events_value": q_winsorize_events_value,
         "ppjoin_jaccard_documents": q_ppjoin_jaccard_documents,
+        "interval_coverage_events": q_interval_coverage_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3725,6 +3765,22 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id, "
             "ROUND(LEAST(GREATEST(value, q.lo), q.hi), 6) "
             "AS value_wins FROM events, q ORDER BY event_id"
+        ),
+        "interval_coverage_events": (
+            "WITH iv AS (SELECT user_id k, ts s, "
+            "ts + CAST(FLOOR(value) AS BIGINT) * INTERVAL 1 SECOND e "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND ts IS NOT NULL AND value IS NOT NULL), "
+            "o AS (SELECT k, s, e, MAX(e) OVER (PARTITION BY k "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) pm FROM iv), "
+            "c AS (SELECT k, "
+            "CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END isl, "
+            "CASE WHEN pm IS NULL THEN date_diff('microsecond', s, e) "
+            "ELSE GREATEST(0, date_diff('microsecond', "
+            "GREATEST(s, pm), e)) END dur FROM o) "
+            "SELECT k AS user_id, SUM(dur)::BIGINT AS covered_us, "
+            "SUM(isl)::BIGINT AS n_islands FROM c GROUP BY 1 ORDER BY 1"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -3544,3 +3544,77 @@ def winsorize(
     return _as_dataset(source, columns=[*id_cols, value_col]).map_batches(
         clip, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def interval_coverage(
+    source: Any,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key interval-union coverage: merge each key's (possibly
+    overlapping) ``[start, end)`` intervals and report the UNION's
+    total covered microseconds plus the number of disjoint islands —
+    the uptime/gaps-and-islands aggregate. A row's contribution is
+    ``max(0, end − max(start, prev_running_max_end))``, which sums to
+    the union length under a (start, end) sort regardless of tie
+    order; degenerate/negative intervals contribute 0 but still open
+    an island when they start past the running max (SQL CASE parity).
+    NULL keys/starts/ends drop.
+
+    Scale shape: ONE key-bucketed shuffle of (key, start, end); each
+    bucket lexsorts once and computes running maxes for ALL its keys
+    via one Cython grouped cummax (segment resets without any per-key
+    Python). Output ``(key, covered_us, n_islands)``.
+    """
+    cols = [key_col, start_col, end_col]
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        m = pc.is_valid(t[key_col])
+        for c in (start_col, end_col):
+            m = pc.and_(m, pc.is_valid(t[c]))
+        return t.filter(m)
+
+    ds = _as_dataset(source, columns=cols).map_batches(
+        clean, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, end_col],
+                          kind="mergesort")
+        k = g[key_col].to_numpy()
+        s = g[start_col].to_numpy("datetime64[us]").astype(np.int64)
+        e = g[end_col].to_numpy("datetime64[us]").astype(np.int64)
+        n = len(g)
+        new = np.concatenate([[True], k[1:] != k[:-1]])
+        seg = np.cumsum(new) - 1
+        # segment-reset running max (Cython grouped cummax — the
+        # offset-shift accumulate trick overflows int64 when
+        # #segments × timestamp span gets large)
+        cm = (
+            pd.Series(e).groupby(seg).cummax().to_numpy(np.int64)
+        )
+        prev_cm = np.empty(n, np.int64)
+        prev_cm[1:] = cm[:-1]
+        island = new | (s > prev_cm)
+        lower = np.where(new, s, np.maximum(s, prev_cm))
+        contrib = np.maximum(0, e - lower)
+        starts = np.flatnonzero(new)
+        covered = np.add.reduceat(contrib, starts)
+        islands = np.add.reduceat(island.astype(np.int64), starts)
+        return pd.DataFrame(
+            {
+                key_col: k[starts],
+                "covered_us": covered.astype(np.int64),
+                "n_islands": islands.astype(np.int64),
+            }
+        )
+
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

@@ -1954,3 +1954,39 @@ def test_winsorize_clip_bounds(ray_session):
     assert out.v_wins[9] == 17.2
     assert out.v_wins[5] == 5.0
     assert pd.isna(out.v_wins[10])
+
+
+def test_interval_coverage_union_semantics(ray_session):
+    """Overlaps merge, nested intervals add nothing, degenerate and
+    negative intervals contribute 0 but can open islands, gaps split
+    islands."""
+    from data_validator_ray.pipelines.relational import interval_coverage
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def at(sec):
+        return t0 + pd.Timedelta(seconds=sec)
+
+    iv = pd.DataFrame(
+        [
+            # k=1: [0,10) + [5,12) merge -> 12; [20,25) second island
+            (1, at(0), at(10)), (1, at(5), at(12)), (1, at(20), at(25)),
+            # k=2: nested [0,10) ⊃ [2,5) -> 10, one island
+            (2, at(0), at(10)), (2, at(2), at(5)),
+            # k=3: degenerate [0,0) then negative [5,3): 0 covered,
+            # both open islands (0-start, then 5 > running max 0)
+            (3, at(0), at(0)), (3, at(5), at(3)),
+        ],
+        columns=["k", "s", "e"],
+    )
+    out = (
+        interval_coverage(iv, "k", "s", "e")
+        .to_pandas()
+        .set_index("k")
+    )
+    assert int(out.loc[1, "covered_us"]) == 17_000_000
+    assert int(out.loc[1, "n_islands"]) == 2
+    assert int(out.loc[2, "covered_us"]) == 10_000_000
+    assert int(out.loc[2, "n_islands"]) == 1
+    assert int(out.loc[3, "covered_us"]) == 0
+    assert int(out.loc[3, "n_islands"]) == 2
