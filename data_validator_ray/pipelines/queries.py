@@ -2163,6 +2163,103 @@ def q_interval_coverage_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+
+def q_orc_source_events(sf_dir: str) -> pd.DataFrame:
+    """ORC source end-to-end: events round-trip through a /tmp ORC
+    file (stripe-streaming custom datasource), then a pruned-column
+    grouped aggregate — values must equal the Parquet-side oracle."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..sources import read_orc, write_orc
+
+    tag = Path(sf_dir).name
+    p = f"{tempfile.gettempdir()}/graft_events_{tag}.orc"
+    if not Path(p).exists():
+        write_orc(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet"), p
+        )
+    ds = read_orc(p, columns=["event_type", "value"])
+
+    def clean(b: "pa.Table") -> "pa.Table":
+        return b.filter(pc.is_valid(b["event_type"]))
+
+    agg = (
+        ds.map_batches(clean, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("value"),
+        )
+        .to_pandas()
+        .rename(columns={"count()": "n", "sum(value)": "sum_value"})
+    )
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_value"] = agg["sum_value"].round(6)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def q_parse_logs_events(sf_dir: str) -> pd.DataFrame:
+    """Raw-text-log source end-to-end: events render to deterministic
+    log lines in /tmp, ``read_text`` + ONE vectorized extract_regex
+    pass parses them back to typed columns, grouped aggregate must
+    equal the Parquet-side oracle (floats round-trip via shortest
+    repr)."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+
+    from ..sources import read_text_logs
+
+    tag = Path(sf_dir).name
+    p = f"{tempfile.gettempdir()}/graft_events_{tag}.log"
+    if not Path(p).exists():
+        ev = pd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "event_type", "user_id", "value"],
+        ).dropna()
+        lines = (
+            "ts_us="
+            + ev["ts"].astype("datetime64[us]").astype("int64").astype(str)
+            + " level=" + ev["event_type"]
+            + " user=" + ev["user_id"].astype("int64").astype(str)
+            + " val=" + ev["value"].astype(str)
+        )
+        Path(p).write_text("\n".join(lines.tolist()) + "\n")
+    pat = (
+        r"ts_us=(?P<ts_us>-?\d+) level=(?P<level>\w+) "
+        r"user=(?P<user>\d+) val=(?P<val>[-+0-9.e]+)"
+    )
+    ds = read_text_logs(
+        p, pat,
+        dtypes={"ts_us": pa.int64(), "user": pa.int64(),
+                "val": pa.float64()},
+    )
+    out = (
+        ds.groupby("level")
+        .aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("val"),
+            ray.data.aggregate.Min("ts_us"),
+            ray.data.aggregate.Max("ts_us"),
+        )
+        .to_pandas()
+        .rename(
+            columns={
+                "count()": "n", "sum(val)": "sum_val",
+                "min(ts_us)": "min_ts_us", "max(ts_us)": "max_ts_us",
+            }
+        )
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_val"] = out["sum_val"].round(6)
+    return out.sort_values("level").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -2926,6 +3023,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "winsorize_events_value": q_winsorize_events_value,
         "ppjoin_jaccard_documents": q_ppjoin_jaccard_documents,
         "interval_coverage_events": q_interval_coverage_events,
+        "orc_source_events": q_orc_source_events,
+        "parse_logs_events": q_parse_logs_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3781,6 +3880,20 @@ def oracle_sql() -> Dict[str, str]:
             "GREATEST(s, pm), e)) END dur FROM o) "
             "SELECT k AS user_id, SUM(dur)::BIGINT AS covered_us, "
             "SUM(isl)::BIGINT AS n_islands FROM c GROUP BY 1 ORDER BY 1"
+        ),
+        "orc_source_events": (
+            "SELECT event_type, COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM(value), 6) AS sum_value FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "parse_logs_events": (
+            "SELECT event_type AS level, COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM(value), 6) AS sum_val, "
+            "MIN(epoch_us(ts))::BIGINT AS min_ts_us, "
+            "MAX(epoch_us(ts))::BIGINT AS max_ts_us FROM events "
+            "WHERE ts IS NOT NULL AND event_type IS NOT NULL "
+            "AND user_id IS NOT NULL AND value IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -1,1 +1,145 @@
-"""Subpackage."""
+"""Extra source formats beyond the Parquet/CSV/JSON trio the
+validator resolves natively (validator.py ``_resolve_source``;
+reference scope: spark/duckdb/polars engine readers,
+/root/reference/src/data_validator/duckdb_engine.py:49-66):
+
+* :func:`read_orc` — ORC files through a ``FileBasedDatasource``
+  subclass decoding with ``pyarrow.orc``: stripes of each file stream
+  out as Arrow batches (one task per file — the standard file-shard
+  parallelism; at scale, many files = many tasks).
+* :func:`read_text_logs` — raw text/log files: ``ray.data.read_text``
+  line-shards the input, then ONE vectorized ``pc.extract_regex``
+  pass per batch parses a named-group pattern into typed columns
+  (unparseable lines either drop or land NULL-filled, explicitly).
+
+Both return plain ``ray.data.Dataset``s so every downstream operator
+(rules, filters, dedup, profiling) works unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.datasource import FileBasedDatasource
+
+Dataset = ray.data.Dataset
+
+
+class ORCDatasource(FileBasedDatasource):
+    """ORC reader: each file's stripes stream out as record batches
+    (never the whole file as one block), with optional column
+    pruning pushed into the ORC stripe reader."""
+
+    _FILE_EXTENSIONS = ["orc"]
+
+    def __init__(
+        self,
+        paths: Union[str, List[str]],
+        *,
+        columns: Optional[List[str]] = None,
+        **kwargs: Any,
+    ):
+        super().__init__(paths, **kwargs)
+        self._columns = columns
+
+    def _open_input_source(
+        self, filesystem, path: str, **open_args: Any
+    ) -> "pa.NativeFile":
+        # ORC needs random access (footer + stripe index), not the
+        # default sequential stream
+        return filesystem.open_input_file(path)
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator:
+        from pyarrow import orc
+
+        reader = orc.ORCFile(f)
+        for i in range(reader.nstripes):
+            stripe = reader.read_stripe(i, columns=self._columns)
+            if isinstance(stripe, pa.RecordBatch):
+                stripe = pa.Table.from_batches([stripe])
+            yield stripe
+
+
+def read_orc(
+    paths: Union[str, List[str]],
+    *,
+    columns: Optional[List[str]] = None,
+    **kwargs: Any,
+) -> Dataset:
+    """Read ORC file(s) into a Dataset; ``columns`` prunes at the
+    stripe read (the read-level pruning contract every other source
+    honors)."""
+    return ray.data.read_datasource(
+        ORCDatasource(paths, columns=columns, **kwargs)
+    )
+
+
+def write_orc(ds: Dataset, path: str, *, batch_size: int = 128 * 1024) -> str:
+    """Write a Dataset to ONE ORC file at ``path`` (driver-streamed
+    via ``iter_batches`` — ORC has no multi-writer story in pyarrow;
+    for resumable multi-file output use Parquet). Returns ``path``."""
+    from pyarrow import orc
+
+    writer = None
+    try:
+        for batch in ds.iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"
+        ):
+            tbl = pa.table(batch) if not isinstance(batch, pa.Table) else batch
+            if writer is None:
+                writer = orc.ORCWriter(path)
+            writer.write(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+    return path
+
+
+def read_text_logs(
+    paths: Union[str, List[str]],
+    pattern: str,
+    *,
+    dtypes: Optional[Dict[str, "pa.DataType"]] = None,
+    drop_unparsed: bool = True,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Parse raw text/log lines into typed columns with ONE vectorized
+    ``pc.extract_regex`` pass per batch. ``pattern`` must use named
+    groups (``(?P<name>...)``); ``dtypes`` maps group names to Arrow
+    types (unlisted groups stay string; a failed cast is an error —
+    quarantine upstream). Lines that don't match the pattern drop when
+    ``drop_unparsed`` (default), else emit all-NULL rows so a
+    completeness rule can count them."""
+    import re
+
+    names = list(re.compile(pattern).groupindex)
+    if not names:
+        raise ValueError("pattern needs at least one (?P<name>...) group")
+    dtypes = dtypes or {}
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = batch["text"]
+        ex = pc.extract_regex(lines, pattern)  # struct or null per line
+        ok = pc.is_valid(ex)
+        if drop_unparsed:
+            ex = ex.filter(ok)
+        cols = {}
+        for nm in names:
+            col = pc.struct_field(ex, nm)
+            t = dtypes.get(nm)
+            if t is not None:
+                if pa.types.is_timestamp(t):
+                    col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S",
+                                      unit="us")
+                else:
+                    col = pc.cast(col, t)
+            cols[nm] = col
+        return pa.table(cols)
+
+    return ray.data.read_text(paths).map_batches(
+        parse, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -109,6 +109,16 @@ def _load_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
             return ray.data.read_csv(s)
         if s.endswith(".json") or s.endswith(".jsonl"):
             return ray.data.read_json(s)
+        if s.endswith(".orc"):
+            from pyarrow import orc as _orc
+
+            from .sources import read_orc
+
+            if columns:
+                # same missing-column contract as the Parquet branch
+                available = set(_orc.ORCFile(s).schema.names)
+                columns = [c for c in columns if c in available] or None
+            return read_orc(s, columns=columns)
         raise ValueError(f"Unsupported source path: {s}")
     raise ValueError(f"Unsupported source type: {type(source)}")
 

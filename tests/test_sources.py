@@ -68,3 +68,63 @@ def test_unsupported_source_errors(ray_session):
     v = RayDataValidator(_cfg())
     with pytest.raises(ValueError, match="Unsupported source"):
         v.validate_table("/nonexistent/path.xyz", "t")
+
+
+def test_read_orc_roundtrip_and_pruning(ray_session, tmp_path):
+    """write_orc → read_orc round-trips values; columns= prunes at the
+    stripe read; the validator resolves .orc paths."""
+    import pandas as pd
+    import ray.data
+
+    from data_validator_ray.sources import read_orc, write_orc
+
+    df = pd.DataFrame(
+        {"a": [1, 2, 3], "b": ["x", "y", None], "c": [1.5, None, 3.0]}
+    )
+    p = str(tmp_path / "t.orc")
+    write_orc(ray.data.from_pandas(df), p)
+    back = read_orc(p).to_pandas()
+    assert back.equals(df)
+    pruned = read_orc(p, columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"]
+
+    from data_validator_ray.config import ValidationRule
+    from data_validator_ray.validator import RayDataValidator
+
+    v = RayDataValidator()
+    res = v.validate_table(
+        p,
+        "orc_table",
+        [ValidationRule(name="b_complete", rule_type="completeness",
+                        column="b")],
+    )
+    assert res.results[0].failed_count == 1
+
+
+def test_read_text_logs_parse_modes(ray_session, tmp_path):
+    """Named groups become typed columns; unparseable lines drop by
+    default or emit NULL rows with drop_unparsed=False."""
+    import pyarrow as pa
+
+    from data_validator_ray.sources import read_text_logs
+
+    p = tmp_path / "app.log"
+    p.write_text(
+        "2024-01-01T10:00:00 INFO user=7 val=3.5\n"
+        "garbage\n"
+        "2024-01-02T11:30:00 WARN user=9 val=1.25\n"
+    )
+    pat = (
+        r"(?P<ts>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) (?P<level>\w+) "
+        r"user=(?P<user>\d+) val=(?P<val>[0-9.]+)"
+    )
+    out = read_text_logs(
+        str(p), pat,
+        dtypes={"ts": pa.timestamp("us"), "user": pa.int64(),
+                "val": pa.float64()},
+    ).to_pandas()
+    assert len(out) == 2
+    assert str(out.ts.dtype) == "datetime64[us]"
+    assert out.val.tolist() == [3.5, 1.25]
+    kept = read_text_logs(str(p), pat, drop_unparsed=False).to_pandas()
+    assert len(kept) == 3 and int(kept.level.isna().sum()) == 1
