@@ -1,0 +1,156 @@
+"""Cross-environment integrity primitives: an order-independent
+table checksum (did the copy/migration/engine-swap preserve every
+row?) and a schema diff (what changed between two datasets?). The
+validation-engine siblings of :func:`..pipelines.relational
+.reconcile_tables` — the reference validates one table's rows
+(validator.py); these compare TWO environments.
+
+Scale shapes:
+
+* :func:`table_checksum` — each batch canonicalizes its rows to one
+  delimited string column (Arrow cast/join kernels), md5-hashes them
+  (C-speed per-row hashing, the irreducible work — same tier as the
+  md5 fingerprint in text.py), and reduces to ONE (count, sum mod
+  2^64) partial row; the driver folds the tiny partial stream. Sum is
+  order-independent, so no sort ever happens and the checksum is
+  stable across partitionings/engines. DuckDB parity:
+  ``SUM(md5_number_lower(row_str)) % 2^64``.
+* :func:`schema_diff` — reads ONLY schemas (pyarrow dataset metadata
+  or a lazy Dataset schema; zero data rows move), emits one row per
+  column with added/removed/changed/same status in DuckDB type names.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .dedup import _as_dataset
+
+Dataset = ray.data.Dataset
+
+_MOD = 1 << 64
+
+
+def table_checksum(
+    source: Any,
+    cols: List[str],
+    *,
+    sep: str = "|",
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Order-independent content checksum over ``cols``: canonical row
+    string = the columns cast to VARCHAR (NULL → ''), joined by
+    ``sep``; checksum = Σ lower-64-bits(md5(row)) mod 2^64 plus the
+    row count. Equal data ⇒ equal checksum regardless of row order,
+    file layout, or engine. Timestamp columns hash as epoch
+    microseconds (cast upstream for other conventions); avoid raw
+    float columns (engines format them differently) — quantize or
+    cast upstream.
+
+    Returns a one-row DataFrame ``(n_rows, checksum)`` with
+    ``checksum`` as uint64.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = batch[c]
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.int64())
+            col = pc.cast(col, pa.string())
+            parts.append(pc.coalesce(col, pa.scalar("")))
+        rows = pc.binary_join_element_wise(*parts, pa.scalar(sep))
+        tot = 0
+        for r in rows.to_pylist():
+            d = hashlib.md5(r.encode("utf-8")).digest()
+            tot += int.from_bytes(d[8:], "little")
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "s": pa.array([tot % _MOD], pa.uint64()),
+            }
+        )
+
+    parts = (
+        _as_dataset(source, columns=cols)
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .to_pandas()
+    )
+    total = int(parts["n"].sum())
+    chk = int(parts["s"].astype(object).sum()) % _MOD
+    return pd.DataFrame(
+        {
+            "n_rows": pd.array([total], dtype="int64"),
+            "checksum": pd.array([chk], dtype="uint64"),
+        }
+    )
+
+
+_ARROW_TO_DUCK = {
+    "int8": "TINYINT",
+    "int16": "SMALLINT",
+    "int32": "INTEGER",
+    "int64": "BIGINT",
+    "uint64": "UBIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "large_string": "VARCHAR",
+    "bool": "BOOLEAN",
+    "date32[day]": "DATE",
+    "binary": "BLOB",
+    "large_binary": "BLOB",
+}
+
+
+def _duck_type(t: "pa.DataType") -> str:
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    return _ARROW_TO_DUCK.get(str(t), str(t).upper())
+
+
+def _schema_of(source: Any) -> "pa.Schema":
+    if isinstance(source, Dataset):
+        return source.schema().base_schema
+    if isinstance(source, pa.Table):
+        return source.schema
+    if isinstance(source, pd.DataFrame):
+        return pa.Schema.from_pandas(source)
+    import pyarrow.dataset as pads
+
+    return pads.dataset(str(source)).schema
+
+
+def schema_diff(a: Any, b: Any) -> pd.DataFrame:
+    """Column-level schema diff of two datasets, DuckDB type names:
+    one row per column seen on either side with ``type_a`` /
+    ``type_b`` (NULL when absent) and status ``added`` (b only),
+    ``removed`` (a only), ``changed`` (type differs) or ``same``.
+    Reads schemas only — no data rows move. Rows sort by column
+    name."""
+    sa = _schema_of(a)
+    sb = _schema_of(b)
+    ta = {f.name: _duck_type(f.type) for f in sa}
+    tb = {f.name: _duck_type(f.type) for f in sb}
+    rows = []
+    for name in sorted(set(ta) | set(tb)):
+        va, vb = ta.get(name), tb.get(name)
+        status = (
+            "added" if va is None
+            else "removed" if vb is None
+            else "same" if va == vb
+            else "changed"
+        )
+        rows.append((name, va, vb, status))
+    return pd.DataFrame(
+        rows, columns=["column_name", "type_a", "type_b", "status"]
+    )

@@ -2260,6 +2260,50 @@ def q_parse_logs_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("level").reset_index(drop=True)
 
 
+
+def q_table_checksum_events(sf_dir: str) -> pd.DataFrame:
+    """Order-independent table checksum (Σ md5-lower-64 of canonical
+    row strings mod 2^64 + row count): per-batch single-row partials,
+    driver folds the tiny stream — the cross-environment migration
+    reconciliation primitive."""
+    from .integrity import table_checksum
+
+    return table_checksum(
+        f"{sf_dir}/events.parquet",
+        ["event_id", "ts", "event_type", "user_id"],
+    )
+
+
+def q_schema_diff_events(sf_dir: str) -> pd.DataFrame:
+    """Schema diff (added/removed/changed/same per column, DuckDB type
+    names) between events and an altered projection — metadata only,
+    zero data rows move."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .integrity import schema_diff
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def alter(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "value": pc.cast(b["value"], pa.string()),
+                "extra_col": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    return schema_diff(
+        f"{sf_dir}/events.parquet",
+        ds.map_batches(alter, batch_format="pyarrow"),
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3025,6 +3069,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "interval_coverage_events": q_interval_coverage_events,
         "orc_source_events": q_orc_source_events,
         "parse_logs_events": q_parse_logs_events,
+        "table_checksum_events": q_table_checksum_events,
+        "schema_diff_events": q_schema_diff_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3894,6 +3940,33 @@ def oracle_sql() -> Dict[str, str]:
             "WHERE ts IS NOT NULL AND event_type IS NOT NULL "
             "AND user_id IS NOT NULL AND value IS NOT NULL "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "table_checksum_events": (
+            "WITH s AS (SELECT "
+            "COALESCE(CAST(event_id AS VARCHAR), '') || '|' || "
+            "COALESCE(CAST(epoch_us(ts) AS VARCHAR), '') || '|' || "
+            "COALESCE(event_type, '') || '|' || "
+            "COALESCE(CAST(user_id AS VARCHAR), '') AS row_str "
+            "FROM events) "
+            "SELECT COUNT(*)::BIGINT AS n_rows, "
+            "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
+            "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "schema_diff_events": (
+            "WITH a AS (SELECT column_name, column_type FROM "
+            "(DESCRIBE SELECT * FROM events)), "
+            "b AS (SELECT column_name, column_type FROM "
+            "(DESCRIBE SELECT event_id, ts, user_id, event_type, "
+            "CAST(value AS VARCHAR) AS value, 1::BIGINT AS extra_col "
+            "FROM events)) "
+            "SELECT COALESCE(a.column_name, b.column_name) "
+            "AS column_name, a.column_type AS type_a, "
+            "b.column_type AS type_b, "
+            "CASE WHEN a.column_name IS NULL THEN 'added' "
+            "WHEN b.column_name IS NULL THEN 'removed' "
+            "WHEN a.column_type = b.column_type THEN 'same' "
+            "ELSE 'changed' END AS status "
+            "FROM a FULL OUTER JOIN b USING (column_name) ORDER BY 1"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -1990,3 +1990,36 @@ def test_interval_coverage_union_semantics(ray_session):
     assert int(out.loc[2, "n_islands"]) == 1
     assert int(out.loc[3, "covered_us"]) == 0
     assert int(out.loc[3, "n_islands"]) == 2
+
+
+def test_table_checksum_order_independent(ray_session):
+    """Same rows, different order/partitioning -> same checksum;
+    a one-cell change -> different checksum; NULLs canonicalize."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.integrity import table_checksum
+
+    a = pd.DataFrame({"k": [1, 2, 3], "s": ["x", None, "z"]})
+    b = a.iloc[[2, 0, 1]].reset_index(drop=True)
+    ca = table_checksum(a, ["k", "s"])
+    cb = table_checksum(b, ["k", "s"])
+    assert ca.checksum[0] == cb.checksum[0]
+    assert int(ca.n_rows[0]) == 3
+    c = a.copy()
+    c.loc[0, "s"] = "X"
+    assert table_checksum(c, ["k", "s"]).checksum[0] != ca.checksum[0]
+
+
+def test_schema_diff_statuses(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.integrity import schema_diff
+
+    a = pd.DataFrame({"x": [1], "y": [1.0], "z": ["s"]})
+    b = pd.DataFrame({"x": [1], "y": ["1.0"], "w": [True]})
+    d = schema_diff(a, b).set_index("column_name")
+    assert d.loc["x", "status"] == "same"
+    assert d.loc["y", "status"] == "changed"
+    assert d.loc["z", "status"] == "removed"
+    assert d.loc["w", "status"] == "added"
+    assert d.loc["w", "type_b"] == "BOOLEAN"
