@@ -865,3 +865,124 @@ def key_skew_profile(
             "gini": [round(gini, 6)],
         }
     )
+
+
+def benford_digits(
+    source: Any,
+    value_col: str,
+    *,
+    batch_size: int = 64 * 1024,
+) -> "pandas.DataFrame":
+    """Benford's-law first-significant-digit profile of a numeric
+    column — the fraud/synthetic-data smell test: observed count per
+    leading digit 1–9, the Benford expectation ``n·log10(1+1/d)``,
+    and each digit's χ² term. NULLs and zeros drop (no leading
+    digit); negatives use |x|.
+
+    Scale shape: the combiner pattern at its purest — each batch
+    reduces to a 9-bin count vector (one vectorized
+    log10/floor/pow pass + bincount), the driver sums 9-int partials.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = np.abs(x[~np.isnan(x)])
+        x = x[x > 0]
+        # mantissa clamped into [1, 10). Two cross-engine hazards,
+        # both handled: (a) numpy's SIMD pow is NOT correctly rounded
+        # for negative exponents (np.power(10.,-1.) ≠ 0.1), so only
+        # exactly-representable POSITIVE powers are used — divide for
+        # e ≥ 0, multiply for e < 0 (exact for |e| ≤ 22; IEEE ÷ and ×
+        # are correctly rounded on both engines); (b) a ±1-ulp log10
+        # slip at a power-of-10 boundary shifts e by one, which the
+        # ×10 clamp corrects identically here and in the SQL oracle.
+        e = np.floor(np.log10(x))
+        p = np.power(10.0, np.abs(e))
+        m = np.where(e >= 0, x / p, x * p)
+        m = np.where(m >= 10.0, m / 10.0, m)
+        m = np.where(m < 1.0, m * 10.0, m)
+        d = np.floor(m)
+        cnt = np.bincount(d.astype(np.int64), minlength=10)[1:10]
+        return pa.table({"d": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = (
+        _as_dataset(source, columns=[value_col])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .groupby("d")
+        .sum("c")
+        .to_pandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    obs = parts["sum(c)"].to_numpy(np.int64)
+    n = int(obs.sum())
+    digits = parts["d"].to_numpy(np.int64)
+    expected = n * np.log10(1.0 + 1.0 / digits)
+    chi2 = (obs - expected) ** 2 / expected
+    return pd.DataFrame(
+        {
+            "digit": digits,
+            "observed": obs,
+            "expected": np.round(expected, 6),
+            "chi2_term": np.round(chi2, 6),
+        }
+    )
+
+
+def null_rate_by_period(
+    source: Any,
+    ts_col: str,
+    check_cols: "list[str]",
+    *,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Completeness drift monitor: per calendar DAY, row count and
+    per-column null count + null rate — the first chart a validation
+    engine draws when a feed degrades. Rows with NULL ``ts_col``
+    drop (they have no day).
+
+    Scale shape: per-batch pyarrow ``group_by(day)`` partials (row
+    count + null counts per column), then ONE tiny global groupby over
+    days × batches rows. Output ``(day, n_rows, {col}_nulls,
+    {col}_null_rate …)`` sorted by day.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[ts_col]))
+        day = pc.cast(pc.floor_temporal(t[ts_col], unit="day"),
+                      pa.date32())
+        arrs = {"day": day,
+                "__n": pa.array(np.ones(t.num_rows, np.int64))}
+        for c in check_cols:
+            arrs[f"__z_{c}"] = pc.cast(
+                pc.is_null(t[c]), pa.int64()
+            )
+        tt = pa.table(arrs)
+        aggs = [(c, "sum") for c in tt.column_names if c.startswith("__")]
+        return tt.group_by(["day"]).aggregate(aggs)
+
+    agg = (
+        _as_dataset(source, columns=[ts_col, *check_cols])
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .groupby("day")
+        .sum([f"__z_{c}_sum" for c in check_cols] + ["__n_sum"])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["sum(__n_sum)"], pa.int64())
+        out = {"day": batch["day"], "n_rows": n}
+        nf = n.to_numpy(zero_copy_only=False).astype(np.float64)
+        for c in check_cols:
+            z = pc.cast(batch[f"sum(__z_{c}_sum)"], pa.int64())
+            out[f"{c}_nulls"] = z
+            zr = z.to_numpy(zero_copy_only=False).astype(np.float64)
+            out[f"{c}_null_rate"] = pa.array(np.round(zr / nf, 6))
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -2304,6 +2304,43 @@ def q_schema_diff_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_time_weighted_avg_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average of value under step
+    interpolation (sensor/price semantics): ONE key-bucketed shuffle,
+    shifted-difference durations + reduceat per bucket."""
+    from .relational import time_weighted_avg
+
+    out = time_weighted_avg(
+        f"{sf_dir}/events.parquet", "user_id", "ts", "value"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_benford_events_value(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit profile of events.value (observed vs
+    n·log10(1+1/d) expectation + per-digit χ² term): 9-bin per-batch
+    combiner, driver folds 9-int partials. Mantissa extraction uses
+    only exactly-representable positive powers of ten so numpy and
+    the SQL oracle agree bit-for-bit."""
+    from .profile import benford_digits
+
+    return benford_digits(f"{sf_dir}/events.parquet", "value")
+
+
+def q_null_rate_by_day_events(sf_dir: str) -> pd.DataFrame:
+    """Completeness drift monitor: per-day row count + null count/rate
+    for value and user_id — per-batch day-grouped partials, one tiny
+    global groupby."""
+    from .profile import null_rate_by_period
+
+    out = null_rate_by_period(
+        f"{sf_dir}/events.parquet", "ts", ["value", "user_id"]
+    ).to_pandas()
+    out["day"] = pd.to_datetime(out["day"])
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3071,6 +3108,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "parse_logs_events": q_parse_logs_events,
         "table_checksum_events": q_table_checksum_events,
         "schema_diff_events": q_schema_diff_events,
+        "time_weighted_avg_events": q_time_weighted_avg_events,
+        "benford_events_value": q_benford_events_value,
+        "null_rate_by_day_events": q_null_rate_by_day_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -3967,6 +4007,52 @@ def oracle_sql() -> Dict[str, str]:
             "WHEN a.column_type = b.column_type THEN 'same' "
             "ELSE 'changed' END AS status "
             "FROM a FULL OUTER JOIN b USING (column_name) ORDER BY 1"
+        ),
+        "time_weighted_avg_events": (
+            "WITH s AS (SELECT user_id, ts, value, "
+            "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, value) "
+            "nts FROM events WHERE user_id IS NOT NULL "
+            "AND ts IS NOT NULL AND value IS NOT NULL), "
+            "a AS (SELECT user_id, COUNT(*)::BIGINT n_points, "
+            "SUM(CASE WHEN nts IS NULL THEN 0 ELSE value * "
+            "date_diff('microsecond', ts, nts) END) w, "
+            "date_diff('microsecond', MIN(ts), MAX(ts)) span "
+            "FROM s GROUP BY 1) "
+            "SELECT user_id, n_points, "
+            "CASE WHEN span > 0 THEN ROUND(w / span, 6) END AS twavg "
+            "FROM a ORDER BY 1"
+        ),
+        "benford_events_value": (
+            "WITH x AS (SELECT ABS(value) v FROM events "
+            "WHERE value IS NOT NULL AND value <> 0), "
+            "e0 AS (SELECT v, FLOOR(LOG10(v)) e FROM x), "
+            "m0 AS (SELECT CASE WHEN e >= 0 THEN v / POW(10, e) "
+            "ELSE v * POW(10, -e) END m FROM e0), "
+            "m1 AS (SELECT CASE WHEN m >= 10 THEN m / 10 ELSE m END m "
+            "FROM m0), "
+            "m2 AS (SELECT CASE WHEN m < 1 THEN m * 10 ELSE m END m "
+            "FROM m1), "
+            "c AS (SELECT CAST(FLOOR(m) AS BIGINT) AS digit, "
+            "COUNT(*)::BIGINT observed FROM m2 GROUP BY 1), "
+            "t AS (SELECT SUM(observed)::DOUBLE n FROM c) "
+            "SELECT digit, observed, "
+            "ROUND(t.n * LOG10(1.0 + 1.0 / digit), 6) AS expected, "
+            "ROUND(POW(observed - t.n * LOG10(1.0 + 1.0 / digit), 2) "
+            "/ (t.n * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_term "
+            "FROM c, t ORDER BY 1"
+        ),
+        "null_rate_by_day_events": (
+            "SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS "
+            "n_rows, "
+            "SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS value_nulls, "
+            "ROUND(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 "
+            "END)::DOUBLE / COUNT(*), 6) AS value_null_rate, "
+            "SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS user_id_nulls, "
+            "ROUND(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 "
+            "END)::DOUBLE / COUNT(*), 6) AS user_id_null_rate "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -3618,3 +3618,72 @@ def interval_coverage(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def time_weighted_avg(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key time-weighted average under step (last-observation)
+    interpolation: each observation holds its value until the key's
+    next one, so ``twavg = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n − t₁)`` — the
+    sensor/price aggregation a plain AVG gets wrong under irregular
+    sampling. Keys with < 2 distinct timestamps (zero total span)
+    yield NULL. NULL keys/ts/values drop; duplicate timestamps
+    contribute zero-width intervals (deterministic under a (ts, value)
+    sort both here and in the SQL LEAD oracle).
+
+    Scale shape: ONE key-bucketed shuffle of (key, ts, value); each
+    bucket lexsorts once, computes shifted-difference durations for
+    ALL its keys, and reduces with two ``np.add.reduceat`` sweeps.
+    Output ``(key, n_points, twavg)`` — twavg rounded to 6.
+    """
+    cols = [key_col, ts_col, value_col]
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        m = pc.is_valid(t[key_col])
+        for c in (ts_col, value_col):
+            m = pc.and_(m, pc.is_valid(t[c]))
+        return t.filter(m)
+
+    ds = _as_dataset(source, columns=cols).map_batches(
+        clean, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, value_col],
+                          kind="mergesort")
+        k = g[key_col].to_numpy()
+        t = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        v = g[value_col].to_numpy(np.float64)
+        n = len(g)
+        new = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        # duration each row's value holds (0 for each key's last row)
+        dur = np.zeros(n, np.float64)
+        dur[:-1] = (t[1:] - t[:-1]).astype(np.float64)
+        last = starts + counts - 1
+        dur[last] = 0.0
+        wsum = np.add.reduceat(v * dur, starts)
+        span = (t[last] - t[starts]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tw = wsum / span
+        return pd.DataFrame(
+            {
+                key_col: k[starts],
+                "n_points": counts.astype(np.int64),
+                "twavg": np.where(span > 0, np.round(tw, 6), np.nan),
+            }
+        )
+
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

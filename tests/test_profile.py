@@ -385,3 +385,41 @@ def test_key_skew_profile_exact(ray_session):
     assert out.topk_share[0] == 0.75
     # sorted counts (1,1,2,4): gini = 2*(1*1+2*1+3*2+4*4)/(4*8) - 5/4
     assert out.gini[0] == round(2 * 25 / 32 - 1.25, 6)
+
+
+def test_benford_digits_uniform_flags(ray_session):
+    """A uniform 1..9999 column deviates from Benford (χ² terms large
+    for high digits); digit extraction covers sub-1 magnitudes."""
+    from data_validator_ray.pipelines.profile import benford_digits
+
+    df = pd.DataFrame({"v": list(range(1, 10000)) + [0.07, -0.3, None, 0]})
+    out = benford_digits(df, "v")
+    assert out.digit.tolist() == list(range(1, 10))
+    # uniform: ~1111 each, plus 0.07 -> digit 7, -0.3 -> digit 3
+    assert int(out.observed.sum()) == 9999 + 2
+    assert int(out.loc[out.digit == 7, "observed"].iloc[0]) == 1112
+    # Benford expects ~30% ones; uniform gives ~11% -> big chi2 on 1
+    assert out.loc[out.digit == 1, "chi2_term"].iloc[0] > 100
+
+
+def test_null_rate_by_period_counts(ray_session):
+    from data_validator_ray.pipelines.profile import null_rate_by_period
+
+    t0 = pd.Timestamp("2024-03-01 10:00")
+    d1 = pd.Timestamp("2024-03-02 09:00")
+    df = pd.DataFrame(
+        {
+            "ts": [t0, t0, d1, d1, pd.NaT],
+            "a": [1.0, None, None, None, 9.9],
+        }
+    )
+    out = (
+        null_rate_by_period(df, "ts", ["a"])
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2                       # NaT row dropped
+    assert out.n_rows.tolist() == [2, 2]
+    assert out.a_nulls.tolist() == [1, 2]
+    assert out.a_null_rate.tolist() == [0.5, 1.0]

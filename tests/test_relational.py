@@ -2023,3 +2023,26 @@ def test_schema_diff_statuses(ray_session):
     assert d.loc["z", "status"] == "removed"
     assert d.loc["w", "status"] == "added"
     assert d.loc["w", "type_b"] == "BOOLEAN"
+
+
+def test_time_weighted_avg_step_semantics(ray_session):
+    """Value holds until the next observation; single-point keys are
+    NULL; duplicate timestamps add zero width."""
+    from data_validator_ray.pipelines.relational import time_weighted_avg
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 3, 3],
+            "ts": [t0, t0 + s, t0 + 3 * s, t0, t0, t0],
+            "v": [10.0, 20.0, 99.0, 5.0, 1.0, 2.0],
+        }
+    )
+    out = (
+        time_weighted_avg(df, "k", "ts", "v").to_pandas().set_index("k")
+    )
+    # k=1: 10*1s + 20*2s over 3s = 50/3
+    assert out.loc[1, "twavg"] == round(50 / 3, 6)
+    assert pd.isna(out.loc[2, "twavg"])   # single point
+    assert pd.isna(out.loc[3, "twavg"])   # zero span (dup ts)
