@@ -2341,6 +2341,19 @@ def q_null_rate_by_day_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
+
+def q_association_rules_events(sf_dir: str) -> pd.DataFrame:
+    """Market-basket pair stats (support/confidence/lift) over each
+    user's distinct event types: per-batch distinct combiner, ONE
+    key-bucketed shuffle emits basket pairs, vocabulary-bounded
+    reductions."""
+    from .relational import association_rules
+
+    return association_rules(
+        f"{sf_dir}/events.parquet", "user_id", "event_type"
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3111,6 +3124,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "time_weighted_avg_events": q_time_weighted_avg_events,
         "benford_events_value": q_benford_events_value,
         "null_rate_by_day_events": q_null_rate_by_day_events,
+        "association_rules_events": q_association_rules_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4053,6 +4067,24 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 "
             "END)::DOUBLE / COUNT(*), 6) AS user_id_null_rate "
             "FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "association_rules_events": (
+            "WITH b AS (SELECT DISTINCT user_id k, event_type i "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "n AS (SELECT COUNT(DISTINCT k)::BIGINT nk FROM b), "
+            "ic AS (SELECT i, COUNT(*)::BIGINT c FROM b GROUP BY 1), "
+            "p AS (SELECT a.i ia, c.i ib, COUNT(*)::BIGINT nab "
+            "FROM b a JOIN b c ON a.k = c.k AND a.i < c.i "
+            "GROUP BY 1, 2) "
+            "SELECT ia AS item_a, ib AS item_b, nab AS n_ab, "
+            "x.c AS n_a, y.c AS n_b, "
+            "ROUND(nab::DOUBLE / n.nk, 6) AS support, "
+            "ROUND(nab::DOUBLE / x.c, 6) AS conf_a_b, "
+            "ROUND(nab::DOUBLE / y.c, 6) AS conf_b_a, "
+            "ROUND(nab::DOUBLE * n.nk / (x.c * y.c), 6) AS lift "
+            "FROM p JOIN ic x ON p.ia = x.i JOIN ic y ON p.ib = y.i, "
+            "n ORDER BY 1, 2"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

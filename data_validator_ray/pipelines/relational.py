@@ -3687,3 +3687,130 @@ def time_weighted_avg(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def association_rules(
+    source: Any,
+    key_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 1,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Market-basket pair statistics (Apriori level 2): treating each
+    key's DISTINCT items as one basket, emit every unordered item pair
+    with ``n_ab`` (baskets holding both), ``n_a``/``n_b`` (baskets
+    holding each), ``support = n_ab/N``, ``conf_a_b = n_ab/n_a``,
+    ``conf_b_a``, and ``lift = n_ab·N/(n_a·n_b)`` — N = baskets with
+    ≥1 item. ``min_pair_count`` prunes the tail before it reaches the
+    driver.
+
+    Scale shape: per-batch DISTINCT (key, item) combiner (exchange is
+    basket-distinct pairs, never raw events); ONE key-bucketed shuffle
+    co-locates baskets and the shared sorted-sweep kernel emits each
+    basket's item pairs; pair/item counts reduce through groupbys
+    whose cardinality is item-vocabulary-bounded (pairs ≤ |items|²/2,
+    independent of row count). Driver holds only the final pair
+    table. NULL keys/items drop.
+
+    Returns a pandas DataFrame sorted by (item_a, item_b); floats
+    rounded to 6.
+    """
+    from .dedup import bucketed_count, bucketed_groupby
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, item_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[item_col]))
+        )
+        return t.group_by([key_col, item_col]).aggregate([])
+
+    ki = _as_dataset(source, columns=[key_col, item_col]).map_batches(
+        distinct_pairs, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, item_col]).sort_values(
+            [key_col, item_col], kind="mergesort"
+        )
+        k = g[key_col].to_numpy()
+        it = g[item_col].to_numpy()
+        n = len(g)
+        parts = []
+        j = 1
+        while True:
+            if j >= n:
+                break
+            same = k[:-j] == k[j:]
+            if not same.any():
+                break
+            idx = np.nonzero(same)[0]
+            parts.append(
+                pd.DataFrame(
+                    {"item_a": it[idx], "item_b": it[idx + j]}
+                )
+            )
+            j += 1
+        pair = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"item_a": [], "item_b": []})
+        )
+        pc_ = (
+            pair.groupby(["item_a", "item_b"], sort=False)
+            .size()
+            .reset_index(name="n_ab")
+        )
+        ic = (
+            pd.DataFrame({"item": it})
+            .groupby("item", sort=False)
+            .size()
+            .reset_index(name="n_i")
+        )
+        nk = pd.DataFrame(
+            {"n_keys": [int((np.concatenate([[True],
+                k[1:] != k[:-1]])).sum())]}
+        )
+        pc_["kind"], ic["kind"], nk["kind"] = "pair", "item", "keys"
+        return pd.concat([pc_, ic, nk], ignore_index=True)
+
+    parts = bucketed_groupby(
+        ki, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    ).to_pandas()
+
+    n_keys = int(parts.loc[parts.kind == "keys", "n_keys"].sum())
+    items = (
+        parts[parts.kind == "item"]
+        .groupby("item")["n_i"]
+        .sum()
+        .astype(np.int64)
+    )
+    pairs = (
+        parts[parts.kind == "pair"]
+        .groupby(["item_a", "item_b"])["n_ab"]
+        .sum()
+        .astype(np.int64)
+        .reset_index()
+    )
+    pairs = pairs[pairs.n_ab >= min_pair_count]
+    na = pairs.item_a.map(items).to_numpy(np.int64)
+    nb = pairs.item_b.map(items).to_numpy(np.int64)
+    nab = pairs.n_ab.to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "item_a": pairs.item_a.to_numpy(),
+            "item_b": pairs.item_b.to_numpy(),
+            "n_ab": nab,
+            "n_a": na,
+            "n_b": nb,
+            "support": np.round(nab / n_keys, 6),
+            "conf_a_b": np.round(nab / na, 6),
+            "conf_b_a": np.round(nab / nb, 6),
+            "lift": np.round(
+                nab.astype(np.float64) * n_keys / (na * nb), 6
+            ),
+        }
+    )
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)

@@ -2046,3 +2046,24 @@ def test_time_weighted_avg_step_semantics(ray_session):
     assert out.loc[1, "twavg"] == round(50 / 3, 6)
     assert pd.isna(out.loc[2, "twavg"])   # single point
     assert pd.isna(out.loc[3, "twavg"])   # zero span (dup ts)
+
+
+def test_association_rules_basket_semantics(ray_session):
+    """Duplicate events in a basket count once; pairs are unordered
+    (a < b); lift > 1 for co-occurring, min_pair_count prunes."""
+    from data_validator_ray.pipelines.relational import association_rules
+
+    ev = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3, 3, 4, None],
+            "i": ["x", "x", "y", "x", "y", "x", "z", "w", "x"],
+        }
+    )
+    out = association_rules(ev, "k", "i").set_index(["item_a", "item_b"])
+    # baskets: {x,y}, {x,y}, {x,z}, {w} -> N=4
+    assert int(out.loc[("x", "y"), "n_ab"]) == 2
+    assert out.loc[("x", "y"), "support"] == 0.5
+    assert out.loc[("x", "y"), "conf_a_b"] == round(2 / 3, 6)
+    assert out.loc[("x", "y"), "lift"] == round(2 * 4 / (3 * 2), 6)
+    pruned = association_rules(ev, "k", "i", min_pair_count=2)
+    assert len(pruned) == 1
