@@ -274,15 +274,15 @@ def bm25_search(
 
     # per-term df: ≤ |terms| rows — safe to collect
     df_rows = postings.groupby("token").count().to_pandas()
-    idf = {
-        t: float(np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0))
-        for t, dfv in zip(df_rows["token"], df_rows["count()"])
-    }
+    found_terms = pa.array(df_rows["token"].tolist(), pa.string())
+    dfv = df_rows["count()"].to_numpy(np.float64)
+    idf_by_term = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
 
     def tag_posting(batch: pa.Table) -> pa.Table:
-        w = np.array(
-            [idf[t] for t in batch["token"].to_pylist()], np.float64
-        )
+        pos = pc.index_in(
+            batch["token"], value_set=found_terms
+        ).to_numpy(zero_copy_only=False)
+        w = idf_by_term[pos.astype(np.int64)]
         return pa.table(
             {
                 id_col: batch[id_col],
