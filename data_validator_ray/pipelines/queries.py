@@ -2354,6 +2354,22 @@ def q_association_rules_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_throttle_dedup_events(sf_dir: str) -> pd.DataFrame:
+    """Event-stream debounce: drop events whose same (user, type)
+    predecessor is within 1h (LAG semantics, first always kept) — ONE
+    key-bucketed shuffle, shifted-difference gaps per bucket."""
+    from .relational import throttle_dedup
+
+    out = throttle_dedup(
+        f"{sf_dir}/events.parquet", ["user_id", "event_type"], "ts",
+        window_seconds=3600, id_col="event_id",
+    ).to_pandas()
+    return out[["event_id"]].sort_values("event_id").reset_index(
+        drop=True
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3125,6 +3141,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "benford_events_value": q_benford_events_value,
         "null_rate_by_day_events": q_null_rate_by_day_events,
         "association_rules_events": q_association_rules_events,
+        "throttle_dedup_events": q_throttle_dedup_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4085,6 +4102,15 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(nab::DOUBLE * n.nk / (x.c * y.c), 6) AS lift "
             "FROM p JOIN ic x ON p.ia = x.i JOIN ic y ON p.ib = y.i, "
             "n ORDER BY 1, 2"
+        ),
+        "throttle_dedup_events": (
+            "WITH s AS (SELECT event_id, ts, LAG(ts) OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id) "
+            "pts FROM events WHERE user_id IS NOT NULL "
+            "AND event_type IS NOT NULL AND ts IS NOT NULL) "
+            "SELECT event_id FROM s WHERE pts IS NULL OR "
+            "date_diff('microsecond', pts, ts) > 3600000000 "
+            "ORDER BY event_id"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

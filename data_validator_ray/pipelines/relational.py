@@ -3814,3 +3814,61 @@ def association_rules(
         }
     )
     return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def throttle_dedup(
+    source: Any,
+    key_cols: List[str],
+    ts_col: str,
+    *,
+    window_seconds: float,
+    id_col: Optional[str] = None,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Event-stream debounce: drop a row when the SAME key produced
+    another event within ``window_seconds`` BEFORE it (LAG semantics —
+    each row compares to its immediate predecessor, kept or not; a
+    burst longer than the window therefore keeps one row per window-
+    gap break, the standard retry/duplicate-webhook suppressor).
+    First row of each key always survives. Ordering ties break on
+    ``id_col`` (pass one for determinism). NULL keys/ts drop.
+
+    Scale shape: ONE key-bucketed shuffle of (keys, ts, id); each
+    bucket lexsorts once and computes every key's predecessor gaps in
+    one shifted-difference pass. Returns the surviving rows' key/ts/id
+    columns.
+    """
+    cols = [*key_cols, ts_col] + ([id_col] if id_col else [])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        m = pc.is_valid(t[ts_col])
+        for c in key_cols:
+            m = pc.and_(m, pc.is_valid(t[c]))
+        return t.filter(m)
+
+    ds = _as_dataset(source, columns=cols).map_batches(
+        clean, batch_format="pyarrow", batch_size=batch_size
+    )
+    win_us = int(round(window_seconds * 1_000_000))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = [*key_cols, ts_col] + ([id_col] if id_col else [])
+        g = g.sort_values(order, kind="mergesort")
+        t = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        same = np.ones(len(g), bool)
+        same[0] = False
+        for c in key_cols:
+            k = g[c].to_numpy()
+            same[1:] &= k[1:] == k[:-1]
+        gap = np.empty(len(g), np.int64)
+        gap[0] = win_us + 1
+        gap[1:] = t[1:] - t[:-1]
+        keep = ~same | (gap > win_us)
+        return g[keep]
+
+    return bucketed_groupby(
+        ds, list(key_cols), per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

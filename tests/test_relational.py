@@ -2067,3 +2067,26 @@ def test_association_rules_basket_semantics(ray_session):
     assert out.loc[("x", "y"), "lift"] == round(2 * 4 / (3 * 2), 6)
     pruned = association_rules(ev, "k", "i", min_pair_count=2)
     assert len(pruned) == 1
+
+
+def test_throttle_dedup_lag_semantics(ray_session):
+    """Compares to the immediate predecessor (kept or not): a steady
+    burst inside the window keeps only its first row, a gap break
+    re-admits; different keys never interact."""
+    from data_validator_ray.pipelines.relational import throttle_dedup
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    ev = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2],
+            "ts": [t0, t0 + s, t0 + 2 * s, t0 + 13 * s, t0 + s],
+            "i": [1, 2, 3, 4, 5],
+        }
+    )
+    out = throttle_dedup(
+        ev, ["k"], "ts", window_seconds=10, id_col="i"
+    ).to_pandas()
+    # burst 1,2,3: only 1 survives (2 is 1s after 1; 3 is 1s after 2
+    # even though 2 was dropped — LAG semantics); 4 is 11s after 3.
+    assert sorted(out.i.tolist()) == [1, 4, 5]
