@@ -2370,6 +2370,21 @@ def q_throttle_dedup_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_grouped_cusum_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user CUSUM change-detection excursions of value (centered
+    cumulative sums): ONE key-bucketed shuffle, Cython grouped cumsum
+    per bucket; the n-scaled formulation (dev·n = n·cs − rank·total)
+    keeps engine and SQL float semantics bit-identical."""
+    from .relational import grouped_cusum
+
+    out = grouped_cusum(
+        f"{sf_dir}/events.parquet", "user_id", ["ts", "event_id"],
+        "value",
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3142,6 +3157,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "null_rate_by_day_events": q_null_rate_by_day_events,
         "association_rules_events": q_association_rules_events,
         "throttle_dedup_events": q_throttle_dedup_events,
+        "grouped_cusum_events": q_grouped_cusum_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4111,6 +4127,25 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_id FROM s WHERE pts IS NULL OR "
             "date_diff('microsecond', pts, ts) > 3600000000 "
             "ORDER BY event_id"
+        ),
+        "grouped_cusum_events": (
+            "WITH s0 AS (SELECT user_id, value, SUM(value) OVER w cs, "
+            "ROW_NUMBER() OVER w rn, "
+            "COUNT(*) OVER (PARTITION BY user_id) n FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)), "
+            "s AS (SELECT *, LAST_VALUE(cs) OVER (PARTITION BY user_id "
+            "ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING) total FROM s0), "
+            "d AS (SELECT user_id, n, n * cs - rn * total AS dev "
+            "FROM s) "
+            "SELECT user_id, COUNT(*)::BIGINT n, "
+            "ROUND(MAX(dev) / ANY_VALUE(d.n), 6) cusum_max, "
+            "ROUND(MIN(dev) / ANY_VALUE(d.n), 6) cusum_min, "
+            "ROUND(MAX(dev) / ANY_VALUE(d.n) - "
+            "MIN(dev) / ANY_VALUE(d.n), 6) cusum_range "
+            "FROM d GROUP BY 1 ORDER BY 1"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -3872,3 +3872,81 @@ def throttle_dedup(
         ds, list(key_cols), per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def grouped_cusum(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key CUSUM change-detection statistics: center each key's
+    ordered series on ITS OWN mean, cumulative-sum the residuals, and
+    report the maximum positive and negative excursions plus their
+    spread — a sustained level shift shows up as a large ``cusum_range``
+    while white noise stays near zero (the classic Page/CUSUM chart
+    summary). NULL keys/order values drop; NULL x propagates (SQL
+    window-sum parity).
+
+    Scale shape: ONE key-bucketed shuffle; each bucket lexsorts once
+    and computes all keys' centered cumsums in one vectorized pass
+    (segment offsets subtracted, ``i·mean`` in closed form — no
+    per-key Python). Output ``(key, n, cusum_max, cusum_min,
+    cusum_range)`` rounded to 6.
+    """
+    cols = [key_col, *order_cols, value_col]
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        m = pc.is_valid(t[key_col])
+        for c in order_cols:
+            m = pc.and_(m, pc.is_valid(t[c]))
+        return t.filter(m)
+
+    ds = _as_dataset(source, columns=cols).map_batches(
+        clean, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        k = g[key_col].to_numpy()
+        x = g[value_col].to_numpy(np.float64)
+        n = len(g)
+        new = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        seg = np.cumsum(new) - 1
+        # TRUE per-segment sequential cumsum (Cython grouped cumsum;
+        # a global-cumsum difference OR a separately-summed mean
+        # re-associates float adds and drifts off the SQL oracle at
+        # the 6th decimal — DuckDB's partition AVG is not the
+        # sequential sum). The mean never appears: work with
+        # dev·n = n·cs − rank·total, where total is the running sum's
+        # OWN final value (LAST_VALUE(cs) in the oracle), and divide
+        # by n once at the end — every input is bit-identical.
+        cs_seg = pd.Series(x).groupby(seg).cumsum().to_numpy()
+        last = starts + counts - 1
+        total = cs_seg[last]
+        rank = np.arange(n) - starts[seg] + 1
+        nn = counts.astype(np.float64)
+        s = nn[seg] * cs_seg - rank * total[seg]
+        # segment-wise max/min via reduceat, then the single division
+        cmax = np.maximum.reduceat(s, starts) / nn
+        cmin = np.minimum.reduceat(s, starts) / nn
+        return pd.DataFrame(
+            {
+                key_col: k[starts],
+                "n": counts.astype(np.int64),
+                "cusum_max": np.round(cmax, 6),
+                "cusum_min": np.round(cmin, 6),
+                "cusum_range": np.round(cmax - cmin, 6),
+            }
+        )
+
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

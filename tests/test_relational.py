@@ -2090,3 +2090,26 @@ def test_throttle_dedup_lag_semantics(ray_session):
     # burst 1,2,3: only 1 survives (2 is 1s after 1; 3 is 1s after 2
     # even though 2 was dropped — LAG semantics); 4 is 11s after 3.
     assert sorted(out.i.tolist()) == [1, 4, 5]
+
+
+def test_grouped_cusum_level_shift(ray_session):
+    """A sustained level shift produces a large excursion range; a
+    constant series stays at zero."""
+    from data_validator_ray.pipelines.relational import grouped_cusum
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = []
+    for i in range(10):
+        rows.append((1, t0 + i * s, i, 0.0 if i < 5 else 10.0))
+        rows.append((2, t0 + i * s, i, 7.0))
+    df = pd.DataFrame(rows, columns=["k", "ts", "i", "x"])
+    out = (
+        grouped_cusum(df, "k", ["ts", "i"], "x")
+        .to_pandas()
+        .set_index("k")
+    )
+    # k=1: mean 5; cumsum dips to -25 mid-series then returns to 0
+    assert out.loc[1, "cusum_min"] == -25.0
+    assert out.loc[1, "cusum_range"] == 25.0
+    assert out.loc[2, "cusum_range"] == 0.0
