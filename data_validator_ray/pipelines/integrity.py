@@ -154,3 +154,98 @@ def schema_diff(a: Any, b: Any) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["column_name", "type_a", "type_b", "status"]
     )
+
+
+def keyset_overlap(
+    a: Any,
+    a_key: str,
+    b: Any,
+    b_key: str,
+    *,
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Key-set overlap between two tables — the referential-coverage
+    analysis behind FK checks: distinct-key counts of each side, the
+    intersection/union sizes, Jaccard similarity and both containment
+    ratios (what fraction of A's keys appear in B and vice versa).
+    NULL keys drop (SQL DISTINCT semantics keep NULL; FK semantics —
+    this operator's contract — don't).
+
+    Scale shape: each side reduces to per-batch DISTINCT key partials
+    (``pc.unique`` — exchange is batch-distinct keys); both partial
+    streams union into ONE groupby on the key whose per-key side-mask
+    OR yields membership, and three counters come back. The driver
+    holds five integers, never a key set.
+    """
+
+    def distinct_keys(key: str, side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            col = batch[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            u = pc.unique(col.drop_null())
+            return pa.table(
+                {
+                    "k": pc.cast(u, pa.int64()),
+                    "m": pa.array(
+                        np.full(len(u), side, np.int64)
+                    ),
+                }
+            )
+
+        return f
+
+    da = _as_dataset(a, columns=[a_key]).map_batches(
+        distinct_keys(a_key, 1), batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    db = _as_dataset(b, columns=[b_key]).map_batches(
+        distinct_keys(b_key, 2), batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def count_members(batch: pa.Table) -> pa.Table:
+        # summed DISTINCT side bits per key ∈ {1, 2, 3}:
+        # A-only / B-only / both
+        m = pc.cast(batch["sum(m)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c = np.bincount(m, minlength=4)
+        return pa.table(
+            {
+                "a_only": pa.array([int(c[1])], pa.int64()),
+                "b_only": pa.array([int(c[2])], pa.int64()),
+                "both": pa.array([int(c[3])], pa.int64()),
+            }
+        )
+
+    merged = (
+        da.union(db)
+        .groupby(["k", "m"])  # dedupe same-side partials of a key
+        .count()
+        .groupby("k")
+        .sum("m")             # 1 / 2 / 3 bitmask (sides are bits)
+        .map_batches(count_members, batch_format="pyarrow")
+        .to_pandas()
+    )
+    a_only = int(merged["a_only"].sum())
+    b_only = int(merged["b_only"].sum())
+    both = int(merged["both"].sum())
+    n_a = a_only + both
+    n_b = b_only + both
+    union = a_only + b_only + both
+    return pd.DataFrame(
+        {
+            "n_a": pd.array([n_a], dtype="int64"),
+            "n_b": pd.array([n_b], dtype="int64"),
+            "n_intersect": pd.array([both], dtype="int64"),
+            "n_union": pd.array([union], dtype="int64"),
+            "jaccard": [round(both / union, 6) if union else None],
+            "containment_a_in_b": [
+                round(both / n_a, 6) if n_a else None
+            ],
+            "containment_b_in_a": [
+                round(both / n_b, 6) if n_b else None
+            ],
+        }
+    )

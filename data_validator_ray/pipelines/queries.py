@@ -2385,6 +2385,20 @@ def q_grouped_cusum_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+
+def q_keyset_overlap_events_customer(sf_dir: str) -> pd.DataFrame:
+    """Referential coverage: distinct-key overlap between
+    events.user_id and customer.c_custkey (Jaccard + containments) —
+    per-batch pc.unique partials, ONE keyed reduction, driver holds
+    five integers."""
+    from .integrity import keyset_overlap
+
+    return keyset_overlap(
+        f"{sf_dir}/events.parquet", "user_id",
+        f"{sf_dir}/customer.parquet", "c_custkey",
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3158,6 +3172,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "association_rules_events": q_association_rules_events,
         "throttle_dedup_events": q_throttle_dedup_events,
         "grouped_cusum_events": q_grouped_cusum_events,
+        "keyset_overlap_events_customer": q_keyset_overlap_events_customer,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4146,6 +4161,22 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(MAX(dev) / ANY_VALUE(d.n) - "
             "MIN(dev) / ANY_VALUE(d.n), 6) cusum_range "
             "FROM d GROUP BY 1 ORDER BY 1"
+        ),
+        "keyset_overlap_events_customer": (
+            "WITH a AS (SELECT DISTINCT user_id k FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "b AS (SELECT DISTINCT c_custkey k FROM customer "
+            "WHERE c_custkey IS NOT NULL), "
+            "i AS (SELECT COUNT(*)::BIGINT c FROM a JOIN b USING (k)), "
+            "u AS (SELECT COUNT(*)::BIGINT c FROM "
+            "(SELECT k FROM a UNION SELECT k FROM b)), "
+            "na AS (SELECT COUNT(*)::BIGINT c FROM a), "
+            "nb AS (SELECT COUNT(*)::BIGINT c FROM b) "
+            "SELECT na.c AS n_a, nb.c AS n_b, i.c AS n_intersect, "
+            "u.c AS n_union, ROUND(i.c::DOUBLE / u.c, 6) AS jaccard, "
+            "ROUND(i.c::DOUBLE / na.c, 6) AS containment_a_in_b, "
+            "ROUND(i.c::DOUBLE / nb.c, 6) AS containment_b_in_a "
+            "FROM na, nb, i, u"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

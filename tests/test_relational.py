@@ -2113,3 +2113,20 @@ def test_grouped_cusum_level_shift(ray_session):
     assert out.loc[1, "cusum_min"] == -25.0
     assert out.loc[1, "cusum_range"] == 25.0
     assert out.loc[2, "cusum_range"] == 0.0
+
+
+def test_keyset_overlap_partial_overlap(ray_session):
+    """Duplicates collapse to distinct keys; NULLs drop; disjoint and
+    contained cases compute correct Jaccard/containment."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.integrity import keyset_overlap
+
+    a = pd.DataFrame({"x": [1, 1, 2, 3, None]})
+    b = pd.DataFrame({"y": [2, 3, 4, 4, 5]})
+    out = keyset_overlap(a, "x", b, "y")
+    assert int(out.n_a[0]) == 3 and int(out.n_b[0]) == 4
+    assert int(out.n_intersect[0]) == 2 and int(out.n_union[0]) == 5
+    assert out.jaccard[0] == 0.4
+    assert out.containment_a_in_b[0] == round(2 / 3, 6)
+    assert out.containment_b_in_a[0] == 0.5
