@@ -2399,6 +2399,18 @@ def q_keyset_overlap_events_customer(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_pmi_collocations_documents(sf_dir: str) -> pd.DataFrame:
+    """Top-20 adjacent-token collocations by PMI (min count 5):
+    per-batch bigram+unigram combiner, vocabulary-bounded sums,
+    driver-side PMI on the small pair table."""
+    from .text import pmi_collocations
+
+    return pmi_collocations(
+        f"{sf_dir}/documents.parquet", k=20, min_count=5
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3173,6 +3185,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "throttle_dedup_events": q_throttle_dedup_events,
         "grouped_cusum_events": q_grouped_cusum_events,
         "keyset_overlap_events_customer": q_keyset_overlap_events_customer,
+        "pmi_collocations_documents": q_pmi_collocations_documents,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4177,6 +4190,26 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(i.c::DOUBLE / na.c, 6) AS containment_a_in_b, "
             "ROUND(i.c::DOUBLE / nb.c, 6) AS containment_b_in_a "
             "FROM na, nb, i, u"
+        ),
+        "pmi_collocations_documents": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+            "t FROM documents WHERE text IS NOT NULL), "
+            "seq AS (SELECT doc_id, t, LEAD(t) OVER "
+            "(PARTITION BY doc_id ORDER BY rowid) nt FROM "
+            "(SELECT row_number() OVER () rowid, doc_id, t FROM tok)), "
+            "big AS (SELECT t a, nt b, COUNT(*)::BIGINT c FROM seq "
+            "WHERE nt IS NOT NULL GROUP BY 1, 2), "
+            "uni AS (SELECT t, COUNT(*)::BIGINT c FROM tok GROUP BY 1), "
+            "n1 AS (SELECT SUM(c)::DOUBLE v FROM uni), "
+            "n2 AS (SELECT SUM(c)::DOUBLE v FROM big) "
+            "SELECT a || ' ' || b AS bigram, big.c AS n_ab, "
+            "x.c AS n_a, y.c AS n_b, "
+            "ROUND(LN(big.c / n2.v) - LN(x.c / n1.v) - "
+            "LN(y.c / n1.v), 6) AS pmi "
+            "FROM big JOIN uni x ON big.a = x.t "
+            "JOIN uni y ON big.b = y.t, n1, n2 "
+            "WHERE big.c >= 5 ORDER BY pmi DESC, bigram LIMIT 20"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

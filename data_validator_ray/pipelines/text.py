@@ -1158,3 +1158,94 @@ def charset_profile(
 
     ds = _as_dataset(source, columns=[id_col, text_col])
     return ds.map_batches(profile, batch_format="pyarrow", batch_size=batch_size)
+
+
+def pmi_collocations(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    batch_size: int = 8192,
+) -> "pd.DataFrame":
+    """Top-k adjacent-token collocations by pointwise mutual
+    information: ``pmi = ln(c_ab/N₂) − ln(c_a/N₁) − ln(c_b/N₁)`` over
+    corpus bigram/unigram counts — the phrase-mining statistic that
+    surfaces "new york" over "of the". ``min_count`` gates rare pairs
+    (PMI is noise-dominated below it). Deterministic order: pmi desc,
+    bigram asc.
+
+    Scale shape: same combiner as :func:`top_ngrams` — per-batch
+    bigram AND unigram count partials in one polars pass each,
+    vocabulary-bounded global sums, driver-side PMI over the (small)
+    ≥min_count pair table with unigram counts mapped in.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex, _ = _exploded_tokens(batch[text_col])
+        big = (
+            ex.with_columns(
+                pl.col("t").alias("a"),
+                pl.col("t").shift(-1).alias("b"),
+                (pl.col("doc") == pl.col("doc").shift(-1)).alias("ok"),
+            )
+            .filter(pl.col("ok").fill_null(False))
+            .group_by(["a", "b"])
+            .len()
+        )
+        uni = ex.group_by("t").len()
+        # union both partial kinds in one stream: bigrams carry b,
+        # unigrams carry NULL b
+        return pa.table(
+            {
+                "a": pa.array(
+                    big["a"].to_list() + uni["t"].to_list(), pa.string()
+                ),
+                "b": pa.array(
+                    big["b"].to_list() + [None] * len(uni), pa.string()
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [
+                            big["len"].to_numpy().astype(np.int64),
+                            uni["len"].to_numpy().astype(np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=batch_size)
+        .groupby(["a", "b"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    uni = merged[merged.b.isna()]
+    big = merged[merged.b.notna()]
+    n1 = float(uni["sum(cnt)"].sum())
+    n2 = float(big["sum(cnt)"].sum())
+    ucnt = uni.set_index("a")["sum(cnt)"]
+    big = big[big["sum(cnt)"] >= min_count].copy()
+    ca = big.a.map(ucnt).to_numpy(np.float64)
+    cb = big.b.map(ucnt).to_numpy(np.float64)
+    cab = big["sum(cnt)"].to_numpy(np.float64)
+    pmi = np.log(cab / n2) - np.log(ca / n1) - np.log(cb / n1)
+    out = pd.DataFrame(
+        {
+            "bigram": big.a.str.cat(big.b, sep=" "),
+            "n_ab": cab.astype(np.int64),
+            "n_a": ca.astype(np.int64),
+            "n_b": cb.astype(np.int64),
+            "pmi": np.round(pmi, 6),
+        }
+    )
+    out = out.sort_values(
+        ["pmi", "bigram"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return out.reset_index(drop=True)

@@ -245,3 +245,22 @@ def test_charset_profile_counters(ray_session):
     assert out.loc[3, "n_replacement"] == 2
     assert out.loc[3, "n_non_ascii"] == 2
     assert out.loc[0, "n_chars"] == 13
+
+
+def test_pmi_collocations_surfaces_phrases(ray_session):
+    """A fixed phrase ranks above independent co-occurrence; bigrams
+    never cross doc boundaries; min_count prunes."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.text import pmi_collocations
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["new york is big and big is fine"] * 5
+            + ["york new and is big", "big new", "york is"],
+        }
+    )
+    out = pmi_collocations(docs, k=5, min_count=5)
+    assert out.bigram.iloc[0] == "new york"  # always adjacent
+    assert "big new" not in out.bigram.tolist()  # count 1 < 5
