@@ -2411,6 +2411,58 @@ def q_pmi_collocations_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def q_top_users_by_type_events(sf_dir: str) -> pd.DataFrame:
+    """Composition query: aggregate (type, user) value sums, then the
+    per-type top-3 users — grouped_top_k consuming a grouped-aggregate
+    Dataset, the aggregate-then-QUALIFY pattern in two existing
+    operators with no driver collect in between."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .relational import grouped_top_k
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"],
+    )
+
+    def clean(b: "pa.Table") -> "pa.Table":
+        m = pc.and_(
+            pc.is_valid(b["event_type"]), pc.is_valid(b["user_id"])
+        )
+        return b.filter(m)
+
+    agg = (
+        ds.map_batches(clean, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .sum("value")
+    )
+
+    def rounded(b: "pa.Table") -> "pa.Table":
+        v = b["sum(value)"].to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+                "total_value": pa.array(np.round(v, 6)),
+            }
+        )
+
+    agg = agg.map_batches(rounded, batch_format="pyarrow")
+    out = grouped_top_k(
+        agg, ["event_type"], "total_value", 3,
+        tiebreak_cols=["user_id"],
+    ).to_pandas()
+    return out.sort_values(
+        ["event_type", "total_value", "user_id"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3186,6 +3238,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_cusum_events": q_grouped_cusum_events,
         "keyset_overlap_events_customer": q_keyset_overlap_events_customer,
         "pmi_collocations_documents": q_pmi_collocations_documents,
+        "top_users_by_type_events": q_top_users_by_type_events,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4210,6 +4263,18 @@ def oracle_sql() -> Dict[str, str]:
             "FROM big JOIN uni x ON big.a = x.t "
             "JOIN uni y ON big.b = y.t, n1, n2 "
             "WHERE big.c >= 5 ORDER BY pmi DESC, bigram LIMIT 20"
+        ),
+        "top_users_by_type_events": (
+            "WITH a AS (SELECT event_type, user_id, "
+            "ROUND(SUM(value), 6) AS total_value FROM events "
+            "WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY "
+            "event_type ORDER BY total_value DESC, user_id) rn "
+            "FROM a) "
+            "SELECT event_type, user_id, total_value FROM r "
+            "WHERE rn <= 3 ORDER BY event_type, total_value DESC, "
+            "user_id"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "
