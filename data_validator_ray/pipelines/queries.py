@@ -2463,6 +2463,17 @@ def q_top_users_by_type_events(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+
+def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Int8 scalar-quantization audit per vector (min/max/scale +
+    reconstruction MSE, half-up code rounding): pure per-batch
+    map_batches, zero shuffle — the pre-indexing compression check."""
+    from .similarity import quantize_embeddings
+
+    out = quantize_embeddings(f"{sf_dir}/embeddings.parquet").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3239,6 +3250,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "keyset_overlap_events_customer": q_keyset_overlap_events_customer,
         "pmi_collocations_documents": q_pmi_collocations_documents,
         "top_users_by_type_events": q_top_users_by_type_events,
+        "quantize_embeddings": q_quantize_embeddings,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4275,6 +4287,22 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_type, user_id, total_value FROM r "
             "WHERE rn <= 3 ORDER BY event_type, total_value DESC, "
             "user_id"
+        ),
+        "quantize_embeddings": (
+            "WITH b AS (SELECT vec_id, embedding e, "
+            "list_aggregate(embedding, 'min')::DOUBLE mn, "
+            "list_aggregate(embedding, 'max')::DOUBLE mx "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "s AS (SELECT vec_id, e, mn, mx, (mx - mn) / 255.0 sc "
+            "FROM b), "
+            "m AS (SELECT vec_id, mn, mx, sc, "
+            "CASE WHEN sc = 0 THEN 0.0 ELSE "
+            "list_sum(list_transform(e, x -> POW(x::DOUBLE - "
+            "(mn + FLOOR((x::DOUBLE - mn) / sc + 0.5) * sc), 2))) "
+            "/ len(e) END mse FROM s) "
+            "SELECT vec_id, ROUND(mn, 6) vmin, ROUND(mx, 6) vmax, "
+            "ROUND(sc, 6) scale, ROUND(mse, 12) mse "
+            "FROM m ORDER BY vec_id"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

@@ -755,3 +755,71 @@ def pca_project(
         project, batch_format="pyarrow", batch_size=batch_size
     )
     return ds, comps, evar
+
+
+def quantize_embeddings(
+    source: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 8,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-vector affine scalar quantization audit — the int8
+    compression step a 100-TB embedding store runs before indexing:
+    each vector maps to ``code = floor((x − min)/scale + 0.5)`` with
+    ``scale = (max − min)/(2^bits − 1)``, and the output reports the
+    per-vector ``vmin``/``vmax``/``scale`` plus the reconstruction
+    MSE (what the compression costs, ~scale²/12 for smooth inputs).
+    Constant vectors (scale 0) reconstruct exactly (mse 0). Half-up
+    rounding (``floor(q + 0.5)``) — NOT banker's — so the SQL oracle
+    shares tie behavior. NULL vectors drop.
+
+    Scale shape: pure per-batch ``map_batches`` — zero-copy matrix
+    extraction, one vectorized pass, NO shuffle; at 100 TB this is
+    the cheapest possible operator shape. MSE rounds to 12 decimals
+    (magnitudes ~scale²/12 sit near 1e-7; 6 decimals would erase
+    them).
+    """
+    levels = float((1 << bits) - 1)
+
+    def audit(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[vec_col]))
+        from .dedup import _embedding_matrix
+
+        M = _embedding_matrix(t, vec_col, dtype=np.float64)
+        if M.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                    "scale": pa.array([], pa.float64()),
+                    "mse": pa.array([], pa.float64()),
+                }
+            )
+        mn = M.min(axis=1)
+        mx = M.max(axis=1)
+        sc = (mx - mn) / levels
+        safe = np.where(sc == 0, 1.0, sc)
+        code = np.floor((M - mn[:, None]) / safe[:, None] + 0.5)
+        recon = mn[:, None] + code * safe[:, None]
+        err = M - recon
+        mse = np.where(
+            sc == 0, 0.0, (err * err).sum(axis=1) / M.shape[1]
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "vmin": pa.array(np.round(mn, 6)),
+                "vmax": pa.array(np.round(mx, 6)),
+                "scale": pa.array(np.round(sc, 6)),
+                "mse": pa.array(np.round(mse, 12)),
+            }
+        )
+
+    from .dedup import _as_dataset
+
+    return _as_dataset(source, columns=[id_col, vec_col]).map_batches(
+        audit, batch_format="pyarrow", batch_size=batch_size
+    )

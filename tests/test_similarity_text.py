@@ -653,3 +653,31 @@ def test_bm25_search_ranking(ray_session, tmp_path):
     assert out.doc_id.tolist()[0] == 2
     assert set(out.doc_id.tolist()) == {1, 2, 3}
     assert (out.score.to_numpy()[:-1] >= out.score.to_numpy()[1:]).all()
+
+
+def test_quantize_embeddings_audit(ray_session):
+    """Constant vectors quantize losslessly; a linear ramp's MSE is
+    bounded by scale²/4; half-up rounding is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [
+                [1.5] * 8,                       # constant
+                list(np.linspace(0.0, 2.55, 8)),  # ramp
+            ],
+        }
+    )
+    out = (
+        quantize_embeddings(vecs).to_pandas().set_index("vec_id")
+    )
+    assert out.loc[1, "scale"] == 0.0 and out.loc[1, "mse"] == 0.0
+    assert out.loc[2, "vmin"] == 0.0 and out.loc[2, "vmax"] == 2.55
+    sc = out.loc[2, "scale"]
+    assert out.loc[2, "mse"] <= sc * sc / 4
