@@ -389,7 +389,10 @@ def ngram_jaccard_pairs(
         return batch.filter(pa.array(i / union >= threshold))
 
     out = inter.map_batches(jaccard_filter, batch_format="pyarrow").to_pandas()
-    out = out[["id_a", "id_b", "intersection", "size_a", "size_b"]].astype(np.int64)
+    cols = ["id_a", "id_b", "intersection", "size_a", "size_b"]
+    if len(out) == 0:  # empty to_pandas loses the schema
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    out = out[cols].astype(np.int64)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -1829,3 +1832,63 @@ def ppjoin_jaccard_pairs(
     union = out.size_a + out.size_b - out.intersection
     out = out[out.intersection / union >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def containment_pairs(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+    num_buckets: int = 128,
+) -> pd.DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` ≥ threshold — catches a short document
+    quoted inside a long one, which Jaccard misses (the union is
+    dominated by the long side). Same join-free machinery as
+    :func:`ngram_jaccard_pairs`; only the final vectorized gate
+    differs. Returns (id_a, id_b, intersection, size_a, size_b,
+    containment) with containment rounded to 6.
+    """
+    sh = shingle_table(source, id_col, text_col, n)
+
+    def emit(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.rename(columns={id_col: "__id"})
+        return _pairs_within_groups(
+            b, ["shingle_hash"], "__id", carry_cols=["size"],
+            max_group=max_shingle_freq,
+        )
+
+    pairs = bucketed_groupby(
+        sh, ["shingle_hash"], emit, num_buckets=num_buckets
+    )
+    inter = bucketed_count(
+        pairs, ["id_a", "id_b", "size_a", "size_b"], "intersection"
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        i = batch["intersection"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        mn = np.minimum(
+            batch["size_a"].to_numpy(zero_copy_only=False),
+            batch["size_b"].to_numpy(zero_copy_only=False),
+        )
+        c = i / mn
+        t = batch.append_column(
+            "containment", pa.array(np.round(c, 6))
+        )
+        return t.filter(pa.array(c >= threshold))
+
+    out = inter.map_batches(gate, batch_format="pyarrow").to_pandas()
+    cols = ["id_a", "id_b", "intersection", "size_a", "size_b"]
+    if len(out) == 0:  # empty to_pandas loses the schema
+        e = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        e["containment"] = pd.Series(dtype=np.float64)
+        return e
+    out[cols] = out[cols].astype(np.int64)
+    return out[cols + ["containment"]].sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)

@@ -2474,6 +2474,18 @@ def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+
+def q_containment_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric containment near-dups (|A∩B|/min ≥ 0.6 — quote/
+    subset detection Jaccard misses): the join-free shingle pair
+    machinery with a containment gate."""
+    from .dedup import containment_pairs
+
+    return containment_pairs(
+        f"{sf_dir}/documents.parquet", threshold=0.6
+    )
+
+
 def q_psi_by_group_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type fixed-bin PSI between the even- and odd-event_id
     halves — the sliced drift monitor (a shift confined to one slice
@@ -3251,6 +3263,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pmi_collocations_documents": q_pmi_collocations_documents,
         "top_users_by_type_events": q_top_users_by_type_events,
         "quantize_embeddings": q_quantize_embeddings,
+        "containment_pairs_documents": q_containment_pairs_documents,
         "group_sample_documents": q_group_sample_documents,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "compression_stats_documents": q_compression_stats_documents,
@@ -4303,6 +4316,26 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT vec_id, ROUND(mn, 6) vmin, ROUND(mx, 6) vmax, "
             "ROUND(sc, 6) scale, ROUND(mse, 12) mse "
             "FROM m ORDER BY vec_id"
+        ),
+        "containment_pairs_documents": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') "
+            "AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, len(t) - 2), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
+            "FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh "
+            "GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, i::BIGINT intersection, "
+            "sa.sz::BIGINT size_a, sb.sz::BIGINT size_b, "
+            "ROUND(i * 1.0 / LEAST(sa.sz, sb.sz), 6) AS containment "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE i * 1.0 / LEAST(sa.sz, sb.sz) >= 0.6 "
+            "ORDER BY id_a, id_b"
         ),
         "chi2_lang_split_documents": (
             "WITH a AS (SELECT lang AS cat, COUNT(*)::DOUBLE AS ca "

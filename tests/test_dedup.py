@@ -583,3 +583,25 @@ def test_ppjoin_matches_exact_pipeline(ray_session):
     assert {(1, 2), (1, 3), (2, 3)} <= set(
         zip(a.id_a.tolist(), a.id_b.tolist())
     )
+
+
+def test_containment_catches_quotes(ray_session):
+    """A short doc fully contained in a long one scores containment
+    1.0 even when Jaccard is small."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"tok{i}" for i in range(60))
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [short, long_]}
+    )
+    c = containment_pairs(docs, threshold=0.9, num_buckets=8)
+    assert c[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert c.containment[0] == 1.0
+    j = ngram_jaccard_pairs(docs, threshold=0.9, num_buckets=8)
+    assert len(j) == 0  # Jaccard misses the quote
