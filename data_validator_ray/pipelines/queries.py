@@ -3146,6 +3146,26 @@ def q_pca_project_embeddings(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
+    """SCD Type-2 history build: the events stream is a change log of
+    each user's `event_type` attribute; collapse it into versioned
+    dimension rows (new version only when the attribute actually
+    changes, `valid_from`/`valid_to` interval chain, `is_current` on
+    the open version). One key-bucketed shuffle, vectorized per
+    bucket."""
+    from .relational import scd2_build
+
+    out = scd2_build(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        ["event_type"],
+        ["ts", "event_id"],
+    ).to_pandas()
+    return out.sort_values(
+        ["user_id", "valid_from"]
+    ).reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -3325,6 +3345,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "try_cast_events": q_try_cast_events,
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
+        "scd2_events_user_type": q_scd2_events_user_type,
     }
 
 
@@ -4773,6 +4794,23 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(COVAR_SAMP(a.val, b.val), 6) AS cov "
             "FROM e a JOIN e b USING (vec_id) "
             "GROUP BY a.pos, b.pos ORDER BY i, j"
+        ),
+        "scd2_events_user_type": (
+            "WITH ch AS (SELECT user_id, event_type, ts, event_id, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pv, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE user_id IS NOT NULL), "
+            "v AS (SELECT user_id, event_type, ts AS valid_from, "
+            "event_id FROM ch "
+            "WHERE rn = 1 OR pv IS DISTINCT FROM event_type) "
+            "SELECT user_id, event_type, valid_from, "
+            "LEAD(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY valid_from, event_id) AS valid_to, "
+            "LEAD(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY valid_from, event_id) IS NULL AS is_current "
+            "FROM v ORDER BY user_id, valid_from"
         ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events /

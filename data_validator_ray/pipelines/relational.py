@@ -3950,3 +3950,85 @@ def grouped_cusum(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def scd2_build(
+    source: Any,
+    key_col: str,
+    attr_cols: List[str],
+    order_cols: List[str],
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Slowly-Changing-Dimension Type 2 history build: collapse a
+    change log into versioned dimension rows. Per key (ordered by
+    ``order_cols``), a new version opens whenever ANY ``attr_cols``
+    value IS DISTINCT FROM the previous row's (NULL-safe; the first
+    row always opens). Output: ``key, *attr_cols, valid_from`` (the
+    opening row's first order column), ``valid_to`` (the next
+    version's ``valid_from``, NULL on the key's current version) and
+    ``is_current``. No-op changes (same attributes re-asserted) are
+    absorbed into the open version — the standard SCD2 semantics.
+
+    Scale shape: ONE hash-bucket shuffle co-locates each key
+    (:func:`bucketed_groupby`), then ONE vectorized pandas/numpy pass
+    per bucket handles all its keys (sort + shifted NULL-safe compare
+    + per-key shift for ``valid_to``); no per-key Python. The change
+    log streams; the output is bounded by the number of REAL changes,
+    not log rows. ``order_cols`` must totally order each key's rows
+    (include a tiebreak id) — ties make version boundaries
+    arrival-dependent. Reference analogue: none (the reference
+    validates rows, src/data_validator/validator.py); this is the
+    warehouse-side sibling of :func:`cdc_apply`.
+    """
+    ds = _as_dataset(source, columns=[key_col, *attr_cols, *order_cols])
+
+    def drop_null_key(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[key_col]))
+
+    ds = ds.map_batches(
+        drop_null_key, batch_format="pyarrow", batch_size=batch_size
+    )
+    ts_col = order_cols[0]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        k = g[key_col].to_numpy()
+        n = len(g)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        changed = new_key.copy()
+        for c in attr_cols:
+            v = g[c].to_numpy()
+            nullmask = pd.isna(g[c]).to_numpy()
+            with np.errstate(invalid="ignore"):
+                same = v[1:] == v[:-1]
+            # IS NOT DISTINCT FROM: NULL equals NULL, NULL != value
+            same = (same & ~nullmask[1:] & ~nullmask[:-1]) | (
+                nullmask[1:] & nullmask[:-1]
+            )
+            changed[1:] |= ~same
+        v = g[changed]
+        vk = v[key_col].to_numpy()
+        vt = v[ts_col].to_numpy()
+        last = np.concatenate([vk[1:] != vk[:-1], [True]])
+        valid_to = np.empty_like(vt)
+        valid_to[:-1] = vt[1:]
+        out = pd.DataFrame(
+            {
+                key_col: vk,
+                **{c: v[c].to_numpy() for c in attr_cols},
+                "valid_from": vt,
+            }
+        )
+        out["valid_to"] = valid_to
+        out.loc[last, "valid_to"] = pd.NaT if np.issubdtype(
+            vt.dtype, np.datetime64
+        ) else None
+        out["is_current"] = last
+        return out
+
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
