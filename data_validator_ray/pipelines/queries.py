@@ -2561,6 +2561,32 @@ def q_ks_events_split(sf_dir: str) -> pd.DataFrame:
     return ks_exact(side(0), side(1), "value", num_buckets=32).to_pandas()
 
 
+def q_wasserstein_events_split(sf_dir: str) -> pd.DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance between the
+    even- and odd-event_id halves of events.value — the
+    magnitude-aware drift statistic (same distributed prefix scan as
+    ks_events_split; per-term float math identical to the SQL window
+    oracle, ROUND 6)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import wasserstein_exact
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return wasserstein_exact(
+        side(0), side(1), "value", num_buckets=32
+    ).to_pandas()
+
+
 def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     """Corpus-wide paragraph (segment) dedup over documents — C4/
     RefinedWeb line dedup. The testdata text has no newlines, so the
@@ -3313,6 +3339,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "psi_by_group_events": q_psi_by_group_events,
         "ks_by_group_events": q_ks_by_group_events,
         "ks_events_split": q_ks_events_split,
+        "wasserstein_events_split": q_wasserstein_events_split,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
@@ -4482,6 +4509,29 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(MAX(ABS(cca::DOUBLE / (SELECT COUNT(*) FROM a) "
             "- ccb::DOUBLE / (SELECT COUNT(*) FROM b))), 6) AS ks_value "
             "FROM c"
+        ),
+        "wasserstein_events_split": (
+            # exact 1-D W1 = sum over sorted distinct values of
+            # |ECDF_a - ECDF_b| * gap-to-next-value; per-term float
+            # math identical to the engine (int/int -> DOUBLE divisions)
+            "WITH a AS (SELECT value AS v FROM events "
+            "WHERE event_id % 2 = 0 AND value IS NOT NULL), "
+            "b AS (SELECT value AS v FROM events "
+            "WHERE event_id % 2 = 1 AND value IS NOT NULL), "
+            "u AS (SELECT v, "
+            "COUNT(*) FILTER (WHERE side = 0) AS ca, "
+            "COUNT(*) FILTER (WHERE side = 1) AS cb "
+            "FROM (SELECT v, 0 AS side FROM a "
+            "UNION ALL SELECT v, 1 AS side FROM b) GROUP BY v), "
+            "c AS (SELECT v, LEAD(v) OVER (ORDER BY v) AS nxt, "
+            "SUM(ca) OVER (ORDER BY v) AS cca, "
+            "SUM(cb) OVER (ORDER BY v) AS ccb FROM u) "
+            "SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n_base, "
+            "(SELECT COUNT(*) FROM b)::BIGINT AS n_current, "
+            "ROUND(SUM(ABS(cca::DOUBLE / (SELECT COUNT(*) FROM a) "
+            "- ccb::DOUBLE / (SELECT COUNT(*) FROM b)) "
+            "* (nxt - v)), 6) AS emd_value "
+            "FROM c WHERE nxt IS NOT NULL"
         ),
         "paragraph_dedup_documents": (
             # keep the globally first (doc_id, idx) occurrence of each

@@ -560,59 +560,28 @@ def psi_by_group(
     return bucketed_groupby(tidy, [group_col], per_bucket, num_buckets=num_buckets)
 
 
-def ks_exact(
+def _distinct_prefix_scan(
     source_base: Any,
     source_current: Any,
     value_col: str,
     *,
-    num_buckets: int = 256,
-    batch_size: int = 64 * 1024,
-    quantize: Optional[float] = None,
-) -> "pa.Table":
-    """EXACT two-sample Kolmogorov-Smirnov statistic
-    ``max_x |ECDF_base(x) − ECDF_current(x)|`` — the oracle-exact
-    sibling of the t-digest :func:`ks_stat` tier.
+    num_buckets: int,
+    batch_size: int,
+    quantize: Optional[float],
+):
+    """Shared steps 1–3 of the exact two-sample ECDF statistics
+    (:func:`ks_exact`, :func:`wasserstein_exact`): per-side distinct
+    ``(value, count)`` partials, union with separate count columns,
+    range-partition into ``num_buckets`` on sampled quantile bounds,
+    and a per-bucket ``groupby.aggregate(Sum)``.
 
-    The global ECDF needs a cumulative count over sorted values — an
-    all-to-all at heart — so this runs the same distributed two-pass
-    prefix scan as ``pack_shards`` (`curation.py`), but over VALUES:
-
-    1. per side, one streaming pass reduces each batch to distinct
-       ``(value, count)`` partials (exchange is per-batch-distinct
-       bounded, 12 bytes/row); sides union with separate count
-       columns;
-    2. values range-partition into ``num_buckets`` buckets on sampled
-       quantile boundaries (equal values can never split across
-       buckets — bucket id comes from ``searchsorted`` on value);
-    3. ``groupby(bucket).aggregate(Sum)`` → #buckets rows; the driver
-       takes per-side exclusive prefix counts in bucket order and
-       broadcasts them via ``ray.put``;
-    4. ``groupby(bucket).map_groups``: ONE vectorized
-       sort + per-value sum + cumsum per bucket; each cumulative
-       count plus the bucket's global offset yields the two ECDFs at
-       every distinct value in the bucket — one ``(bucket, local max
-       |Fa−Fb|)`` row comes back.
-
-    ECDF divisions are ``int64 cumulative / int64 total`` in float64 —
-    bit-identical to a SQL ``SUM(...) OVER (ORDER BY v) / COUNT(*)``
-    oracle, and independent of the (sampling-chosen) bucket layout,
-    so reruns are byte-stable. NULLs drop. Returns a one-row table:
-    ``n_base, n_current, ks_value`` (rounded to 6).
-
-    **Continuous-column caveat**: step 1's exchange is bounded by
-    per-batch DISTINCT values — for an integer-ish column that is tiny,
-    but for a continuous float column per-batch-distinct ≈ batch size,
-    so the materialized partials are O(rows) (object-store-resident and
-    spillable, but real). Set ``quantize=q`` to snap values to the
-    nearest multiple of ``q`` first (``round(v/q)·q``): the statistic
-    is then EXACT for the quantized distributions, and differs from the
-    raw statistic by at most the largest probability mass either sample
-    places within any half-open interval of width ``q`` (each value
-    moves ≤ q/2) — pick ``q`` well under the distribution's scale and
-    the drift-alert margin. ``quantize=None`` (default) is bit-exact vs
-    the SQL oracle.
+    Returns ``(bucketed_dataset, sums_df, na, nb)`` where ``sums_df``
+    is the per-bucket count frame sorted by ``__bucket`` and
+    ``na``/``nb`` are the side totals. Equal values never split across
+    buckets (bucket id comes from ``searchsorted`` on value), so any
+    per-bucket cumulative statistic composes exactly with the driver's
+    bucket-order prefix offsets.
     """
-    import pandas as pd
     import ray
     from ray.data.aggregate import Sum
 
@@ -678,9 +647,76 @@ def ks_exact(
         .to_pandas()
         .sort_values("__bucket")
     )
+    na = int(sums["sa"].to_numpy(np.int64).sum())
+    nb = int(sums["sb"].to_numpy(np.int64).sum())
+    return bucketed, sums, na, nb
+
+
+def ks_exact(
+    source_base: Any,
+    source_current: Any,
+    value_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+    quantize: Optional[float] = None,
+) -> "pa.Table":
+    """EXACT two-sample Kolmogorov-Smirnov statistic
+    ``max_x |ECDF_base(x) − ECDF_current(x)|`` — the oracle-exact
+    sibling of the t-digest :func:`ks_stat` tier.
+
+    The global ECDF needs a cumulative count over sorted values — an
+    all-to-all at heart — so this runs the same distributed two-pass
+    prefix scan as ``pack_shards`` (`curation.py`), but over VALUES:
+
+    1. per side, one streaming pass reduces each batch to distinct
+       ``(value, count)`` partials (exchange is per-batch-distinct
+       bounded, 12 bytes/row); sides union with separate count
+       columns;
+    2. values range-partition into ``num_buckets`` buckets on sampled
+       quantile boundaries (equal values can never split across
+       buckets — bucket id comes from ``searchsorted`` on value);
+    3. ``groupby(bucket).aggregate(Sum)`` → #buckets rows; the driver
+       takes per-side exclusive prefix counts in bucket order and
+       broadcasts them via ``ray.put``;
+    4. ``groupby(bucket).map_groups``: ONE vectorized
+       sort + per-value sum + cumsum per bucket; each cumulative
+       count plus the bucket's global offset yields the two ECDFs at
+       every distinct value in the bucket — one ``(bucket, local max
+       |Fa−Fb|)`` row comes back.
+
+    ECDF divisions are ``int64 cumulative / int64 total`` in float64 —
+    bit-identical to a SQL ``SUM(...) OVER (ORDER BY v) / COUNT(*)``
+    oracle, and independent of the (sampling-chosen) bucket layout,
+    so reruns are byte-stable. NULLs drop. Returns a one-row table:
+    ``n_base, n_current, ks_value`` (rounded to 6).
+
+    **Continuous-column caveat**: step 1's exchange is bounded by
+    per-batch DISTINCT values — for an integer-ish column that is tiny,
+    but for a continuous float column per-batch-distinct ≈ batch size,
+    so the materialized partials are O(rows) (object-store-resident and
+    spillable, but real). Set ``quantize=q`` to snap values to the
+    nearest multiple of ``q`` first (``round(v/q)·q``): the statistic
+    is then EXACT for the quantized distributions, and differs from the
+    raw statistic by at most the largest probability mass either sample
+    places within any half-open interval of width ``q`` (each value
+    moves ≤ q/2) — pick ``q`` well under the distribution's scale and
+    the drift-alert margin. ``quantize=None`` (default) is bit-exact vs
+    the SQL oracle.
+    """
+    import pandas as pd
+    import ray
+
+    bucketed, sums, na, nb = _distinct_prefix_scan(
+        source_base,
+        source_current,
+        value_col,
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+        quantize=quantize,
+    )
     sa = sums["sa"].to_numpy(np.int64)
     sb = sums["sb"].to_numpy(np.int64)
-    na, nb = int(sa.sum()), int(sb.sum())
     if na == 0 or nb == 0:
         return pa.table(
             {
@@ -722,6 +758,134 @@ def ks_exact(
             "n_base": pa.array([na], pa.int64()),
             "n_current": pa.array([nb], pa.int64()),
             "ks_value": pa.array([round(float(dmax), 6)], pa.float64()),
+        }
+    )
+
+
+def wasserstein_exact(
+    source_base: Any,
+    source_current: Any,
+    value_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+    quantize: Optional[float] = None,
+) -> "pa.Table":
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance between two
+    empirical distributions — the magnitude-aware sibling of
+    :func:`ks_exact` (KS says *whether* the CDFs diverge; W1 says *how
+    much probability mass moved how far*, in the column's own units,
+    which is the drift quantity a retraining trigger actually wants).
+
+    For 1-D empirical distributions W1 has the closed form
+
+        W1 = ∫ |F_base(x) − F_current(x)| dx
+           = Σ_i |F_base(v_i) − F_current(v_i)| · (v_{i+1} − v_i)
+
+    over the sorted distinct values of the union sample — exactly the
+    prefix-scan shape :func:`_distinct_prefix_scan` already computes
+    for KS. Per bucket, ONE vectorized sort + cumsum yields the two
+    ECDFs at every distinct value and the in-bucket segment sum; the
+    boundary segment between consecutive buckets (bucket k's last
+    value → bucket k+1's first value) is settled on the driver from
+    the per-bucket inclusive prefix counts it already holds, so the
+    result is independent of the sampled bucket layout.
+
+    Each term is ``abs(int64_cum/na − int64_cum/nb) · (v_next − v)``
+    in float64 — term-identical to a SQL
+    ``SUM(ABS(cca/na − ccb/nb) * (nxt − v))`` window oracle; only the
+    association order of the final sum differs (ROUND 6 absorbs it).
+    NULLs drop. ``quantize`` snaps values to the q-grid first with the
+    same error envelope as :func:`ks_exact` (each value moves ≤ q/2,
+    so W1 itself moves ≤ q/2 per side). Returns one row:
+    ``(n_base, n_current, emd_value)``.
+
+    Reference has no drift machinery (module docstring); net-new.
+    """
+    import pandas as pd
+    import ray
+
+    bucketed, sums, na, nb = _distinct_prefix_scan(
+        source_base,
+        source_current,
+        value_col,
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+        quantize=quantize,
+    )
+    if na == 0 or nb == 0:
+        return pa.table(
+            {
+                "n_base": pa.array([na], pa.int64()),
+                "n_current": pa.array([nb], pa.int64()),
+                "emd_value": pa.array([0.0], pa.float64()),
+            }
+        )
+    sa = sums["sa"].to_numpy(np.int64)
+    sb = sums["sb"].to_numpy(np.int64)
+    bids = sums["__bucket"].to_numpy(np.int64)
+    offs = {
+        int(b): (int(oa), int(ob))
+        for b, oa, ob in zip(
+            bids,
+            np.concatenate([[0], np.cumsum(sa)[:-1]]),
+            np.concatenate([[0], np.cumsum(sb)[:-1]]),
+        )
+    }
+    offs_ref = ray.put(offs)
+
+    def bucket_part(group: pd.DataFrame) -> pd.DataFrame:
+        omap = ray.get(offs_ref)
+        bkt = int(group["__bucket"].iloc[0])
+        oa, ob = omap[bkt]
+        g = (
+            group.groupby("v", sort=True)[["ca", "cb"]]
+            .sum()
+            .reset_index()
+        )
+        v = g["v"].to_numpy(np.float64)
+        fa = (oa + g["ca"].to_numpy(np.int64).cumsum()) / na
+        fb = (ob + g["cb"].to_numpy(np.int64).cumsum()) / nb
+        part = (
+            float(np.sum(np.abs(fa - fb)[:-1] * np.diff(v)))
+            if len(v) > 1
+            else 0.0
+        )
+        return pd.DataFrame(
+            {
+                "__bucket": [bkt],
+                "part": [part],
+                "v_first": [float(v[0])],
+                "v_last": [float(v[-1])],
+            }
+        )
+
+    parts = (
+        bucketed.groupby("__bucket")
+        .map_groups(bucket_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("__bucket")
+        .reset_index(drop=True)
+    )
+    total = float(parts["part"].sum())
+    if len(parts) > 1:
+        # boundary segments: ECDFs are flat between bucket k's last
+        # value and bucket k+1's first value at the inclusive prefix
+        # counts, which the driver already has.
+        order = np.argsort(bids)
+        ia = np.cumsum(sa[order]).astype(np.int64)
+        ib = np.cumsum(sb[order]).astype(np.int64)
+        dend = np.abs(ia[:-1] / na - ib[:-1] / nb)
+        gaps = (
+            parts["v_first"].to_numpy(np.float64)[1:]
+            - parts["v_last"].to_numpy(np.float64)[:-1]
+        )
+        total += float(np.sum(dend * gaps))
+    return pa.table(
+        {
+            "n_base": pa.array([na], pa.int64()),
+            "n_current": pa.array([nb], pa.int64()),
+            "emd_value": pa.array([round(total, 6)], pa.float64()),
         }
     )
 

@@ -387,3 +387,58 @@ def test_partition_anomaly_flags_planted_shard(ray_session):
         .set_index("partition")
     )
     pd.testing.assert_frame_equal(out.sort_index(), out2.sort_index())
+
+
+def test_wasserstein_exact_matches_numpy_reference(ray_session):
+    from data_validator_ray.stages.drift import wasserstein_exact
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, 4000)
+    b = rng.normal(0.4, 1.1, 3000)
+    pts = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    ref = round(float(np.sum(np.abs(fa - fb)[:-1] * np.diff(pts))), 6)
+    out = wasserstein_exact(
+        pd.DataFrame({"v": a}),
+        pd.DataFrame({"v": b}),
+        "v",
+        num_buckets=8,
+        batch_size=512,
+    ).to_pylist()[0]
+    assert abs(out["emd_value"] - ref) <= 1e-6
+    assert (out["n_base"], out["n_current"]) == (4000, 3000)
+
+
+def test_wasserstein_exact_closed_form_shift(ray_session):
+    from data_validator_ray.stages.drift import wasserstein_exact
+
+    # a pure location shift of a distribution has W1 == |shift|
+    base = pd.DataFrame({"v": np.linspace(0.0, 10.0, 500)})
+    cur = pd.DataFrame({"v": np.linspace(0.0, 10.0, 500) + 2.5})
+    out = wasserstein_exact(base, cur, "v", num_buckets=4).to_pylist()[0]
+    assert out["emd_value"] == 2.5
+
+    # identical sides -> 0; empty side -> 0 with counts preserved
+    out2 = wasserstein_exact(base, base.copy(), "v").to_pylist()[0]
+    assert out2["emd_value"] == 0.0
+    empty = pd.DataFrame({"v": pd.array([None], dtype="Float64")})
+    out3 = wasserstein_exact(base, empty, "v").to_pylist()[0]
+    assert out3["n_current"] == 0 and out3["emd_value"] == 0.0
+
+
+def test_wasserstein_exact_ties_and_quantize(ray_session):
+    from data_validator_ray.stages.drift import wasserstein_exact
+
+    base = pd.DataFrame({"v": [1.0, 1.0, 2.0, None, 3.0]})
+    cur = pd.DataFrame({"v": [1.0, 2.0, 2.0, 2.0]})
+    # pts 1,2,3: Fa=[.5,.75,1], Fb=[.25,1,1]
+    # W1 = .25*(2-1) + .25*(3-2) = 0.5
+    out = wasserstein_exact(base, cur, "v").to_pylist()[0]
+    assert out == {"n_base": 4, "n_current": 4, "emd_value": 0.5}
+
+    # quantize snaps 1.04/0.96 onto the same 0.1-grid point
+    b2 = pd.DataFrame({"v": [1.04, 2.0]})
+    c2 = pd.DataFrame({"v": [0.96, 2.0]})
+    outq = wasserstein_exact(b2, c2, "v", quantize=0.1).to_pylist()[0]
+    assert outq["emd_value"] == 0.0
