@@ -612,6 +612,51 @@ def q_rowcount_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_fd_orders_cust_priority(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency check o_custkey → o_orderpriority
+    (determinant-level verdict: total = distinct customers, failed =
+    customers whose orders carry ≥2 distinct priorities — 1495/1500 at
+    sf0.01, a real denormalization-integrity signal). Distributed as
+    per-batch distinct-pair partials + a 33-byte double-hash bucket
+    shuffle (validator._fd_violations)."""
+    return _single_rule_counts(
+        sf_dir, "orders",
+        ValidationRule(
+            name="fd", rule_type="functional_dependency",
+            column="o_custkey",
+            parameters={"dependent": "o_orderpriority"},
+        ),
+    )
+
+
+def q_freshness_events_ts(sf_dir: str) -> pd.DataFrame:
+    """Freshness/liveness rule: MAX(events.ts) must be within 7 days of
+    a fixed as_of (reproducible runs pin as_of). Fused-pass per-batch
+    max partials — no shuffle; lag_seconds is the exact epoch
+    difference (microsecond-resolution, matches SQL EXTRACT(EPOCH))."""
+    rule = ValidationRule(
+        name="fresh", rule_type="freshness", column="ts",
+        parameters={
+            "as_of": "2024-02-05 00:00:00",
+            "max_age_seconds": 7 * 86400,
+        },
+    )
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "events", "rules": [rule.model_dump()]}],
+    )
+    s = RayDataValidator(cfg).validate_table(f"{sf_dir}/events.parquet", "events")
+    r = s.results[0]
+    return pd.DataFrame(
+        {
+            "passed": [bool(r.passed)],
+            "lag_seconds": [float(r.metadata["lag_seconds"])],
+            "total_count": [int(r.total_count)],
+            "failed_count": [int(r.failed_count)],
+        }
+    )
+
+
 def q_drift_events_value_fixed(sf_dir: str) -> pd.DataFrame:
     """Oracle-exact drift RULE (C7): fixed-bin PSI of events.value vs a
     raw lineitem.l_quantity baseline, explicit edges 0..100 — the
@@ -3209,6 +3254,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "referential_events_user": q_referential_events_user,
         "referential_orders_cust": q_referential_orders_cust,
         "referential_events_nation_approx": q_referential_events_nation_approx,
+        "fd_orders_cust_priority": q_fd_orders_cust_priority,
+        "freshness_events_ts": q_freshness_events_ts,
         "filter_documents": q_filter_documents,
         "filter_lineitem_custom": q_filter_lineitem_custom,
         "violations_events_value": q_violations_events_value,
@@ -3446,6 +3493,25 @@ def oracle_sql() -> Dict[str, str]:
             failed="COUNT(*) FILTER (WHERE user_id IS NOT NULL AND user_id NOT IN "
                    "(SELECT n_nationkey FROM nation))",
             t="events",
+        ),
+        "fd_orders_cust_priority": (
+            # determinant-level FD verdict: total = distinct custkeys,
+            # failed = custkeys mapping to >1 distinct priority
+            "WITH g AS (SELECT o_custkey, "
+            "COUNT(DISTINCT o_orderpriority) AS c FROM orders "
+            "WHERE o_custkey IS NOT NULL GROUP BY o_custkey) "
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE c > 1))::BIGINT AS failed_count FROM g"
+        ),
+        "freshness_events_ts": (
+            "SELECT (EXTRACT(EPOCH FROM (TIMESTAMP '2024-02-05 00:00:00' "
+            "- MAX(ts))) <= 7 * 86400) AS passed, "
+            "ROUND(EXTRACT(EPOCH FROM (TIMESTAMP '2024-02-05 00:00:00' "
+            "- MAX(ts))), 6) AS lag_seconds, "
+            "1::BIGINT AS total_count, "
+            "(CASE WHEN EXTRACT(EPOCH FROM (TIMESTAMP '2024-02-05 00:00:00' "
+            "- MAX(ts))) <= 7 * 86400 THEN 0 ELSE 1 END)::BIGINT "
+            "AS failed_count FROM events"
         ),
         "filter_documents": (
             "SELECT * FROM documents WHERE text IS NOT NULL "

@@ -522,3 +522,114 @@ class QuantileKernel(CheckKernel):
             "q": self.q,
             "tdigest": td.to_bytes(),
         }
+
+
+@register_check("freshness")
+class FreshnessKernel(CheckKernel):
+    """Data-recency check (the deequ ``hasMax``-on-timestamp / Airflow
+    SLA analog; net-new vs the reference): pass iff
+    ``as_of − MAX(ts_col) ≤ max_age_seconds``. The classic pipeline
+    liveness alarm — an upstream feed that silently stopped landing
+    files fails here before any per-row rule runs.
+
+    Parameters: ``max_age_seconds`` (number, required) and ``as_of``
+    (ISO timestamp string; defaults to the wall clock at rule
+    compile time — pass a fixed ``as_of`` for reproducible runs).
+
+    Fused-pass shape: per-batch ``pc.max`` partials (no shuffle, no
+    extra read — the max merges associatively). An empty/all-NULL
+    column is maximally stale and fails. total=1, failed∈{0,1}
+    (table-level verdict convention); ``max_ts`` and ``lag_seconds``
+    land in result metadata.
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        p = rule.parameters
+        if p.get("max_age_seconds") is None:
+            raise ValueError("Freshness rule requires max_age_seconds")
+        self.max_age = float(p["max_age_seconds"])
+        from datetime import datetime
+
+        raw = p.get("as_of")
+        self.as_of = (
+            datetime.fromisoformat(str(raw)) if raw is not None else datetime.now()
+        )
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        mx = pc.max(batch[self.column]).as_py()
+        return {"total": batch.num_rows, "failed": 0, "mx": mx}
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        from datetime import date, datetime
+
+        maxes = [p["mx"] for p in partials if p.get("mx") is not None]
+        if not maxes:
+            return {
+                "total": 1,
+                "failed": 1,
+                "max_ts": None,
+                "lag_seconds": None,
+            }
+        mx = max(maxes)
+        if isinstance(mx, date) and not isinstance(mx, datetime):
+            mx = datetime(mx.year, mx.month, mx.day)
+        lag = (self.as_of - mx).total_seconds()
+        return {
+            "total": 1,
+            "failed": 0 if lag <= self.max_age else 1,
+            "max_ts": mx.isoformat(sep=" "),
+            "lag_seconds": round(float(lag), 6),
+        }
+
+
+@register_check("functional_dependency")
+class FunctionalDependencyKernel(CheckKernel):
+    """Functional-dependency conformance ``determinant → dependent``:
+    every distinct determinant value must map to at most one distinct
+    non-NULL dependent value (the denormalization-integrity check —
+    e.g. ``url → domain``, ``order → customer``; deequ has no direct
+    analog, net-new vs the reference).
+
+    Verdict convention is determinant-level: total = distinct
+    determinant values (NULL determinants excluded), failed =
+    determinants observed with ≥2 distinct non-NULL dependent values
+    (SQL ``COUNT(DISTINCT dep) > 1`` semantics — a key mapping to one
+    value plus NULLs passes).
+
+    Scale shape (mirrors the exact-uniqueness stage,
+    ``validator.py:_fd_violations``): per-batch distinct
+    (determinant, dependent) pairs reduce each batch before anything
+    moves; the shuffle ships four 64-bit hashes per distinct pair
+    (collision-checked double hashing on BOTH columns — an error needs
+    two distinct values colliding on two independent 64-bit hashes,
+    p < 1e-20 at 10^12 keys); per-bucket pandas dedup + nunique gives
+    the per-determinant distinct-dependent counts. Equal determinants
+    land in one bucket by construction, so counts are exact.
+
+    Parameters: ``dependent`` (column name, required); ``column`` is
+    the determinant.
+    """
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        dep = rule.parameters.get("dependent")
+        if not dep:
+            raise ValueError(
+                "Functional-dependency rule requires a 'dependent' parameter"
+            )
+        self.dependent = str(dep)
+        self.needs_shuffle = True
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        # row totals only; the validator's FD shuffle stage fills in the
+        # determinant-level verdict (same pattern as exact uniqueness)
+        return {"total": batch.num_rows, "failed": 0}
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return {
+            "total": sum(p["total"] for p in partials),
+            "failed": 0,
+        }

@@ -434,6 +434,75 @@ class RayDataValidator:
         )
         return int(sum(r["n"] for r in parts))
 
+    def _fd_violations(
+        self, ds: Dataset, det_col: str, dep_col: str, buckets: int = 256
+    ) -> Tuple[int, int]:
+        """(distinct determinants, violating determinants) for a
+        functional-dependency rule — the FD sibling of
+        :meth:`_exact_distinct` (same double-hash scheme, same bucket
+        shuffle; see ``FunctionalDependencyKernel`` for the math).
+
+        Per-batch distinct (det, dep) pairs reduce before the exchange;
+        the shuffle ships four 64-bit hashes plus a NULL-dependent flag
+        per distinct pair (33 bytes), bucketed on the determinant hash
+        so every pair of one determinant meets in one bucket. Per
+        bucket: global pair dedup, then determinants with ≥2 distinct
+        non-NULL dependents count as violations; NULL dependents keep
+        the determinant in the total but never violate (SQL
+        ``COUNT(DISTINCT dep) > 1`` semantics).
+        """
+        import numpy as np
+        import pandas as pd
+
+        from .functions.sketches import hash64
+
+        def batch_pairs(batch: pa.Table) -> pa.Table:
+            pairs = batch.select([det_col, dep_col]).group_by(
+                [det_col, dep_col]
+            ).aggregate([])
+            det = pairs[det_col].combine_chunks()
+            dep = pairs[dep_col].combine_chunks()
+            keep = pc.is_valid(det)
+            det, dep = det.filter(keep), dep.filter(keep)
+            d1 = hash64(det)
+            d2 = hash64(det, seed=0x9E3779B9)
+            p1 = hash64(dep)
+            p2 = hash64(dep, seed=0x85EBCA6B)
+            pn = pc.is_null(dep)
+            b = (d1 % np.uint64(buckets)).astype(np.int64)
+            return pa.table(
+                {
+                    "__d1": pa.array(d1, pa.uint64()),
+                    "__d2": pa.array(d2, pa.uint64()),
+                    "__p1": pa.array(p1, pa.uint64()),
+                    "__p2": pa.array(p2, pa.uint64()),
+                    "__pn": pn,
+                    "__bucket": pa.array(b, pa.int64()),
+                }
+            )
+
+        def count_fd(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop_duplicates(["__d1", "__d2", "__p1", "__p2", "__pn"])
+            n_det = len(g.drop_duplicates(["__d1", "__d2"]))
+            nn = g[~g["__pn"]]
+            sizes = nn.groupby(["__d1", "__d2"], sort=False).size()
+            return pd.DataFrame(
+                {"n_det": [n_det], "n_viol": [int((sizes > 1).sum())]}
+            )
+
+        pair_ds = ds.map_batches(
+            batch_pairs, batch_format="pyarrow", batch_size=self.batch_size
+        )
+        parts = (
+            pair_ds.groupby("__bucket")
+            .map_groups(count_fd, batch_format="pandas")
+            .take_all()
+        )
+        return (
+            int(sum(r["n_det"] for r in parts)),
+            int(sum(r["n_viol"] for r in parts)),
+        )
+
     def validate_table(
         self,
         data: Any,
@@ -511,6 +580,38 @@ class RayDataValidator:
                     distinct = self._exact_distinct(col_ds, kernel.column)
                     combined["failed"] = combined["total"] - distinct
                     combined["distinct"] = distinct
+                    extra_ms = (time.time() - t1) * 1000
+                elif (
+                    kernel.needs_shuffle
+                    and kernel.rule_type == "functional_dependency"
+                ):
+                    t1 = time.time()
+                    from .stages.registry import ScopedKernel
+
+                    dep = getattr(
+                        kernel, "dependent",
+                        getattr(getattr(kernel, "inner", None), "dependent", None),
+                    )
+                    if isinstance(kernel, ScopedKernel):
+                        cols = sorted(
+                            {kernel.column, dep, *kernel.where_columns}
+                        )
+                        pair_ds = self.load_data(data, columns=cols).map_batches(
+                            kernel.scope_batch,
+                            batch_format="pyarrow",
+                            batch_size=self.batch_size,
+                            zero_copy_batch=True,
+                        )
+                    else:
+                        pair_ds = self.load_data(
+                            data, columns=sorted({kernel.column, dep})
+                        )
+                    n_det, n_viol = self._fd_violations(
+                        pair_ds, kernel.column, dep
+                    )
+                    combined["total"] = n_det
+                    combined["failed"] = n_viol
+                    combined["distinct_determinants"] = n_det
                     extra_ms = (time.time() - t1) * 1000
                 total = int(combined.pop("total"))
                 failed = int(combined.pop("failed"))
