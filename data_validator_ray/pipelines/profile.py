@@ -986,3 +986,178 @@ def null_rate_by_period(
         return pa.table(out)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def cat_association(
+    source: Any,
+    col_a: str,
+    col_b: str,
+    *,
+    batch_size: int = 64 * 1024,
+) -> pa.Table:
+    """Association strength between two CATEGORICAL columns of one
+    table: Pearson chi-squared independence statistic, Cramér's V, and
+    mutual information (nats) — the "are these columns independent"
+    profiler (event mix vs shard, language vs domain, label vs split;
+    feature-leak and stratification-skew detection).
+
+    Scale shape: ONE streaming pass; each batch collapses to distinct
+    ``(a, b, count)`` cells via zero-copy Arrow ``group_by`` (the
+    exchange is cell-bounded, never row-bounded); the driver merges the
+    |A|×|B| contingency table — bounded by the category-cardinality
+    product, the same envelope as :func:`~..stages.drift.chi2_categorical`
+    (use bucketed variants for unbounded-cardinality keys). Rows where
+    either side is NULL drop (pairwise-complete convention).
+
+    Float math mirrors the SQL formulation term-for-term
+    (``e = ra·cb/n`` as double multiply-then-divide; MI term
+    ``(o/n)·ln((o·n)/(ra·cb))``), so the rounded statistics hash-match
+    a DuckDB oracle. Zero-observed cells contribute their full expected
+    count to chi2 (textbook), and nothing to MI (0·ln0 = 0).
+
+    Returns one row: ``(n, r_categories, c_categories, chi2,
+    cramers_v, mutual_info)``, statistics rounded to 6.
+    """
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([col_a, col_b])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[col_a]), pc.is_valid(t[col_b]))
+        )
+        g = t.group_by([col_a, col_b]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "a": g[col_a],
+                "b": g[col_b],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[col_a, col_b])
+    cells = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+
+    def result(n, r, c, chi2, v, mi):
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "r_categories": pa.array([r], pa.int64()),
+                "c_categories": pa.array([c], pa.int64()),
+                "chi2": pa.array([chi2], pa.float64()),
+                "cramers_v": pa.array([v], pa.float64()),
+                "mutual_info": pa.array([mi], pa.float64()),
+            }
+        )
+
+    if not len(cells):
+        return result(0, 0, 0, 0.0, 0.0, 0.0)
+
+    merged = cells.groupby(["a", "b"], sort=True)["cnt"].sum()
+    obs = merged.unstack(fill_value=0)  # r x c contingency grid
+    o = obs.to_numpy(np.float64)
+    n = float(o.sum())
+    ra = o.sum(axis=1)  # row marginals
+    cb = o.sum(axis=0)  # col marginals
+    r, c = o.shape
+    e = (ra[:, None] * cb[None, :]) / n
+    chi2 = float(np.sum((o - e) ** 2 / e))
+    k = min(r, c) - 1
+    v = float(np.sqrt(chi2 / (n * k))) if k > 0 else 0.0
+    pos = o > 0
+    mi = float(
+        np.sum(
+            (o[pos] / n)
+            * np.log((o[pos] * n) / (ra[:, None] * cb[None, :])[pos])
+        )
+    )
+    return result(
+        int(n), r, c, round(chi2, 6), round(v, 6), round(mi, 6)
+    )
+
+
+def categorical_profile(
+    source: Any,
+    columns: "list[str]",
+    *,
+    batch_size: int = 64 * 1024,
+) -> pa.Table:
+    """Per-column categorical profile: non-null count, NULL count,
+    exact distinct count, Shannon entropy (nats) of the value
+    distribution, and top-category share — the "how informative /
+    skewed is this column" pre-step before choosing stratification or
+    dedup keys (a near-zero entropy column is a constant; a
+    top_share→1 column is a degenerate key).
+
+    ONE streaming pass over all requested columns: each batch reduces
+    every column to tidy ``(value, count)`` partials via
+    ``pc.value_counts`` (exchange bounded by per-batch distincts);
+    the driver merges per-column counters — the distinct-bounded
+    envelope (use :func:`misra_gries_topk` for unbounded-cardinality
+    columns). Entropy terms mirror SQL ``-SUM((c/n)·LN(c/n))``
+    term-for-term; entropy and top_share round to 6.
+
+    Returns one row per column, ordered as given:
+    ``(column, n, null_count, n_distinct, entropy, top_share)``.
+    """
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names, vals, cnts, nulls = [], [], [], []
+        for col in columns:
+            arr = batch[col].combine_chunks()
+            n_null = arr.null_count
+            arr = arr.drop_null()
+            vc = pc.value_counts(arr)
+            k = len(vc)
+            names.extend([col] * max(k, 1))
+            if k:
+                vals.extend(
+                    pc.cast(vc.field("values"), pa.string()).to_pylist()
+                )
+                cnts.extend(pc.cast(vc.field("counts"), pa.int64()).to_pylist())
+                nulls.extend([0] * (k - 1) + [n_null])
+            else:
+                vals.append(None)
+                cnts.append(0)
+                nulls.append(n_null)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "value": pa.array(vals, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=list(columns))
+    part = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+
+    rows = []
+    for col in columns:
+        p = part[part["column"] == col]
+        nulls = int(p["nulls"].sum())
+        vc = p[p["value"].notna()].groupby("value", sort=True)["cnt"].sum()
+        n = int(vc.sum())
+        if n:
+            probs = vc.to_numpy(np.float64) / n
+            entropy = float(-(probs * np.log(probs)).sum())
+            top = float(vc.max() / n)
+        else:
+            entropy, top = 0.0, 0.0
+        rows.append(
+            (col, n, nulls, int(len(vc)), round(entropy, 6), round(top, 6))
+        )
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "null_count": pa.array([r[2] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+            "entropy": pa.array([r[4] for r in rows], pa.float64()),
+            "top_share": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )

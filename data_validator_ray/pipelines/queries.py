@@ -2902,6 +2902,29 @@ def q_table_profile_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("column").reset_index(drop=True)
 
 
+def q_cat_association_documents(sf_dir: str) -> pd.DataFrame:
+    """Chi-squared / Cramér's V / mutual information between
+    documents.lang and documents.source — the two-column independence
+    profiler (cell-bounded exchange; float math mirrors the SQL
+    term-for-term, ROUND 6)."""
+    from .profile import cat_association
+
+    return cat_association(
+        f"{sf_dir}/documents.parquet", "lang", "source"
+    ).to_pandas()
+
+
+def q_categorical_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-column categorical profile (n, nulls, exact distinct,
+    Shannon entropy, top-category share) of documents.lang and
+    documents.source in ONE pass (distinct-bounded partials)."""
+    from .profile import categorical_profile
+
+    return categorical_profile(
+        f"{sf_dir}/documents.parquet", ["lang", "source"]
+    ).to_pandas()
+
+
 def q_robust_scale_events(sf_dir: str) -> pd.DataFrame:
     """Per-event_type robust scaling (v − median)/IQR with exact
     quantile_cont constants — the outlier-insensitive sibling of the
@@ -3387,6 +3410,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "ks_by_group_events": q_ks_by_group_events,
         "ks_events_split": q_ks_events_split,
         "wasserstein_events_split": q_wasserstein_events_split,
+        "cat_association_documents": q_cat_association_documents,
+        "categorical_profile_documents": q_categorical_profile_documents,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
@@ -4598,6 +4623,59 @@ def oracle_sql() -> Dict[str, str]:
             "- ccb::DOUBLE / (SELECT COUNT(*) FROM b)) "
             "* (nxt - v)), 6) AS emd_value "
             "FROM c WHERE nxt IS NOT NULL"
+        ),
+        "cat_association_documents": (
+            # contingency cells + marginals; e = ra*cb/n as double
+            # multiply-then-divide, MI term (o/n)*ln((o*n)/(ra*cb)) —
+            # term-identical to the engine. Zero-observed cells enter
+            # chi2 with their full expected count via the CROSS JOIN.
+            "WITH d AS (SELECT lang AS a, source AS b FROM documents "
+            "WHERE lang IS NOT NULL AND source IS NOT NULL), "
+            "o AS (SELECT a, b, COUNT(*)::DOUBLE AS o FROM d GROUP BY a, b), "
+            "ra AS (SELECT a, COUNT(*)::DOUBLE AS ra FROM d GROUP BY a), "
+            "cb AS (SELECT b, COUNT(*)::DOUBLE AS cb FROM d GROUP BY b), "
+            "n AS (SELECT COUNT(*)::DOUBLE AS n FROM d), "
+            "grid AS (SELECT ra.a, cb.b, ra.ra, cb.cb, "
+            "COALESCE(o.o, 0) AS o, (ra.ra * cb.cb) / n.n AS e "
+            "FROM ra CROSS JOIN cb CROSS JOIN n "
+            "LEFT JOIN o ON o.a = ra.a AND o.b = cb.b), "
+            "s AS (SELECT SUM((o - e) * (o - e) / e) AS chi2, "
+            "SUM(CASE WHEN o > 0 THEN (o / (SELECT n FROM n)) "
+            "* LN((o * (SELECT n FROM n)) / (ra * cb)) ELSE 0 END) AS mi "
+            "FROM grid) "
+            "SELECT (SELECT n FROM n)::BIGINT AS n, "
+            "(SELECT COUNT(*) FROM ra)::BIGINT AS r_categories, "
+            "(SELECT COUNT(*) FROM cb)::BIGINT AS c_categories, "
+            "ROUND(chi2, 6) AS chi2, "
+            "ROUND(SQRT(chi2 / ((SELECT n FROM n) * "
+            "(LEAST((SELECT COUNT(*) FROM ra), "
+            "(SELECT COUNT(*) FROM cb)) - 1))), 6) AS cramers_v, "
+            "ROUND(mi, 6) AS mutual_info FROM s"
+        ),
+        "categorical_profile_documents": (
+            # per-column counters: entropy -SUM((c/n)*LN(c/n)), exact
+            # distinct, max-count share; one UNION ALL branch per column
+            "WITH lc AS (SELECT lang AS v, COUNT(*)::DOUBLE AS c "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang), "
+            "ln_ AS (SELECT SUM(c) AS n FROM lc), "
+            "sc AS (SELECT source AS v, COUNT(*)::DOUBLE AS c "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source), "
+            "sn AS (SELECT SUM(c) AS n FROM sc) "
+            "SELECT 'lang' AS column, (SELECT n FROM ln_)::BIGINT AS n, "
+            "(SELECT COUNT(*) FILTER (WHERE lang IS NULL) FROM documents)"
+            "::BIGINT AS null_count, "
+            "COUNT(*)::BIGINT AS n_distinct, "
+            "ROUND(-SUM((c / (SELECT n FROM ln_)) "
+            "* LN(c / (SELECT n FROM ln_))), 6) AS entropy, "
+            "ROUND(MAX(c) / (SELECT n FROM ln_), 6) AS top_share FROM lc "
+            "UNION ALL "
+            "SELECT 'source', (SELECT n FROM sn)::BIGINT, "
+            "(SELECT COUNT(*) FILTER (WHERE source IS NULL) "
+            "FROM documents)::BIGINT, "
+            "COUNT(*)::BIGINT, "
+            "ROUND(-SUM((c / (SELECT n FROM sn)) "
+            "* LN(c / (SELECT n FROM sn))), 6), "
+            "ROUND(MAX(c) / (SELECT n FROM sn), 6) FROM sc"
         ),
         "paragraph_dedup_documents": (
             # keep the globally first (doc_id, idx) occurrence of each

@@ -423,3 +423,61 @@ def test_null_rate_by_period_counts(ray_session):
     assert out.n_rows.tolist() == [2, 2]
     assert out.a_nulls.tolist() == [1, 2]
     assert out.a_null_rate.tolist() == [0.5, 1.0]
+
+
+def test_cat_association_independent_and_dependent(ray_session):
+    import numpy as np
+    import pandas as pd
+    from data_validator_ray.pipelines.profile import cat_association
+
+    # perfectly dependent: b == a -> Cramér's V == 1, MI == ln(k)
+    df = pd.DataFrame({"a": ["x", "y", "z"] * 10, "b": ["x", "y", "z"] * 10})
+    out = cat_association(df, "a", "b").to_pylist()[0]
+    assert out["cramers_v"] == 1.0
+    assert out["mutual_info"] == round(float(np.log(3)), 6)
+    assert out["n"] == 30 and out["r_categories"] == 3
+
+    # exactly independent (balanced product design): chi2 == 0, MI == 0
+    a = ["x", "x", "y", "y"] * 5
+    b = ["p", "q", "p", "q"] * 5
+    out2 = cat_association(pd.DataFrame({"a": a, "b": b}), "a", "b").to_pylist()[0]
+    assert out2["chi2"] == 0.0 and out2["mutual_info"] == 0.0
+
+    # NULL on either side drops the row
+    df3 = pd.DataFrame({"a": ["x", None, "y"], "b": [None, "p", "q"]})
+    out3 = cat_association(df3, "a", "b").to_pylist()[0]
+    assert out3["n"] == 1
+
+    # degenerate single-category column: V defined as 0
+    df4 = pd.DataFrame({"a": ["x", "x"], "b": ["p", "q"]})
+    out4 = cat_association(df4, "a", "b").to_pylist()[0]
+    assert out4["cramers_v"] == 0.0
+
+
+def test_categorical_profile_entropy_and_nulls(ray_session):
+    import numpy as np
+    import pandas as pd
+    from data_validator_ray.pipelines.profile import categorical_profile
+
+    df = pd.DataFrame(
+        {
+            "c": ["a", "a", "b", "b", None, None],
+            "k": [1, 1, 1, 1, 1, 2],
+        }
+    )
+    out = categorical_profile(df, ["c", "k"], batch_size=2).to_pandas()
+    c = out[out["column"] == "c"].iloc[0]
+    assert (c["n"], c["null_count"], c["n_distinct"]) == (4, 2, 2)
+    assert c["entropy"] == round(float(np.log(2)), 6)
+    assert c["top_share"] == 0.5
+    k = out[out["column"] == "k"].iloc[0]
+    assert (k["n"], k["n_distinct"]) == (6, 2)
+    assert k["top_share"] == round(5 / 6, 6)
+
+    # all-null column
+    df2 = pd.DataFrame({"z": pd.array([None, None], dtype="string")})
+    out2 = categorical_profile(df2, ["z"]).to_pylist()[0]
+    assert out2 == {
+        "column": "z", "n": 0, "null_count": 2, "n_distinct": 0,
+        "entropy": 0.0, "top_share": 0.0,
+    }
