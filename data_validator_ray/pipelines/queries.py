@@ -2645,6 +2645,36 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_interpolate_events_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user linear interpolation of gapped values (every 7th
+    event's value masked NULL, then repaired from its nearest non-NULL
+    neighbours in (ts, event_id) order; timestamps as exact int64
+    microseconds so the ratio is bit-identical to the epoch_us
+    oracle; interior-only, ROUND 6)."""
+    from .relational import interpolate_missing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def mask(batch: pa.Table) -> pa.Table:
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        cond = pa.array(ev % 7 == 0)
+        return batch.set_column(
+            batch.schema.get_field_index("value"),
+            "value",
+            pc.if_else(cond, pa.scalar(None, pa.float64()), batch["value"]),
+        )
+
+    masked = ds.map_batches(mask, batch_format="pyarrow")
+    out = interpolate_missing(
+        masked, "user_id", "ts", "value", tiebreak_cols=["event_id"]
+    ).to_pandas()
+    out = out[["event_id", "user_id", "value", "value_interp"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_running_window_events(sf_dir: str) -> pd.DataFrame:
     """Per-user running window over events ordered by (ts, event_id):
     ROW_NUMBER, cumulative SUM(value) (ROWS UNBOUNDED PRECEDING,
@@ -3412,6 +3442,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "wasserstein_events_split": q_wasserstein_events_split,
         "cat_association_documents": q_cat_association_documents,
         "categorical_profile_documents": q_categorical_profile_documents,
+        "interpolate_events_value": q_interpolate_events_value,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
@@ -4676,6 +4707,36 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(-SUM((c / (SELECT n FROM sn)) "
             "* LN(c / (SELECT n FROM sn))), 6), "
             "ROUND(MAX(c) / (SELECT n FROM sn), 6) FROM sc"
+        ),
+        "interpolate_events_value": (
+            # nearest non-NULL neighbours via IGNORE NULLS windows; the
+            # ratio divides exact int64 microsecond differences (cast
+            # to DOUBLE) — term-identical to the engine; zero time gap
+            # degrades to the previous value (engine contract)
+            "WITH d AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value "
+            "FROM events), "
+            "w AS (SELECT event_id, user_id, value, epoch_us(ts) AS t, "
+            "LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS pv, "
+            "LAST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt, "
+            "FIRST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND "
+            "UNBOUNDED FOLLOWING) AS nv, "
+            "FIRST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt "
+            "FROM d) "
+            "SELECT event_id, user_id, value, "
+            "CASE WHEN value IS NOT NULL THEN value "
+            "WHEN pv IS NULL OR nv IS NULL THEN NULL "
+            "WHEN nt = pt THEN ROUND(pv, 6) "
+            "ELSE ROUND(pv + (nv - pv) * ((t - pt)::DOUBLE / (nt - pt)), 6) "
+            "END AS value_interp "
+            "FROM w ORDER BY event_id"
         ),
         "paragraph_dedup_documents": (
             # keep the globally first (doc_id, idx) occurrence of each

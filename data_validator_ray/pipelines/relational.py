@@ -4032,3 +4032,95 @@ def scd2_build(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def interpolate_missing(
+    source: Any,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    tiebreak_cols: Optional[List[str]] = None,
+    out_name: Optional[str] = None,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key ordered LINEAR interpolation of missing values (W40) —
+    the time-series gap-repair sibling of :func:`forward_fill`: each
+    NULL gets ``pv + (nv − pv) · (t − pt)/(nt − pt)`` from its nearest
+    non-NULL neighbours within the key, where ``t`` is the order axis
+    (timestamps use exact int64 microseconds, so the ratio is the
+    double division of exactly-representable integers — bit-identical
+    to a SQL ``epoch_us`` oracle). Strict interior interpolation:
+    rows before a key's first or after its last non-NULL stay NULL
+    (no extrapolation — LOCF covers the trailing-edge use case).
+    Interpolated values round to 6 (the float-hash convention);
+    original non-NULL values pass through untouched.
+
+    Scale shape: the single ``bucketed_groupby`` hash shuffle every
+    per-key window op here shares; per bucket ONE mergesort plus two
+    ``np.maximum.accumulate`` passes (forward for the previous valid
+    index, reversed for the next) — no Python loops.
+
+    SQL equivalent: ``LAST_VALUE(v IGNORE NULLS) OVER (… ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` + the FOLLOWING mirror.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    name = out_name or f"{value_col}_interp"
+    ties = list(tiebreak_cols or [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, order_col, *ties], kind="mergesort", na_position="last"
+        )
+        m = len(g)
+        u = g[key_col].to_numpy()
+        new_key = np.empty(m, bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        idx = np.arange(m, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        seg_end = np.append(starts[1:] - 1, m - 1)[seg_id]  # inclusive
+
+        vals = g[value_col].to_numpy(np.float64, na_value=np.nan)
+        valid = ~np.isnan(vals)
+        gmax = np.maximum.accumulate(np.where(valid, idx, -1))
+        prev = np.where(gmax >= seg_start, gmax, -1)
+        rmin = (m - 1) - np.flip(
+            np.maximum.accumulate(np.flip(np.where(valid, m - 1 - idx, -1)))
+        )
+        nxt = np.where((rmin <= seg_end) & (rmin < m), rmin, -1)
+
+        t = g[order_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            t = t.astype("datetime64[us]").view(np.int64)
+        t = t.astype(np.float64)
+
+        can = (~valid) & (prev >= 0) & (nxt >= 0)
+        out_vals = vals.copy()
+        p, nx = np.maximum(prev, 0), np.maximum(nxt, 0)
+        gap = t[nx] - t[p]
+        # zero time gap (tied order values) → take the previous value
+        # (documented; the SQL oracle mirrors with CASE WHEN nt = pt)
+        ratio = np.where(can & (gap > 0), (t - t[p]) / np.where(gap > 0, gap, 1.0), 0.0)
+        interp = vals[p] + (vals[nx] - vals[p]) * ratio
+        out_vals[can] = np.round(interp[can], 6)
+
+        out = g.copy()
+        filled = pd.Series(out_vals, index=g.index)
+        filled[np.isnan(out_vals)] = None
+        out[name] = filled
+        return out
+
+    ds = _as_dataset(
+        source, columns=sorted({key_col, order_col, value_col, *ties})
+    )
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

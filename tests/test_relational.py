@@ -2130,3 +2130,60 @@ def test_keyset_overlap_partial_overlap(ray_session):
     assert out.jaccard[0] == 0.4
     assert out.containment_a_in_b[0] == round(2 / 3, 6)
     assert out.containment_b_in_a[0] == 0.5
+
+
+def test_interpolate_missing_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    from data_validator_ray.pipelines.relational import interpolate_missing
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "t": [0.0, 1.0, 3.0, 4.0, 6.0, 0.0, 1.0, 2.0],
+            "v": [10.0, None, None, 40.0, None, None, 5.0, None],
+            "i": list(range(8)),
+        }
+    )
+    out = (
+        interpolate_missing(df, "k", "t", "v", tiebreak_cols=["i"])
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    got = out["v_interp"].tolist()
+    # a: t=1 -> 10 + 30*(1/4) = 17.5 ; t=3 -> 10 + 30*(3/4) = 32.5
+    # a: trailing t=6 has no next -> stays NULL
+    # b: leading t=0 has no prev -> NULL; trailing t=2 -> NULL
+    assert got[0] == 10.0 and got[3] == 40.0 and got[6] == 5.0
+    assert got[1] == 17.5 and got[2] == 32.5
+    assert np.isnan(got[4]) and np.isnan(got[5]) and np.isnan(got[7])
+
+    # zero time gap between neighbours -> previous value (contract)
+    df2 = pd.DataFrame(
+        {"k": ["x"] * 3, "t": [1.0, 1.0, 1.0], "v": [3.0, None, 9.0],
+         "i": [0, 1, 2]}
+    )
+    out2 = (
+        interpolate_missing(df2, "k", "t", "v", tiebreak_cols=["i"])
+        .to_pandas().sort_values("i")
+    )
+    assert out2["v_interp"].tolist()[1] == 3.0
+
+    # timestamps: exact microsecond ratio
+    df3 = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "t": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:01",
+                 "2024-01-01 00:00:04"]
+            ),
+            "v": [0.0, None, 8.0],
+            "i": [0, 1, 2],
+        }
+    )
+    out3 = (
+        interpolate_missing(df3, "k", "t", "v", tiebreak_cols=["i"])
+        .to_pandas().sort_values("i")
+    )
+    assert out3["v_interp"].tolist()[1] == 2.0
