@@ -2645,6 +2645,42 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_union_by_name_events(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution read: two Parquet generations derived from
+    events (v1: event_id, event_type, value for even ids; v2:
+    event_id, user_id, value with value widened via an int cast for
+    odd ids) stream out under ONE unified-by-name schema with typed
+    NULLs for the missing columns — DuckDB
+    read_parquet(union_by_name) semantics, metadata-only unification."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from ..sources import read_parquet_union_by_name
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/graft_union_demo_{tag}"
+    os.makedirs(base, exist_ok=True)
+    t = papq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "user_id", "value"])
+    even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+    papq.write_table(
+        t.filter(even).select(["event_id", "event_type", "value"]),
+        f"{base}/gen1.parquet",
+    )
+    odd = t.filter(pc.invert(even)).select(["event_id", "user_id", "value"])
+    odd = odd.set_column(
+        2, "value", pc.cast(pc.trunc(odd["value"]), pa.int32())
+    )
+    papq.write_table(odd, f"{base}/gen2.parquet")
+
+    ds = read_parquet_union_by_name(
+        [f"{base}/gen1.parquet", f"{base}/gen2.parquet"]
+    )
+    out = ds.to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_interpolate_events_value(sf_dir: str) -> pd.DataFrame:
     """Per-user linear interpolation of gapped values (every 7th
     event's value masked NULL, then repaired from its nearest non-NULL
@@ -3443,6 +3479,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "cat_association_documents": q_cat_association_documents,
         "categorical_profile_documents": q_categorical_profile_documents,
         "interpolate_events_value": q_interpolate_events_value,
+        "union_by_name_events": q_union_by_name_events,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
@@ -4707,6 +4744,18 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(-SUM((c / (SELECT n FROM sn)) "
             "* LN(c / (SELECT n FROM sn))), 6), "
             "ROUND(MAX(c) / (SELECT n FROM sn), 6) FROM sc"
+        ),
+        "union_by_name_events": (
+            # the two generations rebuilt from the view and re-unified
+            # by name: value promotes int32 -> DOUBLE, missing columns
+            # are NULL; first-seen column order
+            "SELECT event_id, event_type, value, "
+            "NULL::BIGINT AS user_id FROM events WHERE event_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT event_id, NULL::VARCHAR, "
+            "CAST(TRUNC(value) AS INTEGER)::DOUBLE, user_id "
+            "FROM events WHERE event_id % 2 = 1 "
+            "ORDER BY event_id"
         ),
         "interpolate_events_value": (
             # nearest non-NULL neighbours via IGNORE NULLS windows; the

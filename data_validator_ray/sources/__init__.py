@@ -143,3 +143,73 @@ def read_text_logs(
     return ray.data.read_text(paths).map_batches(
         parse, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def read_parquet_union_by_name(
+    paths: "List[str]",
+    *,
+    columns: Optional[List[str]] = None,
+    strict: bool = False,
+) -> Dataset:
+    """Schema-evolution reader: Parquet files/directories whose schemas
+    drifted over time (columns added, dropped, or widened) stream out
+    under ONE unified-by-name schema — DuckDB
+    ``read_parquet(..., union_by_name=true)`` semantics (an evolving
+    event-log directory is the normal case at crawl scale; a reader
+    that demands identical schemas forces a full rewrite per schema
+    change).
+
+    Scale shape: unification is METADATA-ONLY — each source's schema
+    comes from Parquet footers via ``pyarrow.dataset`` (no data read),
+    merged with ``pa.unify_schemas(promote_options="permissive")``
+    (int32→int64, int→float widening, null-type upgrades). Each source
+    then reads with its OWN pruned column list (only the requested
+    columns it actually has) and one vectorized ``map_batches`` pass
+    appends typed-NULL columns / casts / reorders before the plain
+    (zero-shuffle) ``Dataset.union``.
+
+    ``strict=True`` refuses promotion: any same-name type mismatch
+    raises instead (the validation-first mode). Returns a Dataset with
+    deterministic column order: first-seen order across ``paths``.
+    """
+    import pyarrow.dataset as pads
+
+    schemas = [pads.dataset(str(p)).schema for p in paths]
+    if strict:
+        seen: Dict[str, pa.DataType] = {}
+        for s in schemas:
+            for f in s:
+                if f.name in seen and seen[f.name] != f.type:
+                    raise ValueError(
+                        f"strict union_by_name: column '{f.name}' is "
+                        f"{seen[f.name]} in one source and {f.type} in another"
+                    )
+                seen.setdefault(f.name, f.type)
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    if columns is not None:
+        unified = pa.schema([unified.field(c) for c in columns])
+
+    parts: List[Dataset] = []
+    for p, s in zip(paths, schemas):
+        have = [f.name for f in unified if f.name in s.names]
+
+        def align(batch: pa.Table, _unified=unified) -> pa.Table:
+            n = batch.num_rows
+            cols = []
+            for f in _unified:
+                if f.name in batch.column_names:
+                    cols.append(pc.cast(batch[f.name], f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.table(dict(zip([f.name for f in _unified], cols)))
+
+        # a source contributing no requested column still contributes
+        # rows — read its narrowest column just for the row count
+        read_cols = have if have else [s.names[0]]
+        ds = ray.data.read_parquet(str(p), columns=read_cols)
+        parts.append(ds.map_batches(align, batch_format="pyarrow"))
+
+    out = parts[0]
+    for ds in parts[1:]:
+        out = out.union(ds)
+    return out

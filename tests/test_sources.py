@@ -128,3 +128,42 @@ def test_read_text_logs_parse_modes(ray_session, tmp_path):
     assert out.val.tolist() == [3.5, 1.25]
     kept = read_text_logs(str(p), pat, drop_unparsed=False).to_pandas()
     assert len(kept) == 3 and int(kept.level.isna().sum()) == 1
+
+
+def test_union_by_name_alignment_and_promotion(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from data_validator_ray.sources import read_parquet_union_by_name
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    papq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int32()),
+                  "x": pa.array(["p", "q"], pa.string())}), a)
+    papq.write_table(
+        pa.table({"id": pa.array([3, 4], pa.int64()),
+                  "y": pa.array([1.5, 2.5], pa.float64())}), b)
+
+    out = (
+        read_parquet_union_by_name([str(a), str(b)])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # first-seen order; id promoted int32 -> int64
+    assert list(out.columns) == ["id", "x", "y"]
+    assert out["id"].tolist() == [1, 2, 3, 4]
+    assert out["x"].tolist()[:2] == ["p", "q"] and pd.isna(out["x"][2])
+    assert pd.isna(out["y"][0]) and out["y"].tolist()[2:] == [1.5, 2.5]
+
+    # columns= prunes at the read and keeps only requested fields
+    out2 = read_parquet_union_by_name(
+        [str(a), str(b)], columns=["id", "y"]
+    ).to_pandas()
+    assert list(out2.columns) == ["id", "y"] and len(out2) == 4
+
+    # strict mode refuses the int32/int64 promotion
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strict union_by_name"):
+        read_parquet_union_by_name([str(a), str(b)], strict=True)
