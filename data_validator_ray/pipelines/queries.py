@@ -2645,6 +2645,54 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_incremental_agg_orders_events(sf_dir: str) -> pd.DataFrame:
+    """Incremental maintenance of the per-priority orders aggregate
+    under an events-derived CDC log (latest change per key wins;
+    'error' deletes, others upsert the row into their event_type
+    group). Only changed keys' old rows leave the base scan
+    (broadcast membership filter); values aggregate in exact int64
+    cents so retract/apply is association-free. Oracle = full
+    recompute over the applied change log."""
+    from .relational import incremental_aggregate
+
+    ch = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def mk(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False)
+        keep = pc.is_valid(b["value"])
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(ev % 4000, pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "eid": b["event_id"],
+                "op": pc.if_else(
+                    pc.equal(b["event_type"], "error"),
+                    pa.scalar("D"), pa.scalar("U"),
+                ),
+                "etype": b["event_type"],
+                "val": b["value"],
+            }
+        )
+        return t.filter(keep)
+
+    out = incremental_aggregate(
+        f"{sf_dir}/orders.parquet",
+        ch.map_batches(mk, batch_format="pyarrow"),
+        key_col="o_orderkey",
+        group_col="o_orderpriority",
+        val_col="o_totalprice",
+        op_col="op",
+        seq_cols=["ts_us", "eid"],
+        change_group_col="etype",
+        change_val_col="val",
+    ).to_pandas()
+    out.columns = ["grp", "sum_units", "cnt"]
+    return out.sort_values("grp").reset_index(drop=True)
+
+
 def q_union_by_name_events(sf_dir: str) -> pd.DataFrame:
     """Schema-evolution read: two Parquet generations derived from
     events (v1: event_id, event_type, value for even ids; v2:
@@ -3480,6 +3528,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "categorical_profile_documents": q_categorical_profile_documents,
         "interpolate_events_value": q_interpolate_events_value,
         "union_by_name_events": q_union_by_name_events,
+        "incremental_agg_orders_events": q_incremental_agg_orders_events,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
@@ -4744,6 +4793,30 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(-SUM((c / (SELECT n FROM sn)) "
             "* LN(c / (SELECT n FROM sn))), 6), "
             "ROUND(MAX(c) / (SELECT n FROM sn), 6) FROM sc"
+        ),
+        "incremental_agg_orders_events": (
+            # full recompute over the applied CDC log: latest change
+            # per key (ts, event_id desc), D deletes, U upserts into
+            # its event_type group; exact int64 cents
+            "WITH ch AS (SELECT event_id % 4000 AS k, epoch_us(ts) AS s1, "
+            "event_id AS s2, CASE WHEN event_type = 'error' THEN 'D' "
+            "ELSE 'U' END AS op, event_type AS g, value AS v "
+            "FROM events WHERE value IS NOT NULL), "
+            "latest AS (SELECT k, op, g, v FROM ch QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY k ORDER BY s1 DESC, s2 DESC) "
+            "= 1), "
+            "applied AS (SELECT COALESCE(l.g, b.o_orderpriority) AS g, "
+            "CASE WHEN l.k IS NOT NULL THEN "
+            "CAST(ROUND(l.v * 100) AS BIGINT) ELSE "
+            "CAST(ROUND(b.o_totalprice * 100) AS BIGINT) END AS u "
+            "FROM orders b LEFT JOIN latest l ON l.k = b.o_orderkey "
+            "WHERE l.op IS NULL OR l.op != 'D' "
+            "UNION ALL "
+            "SELECT l.g, CAST(ROUND(l.v * 100) AS BIGINT) "
+            "FROM latest l LEFT JOIN orders b ON b.o_orderkey = l.k "
+            "WHERE b.o_orderkey IS NULL AND l.op != 'D') "
+            "SELECT g AS grp, SUM(u)::BIGINT AS sum_units, "
+            "COUNT(*)::BIGINT AS cnt FROM applied GROUP BY g ORDER BY g"
         ),
         "union_by_name_events": (
             # the two generations rebuilt from the view and re-unified

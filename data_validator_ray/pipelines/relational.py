@@ -4124,3 +4124,213 @@ def interpolate_missing(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def incremental_aggregate(
+    base: Any,
+    changes: Any,
+    *,
+    key_col: str,
+    group_col: str,
+    val_col: str,
+    op_col: str,
+    seq_cols: List[str],
+    change_group_col: Optional[str] = None,
+    change_val_col: Optional[str] = None,
+    base_agg: Optional["pa.Table"] = None,
+    scale: float = 100.0,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> "pa.Table":
+    """Incremental maintenance of a materialized GROUP-BY aggregate
+    under a CDC change log — the streaming-warehouse pattern: instead
+    of re-scanning the whole base table after every change batch, only
+    the CHANGED keys' old rows are retracted and their new state
+    applied, then merged into the stored aggregate.
+
+    Inputs: ``base`` (one row per ``key_col``), ``changes`` (rows of
+    ``key, seq…, op, group, val``; latest per key wins by ``seq_cols``;
+    ``op='D'`` deletes the key, anything else upserts group+value —
+    :func:`cdc_apply` semantics), and optionally ``base_agg`` — the
+    previously stored aggregate ``(group, sum_scaled, cnt)``. When
+    ``base_agg`` is None it is computed here in one streaming pass
+    (the bootstrap run); pass the previous output back in on the next
+    batch for the true incremental path.
+
+    Exactness: values aggregate as ``int64(round(val·scale))``
+    fixed-point units (default cents), so retract/apply arithmetic is
+    EXACT and association-free — float retraction would drift after
+    enough batches (the reconcile operator's micro-unit convention).
+
+    Scale shape: (1) distinct changed keys distill via per-batch
+    ``pc.unique`` partials (driver holds the changed-KEY set only —
+    a CDC batch is small relative to the base by definition; document
+    envelope); (2) the base streams ONE vectorized membership filter
+    (``pc.is_in`` against the broadcast key set) so only changed keys'
+    old rows leave the scan; (3) old + change rows meet in ONE
+    key-bucketed shuffle where the latest change per key is picked and
+    per-group retract/apply deltas emit; (4) the driver merges the
+    group-bounded delta vector into ``base_agg``. Groups with cnt=0
+    drop. Returns ``(group, sum_scaled, cnt)`` sorted by group.
+    """
+    import pandas as pd
+    import ray as _ray
+
+    from .dedup import _as_dataset, bucketed_groupby
+
+    cg = change_group_col or group_col
+    cv = change_val_col or val_col
+
+    def to_units(arr) -> "pa.Array":
+        return pc.cast(
+            pc.round(pc.multiply(pc.cast(arr, pa.float64()), scale)),
+            pa.int64(),
+        )
+
+    # ---- bootstrap aggregate (one streaming pass) when not provided
+    if base_agg is None:
+        def agg_partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "g": batch[group_col],
+                    "u": to_units(batch[val_col]),
+                }
+            )
+            g = t.group_by("g").aggregate([("u", "sum"), ([], "count_all")])
+            return pa.table(
+                {
+                    "g": g["g"],
+                    "s": pc.cast(g["u_sum"], pa.int64()),
+                    "c": pc.cast(g["count_all"], pa.int64()),
+                }
+            )
+
+        parts = (
+            _as_dataset(base, columns=[group_col, val_col])
+            .map_batches(agg_partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .to_pandas()
+        )
+        merged = parts.groupby("g", sort=True)[["s", "c"]].sum().reset_index()
+        base_agg = pa.table(
+            {
+                "g": pa.array(merged["g"]),
+                "s": pa.array(merged["s"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(merged["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # ---- 1. distinct changed keys (per-batch unique partials)
+    ch_ds = _as_dataset(changes).materialize()
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pc.unique(batch[key_col].combine_chunks()).drop_null()}
+        )
+
+    kparts = ch_ds.map_batches(
+        key_partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    changed = pa.array(pd.unique(kparts["k"])) if len(kparts) else pa.array([])
+    changed_ref = _ray.put(changed)
+
+    # ---- 2. old rows of changed keys only (vectorized semi-join)
+    def old_rows(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(changed_ref)
+        m = pc.is_in(batch[key_col], value_set=keys)
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "k": t[key_col],
+                "g": pc.cast(t[group_col], pa.string()),
+                "u": to_units(t[val_col]),
+                "op": pa.nulls(t.num_rows, pa.string()),
+                "__side": pa.array(
+                    np.zeros(t.num_rows, np.int8), pa.int8()
+                ),
+                **{
+                    f"__s{i}": pa.nulls(t.num_rows, pa.float64())
+                    for i in range(len(seq_cols))
+                },
+            }
+        )
+
+    def ch_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch[key_col],
+                "g": pc.cast(batch[cg], pa.string()),
+                "u": to_units(batch[cv]),
+                "op": pc.cast(batch[op_col], pa.string()),
+                "__side": pa.array(
+                    np.ones(batch.num_rows, np.int8), pa.int8()
+                ),
+                **{
+                    f"__s{i}": pc.cast(batch[c], pa.float64())
+                    for i, c in enumerate(seq_cols)
+                },
+            }
+        )
+
+    old_ds = _as_dataset(
+        base, columns=sorted({key_col, group_col, val_col})
+    ).map_batches(old_rows, batch_format="pyarrow", batch_size=batch_size)
+    chg_ds = ch_ds.map_batches(
+        ch_rows, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    # ---- 3. one key-bucketed shuffle: retract old, apply latest new
+    sseq = [f"__s{i}" for i in range(len(seq_cols))]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["__side"] == 0]
+        ch = g[g["__side"] == 1].sort_values(
+            ["k", *sseq], kind="mergesort"
+        ).drop_duplicates("k", keep="last")
+        # retract every changed key's old contribution; apply the
+        # latest non-delete state — both as vectorized group sums
+        retract = old[old["k"].isin(ch["k"])]
+        apply_ = ch[ch["op"] != "D"]
+        frames = []
+        if len(retract):
+            r = retract.groupby("g", sort=False)["u"].agg(["sum", "size"])
+            frames.append(
+                pd.DataFrame(
+                    {"g": r.index, "s": -r["sum"].to_numpy(np.int64),
+                     "c": -r["size"].to_numpy(np.int64)}
+                )
+            )
+        if len(apply_):
+            a = apply_.groupby("g", sort=False)["u"].agg(["sum", "size"])
+            frames.append(
+                pd.DataFrame(
+                    {"g": a.index, "s": a["sum"].to_numpy(np.int64),
+                     "c": a["size"].to_numpy(np.int64)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"g": pd.Series(dtype=object),
+                 "s": pd.Series(dtype=np.int64),
+                 "c": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    delta = bucketed_groupby(
+        old_ds.union(chg_ds), ["k"], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    ).to_pandas()
+
+    # ---- 4. merge group-bounded deltas into the stored aggregate
+    acc = base_agg.to_pandas().set_index("g")
+    if len(delta):
+        dsum = delta.groupby("g", sort=False)[["s", "c"]].sum()
+        acc = acc.add(dsum, fill_value=0)
+    acc = acc[acc["c"] > 0].sort_index().reset_index()
+    return pa.table(
+        {
+            "g": pa.array(acc["g"].astype(str)),
+            "s": pa.array(acc["s"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(acc["c"].to_numpy(np.int64), pa.int64()),
+        }
+    )

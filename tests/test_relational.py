@@ -2187,3 +2187,87 @@ def test_interpolate_missing_semantics(ray_session):
         .to_pandas().sort_values("i")
     )
     assert out3["v_interp"].tolist()[1] == 2.0
+
+
+def test_incremental_aggregate_matches_recompute(ray_session):
+    import duckdb
+    import pandas as pd
+    from data_validator_ray.pipelines.relational import incremental_aggregate
+
+    base = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 5],
+            "g": ["a", "a", "b", "b", "b"],
+            "v": [10.0, 20.0, 1.5, 2.5, 3.0],
+        }
+    )
+    # two changes to key 2 (latest wins -> moves to group c with 99),
+    # delete key 3, insert key 9 into new group d, delete-then-insert
+    # cannot happen (latest wins picks one)
+    ch = pd.DataFrame(
+        {
+            "k": [2, 2, 3, 9],
+            "s": [1.0, 2.0, 1.0, 1.0],
+            "op": ["U", "U", "D", "U"],
+            "cg": ["a", "c", "b", "d"],
+            "cv": [50.0, 99.0, 0.0, 7.25],
+        }
+    )
+    out = incremental_aggregate(
+        base, ch, key_col="k", group_col="g", val_col="v",
+        op_col="op", seq_cols=["s"],
+        change_group_col="cg", change_val_col="cv",
+    ).to_pandas()
+    expected = duckdb.sql(
+        "WITH latest AS (SELECT k, op, cg, cv FROM ch QUALIFY "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY s DESC) = 1), "
+        "applied AS ("
+        "SELECT COALESCE(l.cg, b.g) g, CASE WHEN l.k IS NOT NULL THEN "
+        "CAST(ROUND(l.cv * 100) AS BIGINT) ELSE "
+        "CAST(ROUND(b.v * 100) AS BIGINT) END u "
+        "FROM base b LEFT JOIN latest l ON l.k = b.k "
+        "WHERE l.op IS NULL OR l.op != 'D' "
+        "UNION ALL SELECT l.cg, CAST(ROUND(l.cv * 100) AS BIGINT) "
+        "FROM latest l LEFT JOIN base b ON b.k = l.k "
+        "WHERE b.k IS NULL AND l.op != 'D') "
+        "SELECT g, SUM(u)::BIGINT s, COUNT(*)::BIGINT c "
+        "FROM applied GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(out, expected, check_dtype=False)
+    # group 'b' lost key 3: 1.5 gone; 'c' and 'd' are new
+    assert out.set_index("g").loc["b", "c"] == 2
+    assert out.set_index("g").loc["c", "s"] == 9900
+
+    # TRUE incremental: feed the stored aggregate forward through a
+    # second change batch; must equal the bootstrap over the full log
+    ch2 = pd.DataFrame(
+        {"k": [1, 9], "s": [3.0, 3.0], "op": ["D", "U"],
+         "cg": ["a", "d"], "cv": [0.0, 8.0]}
+    )
+    stored = incremental_aggregate(
+        base, ch, key_col="k", group_col="g", val_col="v",
+        op_col="op", seq_cols=["s"],
+        change_group_col="cg", change_val_col="cv",
+    )
+    # apply ch to base to get the post-batch-1 state, then run batch 2
+    # against it with the stored aggregate
+    applied1 = duckdb.sql(
+        "WITH latest AS (SELECT k, op, cg, cv FROM ch QUALIFY "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY s DESC) = 1) "
+        "SELECT COALESCE(l.k, b.k) k, COALESCE(l.cg, b.g) g, "
+        "COALESCE(l.cv, b.v) v "
+        "FROM base b FULL JOIN latest l ON l.k = b.k "
+        "WHERE COALESCE(l.op, '') != 'D'"
+    ).df()
+    inc = incremental_aggregate(
+        applied1, ch2, key_col="k", group_col="g", val_col="v",
+        op_col="op", seq_cols=["s"],
+        change_group_col="cg", change_val_col="cv",
+        base_agg=stored,
+    ).to_pandas()
+    boot = incremental_aggregate(
+        applied1, ch2, key_col="k", group_col="g", val_col="v",
+        op_col="op", seq_cols=["s"],
+        change_group_col="cg", change_val_col="cv",
+    ).to_pandas()
+    pd.testing.assert_frame_equal(inc, boot)
