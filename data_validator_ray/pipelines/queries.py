@@ -2645,6 +2645,25 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_zorder_events(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) clustering key over events (value × user_id,
+    8-bit grids): the multi-dimensional locality layout a 100-TB table
+    needs for 2-D range pruning. Returns every row's interleaved key;
+    the engine's reorder is a Ray range-partitioned sort on that key
+    (rows come back sorted by it). Bit-identical to the SQL
+    bit-arithmetic oracle (same IEEE scaling expression)."""
+    from .layout import zorder_sort
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = zorder_sort(
+        ds, ["value", "user_id"], bits=8, keep_key=True
+    ).to_pandas()
+    out = out.rename(columns={"__z": "zval"})[["event_id", "zval"]]
+    return out.sort_values(["zval", "event_id"]).reset_index(drop=True)
+
+
 def q_incremental_agg_orders_events(sf_dir: str) -> pd.DataFrame:
     """Incremental maintenance of the per-priority orders aggregate
     under an events-derived CDC log (latest change per key wins;
@@ -3529,6 +3548,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "interpolate_events_value": q_interpolate_events_value,
         "union_by_name_events": q_union_by_name_events,
         "incremental_agg_orders_events": q_incremental_agg_orders_events,
+        "zorder_events": q_zorder_events,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
@@ -3567,6 +3587,12 @@ def queries() -> Dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> Dict[str, str]:
     counts = "SELECT COUNT(*)::BIGINT AS total_count, {failed}::BIGINT AS failed_count FROM {t}"
+    # Morton interleave of two 8-bit grids as explicit bit arithmetic
+    # (mirrors pipelines/layout.py zorder_key term-for-term)
+    zterms = " + ".join(
+        f"(((g0 >> {b}) & 1) << {2 * b}) + (((g1 >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
     return {
         "completeness_documents_text": counts.format(
             failed="COUNT(*) FILTER (WHERE text IS NULL)", t="documents"
@@ -4793,6 +4819,22 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(-SUM((c / (SELECT n FROM sn)) "
             "* LN(c / (SELECT n FROM sn))), 6), "
             "ROUND(MAX(c) / (SELECT n FROM sn), 6) FROM sc"
+        ),
+        "zorder_events": (
+            "WITH b AS (SELECT MIN(value) AS mn0, MAX(value) AS mx0, "
+            "MIN(user_id::DOUBLE) AS mn1, MAX(user_id::DOUBLE) AS mx1 "
+            "FROM events), "
+            "g AS (SELECT event_id, "
+            "CASE WHEN value IS NULL OR user_id IS NULL THEN NULL ELSE "
+            "CAST(FLOOR((value - mn0) / (mx0 - mn0) * 255.0) AS BIGINT) "
+            "END AS g0, "
+            "CASE WHEN value IS NULL OR user_id IS NULL THEN NULL ELSE "
+            "CAST(FLOOR((user_id::DOUBLE - mn1) / (mx1 - mn1) * 255.0) "
+            "AS BIGINT) END AS g1 "
+            "FROM events CROSS JOIN b) "
+            "SELECT event_id, CASE WHEN g0 IS NULL THEN "
+            "9223372036854775807 ELSE " + zterms + " END AS zval "
+            "FROM g ORDER BY zval, event_id"
         ),
         "incremental_agg_orders_events": (
             # full recompute over the applied CDC log: latest change

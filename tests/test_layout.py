@@ -1,0 +1,84 @@
+"""Z-order layout: Morton key correctness, NULL contract, and the
+locality property that justifies it (a 2-D box query after z-sort
+touches fewer row blocks than after a 1-D sort)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_validator_ray.pipelines.layout import zorder_key, zorder_sort
+
+
+def test_zorder_key_interleave_known_bits():
+    # grids already integer in [0, 255]: scaling with mins=0, maxs=255
+    # is identity; z(g0=0b101, g1=0b011) interleaves to
+    # bit(2b)=g0_b, bit(2b+1)=g1_b -> 0b011011 = 27... compute directly
+    a = np.array([5.0])   # 0b101
+    b = np.array([3.0])   # 0b011
+    z = zorder_key([a, b], [0.0, 0.0], [255.0, 255.0], bits=8)
+    expected = 0
+    for bit in range(8):
+        expected |= ((5 >> bit) & 1) << (2 * bit)
+        expected |= ((3 >> bit) & 1) << (2 * bit + 1)
+    assert z[0] == expected
+
+    # NaN in any dimension -> sentinel max key
+    z2 = zorder_key(
+        [np.array([np.nan]), np.array([1.0])],
+        [0.0, 0.0], [255.0, 255.0], bits=8,
+    )
+    assert z2[0] == 2**63 - 1
+
+    # degenerate span (constant column) -> grid 0, no crash
+    z3 = zorder_key(
+        [np.array([7.0, 7.0]), np.array([0.0, 255.0])],
+        [7.0, 0.0], [7.0, 255.0], bits=8,
+    )
+    assert z3[0] == 0
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_key([a] * 8, [0.0] * 8, [255.0] * 8, bits=16)
+
+
+def test_zorder_sort_improves_2d_block_pruning(ray_session):
+    # deterministic 64x64 grid of points, shuffled by a hash order
+    n = 64
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    df = pd.DataFrame({
+        "x": xs.ravel().astype(float), "y": ys.ravel().astype(float),
+    })
+    df["id"] = (df["x"].astype(int) * 2654435761 + df["y"].astype(int)) % 4096
+    df = df.sort_values("id").reset_index(drop=True)
+
+    out = zorder_sort(df, ["x", "y"], bits=8).to_pandas()
+    assert len(out) == len(df)
+
+    def blocks_touched(frame, bx=(10, 20), by=(30, 40), nblocks=32):
+        hit = 0
+        for blk in np.array_split(frame.index.to_numpy(), nblocks):
+            part = frame.loc[blk]
+            if (
+                part["x"].min() <= bx[1] and part["x"].max() >= bx[0]
+                and part["y"].min() <= by[1] and part["y"].max() >= by[0]
+            ):
+                hit += 1
+        return hit
+
+    z_hits = blocks_touched(out.reset_index(drop=True))
+    x_hits = blocks_touched(
+        df.sort_values(["x", "y"]).reset_index(drop=True)
+    )
+    id_hits = blocks_touched(df.reset_index(drop=True))
+    # z-order prunes on BOTH dimensions: better than hash order and at
+    # least as good as the single-column sort for a 2-D box
+    assert z_hits < id_hits
+    assert z_hits <= x_hits
+
+
+def test_zorder_sort_keeps_nulls_last(ray_session):
+    df = pd.DataFrame(
+        {"x": [1.0, None, 3.0, 2.0], "y": [1.0, 2.0, 3.0, 4.0],
+         "i": [0, 1, 2, 3]}
+    )
+    out = zorder_sort(df, ["x", "y"], bits=8, keep_key=True).to_pandas()
+    assert out.iloc[-1]["i"] == 1 and out.iloc[-1]["__z"] == 2**63 - 1
