@@ -257,3 +257,18 @@ class BloomFilter:
     def from_bytes(cls, data: bytes) -> "BloomFilter":
         n_bits, k, bits = pickle.loads(data)
         return cls(n_bits, k, bits)
+
+
+def combined_hash64(table, columns, seed: int = 0) -> np.ndarray:
+    """Row-wise 64-bit hash of a column TUPLE: per-column
+    :func:`hash64` values mixed with an FNV-style multiply-xor fold
+    (order-sensitive, so ``(a, b)`` ≠ ``(b, a)``). Distinct ``seed``
+    values yield independent families — the composite-key uniqueness
+    shuffle uses two, exactly like the single-column scheme."""
+    import pyarrow as pa  # noqa: F401  (Table access below)
+
+    h = hash64(table[columns[0]], seed=seed)
+    prime = np.uint64(0x100000001B3)
+    for c in columns[1:]:
+        h = (h * prime) ^ hash64(table[c], seed=seed)
+    return h

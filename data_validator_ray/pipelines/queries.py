@@ -61,6 +61,22 @@ def q_uniqueness_events_event_id(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_uniqueness_composite_events(sf_dir: str) -> pd.DataFrame:
+    """Composite-key uniqueness over the (user_id, event_type) TUPLE
+    (deequ hasUniqueness on column lists): distinct tuples via the
+    same collision-checked double-hash shuffle, with per-column hashes
+    folded row-wise (combined_hash64); rows with a NULL in any key
+    column are excluded from the distinct count (single-column
+    convention)."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="u2", rule_type="uniqueness", column=None,
+            parameters={"columns": ["user_id", "event_type"]},
+        ),
+    )
+
+
 def q_range_events_value(sf_dir: str) -> pd.DataFrame:
     return _single_rule_counts(
         sf_dir, "events",
@@ -3397,6 +3413,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
         "uniqueness_events_event_id": q_uniqueness_events_event_id,
+        "uniqueness_composite_events": q_uniqueness_composite_events,
         "range_events_value": q_range_events_value,
         "range_events_ts": q_range_events_ts,
         "scoped_range_events": q_scoped_range_events,
@@ -3600,6 +3617,12 @@ def oracle_sql() -> Dict[str, str]:
         "uniqueness_events_event_id": (
             "SELECT COUNT(*)::BIGINT AS total_count, "
             "(COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS failed_count FROM events"
+        ),
+        "uniqueness_composite_events": (
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) - COUNT(DISTINCT CASE WHEN user_id IS NOT NULL "
+            "AND event_type IS NOT NULL THEN (user_id, event_type) END))"
+            "::BIGINT AS failed_count FROM events"
         ),
         "range_events_value": counts.format(
             failed="COUNT(*) FILTER (WHERE value < 0 OR value > 100)", t="events"

@@ -40,7 +40,13 @@ from ..functions.expr import (
     parse_aggregate_query,
     predicate_true_mask,
 )
-from ..functions.sketches import BloomFilter, HyperLogLog, TDigest, hash64
+from ..functions.sketches import (
+    BloomFilter,
+    HyperLogLog,
+    TDigest,
+    combined_hash64,
+    hash64,
+)
 from .registry import CheckKernel, register_check
 
 
@@ -266,20 +272,40 @@ class UniquenessKernel(CheckKernel):
 
     def __init__(self, rule: ValidationRule):
         super().__init__(rule)
-        self.column = self._require_column()
+        multi = rule.parameters.get("columns")
+        if multi:
+            # composite-key tier (deequ hasUniqueness on column lists):
+            # the distinct unit is the TUPLE; rows with a NULL in any
+            # key column are excluded from the distinct count (and so
+            # count as failed), matching the single-column convention
+            self.columns = [str(c) for c in multi]
+            self.column = self.columns[0]
+        else:
+            self.column = self._require_column()
+            self.columns = [self.column]
         self.approx = bool(rule.parameters.get("approx", False))
         self.hll_p = int(rule.parameters.get("hll_p", 14))
         self.needs_shuffle = not self.approx
 
+    def _null_mask(self, batch: pa.Table):
+        m = pc.is_null(batch[self.columns[0]])
+        for c in self.columns[1:]:
+            m = pc.or_(m, pc.is_null(batch[c]))
+        return m
+
     def partial(self, batch: pa.Table) -> Dict[str, Any]:
-        col = batch[self.column]
-        n_null = _sum_mask(pc.is_null(col))
+        n_null = _sum_mask(self._null_mask(batch))
         out: Dict[str, Any] = {"total": batch.num_rows, "failed": 0, "nulls": n_null}
         if self.approx:
             hll = HyperLogLog(self.hll_p)
-            valid = col.drop_null()
-            if len(valid):
-                hll.add_hashes(hash64(valid))
+            if len(self.columns) == 1:
+                valid = batch[self.column].drop_null()
+                if len(valid):
+                    hll.add_hashes(hash64(valid))
+            else:
+                t = batch.filter(pc.invert(self._null_mask(batch)))
+                if t.num_rows:
+                    hll.add_hashes(combined_hash64(t, self.columns))
             out["hll"] = hll.to_bytes()
         return out
 

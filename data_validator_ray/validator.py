@@ -148,6 +148,10 @@ def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
             return None
     if rule.rule_type == "schema":
         return []
+    if rule.rule_type == "uniqueness" and rule.parameters.get("columns"):
+        return sorted(
+            {*(str(c) for c in rule.parameters["columns"]), *extra}
+        )
     if rule.column:
         return sorted({rule.column, *extra})
     return None
@@ -405,12 +409,24 @@ class RayDataValidator:
         import numpy as np
         import pandas as pd
 
-        from .functions.sketches import hash64
+        from .functions.sketches import combined_hash64, hash64
+
+        cols = [column] if isinstance(column, str) else list(column)
 
         def batch_unique(batch: pa.Table) -> pa.Table:
-            u = pc.unique(batch[column].combine_chunks()).drop_null()
-            h1 = hash64(u)
-            h2 = hash64(u, seed=0x9E3779B9)
+            if len(cols) == 1:
+                u = pc.unique(batch[cols[0]].combine_chunks()).drop_null()
+                h1 = hash64(u)
+                h2 = hash64(u, seed=0x9E3779B9)
+            else:
+                # composite key: distinct TUPLES per batch (rows with a
+                # NULL in any key column are out — single-col parity)
+                m = pc.is_null(batch[cols[0]])
+                for c in cols[1:]:
+                    m = pc.or_(m, pc.is_null(batch[c]))
+                t = batch.filter(pc.invert(m)).group_by(cols).aggregate([])
+                h1 = combined_hash64(t, cols)
+                h2 = combined_hash64(t, cols, seed=0x9E3779B9)
             b = (h1 % np.uint64(buckets)).astype(np.int64)
             return pa.table(
                 {
@@ -424,7 +440,7 @@ class RayDataValidator:
             n = len(group.drop_duplicates(["__h1", "__h2"]))
             return pd.DataFrame({"n": [n]})
 
-        dedup = ds.select_columns([column]).map_batches(
+        dedup = ds.select_columns(cols).map_batches(
             batch_unique, batch_format="pyarrow", batch_size=self.batch_size
         )
         parts = (
@@ -564,20 +580,34 @@ class RayDataValidator:
                     t1 = time.time()
                     from .stages.registry import ScopedKernel
 
+                    key_cols = list(
+                        getattr(
+                            kernel, "columns",
+                            getattr(
+                                getattr(kernel, "inner", None), "columns", None
+                            ),
+                        )
+                        or [kernel.column]
+                    )
                     if isinstance(kernel, ScopedKernel):
                         # where-scoped uniqueness: the distinct count runs
                         # over the in-scope subset — read key + predicate
                         # columns (pruned), mask per batch, THEN shuffle
-                        cols = sorted({kernel.column, *kernel.where_columns})
+                        cols = sorted({*key_cols, *kernel.where_columns})
                         col_ds = self.load_data(data, columns=cols).map_batches(
                             kernel.scope_batch,
                             batch_format="pyarrow",
                             batch_size=self.batch_size,
                             zero_copy_batch=True,
                         )
+                    elif len(key_cols) == 1:
+                        col_ds = self._column_view(data, ds, key_cols[0])
                     else:
-                        col_ds = self._column_view(data, ds, kernel.column)
-                    distinct = self._exact_distinct(col_ds, kernel.column)
+                        col_ds = self.load_data(data, columns=sorted(key_cols))
+                    distinct = self._exact_distinct(
+                        col_ds,
+                        key_cols[0] if len(key_cols) == 1 else key_cols,
+                    )
                     combined["failed"] = combined["total"] - distinct
                     combined["distinct"] = distinct
                     extra_ms = (time.time() - t1) * 1000

@@ -128,3 +128,46 @@ def test_freshness_missing_params_error(ray_session):
     )])
     r = s.results[0]
     assert r.total_count == -1 and not r.passed
+
+
+def test_composite_uniqueness_exact_and_nulls(ray_session):
+    import duckdb
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 1, 2, 2, None, 1],
+            "b": ["x", "x", "x", "y", "x", None],
+        }
+    )
+    s = run_rules(df, [ValidationRule(
+        name="u2", rule_type="uniqueness", column=None,
+        parameters={"columns": ["a", "b"]},
+    )])
+    r = s.results[0]
+    # distinct non-null tuples: (1,x),(2,x),(2,y) = 3 -> failed 6-3
+    assert (r.total_count, r.failed_count) == (6, 3)
+    ora = duckdb.sql(
+        "SELECT COUNT(*), COUNT(*) - COUNT(DISTINCT CASE WHEN a IS NOT "
+        "NULL AND b IS NOT NULL THEN (a, b) END) FROM df"
+    ).fetchone()
+    assert (r.total_count, r.failed_count) == ora
+
+
+def test_composite_uniqueness_scoped(ray_session):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 1, 2, 2],
+            "b": ["x", "x", "y", "y"],
+            "seg": ["in", "out", "in", "in"],
+        }
+    )
+    s = run_rules(df, [ValidationRule(
+        name="u2", rule_type="uniqueness", column=None,
+        parameters={"columns": ["a", "b"], "where": "seg = 'in'"},
+    )])
+    r = s.results[0]
+    # in scope: (1,x),(2,y),(2,y) -> 2 distinct of 3
+    assert (r.total_count, r.failed_count) == (3, 1)
