@@ -2661,6 +2661,19 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_suggest_rules_events(sf_dir: str) -> pd.DataFrame:
+    """Constraint suggestion over events (deequ ConstraintSuggestion
+    analog): completeness for NULL-free columns, [min,max] ranges for
+    numerics, exact-distinct membership enums for small string
+    domains, and uniqueness where exact distinct == non-null count
+    (HLL only GATES the exact-distinct shuffle; every decision is
+    exact, so the SQL reconstruction matches)."""
+    from ..stages.suggest import suggest_rules
+
+    out = suggest_rules(f"{sf_dir}/events.parquet").to_pandas()
+    return out.sort_values(["column", "rule_type"]).reset_index(drop=True)
+
+
 def q_zorder_events(sf_dir: str) -> pd.DataFrame:
     """Z-order (Morton) clustering key over events (value × user_id,
     8-bit grids): the multi-dimensional locality layout a 100-TB table
@@ -3566,6 +3579,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "union_by_name_events": q_union_by_name_events,
         "incremental_agg_orders_events": q_incremental_agg_orders_events,
         "zorder_events": q_zorder_events,
+        "suggest_rules_events": q_suggest_rules_events,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
@@ -3609,6 +3623,41 @@ def oracle_sql() -> Dict[str, str]:
     zterms = " + ".join(
         f"(((g0 >> {b}) & 1) << {2 * b}) + (((g1 >> {b}) & 1) << {2 * b + 1})"
         for b in range(8)
+    )
+    # constraint-suggestion reconstruction: one 0-or-1-row aggregate
+    # branch per (column, rule_type) decision, mirroring stages/suggest
+    _sg_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    _sg_num = ["event_id", "user_id", "value"]
+    _sg_str = ["event_type", "props"]
+    _sg = []
+    for c in _sg_cols:
+        _sg.append(
+            f"SELECT '{c}' AS \"column\", 'completeness' AS rule_type, "
+            "NULL::DOUBLE AS min_value, NULL::DOUBLE AS max_value, "
+            "NULL::VARCHAR AS allowed FROM events "
+            f"HAVING COUNT(*) FILTER (WHERE {c} IS NULL) = 0 "
+            "AND COUNT(*) > 0"
+        )
+        _sg.append(
+            f"SELECT '{c}', 'uniqueness', NULL::DOUBLE, NULL::DOUBLE, "
+            "NULL::VARCHAR FROM events "
+            f"HAVING COUNT(DISTINCT {c}) = COUNT({c}) AND COUNT({c}) > 0 "
+            f"AND COUNT(*) = COUNT({c})"
+        )
+    for c in _sg_num:
+        _sg.append(
+            f"SELECT '{c}', 'range', MIN({c})::DOUBLE, MAX({c})::DOUBLE, "
+            f"NULL::VARCHAR FROM events HAVING COUNT({c}) > 0"
+        )
+    for c in _sg_str:
+        _sg.append(
+            f"SELECT '{c}', 'membership', NULL::DOUBLE, NULL::DOUBLE, "
+            f"string_agg(DISTINCT {c}, ',' ORDER BY {c}) FROM events "
+            f"HAVING COUNT(DISTINCT {c}) <= 20 AND COUNT({c}) > 0"
+        )
+    suggest_oracle = (
+        "SELECT * FROM (" + " UNION ALL ".join(_sg) +
+        ') ORDER BY "column", rule_type'
     )
     return {
         "completeness_documents_text": counts.format(
@@ -4843,6 +4892,7 @@ def oracle_sql() -> Dict[str, str]:
             "* LN(c / (SELECT n FROM sn))), 6), "
             "ROUND(MAX(c) / (SELECT n FROM sn), 6) FROM sc"
         ),
+        "suggest_rules_events": suggest_oracle,
         "zorder_events": (
             "WITH b AS (SELECT MIN(value) AS mn0, MAX(value) AS mx0, "
             "MIN(user_id::DOUBLE) AS mn1, MAX(user_id::DOUBLE) AS mx1 "
