@@ -645,6 +645,45 @@ def q_fd_orders_cust_priority(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_fd_composite_orders(sf_dir: str) -> pd.DataFrame:
+    """Composite-determinant FD (o_custkey, o_orderpriority) →
+    o_orderstatus: tuple identity via the combined_hash64 fold, same
+    33-byte pair shuffle."""
+    return _single_rule_counts(
+        sf_dir, "orders",
+        ValidationRule(
+            name="fd2", rule_type="functional_dependency", column=None,
+            parameters={
+                "determinants": ["o_custkey", "o_orderpriority"],
+                "dependent": "o_orderstatus",
+            },
+        ),
+    )
+
+
+def q_js_events_split(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the even/odd event_id halves
+    of events.value over fixed bins 0..100 — the bounded symmetric
+    drift statistic (count-vector exchange, no epsilon clipping)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import js_fixed_bins
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    edges = [float(x) for x in range(0, 101, 10)]
+    return js_fixed_bins(side(0), side(1), "value", edges).to_pandas()
+
+
 def q_freshness_events_ts(sf_dir: str) -> pd.DataFrame:
     """Freshness/liveness rule: MAX(events.ts) must be within 7 days of
     a fixed as_of (reproducible runs pin as_of). Fused-pass per-batch
@@ -3441,6 +3480,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "referential_orders_cust": q_referential_orders_cust,
         "referential_events_nation_approx": q_referential_events_nation_approx,
         "fd_orders_cust_priority": q_fd_orders_cust_priority,
+        "fd_composite_orders": q_fd_composite_orders,
+        "js_events_split": q_js_events_split,
         "freshness_events_ts": q_freshness_events_ts,
         "filter_documents": q_filter_documents,
         "filter_lineitem_custom": q_filter_lineitem_custom,
@@ -3742,6 +3783,42 @@ def oracle_sql() -> Dict[str, str]:
             "WHERE o_custkey IS NOT NULL GROUP BY o_custkey) "
             "SELECT COUNT(*)::BIGINT AS total_count, "
             "(COUNT(*) FILTER (WHERE c > 1))::BIGINT AS failed_count FROM g"
+        ),
+        "fd_composite_orders": (
+            "WITH g AS (SELECT o_custkey, o_orderpriority, "
+            "COUNT(DISTINCT o_orderstatus) AS c FROM orders "
+            "WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL "
+            "GROUP BY o_custkey, o_orderpriority) "
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE c > 1))::BIGINT AS failed_count FROM g"
+        ),
+        "js_events_split": (
+            # same searchsorted-right binning as psi_events_split; JS
+            # with m = (p+q)/2, 0*ln0 = 0, no epsilon floor
+            "WITH edges AS (SELECT [0.0,10.0,20.0,30.0,40.0,50.0,60.0,"
+            "70.0,80.0,90.0,100.0] AS e), "
+            "b AS (SELECT len(list_filter((SELECT e FROM edges), "
+            "x -> value >= x)) AS bin FROM events "
+            "WHERE event_id % 2 = 0 AND value IS NOT NULL), "
+            "c AS (SELECT len(list_filter((SELECT e FROM edges), "
+            "x -> value >= x)) AS bin FROM events "
+            "WHERE event_id % 2 = 1 AND value IS NOT NULL), "
+            "grid AS (SELECT unnest(generate_series(0, 11)) AS bin), "
+            "bp AS (SELECT grid.bin, COALESCE(cnt, 0) / "
+            "(SELECT COUNT(*)::DOUBLE FROM b) AS p FROM grid "
+            "LEFT JOIN (SELECT bin, COUNT(*)::DOUBLE AS cnt FROM b "
+            "GROUP BY bin) t USING (bin)), "
+            "cp AS (SELECT grid.bin, COALESCE(cnt, 0) / "
+            "(SELECT COUNT(*)::DOUBLE FROM c) AS p FROM grid "
+            "LEFT JOIN (SELECT bin, COUNT(*)::DOUBLE AS cnt FROM c "
+            "GROUP BY bin) t USING (bin)) "
+            "SELECT (SELECT COUNT(*) FROM b)::BIGINT AS n_base, "
+            "(SELECT COUNT(*) FROM c)::BIGINT AS n_current, "
+            "ROUND(SUM(CASE WHEN bp.p > 0 THEN 0.5 * bp.p * "
+            "LN(bp.p / ((bp.p + cp.p) / 2)) ELSE 0 END + "
+            "CASE WHEN cp.p > 0 THEN 0.5 * cp.p * "
+            "LN(cp.p / ((bp.p + cp.p) / 2)) ELSE 0 END), 6) AS js_value "
+            "FROM bp JOIN cp USING (bin)"
         ),
         "freshness_events_ts": (
             "SELECT (EXTRACT(EPOCH FROM (TIMESTAMP '2024-02-05 00:00:00' "

@@ -381,6 +381,67 @@ def psi_fixed_bins(
     )
 
 
+def js_fixed_bins(
+    source_base: Any,
+    source_current: Any,
+    value_col: str,
+    edges: List[float],
+    *,
+    batch_size: int = 64 * 1024,
+) -> "pa.Table":
+    """Jensen–Shannon divergence (nats) between two datasets over
+    fixed bin edges — the bounded, symmetric sibling of
+    :func:`psi_fixed_bins` (JS ∈ [0, ln 2] with no epsilon clipping:
+    a bin empty on one side contributes finitely, where PSI needs the
+    1e-6 floor; preferable when alert thresholds must be comparable
+    across columns).
+
+    Same scale shape as PSI: per-batch count vectors (one
+    ``len(edges)+1``-int row per batch), driver sum, then
+    ``JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` with ``m = (p+q)/2`` over
+    the observed bins (0·ln0 = 0). Terms mirror the SQL formulation;
+    ROUND 6. Returns ``(n_base, n_current, js_value)``."""
+    e = np.asarray(edges, dtype=np.float64)
+
+    from ..pipelines.dedup import _as_dataset
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vals = _numeric_values(batch, value_col)
+        c = histogram_counts(vals, e)
+        return pa.table({"counts": pa.array([c.tolist()], pa.list_(pa.int64()))})
+
+    def side_counts(src: Any) -> np.ndarray:
+        ds = _as_dataset(src, columns=[value_col])
+        part = ds.map_batches(
+            partials, batch_format="pyarrow", batch_size=batch_size
+        )
+        total = np.zeros(len(e) + 1, dtype=np.int64)
+        for r in part.take_all():
+            total += np.asarray(r["counts"], dtype=np.int64)
+        return total
+
+    cb = side_counts(source_base)
+    cc = side_counts(source_current)
+    na, nb = int(cb.sum()), int(cc.sum())
+    if na == 0 or nb == 0:
+        js = 0.0
+    else:
+        p = cb.astype(np.float64) / na
+        q = cc.astype(np.float64) / nb
+        m = (p + q) / 2.0
+        pm, qm = p > 0, q > 0
+        js = 0.5 * float(np.sum(p[pm] * np.log(p[pm] / m[pm]))) + 0.5 * float(
+            np.sum(q[qm] * np.log(q[qm] / m[qm]))
+        )
+    return pa.table(
+        {
+            "n_base": pa.array([na], pa.int64()),
+            "n_current": pa.array([nb], pa.int64()),
+            "js_value": pa.array([round(js, 6)], pa.float64()),
+        }
+    )
+
+
 def ks_by_group(
     source_base: Any,
     source_current: Any,

@@ -640,7 +640,15 @@ class FunctionalDependencyKernel(CheckKernel):
 
     def __init__(self, rule: ValidationRule):
         super().__init__(rule)
-        self.column = self._require_column()
+        dets = rule.parameters.get("determinants")
+        if dets:
+            # composite determinant (a, b, …) → dep; tuple identity via
+            # the same combined_hash64 fold composite uniqueness uses
+            self.determinants = [str(c) for c in dets]
+            self.column = self.determinants[0]
+        else:
+            self.column = self._require_column()
+            self.determinants = [self.column]
         dep = rule.parameters.get("dependent")
         if not dep:
             raise ValueError(

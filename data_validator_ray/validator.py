@@ -152,6 +152,14 @@ def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
         return sorted(
             {*(str(c) for c in rule.parameters["columns"]), *extra}
         )
+    if rule.rule_type == "functional_dependency":
+        dets = [str(c) for c in rule.parameters.get("determinants", [])]
+        if not dets and rule.column:
+            dets = [rule.column]
+        dep = rule.parameters.get("dependent")
+        if dets and dep:
+            return sorted({*dets, str(dep), *extra})
+        return None
     if rule.column:
         return sorted({rule.column, *extra})
     return None
@@ -451,7 +459,11 @@ class RayDataValidator:
         return int(sum(r["n"] for r in parts))
 
     def _fd_violations(
-        self, ds: Dataset, det_col: str, dep_col: str, buckets: int = 256
+        self,
+        ds: Dataset,
+        det_col: "str | List[str]",
+        dep_col: str,
+        buckets: int = 256,
     ) -> Tuple[int, int]:
         """(distinct determinants, violating determinants) for a
         functional-dependency rule — the FD sibling of
@@ -470,18 +482,25 @@ class RayDataValidator:
         import numpy as np
         import pandas as pd
 
-        from .functions.sketches import hash64
+        from .functions.sketches import combined_hash64, hash64
+
+        det_cols = [det_col] if isinstance(det_col, str) else list(det_col)
 
         def batch_pairs(batch: pa.Table) -> pa.Table:
-            pairs = batch.select([det_col, dep_col]).group_by(
-                [det_col, dep_col]
-            ).aggregate([])
-            det = pairs[det_col].combine_chunks()
+            cols = [*det_cols, dep_col]
+            pairs = batch.select(cols).group_by(cols).aggregate([])
+            keep = pc.is_valid(pairs[det_cols[0]])
+            for c in det_cols[1:]:
+                keep = pc.and_(keep, pc.is_valid(pairs[c]))
+            pairs = pairs.filter(keep)
             dep = pairs[dep_col].combine_chunks()
-            keep = pc.is_valid(det)
-            det, dep = det.filter(keep), dep.filter(keep)
-            d1 = hash64(det)
-            d2 = hash64(det, seed=0x9E3779B9)
+            if len(det_cols) == 1:
+                det = pairs[det_cols[0]].combine_chunks()
+                d1 = hash64(det)
+                d2 = hash64(det, seed=0x9E3779B9)
+            else:
+                d1 = combined_hash64(pairs, det_cols)
+                d2 = combined_hash64(pairs, det_cols, seed=0x9E3779B9)
             p1 = hash64(dep)
             p2 = hash64(dep, seed=0x85EBCA6B)
             pn = pc.is_null(dep)
@@ -618,14 +637,19 @@ class RayDataValidator:
                     t1 = time.time()
                     from .stages.registry import ScopedKernel
 
+                    inner = getattr(kernel, "inner", None)
                     dep = getattr(
-                        kernel, "dependent",
-                        getattr(getattr(kernel, "inner", None), "dependent", None),
+                        kernel, "dependent", getattr(inner, "dependent", None)
+                    )
+                    dets = list(
+                        getattr(
+                            kernel, "determinants",
+                            getattr(inner, "determinants", None),
+                        )
+                        or [kernel.column]
                     )
                     if isinstance(kernel, ScopedKernel):
-                        cols = sorted(
-                            {kernel.column, dep, *kernel.where_columns}
-                        )
+                        cols = sorted({*dets, dep, *kernel.where_columns})
                         pair_ds = self.load_data(data, columns=cols).map_batches(
                             kernel.scope_batch,
                             batch_format="pyarrow",
@@ -634,10 +658,10 @@ class RayDataValidator:
                         )
                     else:
                         pair_ds = self.load_data(
-                            data, columns=sorted({kernel.column, dep})
+                            data, columns=sorted({*dets, dep})
                         )
                     n_det, n_viol = self._fd_violations(
-                        pair_ds, kernel.column, dep
+                        pair_ds, dets[0] if len(dets) == 1 else dets, dep
                     )
                     combined["total"] = n_det
                     combined["failed"] = n_viol

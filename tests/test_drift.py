@@ -442,3 +442,24 @@ def test_wasserstein_exact_ties_and_quantize(ray_session):
     c2 = pd.DataFrame({"v": [0.96, 2.0]})
     outq = wasserstein_exact(b2, c2, "v", quantize=0.1).to_pylist()[0]
     assert outq["emd_value"] == 0.0
+
+
+def test_js_fixed_bins_bounds_and_identity(ray_session):
+    from data_validator_ray.stages.drift import js_fixed_bins
+
+    a = pd.DataFrame({"v": np.linspace(0, 9.99, 500)})
+    out = js_fixed_bins(a, a.copy(), "v", [2.0, 4.0, 6.0, 8.0]).to_pylist()[0]
+    assert out["js_value"] == 0.0
+
+    # fully disjoint distributions -> JS = ln 2 (bounded, no eps blowup)
+    b = pd.DataFrame({"v": np.linspace(100.0, 109.0, 400)})
+    out2 = js_fixed_bins(
+        a, b, "v", [10.0, 50.0, 99.5]
+    ).to_pylist()[0]
+    assert out2["js_value"] == round(float(np.log(2)), 6)
+    assert (out2["n_base"], out2["n_current"]) == (500, 400)
+
+    # empty side -> 0 with counts preserved
+    empty = pd.DataFrame({"v": pd.array([None], dtype="Float64")})
+    out3 = js_fixed_bins(a, empty, "v", [5.0]).to_pylist()[0]
+    assert out3["n_current"] == 0 and out3["js_value"] == 0.0

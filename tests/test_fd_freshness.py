@@ -171,3 +171,30 @@ def test_composite_uniqueness_scoped(ray_session):
     r = s.results[0]
     # in scope: (1,x),(2,y),(2,y) -> 2 distinct of 3
     assert (r.total_count, r.failed_count) == (3, 1)
+
+
+def test_fd_composite_determinant(ray_session):
+    import duckdb
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 1, 1, 2, 2, None],
+            "b": ["x", "x", "y", "x", "x", "x"],
+            "d": ["p", "q", "p", "p", "p", "z"],
+        }
+    )
+    # tuples: (1,x)->{p,q} VIOLATION; (1,y)->{p}; (2,x)->{p};
+    # NULL-in-determinant row excluded
+    s = run_rules(df, [ValidationRule(
+        name="fd2", rule_type="functional_dependency", column=None,
+        parameters={"determinants": ["a", "b"], "dependent": "d"},
+    )])
+    r = s.results[0]
+    assert (r.total_count, r.failed_count) == (3, 1)
+    ora = duckdb.sql(
+        "WITH g AS (SELECT a, b, COUNT(DISTINCT d) c FROM df "
+        "WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b) "
+        "SELECT COUNT(*), COUNT(*) FILTER (WHERE c > 1) FROM g"
+    ).fetchone()
+    assert (r.total_count, r.failed_count) == ora
