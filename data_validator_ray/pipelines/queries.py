@@ -645,6 +645,18 @@ def q_fd_orders_cust_priority(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_late_arrival_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-time disorder profile: events in event_id
+    (arrival) order, lateness vs the running max(ts) watermark —
+    exact int64-microsecond lateness, one key-bucketed shuffle."""
+    from .relational import late_arrival_stats
+
+    out = late_arrival_stats(
+        f"{sf_dir}/events.parquet", "user_id", "event_id", "ts"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_fd_composite_orders(sf_dir: str) -> pd.DataFrame:
     """Composite-determinant FD (o_custkey, o_orderpriority) →
     o_orderstatus: tuple identity via the combined_hash64 fold, same
@@ -3481,6 +3493,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "referential_events_nation_approx": q_referential_events_nation_approx,
         "fd_orders_cust_priority": q_fd_orders_cust_priority,
         "fd_composite_orders": q_fd_composite_orders,
+        "late_arrival_events": q_late_arrival_events,
         "js_events_split": q_js_events_split,
         "freshness_events_ts": q_freshness_events_ts,
         "filter_documents": q_filter_documents,
@@ -3783,6 +3796,21 @@ def oracle_sql() -> Dict[str, str]:
             "WHERE o_custkey IS NOT NULL GROUP BY o_custkey) "
             "SELECT COUNT(*)::BIGINT AS total_count, "
             "(COUNT(*) FILTER (WHERE c > 1))::BIGINT AS failed_count FROM g"
+        ),
+        "late_arrival_events": (
+            # running event-time watermark over arrival order; NULL ts
+            # rows are never late and never advance the watermark
+            "WITH w AS (SELECT user_id, epoch_us(ts) AS t, "
+            "MAX(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS pm FROM events) "
+            "SELECT user_id, COUNT(*)::BIGINT AS n, "
+            "(COUNT(*) FILTER (WHERE t < pm))::BIGINT AS n_late, "
+            "COALESCE(MAX(CASE WHEN t < pm THEN pm - t END), 0)::BIGINT "
+            "AS max_lateness_us, "
+            "ROUND((COUNT(*) FILTER (WHERE t < pm))::DOUBLE / COUNT(*), 6) "
+            "AS frac_late "
+            "FROM w GROUP BY user_id ORDER BY user_id"
         ),
         "fd_composite_orders": (
             "WITH g AS (SELECT o_custkey, o_orderpriority, "

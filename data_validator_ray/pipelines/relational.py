@@ -4334,3 +4334,80 @@ def incremental_aggregate(
             "c": pa.array(acc["c"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def late_arrival_stats(
+    source: Any,
+    key_col: str,
+    arrival_col: str,
+    ts_col: str,
+    *,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key event-time disorder profile — the streaming-health
+    metric that sizes watermarks: in ARRIVAL order (``arrival_col``),
+    how many events carry an event time (``ts_col``) older than the
+    running event-time high-water mark, and by how much. An event is
+    LATE iff ``ts < max(ts of earlier arrivals in its key)``;
+    ``lateness = watermark − ts`` at arrival (exact int64
+    microseconds for timestamps). A pipeline that replays or fans in
+    from lagging shards shows up here before any windowed aggregate
+    silently drops its rows.
+
+    ONE key-bucketed shuffle (the running_window shape); per bucket a
+    single mergesort + pandas grouped ``cummax`` (C-vectorized) —
+    no Python loops. Returns one row per key:
+    ``(key, n, n_late, max_lateness_us, frac_late)`` (frac ROUND 6).
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, arrival_col], kind="mergesort", na_position="last"
+        )
+        isna = g[ts_col].isna().to_numpy()
+        t = g[ts_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            t = t.astype("datetime64[us]").view(np.int64).astype(np.float64)
+        else:
+            t = t.astype(np.float64)
+        t[isna] = np.nan
+        keys = g[key_col].to_numpy()
+        ser = pd.Series(t, index=g.index)
+        # watermark skips NULL event times (SQL window MAX semantics):
+        # cummax leaves NaN at NULL positions — forward-fill the
+        # running max through them before shifting
+        cm = ser.groupby(keys, sort=False).cummax()
+        cm = cm.groupby(keys, sort=False).ffill()
+        prev = cm.groupby(keys, sort=False).shift(1)
+        lateness = (prev - ser).clip(lower=0).fillna(0.0)
+        late = (ser < prev).fillna(False)
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                "late": late.to_numpy(),
+                "lateness": lateness.to_numpy(),
+            }
+        )
+        agg = out.groupby(key_col, sort=False).agg(
+            n=("late", "size"),
+            n_late=("late", "sum"),
+            max_lateness_us=("lateness", "max"),
+        ).reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        agg["n_late"] = agg["n_late"].astype(np.int64)
+        agg["max_lateness_us"] = agg["max_lateness_us"].astype(np.int64)
+        agg["frac_late"] = np.round(
+            agg["n_late"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64),
+            6,
+        )
+        return agg
+
+    ds = _as_dataset(source, columns=[key_col, arrival_col, ts_col])
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )

@@ -2271,3 +2271,54 @@ def test_incremental_aggregate_matches_recompute(ray_session):
         change_group_col="cg", change_val_col="cv",
     ).to_pandas()
     pd.testing.assert_frame_equal(inc, boot)
+
+
+def test_late_arrival_stats_semantics(ray_session):
+    import duckdb
+    import pandas as pd
+    from data_validator_ray.pipelines.relational import late_arrival_stats
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "seq": [0, 1, 2, 3, 4, 0, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:10",  # watermark 10
+                    "2024-01-01 00:00:05",  # late by 5s
+                    None,                   # NULL: never late, no advance
+                    "2024-01-01 00:00:08",  # late by 2s (wm still 10)
+                    "2024-01-01 00:00:20",  # on time
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:01",
+                    "2024-01-01 00:00:02",  # b: perfectly ordered
+                ]
+            ),
+        }
+    )
+    out = (
+        late_arrival_stats(df, "k", "seq", "ts")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    a = out.iloc[0]
+    assert (a["n"], a["n_late"]) == (5, 2)
+    assert a["max_lateness_us"] == 5_000_000
+    assert a["frac_late"] == 0.4
+    b = out.iloc[1]
+    assert (b["n_late"], b["max_lateness_us"]) == (0, 0)
+
+    ora = duckdb.sql(
+        "WITH w AS (SELECT k, epoch_us(ts) AS t, MAX(epoch_us(ts)) OVER "
+        "(PARTITION BY k ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND 1 PRECEDING) AS pm FROM df) "
+        "SELECT k, COUNT(*)::BIGINT n, "
+        "(COUNT(*) FILTER (WHERE t < pm))::BIGINT n_late, "
+        "COALESCE(MAX(CASE WHEN t < pm THEN pm - t END), 0)::BIGINT "
+        "max_lateness_us, "
+        "ROUND((COUNT(*) FILTER (WHERE t < pm))::DOUBLE / COUNT(*), 6) "
+        "frac_late FROM w GROUP BY k ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], ora[sorted(ora.columns)],
+        check_dtype=False,
+    )
