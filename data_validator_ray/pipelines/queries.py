@@ -3473,6 +3473,46 @@ def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_cooccurrence_edges_suppliers(sf_dir: str) -> Any:
+    """Distinct supplier co-occurrence edges (suppliers sharing an
+    order) derived from the lineitem hyperedge table: per-batch
+    distinct (order, supplier) combiner, ONE bucketed shuffle on the
+    order key, quadratic pair sweep per group, edge dedup."""
+    from .graph import cooccurrence_edges
+
+    return cooccurrence_edges(
+        f"{sf_dir}/lineitem.parquet", "l_orderkey", "l_suppkey"
+    )
+
+
+def q_triangle_count_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the supplier co-occurrence graph via
+    degree-ordered orientation (out-degree capped at O(√m)), wedge
+    generation in one bucketed pass and a closing-edge (a, b) bucketed
+    match."""
+    from .graph import cooccurrence_edges, triangle_count
+
+    edges = cooccurrence_edges(
+        f"{sf_dir}/lineitem.parquet", "l_orderkey", "l_suppkey"
+    )
+    return triangle_count(edges)
+
+
+def q_pagerank_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Fixed-iteration (3) PageRank over the supplier co-occurrence
+    graph — ranks as a Dataset, one shuffle join + one node-bounded
+    grouped sum per iteration; ROUND 6 on both sides (sum order
+    differs between engines at ~1e-16)."""
+    from .graph import cooccurrence_edges, pagerank
+
+    edges = cooccurrence_edges(
+        f"{sf_dir}/lineitem.parquet", "l_orderkey", "l_suppkey"
+    )
+    out = pagerank(edges, iterations=3, damping=0.85).to_pandas()
+    out["pr"] = out["pr"].round(6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> Dict[str, Callable[[str], Any]]:
     return {
         "completeness_documents_text": q_completeness_documents_text,
@@ -3667,6 +3707,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
+        "cooccurrence_edges_suppliers": q_cooccurrence_edges_suppliers,
+        "triangle_count_suppliers": q_triangle_count_suppliers,
+        "pagerank_suppliers": q_pagerank_suppliers,
     }
 
 
@@ -5409,6 +5452,44 @@ def oracle_sql() -> Dict[str, str]:
             "ORDER BY valid_from, event_id) IS NULL AS is_current "
             "FROM v ORDER BY user_id, valid_from"
         ),
+        "cooccurrence_edges_suppliers": (
+            _SUPPLIER_GRAPH_CTE + "SELECT src, dst FROM e ORDER BY src, dst"
+        ),
+        "triangle_count_suppliers": (
+            _SUPPLIER_GRAPH_CTE
+            + "SELECT "
+            "(SELECT COUNT(DISTINCT v) FROM "
+            " (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)"
+            ")::BIGINT AS n_nodes, "
+            "(SELECT COUNT(*) FROM e)::BIGINT AS n_edges, "
+            "(SELECT COUNT(*) FROM e e1 "
+            " JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+            " JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst"
+            ")::BIGINT AS n_triangles"
+        ),
+        "pagerank_suppliers": (
+            _SUPPLIER_GRAPH_CTE
+            + ", eb AS (SELECT src, dst FROM e "
+            "UNION ALL SELECT dst AS src, src AS dst FROM e), "
+            "deg AS (SELECT src AS node, COUNT(*) AS d "
+            "FROM eb GROUP BY src), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM deg), "
+            "r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS r "
+            "FROM deg), "
+            "r1 AS (SELECT eb.dst AS node, 0.15 / (SELECT c FROM nn) "
+            "+ 0.85 * SUM(r0.r / deg.d) AS r FROM eb "
+            "JOIN r0 ON eb.src = r0.node "
+            "JOIN deg ON eb.src = deg.node GROUP BY eb.dst), "
+            "r2 AS (SELECT eb.dst AS node, 0.15 / (SELECT c FROM nn) "
+            "+ 0.85 * SUM(r1.r / deg.d) AS r FROM eb "
+            "JOIN r1 ON eb.src = r1.node "
+            "JOIN deg ON eb.src = deg.node GROUP BY eb.dst), "
+            "r3 AS (SELECT eb.dst AS node, 0.15 / (SELECT c FROM nn) "
+            "+ 0.85 * SUM(r2.r / deg.d) AS r FROM eb "
+            "JOIN r2 ON eb.src = r2.node "
+            "JOIN deg ON eb.src = deg.node GROUP BY eb.dst) "
+            "SELECT node, ROUND(r, 6) AS pr FROM r3 ORDER BY node"
+        ),
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events /
         # approx_distinct_users_by_type (HLL sketches),
@@ -5880,4 +5961,13 @@ _HOPPING_WINDOW_USER_SQL = (
     "SELECT user_id, window_start, count(*)::BIGINT AS n_events,"
     " ROUND(sum(value), 6) AS value_sum"
     " FROM w GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+# supplier co-occurrence graph: hyperedges (orders) -> distinct
+# undirected src<dst edges (mirrors pipelines/graph.py)
+_SUPPLIER_GRAPH_CTE = (
+    "WITH su AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS it "
+    "FROM lineitem), "
+    "e AS (SELECT a.it AS src, b.it AS dst FROM su a "
+    "JOIN su b ON a.g = b.g AND a.it < b.it GROUP BY 1, 2) "
 )
