@@ -3473,6 +3473,256 @@ def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_bloom_join_lineitem_orders(sf_dir: str) -> Any:
+    """Bloom-prefiltered shuffle join: lineitem × the ~10 % of orders
+    over 450k — right keys fold into OR-reduced partial Bloom filters,
+    the merged filter broadcasts once and drops ~90 % of lineitem
+    BEFORE the exchange; output identical to the plain join."""
+    from .relational import bloom_prefilter_join
+
+    def big_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], 450000.0))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(big_orders, batch_format="pyarrow")
+    return bloom_prefilter_join(
+        f"{sf_dir}/lineitem.parquet",
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_orderkey", "l_linenumber", "l_quantity"],
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+def q_ohlc_events(sf_dir: str) -> Any:
+    """Hourly OHLC bars per user (time-series downsampling): one
+    bucketed key shuffle, vectorized per-bucket head/tail/min/max;
+    open/close are SQL FIRST_VALUE/LAST_VALUE raw-row parity (exact
+    value copies — no rounding needed)."""
+    from .relational import ohlc_resample
+
+    return ohlc_resample(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        "ts",
+        "value",
+        window_seconds=3600,
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_phrase_search_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase retrieval ('value table') over a positional
+    inverted index: only the terms' shards are read, term-i postings
+    shift to anchors p−i, and a (doc, anchor) groupby counts anchors
+    holding all slots — overlap-correct occurrence counts, corpus
+    never touched."""
+    import tempfile
+    from pathlib import Path
+
+    from .search import build_positional_index, phrase_search
+
+    tag = Path(sf_dir).name
+    idx = f"{tempfile.gettempdir()}/graft_posidx_{tag}"
+    if not Path(idx).exists():
+        build_positional_index(
+            f"{sf_dir}/documents.parquet", idx, num_shards=16
+        )
+    out = phrase_search(idx, ["value", "table"]).to_pandas()
+    if "doc_id" not in out.columns:  # empty result loses schema
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_matches": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_monotonic_events_value(sf_dir: str) -> pd.DataFrame:
+    """Monotonicity rule (R8): per-user, `value` must be non-decreasing
+    in (ts, event_id) order — SQL LAG parity, NULLs never violate;
+    verdict from the bucketed per-key shuffle stage."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="m", rule_type="monotonic", column="value",
+            parameters={
+                "keys": ["user_id"],
+                "order_by": ["ts", "event_id"],
+                "direction": "non_decreasing",
+            },
+        ),
+    )
+
+
+def q_grouped_acf_events(sf_dir: str) -> Any:
+    """Per-user lag-1..3 autocorrelation of event values in
+    (ts, event_id) order — one bucketed shuffle, shifted-compare pair
+    sweeps, moment-sum Pearson; SQL CORR-over-LAG conventions."""
+    from .relational import grouped_acf
+
+    return grouped_acf(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        max_lag=3,
+    )
+
+
+def q_pareto_customers(sf_dir: str) -> Any:
+    """Skyline of customers maximizing (total spend, order count):
+    exact int64-cents aggregate (in-batch combiner + global sum), then
+    per-batch partial frontiers merged in one final sweep (frontier of
+    a union = frontier of union of frontiers)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import pareto_frontier
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                + 0.5
+            ).astype(np.int64)
+        )
+        t = pa.table({"o_custkey": batch["o_custkey"], "c": cents})
+        g = t.group_by("o_custkey").aggregate([("c", "sum"), ("c", "count")])
+        return g.rename_columns(["o_custkey", "sc", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("sc", alias_name="spend_cents"),
+                   Sum("n", alias_name="n_orders"))
+    )
+
+    def tidy(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "spend_cents": pc.cast(batch["spend_cents"], pa.int64()),
+                "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+            }
+        )
+
+    return pareto_frontier(
+        agg.map_batches(tidy, batch_format="pyarrow"),
+        "o_custkey",
+        "spend_cents",
+        "n_orders",
+    )
+
+
+def q_revenue_by_nation(sf_dir: str) -> Any:
+    """TPC-H-Q5-style composition chained entirely in Ray (no driver
+    collect between operators): customer enriched with nation via a
+    broadcast join, orders enriched with the customer's nation via a
+    broadcast join, lineitem reduced per batch to exact fixed-point
+    revenue units then shuffle-joined to orders on the order key, and
+    one nation-grouped int64 sum. Revenue units are
+    ``FLOOR(l_extendedprice·(1−l_discount)·10⁴ + 0.5)`` — bit-identical
+    in numpy and SQL, so the grouped sums are order-free exact."""
+    from ray.data.aggregate import Sum
+
+    from .relational import broadcast_join, hash_join
+
+    cust = broadcast_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+        on="c_nationkey",
+        right_on="n_nationkey",
+        right_cols=["n_name"],
+    )
+    orders = broadcast_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        right_cols=["n_name"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        units = np.floor(p * (1.0 - d) * 10000.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "u": pa.array(units)}
+        )
+        g = t.group_by("l_orderkey").aggregate([("u", "sum")])
+        return g.rename_columns(["l_orderkey", "u"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = hash_join(
+        li,
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_orderkey", "u"],
+        right_cols=["o_orderkey", "n_name"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n_name", "u"]).group_by("n_name").aggregate(
+            [("u", "sum")]
+        )
+        return g.rename_columns(["n_name", "u"])
+
+    out = (
+        joined.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("u", alias_name="units"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rev = pc.divide(
+            pc.cast(batch["units"], pa.float64()), pa.scalar(10000.0)
+        )
+        return pa.table({"n_name": batch["n_name"], "revenue": rev})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str) -> Any:
+    """Sliding-window chunking (window 32, stride 24 whitespace
+    tokens) — the LLM context-packing transform; zero shuffle, one
+    explode + flat-take + binary_join per batch."""
+    from .text import chunk_tokens
+
+    return chunk_tokens(
+        f"{sf_dir}/documents.parquet", window=32, stride=24
+    )
+
+
+def q_embedding_outliers(sf_dir: str) -> pd.DataFrame:
+    """Cosine of each vector to the corpus centroid (embedding-outlier
+    curation signal): one (n, Σx) partials pass + one broadcast-mean
+    scoring pass; ROUND 6 both sides."""
+    from .similarity import embedding_outlier_scores
+
+    out = embedding_outlier_scores(
+        f"{sf_dir}/embeddings.parquet"
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_cooccurrence_edges_suppliers(sf_dir: str) -> Any:
     """Distinct supplier co-occurrence edges (suppliers sharing an
     order) derived from the lineitem hyperedge table: per-batch
@@ -3707,6 +3957,15 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
+        "bloom_join_lineitem_orders": q_bloom_join_lineitem_orders,
+        "ohlc_events": q_ohlc_events,
+        "phrase_search_documents": q_phrase_search_documents,
+        "monotonic_events_value": q_monotonic_events_value,
+        "grouped_acf_events": q_grouped_acf_events,
+        "pareto_customers": q_pareto_customers,
+        "revenue_by_nation": q_revenue_by_nation,
+        "chunk_documents": q_chunk_documents,
+        "embedding_outliers": q_embedding_outliers,
         "cooccurrence_edges_suppliers": q_cooccurrence_edges_suppliers,
         "triangle_count_suppliers": q_triangle_count_suppliers,
         "pagerank_suppliers": q_pagerank_suppliers,
@@ -5451,6 +5710,112 @@ def oracle_sql() -> Dict[str, str]:
             "LEAD(valid_from) OVER (PARTITION BY user_id "
             "ORDER BY valid_from, event_id) IS NULL AS is_current "
             "FROM v ORDER BY user_id, valid_from"
+        ),
+        "bloom_join_lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_totalprice > 450000 "
+            "ORDER BY l_orderkey, l_linenumber"
+        ),
+        "ohlc_events": (
+            "WITH b AS (SELECT user_id, value, ts, event_id, "
+            "time_bucket(INTERVAL 3600 SECOND, ts) AS w FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "r AS (SELECT user_id, w, value, "
+            "FIRST_VALUE(value) OVER win AS o, "
+            "LAST_VALUE(value) OVER win AS c "
+            "FROM b WINDOW win AS (PARTITION BY user_id, w "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+            "SELECT user_id, w AS window_start, MIN(o) AS open, "
+            "MAX(value) AS high, MIN(value) AS low, MIN(c) AS close, "
+            "COUNT(*)::BIGINT AS n_events "
+            "FROM r GROUP BY user_id, w ORDER BY user_id, w"
+        ),
+        "phrase_search_documents": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS tk "
+            "FROM documents WHERE text IS NOT NULL), "
+            "m AS (SELECT doc_id, "
+            "len(list_filter(generate_series(1, len(tk) - 1), "
+            "i -> tk[i] = 'value' AND tk[i+1] = 'table')) AS n_matches "
+            "FROM t) "
+            "SELECT doc_id, n_matches FROM m WHERE n_matches > 0 "
+            "ORDER BY doc_id"
+        ),
+        "monotonic_events_value": (
+            "WITH s AS (SELECT value, LAG(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS pv "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND ts IS NOT NULL AND event_id IS NOT NULL) "
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE value < pv))::BIGINT AS failed_count "
+            "FROM s"
+        ),
+        "grouped_acf_events": (
+            "WITH s AS (SELECT user_id, value, "
+            "LAG(value, 1) OVER w AS x1, "
+            "LAG(value, 2) OVER w AS x2, "
+            "LAG(value, 3) OVER w AS x3 "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_id IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "u AS ("
+            "SELECT user_id, 1 AS lag, CORR(value, x1) AS a, "
+            "REGR_COUNT(value, x1) AS np FROM s GROUP BY user_id "
+            "UNION ALL SELECT user_id, 2, CORR(value, x2), "
+            "REGR_COUNT(value, x2) FROM s GROUP BY user_id "
+            "UNION ALL SELECT user_id, 3, CORR(value, x3), "
+            "REGR_COUNT(value, x3) FROM s GROUP BY user_id) "
+            "SELECT user_id, lag, ROUND(a, 6) AS acf FROM u "
+            "WHERE np > 0 ORDER BY user_id, lag"
+        ),
+        "pareto_customers": (
+            "WITH agg AS (SELECT o_custkey, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS spend_cents, COUNT(*) AS n_orders "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT o_custkey, spend_cents, n_orders FROM agg a "
+            "WHERE NOT EXISTS (SELECT 1 FROM agg b "
+            "WHERE b.spend_cents >= a.spend_cents "
+            "AND b.n_orders >= a.n_orders "
+            "AND (b.spend_cents > a.spend_cents "
+            "OR b.n_orders > a.n_orders)) ORDER BY o_custkey"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "chunk_documents": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "len(string_split(text, ' ')) AS n FROM documents "
+            "WHERE text IS NOT NULL), "
+            "c AS (SELECT doc_id, n, toks, "
+            "unnest(generate_series(0, CASE WHEN n <= 32 THEN 0 ELSE "
+            "CAST(CEIL((n - 32) / 24.0) AS BIGINT) END)) AS chunk_id "
+            "FROM t) "
+            "SELECT doc_id, chunk_id, "
+            "LEAST(chunk_id * 24 + 32, n) - chunk_id * 24 AS n_tokens, "
+            "array_to_string(list_slice(toks, chunk_id * 24 + 1, "
+            "LEAST(chunk_id * 24 + 32, n)), ' ') AS chunk_text "
+            "FROM c ORDER BY doc_id, chunk_id"
+        ),
+        "embedding_outliers": (
+            "WITH u AS (SELECT vec_id, "
+            "generate_subscripts(embedding, 1) AS i, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+            "m AS (SELECT i, AVG(v) AS mv FROM u GROUP BY i), "
+            "mm AS (SELECT SUM(mv * mv) AS m2 FROM m), "
+            "d AS (SELECT vec_id, SUM(v * mv) AS dot, SUM(v * v) AS v2 "
+            "FROM u JOIN m USING (i) GROUP BY vec_id) "
+            "SELECT vec_id, ROUND(dot / (SQRT(v2) * "
+            "SQRT((SELECT m2 FROM mm))), 6) AS cos_to_centroid "
+            "FROM d ORDER BY vec_id"
         ),
         "cooccurrence_edges_suppliers": (
             _SUPPLIER_GRAPH_CTE + "SELECT src, dst FROM e ORDER BY src, dst"

@@ -4411,3 +4411,332 @@ def late_arrival_stats(
         ds, [key_col], per_bucket,
         num_buckets=num_buckets, batch_size=batch_size,
     )
+
+
+def grouped_acf(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    max_lag: int = 3,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key lag-k autocorrelation of ``value_col`` in ``order_cols``
+    order, lags 1..``max_lag`` — the seasonality/persistence profile of
+    per-entity time series. Columns: ``key_col, lag, acf`` (ROUND 6;
+    NULL when a key has <2 lag pairs or zero variance — SQL ``CORR``
+    conventions, pairwise-complete over rows where both the value and
+    its lag are non-NULL).
+
+    ONE bucketed shuffle co-locates each key; per bucket a single sort
+    then, per lag, one shifted-compare sweep builds the (x, y) pair
+    arrays for ALL keys at once (rows i and i−lag share a key iff the
+    sorted key column matches at distance lag) and a vectorized
+    groupby of moment sums (n, Σx, Σy, Σxy, Σx², Σy²) closes the
+    Pearson formula — no per-key Python."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            key_col: pd.Series(dtype=g[key_col].dtype),
+            "lag": pd.Series(dtype=np.int64),
+            "acf": pd.Series(dtype=np.float64),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(out_cols)
+        g = g.sort_values([key_col] + order_cols, kind="stable")
+        keys = g[key_col].to_numpy()
+        v = g[value_col].to_numpy(np.float64)
+        valid = ~np.isnan(v)
+        frames = []
+        for lag in range(1, max_lag + 1):
+            if len(g) <= lag:
+                break
+            same = keys[lag:] == keys[:-lag]
+            ok = same & valid[lag:] & valid[:-lag]
+            if not ok.any():
+                continue
+            idx = np.nonzero(ok)[0]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key_col: keys[idx + lag],
+                        "lag": np.int64(lag),
+                        "x": v[idx],
+                        "y": v[idx + lag],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(out_cols)
+        pairs = pd.concat(frames, ignore_index=True)
+        pairs["xy"] = pairs.x * pairs.y
+        pairs["xx"] = pairs.x * pairs.x
+        pairs["yy"] = pairs.y * pairs.y
+        agg = pairs.groupby([key_col, "lag"], sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+        ).reset_index()
+        n = agg["n"].to_numpy(np.float64)
+        sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+        sxy = agg["sxy"].to_numpy()
+        sxx, syy = agg["sxx"].to_numpy(), agg["syy"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = sxy - sx * sy / n
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            acf = cov / np.sqrt(vx * vy)
+        bad = (n < 2) | (vx <= 0) | (vy <= 0)
+        acf = np.where(bad, np.nan, acf)
+        return pd.DataFrame(
+            {
+                key_col: agg[key_col],
+                "lag": agg["lag"].astype(np.int64),
+                "acf": np.round(acf, 6),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[key_col, *order_cols, value_col])
+
+    def drop_null_order(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[key_col])
+        for c in order_cols:
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        return batch.filter(keep)
+
+    return bucketed_groupby(
+        ds.map_batches(
+            drop_null_order, batch_format="pyarrow", batch_size=batch_size
+        ),
+        [key_col],
+        per_bucket,
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+    )
+
+
+def pareto_frontier(
+    source: Any,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Skyline (Pareto frontier, maximizing both ``x_col`` and
+    ``y_col``): rows not dominated by any other row (``b`` dominates
+    ``a`` iff ``b.x ≥ a.x ∧ b.y ≥ a.y`` with at least one strict).
+    Duplicate coordinate pairs on the frontier are all kept (neither
+    dominates).
+
+    Scale shape: the frontier of a union is the frontier of the union
+    of per-part frontiers, so each batch first reduces to its local
+    frontier (one vectorized sort + group-cummax sweep, typically a
+    tiny survivor set) and only survivors are re-swept once in a final
+    single-partition pass — the same partial-then-merge shape as
+    ``top_k_rows``. NULL coordinates never enter the frontier."""
+
+    def frontier(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[x_col, y_col])
+        if len(df) == 0:
+            return df
+        g = df.sort_values([x_col, y_col], ascending=False, kind="stable")
+        x = g[x_col].to_numpy()
+        y = g[y_col].to_numpy()
+        # max y within each equal-x run
+        new_x = np.concatenate([[True], x[1:] != x[:-1]])
+        grp = np.cumsum(new_x) - 1
+        grp_max = np.full(grp[-1] + 1, -np.inf)
+        np.maximum.at(grp_max, grp, y)
+        # running max of y over STRICTLY greater x (previous runs)
+        prev = np.concatenate(
+            [[-np.inf], np.maximum.accumulate(grp_max)[:-1]]
+        )
+        keep = (y == grp_max[grp]) & (y > prev[grp])
+        return g[keep]
+
+    def batch_frontier(batch: pa.Table) -> pd.DataFrame:
+        return frontier(batch.select([id_col, x_col, y_col]).to_pandas())
+
+    ds = _as_dataset(source, columns=[id_col, x_col, y_col])
+    partial = ds.map_batches(
+        batch_frontier, batch_format="pyarrow", batch_size=batch_size
+    )
+    # survivors of per-batch frontiers are small — one final sweep
+    return partial.repartition(1).map_batches(
+        frontier, batch_format="pandas", batch_size=None
+    )
+
+
+def bloom_prefilter_join(
+    left: Any,
+    right: Any,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    how: str = "inner",
+    num_buckets: int = 64,
+    n_bits: int = 1 << 23,
+    k: int = 5,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Shuffle hash join with a Bloom pre-filter on the big side — the
+    classic exchange-volume optimization for a SELECTIVE join: when
+    the right side matches only a fraction of left keys, most left
+    rows would shuffle only to be dropped in the merge. Here the right
+    keys fold into per-batch partial Bloom filters whose registers
+    OR-reduce on the driver (the driver holds ``n_bits/8`` bytes,
+    never a key set), the merged filter broadcasts once via
+    ``ray.put``, and left batches drop non-members BEFORE the
+    exchange. False positives only admit extra rows into the shuffle —
+    the join itself stays exact (same output as :func:`hash_join`).
+
+    ``how`` is restricted to the filtering-safe modes ``inner`` /
+    ``semi`` (outer/anti modes must keep unmatched left rows, which a
+    pre-filter would discard). Keys hash after casting the right key
+    to the left key's type, the same convention as :func:`hash_join`.
+    """
+    import ray as _ray
+
+    from ..functions.sketches import BloomFilter, hash64
+
+    if how not in ("inner", "semi"):
+        raise ValueError(
+            "bloom_prefilter_join supports how='inner'/'semi' only "
+            "(outer modes must keep unmatched left rows)"
+        )
+    l_extra = [c for c in left_cols if c != left_key]
+    l_ds = _as_dataset(left, columns=[left_key] + l_extra)
+    r_ds = _as_dataset(
+        right,
+        columns=[right_key] + [c for c in right_cols if c != right_key],
+    )
+    l_type = dict(
+        zip(l_ds.schema().names, l_ds.schema().types)
+    )[left_key]
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        col = batch[right_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(l_type).drop_null()
+        bf = BloomFilter(n_bits, k)
+        bf.add_hashes(hash64(col))
+        return pa.table(
+            {"bloom": pa.array([bf.bits.tobytes()], pa.large_binary())}
+        )
+
+    parts = r_ds.map_batches(
+        partial_bloom, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    bits = np.zeros(n_bits // 8, np.uint8)
+    for row in parts:
+        bits |= np.frombuffer(row["bloom"], np.uint8)
+    ref = _ray.put(BloomFilter(n_bits, k, bits))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bf = _ray.get(ref)
+        col = batch[left_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = bf.contains_hashes(hash64(col)) & pc.is_valid(col).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(keep))
+
+    filtered = l_ds.map_batches(
+        prefilter, batch_format="pyarrow", batch_size=batch_size
+    )
+    return hash_join(
+        filtered,
+        r_ds,
+        left_key=left_key,
+        right_key=right_key,
+        left_cols=left_cols,
+        right_cols=right_cols,
+        num_buckets=num_buckets,
+        how=how,
+    )
+
+
+def ohlc_resample(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_seconds: int = 3600,
+    tiebreak_cols: Optional[List[str]] = None,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Time-series resampling to OHLC bars per (key, window):
+    ``key, window_start, open, high, low, close, n_events`` — the
+    downsampling step of a metrics/financial pipeline. Windows floor
+    to the epoch (DuckDB ``time_bucket`` parity); NULL timestamps and
+    NULL keys drop; ``open``/``close`` are the FIRST/LAST ROW's value
+    in (ts, *tiebreak) order (may be NULL — SQL ``FIRST_VALUE``
+    passes raw row values), ``high``/``low`` skip NULLs (SQL
+    MIN/MAX). open/high/low/close are exact value COPIES (no float
+    arithmetic), so oracle comparison needs no rounding.
+
+    One bucketed shuffle on the key; per bucket ONE vectorized sort +
+    pandas groupby head/tail/min/max handles all its (key, window)
+    groups."""
+    tiebreak_cols = list(tiebreak_cols or [])
+    w_us = np.int64(window_seconds) * 1_000_000
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch[ts_col]), pc.is_valid(batch[key_col])
+        )
+        batch = batch.filter(keep)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, w_us), w_us)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "__w": win,
+                "__ts": ts,
+                value_col: batch[value_col],
+                **{c: batch[c] for c in tiebreak_cols},
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, "__w", "__ts"] + tiebreak_cols, kind="stable"
+        )
+        grp = g.groupby([key_col, "__w"], sort=False)[value_col]
+        out = grp.agg(
+            open="first", high="max", low="min", close="last",
+            n_events="size",
+        ).reset_index()
+        # pandas first/last skip NaN — SQL FIRST_VALUE/LAST_VALUE do
+        # NOT; take the raw edge rows instead
+        heads = g.drop_duplicates([key_col, "__w"], keep="first")
+        tails = g.drop_duplicates([key_col, "__w"], keep="last")
+        out["open"] = heads[value_col].to_numpy()
+        out["close"] = tails[value_col].to_numpy()
+        out["window_start"] = out["__w"].astype("datetime64[us]")
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[
+            [key_col, "window_start", "open", "high", "low", "close",
+             "n_events"]
+        ]
+
+    ds = _as_dataset(
+        source, columns=[key_col, ts_col, value_col] + tiebreak_cols
+    )
+    return bucketed_groupby(
+        ds.map_batches(
+            windowed, batch_format="pyarrow", batch_size=batch_size
+        ),
+        [key_col],
+        per_bucket,
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+    )

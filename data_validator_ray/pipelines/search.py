@@ -346,3 +346,167 @@ def bm25_search(
     ).head(k)
     top["score"] = top["score"].round(6)
     return top.reset_index(drop=True)
+
+
+def build_positional_index(
+    source: Any,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_shards: int = 16,
+    batch_size: int = 8192,
+) -> str:
+    """Positional inverted index: ``shard=N/`` hive dirs of flat
+    ``(token, doc_id, pos)`` rows (1-based position within the doc's
+    non-empty token list — the ``list_filter(string_split(...))``
+    oracle tokenization). Same storage-pruning layout as
+    :func:`build_inverted_index`; positions make PHRASE queries
+    resolvable without touching the corpus. Returns ``out_dir``."""
+    import polars as pl
+
+    from .text import _exploded_tokens
+
+    def postings(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, text_col])
+        t = t.filter(pc.is_valid(t[text_col]))
+        ex, _ = _exploded_tokens(t[text_col])
+        ex = ex.with_columns(
+            pos=pl.col("t").cum_count().over("doc").cast(pl.Int64)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tok = pc.cast(ex["t"].to_arrow(), pa.string())
+        shard = (hash64(tok) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "token": tok,
+                id_col: pa.array(ids[ex["doc"].to_numpy()], pa.int64()),
+                "pos": pa.array(ex["pos"].to_numpy(), pa.int64()),
+                "shard": pa.array(shard, pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    ds.map_batches(
+        postings, batch_format="pyarrow", batch_size=batch_size
+    ).write_parquet(out_dir, partition_cols=["shard"])
+
+    import json
+    from pathlib import Path
+
+    (Path(out_dir) / "_meta.json").write_text(
+        json.dumps({"num_shards": num_shards, "id_col": id_col})
+    )
+    return out_dir
+
+
+def phrase_search(
+    index_dir: str,
+    phrase: List[str],
+    *,
+    num_buckets: int = 32,
+) -> Dataset:
+    """Exact phrase query over a positional index — docs containing the
+    consecutive token sequence, with overlapping-occurrence counts:
+    ``(doc_id, n_matches)``.
+
+    Only the phrase terms' shards are read (storage pruning). Each
+    term-i posting at position p is shifted to anchor ``p − i``; a
+    phrase occurrence is an anchor held by ALL ``len(phrase)`` DISTINCT
+    term slots — one tiny bucketed groupby over (doc, anchor) rows,
+    exchange bounded by the selected postings, corpus never touched.
+    A repeated phrase term is ONE posting stream serving several slot
+    offsets, so every slot still lands its own distinct id and the
+    anchor test stays ``len(phrase)`` regardless of repeats."""
+    import json
+    from pathlib import Path
+
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    meta = json.loads((Path(index_dir) / "_meta.json").read_text())
+    id_col = meta["id_col"]
+    num_shards = int(meta["num_shards"])
+    shards = sorted(set(_term_shard(list(phrase), num_shards).tolist()))
+    files: List[str] = []
+    for s in shards:
+        files.extend(
+            str(f)
+            for f in sorted(Path(index_dir).glob(f"shard={s}/*.parquet"))
+        )
+    idx = ray.data.read_parquet(files, columns=["token", id_col, "pos"])
+
+    # slot offsets per unique token (a repeated term is ONE posting
+    # stream serving several offsets)
+    offsets: dict = {}
+    for i, t in enumerate(phrase):
+        offsets.setdefault(t, []).append(i)
+    n_terms = len(phrase)
+
+    import ray as _ray
+
+    ref = _ray.put(offsets)
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        offs = _ray.get(ref)
+        keep = pc.is_in(
+            batch["token"], value_set=pa.array(list(offs.keys()))
+        )
+        b = batch.filter(keep)
+        tok = b["token"]
+        pos = b["pos"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        doc_parts, anc_parts, slot_parts = [], [], []
+        for t, slots in offs.items():
+            m = pc.fill_null(pc.equal(tok, t), False).to_numpy(
+                zero_copy_only=False
+            )
+            if not m.any():
+                continue
+            p, d = pos[m], ids[m]
+            for i in slots:
+                anc = p - i
+                ok = anc >= 1
+                doc_parts.append(d[ok])
+                anc_parts.append(anc[ok])
+                slot_parts.append(np.full(int(ok.sum()), i, np.int64))
+        if not doc_parts:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "anchor": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(doc_parts), pa.int64()),
+                "anchor": pa.array(np.concatenate(anc_parts), pa.int64()),
+                "slot": pa.array(np.concatenate(slot_parts), pa.int64()),
+            }
+        )
+
+    anchored = idx.map_batches(anchors, batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        hits = g.groupby([id_col, "anchor"], sort=False)["slot"].nunique()
+        full = hits[hits == n_terms].reset_index()
+        if len(full) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    "n_matches": pd.Series(dtype=np.int64),
+                }
+            )
+        out = full.groupby(id_col, sort=False).size().reset_index(
+            name="n_matches"
+        )
+        out["n_matches"] = out["n_matches"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(
+        anchored, [id_col], resolve, num_buckets=num_buckets
+    )

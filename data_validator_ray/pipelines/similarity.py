@@ -823,3 +823,72 @@ def quantize_embeddings(
     return _as_dataset(source, columns=[id_col, vec_col]).map_batches(
         audit, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def embedding_outlier_scores(
+    source: Any,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Cosine of every vector to the corpus centroid — the
+    embedding-outlier quality signal (low cosine = far from the mass
+    of the corpus; the distance tier of SemDeDup-style curation).
+    Columns: ``id_col, cos_to_centroid`` (ROUND 6).
+
+    Two streaming passes, no shuffle: (1) mergeable ``(n, Σx)``
+    partials (d floats per batch, row-count independent) combine to
+    the mean on the driver; (2) the d-vector mean broadcasts in-closure
+    and each batch computes its cosines with one matmul. Zero-norm
+    vectors score NULL (SQL division semantics)."""
+    from .dedup import _as_dataset, _embedding_matrix
+
+    def sums(batch: pa.Table) -> pa.Table:
+        M = _embedding_matrix(batch, vec_col)
+        n = M.shape[0] if M.size else 0
+        sx = M.sum(axis=0) if n else np.zeros(0)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sx": pa.array([sx.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    parts = ds.map_batches(
+        sums, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    parts = parts[parts["n"] > 0]
+    if len(parts) == 0:
+        raise ValueError("embedding_outlier_scores: empty corpus")
+    n_total = int(parts["n"].sum())
+    mean = np.stack(parts["sx"].to_numpy()).sum(axis=0) / n_total
+    mean_norm = float(np.sqrt(mean @ mean))
+
+    def score(batch: pa.Table) -> pa.Table:
+        M = _embedding_matrix(batch, vec_col)
+        if M.size == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "cos_to_centroid": pa.array([], pa.float64()),
+                }
+            )
+        norms = np.sqrt((M * M).sum(axis=1))
+        denom = norms * mean_norm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (M @ mean) / denom
+        valid = denom > 0.0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cos_to_centroid": pa.array(
+                    np.round(cos, 6), pa.float64(), mask=~valid
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size
+    )

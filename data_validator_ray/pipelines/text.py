@@ -1249,3 +1249,79 @@ def pmi_collocations(
         ["pmi", "bigram"], ascending=[False, True], kind="mergesort"
     ).head(k)
     return out.reset_index(drop=True)
+
+
+def chunk_tokens(
+    source: Any,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Sliding-window document chunking — the context-window packing
+    step of an LLM training pipeline: each document becomes
+    ``ceil((n − window)/stride) + 1`` chunks (one chunk if
+    ``n ≤ window``) of at most ``window`` whitespace tokens, starting
+    every ``stride`` tokens (overlap = ``window − stride``). Columns:
+    ``id_col, chunk_id, n_tokens, chunk_text``.
+
+    Zero shuffle, zero per-row Python: one ``split_pattern`` explode
+    per batch, chunk starts/lengths via numpy offset arithmetic, token
+    gather through a single flat ``take``, text reassembly with one
+    ``binary_join`` kernel (the grouped-string-agg trick). Exchange is
+    the output itself — each token is replicated at most
+    ``ceil(window/stride)`` times (the documented overlap cost).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        # NULL text yields no chunks (SQL unnest-over-NULL convention)
+        batch = batch.filter(pc.is_valid(batch[text_col]))
+        ids = batch[id_col]
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(off)
+        n_chunks = np.where(
+            n <= window, 1, (n - window + stride - 1) // stride + 1
+        ).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+        excl = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            excl, n_chunks
+        )
+        start = chunk_id * stride
+        end = np.minimum(start + window, n[doc_idx])
+        lens = end - start
+        abs_start = off[doc_idx] + start
+        tot = int(lens.sum())
+        gather = np.repeat(abs_start, lens) + (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        )
+        chunk_vals = flat.take(pa.array(gather, pa.int64()))
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate([[0], np.cumsum(lens)]), pa.int32()
+            ),
+            chunk_vals,
+        )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_idx, pa.int64())),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": pc.binary_join(chunk_list, " "),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(
+        chunks, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )

@@ -152,6 +152,12 @@ def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
         return sorted(
             {*(str(c) for c in rule.parameters["columns"]), *extra}
         )
+    if rule.rule_type == "monotonic":
+        keys = [str(c) for c in rule.parameters.get("keys", [])]
+        order_by = [str(c) for c in rule.parameters.get("order_by", [])]
+        if rule.column and keys and order_by:
+            return sorted({rule.column, *keys, *order_by, *extra})
+        return None
     if rule.rule_type == "functional_dependency":
         dets = [str(c) for c in rule.parameters.get("determinants", [])]
         if not dets and rule.column:
@@ -538,6 +544,79 @@ class RayDataValidator:
             int(sum(r["n_viol"] for r in parts)),
         )
 
+    def _monotonic_violations(
+        self,
+        ds: Dataset,
+        keys: List[str],
+        order_by: List[str],
+        value_col: str,
+        direction: str,
+        buckets: int = 256,
+    ) -> Tuple[int, int]:
+        """(rows in scope, violating rows) for a monotonic rule — see
+        ``MonotonicKernel`` for the verdict convention (SQL ``LAG``
+        parity; NULL values never violate and shield their successor).
+
+        One bucketed shuffle on the key tuple co-locates each key
+        (only the (keys, order, value) columns ship); per bucket ONE
+        vectorized sort + shifted-compare sweep counts violations for
+        all its keys at once. Rows with NULL keys/order columns are
+        out of scope and dropped before the exchange.
+        """
+        import numpy as np
+        import pandas as pd
+
+        from .pipelines.dedup import bucketed_groupby
+
+        cols = [*keys, *order_by, value_col]
+
+        def in_scope(batch: pa.Table) -> pa.Table:
+            keep = pc.is_valid(batch[keys[0]])
+            for c in [*keys[1:], *order_by]:
+                keep = pc.and_(keep, pc.is_valid(batch[c]))
+            return batch.select(cols).filter(keep)
+
+        def count_mono(g: pd.DataFrame) -> pd.DataFrame:
+            n = len(g)
+            if n == 0:
+                return pd.DataFrame({"n": [0], "viol": [0]})
+            g = g.sort_values([*keys, *order_by], kind="stable")
+            same_prev = np.ones(n, bool)
+            for c in keys:
+                k = g[c].to_numpy()
+                same_prev &= np.concatenate([[False], k[1:] == k[:-1]])
+            # compare in the column's NATIVE dtype (float64 would lose
+            # sub-µs timestamp precision); NaN/NaT comparisons are
+            # False in numpy, matching SQL three-valued logic
+            v = g[value_col].to_numpy()
+            prev = np.concatenate([v[:1], v[:-1]])  # dummy first row
+            with np.errstate(invalid="ignore"):
+                if direction == "non_decreasing":
+                    bad = v < prev
+                elif direction == "non_increasing":
+                    bad = v > prev
+                elif direction == "strict_increasing":
+                    bad = v <= prev
+                else:  # strict_decreasing
+                    bad = v >= prev
+            # strict directions: a NULL value or NULL predecessor never
+            # violates (<=/>= would compare True on equal dummy values
+            # only at row 0, which same_prev already masks)
+            valid_pair = ~pd.isna(v) & ~pd.isna(prev)
+            viol = int((bad & same_prev & valid_pair).sum())
+            return pd.DataFrame({"n": [n], "viol": [viol]})
+
+        scoped = ds.map_batches(
+            in_scope, batch_format="pyarrow", batch_size=self.batch_size
+        )
+        parts = bucketed_groupby(
+            scoped, keys, count_mono, num_buckets=buckets
+        ).take_all()
+        return (
+            int(sum(r["n"] for r in parts)),
+            int(sum(r["viol"] for r in parts)),
+        )
+
     def validate_table(
         self,
         data: Any,
@@ -666,6 +745,40 @@ class RayDataValidator:
                     combined["total"] = n_det
                     combined["failed"] = n_viol
                     combined["distinct_determinants"] = n_det
+                    extra_ms = (time.time() - t1) * 1000
+                elif kernel.needs_shuffle and kernel.rule_type == "monotonic":
+                    t1 = time.time()
+                    from .stages.registry import ScopedKernel
+
+                    inner = getattr(kernel, "inner", kernel)
+                    cols = sorted(
+                        {
+                            *inner.keys,
+                            *inner.order_by,
+                            inner.column,
+                        }
+                    )
+                    if isinstance(kernel, ScopedKernel):
+                        seq_ds = self.load_data(
+                            data,
+                            columns=sorted({*cols, *kernel.where_columns}),
+                        ).map_batches(
+                            kernel.scope_batch,
+                            batch_format="pyarrow",
+                            batch_size=self.batch_size,
+                            zero_copy_batch=True,
+                        )
+                    else:
+                        seq_ds = self.load_data(data, columns=cols)
+                    n_scope, n_viol = self._monotonic_violations(
+                        seq_ds,
+                        inner.keys,
+                        inner.order_by,
+                        inner.column,
+                        inner.direction,
+                    )
+                    combined["total"] = n_scope
+                    combined["failed"] = n_viol
                     extra_ms = (time.time() - t1) * 1000
                 total = int(combined.pop("total"))
                 failed = int(combined.pop("failed"))
