@@ -402,6 +402,27 @@ def bench_pack_shards(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_graph_pagerank() -> float:
+    """Supplier co-occurrence edge derivation (600k lineitem rows →
+    ~450k edges on 1k nodes at sf0.1) + 3 PageRank iterations — one
+    shuffle join + one node-bounded grouped sum per iteration over a
+    cached degree-annotated edge list. Prices the iterative-join
+    machinery; triangle counting is excluded (the derived graph is
+    near-complete, making it a cubic worst case, not a throughput
+    signal)."""
+    from data_validator_ray.pipelines.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    t0 = time.time()
+    edges = cooccurrence_edges(
+        f"{SF_DIR}/lineitem.parquet", "l_orderkey", "l_suppkey"
+    )
+    pagerank(edges, iterations=3).count()
+    return time.time() - t0
+
+
 def _bench_embeddings_dir() -> Path:
     tag = Path(SF_DIR).name
     return Path(f"/tmp/graft_bench/embeddings_{tag}_x4000")
@@ -645,6 +666,7 @@ def run_bench() -> dict:
         queries["bigram_logprob_webpages"] = round(
             bench_bigram_logprob(str(input_dir)), 3
         )
+        queries["graph_pagerank_suppliers"] = best_of(bench_graph_pagerank)
         emb_dir = _bench_embeddings_dir()
         if not emb_dir.exists():
             emb_dir.parent.mkdir(parents=True, exist_ok=True)

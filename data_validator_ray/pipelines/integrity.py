@@ -249,3 +249,94 @@ def keyset_overlap(
             ],
         }
     )
+
+
+def range_checksums(
+    source: Any,
+    cols: List[str],
+    range_col: str,
+    *,
+    width: int = 1000,
+    sep: str = "|",
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Merkle-style per-range content checksums: rows bucket by
+    ``floor(range_col / width)`` and each range gets the same
+    order-independent Σ md5-lower-64 mod 2^64 digest as
+    :func:`table_checksum` plus its row count — the incremental-sync /
+    anti-entropy primitive (two engines compare range digests and
+    re-ship only the ranges that differ, never the whole table).
+    NULL range keys land in range −1 (the catch-all audit bucket).
+
+    Per batch: one canonical-string pass, md5 per row (C calls), and a
+    vectorized uint64 ``np.add.at`` accumulation per range (natural
+    2^64 wrap = the modulus); the driver merges #ranges × #batches
+    partial rows in exact Python ints. Returns ``(range_id, n_rows,
+    checksum)`` sorted by range.
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = batch[c]
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.int64())
+            col = pc.cast(col, pa.string())
+            parts.append(pc.coalesce(col, pa.scalar("")))
+        rows = pc.binary_join_element_wise(*parts, pa.scalar(sep))
+        rk = batch[range_col].to_numpy(zero_copy_only=False)
+        rk = np.asarray(pd.to_numeric(pd.Series(rk), errors="coerce"))
+        rid = np.where(
+            np.isnan(rk), np.int64(-1), np.floor_divide(
+                np.nan_to_num(rk), width
+            ).astype(np.int64)
+        )
+        uniq, inv = np.unique(rid, return_inverse=True)
+        acc = np.zeros(len(uniq), np.uint64)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(r.encode("utf-8")).digest()[8:], "little"
+                )
+                for r in rows.to_pylist()
+            ),
+            np.uint64,
+            count=len(rows),
+        )
+        np.add.at(acc, inv, h)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "range_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(acc, pa.uint64()),
+            }
+        )
+
+    parts = (
+        _as_dataset(source, columns=sorted({*cols, range_col}))
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "range_id": pd.Series(dtype="int64"),
+                "n_rows": pd.Series(dtype="int64"),
+                "checksum": pd.Series(dtype="uint64"),
+            }
+        )
+    out = []
+    for rid, g in parts.groupby("range_id", sort=True):
+        out.append(
+            (
+                int(rid),
+                int(g["n"].sum()),
+                sum(int(x) for x in g["s"]) % _MOD,
+            )
+        )
+    df = pd.DataFrame(out, columns=["range_id", "n_rows", "checksum"])
+    df["checksum"] = df["checksum"].astype("uint64")
+    return df

@@ -3473,6 +3473,62 @@ def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_grouping_sets_events(sf_dir: str) -> pd.DataFrame:
+    """Arbitrary GROUPING SETS ((event_type), (user_band), ()) — the
+    general form ROLLUP/CUBE delegate to; one pass, SQL GROUPING
+    bitmask ids."""
+    from .relational import grouping_sets_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "user_band",
+            pc.cast(pc.bit_wise_and(b["user_id"], 3), pa.int64()),
+        ).drop(["user_id"]),
+        batch_format="pyarrow",
+    )
+    out = grouping_sets_aggregate(
+        ds,
+        ["event_type", "user_band"],
+        "value",
+        [["event_type"], ["user_band"], []],
+    ).to_pandas()
+    out = out[["grouping_id", "event_type", "user_band", "n_rows", "value_sum"]]
+    return out.sort_values(
+        ["grouping_id", "event_type", "user_band"], na_position="last"
+    ).reset_index(drop=True)
+
+
+def q_pivot_sums_events(sf_dir: str) -> Any:
+    """Pivoted per-category value SUMs + counts per user (the
+    aggregate sibling of pivot_counts): fixed-layout one-hot combiner,
+    no post-shuffle pivot stage."""
+    from .relational import pivot_sums
+
+    return pivot_sums(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        "event_type",
+        ["click", "purchase", "view"],
+        "value",
+    )
+
+
+def q_range_checksums_events(sf_dir: str) -> pd.DataFrame:
+    """Merkle-style per-range content digests of events (event_id
+    ranges of 1000): the anti-entropy primitive — compare digests,
+    re-ship only differing ranges."""
+    from .integrity import range_checksums
+
+    return range_checksums(
+        f"{sf_dir}/events.parquet",
+        ["event_id", "ts", "event_type", "user_id"],
+        "event_id",
+        width=1000,
+    )
+
+
 def q_bloom_join_lineitem_orders(sf_dir: str) -> Any:
     """Bloom-prefiltered shuffle join: lineitem × the ~10 % of orders
     over 450k — right keys fold into OR-reduced partial Bloom filters,
@@ -3957,6 +4013,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
+        "grouping_sets_events": q_grouping_sets_events,
+        "pivot_sums_events": q_pivot_sums_events,
+        "range_checksums_events": q_range_checksums_events,
         "bloom_join_lineitem_orders": q_bloom_join_lineitem_orders,
         "ohlc_events": q_ohlc_events,
         "phrase_search_documents": q_phrase_search_documents,
@@ -5710,6 +5769,46 @@ def oracle_sql() -> Dict[str, str]:
             "LEAD(valid_from) OVER (PARTITION BY user_id "
             "ORDER BY valid_from, event_id) IS NULL AS is_current "
             "FROM v ORDER BY user_id, valid_from"
+        ),
+        "grouping_sets_events": (
+            "WITH e AS (SELECT event_type, user_id % 4 AS user_band, "
+            "value FROM events) "
+            "SELECT CAST(GROUPING(event_type) * 2 + GROUPING(user_band) "
+            "AS BIGINT) AS grouping_id, event_type, user_band, "
+            "COUNT(*)::BIGINT AS n_rows, "
+            "ROUND(SUM(value), 6) AS value_sum "
+            "FROM e GROUP BY GROUPING SETS ((event_type), (user_band), ()) "
+            "ORDER BY grouping_id, event_type NULLS LAST, "
+            "user_band NULLS LAST"
+        ),
+        "pivot_sums_events": (
+            "SELECT user_id, "
+            "ROUND(COALESCE(SUM(value) FILTER "
+            "(WHERE event_type = 'click'), 0), 6) AS sum_click, "
+            "(COUNT(value) FILTER (WHERE event_type = 'click'))::BIGINT "
+            "AS n_click, "
+            "ROUND(COALESCE(SUM(value) FILTER "
+            "(WHERE event_type = 'purchase'), 0), 6) AS sum_purchase, "
+            "(COUNT(value) FILTER (WHERE event_type = 'purchase'))::BIGINT "
+            "AS n_purchase, "
+            "ROUND(COALESCE(SUM(value) FILTER "
+            "(WHERE event_type = 'view'), 0), 6) AS sum_view, "
+            "(COUNT(value) FILTER (WHERE event_type = 'view'))::BIGINT "
+            "AS n_view "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "range_checksums_events": (
+            "WITH s AS (SELECT "
+            "CAST(FLOOR(event_id / 1000) AS BIGINT) AS range_id, "
+            "COALESCE(CAST(event_id AS VARCHAR), '') || '|' || "
+            "COALESCE(CAST(epoch_us(ts) AS VARCHAR), '') || '|' || "
+            "COALESCE(event_type, '') || '|' || "
+            "COALESCE(CAST(user_id AS VARCHAR), '') AS row_str "
+            "FROM events) "
+            "SELECT range_id, COUNT(*)::BIGINT AS n_rows, "
+            "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
+            "18446744073709551616 AS UBIGINT) AS checksum "
+            "FROM s GROUP BY range_id ORDER BY range_id"
         ),
         "bloom_join_lineitem_orders": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice "

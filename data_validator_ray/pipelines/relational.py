@@ -4740,3 +4740,109 @@ def ohlc_resample(
         num_buckets=num_buckets,
         batch_size=batch_size,
     )
+
+
+def grouping_sets_aggregate(
+    source: Any,
+    key_cols: List[str],
+    value_col: str,
+    sets: List[List[str]],
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """SQL ``GROUP BY GROUPING SETS ((…), (…), …)`` — arbitrary
+    grouping sets in ONE pass (the general form of ROLLUP/CUBE, which
+    delegate to the same engine). Output rows carry ``grouping_id``,
+    the SQL bitmask ``GROUPING(k1)·2^(n-1) + … + GROUPING(kn)`` over
+    ``key_cols`` order (bit set ⇔ key rolled up in that set), the key
+    columns (NULL where rolled up), ``n_rows`` and ``value_sum``. Each
+    set must use only ``key_cols``; duplicates rejected (SQL would
+    emit duplicate result rows — opt in by listing the union
+    explicitly)."""
+    L = len(key_cols)
+    pos = {c: i for i, c in enumerate(key_cols)}
+    seen = set()
+    tagged = []
+    for s in sets:
+        extra = [c for c in s if c not in pos]
+        if extra:
+            raise ValueError(f"grouping set uses non-key columns: {extra}")
+        mask = 0
+        for c in key_cols:
+            if c not in s:
+                mask |= 1 << (L - 1 - pos[c])
+        if mask in seen:
+            raise ValueError(f"duplicate grouping set: {s}")
+        seen.add(mask)
+        # keep key_cols order inside each set (stable output layout)
+        tagged.append((mask, [c for c in key_cols if c in s]))
+    return _grouping_sets_aggregate(
+        source, key_cols, value_col, tagged, "grouping_id",
+        num_buckets, batch_size,
+    )
+
+
+def pivot_sums(
+    source: Any,
+    key_col: str,
+    cat_col: str,
+    categories: List[str],
+    value_col: str,
+    *,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Pivoted per-category SUMs: one row per key with a
+    ``sum_<cat>`` column per listed category plus ``n_<cat>`` counts —
+    the aggregate sibling of :func:`pivot_counts` (same fixed-layout
+    combiner shape: each batch one-hot-sums per key, the global
+    groupby merges #keys × #batches partials; no post-shuffle pivot
+    stage). NULL values contribute to neither sum nor count (SQL
+    ``SUM(value) FILTER (WHERE cat = c)``); a key with no non-NULL
+    values in a category reads sum 0 here (int64-exact for integer
+    inputs, else float64 — wrap the oracle in COALESCE)."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        val = pc.cast(batch[value_col], pa.float64())
+        valid = pc.is_valid(val)
+        cols = {key_col: batch[key_col]}
+        for i, c in enumerate(cats):
+            m = pc.and_(pc.equal(batch[cat_col], c), valid)
+            m = pc.fill_null(m, False)
+            cols[f"s{i}"] = pc.if_else(m, val, pa.scalar(0.0))
+            cols[f"c{i}"] = pc.cast(m, pa.int64())
+        t = pa.table(cols)
+        agg = t.group_by(key_col).aggregate(
+            [(f"s{i}", "sum") for i in range(len(cats))]
+            + [(f"c{i}", "sum") for i in range(len(cats))]
+        )
+        return agg.rename_columns(
+            [key_col]
+            + [f"s{i}" for i in range(len(cats))]
+            + [f"c{i}" for i in range(len(cats))]
+        )
+
+    ds = _as_dataset(source, columns=[key_col, cat_col, value_col])
+    part = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    out = part.groupby(key_col).aggregate(
+        *(
+            [Sum(f"s{i}", alias_name=f"s{i}") for i in range(len(cats))]
+            + [Sum(f"c{i}", alias_name=f"c{i}") for i in range(len(cats))]
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col]}
+        for i, c in enumerate(cats):
+            cols[f"sum_{c}"] = pc.round(
+                pc.cast(batch[f"s{i}"], pa.float64()), 6
+            )
+            cols[f"n_{c}"] = pc.cast(batch[f"c{i}"], pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")

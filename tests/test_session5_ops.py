@@ -320,3 +320,41 @@ def test_ohlc_resample_null_edges(ray_session):
     assert (second["open"], second["close"], second["n_events"]) == (
         7.0, 7.0, 1,
     )
+
+
+def test_grouping_sets_rejects_bad_sets(ray_session):
+    from data_validator_ray.pipelines.relational import (
+        grouping_sets_aggregate,
+    )
+
+    df = pd.DataFrame({"a": [1], "b": [2], "v": [1.0]})
+    with pytest.raises(ValueError, match="non-key"):
+        grouping_sets_aggregate(df, ["a"], "v", [["a", "b"]])
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_aggregate(df, ["a", "b"], "v", [["a"], ["a"]])
+
+
+def test_range_checksums_order_and_split_invariant(ray_session):
+    from data_validator_ray.pipelines.integrity import range_checksums
+
+    df = pd.DataFrame(
+        {
+            "id": [0, 1, 1001, 1002, 2500, None],
+            "s": ["x", "y", "z", None, "w", "q"],
+        }
+    )
+    a = range_checksums(df, ["id", "s"], "id", width=1000)
+    # permuted rows, different batching → identical digests
+    b = range_checksums(
+        df.sample(frac=1.0, random_state=5).reset_index(drop=True),
+        ["id", "s"], "id", width=1000, batch_size=2,
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a["range_id"].tolist() == [-1, 0, 1, 2]  # NULL keys → -1
+    assert a["n_rows"].tolist() == [1, 2, 2, 1]
+    # a changed row flips exactly its range's digest
+    df2 = df.copy()
+    df2.loc[2, "s"] = "ZZ"
+    c = range_checksums(df2, ["id", "s"], "id", width=1000)
+    diff = a["checksum"] != c["checksum"]
+    assert diff.tolist() == [False, False, True, False]
