@@ -1161,3 +1161,143 @@ def categorical_profile(
             "top_share": pa.array([r[5] for r in rows], pa.float64()),
         }
     )
+
+
+def label_encode(
+    source: Any,
+    cat_col: str,
+    *,
+    out_col: "str | None" = None,
+    max_vocab: int = 1 << 22,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Deterministic label encoding (the StringIndexer feature-eng
+    step): appends ``out_col`` (default ``<col>_idx``) = the 0-based
+    rank of the value in the SORTED distinct vocabulary — stable under
+    repartitioning/re-runs, unlike fit-order indexers. NULL → NULL.
+
+    Two passes, no shuffle: per-batch ``pc.unique`` partials reduce to
+    the distinct set on the driver (vocabulary-bounded — guarded by
+    ``max_vocab`` with a loud error; a billion-key id column is not a
+    categorical feature), sorted once, broadcast once, then one
+    vectorized ``searchsorted`` per batch.
+    """
+    out_col = out_col or f"{cat_col}_idx"
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch[cat_col])
+        u = u.drop_null()
+        return pa.table({"v": u})
+
+    ds = _as_dataset(source)
+    parts = (
+        _as_dataset(source, columns=[cat_col])
+        .map_batches(distinct, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .to_pandas()
+    )
+    vocab = np.sort(parts["v"].unique())
+    if len(vocab) > max_vocab:
+        raise ValueError(
+            f"label_encode: {len(vocab)} distinct values exceeds "
+            f"max_vocab={max_vocab} — a key-like column is not a "
+            "categorical feature (hash or bucketize it instead)"
+        )
+    import ray as _ray
+
+    ref = _ray.put(vocab)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vb = _ray.get(ref)
+        col = batch[cat_col]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = col.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vb, vals[valid])
+        out = np.zeros(batch.num_rows, np.int64)
+        out[valid] = idx
+        return batch.append_column(
+            out_col, pa.array(out, pa.int64(), mask=~valid)
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def target_encode(
+    source: Any,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 10.0,
+    out_col: "str | None" = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Smoothed target encoding (the mean-target feature-eng step):
+    appends ``out_col`` (default ``<col>_te``) =
+    ``(Σ target + m·global_mean) / (n + m)`` per category, where n and
+    Σ run over non-NULL targets — the standard additive-smoothing
+    estimator that shrinks rare categories toward the global mean.
+    NULL category or an all-NULL-target category encodes to the global
+    mean (n = 0); values ROUND 6.
+
+    Two passes, no shuffle: per-batch (category, Σ, n) combiner
+    partials merge on the driver (category-bounded), the encoding map
+    broadcasts once, then one vectorized probe per batch.
+    """
+    import pandas as pd
+
+    out_col = out_col or f"{cat_col}_te"
+
+    def sums(batch: pa.Table) -> pa.Table:
+        val = pc.cast(batch[target_col], pa.float64())
+        valid = pc.is_valid(val)
+        t = pa.table(
+            {
+                "c": batch[cat_col],
+                "s": pc.if_else(pc.fill_null(valid, False), val,
+                                pa.scalar(0.0)),
+                "n": pc.cast(valid, pa.int64()),
+            }
+        )
+        g = t.group_by("c").aggregate([("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["c", "s", "n"])
+
+    parts = (
+        _as_dataset(source, columns=[cat_col, target_col])
+        .map_batches(sums, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    agg = parts.groupby("c", dropna=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    ).reset_index()
+    total_s, total_n = float(agg["s"].sum()), int(agg["n"].sum())
+    if total_n == 0:
+        raise ValueError("target_encode: target column is all NULL")
+    gmean = total_s / total_n
+    agg["te"] = (agg["s"] + smoothing * gmean) / (
+        agg["n"].astype(np.float64) + smoothing
+    )
+    cats = agg[~agg["c"].isna()]
+    vocab = np.sort(cats["c"].to_numpy())
+    order = np.argsort(cats["c"].to_numpy())
+    te = cats["te"].to_numpy()[order]
+    import ray as _ray
+
+    ref = _ray.put((vocab, te, gmean))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vb, tv, gm = _ray.get(ref)
+        col = batch[cat_col]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = col.to_numpy(zero_copy_only=False)
+        out = np.full(batch.num_rows, gm)
+        if valid.any():
+            out[valid] = tv[np.searchsorted(vb, vals[valid])]
+        return batch.append_column(
+            out_col, pa.array(np.round(out, 6), pa.float64())
+        )
+
+    return _as_dataset(source).map_batches(
+        encode, batch_format="pyarrow", batch_size=batch_size
+    )

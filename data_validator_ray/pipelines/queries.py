@@ -3473,6 +3473,45 @@ def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_label_encode_events(sf_dir: str) -> Any:
+    """Deterministic label encoding of event_type (StringIndexer):
+    sorted-vocabulary ranks, NULL → NULL; distinct-partials pass +
+    broadcast searchsorted probe, no shuffle."""
+    from .profile import label_encode
+
+    ds = label_encode(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+        ),
+        "event_type",
+    )
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "event_type", "event_type_idx"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_target_encode_events(sf_dir: str) -> Any:
+    """Smoothed target encoding of event_type by mean(value) (m=10
+    additive shrinkage toward the global mean); category-bounded
+    combiner pass + broadcast probe."""
+    from .profile import target_encode
+
+    ds = target_encode(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        ),
+        "event_type",
+        "value",
+        smoothing=10.0,
+    )
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "event_type_te"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_grouping_sets_events(sf_dir: str) -> pd.DataFrame:
     """Arbitrary GROUPING SETS ((event_type), (user_band), ()) — the
     general form ROLLUP/CUBE delegate to; one pass, SQL GROUPING
@@ -4013,6 +4052,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
+        "label_encode_events": q_label_encode_events,
+        "target_encode_events": q_target_encode_events,
         "grouping_sets_events": q_grouping_sets_events,
         "pivot_sums_events": q_pivot_sums_events,
         "range_checksums_events": q_range_checksums_events,
@@ -5769,6 +5810,30 @@ def oracle_sql() -> Dict[str, str]:
             "LEAD(valid_from) OVER (PARTITION BY user_id "
             "ORDER BY valid_from, event_id) IS NULL AS is_current "
             "FROM v ORDER BY user_id, valid_from"
+        ),
+        "label_encode_events": (
+            "WITH v AS (SELECT DISTINCT event_type FROM events "
+            "WHERE event_type IS NOT NULL), "
+            "r AS (SELECT event_type, "
+            "(ROW_NUMBER() OVER (ORDER BY event_type) - 1)::BIGINT "
+            "AS event_type_idx FROM v) "
+            "SELECT e.event_id, e.event_type, r.event_type_idx "
+            "FROM events e LEFT JOIN r USING (event_type) "
+            "ORDER BY event_id"
+        ),
+        "target_encode_events": (
+            "WITH g AS (SELECT SUM(value) / COUNT(value) AS gm "
+            "FROM events), "
+            "a AS (SELECT event_type, COALESCE(SUM(value), 0) AS s, "
+            "COUNT(value) AS n FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY event_type), "
+            "m AS (SELECT event_type, "
+            "(s + 10 * (SELECT gm FROM g)) / (n + 10) AS te FROM a) "
+            "SELECT e.event_id, "
+            "ROUND(COALESCE(m.te, (SELECT gm FROM g)), 6) "
+            "AS event_type_te "
+            "FROM events e LEFT JOIN m USING (event_type) "
+            "ORDER BY event_id"
         ),
         "grouping_sets_events": (
             "WITH e AS (SELECT event_type, user_id % 4 AS user_band, "

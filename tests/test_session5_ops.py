@@ -358,3 +358,36 @@ def test_range_checksums_order_and_split_invariant(ray_session):
     c = range_checksums(df2, ["id", "s"], "id", width=1000)
     diff = a["checksum"] != c["checksum"]
     assert diff.tolist() == [False, False, True, False]
+
+
+def test_label_encode_stability_and_nulls(ray_session):
+    from data_validator_ray.pipelines.profile import label_encode
+
+    df = pd.DataFrame({"c": ["b", "a", None, "c", "a"]})
+    out = label_encode(df, "c").to_pandas()
+    got = dict(zip(out["c"], out["c_idx"]))
+    assert got["a"] == 0 and got["b"] == 1 and got["c"] == 2
+    assert out["c_idx"].isna().sum() == 1
+    # vocabulary cap fails loudly
+    with pytest.raises(ValueError, match="max_vocab"):
+        label_encode(
+            pd.DataFrame({"c": [str(i) for i in range(10)]}),
+            "c", max_vocab=5,
+        ).to_pandas()
+
+
+def test_target_encode_shrinkage(ray_session):
+    from data_validator_ray.pipelines.profile import target_encode
+
+    df = pd.DataFrame(
+        {
+            "c": ["a"] * 100 + ["b"],
+            "y": [10.0] * 100 + [0.0],
+        }
+    )
+    out = target_encode(df, "c", "y", smoothing=10.0).to_pandas()
+    te = out.drop_duplicates("c").set_index("c")["c_te"]
+    gm = 1000.0 / 101
+    # frequent category barely shrinks; rare one pulls hard to gmean
+    assert abs(te["a"] - round((1000 + 10 * gm) / 110, 6)) < 1e-9
+    assert abs(te["b"] - round((0 + 10 * gm) / 11, 6)) < 1e-9
