@@ -3473,6 +3473,66 @@ def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_group_limit_events_user(sf_dir: str) -> pd.DataFrame:
+    """group_limit rule (grouped-HAVING family): every user's event
+    COUNT must be ≤ 60; group-level verdict from the bucketed
+    combiner shuffle."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(
+            name="g", rule_type="group_limit", column=None,
+            parameters={
+                "keys": ["user_id"], "agg": "count",
+                "op": "<=", "bound": 60,
+            },
+        ),
+    )
+
+
+def q_group_limit_orders_avg(sf_dir: str) -> pd.DataFrame:
+    """group_limit rule with a value aggregate: every customer's AVG
+    order total must be ≤ 300000."""
+    return _single_rule_counts(
+        sf_dir, "orders",
+        ValidationRule(
+            name="g", rule_type="group_limit", column=None,
+            parameters={
+                "keys": ["o_custkey"], "agg": "avg",
+                "agg_column": "o_totalprice",
+                "op": "<=", "bound": 300000,
+            },
+        ),
+    )
+
+
+def q_correlation_lineitem(sf_dir: str) -> pd.DataFrame:
+    """correlation rule (deequ hasCorrelation): Pearson r of
+    (l_quantity, l_extendedprice) must lie in [−0.1, 0.1] —
+    moment-sum partials in the fused pass, no shuffle; emits the
+    measured r (ROUND 6) alongside the verdict counts."""
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "lineitem", "rules": [
+            {"name": "c", "rule_type": "correlation",
+             "column": "l_quantity",
+             "parameters": {"other": "l_extendedprice",
+                            "min_value": -0.1, "max_value": 0.1}},
+        ]}],
+    )
+    v = RayDataValidator(cfg)
+    summary = v.validate_table(f"{sf_dir}/lineitem.parquet", "lineitem")
+    r = summary.results[0]
+    if r.total_count < 0:
+        raise RuntimeError(f"rule failed: {r.message}")
+    return pd.DataFrame(
+        {
+            "total_count": pd.Series([r.total_count], dtype="int64"),
+            "failed_count": pd.Series([r.failed_count], dtype="int64"),
+            "corr": [round(r.metadata["correlation"], 6)],
+        }
+    )
+
+
 def q_label_encode_events(sf_dir: str) -> Any:
     """Deterministic label encoding of event_type (StringIndexer):
     sorted-vocabulary ranks, NULL → NULL; distinct-partials pass +
@@ -4052,6 +4112,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
+        "group_limit_events_user": q_group_limit_events_user,
+        "group_limit_orders_avg": q_group_limit_orders_avg,
+        "correlation_lineitem": q_correlation_lineitem,
         "label_encode_events": q_label_encode_events,
         "target_encode_events": q_target_encode_events,
         "grouping_sets_events": q_grouping_sets_events,
@@ -5810,6 +5873,29 @@ def oracle_sql() -> Dict[str, str]:
             "LEAD(valid_from) OVER (PARTITION BY user_id "
             "ORDER BY valid_from, event_id) IS NULL AS is_current "
             "FROM v ORDER BY user_id, valid_from"
+        ),
+        "group_limit_events_user": (
+            "WITH g AS (SELECT user_id, COUNT(*) AS c FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id) "
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE NOT (c <= 60)))::BIGINT "
+            "AS failed_count FROM g"
+        ),
+        "group_limit_orders_avg": (
+            "WITH g AS (SELECT o_custkey, AVG(o_totalprice) AS a "
+            "FROM orders WHERE o_custkey IS NOT NULL "
+            "GROUP BY o_custkey) "
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE NOT (a <= 300000)))::BIGINT "
+            "AS failed_count FROM g"
+        ),
+        "correlation_lineitem": (
+            "SELECT 1::BIGINT AS total_count, "
+            "(CASE WHEN CORR(l_quantity, l_extendedprice) "
+            "BETWEEN -0.1 AND 0.1 THEN 0 ELSE 1 END)::BIGINT "
+            "AS failed_count, "
+            "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr "
+            "FROM lineitem"
         ),
         "label_encode_events": (
             "WITH v AS (SELECT DISTINCT event_type FROM events "

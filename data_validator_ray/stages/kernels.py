@@ -740,3 +740,137 @@ class MonotonicKernel(CheckKernel):
             "total": sum(p["total"] for p in partials),
             "failed": 0,
         }
+
+
+@register_check("correlation")
+class CorrelationKernel(CheckKernel):
+    """Table-level check (deequ ``hasCorrelation``): the Pearson
+    correlation of ``column`` vs ``parameters.other`` must lie within
+    [min_value, max_value]. total=1, failed∈{0,1} (the quantile/drift
+    verdict convention); metadata carries ``correlation`` and
+    ``n_pairs``.
+
+    Fused, no shuffle: per-batch pairwise-complete moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy² over rows where BOTH are non-NULL — SQL
+    ``CORR`` convention) merge associatively; the closed-form sample
+    correlation (scale factors cancel) is NULL/fails when n < 2 or
+    either variance is zero, matching SQL NULL (an unknown verdict is
+    a failed verdict)."""
+
+    table_level = True
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        other = rule.parameters.get("other")
+        if not other:
+            raise ValueError(
+                "Correlation rule requires an 'other' column parameter"
+            )
+        self.other = str(other)
+        self.min_value = rule.parameters.get("min_value")
+        self.max_value = rule.parameters.get("max_value")
+        if self.min_value is None and self.max_value is None:
+            raise ValueError(
+                "Correlation rule requires min_value and/or max_value"
+            )
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        x = pc.cast(batch[self.column], pa.float64())
+        y = pc.cast(batch[self.other], pa.float64())
+        both = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        xv = x.filter(both).to_numpy(zero_copy_only=False)
+        yv = y.filter(both).to_numpy(zero_copy_only=False)
+        return {
+            "total": batch.num_rows,
+            "failed": 0,
+            "m": [
+                float(len(xv)),
+                float(xv.sum()), float(yv.sum()),
+                float((xv * yv).sum()),
+                float((xv * xv).sum()), float((yv * yv).sum()),
+            ],
+        }
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        m = np.zeros(6)
+        for p in partials:
+            if "m" in p:
+                m += np.asarray(p["m"])
+        n, sx, sy, sxy, sxx, syy = m
+        r = None
+        if n >= 2:
+            cov = sxy - sx * sy / n
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            if vx > 0 and vy > 0:
+                r = cov / float(np.sqrt(vx * vy))
+        ok = r is not None
+        if ok and self.min_value is not None and r < self.min_value:
+            ok = False
+        if ok and self.max_value is not None and r > self.max_value:
+            ok = False
+        return {
+            "total": 1,
+            "failed": 0 if ok else 1,
+            "correlation": r,
+            "n_pairs": int(n),
+        }
+
+
+@register_check("group_limit")
+class GroupLimitKernel(CheckKernel):
+    """Per-group aggregate bound (the grouped-HAVING rule family —
+    e.g. "no user exceeds 1000 events", "every order's line-count is
+    ≥ 1"): asserts ``agg(agg_column) OP bound`` for EVERY group of
+    ``keys``. Verdict is group-level: total = distinct key tuples
+    (NULL keys excluded), failed = groups where the assertion is not
+    satisfied — a NULL aggregate (all-NULL values under sum/avg/
+    min/max) never satisfies, the SQL three-valued HAVING convention.
+
+    Parameters: ``keys`` (non-empty list), ``agg`` ∈ {count, sum,
+    avg, min, max} (count counts ROWS), ``agg_column`` (required
+    except for count), ``op`` ∈ {<=, <, >=, >}, ``bound`` (number).
+
+    Scale shape: per-batch pyarrow ``group_by`` combiner partials
+    (keys, n, Σ, min, max, non-null count — distinct-bounded, never
+    rows), ONE bucketed key shuffle, vectorized per-bucket merge +
+    assertion (``validator._group_limit_violations``).
+    """
+
+    AGGS = ("count", "sum", "avg", "min", "max")
+    OPS = ("<=", "<", ">=", ">")
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        p = rule.parameters
+        keys = p.get("keys") or []
+        if not keys:
+            raise ValueError("group_limit rule requires non-empty 'keys'")
+        self.keys = [str(c) for c in keys]
+        self.agg = str(p.get("agg", "count"))
+        if self.agg not in self.AGGS:
+            raise ValueError(f"agg must be one of {self.AGGS}")
+        self.agg_column = p.get("agg_column")
+        if self.agg != "count" and not self.agg_column:
+            raise ValueError(f"agg='{self.agg}' requires 'agg_column'")
+        self.agg_column = str(self.agg_column) if self.agg_column else None
+        self.op = str(p.get("op", "<="))
+        if self.op not in self.OPS:
+            raise ValueError(f"op must be one of {self.OPS}")
+        if "bound" not in p:
+            raise ValueError("group_limit rule requires 'bound'")
+        self.bound = float(p["bound"])
+        self.column = self.keys[0]
+        self.needs_shuffle = True
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        # row totals only; the validator's bucketed shuffle stage fills
+        # in the group-level verdict
+        return {"total": batch.num_rows, "failed": 0}
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return {
+            "total": sum(p["total"] for p in partials),
+            "failed": 0,
+        }

@@ -152,6 +152,19 @@ def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
         return sorted(
             {*(str(c) for c in rule.parameters["columns"]), *extra}
         )
+    if rule.rule_type == "correlation":
+        other = rule.parameters.get("other")
+        if rule.column and other:
+            return sorted({rule.column, str(other), *extra})
+        return None
+    if rule.rule_type == "group_limit":
+        keys = [str(c) for c in rule.parameters.get("keys", [])]
+        agg_col = rule.parameters.get("agg_column")
+        if keys:
+            return sorted(
+                {*keys, *( [str(agg_col)] if agg_col else [] ), *extra}
+            )
+        return None
     if rule.rule_type == "monotonic":
         keys = [str(c) for c in rule.parameters.get("keys", [])]
         order_by = [str(c) for c in rule.parameters.get("order_by", [])]
@@ -544,6 +557,103 @@ class RayDataValidator:
             int(sum(r["n_viol"] for r in parts)),
         )
 
+    def _group_limit_violations(
+        self,
+        ds: Dataset,
+        keys: List[str],
+        agg: str,
+        agg_column: "str | None",
+        op: str,
+        bound: float,
+        buckets: int = 256,
+    ) -> Tuple[int, int]:
+        """(distinct groups, violating groups) for a group_limit rule —
+        see ``GroupLimitKernel``. Per-batch pyarrow ``group_by``
+        combiner partials (distinct-bounded exchange), one bucketed
+        key shuffle, vectorized per-bucket merge + assertion. NULL
+        keys are out of scope; a NULL aggregate never satisfies."""
+        import numpy as np
+        import pandas as pd
+
+        from .pipelines.dedup import bucketed_groupby
+
+        cols = list(keys) + ([agg_column] if agg_column else [])
+
+        def partials(batch: pa.Table) -> pa.Table:
+            keep = pc.is_valid(batch[keys[0]])
+            for c in keys[1:]:
+                keep = pc.and_(keep, pc.is_valid(batch[c]))
+            b = batch.select(cols).filter(keep)
+            if agg_column:
+                val = pc.cast(b[agg_column], pa.float64())
+                t = pa.table(
+                    {
+                        **{c: b[c] for c in keys},
+                        "__v": pc.fill_null(val, 0.0),
+                        "__vm": val,
+                        "__c": pc.cast(pc.is_valid(val), pa.int64()),
+                    }
+                )
+                g = t.group_by(keys).aggregate(
+                    [
+                        ("__v", "sum"), ("__vm", "min"), ("__vm", "max"),
+                        ("__c", "sum"), ("__c", "count"),
+                    ]
+                )
+                return g.rename_columns(
+                    [*keys, "s", "mn", "mx", "nn", "n"]
+                )
+            t = pa.table({**{c: b[c] for c in keys}})
+            g = t.group_by(keys).aggregate([([], "count_all")])
+            return g.rename_columns([*keys, "n"])
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame({"n_grp": [0], "n_viol": [0]})
+            if agg_column:
+                m = g.groupby(keys, sort=False).agg(
+                    s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+                    nn=("nn", "sum"), n=("n", "sum"),
+                )
+                nn = m["nn"].to_numpy(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    val = {
+                        "count": m["n"].to_numpy(np.float64),
+                        "sum": m["s"].to_numpy(np.float64),
+                        "avg": m["s"].to_numpy(np.float64) / nn,
+                        "min": m["mn"].to_numpy(np.float64),
+                        "max": m["mx"].to_numpy(np.float64),
+                    }[agg]
+                # all-NULL groups: sum/avg/min/max are undefined → the
+                # assertion is never satisfied (SQL three-valued HAVING)
+                defined = (nn > 0) | (agg == "count")
+            else:
+                m = g.groupby(keys, sort=False).agg(n=("n", "sum"))
+                val = m["n"].to_numpy(np.float64)
+                defined = np.ones(len(m), bool)
+            with np.errstate(invalid="ignore"):
+                sat = {
+                    "<=": val <= bound,
+                    "<": val < bound,
+                    ">=": val >= bound,
+                    ">": val > bound,
+                }[op]
+            sat = sat & defined & ~np.isnan(val)
+            return pd.DataFrame(
+                {"n_grp": [len(m)], "n_viol": [int((~sat).sum())]}
+            )
+
+        part_ds = ds.map_batches(
+            partials, batch_format="pyarrow", batch_size=self.batch_size
+        )
+        parts = bucketed_groupby(
+            part_ds, keys, per_bucket, num_buckets=buckets
+        ).take_all()
+        return (
+            int(sum(r["n_grp"] for r in parts)),
+            int(sum(r["n_viol"] for r in parts)),
+        )
+
     def _monotonic_violations(
         self,
         ds: Dataset,
@@ -745,6 +855,41 @@ class RayDataValidator:
                     combined["total"] = n_det
                     combined["failed"] = n_viol
                     combined["distinct_determinants"] = n_det
+                    extra_ms = (time.time() - t1) * 1000
+                elif kernel.needs_shuffle and kernel.rule_type == "group_limit":
+                    t1 = time.time()
+                    from .stages.registry import ScopedKernel
+
+                    inner = getattr(kernel, "inner", kernel)
+                    cols = sorted(
+                        {
+                            *inner.keys,
+                            *( [inner.agg_column] if inner.agg_column else [] ),
+                        }
+                    )
+                    if isinstance(kernel, ScopedKernel):
+                        grp_ds = self.load_data(
+                            data,
+                            columns=sorted({*cols, *kernel.where_columns}),
+                        ).map_batches(
+                            kernel.scope_batch,
+                            batch_format="pyarrow",
+                            batch_size=self.batch_size,
+                            zero_copy_batch=True,
+                        )
+                    else:
+                        grp_ds = self.load_data(data, columns=cols)
+                    n_grp, n_viol = self._group_limit_violations(
+                        grp_ds,
+                        inner.keys,
+                        inner.agg,
+                        inner.agg_column,
+                        inner.op,
+                        inner.bound,
+                    )
+                    combined["total"] = n_grp
+                    combined["failed"] = n_viol
+                    combined["distinct_groups"] = n_grp
                     extra_ms = (time.time() - t1) * 1000
                 elif kernel.needs_shuffle and kernel.rule_type == "monotonic":
                     t1 = time.time()

@@ -391,3 +391,73 @@ def test_target_encode_shrinkage(ray_session):
     # frequent category barely shrinks; rare one pulls hard to gmean
     assert abs(te["a"] - round((1000 + 10 * gm) / 110, 6)) < 1e-9
     assert abs(te["b"] - round((0 + 10 * gm) / 11, 6)) < 1e-9
+
+
+def test_group_limit_rule_semantics(ray_session):
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "t", "rules": [
+            {"name": "g", "rule_type": "group_limit",
+             "parameters": {"keys": ["k"], "agg": "avg",
+                            "agg_column": "v", "op": "<=", "bound": 5}},
+        ]}],
+    )
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "c", None],
+            "v": [4.0, 4.0, 9.0, None, 100.0],
+        }
+    )
+    v = RayDataValidator(cfg)
+    r = v.validate_table(df, "t").results[0]
+    # groups a (avg 4 ok), b (avg 9 viol), c (all-NULL -> never
+    # satisfies); NULL key out of scope
+    assert (r.total_count, r.failed_count) == (3, 2)
+
+
+def test_group_limit_count_and_min(ray_session):
+    df = pd.DataFrame(
+        {"k": ["a"] * 3 + ["b"], "v": [1.0, 2.0, 3.0, -7.0]}
+    )
+
+    def run(**params):
+        cfg = ValidationConfig(
+            engine={"type": "ray"},
+            tables=[{"name": "t", "rules": [
+                {"name": "g", "rule_type": "group_limit",
+                 "parameters": params},
+            ]}],
+        )
+        r = RayDataValidator(cfg).validate_table(df, "t").results[0]
+        return r.total_count, r.failed_count
+
+    assert run(keys=["k"], agg="count", op="<=", bound=2) == (2, 1)
+    assert run(keys=["k"], agg="min", agg_column="v",
+               op=">=", bound=0) == (2, 1)
+
+
+def test_correlation_rule_verdict(ray_session):
+    rng = np.random.RandomState(5)
+    x = rng.randn(500)
+    df = pd.DataFrame({"x": x, "y": 2 * x + rng.randn(500) * 0.1})
+    df.loc[3, "y"] = None  # pairwise-complete
+
+    def run(lo, hi):
+        cfg = ValidationConfig(
+            engine={"type": "ray"},
+            tables=[{"name": "t", "rules": [
+                {"name": "c", "rule_type": "correlation", "column": "x",
+                 "parameters": {"other": "y", "min_value": lo,
+                                "max_value": hi}},
+            ]}],
+        )
+        r = RayDataValidator(cfg).validate_table(df, "t").results[0]
+        return r.passed, r.metadata["correlation"], r.metadata["n_pairs"]
+
+    ok, corr, n = run(0.9, 1.0)
+    assert ok and n == 499
+    m = df.dropna()
+    expect = np.corrcoef(m["x"], m["y"])[0, 1]
+    assert abs(corr - expect) < 1e-12
+    bad, _, _ = run(-1.0, 0.5)
+    assert not bad
