@@ -132,3 +132,153 @@ def zorder_sort(
         names = [n for n in out.schema().names if n != key_name]
         out = out.select_columns(names)
     return out
+
+
+def write_bucketed(
+    source: Any,
+    out_dir: str,
+    key_col: str,
+    *,
+    num_buckets: int = 32,
+    columns: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> str:
+    """Hive-style bucketed table write: rows land in ``bucket=N/``
+    dirs by ``hash64(key) % num_buckets`` — the storage-level
+    co-partitioning that lets every later same-key operation (joins,
+    grouped aggregates, dedup) skip its shuffle entirely. Two tables
+    written with the SAME key dtype and bucket count are join-aligned
+    bucket-for-bucket (:func:`bucketed_join` exploits this); the
+    brief's "pick ONE partitioning key and reuse it across stages"
+    made durable. NULL keys land in bucket 0 (they never join — kept
+    only so row counts reconcile). A ``_buckets.json`` manifest pins
+    (key, num_buckets, hash) so mismatched layouts fail loudly at
+    read time. Returns ``out_dir``."""
+    import json
+    from pathlib import Path
+
+    from ..functions.sketches import hash64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # hash only the NON-NULL values in their native dtype: a
+        # nullable int column converts whole to float64+NaN otherwise,
+        # hashing inconsistently with a null-free int64 partner table
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        b = np.zeros(len(col), np.int64)
+        vals = col.drop_null().to_numpy(zero_copy_only=False)
+        if len(vals):
+            b[valid] = (
+                hash64(vals) % np.uint64(num_buckets)
+            ).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    ds = _as_dataset(source, columns=columns)
+    ds.map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=batch_size
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+    # key type from the written footers — authoritative for what the
+    # hash actually saw, robust to pandas nullable-dtype blocks
+    import pyarrow.parquet as _pq
+
+    first = next(iter(sorted(Path(out_dir).glob("bucket=*/*.parquet"))))
+    key_type = str(_pq.ParquetFile(first).schema_arrow.field(key_col).type)
+    (Path(out_dir) / "_buckets.json").write_text(
+        json.dumps(
+            {
+                "key": key_col,
+                "key_type": key_type,
+                "num_buckets": num_buckets,
+                "hash": "hash64",
+            }
+        )
+    )
+    return out_dir
+
+
+def bucketed_join(
+    left_dir: str,
+    right_dir: str,
+    *,
+    left_key: str,
+    right_key: str,
+    right_cols: Optional[List[str]] = None,
+    num_cpus: float = 1.0,
+) -> Dataset:
+    """SHUFFLE-FREE inner join of two bucket-aligned tables written by
+    :func:`write_bucketed` with the same bucket count: equal keys
+    already co-locate at the DIRECTORY level, so the join is one Ray
+    task per bucket reading exactly its two file sets and merging
+    vectorized — no exchange at all, the payoff of co-partitioned
+    storage. Raw ``@ray.remote`` tasks are used deliberately here: the
+    Dataset API cannot express "read two aligned file sets per task"
+    (this is its documented escape hatch); results return as Arrow
+    refs and stream into a Dataset without driver materialization.
+
+    Layout manifests must agree on ``num_buckets``/hash (loud error
+    otherwise). NULL keys never match (dropped per bucket). Duplicate
+    keys produce the SQL per-key cross product. Output columns: the
+    left table's plus ``right_cols`` (default: all non-key right
+    columns; names must not collide)."""
+    import json
+    from pathlib import Path
+
+    import pandas as pd
+
+    lm = json.loads((Path(left_dir) / "_buckets.json").read_text())
+    rm = json.loads((Path(right_dir) / "_buckets.json").read_text())
+    if lm["num_buckets"] != rm["num_buckets"] or lm["hash"] != rm["hash"]:
+        raise ValueError(
+            f"bucket layouts differ: {lm} vs {rm} — rewrite one side "
+            "with matching num_buckets"
+        )
+    if lm.get("key_type") != rm.get("key_type"):
+        # hash64 is dtype-sensitive: int64 1 and float64 1.0 land in
+        # different buckets, silently losing matches — refuse
+        raise ValueError(
+            f"bucketing key types differ ({lm.get('key_type')} vs "
+            f"{rm.get('key_type')}) — cast one side before writing"
+        )
+    if lm["key"] != left_key or rm["key"] != right_key:
+        raise ValueError(
+            "join keys must be the tables' bucketing keys "
+            f"(left bucketed by {lm['key']!r}, right by {rm['key']!r})"
+        )
+    n_buckets = int(lm["num_buckets"])
+
+    @ray.remote(num_cpus=num_cpus)
+    def join_bucket(lfiles: List[str], rfiles: List[str]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        lt = pa.concat_tables([pq.read_table(f) for f in lfiles])
+        rt = pa.concat_tables([pq.read_table(f) for f in rfiles])
+        lt = lt.drop(["bucket"]) if "bucket" in lt.column_names else lt
+        rt = rt.drop(["bucket"]) if "bucket" in rt.column_names else rt
+        rcols = right_cols or [
+            c for c in rt.column_names if c != right_key
+        ]
+        ldf = lt.to_pandas()
+        rdf = rt.select(
+            [right_key] + [c for c in rcols if c != right_key]
+        ).to_pandas()
+        ldf = ldf[ldf[left_key].notna()]
+        rdf = rdf[rdf[right_key].notna()]
+        out = ldf.merge(
+            rdf, left_on=left_key, right_on=right_key, how="inner"
+        )
+        if right_key != left_key and right_key in out.columns:
+            out = out.drop(columns=[right_key])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    refs = []
+    for b in range(n_buckets):
+        lf = sorted(str(f) for f in Path(left_dir).glob(f"bucket={b}/*.parquet"))
+        rf = sorted(str(f) for f in Path(right_dir).glob(f"bucket={b}/*.parquet"))
+        if not lf or not rf:
+            continue  # empty bucket on either side joins to nothing
+        refs.append(join_bucket.remote(lf, rf))
+    if not refs:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(refs)

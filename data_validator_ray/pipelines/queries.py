@@ -3473,6 +3473,43 @@ def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_bucketed_join_lineitem_orders(sf_dir: str) -> Any:
+    """Shuffle-FREE join from co-partitioned storage: both tables are
+    written once as hash-bucketed hive layouts on the order key
+    (bucket manifests pin the layout), then the join is one Ray task
+    per aligned bucket pair — zero exchange, the durable form of
+    'pick one partitioning key and reuse it across stages'."""
+    import tempfile
+    from pathlib import Path
+
+    from .layout import bucketed_join, write_bucketed
+
+    tag = Path(sf_dir).name
+    ldir = f"{tempfile.gettempdir()}/graft_bkt_li_{tag}"
+    rdir = f"{tempfile.gettempdir()}/graft_bkt_ord_{tag}"
+    if not Path(ldir).exists():
+        write_bucketed(
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_linenumber", "l_quantity"],
+            ),
+            ldir, "l_orderkey", num_buckets=16,
+        )
+    if not Path(rdir).exists():
+        write_bucketed(
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_totalprice"],
+            ),
+            rdir, "o_orderkey", num_buckets=16,
+        )
+    return bucketed_join(
+        ldir, rdir,
+        left_key="l_orderkey", right_key="o_orderkey",
+        right_cols=["o_totalprice"],
+    )
+
+
 def q_group_limit_events_user(sf_dir: str) -> pd.DataFrame:
     """group_limit rule (grouped-HAVING family): every user's event
     COUNT must be ≤ 60; group-level verdict from the bucketed
@@ -4112,6 +4149,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
+        "bucketed_join_lineitem_orders": q_bucketed_join_lineitem_orders,
         "group_limit_events_user": q_group_limit_events_user,
         "group_limit_orders_avg": q_group_limit_orders_avg,
         "correlation_lineitem": q_correlation_lineitem,
@@ -5873,6 +5911,11 @@ def oracle_sql() -> Dict[str, str]:
             "LEAD(valid_from) OVER (PARTITION BY user_id "
             "ORDER BY valid_from, event_id) IS NULL AS is_current "
             "FROM v ORDER BY user_id, valid_from"
+        ),
+        "bucketed_join_lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "ORDER BY l_orderkey, l_linenumber"
         ),
         "group_limit_events_user": (
             "WITH g AS (SELECT user_id, COUNT(*) AS c FROM events "

@@ -461,3 +461,45 @@ def test_correlation_rule_verdict(ray_session):
     assert abs(corr - expect) < 1e-12
     bad, _, _ = run(-1.0, 0.5)
     assert not bad
+
+
+def test_bucketed_join_layout_guards(ray_session, tmp_path):
+    from data_validator_ray.pipelines.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = pd.DataFrame(
+        {"k": pd.array([1, 2, 3, None], dtype="Int64"),
+         "lv": [10, 20, 30, 40]}
+    )
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": ["a", "b", "c", "d"]})
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(left, ld, "k", num_buckets=4)
+    write_bucketed(right, rd, "k", num_buckets=4)
+    out = (
+        bucketed_join(ld, rd, left_key="k", right_key="k")
+        .to_pandas()
+        .sort_values(["k", "rv"])
+        .reset_index(drop=True)
+    )
+    # NULL keys never match; duplicate right keys cross-product
+    assert list(map(tuple, out[["k", "lv", "rv"]].to_numpy())) == [
+        (2, 20, "a"), (3, 30, "b"), (3, 30, "c"),
+    ]
+
+    rd8 = str(tmp_path / "r8")
+    write_bucketed(right, rd8, "k", num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets"):
+        bucketed_join(ld, rd8, left_key="k", right_key="k")
+    with pytest.raises(ValueError, match="bucketing keys"):
+        bucketed_join(ld, rd, left_key="lv", right_key="k")
+    # dtype-mismatched layouts refuse loudly (hash64 is
+    # dtype-sensitive; silent bucket misalignment would lose rows)
+    rf = str(tmp_path / "rf")
+    write_bucketed(
+        pd.DataFrame({"k": [2.0, 3.0], "rv": ["x", "y"]}),
+        rf, "k", num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="key types"):
+        bucketed_join(ld, rf, left_key="k", right_key="k")
