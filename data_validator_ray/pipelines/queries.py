@@ -3473,6 +3473,21 @@ def q_scd2_events_user_type(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_disc_quantiles_events(sf_dir: str) -> Any:
+    """PERCENTILE_DISC tier of the exact grouped quantiles (actual
+    elements at max(ceil(q·n),1), no interpolation) — value copies,
+    hash-exact without rounding."""
+    from .relational import grouped_exact_quantiles
+
+    return grouped_exact_quantiles(
+        f"{sf_dir}/events.parquet",
+        "event_type",
+        "value",
+        quantiles=(0.25, 0.5, 0.9),
+        interpolation="disc",
+    )
+
+
 def q_bucketed_join_lineitem_orders(sf_dir: str) -> Any:
     """Shuffle-FREE join from co-partitioned storage: both tables are
     written once as hash-bucketed hive layouts on the order key
@@ -4149,6 +4164,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_covariance_matrix": q_embedding_covariance,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
+        "disc_quantiles_events": q_disc_quantiles_events,
         "bucketed_join_lineitem_orders": q_bucketed_join_lineitem_orders,
         "group_limit_events_user": q_group_limit_events_user,
         "group_limit_orders_avg": q_group_limit_orders_avg,
@@ -5911,6 +5927,14 @@ def oracle_sql() -> Dict[str, str]:
             "LEAD(valid_from) OVER (PARTITION BY user_id "
             "ORDER BY valid_from, event_id) IS NULL AS is_current "
             "FROM v ORDER BY user_id, valid_from"
+        ),
+        "disc_quantiles_events": (
+            "SELECT event_type, "
+            "quantile_disc(value, 0.25) AS p25, "
+            "quantile_disc(value, 0.5) AS p50, "
+            "quantile_disc(value, 0.9) AS p90 "
+            "FROM events WHERE event_type IS NOT NULL "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "bucketed_join_lineitem_orders": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice "

@@ -2778,14 +2778,17 @@ def grouped_exact_quantiles(
     value_col: str,
     *,
     quantiles: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.95),
+    interpolation: str = "cont",
     num_buckets: int = 64,
     batch_size: int = 64 * 1024,
 ) -> Dataset:
-    """EXACT per-group continuous quantiles (``quantile_cont``
-    semantics, bit-exact vs DuckDB): one shuffle co-locates each group
-    via ``bucketed_groupby``, then ONE vectorized sort + segmented
-    interpolation per bucket handles all its groups (no per-group
-    Python calls).
+    """EXACT per-group quantiles, bit-exact vs DuckDB: one shuffle
+    co-locates each group via ``bucketed_groupby``, then ONE
+    vectorized sort + segmented gather per bucket handles all its
+    groups (no per-group Python calls). ``interpolation="cont"``
+    (default) is ``quantile_cont`` linear interpolation;
+    ``"disc"`` is ``quantile_disc`` — the actual element at 1-based
+    index ``max(ceil(q·n), 1)``, no interpolation (PERCENTILE_DISC).
 
     This is the exact tier; :func:`grouped_quantiles` (mergeable
     t-digest partials) is the scale tier. Exact quantiles require a
@@ -2796,7 +2799,15 @@ def grouped_exact_quantiles(
     NULL values are ignored (SQL aggregate semantics); a group whose
     values are all NULL yields NULL quantiles. NULL group keys drop
     (unlike SQL GROUP BY — documented divergence)."""
+    if interpolation not in ("cont", "disc"):
+        raise ValueError("interpolation must be 'cont' or 'disc'")
     qcols = [f"p{int(q * 100)}" for q in quantiles]
+
+    def _quantile_disc(vals, starts, counts, q):
+        # DuckDB quantile_disc: sorted 1-based index max(ceil(q·n), 1)
+        idx = np.maximum(np.ceil(q * counts), 1.0).astype(np.int64) - 1
+        out = vals[starts + np.minimum(idx, counts - 1)]
+        return np.where(counts > 0, out, np.nan)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         all_groups = g[group_col].dropna().drop_duplicates()
@@ -2809,8 +2820,12 @@ def grouped_exact_quantiles(
             starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
             counts = np.diff(np.r_[starts, len(keys)])
             row = {group_col: keys[starts]}
+            qfn = (
+                _quantile_disc if interpolation == "disc"
+                else _quantile_cont
+            )
             for q, name in zip(quantiles, qcols):
-                row[name] = _quantile_cont(vals, starts, counts, q)
+                row[name] = qfn(vals, starts, counts, q)
             out = pd.DataFrame(row)
         else:
             out = pd.DataFrame({group_col: [], **{c: [] for c in qcols}})

@@ -670,6 +670,54 @@ def test_grouped_exact_quantiles_single_value_group(ray_session):
     assert out.iloc[0].p0 == 3.5 and out.iloc[0].p50 == 3.5 and out.iloc[0].p100 == 3.5
 
 
+def test_grouped_exact_quantiles_disc_matches_duckdb(ray_session):
+    """quantile_disc tier: actual element at max(ceil(q*n),1), bit-exact
+    (value copies, never interpolated) — including ties and q=0/1."""
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import grouped_exact_quantiles
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 150),
+            # integer-valued floats force ties; disc must return members
+            "v": rng.integers(0, 20, 150).astype(float),
+        }
+    )
+    df.loc[df.index[:8], "v"] = None
+    out = (
+        grouped_exact_quantiles(
+            ray.data.from_pandas(df), "g", "v",
+            quantiles=(0.0, 0.25, 0.5, 0.9, 1.0), interpolation="disc",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        "SELECT g, quantile_disc(v, 0.0) p0, quantile_disc(v, 0.25) p25,"
+        " quantile_disc(v, 0.5) p50, quantile_disc(v, 0.9) p90,"
+        " quantile_disc(v, 1.0) p100 FROM t GROUP BY g ORDER BY g"
+    ).df()
+    assert list(out.g) == list(ref.g)
+    for c in ("p0", "p25", "p50", "p90", "p100"):
+        assert np.array_equal(out[c].to_numpy(), ref[c].to_numpy())
+        # every disc quantile is an actual member of the group's values
+        for gk, val in zip(out.g, out[c]):
+            assert val in set(df[(df.g == gk) & df.v.notna()].v)
+
+
+def test_grouped_exact_quantiles_bad_interpolation():
+    from data_validator_ray.pipelines.relational import grouped_exact_quantiles
+
+    with pytest.raises(ValueError):
+        grouped_exact_quantiles("/nonexistent.parquet", "g", "v",
+                                interpolation="nearest")
+
+
 def test_iqr_outliers_flags_and_null_safety(ray_session):
     from data_validator_ray.pipelines.relational import iqr_outliers
 
