@@ -2893,6 +2893,24 @@ def q_moving_window_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_anomaly_zscore_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user trailing-window anomaly z-score: each event's value
+    scored against the mean/sample-stddev of its user's PRIOR 16
+    events (leakage-free ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING);
+    NULL until 2 prior values exist or if the history is constant."""
+    from .relational import anomaly_zscore
+
+    out = anomaly_zscore(
+        f"{sf_dir}/events.parquet",
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        preceding=16,
+    ).to_pandas()
+    out = out[["user_id", "event_id", "zscore"]]
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_time_range_window_events(sf_dir: str) -> pd.DataFrame:
     """Per-user TIME-based moving window (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW, peers included) over events ordered by
@@ -3013,6 +3031,53 @@ def q_intersect_events_users(sf_dir: str) -> pd.DataFrame:
 
     out = set_op(side(0), side(1), "intersect", ["user_id"]).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _lineitem_discount_sides(sf_dir: str):
+    """(low-discount, high-discount) projections of lineitem for the
+    bag set-op queries — duplicate (flag, qty) rows are the point."""
+    import pyarrow.compute as _pc
+
+    def side(low: bool):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_discount"],
+        )
+        op = _pc.less_equal if low else _pc.greater
+        return ds.map_batches(
+            lambda b, o=op: b.filter(o(b["l_discount"], 0.05)).select(
+                ["l_returnflag", "l_quantity"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    return side(True), side(False)
+
+
+def q_intersect_all_lineitem(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT ALL (bag semantics): each (returnflag, quantity) row
+    kept min(countL, countR) times across the low/high-discount halves
+    of lineitem — duplicates are preserved, unlike `intersect`."""
+    from .relational import set_op
+
+    left, right = _lineitem_discount_sides(sf_dir)
+    out = set_op(
+        left, right, "intersect_all", ["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    return out.sort_values(["l_returnflag", "l_quantity"]).reset_index(drop=True)
+
+
+def q_except_all_lineitem(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT ALL (bag semantics): each (returnflag, quantity) row kept
+    max(countL − countR, 0) times — the multiset difference of the
+    low/high-discount halves of lineitem."""
+    from .relational import set_op
+
+    left, right = _lineitem_discount_sides(sf_dir)
+    out = set_op(
+        left, right, "except_all", ["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    return out.sort_values(["l_returnflag", "l_quantity"]).reset_index(drop=True)
 
 
 def q_cube_events(sf_dir: str) -> pd.DataFrame:
@@ -4134,6 +4199,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
+        "anomaly_zscore_events": q_anomaly_zscore_events,
         "time_range_window_events": q_time_range_window_events,
         "edge_values_events": q_edge_values_events,
         "unpivot_lineitem": q_unpivot_lineitem,
@@ -4141,6 +4207,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "rollup_documents": q_rollup_documents,
         "except_customers_events": q_except_customers_events,
         "intersect_events_users": q_intersect_events_users,
+        "intersect_all_lineitem": q_intersect_all_lineitem,
+        "except_all_lineitem": q_except_all_lineitem,
         "cube_events": q_cube_events,
         "top_events_by_value": q_top_events_by_value,
         "global_rank_events": q_global_rank_events,
@@ -5637,6 +5705,15 @@ def oracle_sql() -> Dict[str, str]:
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts, event_id"
         ),
+        "anomaly_zscore_events": (
+            "SELECT user_id, event_id, "
+            "ROUND((value - AVG(value) OVER w) / "
+            "NULLIF(STDDEV_SAMP(value) OVER w, 0), 6) AS zscore "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) "
+            "ORDER BY user_id, event_id"
+        ),
         "time_range_window_events": (
             "SELECT user_id, ts, value, "
             "CASE WHEN COUNT(value) OVER w > 0 THEN "
@@ -5696,6 +5773,22 @@ def oracle_sql() -> Dict[str, str]:
             "INTERSECT "
             "SELECT user_id FROM events WHERE event_id % 2 = 1 "
             "ORDER BY user_id"
+        ),
+        "intersect_all_lineitem": (
+            "SELECT l_returnflag, l_quantity FROM lineitem "
+            "WHERE l_discount <= 0.05 "
+            "INTERSECT ALL "
+            "SELECT l_returnflag, l_quantity FROM lineitem "
+            "WHERE l_discount > 0.05 "
+            "ORDER BY l_returnflag, l_quantity"
+        ),
+        "except_all_lineitem": (
+            "SELECT l_returnflag, l_quantity FROM lineitem "
+            "WHERE l_discount <= 0.05 "
+            "EXCEPT ALL "
+            "SELECT l_returnflag, l_quantity FROM lineitem "
+            "WHERE l_discount > 0.05 "
+            "ORDER BY l_returnflag, l_quantity"
         ),
         "cube_events": (
             "WITH e AS (SELECT event_type, user_id % 4 AS user_band, "

@@ -1007,6 +1007,98 @@ def moving_window(
     )
 
 
+def anomaly_zscore(
+    source: Any,
+    key_col: str,
+    order_cols: List[str],
+    value_col: str,
+    *,
+    preceding: int = 16,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key trailing-window anomaly score — each row's z-score
+    against the mean/stddev of the PRIOR ``preceding`` rows of the same
+    key (leakage-free: the window is SQL ``ROWS BETWEEN k PRECEDING AND
+    1 PRECEDING``, the current row never scores itself):
+    ``zscore = (value − AVG(value) OVER w) / NULLIF(STDDEV_SAMP(value)
+    OVER w, 0)``, rounded to 6 (the float-hash convention). NULL when
+    the trailing window holds < 2 non-NULL values, when its sample
+    stddev is 0 (constant history — NULLIF parity), or when the row's
+    own value is NULL.
+
+    Scale shape: identical to :func:`moving_window` — ONE hash-bucket
+    shuffle co-locates each key, then ONE vectorized numpy pass per
+    bucket; window sums and sums-of-squares are differences of
+    extended-precision (longdouble) prefix scans, so no per-row or
+    per-key Python. A constant window's variance is snapped to exactly
+    0 when the cancellation residue is below 1e-18 of the window's
+    mean square, matching SQL's exact-zero stddev → NULL. ``order_cols``
+    must totally order each key's rows (include a tiebreak id); NULL
+    order values sort last (SQL ``ASC NULLS LAST``).
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    if preceding < 1:
+        raise ValueError("preceding must be >= 1")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col] + order_cols, kind="mergesort", na_position="last"
+        )
+        n = len(g)
+        out = g.copy()
+        if n == 0:
+            out["zscore"] = np.array([], np.float64)
+            return out
+        u = g[key_col].to_numpy()
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        w_start = np.maximum(seg_start, idx - preceding)
+        # trailing window is [w_start, i) — end-EXCLUSIVE: prior rows only
+
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        nn = ~np.isnan(vals)
+        contrib = np.where(nn, vals, 0.0)
+        cs = np.concatenate(([0.0], np.cumsum(contrib, dtype=np.longdouble)))
+        cs2 = np.concatenate(
+            ([0.0], np.cumsum(contrib * contrib, dtype=np.longdouble))
+        )
+        cn = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
+        wsum = cs[idx] - cs[w_start]
+        wsumsq = cs2[idx] - cs2[w_start]
+        wcnt = cn[idx] - cn[w_start]
+
+        cnt_f = np.maximum(wcnt, 1).astype(np.float64)
+        mean = (wsum / cnt_f).astype(np.float64)
+        var = ((wsumsq - wsum * wsum / cnt_f) / np.maximum(cnt_f - 1, 1)).astype(
+            np.float64
+        )
+        # constant-history snap: cancellation residue of c²·n prefixes
+        # is ~2⁻⁶³ relative; a true zero variance must become EXACT 0 so
+        # the NULLIF(stddev,0) parity holds instead of a garbage z.
+        msq = (wsumsq / cnt_f).astype(np.float64)
+        var = np.where(var <= 1e-18 * np.maximum(msq, 1.0), 0.0, var)
+        std = np.sqrt(np.maximum(var, 0.0))
+
+        ok = (wcnt >= 2) & (std > 0) & nn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(ok, np.round((vals - mean) / np.where(std > 0, std, 1.0), 6), np.nan)
+        out["zscore"] = z
+        return out
+
+    ds = _as_dataset(source, columns=[key_col, *order_cols, value_col])
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def time_range_window(
     source: Any,
     key_col: str,
@@ -1617,29 +1709,33 @@ def set_op(
     num_buckets: int = 64,
     batch_size: int = 64 * 1024,
 ) -> Dataset:
-    """SQL set operations with DISTINCT semantics: ``intersect``
-    (rows in both) and ``except`` (rows in left, not in right).
-    Output columns take the LEFT side's names (the SQL convention);
-    NULLs compare equal (``IS NOT DISTINCT FROM`` — a NULL row present
-    on both sides intersects).
+    """SQL set operations: ``intersect`` / ``except`` (DISTINCT
+    semantics — rows in both / rows in left not in right) and their
+    BAG-semantics siblings ``intersect_all`` / ``except_all``
+    (``INTERSECT ALL`` emits each row min(countL, countR) times,
+    ``EXCEPT ALL`` max(countL − countR, 0) times). Output columns take
+    the LEFT side's names (the SQL convention); NULLs compare equal
+    (``IS NOT DISTINCT FROM`` — a NULL row present on both sides
+    intersects).
 
-    Scale shape: each side pre-distincts per batch (pyarrow
-    ``group_by`` combiner — exchange is per-batch-distinct bounded),
-    sides union with a 0/1 tag, then ONE null-safe bucketed groupby
-    decides membership per distinct row. No side ever broadcasts."""
+    Scale shape: each side pre-aggregates per batch to (distinct row,
+    count) partials (pyarrow ``group_by`` combiner — exchange is
+    per-batch-distinct bounded even for the ALL variants: counts ride
+    as int64, duplicate rows never travel), sides union with a 0/1
+    tag, then ONE null-safe bucketed groupby sums per-side counts and
+    decides/replicates per distinct row. No side ever broadcasts."""
     import pandas as pd
 
     from .dedup import bucketed_groupby
 
-    if op not in ("intersect", "except"):
+    if op not in ("intersect", "except", "intersect_all", "except_all"):
         raise ValueError(f"unknown set op: {op!r}")
     rcols = right_cols or key_cols
 
     def side_partials(src: Any, cols: List[str], side: int):
         def partial(batch: pa.Table) -> pa.Table:
-            g = batch.select(cols).group_by(cols).aggregate([])
-            if cols != key_cols:
-                g = g.rename_columns(key_cols)
+            g = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+            g = g.rename_columns([*key_cols, "__cnt"])
             return g.append_column(
                 "__side",
                 pa.array(np.full(g.num_rows, side, np.int64)),
@@ -1654,16 +1750,27 @@ def set_op(
     )
 
     def decide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            __cl=np.where(g["__side"].to_numpy() == 0, g["__cnt"].to_numpy(), 0),
+            __cr=np.where(g["__side"].to_numpy() == 1, g["__cnt"].to_numpy(), 0),
+        )
         agg = (
-            g.groupby(key_cols, dropna=False, sort=False)["__side"]
-            .agg(["min", "max"])
+            g.groupby(key_cols, dropna=False, sort=False)[["__cl", "__cr"]]
+            .sum()
             .reset_index()
         )
+        cl = agg["__cl"].to_numpy(np.int64)
+        cr = agg["__cr"].to_numpy(np.int64)
         if op == "intersect":
-            keep = (agg["min"] == 0) & (agg["max"] == 1)
-        else:
-            keep = agg["max"] == 0
-        return agg.loc[keep, key_cols].reset_index(drop=True)
+            reps = ((cl > 0) & (cr > 0)).astype(np.int64)
+        elif op == "except":
+            reps = ((cl > 0) & (cr == 0)).astype(np.int64)
+        elif op == "intersect_all":
+            reps = np.minimum(cl, cr)
+        else:  # except_all
+            reps = np.maximum(cl - cr, 0)
+        idx = np.repeat(np.arange(len(agg), dtype=np.int64), reps)
+        return agg.iloc[idx][key_cols].reset_index(drop=True)
 
     return bucketed_groupby(
         unioned, key_cols, decide,

@@ -962,6 +962,90 @@ def test_set_op_rejects_unknown_op(ray_session):
                "union", ["k"])
 
 
+def test_anomaly_zscore_matches_duckdb(ray_session):
+    """Trailing-window z-score (ROWS k PRECEDING .. 1 PRECEDING) is
+    bit-exact vs DuckDB after ROUND 6 — including NULL values inside
+    windows, <2-prior-values NULLs, and the constant-history stddev=0
+    → NULL (NULLIF parity; the variance snap must not emit garbage)."""
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import anomaly_zscore
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "o": rng.permutation(n),
+            "v": np.round(rng.normal(50, 20, n), 3),
+        }
+    )
+    df.loc[df.index[:40], "v"] = None
+    # constant-history key: every z must be NULL (stddev exactly 0)
+    const = pd.DataFrame({"k": [99] * 10, "o": range(10), "v": [7.0] * 10})
+    df = pd.concat([df, const], ignore_index=True)
+
+    out = (
+        anomaly_zscore(ray.data.from_pandas(df), "k", ["o"], "v",
+                       preceding=8)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        "SELECT k, o, ROUND((v - AVG(v) OVER w) / "
+        "NULLIF(STDDEV_SAMP(v) OVER w, 0), 6) AS zscore FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY o "
+        "ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) ORDER BY k, o"
+    ).df()
+    a, b = out.zscore.to_numpy(), ref.zscore.to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert np.all(both_nan | (a == b))
+    assert np.all(np.isnan(out[out.k == 99].zscore))
+
+
+def test_anomaly_zscore_rejects_bad_preceding():
+    from data_validator_ray.pipelines.relational import anomaly_zscore
+
+    with pytest.raises(ValueError):
+        anomaly_zscore("/nonexistent.parquet", "k", ["o"], "v", preceding=0)
+
+
+def test_set_op_bag_semantics_match_duckdb(ray_session):
+    """INTERSECT ALL / EXCEPT ALL preserve duplicate multiplicities —
+    min(cl,cr) and max(cl-cr,0) copies per distinct row, NULLs compare
+    equal — exactly matching DuckDB's bag semantics."""
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import set_op
+
+    rng = np.random.default_rng(5)
+    a = pd.DataFrame({"x": rng.integers(0, 8, 120),
+                      "y": rng.choice(["p", "q", None], 120)})
+    b = pd.DataFrame({"x": rng.integers(0, 8, 90),
+                      "y": rng.choice(["p", "q", None], 90)})
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+
+    def multiset(df):
+        return sorted(
+            ("<N>" if pd.isna(x) else int(x), "<N>" if pd.isna(y) else y)
+            for x, y in zip(df["x"], df["y"])
+        )
+
+    for op, sql in (("intersect_all", "INTERSECT ALL"),
+                    ("except_all", "EXCEPT ALL")):
+        out = set_op(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                     op, ["x", "y"]).to_pandas()
+        ref = con.execute(
+            f"SELECT x, y FROM a {sql} SELECT x, y FROM b"
+        ).df()
+        assert multiset(out) == multiset(ref), op
+
+
 def test_cube_all_subsets_bitmask(ray_session):
     from data_validator_ray.pipelines.relational import cube_aggregate
 
