@@ -1690,6 +1690,32 @@ def q_token_doc_freq_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_vocab_coverage_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc OOV rate vs the corpus' top-256 token vocabulary
+    (tokenizer-coverage signal; exact string membership, unrounded
+    IEEE division so the hash matches bit-for-bit)."""
+    from .text import vocab_coverage
+
+    out = vocab_coverage(
+        f"{sf_dir}/documents.parquet", top_v=256
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SCAN_PATTERNS = ["spark", "customer", "value fast", "qqq"]
+
+
+def q_pattern_scan_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide multi-substring scan: total occurrences + containing
+    docs for K literal patterns in ONE streaming pass (K-bounded
+    exchange)."""
+    from .text import multi_pattern_counts
+
+    return multi_pattern_counts(
+        f"{sf_dir}/documents.parquet", _SCAN_PATTERNS
+    ).to_pandas()
+
+
 def q_normalize_text_documents(sf_dir: str) -> pd.DataFrame:
     """Canonical text normalization (NFC → lower → whitespace collapse
     → trim): Arrow and DuckDB share utf8proc + RE2, so the kernels are
@@ -4122,6 +4148,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "url_dedup_documents": q_url_dedup_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "token_doc_freq_documents": q_token_doc_freq_documents,
+        "vocab_coverage_documents": q_vocab_coverage_documents,
+        "pattern_scan_documents": q_pattern_scan_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "bigram_logprob_documents": q_bigram_logprob_documents,
@@ -4739,6 +4767,41 @@ def oracle_sql() -> Dict[str, str]:
         "url_dedup_documents": _URL_DEDUP_SQL,
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,
+        "vocab_coverage_documents": (
+            "WITH tok AS ("
+            "  SELECT doc_id, unnest(list_filter("
+            "    string_split(coalesce(text, ''), ' '), x -> x <> ''"
+            "  )) AS token FROM documents"
+            "), vocab AS ("
+            "  SELECT token FROM ("
+            "    SELECT token, count(*) AS c FROM tok GROUP BY token"
+            "    ORDER BY c DESC, token LIMIT 256)"
+            "), per AS ("
+            "  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,"
+            "    SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            "      AS n_oov"
+            "  FROM tok t LEFT JOIN vocab v ON t.token = v.token"
+            "  GROUP BY t.doc_id"
+            ") "
+            "SELECT d.doc_id, COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens, "
+            "COALESCE(p.n_oov, 0)::BIGINT AS n_oov, "
+            "p.n_oov / p.n_tokens AS oov_rate "
+            "FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id "
+            "ORDER BY d.doc_id"
+        ),
+        "pattern_scan_documents": (
+            "WITH pats AS (SELECT unnest(["
+            + ", ".join(f"'{p}'" for p in _SCAN_PATTERNS)
+            + "]) AS pattern) "
+            "SELECT p.pattern, "
+            "COALESCE(SUM((length(d.text) - "
+            "length(replace(d.text, p.pattern, ''))) "
+            "// length(p.pattern)), 0)::BIGINT AS n_occurrences, "
+            "COALESCE(SUM(CASE WHEN contains(d.text, p.pattern) "
+            "THEN 1 ELSE 0 END), 0)::BIGINT AS n_docs "
+            "FROM pats p CROSS JOIN documents d "
+            "GROUP BY p.pattern ORDER BY p.pattern"
+        ),
         "tfidf_top_terms_documents": _TFIDF_SQL,
         "bpe_token_count_documents": (
             "SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''), "

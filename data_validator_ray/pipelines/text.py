@@ -536,6 +536,130 @@ def top_ngrams(
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def vocab_coverage(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_v: int = 256,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Per-doc out-of-vocabulary rate against the corpus' own top-V
+    token vocabulary — the tokenizer-coverage signal: documents whose
+    tokens mostly fall outside the head vocabulary are noise, non-text,
+    or language outliers. Emits ``(id, n_tokens, n_oov, oov_rate)``;
+    ``oov_rate = n_oov / n_tokens`` (UNrounded: one IEEE division of
+    exact integers is bit-identical across engines, while ROUND-6 of
+    exact rationals like 1/128 lands on half-points where numpy's
+    half-even and SQL's half-away disagree), NULL for token-less docs.
+
+    Scale shape — two streaming passes over the text column:
+
+    1. vocabulary: :func:`top_ngrams` (n=1) — per-batch combiner
+       counts, one vocabulary-bounded groupby, top-V with the
+       deterministic (count DESC, token ASC) tie-break. V is small by
+       design, so the vocab is a broadcast constant (~tens of KB), not
+       a shuffle side.
+    2. coverage: one ``map_batches`` pass; in-batch polars explode +
+       ``is_in(vocab)`` membership + per-doc aggregate. No per-row
+       Python; docs with zero tokens re-enter via the doc-index
+       reindex.
+
+    For unbounded heavy-tail vocabularies at corpus scale, the hashed
+    sibling is :func:`unigram_logprob` (64-bit token identities, no
+    strings shuffled); here tokens stay strings so the oracle is exact.
+    """
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    vocab = top_ngrams(ds, id_col, text_col, n=1, k=top_v,
+                       batch_size=batch_size)["ngram"].to_pylist()
+    vocab_series = pl.Series("vocab", vocab, dtype=pl.String)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ex, n = _exploded_tokens(batch[text_col])
+        agg = ex.group_by("doc").agg(
+            pl.len().alias("n_tokens"),
+            (~pl.col("t").is_in(vocab_series)).sum().alias("n_oov"),
+        )
+        out = _reindex(agg, n)
+        n_tok = out["n_tokens"].to_numpy().astype(np.int64)
+        n_oov = out["n_oov"].to_numpy().astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = np.where(n_tok > 0, n_oov / np.maximum(n_tok, 1), np.nan)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "oov_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        per_doc, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def multi_pattern_counts(
+    source: Any,
+    patterns: "List[str]",
+    text_col: str = "text",
+    *,
+    batch_size: int = 8192,
+) -> "pa.Table":
+    """Corpus-wide literal-substring scan — for each pattern, the total
+    number of (non-overlapping) occurrences and the number of documents
+    containing it. The contamination / canary / PII-trigger statistic:
+    one streaming pass answers "how often do these K strings appear"
+    without K separate jobs.
+
+    Scale shape: per batch, ONE vectorized ``pc.count_substring`` +
+    ``pc.match_substring`` per pattern (Arrow kernels, no Python over
+    rows) collapse to a K-row partial; the global merge is a K-bounded
+    groupby sum. Exchange volume is K × #batches rows of three ints —
+    independent of corpus size. Patterns are a broadcast constant.
+    Self-overlapping patterns count non-overlapping occurrences
+    (both Arrow and SQL ``replace``-based counting scan left-to-right).
+    """
+    from ray.data.aggregate import Sum
+
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    pats = list(patterns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        occ = np.empty(len(pats), np.int64)
+        docs = np.empty(len(pats), np.int64)
+        for i, p in enumerate(pats):
+            c = pc.count_substring(col, pattern=p)
+            occ[i] = pc.sum(pc.fill_null(c, 0)).as_py() or 0
+            m = pc.match_substring(col, pattern=p)
+            docs[i] = pc.sum(pc.cast(pc.fill_null(m, False), pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "pattern": pa.array(pats, pa.string()),
+                "n_occurrences": pa.array(occ, pa.int64()),
+                "n_docs": pa.array(docs, pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[text_col])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("pattern")
+        .aggregate(
+            Sum("n_occurrences", alias_name="n_occurrences"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()  # K-bounded
+        .sort_values("pattern")
+        .reset_index(drop=True)
+    )
+    merged["n_occurrences"] = merged["n_occurrences"].astype(np.int64)
+    merged["n_docs"] = merged["n_docs"].astype(np.int64)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def compression_stats(
     source: Any,
     id_col: str = "doc_id",

@@ -264,3 +264,72 @@ def test_pmi_collocations_surfaces_phrases(ray_session):
     out = pmi_collocations(docs, k=5, min_count=5)
     assert out.bigram.iloc[0] == "new york"  # always adjacent
     assert "big new" not in out.bigram.tolist()  # count 1 < 5
+
+
+def test_vocab_coverage_oov_rates(ray_session):
+    """Top-V vocab membership: common tokens in-vocab, rare tokens OOV;
+    empty/NULL docs get n_tokens 0 and NULL rate; exact division."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.text import vocab_coverage
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the cat sat",          # all in-vocab (top-3: the cat sat)
+                "the the cat",
+                "zyx the qqq",          # 2 OOV of 3
+                "",                     # no tokens
+                None,                   # no tokens
+                "cat zzz",              # 1 OOV of 2
+            ],
+        }
+    )
+    out = (
+        vocab_coverage(docs, top_v=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_tokens.tolist() == [3, 3, 3, 0, 0, 2]
+    # vocab is {the:4, cat:3, sat:1? ...} top-3 by count then token asc:
+    # counts: the=4, cat=3, sat=1, zyx=1, qqq=1, zzz=1 -> top3 = the, cat
+    # + tie at 1 broken asc = qqq
+    assert out.n_oov.tolist() == [1, 0, 1, 0, 0, 1]
+    assert out.oov_rate[0] == 1 / 3 and out.oov_rate[5] == 0.5
+    assert np.isnan(out.oov_rate[3]) and np.isnan(out.oov_rate[4])
+
+
+def test_multi_pattern_counts_overlap_and_nulls(ray_session):
+    """Non-overlapping counting, NULL-text docs contribute nothing,
+    per-doc containment counts docs not occurrences."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.text import multi_pattern_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": ["aaaa banana", None, "banana aa", "xyz"],
+        }
+    )
+    out = multi_pattern_counts(docs, ["aa", "ana", "zzz"]).to_pandas()
+    out = out.set_index("pattern")
+    # "aaaa" -> 2 non-overlapping "aa"; "aa" in doc2 -> 1 more
+    assert out.loc["aa", "n_occurrences"] == 3
+    assert out.loc["aa", "n_docs"] == 2
+    # "banana" -> 1 non-overlapping "ana" per banana (left-to-right)
+    assert out.loc["ana", "n_occurrences"] == 2
+    assert out.loc["ana", "n_docs"] == 2
+    assert out.loc["zzz", "n_occurrences"] == 0
+    assert out.loc["zzz", "n_docs"] == 0
+
+
+def test_multi_pattern_counts_rejects_empty():
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.text import multi_pattern_counts
+
+    with _pytest.raises(ValueError):
+        multi_pattern_counts("/nonexistent.parquet", [])
