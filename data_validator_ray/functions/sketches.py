@@ -259,6 +259,69 @@ class BloomFilter:
         return cls(n_bits, k, bits)
 
 
+def canonical_key_table(table, columns) -> "object":
+    """Numeric/temporal key components normalized to ONE hash domain so
+    tuple identity matches SQL equality across storage types (int 1 =
+    float 1.0 = decimal 1.00; timestamps compare by instant regardless
+    of unit): integers/floats/decimals cast to float64 (exact for
+    |v| ≤ 2⁵³ — document the key-domain envelope), timestamps/dates to
+    microsecond instants. NULLs survive the casts; other types hash
+    native. Used by the composite-referential check on BOTH sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arrs = {}
+    for c in columns:
+        col = table[c]
+        t = col.type
+        if (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_decimal(t)
+        ):
+            col = pc.cast(col, pa.float64())
+        elif pa.types.is_timestamp(t):
+            col = pc.cast(col, pa.timestamp("us"))
+        elif pa.types.is_date(t):
+            col = pc.cast(col, pa.timestamp("us"))
+        arrs[c] = col
+    return pa.table(arrs)
+
+
+class HashPairSet:
+    """Collision-checked membership set over 128-bit identities — two
+    independent 64-bit hash families per element (the exact-uniqueness
+    convention): a probe is a member iff BOTH h1 and h2 match the same
+    stored element, so the false-positive probability is ~n²/2⁻¹²⁸
+    (treated as exact, like the 16-byte double-hash distinct shuffle).
+    Stores two sorted int64 arrays — 16 bytes per distinct element,
+    broadcast-friendly."""
+
+    def __init__(self, h1: np.ndarray, h2: np.ndarray):
+        order = np.lexsort((h2, h1))
+        self.h1 = np.ascontiguousarray(h1[order])
+        self.h2 = np.ascontiguousarray(h2[order])
+
+    def __len__(self) -> int:
+        return len(self.h1)
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        if len(self.h1) == 0 or len(h1) == 0:
+            return np.zeros(len(h1), dtype=bool)
+        lo = np.searchsorted(self.h1, h1, "left")
+        hi = np.searchsorted(self.h1, h1, "right")
+        out = np.zeros(len(h1), dtype=bool)
+        single = hi == lo + 1  # the overwhelmingly common case
+        idx = np.minimum(lo, len(self.h1) - 1)
+        out[single] = self.h2[idx[single]] == h2[single]
+        multi = np.flatnonzero(hi - lo > 1)  # h1 collisions in the set
+        for i in multi:
+            out[i] = bool(
+                np.any(self.h2[lo[i] : hi[i]] == h2[i])
+            )
+        return out
+
+
 def combined_hash64(table, columns, seed: int = 0) -> np.ndarray:
     """Row-wise 64-bit hash of a column TUPLE: per-column
     :func:`hash64` values mixed with an FNV-style multiply-xor fold

@@ -219,6 +219,47 @@ def q_referential_events_user(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_referential_composite_lineitem(sf_dir: str) -> pd.DataFrame:
+    """COMPOSITE-key referential check: every lineitem's
+    (l_orderkey, l_partkey) tuple must appear among the order's
+    first-line rows (l_linenumber = 1). The referenced tuple set
+    distils distributedly to 16-byte (h1, h2) double-hash identities —
+    strings/tuples never reach the driver; the broadcast is 16 bytes
+    per distinct referenced tuple."""
+    import pyarrow.compute as _pc
+
+    rule = ValidationRule(
+        name="fk_composite", rule_type="referential",
+        parameters={
+            "columns": ["l_orderkey", "l_partkey"],
+            "ref_table": "firstline",
+            "ref_columns": ["l_orderkey", "l_partkey"],
+        },
+    )
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "lineitem", "rules": [rule.model_dump()]}],
+    )
+    v = RayDataValidator(cfg)
+    ref = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+    ).map_batches(
+        lambda b: b.filter(_pc.equal(b["l_linenumber"], 1)).select(
+            ["l_orderkey", "l_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    v.register_source("firstline", ref)
+    summary = v.validate_table(f"{sf_dir}/lineitem.parquet", "lineitem")
+    r = summary.results[0]
+    if r.total_count < 0:
+        raise RuntimeError(f"rule failed: {r.message}")
+    return pd.DataFrame(
+        {"total_count": [r.total_count], "failed_count": [r.failed_count]}
+    ).astype("int64")
+
+
 def q_referential_events_nation_approx(sf_dir: str) -> pd.DataFrame:
     """Scale-tier referential check: per-block partial Bloom filters
     OR-reduced (never a driver key collect) — `approx: true`. With the
@@ -4079,6 +4120,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "referential_events_user": q_referential_events_user,
         "referential_orders_cust": q_referential_orders_cust,
         "referential_events_nation_approx": q_referential_events_nation_approx,
+        "referential_composite_lineitem": q_referential_composite_lineitem,
         "fd_orders_cust_priority": q_fd_orders_cust_priority,
         "fd_composite_orders": q_fd_composite_orders,
         "late_arrival_events": q_late_arrival_events,
@@ -4402,6 +4444,15 @@ def oracle_sql() -> Dict[str, str]:
             failed="COUNT(*) FILTER (WHERE user_id IS NOT NULL AND user_id NOT IN "
                    "(SELECT n_nationkey FROM nation))",
             t="events",
+        ),
+        "referential_composite_lineitem": (
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL "
+            "AND l_partkey IS NOT NULL AND NOT EXISTS ("
+            "SELECT 1 FROM lineitem r WHERE r.l_linenumber = 1 "
+            "AND r.l_orderkey = l.l_orderkey "
+            "AND r.l_partkey = l.l_partkey)))::BIGINT AS failed_count "
+            "FROM lineitem l"
         ),
         "fd_orders_cust_priority": (
             # determinant-level FD verdict: total = distinct custkeys,

@@ -343,14 +343,39 @@ class ReferentialKernel(CheckKernel):
 
     Parameters: ``ref_table``/``ref_path`` + ``ref_column``; the
     validator resolves them to a key set before the fused pass via
-    :meth:`prepare`.
+    :meth:`prepare`. COMPOSITE foreign keys use ``columns: [c1, c2…]``
+    + ``ref_columns: [r1, r2…]`` instead: the referenced side distils
+    to 16-byte (h1, h2) double-hash tuple identities (the exact-
+    uniqueness convention — collision-checked, treated as exact), so
+    strings never reach the driver and the broadcast is 16 bytes per
+    distinct referenced tuple; rows with a NULL in ANY key component
+    are never checked (SQL composite NOT IN three-valued logic).
     """
 
     def __init__(self, rule: ValidationRule):
         super().__init__(rule)
-        self.column = self._require_column()
         p = rule.parameters
-        if not p.get("ref_column") or not (p.get("ref_table") or p.get("ref_path")):
+        multi = p.get("columns")
+        ref_multi = p.get("ref_columns")
+        if multi or ref_multi:
+            if not multi or not ref_multi or len(multi) != len(ref_multi):
+                raise ValueError(
+                    "Composite referential rule requires columns and "
+                    "ref_columns parameters of equal length"
+                )
+            self.columns = [str(c) for c in multi]
+            self.ref_columns = [str(c) for c in ref_multi]
+            self.column = self.columns[0]
+        else:
+            self.columns = None
+            self.ref_columns = None
+            self.column = self._require_column()
+            if not p.get("ref_column"):
+                raise ValueError(
+                    "Referential rule requires ref_table/ref_path and "
+                    "ref_column parameters"
+                )
+        if not (p.get("ref_table") or p.get("ref_path")):
             raise ValueError(
                 "Referential rule requires ref_table/ref_path and ref_column parameters"
             )
@@ -367,8 +392,13 @@ class ReferentialKernel(CheckKernel):
         import ray
 
         if self.approx and not isinstance(keys, BloomFilter):
+            from ..functions.sketches import HashPairSet
+
             bloom = BloomFilter()
-            bloom.add_hashes(hash64(keys))
+            if isinstance(keys, HashPairSet):
+                bloom.add_hashes(keys.h1.astype(np.uint64))
+            else:
+                bloom.add_hashes(hash64(keys))
             keys = bloom
         self._keys_ref = ray.put(keys)
 
@@ -380,8 +410,25 @@ class ReferentialKernel(CheckKernel):
         return self._local_keys
 
     def mask_failing(self, batch: pa.Table):
-        col = batch[self.column]
         keys = self._keys()
+        if self.columns is not None:
+            valid = pc.is_valid(batch[self.columns[0]])
+            for c in self.columns[1:]:
+                valid = pc.and_(valid, pc.is_valid(batch[c]))
+            # canonical key domain (int 1 == float 1.0, SQL equality)
+            # then int64 view: HashPairSet stores int64 (Arrow exchange
+            # dtype); bloom reinterprets the same bits as uint64
+            from ..functions.sketches import canonical_key_table
+
+            canon = canonical_key_table(batch, self.columns)
+            h1 = combined_hash64(canon, self.columns, seed=0).astype(np.int64)
+            if isinstance(keys, BloomFilter):
+                present = keys.contains_hashes(h1)
+            else:
+                h2 = combined_hash64(canon, self.columns, seed=1).astype(np.int64)
+                present = keys.contains(h1, h2)
+            return pc.and_(pa.array(~present), valid)
+        col = batch[self.column]
         if isinstance(keys, BloomFilter):
             valid = pc.is_valid(col)
             present = keys.contains_hashes(hash64(col))

@@ -179,6 +179,9 @@ def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
         if dets and dep:
             return sorted({*dets, str(dep), *extra})
         return None
+    if rule.rule_type == "referential" and rule.parameters.get("columns"):
+        # composite FK: read every key component
+        return sorted({*(str(c) for c in rule.parameters["columns"]), *extra})
     if rule.column:
         return sorted({rule.column, *extra})
     return None
@@ -285,6 +288,8 @@ class RayDataValidator:
         then broadcast (``ray.put``) — never a shuffle join."""
         p = rule.parameters
         src = p.get("ref_path") or p.get("ref_table")
+        if p.get("ref_columns"):
+            return self._resolve_ref_keys_composite(rule)
         ref_col = p["ref_column"]
         ds = self.load_data(src, columns=[ref_col])
 
@@ -332,6 +337,92 @@ class RayDataValidator:
             return pa.array([], type=key_type)
         keys = pc.unique(pa.concat_arrays(chunks)).drop_null()
         return keys.take(pc.array_sort_indices(keys))
+
+    def _resolve_ref_keys_composite(self, rule: ValidationRule):
+        """Composite-FK key side: the referenced tuple set distils to
+        16-byte (h1, h2) double-hash identities — per-block DISTINCT
+        over the ref columns (pyarrow ``group_by`` combiner) then two
+        ``combined_hash64`` families per distinct tuple; only int64
+        pairs reach the driver (never tuple strings), merged with one
+        ``np.unique`` over the packed 128-bit view. Approx tier: the
+        partial-Bloom OR-reduce over combined seed-0 hashes, same 1 MiB
+        driver bound as the single-column path."""
+        import numpy as np
+
+        from .functions.sketches import (
+            BloomFilter,
+            HashPairSet,
+            canonical_key_table,
+            combined_hash64,
+        )
+
+        p = rule.parameters
+        src = p.get("ref_path") or p.get("ref_table")
+        ref_cols = [str(c) for c in p["ref_columns"]]
+        ds = self.load_data(src, columns=ref_cols)
+
+        def _distinct_nonnull(batch: pa.Table) -> pa.Table:
+            m = pc.is_valid(batch[ref_cols[0]])
+            for c in ref_cols[1:]:
+                m = pc.and_(m, pc.is_valid(batch[c]))
+            t = batch.filter(m)
+            return t.select(ref_cols).group_by(ref_cols).aggregate([])
+
+        if bool(p.get("approx", False)):
+            proto = BloomFilter()
+            n_bits, k = proto.n_bits, proto.k
+
+            def partial_bloom(batch: pa.Table) -> pa.Table:
+                bloom = BloomFilter(n_bits, k)
+                t = _distinct_nonnull(batch)
+                if t.num_rows:
+                    canon = canonical_key_table(t, ref_cols)
+                    bloom.add_hashes(combined_hash64(canon, ref_cols, seed=0))
+                return pa.table(
+                    {"bits": pa.array([bloom.bits.tobytes()], type=pa.binary())}
+                )
+
+            bits = np.zeros(n_bits // 8, dtype=np.uint8)
+            parts = ds.map_batches(
+                partial_bloom, batch_format="pyarrow", batch_size=None
+            )
+            for b in parts.iter_batches(batch_size=8, batch_format="pyarrow"):
+                for chunk in b["bits"].chunks:
+                    for i in range(len(chunk)):
+                        np.bitwise_or(
+                            bits,
+                            np.frombuffer(chunk[i].as_buffer(), dtype=np.uint8),
+                            out=bits,
+                        )
+            return BloomFilter(n_bits, k, bits)
+
+        def hash_partial(batch: pa.Table) -> pa.Table:
+            t = _distinct_nonnull(batch)
+            if t.num_rows == 0:
+                return pa.table(
+                    {"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64())}
+                )
+            canon = canonical_key_table(t, ref_cols)
+            h1 = combined_hash64(canon, ref_cols, seed=0).astype(np.int64)
+            h2 = combined_hash64(canon, ref_cols, seed=1).astype(np.int64)
+            return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+        h1_chunks: List[np.ndarray] = []
+        h2_chunks: List[np.ndarray] = []
+        parts = ds.map_batches(hash_partial, batch_format="pyarrow")
+        for b in parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            h1_chunks.append(b["h1"].to_numpy(zero_copy_only=False))
+            h2_chunks.append(b["h2"].to_numpy(zero_copy_only=False))
+        if not h1_chunks:
+            return HashPairSet(np.zeros(0, np.int64), np.zeros(0, np.int64))
+        h1 = np.concatenate(h1_chunks)
+        h2 = np.concatenate(h2_chunks)
+        packed = np.empty(len(h1), dtype=[("a", np.int64), ("b", np.int64)])
+        packed["a"], packed["b"] = h1, h2
+        uniq = np.unique(packed)
+        return HashPairSet(
+            np.ascontiguousarray(uniq["a"]), np.ascontiguousarray(uniq["b"])
+        )
 
     # ------------------------------------------------------------------ #
     # validation                                                         #

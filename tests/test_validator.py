@@ -260,3 +260,68 @@ class TestThresholdEdgeCases:
         s = v.validate_table(dirty_customers_mod, "customers")
         assert s.results[0].message == "Rule 'z': 1/10 failed records"
         assert s.results[0].passed  # 0.9 >= 0.0
+
+
+def test_composite_referential_exact_and_approx(ray_session):
+    """Composite-FK referential: tuple membership via 16-byte (h1,h2)
+    double-hash identities; any-NULL-component rows never fail; bloom
+    approx tier agrees at test scale."""
+    import numpy as np
+
+    fact = pd.DataFrame(
+        {
+            "a": [1, 1, 2, 2, 3, None, 4],
+            "b": ["x", "y", "x", "z", "x", "x", None],
+        }
+    )
+    dim = pd.DataFrame({"ra": [1, 1, 2], "rb": ["x", "y", "x"]})
+    # violations: (2,z), (3,x); NULL rows (None,x) and (4,None) pass
+    for approx in (False, True):
+        rule = ValidationRule(
+            name="fk", rule_type="referential",
+            parameters={
+                "columns": ["a", "b"],
+                "ref_table": "dim",
+                "ref_columns": ["ra", "rb"],
+                "approx": approx,
+            },
+        )
+        v = RayDataValidator(make_config([rule], table="fact"))
+        v.register_source("dim", dim)
+        s = v.validate_table(fact, "fact")
+        r = s.results[0]
+        assert (r.total_count, r.failed_count) == (7, 2), approx
+
+
+def test_composite_referential_requires_matched_lengths():
+    with pytest.raises(Exception):
+        rule = ValidationRule(
+            name="fk", rule_type="referential",
+            parameters={
+                "columns": ["a", "b"],
+                "ref_table": "dim",
+                "ref_columns": ["ra"],
+            },
+        )
+        from data_validator_ray.stages.kernels import ReferentialKernel
+
+        ReferentialKernel(rule)
+
+
+def test_hash_pair_set_collision_handling():
+    """h1 collisions must fall through to the h2 check (the multi-range
+    loop), and non-members sharing h1 with a member must NOT match."""
+    import numpy as np
+
+    from data_validator_ray.functions.sketches import HashPairSet
+
+    h1 = np.array([5, 5, 5, 9], np.int64)
+    h2 = np.array([100, 200, 300, 1], np.int64)
+    s = HashPairSet(h1, h2)
+    probe1 = np.array([5, 5, 9, 9, 7], np.int64)
+    probe2 = np.array([200, 999, 1, 2, 1], np.int64)
+    assert s.contains(probe1, probe2).tolist() == [
+        True, False, True, False, False
+    ]
+    empty = HashPairSet(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    assert empty.contains(probe1, probe2).tolist() == [False] * 5
