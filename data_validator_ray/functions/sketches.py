@@ -259,6 +259,73 @@ class BloomFilter:
         return cls(n_bits, k, bits)
 
 
+class KMV:
+    """k-minimum-values distinct sketch over 64-bit hashes: keeps the
+    k smallest DISTINCT hash values seen. Mergeable (k smallest of the
+    union), deterministic (hash-based, no RNG), and — unlike HLL —
+    supports set-OVERLAP estimation: the Jaccard of two sets is
+    estimated by the shared fraction of the merged sketch's k minima
+    (Beyer et al., "On synopses for distinct-value estimation").
+    Relative error ~1/√k. A sketch holding fewer than k values has
+    seen every distinct element — estimates are then exact."""
+
+    def __init__(self, k: int = 1024, values: Optional[np.ndarray] = None):
+        if k < 2:
+            raise ValueError("k must be >= 2")
+        self.k = k
+        self.values = (
+            values if values is not None else np.empty(0, np.uint64)
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        merged = np.concatenate(
+            [self.values, hashes.astype(np.uint64, copy=False)]
+        )
+        self.values = np.unique(merged)[: self.k]
+
+    def merge(self, other: "KMV") -> "KMV":
+        assert self.k == other.k
+        vals = np.unique(np.concatenate([self.values, other.values]))[: self.k]
+        return KMV(self.k, vals)
+
+    def estimate(self) -> float:
+        n = len(self.values)
+        if n < self.k:
+            return float(n)  # saw everything — exact
+        return (self.k - 1) * (2.0 ** 64) / float(self.values[self.k - 1])
+
+    @staticmethod
+    def overlap(a: "KMV", b: "KMV") -> "dict":
+        """Jaccard / union / intersection estimates of the two sketched
+        sets. Exact when both sketches are unsaturated."""
+        assert a.k == b.k
+        u = a.merge(b)
+        kp = len(u.values)
+        if kp == 0:
+            return {"jaccard": float("nan"), "union": 0.0, "intersection": 0.0}
+        shared = np.intersect1d(
+            np.intersect1d(u.values, a.values, assume_unique=True),
+            b.values,
+            assume_unique=True,
+        )
+        j = len(shared) / kp
+        if kp < a.k:
+            # unsaturated merge: the sketch IS the union — exact
+            return {
+                "jaccard": j,
+                "union": float(kp),
+                "intersection": float(len(shared)),
+            }
+        union_est = u.estimate()
+        return {
+            "jaccard": j,
+            "union": union_est,
+            "intersection": j * union_est,
+        }
+
+
 def canonical_key_table(table, columns) -> "object":
     """Numeric/temporal key components normalized to ONE hash domain so
     tuple identity matches SQL equality across storage types (int 1 =

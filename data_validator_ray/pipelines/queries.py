@@ -2578,6 +2578,20 @@ def q_keyset_overlap_events_customer(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_kmv_overlap_events_customer(sf_dir: str) -> pd.DataFrame:
+    """APPROX key-overlap tier: KMV (k-minimum-values) sketches replace
+    the exact groupby exchange with fixed 32 KiB partials — ~1/√k
+    error at scale, EXACT below k distinct keys (this test scale, so
+    the oracle compares exactly)."""
+    from .integrity import kmv_overlap
+
+    return kmv_overlap(
+        f"{sf_dir}/events.parquet", "user_id",
+        f"{sf_dir}/customer.parquet", "c_custkey",
+        k=4096,
+    )
+
+
 
 def q_pmi_collocations_documents(sf_dir: str) -> pd.DataFrame:
     """Top-20 adjacent-token collocations by PMI (min count 5):
@@ -2958,6 +2972,22 @@ def q_moving_window_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "ts", "event_id"]).reset_index(
         drop=True
     )
+
+
+def q_ratio_to_report_events(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total window (RATIO_TO_REPORT): each event's share of
+    its event_type's total value — computed with NO row shuffle (key-
+    bounded combiner sums broadcast back over one probe pass)."""
+    from .relational import ratio_to_report
+
+    out = ratio_to_report(
+        f"{sf_dir}/events.parquet",
+        "event_type",
+        "value",
+        columns=["event_id"],
+    ).to_pandas()
+    out = out[["event_id", "event_type", "value", "value_share"]]
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def q_anomaly_zscore_events(sf_dir: str) -> pd.DataFrame:
@@ -4225,6 +4255,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "throttle_dedup_events": q_throttle_dedup_events,
         "grouped_cusum_events": q_grouped_cusum_events,
         "keyset_overlap_events_customer": q_keyset_overlap_events_customer,
+        "kmv_overlap_events_customer": q_kmv_overlap_events_customer,
         "pmi_collocations_documents": q_pmi_collocations_documents,
         "top_users_by_type_events": q_top_users_by_type_events,
         "quantize_embeddings": q_quantize_embeddings,
@@ -4270,6 +4301,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
         "anomaly_zscore_events": q_anomaly_zscore_events,
+        "ratio_to_report_events": q_ratio_to_report_events,
         "time_range_window_events": q_time_range_window_events,
         "edge_values_events": q_edge_values_events,
         "unpivot_lineitem": q_unpivot_lineitem,
@@ -5429,6 +5461,23 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(i.c::DOUBLE / nb.c, 6) AS containment_b_in_a "
             "FROM na, nb, i, u"
         ),
+        "kmv_overlap_events_customer": (
+            # unsaturated KMV is exact — the oracle is the true overlap
+            "WITH a AS (SELECT DISTINCT user_id k FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "b AS (SELECT DISTINCT c_custkey k FROM customer "
+            "WHERE c_custkey IS NOT NULL), "
+            "i AS (SELECT COUNT(*)::BIGINT c FROM a JOIN b USING (k)), "
+            "u AS (SELECT COUNT(*)::BIGINT c FROM "
+            "(SELECT k FROM a UNION SELECT k FROM b)), "
+            "na AS (SELECT COUNT(*)::BIGINT c FROM a), "
+            "nb AS (SELECT COUNT(*)::BIGINT c FROM b) "
+            "SELECT 4096::BIGINT AS k, na.c::DOUBLE AS est_n_a, "
+            "nb.c::DOUBLE AS est_n_b, u.c::DOUBLE AS est_union, "
+            "i.c::DOUBLE AS est_intersect, "
+            "i.c::DOUBLE / u.c AS est_jaccard "
+            "FROM na, nb, i, u"
+        ),
         "pmi_collocations_documents": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
@@ -5818,6 +5867,11 @@ def oracle_sql() -> Dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts, event_id"
+        ),
+        "ratio_to_report_events": (
+            "SELECT event_id, event_type, value, "
+            "ROUND(value / SUM(value) OVER (PARTITION BY event_type), 6) "
+            "AS value_share FROM events ORDER BY event_id"
         ),
         "anomaly_zscore_events": (
             "SELECT user_id, event_id, "

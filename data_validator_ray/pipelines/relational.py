@@ -1007,6 +1007,72 @@ def moving_window(
     )
 
 
+def ratio_to_report(
+    source: Any,
+    key_col: str,
+    value_col: str,
+    *,
+    columns: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Percent-of-total window — SQL ``value / SUM(value) OVER
+    (PARTITION BY key)`` (``RATIO_TO_REPORT``), rounded to 6 (the
+    float-hash convention). NULL values get NULL shares and contribute
+    nothing to their partition's sum; an all-NULL partition divides by
+    NULL (share NULL). NULL keys form their own partition (SQL GROUP
+    semantics).
+
+    Scale shape — NO row shuffle: per-partition sums are key-bounded,
+    so pass 1 is a per-batch pyarrow ``group_by`` combiner whose
+    partials merge on the driver (one float per key), and pass 2 is a
+    single ``map_batches`` probe against the broadcast sum map. Rows
+    never move; only key-bounded partials do. For key cardinalities
+    too large to broadcast, compose :func:`bucketed_groupby` instead
+    (the :func:`grouped_exact_quantiles` shape)."""
+    import pandas as pd
+
+    cols = list(dict.fromkeys([*(columns or []), key_col, value_col]))
+    ds = _as_dataset(source, columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key_col, value_col])
+            .group_by([key_col])
+            .aggregate([(value_col, "sum")])
+        )
+        return g.rename_columns([key_col, "__sum"])
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()  # key-bounded
+    )
+    sums = parts.groupby(key_col, dropna=False, sort=False)["__sum"].sum(
+        min_count=1
+    )
+    # NaN key (pandas groupby dropna=False) keyed separately
+    null_sum = float("nan")
+    sum_map: Dict[Any, float] = {}
+    for k, v in sums.items():
+        if pd.isna(k):
+            null_sum = v
+        else:
+            sum_map[k] = v
+
+    def share(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pandas()
+        denom = keys.map(sum_map)
+        denom[keys.isna()] = null_sum
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = denom.to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.round(vals / d, 6)
+        return batch.append_column(
+            "value_share", pa.array(out, pa.float64())
+        )
+
+    return ds.map_batches(share, batch_format="pyarrow", batch_size=batch_size)
+
+
 def anomaly_zscore(
     source: Any,
     key_col: str,

@@ -2454,3 +2454,28 @@ def test_late_arrival_stats_semantics(ray_session):
         out[sorted(out.columns)], ora[sorted(ora.columns)],
         check_dtype=False,
     )
+
+
+def test_ratio_to_report_null_semantics(ray_session):
+    """NULL values get NULL shares and don't inflate the denominator;
+    NULL keys form their own partition; shares sum to 1 per partition."""
+    from data_validator_ray.pipelines.relational import ratio_to_report
+
+    df = pd.DataFrame(
+        {
+            "id": range(7),
+            "k": ["a", "a", "a", "b", None, None, "c"],
+            "v": [1.0, 3.0, None, 5.0, 2.0, 2.0, None],
+        }
+    )
+    out = (
+        ratio_to_report(ray.data.from_pandas(df), "k", "v", columns=["id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out.value_share[0] == 0.25 and out.value_share[1] == 0.75
+    assert np.isnan(out.value_share[2])          # NULL value
+    assert out.value_share[3] == 1.0
+    assert out.value_share[4] == 0.5 and out.value_share[5] == 0.5  # NULL key
+    assert np.isnan(out.value_share[6])          # all-NULL partition

@@ -89,3 +89,40 @@ def test_bloom_no_false_negatives():
     assert merged.contains_hashes(keys).all()
     rt = BloomFilter.from_bytes(bf.to_bytes())
     assert rt.contains_hashes(keys).all()
+
+
+def test_kmv_estimate_and_overlap_error_bounds():
+    """Saturated KMV: distinct and Jaccard estimates within ~5/sqrt(k);
+    unsaturated: exact. Merge order never changes the sketch."""
+    import numpy as np
+
+    from data_validator_ray.functions.sketches import KMV, hash64
+
+    k = 1024
+    # two overlapping integer key sets: |A|=50k, |B|=30k, |A∩B|=10k
+    a_keys = np.arange(0, 50_000, dtype=np.int64)
+    b_keys = np.arange(40_000, 70_000, dtype=np.int64)
+    ha, hb = hash64(a_keys), hash64(b_keys)
+
+    a = KMV(k); a.add_hashes(ha)
+    b = KMV(k); b.add_hashes(hb)
+    tol = 5 / np.sqrt(k)
+    assert abs(a.estimate() - 50_000) / 50_000 < tol
+    assert abs(b.estimate() - 30_000) / 30_000 < tol
+    ov = KMV.overlap(a, b)
+    true_j = 10_000 / 70_000
+    assert abs(ov["jaccard"] - true_j) < tol
+    assert abs(ov["union"] - 70_000) / 70_000 < tol
+
+    # incremental adds == one-shot adds (mergeability/determinism)
+    a2 = KMV(k)
+    for chunk in np.array_split(ha, 7):
+        a2.add_hashes(chunk)
+    assert np.array_equal(a2.values, a.values)
+
+    # unsaturated == exact
+    s1 = KMV(k); s1.add_hashes(hash64(np.arange(100, dtype=np.int64)))
+    s2 = KMV(k); s2.add_hashes(hash64(np.arange(50, 150, dtype=np.int64)))
+    ov2 = KMV.overlap(s1, s2)
+    assert s1.estimate() == 100 and ov2["union"] == 150
+    assert ov2["intersection"] == 50 and ov2["jaccard"] == 50 / 150
