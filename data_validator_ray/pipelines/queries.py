@@ -2974,6 +2974,51 @@ def q_moving_window_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_late_window_aggregate_events(sf_dir: str) -> pd.DataFrame:
+    """Streaming-semantics tumbling window with ALLOWED LATENESS
+    (deterministic batch replay): per-user running-max(ts) watermark in
+    arrival order; rows older than watermark − 14 days are excluded
+    from their day window's sum but counted as late. The testdata's
+    events arrive in perfect ts order, so arrival is a deterministic
+    Knuth permutation of event_id (a bijection mod 2³², SQL-exact) to
+    exercise real disorder — ~38 % of rows land late at sf0.01."""
+    import pyarrow.compute as _pc
+
+    from .relational import windowed_aggregate_with_lateness
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(
+        lambda b: b.append_column(
+            "__arrival",
+            _pc.add(
+                _pc.multiply(
+                    # (id*KNUTH) % 2^32 in int64 (ids < 2^32 so no wrap),
+                    # scaled <<20 then + id: total order, SQL-identical
+                    _pc.bit_wise_and(
+                        _pc.multiply(b["event_id"], 2654435761),
+                        4294967295,  # == % 2^32 (power-of-two mod)
+                    ),
+                    1048576,
+                ),
+                b["event_id"],
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = windowed_aggregate_with_lateness(
+        ds,
+        "user_id",
+        "__arrival",
+        "ts",
+        "value",
+        window_seconds=86400,
+        allowed_lateness_seconds=14 * 86400,
+    ).to_pandas()
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def q_ratio_to_report_events(sf_dir: str) -> pd.DataFrame:
     """Percent-of-total window (RATIO_TO_REPORT): each event's share of
     its event_type's total value — computed with NO row shuffle (key-
@@ -4302,6 +4347,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "moving_window_events": q_moving_window_events,
         "anomaly_zscore_events": q_anomaly_zscore_events,
         "ratio_to_report_events": q_ratio_to_report_events,
+        "late_window_aggregate_events": q_late_window_aggregate_events,
         "time_range_window_events": q_time_range_window_events,
         "edge_values_events": q_edge_values_events,
         "unpivot_lineitem": q_unpivot_lineitem,
@@ -5867,6 +5913,21 @@ def oracle_sql() -> Dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
             "ORDER BY user_id, ts, event_id"
+        ),
+        "late_window_aggregate_events": (
+            "WITH w AS (SELECT ts, value, "
+            "MAX(ts) OVER (PARTITION BY user_id ORDER BY "
+            "((event_id*2654435761)%4294967296)*1048576 + event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM events WHERE ts IS NOT NULL) "
+            "SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, "
+            "(COUNT(*) FILTER (WHERE wm IS NULL "
+            "OR ts >= wm - INTERVAL 14 DAY))::BIGINT AS n_ontime, "
+            "ROUND(SUM(value) FILTER (WHERE wm IS NULL "
+            "OR ts >= wm - INTERVAL 14 DAY), 6) AS value_sum, "
+            "(COUNT(*) FILTER (WHERE wm IS NOT NULL "
+            "AND ts < wm - INTERVAL 14 DAY))::BIGINT AS n_late "
+            "FROM w GROUP BY 1 ORDER BY 1"
         ),
         "ratio_to_report_events": (
             "SELECT event_id, event_type, value, "

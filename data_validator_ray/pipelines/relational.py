@@ -4601,6 +4601,111 @@ def late_arrival_stats(
     )
 
 
+def windowed_aggregate_with_lateness(
+    source: Any,
+    key_col: str,
+    arrival_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_seconds: int = 3600,
+    allowed_lateness_seconds: int = 0,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Tumbling-window aggregate with ALLOWED-LATENESS semantics — the
+    deterministic batch replay of a streaming window with a per-key
+    watermark (Flink/Beam allowed lateness): in ARRIVAL order
+    (``arrival_col``), each key's watermark is its running max event
+    time; a row is LATE — excluded from its window's aggregate but
+    counted — iff ``ts < watermark_before_it − allowed_lateness``.
+    Output per window: ``window_start, n_ontime, value_sum (ROUND 6,
+    NULL when no on-time non-NULL values), n_late``. Window origin is
+    the Unix epoch (DuckDB ``time_bucket`` parity); NULL event times
+    drop entirely (they neither advance nor consume the watermark).
+
+    Scale shape: ONE key-bucketed shuffle (the :func:`late_arrival_stats`
+    running-cummax pass) emits per-(bucket, window) partials; the
+    global merge is a window-bounded groupby sum. Rows cross the wire
+    once; the second exchange is windows × buckets partial rows.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    w_us = np.int64(window_seconds) * 1_000_000
+    late_us = np.int64(allowed_lateness_seconds) * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, arrival_col], kind="mergesort", na_position="last"
+        )
+        t = g[ts_col].to_numpy()
+        t = t.astype("datetime64[us]").view(np.int64)
+        keys = g[key_col].to_numpy()
+        ser = pd.Series(t.astype(np.float64), index=g.index)
+        prev = (
+            ser.groupby(keys, sort=False).cummax()
+            .groupby(keys, sort=False).shift(1)
+        )
+        late = (ser < prev - float(late_us)).fillna(False).to_numpy()
+        win = (t // w_us) * w_us
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        on = ~late
+        v_on = np.where(on & ~np.isnan(vals), vals, 0.0)
+        c_on = (on & ~np.isnan(vals)).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "__w": win,
+                "n_on": on.astype(np.int64),
+                "v_sum": v_on,
+                "v_cnt": c_on,
+                "n_late": late.astype(np.int64),
+            }
+        )
+        agg = out.groupby("__w", sort=False).sum().reset_index()
+        return agg
+
+    ds = _as_dataset(
+        source, columns=[key_col, arrival_col, ts_col, value_col]
+    )
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b[ts_col])),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    partials = bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby("__w").aggregate(
+        Sum("n_on", alias_name="n_ontime"),
+        Sum("v_sum", alias_name="__vs"),
+        Sum("v_cnt", alias_name="__vc"),
+        Sum("n_late", alias_name="n_late"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        win = pa.array(
+            batch["__w"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        )
+        vs = batch["__vs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vc = batch["__vc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vsum = np.where(vc > 0, np.round(vs, 6), np.nan)
+        return pa.table(
+            {
+                "window_start": win,
+                "n_ontime": pc.cast(batch["n_ontime"], pa.int64()),
+                "value_sum": pa.array(vsum, pa.float64()),
+                "n_late": pc.cast(batch["n_late"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def grouped_acf(
     source: Any,
     key_col: str,

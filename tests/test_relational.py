@@ -2479,3 +2479,44 @@ def test_ratio_to_report_null_semantics(ray_session):
     assert out.value_share[3] == 1.0
     assert out.value_share[4] == 0.5 and out.value_share[5] == 0.5  # NULL key
     assert np.isnan(out.value_share[6])          # all-NULL partition
+
+
+def test_windowed_aggregate_with_lateness_planted(ray_session):
+    """Planted disorder: a row arriving after its key's watermark has
+    passed (beyond allowed lateness) is excluded from its window's sum
+    but counted late; within-lateness disorder stays on-time."""
+    from data_validator_ray.pipelines.relational import (
+        windowed_aggregate_with_lateness,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5,
+            "arr": [1, 2, 3, 4, 5],
+            "ts": [
+                base,                      # w0, advances wm to t0
+                base + 5 * h,              # w5, wm -> t0+5h
+                base + 4 * h,              # 1h late < 2h allowed: ON time
+                base + 1 * h,              # 4h late > 2h allowed: LATE (w1)
+                base + 6 * h,              # on time
+            ],
+            "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    out = (
+        windowed_aggregate_with_lateness(
+            ray.data.from_pandas(df), "k", "arr", "ts", "v",
+            window_seconds=3600, allowed_lateness_seconds=2 * 3600,
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    w = {r.window_start.hour: r for r in out.itertuples()}
+    assert w[0].n_ontime == 1 and w[0].value_sum == 1.0 and w[0].n_late == 0
+    assert w[1].n_ontime == 0 and np.isnan(w[1].value_sum) and w[1].n_late == 1
+    assert w[4].n_ontime == 1 and w[4].value_sum == 4.0
+    assert w[5].n_ontime == 1 and w[5].value_sum == 2.0
+    assert w[6].n_ontime == 1 and w[6].value_sum == 16.0
