@@ -3910,6 +3910,26 @@ def q_bloom_join_lineitem_orders(sf_dir: str) -> Any:
     )
 
 
+def q_bloom_anti_join_customers(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned ANTI join (the incremental-dedup shape): customers
+    with no event activity. Bloom misses — the ~90 % of customers whose
+    key can't be in events — stream straight to the output with NO
+    shuffle; only Bloom-positive candidates go through the exact anti
+    join."""
+    from .relational import bloom_prefilter_join
+
+    out = bloom_prefilter_join(
+        f"{sf_dir}/customer.parquet",
+        f"{sf_dir}/events.parquet",
+        left_key="c_custkey",
+        right_key="user_id",
+        left_cols=["c_custkey", "c_name"],
+        right_cols=["user_id"],
+        how="anti",
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_ohlc_events(sf_dir: str) -> Any:
     """Hourly OHLC bars per user (time-series downsampling): one
     bucketed key shuffle, vectorized per-bucket head/tail/min/max;
@@ -4391,6 +4411,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pivot_sums_events": q_pivot_sums_events,
         "range_checksums_events": q_range_checksums_events,
         "bloom_join_lineitem_orders": q_bloom_join_lineitem_orders,
+        "bloom_anti_join_customers": q_bloom_anti_join_customers,
         "ohlc_events": q_ohlc_events,
         "phrase_search_documents": q_phrase_search_documents,
         "monotonic_events_value": q_monotonic_events_value,
@@ -6355,6 +6376,12 @@ def oracle_sql() -> Dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_totalprice > 450000 "
             "ORDER BY l_orderkey, l_linenumber"
+        ),
+        "bloom_anti_join_customers": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM events e "
+            "WHERE e.user_id = c.c_custkey) "
+            "ORDER BY c_custkey"
         ),
         "ohlc_events": (
             "WITH b AS (SELECT user_id, value, ts, event_id, "

@@ -4887,19 +4887,28 @@ def bloom_prefilter_join(
     exchange. False positives only admit extra rows into the shuffle —
     the join itself stays exact (same output as :func:`hash_join`).
 
-    ``how`` is restricted to the filtering-safe modes ``inner`` /
-    ``semi`` (outer/anti modes must keep unmatched left rows, which a
-    pre-filter would discard). Keys hash after casting the right key
-    to the left key's type, the same convention as :func:`hash_join`.
+    ``how='anti'`` INVERTS the pruning (the incremental-dedup shape —
+    "drop rows already present in the reference corpus"): a left row
+    whose key misses the Bloom filter is DEFINITELY unmatched (Blooms
+    have no false negatives) and streams straight to the output with
+    NO shuffle; only Bloom-positive rows — the small candidate set —
+    go through the exact anti join. NULL left keys are kept (the
+    :func:`hash_join` anti convention). Output equals
+    ``hash_join(how='anti')`` exactly, but the exchange is sized by
+    the match rate, not the table.
+
+    Outer modes are rejected (they must keep AND pad unmatched rows).
+    Keys hash after casting the right key to the left key's type, the
+    same convention as :func:`hash_join`.
     """
     import ray as _ray
 
     from ..functions.sketches import BloomFilter, hash64
 
-    if how not in ("inner", "semi"):
+    if how not in ("inner", "semi", "anti"):
         raise ValueError(
-            "bloom_prefilter_join supports how='inner'/'semi' only "
-            "(outer modes must keep unmatched left rows)"
+            "bloom_prefilter_join supports how='inner'/'semi'/'anti' only "
+            "(outer modes must keep and pad unmatched left rows)"
         )
     l_extra = [c for c in left_cols if c != left_key]
     l_ds = _as_dataset(left, columns=[left_key] + l_extra)
@@ -4930,15 +4939,50 @@ def bloom_prefilter_join(
         bits |= np.frombuffer(row["bloom"], np.uint8)
     ref = _ray.put(BloomFilter(n_bits, k, bits))
 
-    def prefilter(batch: pa.Table) -> pa.Table:
+    def member_mask(batch: pa.Table) -> np.ndarray:
         bf = _ray.get(ref)
         col = batch[left_key]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        keep = bf.contains_hashes(hash64(col)) & pc.is_valid(col).to_numpy(
+        return bf.contains_hashes(hash64(col)) & pc.is_valid(col).to_numpy(
             zero_copy_only=False
         )
-        return batch.filter(pa.array(keep))
+
+    if how == "anti":
+        # definite keeps: bloom-miss or NULL key — no false negatives,
+        # so they stream to the output without touching the shuffle
+        def keep_misses(batch: pa.Table) -> pa.Table:
+            return batch.select(left_cols).filter(pa.array(~member_mask(batch)))
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(member_mask(batch)))
+
+        misses = l_ds.map_batches(
+            keep_misses, batch_format="pyarrow", batch_size=batch_size
+        )
+        candidates = l_ds.map_batches(
+            keep_candidates, batch_format="pyarrow", batch_size=batch_size
+        )
+        verified = hash_join(
+            candidates,
+            r_ds,
+            left_key=left_key,
+            right_key=right_key,
+            left_cols=left_cols,
+            right_cols=right_cols,
+            num_buckets=num_buckets,
+            how="anti",
+        ).map_batches(
+            # normalize to arrow blocks: union of pandas-block
+            # (map_groups) and arrow-block datasets crashes the batcher
+            lambda b: b.select(left_cols),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        return misses.union(verified)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(member_mask(batch)))
 
     filtered = l_ds.map_batches(
         prefilter, batch_format="pyarrow", batch_size=batch_size

@@ -2520,3 +2520,34 @@ def test_windowed_aggregate_with_lateness_planted(ray_session):
     assert w[4].n_ontime == 1 and w[4].value_sum == 4.0
     assert w[5].n_ontime == 1 and w[5].value_sum == 2.0
     assert w[6].n_ontime == 1 and w[6].value_sum == 16.0
+
+
+def test_bloom_prefilter_join_anti(ray_session):
+    """Anti mode: bloom misses stream straight to output, candidates
+    verify exactly, NULL left keys are kept, matched rows drop."""
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import bloom_prefilter_join
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 3, 4, None, 6], "x": list("abcdef")}
+    )
+    right = pd.DataFrame({"rk": [2, 4, 4, 99]})
+    out = (
+        bloom_prefilter_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            left_key="k", right_key="rk",
+            left_cols=["k", "x"], right_cols=["rk"], how="anti",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert out.x.tolist() == ["a", "c", "e", "f"]  # 2 and 4 matched
+
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(
+            left, right, left_key="k", right_key="rk",
+            left_cols=["k"], right_cols=["rk"], how="left",
+        )
