@@ -219,6 +219,15 @@ def q_referential_events_user(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_json_validity_events_props(sf_dir: str) -> pd.DataFrame:
+    """JSON well-formedness rule over events.props (polars Rust JSON
+    engine per batch; NULLs never fail) — DuckDB json_valid parity."""
+    return _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(name="j", rule_type="json_validity", column="props"),
+    )
+
+
 def q_referential_composite_lineitem(sf_dir: str) -> pd.DataFrame:
     """COMPOSITE-key referential check: every lineitem's
     (l_orderkey, l_partkey) tuple must appear among the order's
@@ -4216,6 +4225,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "referential_orders_cust": q_referential_orders_cust,
         "referential_events_nation_approx": q_referential_events_nation_approx,
         "referential_composite_lineitem": q_referential_composite_lineitem,
+        "json_validity_events_props": q_json_validity_events_props,
         "fd_orders_cust_priority": q_fd_orders_cust_priority,
         "fd_composite_orders": q_fd_composite_orders,
         "late_arrival_events": q_late_arrival_events,
@@ -4543,6 +4553,12 @@ def oracle_sql() -> Dict[str, str]:
             failed="COUNT(*) FILTER (WHERE user_id IS NOT NULL AND user_id NOT IN "
                    "(SELECT n_nationkey FROM nation))",
             t="events",
+        ),
+        "json_validity_events_props": (
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE props IS NOT NULL "
+            "AND NOT json_valid(props)))::BIGINT AS failed_count "
+            "FROM events"
         ),
         "referential_composite_lineitem": (
             "SELECT COUNT(*)::BIGINT AS total_count, "

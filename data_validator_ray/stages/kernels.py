@@ -157,6 +157,50 @@ class PatternKernel(CheckKernel):
         return pc.fill_null(ok, False)  # filter mode drops NULLs (reference F3)
 
 
+@register_check("json_validity")
+class JsonValidityKernel(CheckKernel):
+    """Failing row: col IS NOT NULL and is not well-formed JSON —
+    the semi-structured-payload conformance check (event ``props``,
+    API response bodies). NULLs never fail (pair with completeness).
+
+    Vectorized via polars' Rust JSON path engine:
+    ``json_path_match('$')`` returns NULL exactly for unparseable
+    documents. Validity is STRICT RFC 8259 (serde_json); DuckDB's
+    ``json_valid`` additionally accepts yyjson extensions (bare
+    nan/inf, trailing commas) — a documented divergence pinned by
+    test; both engines agree on every conforming/garbled doc. No
+    Python row loop."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+
+    def _valid_mask(self, batch: pa.Table) -> np.ndarray:
+        import polars as pl
+
+        col = batch[self.column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(col)
+        # json_path_match('$') can't distinguish a parsed JSON null
+        # root from an unparseable doc (both yield NULL) — the `null`
+        # literal is valid JSON, so accept it explicitly
+        valid = s.str.json_path_match("$").is_not_null() | (
+            s.str.strip_chars() == "null"
+        )
+        return valid.fill_null(False).to_numpy()
+
+    def mask_failing(self, batch: pa.Table):
+        col = batch[self.column]
+        notnull = pc.is_valid(col)
+        return pc.and_(pa.array(~self._valid_mask(batch)), notnull)
+
+    def mask_keep(self, batch: pa.Table):
+        # filter mode drops NULLs (the reference's pattern-filter
+        # asymmetry, F3)
+        return pa.array(self._valid_mask(batch))
+
+
 @register_check("membership")
 class MembershipKernel(CheckKernel):
     """Failing row: col NOT IN allowed values (NULL never fails).

@@ -325,3 +325,35 @@ def test_hash_pair_set_collision_handling():
     ]
     empty = HashPairSet(np.zeros(0, np.int64), np.zeros(0, np.int64))
     assert empty.contains(probe1, probe2).tolist() == [False] * 5
+
+
+def test_json_validity_rule_matches_duckdb(ray_session):
+    """Engine json-validity mask agrees with DuckDB json_valid across
+    objects, arrays, scalars, truncated docs, and NULLs (never fail)."""
+    import duckdb
+
+    vals = [
+        '{"a": 1}', "not json", "[1, 2, 3]", None, "3", '{"a":',
+        '"str"', "true", "  {\"x\": [1, {\"y\": null}]} ", "{", "[]",
+        "1e5", "[1, 2", "null", "{}", "tru", '{"a": "b\\u00e9"}',
+    ]
+    df = pd.DataFrame({"props": vals})
+    rule = ValidationRule(name="j", rule_type="json_validity",
+                          column="props")
+    v = RayDataValidator(make_config([rule], table="t"))
+    r = v.validate_table(df, "t").results[0]
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT COUNT(*) total, COUNT(*) FILTER (WHERE props IS NOT "
+        "NULL AND NOT json_valid(props)) failed FROM t"
+    ).fetchone()
+    assert (r.total_count, r.failed_count) == exp
+
+    # documented divergence: the engine is STRICT RFC 8259 while
+    # DuckDB's yyjson enables extensions (bare nan/inf, trailing
+    # commas) — those docs fail here and pass there
+    df2 = pd.DataFrame({"props": ["nan", '{"a": 1,}']})
+    r2 = v.validate_table(df2, "t").results[0]
+    assert (r2.total_count, r2.failed_count) == (2, 2)
