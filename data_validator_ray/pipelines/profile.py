@@ -544,6 +544,191 @@ def grouped_stats(
     )
 
 
+def correlation_matrix(
+    source: Any,
+    cols: "list[str]",
+    *,
+    batch_size: int = 64 * 1024,
+) -> "pd.DataFrame":
+    """All-pairs Pearson correlation over m numeric columns in ONE
+    streaming pass — the feature-redundancy screen before model /
+    mixture work. One row per unordered pair ``(col_a, col_b)`` with
+    ``n_pairs`` (pairwise-complete count — SQL ``CORR`` NULL handling)
+    and ``corr`` (ROUND 6; NULL when n < 2 or either side has zero
+    variance — DuckDB conventions).
+
+    Scale shape: each batch reduces to four m×m moment matrices via
+    masked MATMULS (V=validity, X0=null-zeroed values: N=VᵀV, SX=X0ᵀV,
+    SXY=X0ᵀX0, SXX=(X0∘X0)ᵀV — every pairwise-complete sum in four
+    BLAS calls, no per-pair loop), shipped as m(m−1)/2 partial rows
+    per batch; the global merge is a pair-bounded groupby sum and the
+    closed form evaluates on the driver over m²/2 rows. Magnitude
+    note: sums-of-squares form — center extreme-mean columns first.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    m = len(cols)
+    if m < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    iu, ju = np.triu_indices(m, k=1)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = np.empty((batch.num_rows, m), np.float64)
+        for c_idx, c in enumerate(cols):
+            X[:, c_idx] = pc.cast(batch[c], pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+        V = (~np.isnan(X)).astype(np.float64)
+        X0 = np.where(V > 0, X, 0.0)
+        N = V.T @ V
+        SX = X0.T @ V          # SX[i,j] = Σ x_i over rows valid_i&valid_j
+        SXY = X0.T @ X0
+        SXX = (X0 * X0).T @ V
+        return pa.table(
+            {
+                "i": pa.array(iu, pa.int64()),
+                "j": pa.array(ju, pa.int64()),
+                "n": pa.array(N[iu, ju], pa.float64()),
+                "sx": pa.array(SX[iu, ju], pa.float64()),
+                "sy": pa.array(SX[ju, iu], pa.float64()),
+                "sxx": pa.array(SXX[iu, ju], pa.float64()),
+                "syy": pa.array(SXX[ju, iu], pa.float64()),
+                "sxy": pa.array(SXY[iu, ju], pa.float64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=list(cols))
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()  # m²/2 rows
+    )
+    n = merged["n"].to_numpy(np.float64)
+    sx, sy = merged["sx"].to_numpy(), merged["sy"].to_numpy()
+    sxx, syy = merged["sxx"].to_numpy(), merged["syy"].to_numpy()
+    sxy = merged["sxy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        # constant-column snap: a zero-variance column's n·sxx − sx²
+        # cancels to a float residue ~n·eps relative, which would turn
+        # the NULL corr into a garbage 0/tiny. Snap below 1e-9 relative
+        # (std/mean < 3e-5 reads as constant — documented envelope,
+        # same magnitude note as the sums-of-squares form itself).
+        vx = np.where(vx <= 1e-9 * np.maximum(n * sxx, 1.0), 0.0, vx)
+        vy = np.where(vy <= 1e-9 * np.maximum(n * syy, 1.0), 0.0, vy)
+        corr = (n * sxy - sx * sy) / np.sqrt(vx * vy)
+        corr = np.where((n >= 2) & (vx > 0) & (vy > 0),
+                        np.round(corr, 6), np.nan)
+    out = pd.DataFrame(
+        {
+            "col_a": [cols[int(i)] for i in merged["i"]],
+            "col_b": [cols[int(j)] for j in merged["j"]],
+            "n_pairs": n.astype(np.int64),
+            "corr": corr,
+        }
+    )
+    return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)
+
+
+def type_conformance_profile(
+    source: Any,
+    cols: "list[str]",
+    *,
+    ts_format: str = "%Y-%m-%d %H:%M:%S",
+    batch_size: int = 64 * 1024,
+) -> "pd.DataFrame":
+    """Type-inference / conformance profile of string columns — the
+    dirty-ingestion "what could this column be" report that precedes
+    a TRY_CAST migration: for each column, how many values are NULL,
+    empty (after trim), integer-parseable, float-parseable, and
+    timestamp-parseable. Shares the exact parse definitions of
+    :func:`.relational.try_cast_columns` (RE2 ``[+-]?\\d{1,18}`` for
+    int64, plain/scientific for float, ``strptime(error_is_null)`` for
+    timestamps), so the profile predicts the cast outcome exactly and
+    both are SQL-oracle-checkable with the same regexes.
+
+    Scale shape: one streaming pass; each batch reduces to ONE row per
+    column (Arrow regex/strptime kernels + sum), the merge is a
+    K-column-bounded groupby sum."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .relational import _TRY_FLOAT_RE, _TRY_INT_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = {
+            "column": [], "n": [], "n_null": [], "n_empty": [],
+            "n_int": [], "n_float": [], "n_ts": [],
+        }
+        for c in cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+            valid = pc.is_valid(s)
+            nonempty = pc.and_(valid, pc.not_equal(s, ""))
+
+            def count(mask) -> int:
+                return int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+
+            is_int = pc.and_(
+                nonempty, pc.fill_null(
+                    pc.match_substring_regex(s, _TRY_INT_RE), False)
+            )
+            is_float = pc.and_(
+                nonempty, pc.fill_null(
+                    pc.match_substring_regex(s, _TRY_FLOAT_RE), False)
+            )
+            ts = pc.strptime(s, format=ts_format, unit="us",
+                             error_is_null=True)
+            is_ts = pc.and_(nonempty, pc.is_valid(ts))
+            rows["column"].append(c)
+            rows["n"].append(batch.num_rows)
+            rows["n_null"].append(batch.num_rows - count(valid))
+            rows["n_empty"].append(count(valid) - count(nonempty))
+            rows["n_int"].append(count(is_int))
+            rows["n_float"].append(count(is_float))
+            rows["n_ts"].append(count(is_ts))
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                **{
+                    k: pa.array(rows[k], pa.int64())
+                    for k in ("n", "n_null", "n_empty", "n_int",
+                              "n_float", "n_ts")
+                },
+            }
+        )
+
+    ds = _as_dataset(source, columns=list(cols))
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("column")
+        .aggregate(
+            *[
+                Sum(k, alias_name=k)
+                for k in ("n", "n_null", "n_empty", "n_int", "n_float", "n_ts")
+            ]
+        )
+        .to_pandas()
+    )
+    for k in ("n", "n_null", "n_empty", "n_int", "n_float", "n_ts"):
+        out[k] = out[k].astype(np.int64)
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def grouped_higher_moments(
     source: Any,
     key_cols: "list[str]",

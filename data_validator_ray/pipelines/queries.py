@@ -3302,6 +3302,59 @@ def q_grouped_stats_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_correlation_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
+    """All-pairs Pearson matrix over four lineitem numerics in ONE
+    pass: per-batch masked-matmul moment partials (4 BLAS calls per
+    batch), pair-bounded merge."""
+    from .profile import correlation_matrix
+
+    return correlation_matrix(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q_type_conformance_events(sf_dir: str) -> pd.DataFrame:
+    """Type-inference profile: props (JSON strings) and event_type
+    label columns plus a deterministically DIRTY derived column mixing
+    int strings, decimal strings, garbage, empties and timestamp
+    strings (built from integer/strftime formatting only — float
+    printing differs between engines and is deliberately avoided)."""
+    import pyarrow.compute as _pc
+
+    from .profile import type_conformance_profile
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["event_id"]
+        id_str = _pc.cast(ids, pa.string())
+        m = _pc.cast(_pc.bit_wise_and(ids, 3), pa.int64())  # event_id % 4
+        # second-unit cast first: Arrow's %S prints fractional seconds
+        # for sub-second units (DuckDB's %S never does)
+        ts_s = _pc.floor_temporal(b["ts"], unit="second").cast(
+            pa.timestamp("s")
+        )
+        ts_str = _pc.strftime(ts_s, format="%Y-%m-%d %H:%M:%S")
+        dirty = _pc.if_else(
+            _pc.equal(m, 0), id_str,
+            _pc.if_else(
+                _pc.equal(m, 1),
+                _pc.binary_join_element_wise(id_str, ".5", ""),
+                _pc.if_else(_pc.equal(m, 2), pa.scalar("abc"), ts_str),
+            ),
+        )
+        return b.select(["props", "event_type"]).append_column(
+            "dirty_str", dirty
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "props", "event_type", "ts"],
+    ).map_batches(derive, batch_format="pyarrow")
+    return type_conformance_profile(
+        ds, ["props", "event_type", "dirty_str"]
+    )
+
+
 def q_numeric_profile_events(sf_dir: str) -> pd.DataFrame:
     """Exact slice of the one-pass table profiler: every numeric column
     of events gets total/null counts and exact min/max/mean (mean
@@ -4391,6 +4444,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "top_events_by_value": q_top_events_by_value,
         "global_rank_events": q_global_rank_events,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
+        "correlation_matrix_lineitem": q_correlation_matrix_lineitem,
+        "type_conformance_events": q_type_conformance_events,
         "standardize_events_value": q_standardize_events_value,
         "robust_scale_events": q_robust_scale_events,
         "numeric_profile_events": q_numeric_profile_events,
@@ -6155,6 +6210,58 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(VAR_SAMP(l_quantity), 6) AS var_x, "
             "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "type_conformance_events": (
+            "WITH src AS (SELECT props, event_type, "
+            "CASE event_id % 4 "
+            "WHEN 0 THEN CAST(event_id AS VARCHAR) "
+            "WHEN 1 THEN CAST(event_id AS VARCHAR) || '.5' "
+            "WHEN 2 THEN 'abc' "
+            "ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS dirty_str "
+            "FROM events), "
+            "u AS (SELECT 'props' AS col, props AS v FROM src "
+            "UNION ALL SELECT 'event_type', event_type FROM src "
+            "UNION ALL SELECT 'dirty_str', dirty_str FROM src) "
+            "SELECT col AS \"column\", COUNT(*)::BIGINT AS n, "
+            "(COUNT(*) - COUNT(v))::BIGINT AS n_null, "
+            "(COUNT(*) FILTER (WHERE trim(v) = ''))::BIGINT AS n_empty, "
+            "(COUNT(*) FILTER (WHERE regexp_matches(trim(v), "
+            r"'^[+-]?\d{1,18}$'"
+            ")))::BIGINT AS n_int, "
+            "(COUNT(*) FILTER (WHERE trim(v) <> '' AND regexp_matches("
+            r"trim(v), '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$'"
+            ")))::BIGINT AS n_float, "
+            "(COUNT(*) FILTER (WHERE trim(v) <> '' AND "
+            "try_strptime(trim(v), '%Y-%m-%d %H:%M:%S') IS NOT NULL"
+            "))::BIGINT AS n_ts "
+            "FROM u GROUP BY col ORDER BY col"
+        ),
+        "correlation_matrix_lineitem": (
+            "WITH p AS ("
+            "SELECT 'l_quantity' a, 'l_extendedprice' b, "
+            "COUNT(*) FILTER (WHERE l_quantity IS NOT NULL AND "
+            "l_extendedprice IS NOT NULL) n, "
+            "CORR(l_quantity, l_extendedprice) c FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', 'l_discount', "
+            "COUNT(*) FILTER (WHERE l_quantity IS NOT NULL AND "
+            "l_discount IS NOT NULL), CORR(l_quantity, l_discount) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', "
+            "COUNT(*) FILTER (WHERE l_quantity IS NOT NULL AND "
+            "l_tax IS NOT NULL), CORR(l_quantity, l_tax) FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+            "COUNT(*) FILTER (WHERE l_extendedprice IS NOT NULL AND "
+            "l_discount IS NOT NULL), CORR(l_extendedprice, l_discount) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', "
+            "COUNT(*) FILTER (WHERE l_extendedprice IS NOT NULL AND "
+            "l_tax IS NOT NULL), CORR(l_extendedprice, l_tax) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_discount', 'l_tax', "
+            "COUNT(*) FILTER (WHERE l_discount IS NOT NULL AND "
+            "l_tax IS NOT NULL), CORR(l_discount, l_tax) FROM lineitem"
+            ") SELECT a AS col_a, b AS col_b, n::BIGINT AS n_pairs, "
+            "ROUND(c, 6) AS corr FROM p ORDER BY col_a, col_b"
         ),
         "grouped_mode_events": (
             "SELECT user_id, mode_value, cnt::BIGINT AS mode_count FROM ("

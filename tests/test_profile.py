@@ -481,3 +481,74 @@ def test_categorical_profile_entropy_and_nulls(ray_session):
         "column": "z", "n": 0, "null_count": 2, "n_distinct": 0,
         "entropy": 0.0, "top_share": 0.0,
     }
+
+
+def test_correlation_matrix_nulls_and_zero_variance(ray_session):
+    """Pairwise-complete counts per pair; constant column pairs give
+    NULL corr; perfectly linear pair gives ±1."""
+    import duckdb
+
+    from data_validator_ray.pipelines.profile import correlation_matrix
+
+    rng = np.random.default_rng(9)
+    n = 400
+    a = rng.normal(size=n)
+    df = pd.DataFrame(
+        {
+            "a": a,
+            "b": -2 * a + 1,            # corr -1 with a
+            "c": rng.normal(size=n),
+            "d": np.full(n, 3.14),      # zero variance
+        }
+    )
+    df.loc[df.index[:30], "a"] = None
+    df.loc[df.index[20:60], "c"] = None
+    out = correlation_matrix(df, ["a", "b", "c", "d"])
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        "WITH p AS ("
+        "SELECT 'a' x, 'b' y, COUNT(*) FILTER (WHERE a IS NOT NULL AND b "
+        "IS NOT NULL) n, CORR(a, b) c FROM t "
+        "UNION ALL SELECT 'a', 'c', COUNT(*) FILTER (WHERE a IS NOT NULL "
+        "AND c IS NOT NULL), CORR(a, c) FROM t "
+        "UNION ALL SELECT 'a', 'd', COUNT(*) FILTER (WHERE a IS NOT NULL "
+        "AND d IS NOT NULL), CORR(a, d) FROM t "
+        "UNION ALL SELECT 'b', 'c', COUNT(*) FILTER (WHERE b IS NOT NULL "
+        "AND c IS NOT NULL), CORR(b, c) FROM t "
+        "UNION ALL SELECT 'b', 'd', COUNT(*) FILTER (WHERE b IS NOT NULL "
+        "AND d IS NOT NULL), CORR(b, d) FROM t "
+        "UNION ALL SELECT 'c', 'd', COUNT(*) FILTER (WHERE c IS NOT NULL "
+        "AND d IS NOT NULL), CORR(c, d) FROM t"
+        ") SELECT x, y, n, ROUND(c, 6) c FROM p ORDER BY x, y"
+    ).df()
+    assert out.n_pairs.tolist() == ref.n.tolist()
+    for mine, theirs in zip(out["corr"].to_numpy(), ref.c.to_numpy()):
+        assert (np.isnan(mine) and np.isnan(theirs)) or mine == theirs
+    ab = out[(out.col_a == "a") & (out.col_b == "b")]["corr"].iloc[0]
+    assert ab == -1.0
+
+
+def test_type_conformance_profile_planted(ray_session):
+    """Planted dirty strings: nulls, empties, ints (incl. +/- and the
+    18-digit boundary), floats (plain/scientific), timestamps."""
+    from data_validator_ray.pipelines.profile import type_conformance_profile
+
+    df = pd.DataFrame(
+        {
+            "c": [
+                None, "", "  ", "42", "+7", "-0", "1" * 18, "1" * 19,
+                "3.14", "-.5", "1e-3", "2024-05-01 12:00:00", "abc",
+                " 99 ",
+            ]
+        }
+    )
+    out = type_conformance_profile(df, ["c"])
+    r = out.iloc[0]
+    assert r.n == 14 and r.n_null == 1 and r.n_empty == 2
+    # ints: 42, +7, -0, 10^18-digit run (18 ok, 19 not), " 99 " trimmed
+    assert r.n_int == 5
+    # floats: all int-ish strings parse as floats too (incl. the
+    # 19-digit run the int64 regex rejects), plus 3.14, -.5, 1e-3
+    assert r.n_float == 9
+    assert r.n_ts == 1
