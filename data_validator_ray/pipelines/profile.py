@@ -729,6 +729,157 @@ def type_conformance_profile(
     return out.sort_values("column").reset_index(drop=True)
 
 
+def grouped_weighted_stats(
+    source: Any,
+    key_cols: "list[str]",
+    value_col: str,
+    weight_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Per-group WEIGHTED statistics — the mixture-weighting /
+    importance-sampling moment pass: ``n_pairs`` (rows where value AND
+    weight are non-NULL — SQL pairwise semantics), ``weight_sum``,
+    ``weighted_sum`` (Σ w·x) and ``weighted_mean`` (Σ w·x / Σ w), all
+    ROUND 6; mean NULL when the group's weight sum is 0 or no pairs.
+
+    Scale shape: per-batch pyarrow ``group_by`` moment partials (three
+    sums + a count — exchange is groups × batches), null-safe bucketed
+    merge, closed form at the end."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        w = pc.cast(batch[weight_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        vp = ~np.isnan(x) & ~np.isnan(w)
+        wp = np.where(vp, w, 0.0)
+        t = batch.select(key_cols).append_column(
+            "__n", pa.array(vp.astype(np.int64))
+        ).append_column(
+            "__w", pa.array(wp, pa.float64())
+        ).append_column(
+            "__wx", pa.array(wp * np.where(vp, x, 0.0), pa.float64())
+        )
+        return t.group_by(key_cols).aggregate(
+            [("__n", "sum"), ("__w", "sum"), ("__wx", "sum")]
+        ).rename_columns([*key_cols, "__n", "__w", "__wx"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(key_cols, dropna=False, sort=False).sum().reset_index()
+        n = agg["__n"].to_numpy(np.int64)
+        wsum = agg["__w"].to_numpy(np.float64)
+        wx = agg["__wx"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(
+                (n > 0) & (wsum != 0), np.round(wx / wsum, 6), np.nan
+            )
+        out = agg[key_cols].copy()
+        out["n_pairs"] = n
+        out["weight_sum"] = np.round(wsum, 6)
+        # millions: a raw Σw·x can reach 1e10+, where the 6th decimal
+        # sits below float64 spacing and accumulation order would
+        # decide the hash — rescale so round-6 is numerically real
+        out["weighted_sum_m"] = np.round(wx / 1e6, 6)
+        out["weighted_mean"] = mean
+        return out
+
+    ds = _as_dataset(source, columns=[*key_cols, value_col, weight_col])
+    parts = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(parts, key_cols, per_bucket,
+                            num_buckets=num_buckets, batch_size=batch_size)
+
+
+def join_size_profile(
+    a: Any,
+    a_key: str,
+    b: Any,
+    b_key: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> "pd.DataFrame":
+    """Pre-join cardinality & skew report — answers "how big would this
+    join be, and does one hot key dominate?" BEFORE paying for the
+    shuffle: exact output row count Σₖ cₐ(k)·c_b(k), shared-key count,
+    the hottest key's contribution, and ``skew_ratio`` = hottest /
+    average contribution (unrounded integer-ratio division —
+    bit-exact). NULL keys never join (SQL inner semantics).
+
+    Scale shape: each side reduces to per-batch (key, count) partials
+    (combiner — exchange is key-bounded, rows never move), ONE
+    null-safe bucketed merge multiplies per-key counts, and the driver
+    folds a handful of integers per bucket."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def side_partials(src: Any, key: str, side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            col = batch.select([key])
+            col = col.filter(pc.is_valid(col[key]))
+            g = col.group_by([key]).aggregate([([], "count_all")])
+            g = g.rename_columns(["k", "__cnt"])
+            return g.append_column(
+                "__side", pa.array(np.full(g.num_rows, side, np.int64))
+            )
+
+        return _as_dataset(src, columns=[key]).map_batches(
+            f, batch_format="pyarrow", batch_size=batch_size
+        )
+
+    unioned = side_partials(a, a_key, 0).union(side_partials(b, b_key, 1))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            __ca=np.where(g["__side"].to_numpy() == 0,
+                          g["__cnt"].to_numpy(), 0),
+            __cb=np.where(g["__side"].to_numpy() == 1,
+                          g["__cnt"].to_numpy(), 0),
+        )
+        agg = g.groupby("k", sort=False)[["__ca", "__cb"]].sum()
+        pairs = agg["__ca"].to_numpy(np.int64) * agg["__cb"].to_numpy(np.int64)
+        shared = pairs > 0
+        if not shared.any():
+            return pd.DataFrame(
+                {"rows_out": [0], "shared_keys": [0], "max_key_rows": [0]}
+            )
+        return pd.DataFrame(
+            {
+                "rows_out": [int(pairs[shared].sum())],
+                "shared_keys": [int(shared.sum())],
+                "max_key_rows": [int(pairs.max())],
+            }
+        )
+
+    folded = bucketed_groupby(
+        unioned, ["k"], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    ).to_pandas()
+    rows_out = int(folded["rows_out"].sum())
+    shared = int(folded["shared_keys"].sum())
+    max_rows = int(folded["max_key_rows"].max()) if len(folded) else 0
+    skew = (
+        max_rows / (rows_out / shared) if rows_out and shared else float("nan")
+    )
+    return pd.DataFrame(
+        {
+            "rows_out": pd.array([rows_out], dtype="int64"),
+            "shared_keys": pd.array([shared], dtype="int64"),
+            "max_key_rows": pd.array([max_rows], dtype="int64"),
+            "skew_ratio": [skew],
+        }
+    )
+
+
 def grouped_higher_moments(
     source: Any,
     key_cols: "list[str]",

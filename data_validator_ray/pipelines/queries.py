@@ -3355,6 +3355,33 @@ def q_type_conformance_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_weighted_stats_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted price stats per returnflag: Σw, Σw·x and the
+    weighted mean (mixture-weighting moment pass, combiner partials)."""
+    from .profile import grouped_weighted_stats
+
+    out = grouped_weighted_stats(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+    ).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_join_size_profile_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    """Pre-join cardinality & skew report for lineitem ⋈ orders on the
+    order key: exact output rows, shared keys, hottest key's
+    contribution and skew ratio — keys-bounded exchange, rows never
+    move."""
+    from .profile import join_size_profile
+
+    return join_size_profile(
+        f"{sf_dir}/lineitem.parquet", "l_orderkey",
+        f"{sf_dir}/orders.parquet", "o_orderkey",
+    )
+
+
 def q_numeric_profile_events(sf_dir: str) -> pd.DataFrame:
     """Exact slice of the one-pass table profiler: every numeric column
     of events gets total/null counts and exact min/max/mean (mean
@@ -4446,6 +4473,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "correlation_matrix_lineitem": q_correlation_matrix_lineitem,
         "type_conformance_events": q_type_conformance_events,
+        "weighted_stats_lineitem": q_weighted_stats_lineitem,
+        "join_size_profile_lineitem_orders": q_join_size_profile_lineitem_orders,
         "standardize_events_value": q_standardize_events_value,
         "robust_scale_events": q_robust_scale_events,
         "numeric_profile_events": q_numeric_profile_events,
@@ -6210,6 +6239,30 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(VAR_SAMP(l_quantity), 6) AS var_x, "
             "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "weighted_stats_lineitem": (
+            "SELECT l_returnflag, "
+            "(COUNT(*) FILTER (WHERE l_extendedprice IS NOT NULL AND "
+            "l_quantity IS NOT NULL))::BIGINT AS n_pairs, "
+            "ROUND(SUM(l_quantity) FILTER (WHERE l_extendedprice IS NOT "
+            "NULL), 6) AS weight_sum, "
+            "ROUND(SUM(l_quantity * l_extendedprice) / 1e6, 6) AS weighted_sum_m, "
+            "ROUND(SUM(l_quantity * l_extendedprice) / "
+            "SUM(l_quantity) FILTER (WHERE l_extendedprice IS NOT NULL), "
+            "6) AS weighted_mean "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "join_size_profile_lineitem_orders": (
+            "WITH ca AS (SELECT l_orderkey k, COUNT(*) c FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL GROUP BY 1), "
+            "cb AS (SELECT o_orderkey k, COUNT(*) c FROM orders "
+            "WHERE o_orderkey IS NOT NULL GROUP BY 1), "
+            "j AS (SELECT ca.c * cb.c AS pairs FROM ca JOIN cb USING (k)) "
+            "SELECT SUM(pairs)::BIGINT AS rows_out, "
+            "COUNT(*)::BIGINT AS shared_keys, "
+            "MAX(pairs)::BIGINT AS max_key_rows, "
+            "MAX(pairs)::DOUBLE / (SUM(pairs)::DOUBLE / COUNT(*)) "
+            "AS skew_ratio FROM j"
         ),
         "type_conformance_events": (
             "WITH src AS (SELECT props, event_type, "

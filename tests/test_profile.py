@@ -552,3 +552,41 @@ def test_type_conformance_profile_planted(ray_session):
     # 19-digit run the int64 regex rejects), plus 3.14, -.5, 1e-3
     assert r.n_float == 9
     assert r.n_ts == 1
+
+
+def test_grouped_weighted_stats_null_and_zero_weight(ray_session):
+    """Pairwise NULL exclusion; zero-total-weight group yields NULL
+    mean; weighted mean pulls toward high-weight values."""
+    from data_validator_ray.pipelines.profile import grouped_weighted_stats
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "x": [10.0, 20.0, None, 5.0, 7.0, 9.0],
+            "w": [1.0, 3.0, 100.0, 0.0, 0.0, None],
+        }
+    )
+    out = (
+        grouped_weighted_stats(df, ["g"], "x", "w")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    a, b, c = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert a.n_pairs == 2 and a.weighted_mean == 17.5  # (10+60)/4
+    assert b.n_pairs == 2 and np.isnan(b.weighted_mean)  # Σw = 0
+    assert c.n_pairs == 0 and np.isnan(c.weighted_mean)
+
+
+def test_join_size_profile_planted(ray_session):
+    """Exact output rows Σ ca·cb over shared keys; NULL keys never
+    join; the hottest key's contribution and skew ratio are exact."""
+    from data_validator_ray.pipelines.profile import join_size_profile
+
+    a = pd.DataFrame({"k": [1, 1, 1, 2, 3, None]})
+    b = pd.DataFrame({"rk": [1, 1, 2, 4, None]})
+    out = join_size_profile(a, "k", b, "rk").iloc[0]
+    # key 1: 3*2=6, key 2: 1*1=1 -> 7 rows over 2 shared keys
+    assert out.rows_out == 7 and out.shared_keys == 2
+    assert out.max_key_rows == 6
+    assert out.skew_ratio == 6 / (7 / 2)
