@@ -3712,6 +3712,15 @@ def q_try_cast_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Per-vector L2 norm audit (un-normalized / zero vectors) — one
+    streaming pass, float64 einsum per batch, no shuffle."""
+    from .similarity import embedding_norms
+
+    out = embedding_norms(f"{sf_dir}/embeddings.parquet").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
     """Sample covariance matrix of the embedding corpus (PCA/whitening
     input), long form (i, j, cov) with 1-based dims, ROUND 6."""
@@ -4492,6 +4501,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "regex_extract_events": q_regex_extract_events,
         "try_cast_events": q_try_cast_events,
         "embedding_covariance_matrix": q_embedding_covariance,
+        "embedding_norms": q_embedding_norms,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
         "disc_quantiles_events": q_disc_quantiles_events,
@@ -6429,6 +6439,14 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(COVAR_SAMP(a.val, b.val), 6) AS cov "
             "FROM e a JOIN e b USING (vec_id) "
             "GROUP BY a.pos, b.pos ORDER BY i, j"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, "
+            "ROUND(sqrt(list_inner_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])), 6) AS l2_norm, "
+            "COALESCE(sqrt(list_inner_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])) = 0, FALSE) AS is_zero "
+            "FROM embeddings ORDER BY vec_id"
         ),
         "scd2_events_user_type": (
             "WITH ch AS (SELECT user_id, event_type, ts, event_id, "

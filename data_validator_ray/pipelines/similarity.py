@@ -655,6 +655,54 @@ def knn_ivf(
 # --------------------------------------------------------------------------- #
 
 
+def embedding_norms(
+    source: Any,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Per-vector L2 norms — the embedding-hygiene audit (un-normalized
+    rows, zero vectors, magnitude outliers) run BEFORE any cosine
+    machinery assumes unit norms. Emits ``(id, l2_norm, is_zero)``;
+    ``l2_norm`` ROUND 6 computed in float64 regardless of storage
+    dtype, NULL for NULL embeddings.
+
+    One streaming ``map_batches`` pass: zero-copy matrix extraction +
+    a single einsum per batch; no shuffle, no driver collect."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        out = np.full(batch.num_rows, np.nan)
+        if valid.any():
+            # NULL rows would misalign the flattened matrix — compute
+            # over the valid subset and scatter back through the mask
+            sub = batch if valid.all() else batch.filter(pa.array(valid))
+            M = _embedding_matrix(sub, vec_col, dtype=np.float64)
+            if M.size:
+                norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+            else:  # valid but zero-dim (empty batch edge)
+                norms = np.zeros(int(valid.sum()), np.float64)
+            out[valid] = np.round(norms, 6)
+        is_zero = np.zeros(batch.num_rows, bool)
+        is_zero[valid] = out[valid] == 0.0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "l2_norm": pa.array(out, pa.float64()),
+                "is_zero": pa.array(is_zero),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    return ds.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def embedding_covariance(
     source: Any,
     *,

@@ -99,6 +99,80 @@ def write_orc(ds: Dataset, path: str, *, batch_size: int = 128 * 1024) -> str:
     return path
 
 
+class ArrowIPCDatasource(FileBasedDatasource):
+    """Arrow IPC (Feather v2 / ``.arrow``) reader: each file's record
+    batches stream out individually (never the whole file as one
+    block), with column pruning pushed into the IPC reader — IPC
+    stores columns contiguously per batch, so unrequested columns are
+    never deserialized."""
+
+    _FILE_EXTENSIONS = ["arrow", "feather", "ipc"]
+
+    def __init__(
+        self,
+        paths: Union[str, List[str]],
+        *,
+        columns: Optional[List[str]] = None,
+        **kwargs: Any,
+    ):
+        super().__init__(paths, **kwargs)
+        self._columns = columns
+
+    def _open_input_source(
+        self, filesystem, path: str, **open_args: Any
+    ) -> "pa.NativeFile":
+        # the IPC file format needs random access (footer)
+        return filesystem.open_input_file(path)
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator:
+        import pyarrow.ipc as ipc
+
+        reader = ipc.open_file(f)
+        for i in range(reader.num_record_batches):
+            b = reader.get_batch(i)
+            t = pa.Table.from_batches([b])
+            if self._columns is not None:
+                t = t.select(self._columns)
+            yield t
+
+
+def read_arrow_ipc(
+    paths: Union[str, List[str]],
+    *,
+    columns: Optional[List[str]] = None,
+    **kwargs: Any,
+) -> Dataset:
+    """Read Arrow IPC / Feather v2 file(s) into a Dataset; ``columns``
+    prunes per record batch (the read-level pruning contract)."""
+    return ray.data.read_datasource(
+        ArrowIPCDatasource(paths, columns=columns, **kwargs)
+    )
+
+
+def write_arrow_ipc(
+    ds: Dataset, path: str, *, batch_size: int = 128 * 1024
+) -> str:
+    """Write a Dataset to ONE Arrow IPC file at ``path``
+    (driver-streamed ``iter_batches`` → ``ipc.new_file`` writer; for
+    resumable multi-file output use Parquet). Returns ``path``."""
+    import pyarrow.ipc as ipc
+
+    writer = None
+    try:
+        for batch in ds.iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"
+        ):
+            tbl = pa.table(batch) if not isinstance(batch, pa.Table) else batch
+            if writer is None:
+                writer = ipc.new_file(path, tbl.schema)
+            for b in tbl.to_batches():
+                writer.write_batch(b)
+    finally:
+        if writer is not None:
+            writer.close()
+    return path
+
+
 def read_text_logs(
     paths: Union[str, List[str]],
     pattern: str,

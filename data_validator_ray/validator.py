@@ -119,6 +119,17 @@ def _load_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
                 available = set(_orc.ORCFile(s).schema.names)
                 columns = [c for c in columns if c in available] or None
             return read_orc(s, columns=columns)
+        if s.endswith((".arrow", ".feather", ".ipc")):
+            from .sources import read_arrow_ipc
+
+            if columns:
+                # same missing-column contract as the Parquet branch
+                import pyarrow.ipc as _ipc
+
+                with pa.OSFile(s, "rb") as f:
+                    available = set(_ipc.open_file(f).schema.names)
+                columns = [c for c in columns if c in available] or None
+            return read_arrow_ipc(s, columns=columns)
         raise ValueError(f"Unsupported source path: {s}")
     raise ValueError(f"Unsupported source type: {type(source)}")
 

@@ -681,3 +681,29 @@ def test_quantize_embeddings_audit(ray_session):
     assert out.loc[2, "vmin"] == 0.0 and out.loc[2, "vmax"] == 2.55
     sc = out.loc[2, "scale"]
     assert out.loc[2, "mse"] <= sc * sc / 4
+
+
+def test_embedding_norms_zero_and_null(ray_session):
+    """Zero vectors flag is_zero, NULL embeddings yield NULL norm and
+    never misalign the flattened matrix extraction."""
+    df = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                [3.0, 4.0],          # norm 5
+                [0.0, 0.0],          # zero vector
+                None,                # NULL embedding
+                [1.0, 0.0],
+            ],
+        }
+    )
+    out = (
+        S.embedding_norms(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.l2_norm[0] == 5.0 and not out.is_zero[0]
+    assert out.l2_norm[1] == 0.0 and out.is_zero[1]
+    assert np.isnan(out.l2_norm[2]) and not out.is_zero[2]
+    assert out.l2_norm[3] == 1.0

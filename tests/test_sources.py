@@ -167,3 +167,36 @@ def test_union_by_name_alignment_and_promotion(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="strict union_by_name"):
         read_parquet_union_by_name([str(a), str(b)], strict=True)
+
+
+def test_read_arrow_ipc_roundtrip_and_pruning(ray_session, tmp_path):
+    """write_arrow_ipc → read_arrow_ipc round-trips values (multiple
+    record batches stream as separate blocks); columns= prunes; the
+    validator resolves .arrow paths."""
+    import pandas as pd
+    import ray.data
+
+    from data_validator_ray.sources import read_arrow_ipc, write_arrow_ipc
+
+    df = pd.DataFrame(
+        {"a": range(10), "b": [str(i) if i % 3 else None for i in range(10)],
+         "c": [float(i) / 2 for i in range(10)]}
+    )
+    p = str(tmp_path / "t.arrow")
+    write_arrow_ipc(ray.data.from_pandas(df), p, batch_size=4)  # 3 batches
+    back = read_arrow_ipc(p).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back.equals(df)
+    pruned = read_arrow_ipc(p, columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"]
+
+    from data_validator_ray.config import ValidationRule
+    from data_validator_ray.validator import RayDataValidator
+
+    v = RayDataValidator()
+    res = v.validate_table(
+        p,
+        "ipc_table",
+        [ValidationRule(name="b_complete", rule_type="completeness",
+                        column="b")],
+    )
+    assert res.results[0].failed_count == 4  # 0, 3, 6, 9 are NULL
