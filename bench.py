@@ -5,8 +5,10 @@ Prints ONE JSON line:
    "unit": "sec", "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ..., "rows": ...}
 
-Headline = the flagship CC-webpages constraint suite (9 rules, fused
-pass + uniqueness shuffle) over a deterministic webpages table derived
+Headline = the flagship CC-webpages constraint suite (9 stateless
+rules, fused pass + uniqueness shuffle; entry()'s sf-aware flagship
+additionally runs the Bloom-referential + PSI-drift stateful checks)
+over a deterministic webpages table derived
 from documents.parquet and replicated REPLICAS× (distinct doc_ids per
 replica) so the workload is large enough to measure. The bench input is
 generated once per (sf, replicas) into /tmp and re-used, with one

@@ -334,12 +334,22 @@ def extracted_webpages(input_dir: str, *, keep_html: bool = False) -> Dataset:
 
 
 def webpages_config(
-    *, approx_uniqueness: bool = False, post_extraction: bool = False
+    *,
+    approx_uniqueness: bool = False,
+    post_extraction: bool = False,
+    sf_dir: "Optional[str]" = None,
 ) -> ValidationConfig:
     """The full CC constraint suite (north-star check list).
 
     ``post_extraction=True`` declares the schema of the extracted
-    stream (html already dropped by :func:`extracted_webpages`)."""
+    stream (html already dropped by :func:`extracted_webpages`).
+    ``sf_dir`` (the flagship path) additionally enables the two
+    STATEFUL north-star checks that need reference data: the
+    Bloom-broadcast referential check of ``lang`` against the source
+    corpus, and the fixed-bin PSI drift test of extracted text length
+    against the corpus' ``n_chars`` baseline snapshot — the run then
+    exercises every check family the north star names (stats kernels,
+    HLL/Bloom state, drift vs baseline, vectorized predicates)."""
     schema_cols = {
         "url": "string",
         "warc_ts": "timestamp[us]",
@@ -349,6 +359,8 @@ def webpages_config(
     }
     if post_extraction:
         schema_cols.pop("html")
+    if sf_dir is not None:
+        schema_cols["text_chars"] = "int64"
     rules = [
         ValidationRule(name="url_complete", rule_type="completeness",
                        column="url", threshold=0.98),
@@ -385,6 +397,34 @@ def webpages_config(
                         "transform": "length"},
         ),
     ]
+    if sf_dir is not None:
+        rules.append(
+            ValidationRule(
+                name="lang_in_corpus", rule_type="referential",
+                column="lang", threshold=0.95,
+                parameters={
+                    "ref_path": f"{sf_dir}/documents.parquet",
+                    "ref_column": "lang",
+                    "approx": True,  # Bloom-broadcast scale tier
+                },
+            )
+        )
+        rules.append(
+            ValidationRule(
+                name="text_len_drift", rule_type="drift",
+                column="text_chars",
+                parameters={
+                    "baseline": f"{sf_dir}/documents.parquet",
+                    "baseline_column": "n_chars",
+                    "metric": "psi",
+                    "edges": [100, 250, 400, 550, 700],
+                    # injected-dirt fixtures shift ~2% of mass into a
+                    # baseline-empty bin ≈ 0.198 PSI under the 1e-6
+                    # floor; alert above that
+                    "max_value": 0.5,
+                },
+            )
+        )
     return ValidationConfig(
         engine={"type": "ray"},
         tables=[{"name": "webpages", "rules": [r.model_dump() for r in rules]}],
@@ -408,8 +448,10 @@ def run_flagship(sf_dir: str, *, approx_uniqueness: bool = False):
     Returns (summary, metrics DataFrame). The metrics frame is the
     stable-schema result surfaced through ``__ray_entry__.entry()``.
     """
-    ds = webpages_dataset(sf_dir)
-    validator = RayDataValidator(webpages_config(approx_uniqueness=approx_uniqueness))
+    ds = add_text_chars(webpages_dataset(sf_dir))
+    validator = RayDataValidator(
+        webpages_config(approx_uniqueness=approx_uniqueness, sf_dir=sf_dir)
+    )
     summary = validator.validate_table(ds, "webpages")
     metrics = pd.DataFrame(
         [

@@ -84,7 +84,7 @@ def test_determinism_across_parallelism(ray_session, sf001_dir_mod):
 
 def test_flagship_suite(ray_session, sf001_dir_mod):
     summary, metrics = run_flagship(sf001_dir_mod)
-    assert summary.total_rules == 9
+    assert summary.total_rules == 11
     byname = {r.rule_name: r for r in summary.results}
     n = byname["url_complete"].total_count
     assert n == 500  # sf0.001 documents rows
@@ -100,7 +100,15 @@ def test_flagship_suite(ray_session, sf001_dir_mod):
     # m==21/22 point at rows whose own url was already replaced, so they
     # are unique) + 4 extra copies of the empty-string url (m==53)
     assert byname["url_unique"].failed_count == 14
-    assert metrics.shape[0] == 9
+    # stateful north-star checks: Bloom referential (the derivation's
+    # injected junk langs, m in {81,83}, are NOT in the source corpus'
+    # lang column) and fixed-bin PSI drift of text length vs the
+    # n_chars baseline (2% of mass moved into an empty bin ~ 0.198
+    # PSI, under the 0.5 alert)
+    assert byname["lang_in_corpus"].failed_count == 10
+    assert byname["lang_in_corpus"].passed  # 0.98 >= 0.95 threshold
+    assert byname["text_len_drift"].passed
+    assert metrics.shape[0] == 11
     assert set(metrics.columns) == {
         "rule_name", "rule_type", "passed", "failed_count",
         "total_count", "success_rate", "severity",
