@@ -880,6 +880,84 @@ def join_size_profile(
     )
 
 
+def missingness_matrix(
+    source: Any,
+    cols: "list[str]",
+    *,
+    batch_size: int = 64 * 1024,
+) -> "pd.DataFrame":
+    """Co-missingness profile — which columns are NULL TOGETHER (the
+    structural-missingness screen: a sensor outage or join miss nulls
+    whole column groups, random dirt doesn't): for every unordered
+    column pair, ``n_both_null``, ``n_either_null`` and the null-
+    overlap Jaccard (unrounded integer-ratio division, bit-exact; NULL
+    when no row has either column null).
+
+    Scale shape: one m×m matmul of the null-mask matrix per batch
+    (plus per-column null counts), merged as m(m−1)/2 partial rows per
+    batch — the :func:`correlation_matrix` pattern on bit masks."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    m = len(cols)
+    if m < 2:
+        raise ValueError("missingness_matrix needs >= 2 columns")
+    iu, ju = np.triu_indices(m, k=1)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        Nmask = np.empty((batch.num_rows, m), np.float64)
+        for c_idx, c in enumerate(cols):
+            Nmask[:, c_idx] = pc.is_null(batch[c]).to_numpy(
+                zero_copy_only=False
+            )
+        both = Nmask.T @ Nmask
+        col_nulls = Nmask.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(iu, pa.int64()),
+                "j": pa.array(ju, pa.int64()),
+                "nb": pa.array(both[iu, ju], pa.float64()),
+                "ni": pa.array(col_nulls[iu], pa.float64()),
+                "nj": pa.array(col_nulls[ju], pa.float64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=list(cols))
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("nb", alias_name="nb"),
+            Sum("ni", alias_name="ni"),
+            Sum("nj", alias_name="nj"),
+        )
+        .to_pandas()
+    )
+    nb = merged["nb"].to_numpy(np.int64)
+    either = (
+        merged["ni"].to_numpy(np.int64) + merged["nj"].to_numpy(np.int64) - nb
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jac = np.where(either > 0, nb / np.maximum(either, 1), np.nan)
+    # counts are symmetric — orient each pair lexicographically so the
+    # output is independent of the caller's column order
+    names = [
+        tuple(sorted((cols[int(i)], cols[int(j)])))
+        for i, j in zip(merged["i"], merged["j"])
+    ]
+    out = pd.DataFrame(
+        {
+            "col_a": [a for a, _ in names],
+            "col_b": [b for _, b in names],
+            "n_both_null": nb,
+            "n_either_null": either,
+            "null_jaccard": jac,
+        }
+    )
+    return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)
+
+
 def grouped_higher_moments(
     source: Any,
     key_cols: "list[str]",

@@ -3028,6 +3028,30 @@ def q_late_window_aggregate_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def q_interarrival_stats_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-arrival gap profile (mean gap seconds ROUND 6,
+    exact min/max microseconds) — one bucketed key shuffle + one
+    vectorized diff sweep per bucket."""
+    from .relational import interarrival_stats
+
+    out = interarrival_stats(
+        f"{sf_dir}/events.parquet", "user_id", "ts",
+        tiebreak_cols=["event_id"],
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_missingness_matrix_events(sf_dir: str) -> pd.DataFrame:
+    """Co-null profile of four events columns: pairwise both-null /
+    either-null counts and null-overlap Jaccard — one m×m null-mask
+    matmul per batch."""
+    from .profile import missingness_matrix
+
+    return missingness_matrix(
+        f"{sf_dir}/events.parquet", ["ts", "user_id", "event_type", "value"]
+    )
+
+
 def q_ratio_to_report_events(sf_dir: str) -> pd.DataFrame:
     """Percent-of-total window (RATIO_TO_REPORT): each event's share of
     its event_type's total value — computed with NO row shuffle (key-
@@ -4466,6 +4490,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "moving_window_events": q_moving_window_events,
         "anomaly_zscore_events": q_anomaly_zscore_events,
         "ratio_to_report_events": q_ratio_to_report_events,
+        "interarrival_stats_events": q_interarrival_stats_events,
+        "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
         "time_range_window_events": q_time_range_window_events,
         "edge_values_events": q_edge_values_events,
@@ -6059,6 +6085,49 @@ def oracle_sql() -> Dict[str, str]:
             "(COUNT(*) FILTER (WHERE wm IS NOT NULL "
             "AND ts < wm - INTERVAL 14 DAY))::BIGINT AS n_late "
             "FROM w GROUP BY 1 ORDER BY 1"
+        ),
+        "interarrival_stats_events": (
+            "WITH g AS (SELECT user_id, epoch_us(ts) - "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS gap "
+            "FROM events WHERE ts IS NOT NULL) "
+            "SELECT user_id, COUNT(*)::BIGINT AS n_events, "
+            "COUNT(gap)::BIGINT AS n_gaps, "
+            "ROUND(AVG(gap) / 1e6, 6) AS mean_gap_s, "
+            "MIN(gap)::DOUBLE AS min_gap_us, "
+            "MAX(gap)::DOUBLE AS max_gap_us "
+            "FROM g GROUP BY user_id ORDER BY user_id"
+        ),
+        "missingness_matrix_events": (
+            "WITH p AS ("
+            "SELECT 'event_type' a, 'ts' b, "
+            "COUNT(*) FILTER (WHERE event_type IS NULL AND ts IS NULL) nb, "
+            "COUNT(*) FILTER (WHERE event_type IS NULL OR ts IS NULL) ne "
+            "FROM events "
+            "UNION ALL SELECT 'event_type', 'user_id', "
+            "COUNT(*) FILTER (WHERE event_type IS NULL AND user_id IS NULL), "
+            "COUNT(*) FILTER (WHERE event_type IS NULL OR user_id IS NULL) "
+            "FROM events "
+            "UNION ALL SELECT 'event_type', 'value', "
+            "COUNT(*) FILTER (WHERE event_type IS NULL AND value IS NULL), "
+            "COUNT(*) FILTER (WHERE event_type IS NULL OR value IS NULL) "
+            "FROM events "
+            "UNION ALL SELECT 'ts', 'user_id', "
+            "COUNT(*) FILTER (WHERE ts IS NULL AND user_id IS NULL), "
+            "COUNT(*) FILTER (WHERE ts IS NULL OR user_id IS NULL) "
+            "FROM events "
+            "UNION ALL SELECT 'ts', 'value', "
+            "COUNT(*) FILTER (WHERE ts IS NULL AND value IS NULL), "
+            "COUNT(*) FILTER (WHERE ts IS NULL OR value IS NULL) "
+            "FROM events "
+            "UNION ALL SELECT 'user_id', 'value', "
+            "COUNT(*) FILTER (WHERE user_id IS NULL AND value IS NULL), "
+            "COUNT(*) FILTER (WHERE user_id IS NULL OR value IS NULL) "
+            "FROM events"
+            ") SELECT a AS col_a, b AS col_b, nb::BIGINT AS n_both_null, "
+            "ne::BIGINT AS n_either_null, "
+            "CASE WHEN ne > 0 THEN nb::DOUBLE / ne END AS null_jaccard "
+            "FROM p ORDER BY col_a, col_b"
         ),
         "ratio_to_report_events": (
             "SELECT event_id, event_type, value, "

@@ -4706,6 +4706,94 @@ def windowed_aggregate_with_lateness(
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def interarrival_stats(
+    source: Any,
+    key_col: str,
+    ts_col: str,
+    *,
+    tiebreak_cols: Optional[List[str]] = None,
+    num_buckets: int = 256,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Per-key inter-arrival (event-gap) profile — the time-series
+    hygiene report behind session gap choices and freshness SLAs: for
+    each key, the count of events and of consecutive gaps, the mean
+    gap in seconds (ROUND 6) and the min/max gaps in EXACT integer
+    microseconds. NULL event times drop; keys with one event have zero
+    gaps and NULL gap stats.
+
+    ONE key-bucketed shuffle, then one vectorized diff + segment sweep
+    per bucket (no per-key Python)."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    tb = list(tiebreak_cols or [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *tb], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        t = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        same_key = np.zeros(n, bool)
+        if n > 1:
+            same_key[1:] = keys[1:] == keys[:-1]
+        gaps = np.empty(n, np.int64)
+        gaps[0] = 0
+        gaps[1:] = t[1:] - t[:-1]
+        gdf = pd.DataFrame(
+            {
+                key_col: keys,
+                "__gap": np.where(same_key, gaps, 0),
+                "__has": same_key,
+            }
+        )
+        agg = gdf.groupby(key_col, sort=False).agg(
+            n_events=("__has", "size"),
+            n_gaps=("__has", "sum"),
+            gap_sum=("__gap", "sum"),
+        ).reset_index()
+        # min/max over gap rows only (exclude the key-boundary zeros)
+        gp = gdf[gdf["__has"]]
+        if len(gp):
+            mm = gp.groupby(key_col, sort=False)["__gap"].agg(
+                ["min", "max"]
+            ).reset_index().rename(
+                columns={"min": "min_gap_us", "max": "max_gap_us"}
+            )
+            agg = agg.merge(mm, on=key_col, how="left")
+        else:
+            agg["min_gap_us"] = np.nan
+            agg["max_gap_us"] = np.nan
+        n_gaps = agg["n_gaps"].to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_s = np.where(
+                n_gaps > 0,
+                np.round(
+                    agg["gap_sum"].to_numpy(np.float64)
+                    / np.maximum(n_gaps, 1) / 1e6, 6,
+                ),
+                np.nan,
+            )
+        out = agg[[key_col]].copy()
+        out["n_events"] = agg["n_events"].astype(np.int64)
+        out["n_gaps"] = n_gaps
+        out["mean_gap_s"] = mean_s
+        out["min_gap_us"] = agg["min_gap_us"].to_numpy(np.float64)
+        out["max_gap_us"] = agg["max_gap_us"].to_numpy(np.float64)
+        return out
+
+    ds = _as_dataset(source, columns=[key_col, ts_col, *tb])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b[ts_col])),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    return bucketed_groupby(
+        ds, [key_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def grouped_acf(
     source: Any,
     key_col: str,

@@ -590,3 +590,34 @@ def test_join_size_profile_planted(ray_session):
     assert out.rows_out == 7 and out.shared_keys == 2
     assert out.max_key_rows == 6
     assert out.skew_ratio == 6 / (7 / 2)
+
+
+def test_missingness_matrix_structural_nulls(ray_session):
+    """Columns nulled together show Jaccard 1; independent nulls show
+    the exact count ratios; never-null pair gives NULL Jaccard."""
+    from data_validator_ray.pipelines.profile import missingness_matrix
+
+    df = pd.DataFrame(
+        {
+            "a": [None, None, 3, 4, 5],
+            "b": [None, None, 30, 40, 50],   # nulls exactly with a
+            "c": [1, None, None, 4, 5],      # independent nulls
+            "d": [1, 2, 3, 4, 5],            # never null
+        }
+    )
+    out = missingness_matrix(df, ["d", "a", "c", "b"])  # unsorted input
+    out = out.set_index(["col_a", "col_b"])
+    ab = out.loc[("a", "b")]
+    assert ab.n_both_null == 2 and ab.n_either_null == 2
+    assert ab.null_jaccard == 1.0
+    ac = out.loc[("a", "c")]
+    assert ac.n_both_null == 1 and ac.n_either_null == 3
+    ad = out.loc[("a", "d")]
+    assert ad.n_both_null == 0 and ad.n_either_null == 2
+    cd = out.loc[("c", "d")]
+    assert cd.null_jaccard == 0.0
+    # d never null against... find a pair with zero either: none here;
+    # build one
+    out2 = missingness_matrix(df[["d"]].assign(e=[1, 2, 3, 4, 5]),
+                              ["d", "e"])
+    assert np.isnan(out2.null_jaccard[0])

@@ -2551,3 +2551,32 @@ def test_bloom_prefilter_join_anti(ray_session):
             left, right, left_key="k", right_key="rk",
             left_cols=["k"], right_cols=["rk"], how="left",
         )
+
+
+def test_interarrival_stats_gaps(ray_session):
+    """Gaps computed within keys only; single-event keys have zero
+    gaps and NULL stats; exact microsecond min/max."""
+    from data_validator_ray.pipelines.relational import interarrival_stats
+
+    base = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "ts": [base, base + 2 * s, base + 5 * s,
+                   base, base + 10 * s, base + 10 * s],
+            "id": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    out = (
+        interarrival_stats(ray.data.from_pandas(df), "k", "ts",
+                           tiebreak_cols=["id"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    a, b, c = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert a.n_events == 3 and a.n_gaps == 2
+    assert a.mean_gap_s == 2.5 and a.min_gap_us == 2e6 and a.max_gap_us == 3e6
+    assert b.n_events == 1 and b.n_gaps == 0 and np.isnan(b.mean_gap_s)
+    assert c.n_gaps == 1 and c.min_gap_us == 0.0  # duplicate timestamp
