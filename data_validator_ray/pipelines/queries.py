@@ -3028,6 +3028,37 @@ def q_late_window_aggregate_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def q_grouped_mad_events(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type median absolute deviation (robust spread):
+    two sorted-segment passes per bucket, bit-exact vs DuckDB mad()."""
+    from .relational import grouped_mad
+
+    out = grouped_mad(
+        f"{sf_dir}/events.parquet", "event_type", "value"
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_right_join_orders_customer(sf_dir: str) -> pd.DataFrame:
+    """RIGHT OUTER shuffle join: every customer row kept, order fields
+    NULL-padded for customers with no orders (left-join with the sides
+    swapped, columns re-oriented)."""
+    from .relational import hash_join
+
+    out = hash_join(
+        f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/customer.parquet",
+        left_key="o_custkey",
+        right_key="c_custkey",
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_custkey", "c_acctbal"],
+        how="right",
+    ).to_pandas()
+    return out.sort_values(
+        ["c_custkey", "o_orderkey"], na_position="last"
+    ).reset_index(drop=True)
+
+
 def q_interarrival_stats_events(sf_dir: str) -> pd.DataFrame:
     """Per-user inter-arrival gap profile (mean gap seconds ROUND 6,
     exact min/max microseconds) — one bucketed key shuffle + one
@@ -4491,6 +4522,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "anomaly_zscore_events": q_anomaly_zscore_events,
         "ratio_to_report_events": q_ratio_to_report_events,
         "interarrival_stats_events": q_interarrival_stats_events,
+        "grouped_mad_events": q_grouped_mad_events,
+        "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
         "time_range_window_events": q_time_range_window_events,
@@ -6085,6 +6118,18 @@ def oracle_sql() -> Dict[str, str]:
             "(COUNT(*) FILTER (WHERE wm IS NOT NULL "
             "AND ts < wm - INTERVAL 14 DAY))::BIGINT AS n_late "
             "FROM w GROUP BY 1 ORDER BY 1"
+        ),
+        "grouped_mad_events": (
+            "SELECT event_type, COUNT(value)::BIGINT AS n, "
+            "median(value) AS median, mad(value) AS mad "
+            "FROM events WHERE event_type IS NOT NULL "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "right_join_orders_customer": (
+            "SELECT c_custkey, o_orderkey, o_totalprice, c_acctbal "
+            "FROM orders RIGHT JOIN customer "
+            "ON o_custkey = c_custkey "
+            "ORDER BY c_custkey, o_orderkey"
         ),
         "interarrival_stats_events": (
             "WITH g AS (SELECT user_id, epoch_us(ts) - "

@@ -226,7 +226,8 @@ def hash_join(
     """Large-×-large equi-join via ONE hash-bucketed shuffle of each
     side (the shuffle-join tier; for a small right side use
     :func:`broadcast_join` — no shuffle at all). ``how`` is ``inner``
-    (default), ``left``, ``full``, ``semi`` or ``anti``; outer modes
+    (default), ``left``, ``right`` (left with the sides swapped),
+    ``full``, ``semi`` or ``anti``; outer modes
     keep unmatched rows with NULLs on the other side. ``semi``/``anti``
     are the FILTERING joins (SQL EXISTS / NOT EXISTS) for a right side
     too big to broadcast (cf. :func:`semi_join_broadcast`): left
@@ -265,6 +266,38 @@ def hash_join(
     (key, salt) bucket fits one worker — raise ``num_buckets`` and/or
     ``salt`` at scale.
     """
+    if how == "right":
+        # RIGHT OUTER = LEFT OUTER with the sides swapped; output
+        # columns are reordered back so the caller's (left, right)
+        # framing is preserved. The output key column is the RIGHT key
+        # (the preserved side), per SQL.
+        swapped = hash_join(
+            right,
+            left,
+            left_key=right_key,
+            right_key=left_key,
+            left_cols=right_cols,
+            right_cols=left_cols,
+            num_buckets=num_buckets,
+            salt=salt,
+            hot_keys=hot_keys,
+            how="left",
+        )
+        order = [right_key] + [c for c in left_cols if c != right_key] + [
+            c for c in right_cols if c != right_key
+        ]
+        seen: List[str] = []
+        for c in order:
+            if c not in seen:
+                seen.append(c)
+        return swapped.map_batches(
+            # the swapped join drops the original LEFT key column (it
+            # is the swapped call's right key) — select what exists
+            lambda b, cols=tuple(seen): b.select(
+                [c for c in cols if c in b.schema.names]
+            ),
+            batch_format="pyarrow",
+        )
     if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(
             f"how must be inner|left|full|semi|anti, got {how!r}"
@@ -4704,6 +4737,89 @@ def windowed_aggregate_with_lateness(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_mad(
+    source: Any,
+    group_col: str,
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """EXACT per-group median absolute deviation — the robust spread
+    statistic behind outlier fences that survive heavy tails (unlike
+    IQR·1.5 under extreme skew): ``mad = median(|x − median(x)|)``
+    with ``quantile_cont`` interpolation at both levels, bit-exact vs
+    DuckDB ``mad()`` on DOUBLE. Emits ``(group, n, median, mad)``
+    (value copies / exact midpoints — no rounding). NULL values drop;
+    an all-NULL group yields NULL median/mad.
+
+    ONE bucketed shuffle co-locates each group; per bucket TWO
+    vectorized sorted-segment passes (the
+    :func:`grouped_exact_quantiles` machinery: sort, segment medians
+    via gather/interpolate, then the same over deviations). Same
+    partitioning assumption: a group's values fit one worker."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def _seg_median(vals, keys):
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        counts = np.diff(np.r_[starts, len(keys)])
+        med = _quantile_cont(vals, starts, counts, 0.5)
+        return starts, counts, med
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        all_groups = g[group_col].dropna().drop_duplicates()
+        gv = g.dropna(subset=[value_col]).sort_values(
+            [group_col, value_col], kind="mergesort"
+        )
+        if len(gv):
+            keys = gv[group_col].to_numpy()
+            vals = gv[value_col].to_numpy(np.float64)
+            starts, counts, med = _seg_median(vals, keys)
+            # deviations, re-sorted per group, second median
+            dev = np.abs(vals - np.repeat(med, counts))
+            order = np.lexsort((dev, keys))
+            dev_sorted = dev[order]
+            _, _, mad = _seg_median(dev_sorted, keys[order])
+            out = pd.DataFrame(
+                {
+                    group_col: keys[starts],
+                    "n": counts.astype(np.int64),
+                    "median": med,
+                    "mad": mad,
+                }
+            )
+        else:
+            out = pd.DataFrame(
+                {group_col: [], "n": [], "median": [], "mad": []}
+            )
+        missing = all_groups[~all_groups.isin(out[group_col])]
+        if len(missing):
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            group_col: missing,
+                            "n": np.zeros(len(missing), np.int64),
+                            "median": np.nan,
+                            "mad": np.nan,
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    ds = _as_dataset(source, columns=[group_col, value_col])
+    return bucketed_groupby(
+        ds, [group_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
 
 
 def interarrival_stats(

@@ -2580,3 +2580,60 @@ def test_interarrival_stats_gaps(ray_session):
     assert a.mean_gap_s == 2.5 and a.min_gap_us == 2e6 and a.max_gap_us == 3e6
     assert b.n_events == 1 and b.n_gaps == 0 and np.isnan(b.mean_gap_s)
     assert c.n_gaps == 1 and c.min_gap_us == 0.0  # duplicate timestamp
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    """Exact MAD (median of |x - median|, cont interpolation at both
+    levels) bit-matches DuckDB mad() incl. NULLs and all-NULL groups."""
+    import duckdb
+
+    from data_validator_ray.pipelines.relational import grouped_mad
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 300),
+            "v": rng.normal(10, 5, 300),
+        }
+    )
+    df.loc[df.index[:20], "v"] = None
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["nullg", "nullg"], "v": [None, None]})],
+        ignore_index=True,
+    )
+    out = (
+        grouped_mad(ray.data.from_pandas(df), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        "SELECT g, COUNT(v)::BIGINT n, median(v) median, mad(v) mad "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df()
+    assert out.g.tolist() == ref.g.tolist()
+    assert out.n.tolist() == ref.n.tolist()
+    for c in ("median", "mad"):
+        a, b = out[c].to_numpy(), ref[c].to_numpy()
+        nan = np.isnan(a) & np.isnan(b)
+        assert np.all(nan | (a == b))
+
+
+def test_right_join_pads_unmatched_right(ray_session):
+    from data_validator_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"lk": [1, 1, 2], "lx": [10.0, 11.0, 20.0]})
+    right = pd.DataFrame({"rk": [1, 3], "ry": ["a", "c"]})
+    out = (
+        hash_join(left, right, left_key="lk", right_key="rk",
+                  left_cols=["lx"], right_cols=["ry"], how="right",
+                  num_buckets=4)
+        .to_pandas()
+        .sort_values(["rk", "lx"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert out.rk.tolist() == [1, 1, 3]
+    assert out.lx.tolist()[:2] == [10.0, 11.0] and pd.isna(out.lx[2])
+    assert out.ry.tolist() == ["a", "a", "c"]
