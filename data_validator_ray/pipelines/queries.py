@@ -3028,6 +3028,16 @@ def q_late_window_aggregate_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def q_period_over_period_events(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day value-sum growth (date_trunc parity, LAG on the
+    period-bounded result; gap days skip — SQL LAG convention)."""
+    from .relational import period_over_period
+
+    return period_over_period(
+        f"{sf_dir}/events.parquet", "ts", "value", unit="day"
+    )
+
+
 def q_grouped_mad_events(sf_dir: str) -> pd.DataFrame:
     """Exact per-type median absolute deviation (robust spread):
     two sorted-segment passes per bucket, bit-exact vs DuckDB mad()."""
@@ -4523,6 +4533,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "ratio_to_report_events": q_ratio_to_report_events,
         "interarrival_stats_events": q_interarrival_stats_events,
         "grouped_mad_events": q_grouped_mad_events,
+        "period_over_period_events": q_period_over_period_events,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -6118,6 +6129,16 @@ def oracle_sql() -> Dict[str, str]:
             "(COUNT(*) FILTER (WHERE wm IS NOT NULL "
             "AND ts < wm - INTERVAL 14 DAY))::BIGINT AS n_late "
             "FROM w GROUP BY 1 ORDER BY 1"
+        ),
+        "period_over_period_events": (
+            "WITH d AS (SELECT date_trunc('day', ts) AS p, SUM(value) AS v "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "l AS (SELECT p, v, LAG(v) OVER (ORDER BY p) AS pv FROM d) "
+            "SELECT p AS period_start, ROUND(v, 6) AS value_sum, "
+            "ROUND(pv, 6) AS prev_sum, ROUND(v - pv, 6) AS abs_change, "
+            "CASE WHEN pv IS NOT NULL AND pv <> 0 "
+            "THEN ROUND((v - pv) / pv, 6) END AS pct_change "
+            "FROM l ORDER BY p"
         ),
         "grouped_mad_events": (
             "SELECT event_type, COUNT(value)::BIGINT AS n, "

@@ -2215,6 +2215,70 @@ def explode_column(
     )
 
 
+def period_over_period(
+    source: Any,
+    ts_col: str,
+    value_col: str,
+    *,
+    unit: str = "day",
+    batch_size: int = 64 * 1024,
+) -> "pd.DataFrame":
+    """Period-over-period growth report — per calendar period
+    (``date_trunc`` semantics, calendar-aware): ``value_sum`` (ROUND
+    6), the previous period's sum, absolute change and ``pct_change``
+    = (cur − prev)/prev (ROUND 6; NULL for the first period or when
+    the previous sum is 0). Gap periods are NOT densified — "previous"
+    means the previous period PRESENT, the SQL ``LAG`` convention
+    (compose :func:`spine_fill` first for calendar-dense change).
+
+    Scale shape: the :func:`calendar_aggregate` combiner (in-batch
+    pyarrow group_by on the floored period — exchange is periods ×
+    batches), then the LAG layer runs on the period-bounded result on
+    the driver."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))
+        ts = batch[ts_col].cast(pa.timestamp("us"))
+        win = pc.cast(
+            pc.floor_temporal(ts, unit=unit), pa.timestamp("us")
+        ).cast(pa.int64())
+        t = batch.select([value_col]).append_column("__w", win)
+        g = t.group_by(["__w"]).aggregate([(value_col, "sum")])
+        return g.rename_columns(["__w", "v_sum"])
+
+    from ray.data.aggregate import Sum
+
+    ds = _as_dataset(source, columns=[ts_col, value_col])
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__w")
+        .aggregate(Sum("v_sum", alias_name="v"))
+        .to_pandas()  # period-bounded
+        .sort_values("__w")
+        .reset_index(drop=True)
+    )
+    cur = merged["v"].to_numpy(np.float64)
+    prev = np.empty_like(cur)
+    prev[0] = np.nan
+    prev[1:] = cur[:-1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pct = np.where(
+            ~np.isnan(prev) & (prev != 0),
+            np.round((cur - prev) / prev, 6),
+            np.nan,
+        )
+    return pd.DataFrame(
+        {
+            "period_start": merged["__w"].to_numpy().astype("datetime64[us]"),
+            "value_sum": np.round(cur, 6),
+            "prev_sum": np.round(prev, 6),
+            "abs_change": np.round(cur - prev, 6),
+            "pct_change": pct,
+        }
+    )
+
+
 def calendar_aggregate(
     source: Any,
     ts_col: str,

@@ -2637,3 +2637,26 @@ def test_right_join_pads_unmatched_right(ray_session):
     assert out.rk.tolist() == [1, 1, 3]
     assert out.lx.tolist()[:2] == [10.0, 11.0] and pd.isna(out.lx[2])
     assert out.ry.tolist() == ["a", "a", "c"]
+
+
+def test_period_over_period_gaps_and_zero_prev(ray_session):
+    """Gap periods skip (LAG convention); first period and zero-prev
+    give NULL pct; exact changes."""
+    from data_validator_ray.pipelines.relational import period_over_period
+
+    d = pd.Timestamp("2024-03-01")
+    day = pd.Timedelta(days=1)
+    df = pd.DataFrame(
+        {
+            "ts": [d, d, d + day, d + 3 * day, d + 4 * day],
+            "v": [1.0, 1.0, 4.0, 0.0, 5.0],
+        }
+    )
+    out = period_over_period(df, "ts", "v", unit="day")
+    assert len(out) == 4  # day+2 missing entirely
+    pct = out["pct_change"]  # .pct_change is a pandas method — bracket
+    assert np.isnan(pct[0])
+    assert pct[1] == 1.0          # 2 -> 4
+    assert pct[2] == -1.0         # 4 -> 0 (gap day skipped)
+    assert np.isnan(pct[3])       # prev == 0
+    assert out.abs_change[3] == 5.0
