@@ -3038,6 +3038,39 @@ def q_period_over_period_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_compact_files_events(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction with PROOF: events fragments into 16
+    per-task files under /tmp, compacts to 2 target-size files, and
+    the op's order-independent content checksum of the OUTPUT must
+    hash-equal the SQL checksum of the INPUT table (content-preserving
+    by construction, verified not assumed)."""
+    import shutil
+    import tempfile
+
+    from .layout import compact_files
+
+    work = tempfile.mkdtemp(prefix="graft_compact_", dir="/tmp")
+    try:
+        frag = f"{work}/frag"
+        ray.data.read_parquet(f"{sf_dir}/events.parquet").repartition(
+            16
+        ).write_parquet(frag)
+        res = compact_files(
+            frag, f"{work}/compact",
+            ["event_id", "ts", "event_type", "user_id"],
+            target_rows_per_file=(10_000_000 if "sf0.1" in sf_dir else 5000),
+        )
+        assert res["n_files_out"] < res["n_files_in"]
+        return pd.DataFrame(
+            {
+                "n_rows": pd.array([res["n_rows"]], dtype="int64"),
+                "checksum": pd.array([res["checksum"]], dtype="uint64"),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_grouped_mad_events(sf_dir: str) -> pd.DataFrame:
     """Exact per-type median absolute deviation (robust spread):
     two sorted-segment passes per bucket, bit-exact vs DuckDB mad()."""
@@ -4534,6 +4567,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "interarrival_stats_events": q_interarrival_stats_events,
         "grouped_mad_events": q_grouped_mad_events,
         "period_over_period_events": q_period_over_period_events,
+        "compact_files_events": q_compact_files_events,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5574,6 +5608,19 @@ def oracle_sql() -> Dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "table_checksum_events": (
+            "WITH s AS (SELECT "
+            "COALESCE(CAST(event_id AS VARCHAR), '') || '|' || "
+            "COALESCE(CAST(epoch_us(ts) AS VARCHAR), '') || '|' || "
+            "COALESCE(event_type, '') || '|' || "
+            "COALESCE(CAST(user_id AS VARCHAR), '') AS row_str "
+            "FROM events) "
+            "SELECT COUNT(*)::BIGINT AS n_rows, "
+            "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
+            "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "compact_files_events": (
+            # the SQL checksum of the INPUT — equal iff compaction
+            # preserved every row byte-identically
             "WITH s AS (SELECT "
             "COALESCE(CAST(event_id AS VARCHAR), '') || '|' || "
             "COALESCE(CAST(epoch_us(ts) AS VARCHAR), '') || '|' || "

@@ -82,3 +82,24 @@ def test_zorder_sort_keeps_nulls_last(ray_session):
     )
     out = zorder_sort(df, ["x", "y"], bits=8, keep_key=True).to_pandas()
     assert out.iloc[-1]["i"] == 1 and out.iloc[-1]["__z"] == 2**63 - 1
+
+
+def test_compact_files_preserves_content(ray_session, tmp_path):
+    """Compaction reduces file count and the order-independent
+    checksum of the output equals the input's."""
+    import ray.data
+
+    from data_validator_ray.pipelines.integrity import table_checksum
+    from data_validator_ray.pipelines.layout import compact_files
+
+    df = pd.DataFrame(
+        {"id": range(1000), "s": [f"v{i % 7}" for i in range(1000)]}
+    )
+    frag = str(tmp_path / "frag")
+    ray.data.from_pandas(df).repartition(20).write_parquet(frag)
+    out = str(tmp_path / "compact")
+    res = compact_files(frag, out, ["id", "s"], target_rows_per_file=500)
+    assert res["n_files_in"] == 20 and res["n_files_out"] == 2
+    assert res["n_rows"] == 1000
+    chk_in = table_checksum(frag, ["id", "s"])
+    assert res["checksum"] == int(chk_in["checksum"].iloc[0])
