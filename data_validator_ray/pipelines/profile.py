@@ -958,6 +958,68 @@ def missingness_matrix(
     return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)
 
 
+def float_anomaly_profile(
+    source: Any,
+    cols: "list[str]",
+    *,
+    batch_size: int = 64 * 1024,
+) -> "pd.DataFrame":
+    """Floating-point hygiene audit — the NaN/Inf screen run before
+    any aggregate trusts a float column (one overflowed ratio poisons
+    a SUM silently): per column, counts of NULL, NaN, +Inf, −Inf,
+    exact zero and negative values. One row per column per batch
+    (vectorized numpy masks), K-bounded merge. Distinguishes SQL NULL
+    from float NaN — Parquet can carry both and most engines conflate
+    them somewhere."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    fields = ("n", "n_null", "n_nan", "n_posinf", "n_neginf",
+              "n_zero", "n_negative")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("column", *fields)}
+        for c in cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            null = pc.is_null(col, nan_is_null=False).to_numpy(
+                zero_copy_only=False
+            )
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~null
+            nan = ok & np.isnan(v)
+            fin = ok & ~nan
+            rows["column"].append(c)
+            rows["n"].append(batch.num_rows)
+            rows["n_null"].append(int(null.sum()))
+            rows["n_nan"].append(int(nan.sum()))
+            rows["n_posinf"].append(int((fin & (v == np.inf)).sum()))
+            rows["n_neginf"].append(int((fin & (v == -np.inf)).sum()))
+            rows["n_zero"].append(int((fin & (v == 0.0)).sum()))
+            rows["n_negative"].append(
+                int((fin & (v < 0) & (v > -np.inf)).sum())
+            )
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                **{k: pa.array(rows[k], pa.int64()) for k in fields},
+            }
+        )
+
+    ds = _as_dataset(source, columns=list(cols))
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("column")
+        .aggregate(*[Sum(k, alias_name=k) for k in fields])
+        .to_pandas()
+    )
+    for k in fields:
+        out[k] = out[k].astype(np.int64)
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def grouped_higher_moments(
     source: Any,
     key_cols: "list[str]",

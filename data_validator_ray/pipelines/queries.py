@@ -3038,6 +3038,48 @@ def q_period_over_period_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
+    """Float-hygiene audit over the clean value column plus a derived
+    deterministically-dirty one (NaN/±Inf/zero/negative planted by
+    event_id band — constructed identically in both engines)."""
+    import pyarrow.compute as _pc
+
+    from .profile import float_anomaly_profile
+
+    def derive(b: pa.Table) -> pa.Table:
+        m = _pc.cast(_pc.bit_wise_and(b["event_id"], 7), pa.int64())
+
+        def const(x):
+            return pa.scalar(x, pa.float64())
+
+        dirty = _pc.if_else(
+            _pc.equal(m, 0), const(float("inf")),
+            _pc.if_else(
+                _pc.equal(m, 1), const(float("-inf")),
+                _pc.if_else(
+                    _pc.equal(m, 2), const(float("nan")),
+                    _pc.if_else(
+                        _pc.equal(m, 3), const(0.0),
+                        _pc.if_else(
+                            _pc.equal(m, 4), const(-1.5),
+                            _pc.if_else(
+                                _pc.equal(m, 5),
+                                pa.scalar(None, pa.float64()),
+                                _pc.cast(b["value"], pa.float64()),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        return b.select(["value"]).append_column("dirty_float", dirty)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return float_anomaly_profile(ds, ["value", "dirty_float"])
+
+
 def q_compact_files_events(sf_dir: str) -> pd.DataFrame:
     """Small-file compaction with PROOF: events fragments into 16
     per-task files under /tmp, compacts to 2 target-size files, and
@@ -4568,6 +4610,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_mad_events": q_grouped_mad_events,
         "period_over_period_events": q_period_over_period_events,
         "compact_files_events": q_compact_files_events,
+        "float_anomaly_events": q_float_anomaly_events,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5617,6 +5660,28 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "float_anomaly_events": (
+            "WITH src AS (SELECT value, CASE event_id % 8 "
+            "WHEN 0 THEN 'Infinity'::DOUBLE "
+            "WHEN 1 THEN '-Infinity'::DOUBLE "
+            "WHEN 2 THEN 'NaN'::DOUBLE "
+            "WHEN 3 THEN 0.0 WHEN 4 THEN -1.5 "
+            "WHEN 5 THEN NULL ELSE value::DOUBLE END AS dirty_float "
+            "FROM events), "
+            "u AS (SELECT 'value' AS col, value::DOUBLE v FROM src "
+            "UNION ALL SELECT 'dirty_float', dirty_float FROM src) "
+            "SELECT col AS \"column\", COUNT(*)::BIGINT AS n, "
+            "(COUNT(*) - COUNT(v))::BIGINT AS n_null, "
+            "(COUNT(*) FILTER (WHERE isnan(v)))::BIGINT AS n_nan, "
+            "(COUNT(*) FILTER (WHERE v = 'Infinity'::DOUBLE))::BIGINT "
+            "AS n_posinf, "
+            "(COUNT(*) FILTER (WHERE v = '-Infinity'::DOUBLE))::BIGINT "
+            "AS n_neginf, "
+            "(COUNT(*) FILTER (WHERE v = 0))::BIGINT AS n_zero, "
+            "(COUNT(*) FILTER (WHERE v < 0 AND v > '-Infinity'::DOUBLE"
+            "))::BIGINT AS n_negative "
+            "FROM u GROUP BY col ORDER BY col"
         ),
         "compact_files_events": (
             # the SQL checksum of the INPUT — equal iff compaction

@@ -621,3 +621,25 @@ def test_missingness_matrix_structural_nulls(ray_session):
     out2 = missingness_matrix(df[["d"]].assign(e=[1, 2, 3, 4, 5]),
                               ["d", "e"])
     assert np.isnan(out2.null_jaccard[0])
+
+
+def test_float_anomaly_profile_distinguishes_null_and_nan(ray_session):
+    from data_validator_ray.pipelines.profile import float_anomaly_profile
+
+    df = pd.DataFrame(
+        {
+            "x": [1.0, -2.0, 0.0, np.nan, np.inf, -np.inf, None, 3.5],
+        }
+    )
+    out = float_anomaly_profile(df, ["x"]).iloc[0]
+    assert out.n == 8
+    # pandas None in a float column becomes NaN before Arrow sees it —
+    # here both land as NaN (documented conflation at the pandas
+    # boundary); a true Arrow NULL stays distinct
+    assert out.n_nan + out.n_null == 2
+    assert out.n_posinf == 1 and out.n_neginf == 1
+    assert out.n_zero == 1 and out.n_negative == 1
+
+    t = pa.table({"y": pa.array([1.0, None, float("nan")], pa.float64())})
+    out2 = float_anomaly_profile(t, ["y"]).iloc[0]
+    assert out2.n_null == 1 and out2.n_nan == 1  # distinct in Arrow
