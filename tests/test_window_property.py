@@ -8,6 +8,8 @@ same way test_expr_property does for the DSL."""
 
 import duckdb
 import numpy as np
+import ray
+import ray.data
 import pandas as pd
 import pytest
 
@@ -138,3 +140,78 @@ def test_global_rank_vs_duckdb(ray_session, seed):
         out[sorted(out.columns)], ref[sorted(ref.columns)],
         check_dtype=False,
     )
+
+
+@pytest.mark.parametrize("seed", [3, 17, 42])
+def test_anomaly_zscore_random_vs_duckdb(ray_session, seed):
+    """Trailing-window z-score equals the SQL window formulation on
+    adversarial frames (NULLs, skewed keys, singleton keys, random
+    preceding width)."""
+    from data_validator_ray.pipelines.relational import anomaly_zscore
+
+    df = _frame(seed)
+    df["v"] = df["v"].where(~df["v"].isna(), None)
+    k = int(np.random.default_rng(seed).integers(1, 12))
+    out = (
+        anomaly_zscore(ray.data.from_pandas(df), "k", ["o", "id"], "v",
+                       preceding=k)
+        .to_pandas()
+        .sort_values(["k", "o", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        f"SELECT k, o, id, ROUND((v - AVG(v) OVER w) / "
+        f"NULLIF(STDDEV_SAMP(v) OVER w, 0), 6) AS zscore FROM t "
+        f"WINDOW w AS (PARTITION BY k ORDER BY o, id "
+        f"ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) ORDER BY k, o, id"
+    ).df()
+    a, b = out.zscore.to_numpy(), ref.zscore.to_numpy()
+    nan = np.isnan(a) & np.isnan(b)
+    assert np.all(nan | (a == b))
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_set_op_bag_random_vs_counter(ray_session, seed):
+    """Bag set ops equal Counter arithmetic on random multisets."""
+    from collections import Counter
+
+    from data_validator_ray.pipelines.relational import set_op
+
+    rng = np.random.default_rng(seed)
+    a = pd.DataFrame({"x": rng.integers(0, 15, 250)})
+    b = pd.DataFrame({"x": rng.integers(0, 15, 180)})
+    ca, cb = Counter(a.x.tolist()), Counter(b.x.tolist())
+    inter = sum((ca & cb).values())
+    exc = sum((ca - cb).values())
+    got_i = set_op(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                   "intersect_all", ["x"]).count()
+    got_e = set_op(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                   "except_all", ["x"]).count()
+    assert (got_i, got_e) == (inter, exc)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_grouped_mad_random_vs_duckdb(ray_session, seed):
+    from data_validator_ray.pipelines.relational import grouped_mad
+
+    df = _frame(seed)
+    df["v"] = df["v"].where(~df["v"].isna(), None)
+    out = (
+        grouped_mad(ray.data.from_pandas(df), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.execute(
+        "SELECT k, COUNT(v)::BIGINT n, median(v) median, mad(v) mad "
+        "FROM t GROUP BY k ORDER BY k"
+    ).df()
+    assert out.k.tolist() == ref.k.tolist()
+    for c in ("median", "mad"):
+        x, y = out[c].to_numpy(), ref[c].to_numpy()
+        nan = np.isnan(x) & np.isnan(y)
+        assert np.all(nan | (x == y))
