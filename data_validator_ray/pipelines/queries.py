@@ -3080,6 +3080,53 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
+    """Persistent key-index lifecycle across three simulated crawls:
+    build the index from crawl A's customer keys, dedup crawl B
+    against it (drop rows whose key was EVER seen), union-merge B's
+    keys in (atomic rewrite), then dedup crawl C against the updated
+    index — the continuous-ingestion dedup story, 16 bytes of durable
+    state per distinct key."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from ..state.key_index import (
+        build_key_index,
+        dedup_against_index,
+        update_key_index,
+    )
+
+    def crawl(mod: int):
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(
+            lambda b, m=mod: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["o_orderkey"], 3), m)
+            ),
+            batch_format="pyarrow",
+        )
+
+    work = tempfile.mkdtemp(prefix="graft_keyidx_", dir="/tmp")
+    try:
+        idx = f"{work}/idx"
+        built = build_key_index(crawl(0), "o_custkey", idx)
+        kept_b = dedup_against_index(crawl(1), "o_custkey", idx).count()
+        upd = update_key_index(idx, crawl(1), "o_custkey")
+        kept_c = dedup_against_index(crawl(2), "o_custkey", idx).count()
+        return pd.DataFrame(
+            {
+                "n_a_keys": pd.array([built["n_keys"]], dtype="int64"),
+                "kept_b": pd.array([kept_b], dtype="int64"),
+                "n_ab_keys": pd.array([upd["n_keys"]], dtype="int64"),
+                "kept_c": pd.array([kept_c], dtype="int64"),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_compact_files_events(sf_dir: str) -> pd.DataFrame:
     """Small-file compaction with PROOF: events fragments into 16
     per-task files under /tmp, compacts to 2 target-size files, and
@@ -4611,6 +4658,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "period_over_period_events": q_period_over_period_events,
         "compact_files_events": q_compact_files_events,
         "float_anomaly_events": q_float_anomaly_events,
+        "incremental_dedup_orders": q_incremental_dedup_orders,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5660,6 +5708,25 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "incremental_dedup_orders": (
+            "WITH a AS (SELECT o_custkey k FROM orders WHERE "
+            "o_orderkey % 4 = 0 AND o_custkey IS NOT NULL), "
+            "b AS (SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderkey % 4 = 1), "
+            "c AS (SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderkey % 4 = 2), "
+            "ab AS (SELECT k FROM a UNION "
+            "SELECT o_custkey FROM b WHERE o_custkey IS NOT NULL) "
+            "SELECT "
+            "(SELECT COUNT(DISTINCT k) FROM a)::BIGINT AS n_a_keys, "
+            "(SELECT COUNT(*) FROM b WHERE o_custkey IS NULL OR "
+            "NOT EXISTS (SELECT 1 FROM a WHERE a.k = b.o_custkey)"
+            ")::BIGINT AS kept_b, "
+            "(SELECT COUNT(*) FROM ab)::BIGINT AS n_ab_keys, "
+            "(SELECT COUNT(*) FROM c WHERE o_custkey IS NULL OR "
+            "NOT EXISTS (SELECT 1 FROM ab WHERE ab.k = c.o_custkey)"
+            ")::BIGINT AS kept_c"
         ),
         "float_anomaly_events": (
             "WITH src AS (SELECT value, CASE event_id % 8 "

@@ -47,3 +47,36 @@ def test_manifest_resume(tmp_path):
     assert t.num_rows == 2
     m.reset()
     assert m.completed_partitions() == set()
+
+
+def test_key_index_lifecycle(ray_session, tmp_path):
+    """Build -> probe -> update -> probe; NULL keys kept; key-column
+    and hash-scheme guards fail loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.state.key_index import (
+        build_key_index,
+        dedup_against_index,
+        load_key_index,
+        update_key_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    a = pd.DataFrame({"k": ["u1", "u2", "u3", "u2"]})
+    built = build_key_index(a, "k", idx)
+    assert built["n_keys"] == 3
+
+    b = pd.DataFrame({"k": ["u2", "u4", None, "u5"]})
+    kept = dedup_against_index(b, "k", idx).to_pandas()
+    assert sorted(kept.k.fillna("<N>")) == ["<N>", "u4", "u5"]
+
+    upd = update_key_index(idx, b, "k")
+    assert upd == {"n_keys_before": 3, "n_added": 2, "n_keys": 5}
+
+    c = pd.DataFrame({"k": ["u4", "u9"]})
+    kept2 = dedup_against_index(c, "k", idx).to_pandas()
+    assert kept2.k.tolist() == ["u9"]
+
+    with _pytest.raises(ValueError):
+        load_key_index(idx, expect_key_col="other_col")
