@@ -3080,6 +3080,73 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_multi_table_summary(sf_dir: str) -> pd.DataFrame:
+    """One config, THREE tables (events/orders/customer) through
+    validate_all_tables — the job surface the CLI drives — with the
+    per-rule counts flattened; oracle reproduces every rule's count."""
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[
+            {
+                "name": "events",
+                "rules": [
+                    ValidationRule(
+                        name="ev_value_range", rule_type="range",
+                        column="value",
+                        parameters={"min_value": 0, "max_value": 150},
+                    ).model_dump(),
+                    ValidationRule(
+                        name="ev_type_complete", rule_type="completeness",
+                        column="event_type",
+                    ).model_dump(),
+                ],
+            },
+            {
+                "name": "orders",
+                "rules": [
+                    ValidationRule(
+                        name="ord_status_member", rule_type="membership",
+                        column="o_orderstatus",
+                        parameters={"values": ["O", "F"]},
+                    ).model_dump(),
+                ],
+            },
+            {
+                "name": "customer",
+                "rules": [
+                    ValidationRule(
+                        name="cust_key_unique", rule_type="uniqueness",
+                        column="c_custkey",
+                    ).model_dump(),
+                ],
+            },
+        ],
+    )
+    v = RayDataValidator(cfg)
+    summaries = v.validate_all_tables(
+        {
+            "events": f"{sf_dir}/events.parquet",
+            "orders": f"{sf_dir}/orders.parquet",
+            "customer": f"{sf_dir}/customer.parquet",
+        }
+    )
+    rows = []
+    for tname in ("events", "orders", "customer"):
+        for r in summaries[tname].results:
+            rows.append(
+                {
+                    "table_name": tname,
+                    "rule_name": r.rule_name,
+                    "total_count": r.total_count,
+                    "failed_count": r.failed_count,
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"total_count": "int64", "failed_count": "int64"}
+    )
+    return out.sort_values(["table_name", "rule_name"]).reset_index(drop=True)
+
+
 def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
     """Persistent key-index lifecycle across three simulated crawls:
     build the index from crawl A's customer keys, dedup crawl B
@@ -4659,6 +4726,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "compact_files_events": q_compact_files_events,
         "float_anomaly_events": q_float_anomaly_events,
         "incremental_dedup_orders": q_incremental_dedup_orders,
+        "multi_table_summary": q_multi_table_summary,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5708,6 +5776,24 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "multi_table_summary": (
+            "SELECT 'customer' AS table_name, 'cust_key_unique' AS "
+            "rule_name, (SELECT COUNT(*) FROM customer)::BIGINT AS "
+            "total_count, (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) "
+            "FROM customer)::BIGINT AS failed_count "
+            "UNION ALL SELECT 'events', 'ev_type_complete', "
+            "(SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) - COUNT(event_type) FROM events) "
+            "UNION ALL SELECT 'events', 'ev_value_range', "
+            "(SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) FILTER (WHERE value < 0 OR value > 150) "
+            "FROM events) "
+            "UNION ALL SELECT 'orders', 'ord_status_member', "
+            "(SELECT COUNT(*) FROM orders), "
+            "(SELECT COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL "
+            "AND o_orderstatus NOT IN ('O', 'F')) FROM orders) "
+            "ORDER BY table_name, rule_name"
         ),
         "incremental_dedup_orders": (
             "WITH a AS (SELECT o_custkey k FROM orders WHERE "
