@@ -3028,6 +3028,106 @@ def q_late_window_aggregate_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def q_daily_active_users_events(sf_dir: str) -> pd.DataFrame:
+    """Exact DAU: distinct user_id per day (per-batch pair combiner,
+    pair-bounded exchange)."""
+    from .relational import period_distinct
+
+    out = period_distinct(
+        f"{sf_dir}/events.parquet", "ts", "user_id", unit="day"
+    ).to_pandas()
+    return out.sort_values("period_start").reset_index(drop=True)
+
+
+def q_tpch_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 composition (order priority variant): customer ⋈ orders ⋈
+    lineitem with date/segment filters, revenue per order in exact
+    fixed-point units, top-10 by (revenue DESC, orderdate) — two
+    bucketed joins + one combiner groupby + partial top-k."""
+    import pyarrow.compute as _pc
+
+    from .relational import hash_join, top_k_rows
+
+    SEG = "BUILDING"
+    CUT = pd.Timestamp("1995-03-15")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(_pc.equal(b["c_mktsegment"], SEG)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(
+            _pc.less(b["o_orderdate"], pa.scalar(CUT))
+        ),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: b.filter(
+            _pc.greater(b["l_shipdate"], pa.scalar(CUT))
+        ),
+        batch_format="pyarrow",
+    )
+
+    co = hash_join(
+        orders, cust,
+        left_key="o_custkey", right_key="c_custkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        right_cols=["c_custkey"],
+        how="inner",
+    )
+    col = hash_join(
+        li, co,
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+        how="inner",
+    )
+
+    def revenue_units(b: pa.Table) -> pa.Table:
+        # exact fixed-point: price has 2 decimals, discount 2 ->
+        # price*(1-disc) has 4; FLOOR(x*1e4+0.5) int64 units are
+        # bit-identical to the SQL expression
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        units = np.floor(p * (1.0 - d) * 1e4 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+                "rev_units": pa.array(units, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        col.map_batches(revenue_units, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev_units", alias_name="rev_units"))
+    )
+    top = top_k_rows(
+        agg, "rev_units", 10, descending=True,
+        tiebreak_cols=["o_orderdate", "l_orderkey"],
+    )
+    top["revenue"] = np.round(top["rev_units"].astype(np.float64) / 1e4, 4)
+    top = top.drop(columns="rev_units")
+    return top.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+    ).reset_index(drop=True)
+
+
 def q_period_over_period_events(sf_dir: str) -> pd.DataFrame:
     """Day-over-day value-sum growth (date_trunc parity, LAG on the
     period-bounded result; gap days skip — SQL LAG convention)."""
@@ -4723,6 +4823,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "interarrival_stats_events": q_interarrival_stats_events,
         "grouped_mad_events": q_grouped_mad_events,
         "period_over_period_events": q_period_over_period_events,
+        "daily_active_users_events": q_daily_active_users_events,
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "compact_files_events": q_compact_files_events,
         "float_anomaly_events": q_float_anomaly_events,
         "incremental_dedup_orders": q_incremental_dedup_orders,
@@ -6394,6 +6496,24 @@ def oracle_sql() -> Dict[str, str]:
             "(COUNT(*) FILTER (WHERE wm IS NOT NULL "
             "AND ts < wm - INTERVAL 14 DAY))::BIGINT AS n_late "
             "FROM w GROUP BY 1 ORDER BY 1"
+        ),
+        "daily_active_users_events": (
+            "SELECT date_trunc('day', ts) AS period_start, "
+            "COUNT(DISTINCT user_id)::BIGINT AS n_distinct "
+            "FROM events WHERE ts IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q3_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 1e4 + 0.5) AS BIGINT)) / 1e4, 4) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
         ),
         "period_over_period_events": (
             "WITH d AS (SELECT date_trunc('day', ts) AS p, SUM(value) AS v "

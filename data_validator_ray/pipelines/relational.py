@@ -2215,6 +2215,71 @@ def explode_column(
     )
 
 
+def period_distinct(
+    source: Any,
+    ts_col: str,
+    key_col: str,
+    *,
+    unit: str = "day",
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """EXACT distinct keys per calendar period — the DAU/WAU/MAU
+    family: per ``date_trunc(unit, ts)``, COUNT(DISTINCT key). NULL
+    timestamps and NULL keys drop (SQL COUNT(DISTINCT) semantics).
+
+    Scale shape: each batch pre-distincts its (period, key) pairs (the
+    combiner — exchange is per-batch-distinct pairs, bounded by
+    periods × active keys, never raw events), ONE groupby dedupes
+    pairs globally, and a second periods-bounded count closes it. For
+    cardinalities beyond the pair shuffle use the HLL sibling
+    (:func:`grouped_approx_distinct` keyed on the floored period)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[ts_col]), pc.is_valid(batch[key_col]))
+        )
+        ts = batch[ts_col].cast(pa.timestamp("us"))
+        win = pc.cast(
+            pc.floor_temporal(ts, unit=unit), pa.timestamp("us")
+        ).cast(pa.int64())
+        t = pa.table({"__w": win, "__k": batch[key_col]})
+        return t.group_by(["__w", "__k"]).aggregate([])
+
+    ds = _as_dataset(source, columns=[ts_col, key_col])
+    dedup = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["__w", "__k"])
+        .count()
+    )
+
+    def per_period(batch: pa.Table) -> pa.Table:
+        t = pa.table({"__w": batch["__w"]})
+        g = t.group_by(["__w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["__w", "n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        dedup.map_batches(per_period, batch_format="pyarrow")
+        .groupby("__w")
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "period_start": pa.array(
+                    batch["__w"].to_numpy(zero_copy_only=False).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "n_distinct": pc.cast(batch["n_distinct"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def period_over_period(
     source: Any,
     ts_col: str,

@@ -2660,3 +2660,27 @@ def test_period_over_period_gaps_and_zero_prev(ray_session):
     assert pct[2] == -1.0         # 4 -> 0 (gap day skipped)
     assert np.isnan(pct[3])       # prev == 0
     assert out.abs_change[3] == 5.0
+
+
+def test_period_distinct_dedupes_across_batches(ray_session):
+    """Distinct counting survives the same (period, key) pair arriving
+    in different batches; NULL ts/key rows drop."""
+    from data_validator_ray.pipelines.relational import period_distinct
+
+    base = pd.Timestamp("2024-06-01")
+    day = pd.Timedelta(days=1)
+    df = pd.DataFrame(
+        {
+            "ts": [base, base, base, base + day, base + day, None, base],
+            "u": [1, 1, 2, 1, None, 3, 2],
+        }
+    )
+    # 2 batches so duplicates cross batch boundaries
+    ds = ray.data.from_pandas([df.iloc[:4], df.iloc[4:]])
+    out = (
+        period_distinct(ds, "ts", "u", unit="day")
+        .to_pandas()
+        .sort_values("period_start")
+        .reset_index(drop=True)
+    )
+    assert out.n_distinct.tolist() == [2, 1]
