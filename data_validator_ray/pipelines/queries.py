@@ -3039,6 +3039,18 @@ def q_daily_active_users_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("period_start").reset_index(drop=True)
 
 
+def q_weekly_active_users_events(sf_dir: str) -> pd.DataFrame:
+    """Exact rolling 7-day active users as of each active day: distinct
+    (day, user) pairs fan out to their ≤7 covering windows, one dedupe
+    groupby closes it (pair×window-bounded, never raw events)."""
+    from .relational import rolling_period_distinct
+
+    out = rolling_period_distinct(
+        f"{sf_dir}/events.parquet", "ts", "user_id", window_periods=7
+    ).to_pandas()
+    return out.sort_values("period_start").reset_index(drop=True)
+
+
 def q_tpch_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 composition (order priority variant): customer ⋈ orders ⋈
     lineitem with date/segment filters, revenue per order in exact
@@ -4824,6 +4836,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "grouped_mad_events": q_grouped_mad_events,
         "period_over_period_events": q_period_over_period_events,
         "daily_active_users_events": q_daily_active_users_events,
+        "weekly_active_users_events": q_weekly_active_users_events,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "compact_files_events": q_compact_files_events,
         "float_anomaly_events": q_float_anomaly_events,
@@ -6501,6 +6514,17 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT date_trunc('day', ts) AS period_start, "
             "COUNT(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events WHERE ts IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "weekly_active_users_events": (
+            "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d "
+            "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
+            "SELECT days.d AS period_start, "
+            "COUNT(DISTINCT e.user_id)::BIGINT AS n_distinct "
+            "FROM days JOIN events e ON e.ts IS NOT NULL "
+            "AND e.user_id IS NOT NULL "
+            "AND date_trunc('day', e.ts) "
+            "BETWEEN days.d - INTERVAL 6 DAY AND days.d "
             "GROUP BY 1 ORDER BY 1"
         ),
         "tpch_q3_shipping_priority": (

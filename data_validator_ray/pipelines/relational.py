@@ -2280,6 +2280,118 @@ def period_distinct(
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def rolling_period_distinct(
+    source: Any,
+    ts_col: str,
+    key_col: str,
+    *,
+    window_periods: int = 7,
+    unit: str = "day",
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """EXACT rolling-window distinct keys — the WAU/MAU-as-of-each-day
+    metric: for every period `d` PRESENT in the data, the number of
+    distinct keys active in ``[d − (window_periods−1), d]``. Day units
+    use exact epoch arithmetic; calendar units follow
+    ``pc.floor_temporal``.
+
+    Scale shape: the :func:`period_distinct` pair combiner first
+    (per-batch distinct (period, key) — raw events never fan out),
+    then each DISTINCT pair replicates to its ≤ ``window_periods``
+    covering windows and one groupby dedupes (pair × window bounded —
+    the classic exact sliding-distinct trade; beyond it, per-day HLL
+    registers merge across the window instead). Windows with no
+    activity on their anchor day are not emitted (anchor = a period
+    present in the data, the SQL join-on-present-days convention)."""
+    if unit != "day":
+        raise ValueError(
+            "rolling_period_distinct supports unit='day' (exact epoch "
+            "arithmetic); calendar months need the HLL-merge tier"
+        )
+    day_us = np.int64(86_400_000_000)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[ts_col]), pc.is_valid(batch[key_col]))
+        )
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.multiply(pc.divide(ts, day_us), day_us)
+        t = pa.table({"__d": day, "__k": batch[key_col]})
+        return t.group_by(["__d", "__k"]).aggregate([])
+
+    ds = _as_dataset(source, columns=[ts_col, key_col])
+    pair_ds = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["__d", "__k"])
+        .count()
+    )
+
+    # anchor days = periods present (small; collected once)
+    anchor_days = set()
+    for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        anchor_days.update(b["__d"].to_numpy(zero_copy_only=False).tolist())
+    anchors = np.array(sorted(anchor_days), np.int64)
+    import ray as _ray
+
+    anchors_ref = _ray.put(anchors)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        anc = _ray.get(anchors_ref)
+        d = batch["__d"].to_numpy(zero_copy_only=False)
+        k = batch["__k"]
+        # each (day, key) pair covers anchor windows w with
+        # w - (window-1) <= d <= w  ->  anchors in [d, d + window - 1]
+        lo = np.searchsorted(anc, d, "left")
+        hi = np.searchsorted(anc, d + (window_periods - 1) * day_us, "right")
+        reps = (hi - lo).astype(np.int64)
+        idx = np.repeat(np.arange(len(d), dtype=np.int64), reps)
+        # windows for row i: anc[lo[i] : hi[i]] — vectorized ragged
+        # ranges (repeat base + within-segment arange), no Python loop
+        base = np.repeat(lo, reps)
+        seg0 = np.repeat(np.cumsum(reps) - reps, reps)
+        offs = base + (np.arange(len(base), dtype=np.int64) - seg0)
+        return pa.table(
+            {
+                "__w": pa.array(anc[offs], pa.int64()),
+                "__k": k.take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    win_pairs = (
+        pair_ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["__w", "__k"])
+        .count()
+    )
+
+    def per_window(batch: pa.Table) -> pa.Table:
+        g = pa.table({"__w": batch["__w"]}).group_by(["__w"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["__w", "n"])
+
+    out = (
+        win_pairs.map_batches(per_window, batch_format="pyarrow")
+        .groupby("__w")
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "period_start": pa.array(
+                    batch["__w"].to_numpy(zero_copy_only=False).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "n_distinct": pc.cast(batch["n_distinct"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def period_over_period(
     source: Any,
     ts_col: str,

@@ -2684,3 +2684,34 @@ def test_period_distinct_dedupes_across_batches(ray_session):
         .reset_index(drop=True)
     )
     assert out.n_distinct.tolist() == [2, 1]
+
+
+def test_rolling_period_distinct_windows(ray_session):
+    """Window covers [d-6, d]; a user active once counts in every
+    anchored window within reach; anchors are present days only."""
+    from data_validator_ray.pipelines.relational import (
+        rolling_period_distinct,
+    )
+
+    base = pd.Timestamp("2024-06-01")
+    day = pd.Timedelta(days=1)
+    df = pd.DataFrame(
+        {
+            # users 1,2 on day0; user 3 on day3; user 1 again day10
+            "ts": [base, base, base + 3 * day, base + 10 * day],
+            "u": [1, 2, 3, 1],
+        }
+    )
+    out = (
+        rolling_period_distinct(ray.data.from_pandas(df), "ts", "u",
+                                window_periods=7)
+        .to_pandas()
+        .sort_values("period_start")
+        .reset_index(drop=True)
+    )
+    # anchors: day0 (users {1,2}), day3 ({1,2,3}), day10 ({1} — day3
+    # is 7 days back, outside [d-6, d])
+    assert out.n_distinct.tolist() == [2, 3, 1]
+
+    with pytest.raises(ValueError):
+        rolling_period_distinct(df, "ts", "u", unit="month")
