@@ -4078,6 +4078,27 @@ def q_try_cast_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_embedding_drift_splits(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space drift between the even/odd vec_id halves: the
+    cosine and L2 distance of the two mean vectors — one (n, Σx)
+    moment pass per side, nothing else moves."""
+    import pyarrow.compute as _pc
+
+    from .similarity import embedding_mean_drift
+
+    def side(par: int):
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(
+            lambda b, p=par: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["vec_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return embedding_mean_drift(side(0), side(1))
+
+
 def q_embedding_norms(sf_dir: str) -> pd.DataFrame:
     """Per-vector L2 norm audit (un-normalized / zero vectors) — one
     streaming pass, float64 einsum per batch, no shuffle."""
@@ -4880,6 +4901,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "try_cast_events": q_try_cast_events,
         "embedding_covariance_matrix": q_embedding_covariance,
         "embedding_norms": q_embedding_norms,
+        "embedding_drift_splits": q_embedding_drift_splits,
         "pca_project_embeddings": q_pca_project_embeddings,
         "scd2_events_user_type": q_scd2_events_user_type,
         "disc_quantiles_events": q_disc_quantiles_events,
@@ -6983,6 +7005,26 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(COVAR_SAMP(a.val, b.val), 6) AS cov "
             "FROM e a JOIN e b USING (vec_id) "
             "GROUP BY a.pos, b.pos ORDER BY i, j"
+        ),
+        "embedding_drift_splits": (
+            "WITH e AS (SELECT vec_id, "
+            "generate_subscripts(embedding, 1) AS pos, "
+            "unnest(embedding)::DOUBLE AS val FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "a AS (SELECT pos, AVG(val) m FROM e WHERE vec_id % 2 = 0 "
+            "GROUP BY pos), "
+            "b AS (SELECT pos, AVG(val) m FROM e WHERE vec_id % 2 = 1 "
+            "GROUP BY pos), "
+            "j AS (SELECT a.m am, b.m bm FROM a JOIN b USING (pos)) "
+            "SELECT "
+            "(SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0 "
+            "AND embedding IS NOT NULL)::BIGINT AS n_a, "
+            "(SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1 "
+            "AND embedding IS NOT NULL)::BIGINT AS n_b, "
+            "ROUND(SUM(am * bm) / (sqrt(SUM(am * am)) * "
+            "sqrt(SUM(bm * bm))), 6) AS mean_cosine, "
+            "ROUND(sqrt(SUM((am - bm) * (am - bm))), 6) AS mean_l2_dist "
+            "FROM j"
         ),
         "embedding_norms": (
             "SELECT vec_id, "

@@ -703,6 +703,73 @@ def embedding_norms(
     )
 
 
+def embedding_mean_drift(
+    a: Any,
+    b: Any,
+    *,
+    vec_col: str = "embedding",
+    batch_size: int = 8192,
+) -> "pd.DataFrame":
+    """Embedding-space drift between two corpora (old crawl vs new,
+    reference vs candidate encoder): the cosine similarity and L2
+    distance of the two MEAN vectors, plus each side's count — the
+    cheap first-order alarm before anything expensive (per-cluster or
+    per-dimension) runs. NULL embeddings drop.
+
+    Scale shape: one streaming moment pass per side — each batch
+    reduces to ``(n, Σx)`` (d floats; row-count independent), summed on
+    the driver; no shuffle, no matrix ever materializes. Outputs
+    ROUND 6 floats (mean magnitudes are O(1), well inside float64
+    spacing)."""
+    import pandas as pd
+
+    def side_sum(src: Any) -> "tuple[int, np.ndarray]":
+        def partial(batch: pa.Table) -> pa.Table:
+            col = batch[vec_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            sub = batch if valid.all() else batch.filter(pa.array(valid))
+            M = _embedding_matrix(sub, vec_col, dtype=np.float64)
+            s = M.sum(axis=0) if M.size else np.zeros(0, np.float64)
+            return pa.table(
+                {
+                    "n": pa.array([int(valid.sum())], pa.int64()),
+                    "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                }
+            )
+
+        ds = _as_dataset(src, columns=[vec_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size
+        )
+        n, s = 0, None
+        for bt in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 10):
+            for i in range(bt.num_rows):
+                n += int(bt["n"][i].as_py())
+                v = np.asarray(bt["s"][i].as_py(), np.float64)
+                if v.size:
+                    s = v if s is None else s + v
+        return n, (s if s is not None else np.zeros(0, np.float64))
+
+    n_a, s_a = side_sum(a)
+    n_b, s_b = side_sum(b)
+    if n_a and n_b and len(s_a) and len(s_b):
+        ma, mb = s_a / n_a, s_b / n_b
+        na, nb = np.sqrt(ma @ ma), np.sqrt(mb @ mb)
+        cos = float(ma @ mb / (na * nb)) if na > 0 and nb > 0 else np.nan
+        l2 = float(np.sqrt(((ma - mb) ** 2).sum()))
+    else:
+        cos, l2 = np.nan, np.nan
+    return pd.DataFrame(
+        {
+            "n_a": pd.array([n_a], dtype="int64"),
+            "n_b": pd.array([n_b], dtype="int64"),
+            "mean_cosine": [round(cos, 6) if cos == cos else np.nan],
+            "mean_l2_dist": [round(l2, 6) if l2 == l2 else np.nan],
+        }
+    )
+
+
 def embedding_covariance(
     source: Any,
     *,

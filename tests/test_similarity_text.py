@@ -707,3 +707,24 @@ def test_embedding_norms_zero_and_null(ray_session):
     assert out.l2_norm[1] == 0.0 and out.is_zero[1]
     assert np.isnan(out.l2_norm[2]) and not out.is_zero[2]
     assert out.l2_norm[3] == 1.0
+
+
+def test_embedding_mean_drift_planted(ray_session):
+    """Identical corpora give cosine 1 / distance 0; a shifted corpus
+    shows the exact mean offset; NULL embeddings drop."""
+    rng = np.random.default_rng(21)
+    M = rng.normal(0, 1, (60, 8))
+    a = pd.DataFrame({"embedding": [list(r) for r in M]})
+    same = S.embedding_mean_drift(
+        ray.data.from_pandas(a), ray.data.from_pandas(a.copy())
+    ).iloc[0]
+    assert same.mean_cosine == 1.0 and same.mean_l2_dist == 0.0
+    assert same.n_a == 60 and same.n_b == 60
+
+    b = pd.DataFrame({"embedding": [list(r) for r in M + np.array([3.0] + [0.0] * 7)]})
+    b.loc[0, "embedding"] = None
+    d = S.embedding_mean_drift(
+        ray.data.from_pandas(a), ray.data.from_pandas(b)
+    ).iloc[0]
+    assert d.n_b == 59
+    assert d.mean_l2_dist > 2.5  # dominated by the planted +3 shift
