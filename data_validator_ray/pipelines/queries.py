@@ -3192,6 +3192,63 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_metric_anomaly_events(sf_dir: str) -> pd.DataFrame:
+    """deequ-style run-over-run anomaly check: three 'historical runs'
+    (event_id%4 slices 0–2) append their range-rule success rates to a
+    durable metrics history, then slice 3's rate is z-scored against
+    that history (|z| ≤ 3 passes)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from ..state.metrics_history import MetricsHistory, metric_anomaly_check
+
+    rule = ValidationRule(
+        name="value_band", rule_type="range", column="value",
+        parameters={"min_value": 0, "max_value": 100},
+    )
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "events", "rules": [rule.model_dump()]}],
+    )
+
+    def slice_rate(mod: int) -> float:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        ).map_batches(
+            lambda b, m=mod: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 3), m)
+            ),
+            batch_format="pyarrow",
+        )
+        r = RayDataValidator(cfg).validate_table(ds, "events").results[0]
+        return r.success_rate
+
+    work = tempfile.mkdtemp(prefix="graft_mhist_", dir="/tmp")
+    try:
+        hist = MetricsHistory(f"{work}/hist")
+        for m in (0, 1, 2):
+            hist.append(f"run{m}", {"events.value_band.success_rate":
+                                    slice_rate(m)})
+        cur = slice_rate(3)
+        res = metric_anomaly_check(
+            hist, "events.value_band.success_rate", cur, k=3.0
+        )
+        return pd.DataFrame(
+            {
+                "n_runs": pd.array([res["n_runs"]], dtype="int64"),
+                "mean_rate": [res["mean"]],
+                "std_rate": [res["std"]],
+                "current_rate": [round(cur, 6)],
+                "z": [res["z"]],
+                "passed": [res["passed"]],
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_multi_table_summary(sf_dir: str) -> pd.DataFrame:
     """One config, THREE tables (events/orders/customer) through
     validate_all_tables — the job surface the CLI drives — with the
@@ -4863,6 +4920,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "float_anomaly_events": q_float_anomaly_events,
         "incremental_dedup_orders": q_incremental_dedup_orders,
         "multi_table_summary": q_multi_table_summary,
+        "metric_anomaly_events": q_metric_anomaly_events,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5913,6 +5971,23 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "metric_anomaly_events": (
+            # per-slice success rate = (total - failed)/total of the
+            # range rule; z of slice 3 vs mean/std of slices 0-2
+            "WITH r AS (SELECT event_id % 4 AS m, "
+            "COUNT(*)::DOUBLE AS t, "
+            "(COUNT(*) FILTER (WHERE value < 0 OR value > 100))::DOUBLE f "
+            "FROM events GROUP BY 1), "
+            "rates AS (SELECT m, (t - f) / t AS rate FROM r), "
+            "h AS (SELECT AVG(rate) mu, STDDEV_SAMP(rate) sd, "
+            "COUNT(*)::BIGINT n FROM rates WHERE m < 3), "
+            "c AS (SELECT rate FROM rates WHERE m = 3) "
+            "SELECT h.n AS n_runs, ROUND(h.mu, 6) AS mean_rate, "
+            "ROUND(h.sd, 6) AS std_rate, ROUND(c.rate, 6) AS "
+            "current_rate, ROUND((c.rate - h.mu) / h.sd, 6) AS z, "
+            "abs((c.rate - h.mu) / h.sd) <= 3.0 AS passed "
+            "FROM h, c"
         ),
         "multi_table_summary": (
             "SELECT 'customer' AS table_name, 'cust_key_unique' AS "

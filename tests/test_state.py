@@ -80,3 +80,33 @@ def test_key_index_lifecycle(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         load_key_index(idx, expect_key_col="other_col")
+
+
+def test_metrics_history_anomaly_conventions(tmp_path):
+    """Short history passes; constant history passes iff equal; a
+    planted regression is flagged at |z| > k."""
+    from data_validator_ray.state.metrics_history import (
+        MetricsHistory,
+        metric_anomaly_check,
+    )
+
+    h = MetricsHistory(tmp_path / "hist")
+    assert metric_anomaly_check(h, "m", 0.5)["passed"]  # no evidence
+
+    h.append("r1", {"m": 0.99})
+    h.append("r2", {"m": 0.99})
+    const = metric_anomaly_check(h, "m", 0.99)
+    assert const["passed"] and const["std"] == 0.0
+    assert not metric_anomaly_check(h, "m", 0.98)["passed"]
+
+    h2 = MetricsHistory(tmp_path / "hist2")
+    for i, v in enumerate((0.97, 0.98, 0.99, 0.98, 0.97)):
+        h2.append(f"r{i}", {"m": v})
+    ok = metric_anomaly_check(h2, "m", 0.975)
+    bad = metric_anomaly_check(h2, "m", 0.80)
+    assert ok["passed"] and not bad["passed"]
+    assert abs(bad["z"]) > 3
+
+    # histories are per-metric
+    h2.append("r9", {"other": 1.0})
+    assert len(h2.series("m")) == 5 and len(h2.series("other")) == 1
