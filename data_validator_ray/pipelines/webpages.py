@@ -78,7 +78,7 @@ def _extract_text_arrow_reference(html: "pa.Array | pa.ChunkedArray") -> "pa.Arr
 
 
 def extract_text_arrow(html: "pa.Array | pa.ChunkedArray") -> "pa.Array":
-    """Pure html→text extraction kernel: strip tags → unescape the three
+    r"""Pure html→text extraction kernel: strip tags → unescape the three
     entities the generator emits → collapse whitespace → trim; NULL html
     extracts to ''.
 
