@@ -988,6 +988,68 @@ def semantic_dedup(
 _SAMPLE_MOD = 1_000_000_007  # large prime — hash order for sampling
 
 
+def negative_samples(
+    source: Any,
+    id_col: str,
+    k: int,
+    *,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic NEGATIVE sampling for contrastive training: each
+    anchor row gets ``k`` pseudo-random partner ids drawn from the
+    corpus id space ``[0, n)`` by pure modular arithmetic —
+    ``neg_j(id) = (id·KNUTH + (j+1)·P) mod n``, bumped by one (mod n)
+    when it collides with the anchor — so pairs are reproducible
+    across runs, engines and partitionings (no RNG, no shuffle) and
+    exactly expressible in SQL. Requires DENSE ids ``0 ≤ id < n``
+    (validated; remap first otherwise — the same contract as
+    :func:`sample_n`). Emits ``(id, neg_rank, neg_id)`` with
+    ``neg_rank`` 1-based.
+
+    Scale shape: one metadata ``count()`` then one streaming
+    ``map_batches`` fan-out (k rows per anchor, pure int64 math).
+    Joining embeddings/text back onto ``neg_id`` is the standard
+    bucketed join downstream."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    P = 2654435769  # second Weyl-ish constant, coprime-free offset
+
+    ds = _as_dataset(source, columns=[id_col])
+    n = ds.count()
+    n64 = np.int64(n)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # tighter than the 2^32 hash domain: id·KNUTH must not wrap
+        # int64 (numpy wraps silently where SQL overflows loudly —
+        # the ADVICE round-2 divergence class), so require id < 2^31
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= (1 << 31)):
+            raise ValueError(
+                f"{id_col} values must be in [0, 2^31) for negative "
+                "sampling (the id*KNUTH product must fit int64)"
+            )
+        if len(ids) and int(ids.max()) >= n:
+            raise ValueError(
+                f"{id_col} must be dense in [0, n) for negative "
+                f"sampling (got id {int(ids.max())} >= n={n})"
+            )
+        anchors = np.repeat(ids, k)
+        ranks = np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids))
+        neg = (anchors * np.int64(KNUTH) + ranks * np.int64(P)) % n64
+        neg = np.where(neg == anchors, (neg + 1) % n64, neg)
+        return pa.table(
+            {
+                id_col: pa.array(anchors, pa.int64()),
+                "neg_rank": pa.array(ranks, pa.int64()),
+                "neg_id": pa.array(neg, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        fan_out, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def group_sample(
     source: Any,
     group_col: str,

@@ -3192,6 +3192,17 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_negative_samples_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic contrastive negatives: 3 modular-arithmetic
+    partner ids per doc (RNG-free, partition-independent, SQL-exact)."""
+    from .curation import negative_samples
+
+    out = negative_samples(
+        f"{sf_dir}/documents.parquet", "doc_id", 3
+    ).to_pandas()
+    return out.sort_values(["doc_id", "neg_rank"]).reset_index(drop=True)
+
+
 def q_metric_anomaly_events(sf_dir: str) -> pd.DataFrame:
     """deequ-style run-over-run anomaly check: three 'historical runs'
     (event_id%4 slices 0–2) append their range-rule success rates to a
@@ -4921,6 +4932,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "incremental_dedup_orders": q_incremental_dedup_orders,
         "multi_table_summary": q_multi_table_summary,
         "metric_anomaly_events": q_metric_anomaly_events,
+        "negative_samples_documents": q_negative_samples_documents,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5971,6 +5983,19 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "negative_samples_documents": (
+            "WITH n AS (SELECT COUNT(*) c FROM documents), "
+            "r AS (SELECT unnest([1, 2, 3]) AS neg_rank) "
+            "SELECT d.doc_id, r.neg_rank, "
+            "CASE WHEN (d.doc_id * 2654435761 + r.neg_rank * 2654435769) "
+            "% n.c = d.doc_id "
+            "THEN ((d.doc_id * 2654435761 + r.neg_rank * 2654435769) "
+            "% n.c + 1) % n.c "
+            "ELSE (d.doc_id * 2654435761 + r.neg_rank * 2654435769) % n.c "
+            "END AS neg_id "
+            "FROM documents d CROSS JOIN r CROSS JOIN n "
+            "ORDER BY d.doc_id, r.neg_rank"
         ),
         "metric_anomaly_events": (
             # per-slice success rate = (total - failed)/total of the

@@ -766,3 +766,37 @@ def test_remove_duplicated_spans_transform(ray_session):
         .sort_index()
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_negative_samples_deterministic_and_self_free(ray_session):
+    """k negatives per anchor, never the anchor itself, identical
+    across partitionings; dense-id and int64-product domains enforced."""
+    from data_validator_ray.pipelines.curation import negative_samples
+
+    df = pd.DataFrame({"doc_id": range(50)})
+    out = (
+        negative_samples(ray.data.from_pandas(df), "doc_id", 4)
+        .to_pandas()
+        .sort_values(["doc_id", "neg_rank"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 200
+    assert (out.neg_id != out.doc_id).all()
+    assert out.neg_id.between(0, 49).all()
+
+    # partition-independent
+    ds2 = ray.data.from_pandas([df.iloc[:20], df.iloc[20:]])
+    out2 = (
+        negative_samples(ds2, "doc_id", 4)
+        .to_pandas()
+        .sort_values(["doc_id", "neg_rank"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        negative_samples(
+            pd.DataFrame({"doc_id": [0, 1 << 31]}), "doc_id", 2
+        ).to_pandas()
