@@ -3192,6 +3192,18 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_extract_all_numbers_events(sf_dir: str) -> pd.DataFrame:
+    """Scraper-style extract-ALL: every digit run in events.props
+    exploded to (event_id, match_idx, match) with in-document order
+    preserved — one Rust-regex pass per batch."""
+    from .relational import regex_extract_all
+
+    out = regex_extract_all(
+        f"{sf_dir}/events.parquet", "event_id", "props", "[0-9]+"
+    ).to_pandas()
+    return out.sort_values(["event_id", "match_idx"]).reset_index(drop=True)
+
+
 def q_negative_samples_documents(sf_dir: str) -> pd.DataFrame:
     """Deterministic contrastive negatives: 3 modular-arithmetic
     partner ids per doc (RNG-free, partition-independent, SQL-exact)."""
@@ -4933,6 +4945,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "multi_table_summary": q_multi_table_summary,
         "metric_anomaly_events": q_metric_anomaly_events,
         "negative_samples_documents": q_negative_samples_documents,
+        "extract_all_numbers_events": q_extract_all_numbers_events,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5983,6 +5996,14 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "extract_all_numbers_events": (
+            "SELECT event_id, "
+            "generate_subscripts(l, 1)::BIGINT AS match_idx, "
+            "unnest(l) AS match FROM "
+            "(SELECT event_id, regexp_extract_all(coalesce(props, ''), "
+            "'[0-9]+') AS l FROM events) WHERE len(l) > 0 "
+            "ORDER BY event_id, match_idx"
         ),
         "negative_samples_documents": (
             "WITH n AS (SELECT COUNT(*) c FROM documents), "

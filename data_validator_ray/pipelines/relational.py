@@ -2130,6 +2130,59 @@ def regex_extract(
     )
 
 
+def regex_extract_all(
+    source: Any,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    *,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """ALL non-overlapping matches of an RE2-compatible pattern per
+    row, exploded to ``(id, match_idx, match)`` rows — the link/entity
+    scraper: one document yields every URL/mention it contains, with
+    ``match_idx`` preserving in-document order (1-based; SQL
+    ``unnest(regexp_extract_all(...)) WITH ORDINALITY`` parity). Rows
+    with no match emit nothing; NULL text emits nothing.
+
+    One polars Rust-regex ``extract_all`` + explode pass per batch —
+    vectorized, no shuffle; output size is match-bounded, not
+    row-bounded (cap the pattern's selectivity, not the operator)."""
+    import polars as pl
+
+    def extract(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        s = pl.from_arrow(col).fill_null("")
+        fr = (
+            pl.DataFrame({"__i": pl.int_range(0, len(s), eager=True),
+                          "__t": s})
+            .with_columns(pl.col("__t").str.extract_all(pattern))
+            .explode("__t")
+            .filter(pl.col("__t").is_not_null())
+            .with_columns(
+                (pl.col("__i").cum_count().over("__i")).alias("__r")
+            )
+        )
+        row_idx = fr["__i"].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(ids[row_idx]),
+                "match_idx": pa.array(
+                    fr["__r"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "match": pa.array(fr["__t"].to_list(), pa.string()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(
+        extract, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def json_extract(
     source: Any,
     json_col: str,

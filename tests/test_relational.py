@@ -2715,3 +2715,21 @@ def test_rolling_period_distinct_windows(ray_session):
 
     with pytest.raises(ValueError):
         rolling_period_distinct(df, "ts", "u", unit="month")
+
+
+def test_regex_extract_all_order_and_empties(ray_session):
+    from data_validator_ray.pipelines.relational import regex_extract_all
+
+    df = pd.DataFrame(
+        {"id": [1, 2, 3, 4],
+         "t": ["x9y88z7", "none here", None, "5"]}
+    )
+    out = (
+        regex_extract_all(ray.data.from_pandas(df), "id", "t", "[0-9]+")
+        .to_pandas()
+        .sort_values(["id", "match_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["match"].tolist() == ["9", "88", "7", "5"]
+    assert out.match_idx.tolist() == [1, 2, 3, 1]
+    assert out.id.tolist() == [1, 1, 1, 4]
