@@ -225,6 +225,76 @@ def histogram(
 # --------------------------------------------------------------------------- #
 
 
+def histogram2d(
+    source: Any,
+    x_col: str,
+    y_col: str,
+    *,
+    x_lo: float,
+    x_hi: float,
+    y_lo: float,
+    y_hi: float,
+    n_bins_x: int = 16,
+    n_bins_y: int = 16,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Joint equi-width 2-D histogram (the density heatmap behind
+    scatter-scale EDA and joint-drift checks): ``(bin_x, bin_y, n)``
+    for non-empty cells. Rows with a NULL or out-of-range value in
+    EITHER column drop (the 1-D :func:`histogram` contract, jointly).
+
+    One flattened ``np.bincount`` over ``bin_x · n_bins_y + bin_y``
+    per batch (the combiner — each batch collapses to ≤ cells rows),
+    then a tiny global groupby. The SQL bin expression
+    ``CAST(FLOOR((v − lo)/width) AS BIGINT)`` is evaluated in the same
+    IEEE doubles, so cells are engine-exact."""
+    if not (x_hi > x_lo and y_hi > y_lo):
+        raise ValueError("hi must be > lo on both axes")
+    wx = (x_hi - x_lo) / n_bins_x
+    wy = (y_hi - y_lo) / n_bins_y
+    n_cells = n_bins_x * n_bins_y
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (
+            ~np.isnan(x) & ~np.isnan(y)
+            & (x >= x_lo) & (x < x_hi) & (y >= y_lo) & (y < y_hi)
+        )
+        bx = np.floor((x[ok] - x_lo) / wx).astype(np.int64)
+        by = np.floor((y[ok] - y_lo) / wy).astype(np.int64)
+        np.clip(bx, 0, n_bins_x - 1, out=bx)
+        np.clip(by, 0, n_bins_y - 1, out=by)
+        flat = bx * n_bins_y + by
+        counts = np.bincount(flat, minlength=n_cells)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[x_col, y_col])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("cell")
+        .sum("n")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bin_x": pa.array(c // n_bins_y, pa.int64()),
+                "bin_y": pa.array(c % n_bins_y, pa.int64()),
+                "n": pc.cast(batch["sum(n)"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def standardize_column(
     source: Any,
     value_col: str,

@@ -3192,6 +3192,20 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_histogram2d_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Joint quantity×discount density heatmap: flattened bincount
+    combiner per batch, cells-bounded merge, IEEE-identical bin edges."""
+    from .profile import histogram2d
+
+    out = histogram2d(
+        f"{sf_dir}/lineitem.parquet",
+        "l_quantity", "l_discount",
+        x_lo=0.0, x_hi=50.0, y_lo=0.0, y_hi=0.1,
+        n_bins_x=10, n_bins_y=5,
+    ).to_pandas()
+    return out.sort_values(["bin_x", "bin_y"]).reset_index(drop=True)
+
+
 def q_extract_all_numbers_events(sf_dir: str) -> pd.DataFrame:
     """Scraper-style extract-ALL: every digit run in events.props
     exploded to (event_id, match_idx, match) with in-document order
@@ -4946,6 +4960,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "metric_anomaly_events": q_metric_anomaly_events,
         "negative_samples_documents": q_negative_samples_documents,
         "extract_all_numbers_events": q_extract_all_numbers_events,
+        "histogram2d_lineitem": q_histogram2d_lineitem,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -5996,6 +6011,20 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "histogram2d_lineitem": (
+            # widths written as the SAME division the engine computes
+            # ((hi-lo)/bins) — a 0.02 literal can differ by 1 ulp from
+            # 0.1/5 and flip boundary bins
+            "SELECT CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 10)) "
+            "AS BIGINT) AS bin_x, "
+            "CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 5)) "
+            "AS BIGINT) AS bin_y, "
+            "COUNT(*)::BIGINT AS n FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL "
+            "AND l_quantity >= 0 AND l_quantity < 50 "
+            "AND l_discount >= 0 AND l_discount < 0.1 "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "extract_all_numbers_events": (
             "SELECT event_id, "

@@ -643,3 +643,25 @@ def test_float_anomaly_profile_distinguishes_null_and_nan(ray_session):
     t = pa.table({"y": pa.array([1.0, None, float("nan")], pa.float64())})
     out2 = float_anomaly_profile(t, ["y"]).iloc[0]
     assert out2.n_null == 1 and out2.n_nan == 1  # distinct in Arrow
+
+
+def test_histogram2d_joint_drop_and_cells(ray_session):
+    """Rows with NULL/out-of-range in EITHER axis drop; cell ids and
+    counts are exact."""
+    from data_validator_ray.pipelines.profile import histogram2d
+
+    df = pd.DataFrame(
+        {
+            "x": [0.5, 1.5, 1.5, 3.9, None, 0.5, -1.0, 0.5],
+            "y": [0.5, 0.5, 1.5, 1.9, 0.5, None, 0.5, 99.0],
+        }
+    )
+    out = (
+        histogram2d(df, "x", "y", x_lo=0, x_hi=4, y_lo=0, y_hi=2,
+                    n_bins_x=4, n_bins_y=2)
+        .to_pandas()
+        .sort_values(["bin_x", "bin_y"])
+        .reset_index(drop=True)
+    )
+    got = {(r.bin_x, r.bin_y): r.n for r in out.itertuples()}
+    assert got == {(0, 0): 1, (1, 0): 1, (1, 1): 1, (3, 1): 1}
