@@ -3192,6 +3192,44 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_group_split_events(sf_dir: str) -> pd.DataFrame:
+    """LEAKAGE-FREE splits: events keyed by user_id (not row id), so
+    every row of a user lands in the same split by construction; the
+    report shows per-split row AND user counts, with the oracle
+    verifying no user straddles splits (distinct (user, split) pairs
+    == distinct users)."""
+    from .curation import assign_splits
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    labeled = assign_splits(
+        ds, {"train": 800, "val": 100, "test": 100}, id_col="user_id"
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["split", "user_id"]).group_by(
+            ["split", "user_id"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["split", "user_id", "n"])
+
+    from ray.data.aggregate import Sum
+
+    per_user = (
+        labeled.map_batches(counts, batch_format="pyarrow")
+        .groupby(["split", "user_id"])
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas()  # splits × users bounded
+    )
+    out = (
+        per_user.groupby("split")
+        .agg(n_rows=("n_rows", "sum"), n_users=("user_id", "nunique"))
+        .reset_index()
+        .astype({"n_rows": "int64", "n_users": "int64"})
+    )
+    return out.sort_values("split").reset_index(drop=True)
+
+
 def q_histogram2d_lineitem(sf_dir: str) -> pd.DataFrame:
     """Joint quantity×discount density heatmap: flattened bincount
     combiner per batch, cells-bounded merge, IEEE-identical bin edges."""
@@ -4961,6 +4999,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "negative_samples_documents": q_negative_samples_documents,
         "extract_all_numbers_events": q_extract_all_numbers_events,
         "histogram2d_lineitem": q_histogram2d_lineitem,
+        "group_split_events": q_group_split_events,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -6011,6 +6050,17 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "group_split_events": (
+            # split = per-mille band of (user_id*KNUTH)%1000:
+            # [0,800) train, [800,900) val, [900,1000) test
+            "WITH lab AS (SELECT event_id, user_id, "
+            "CASE WHEN (user_id * 2654435761) % 1000 < 800 THEN 'train' "
+            "WHEN (user_id * 2654435761) % 1000 < 900 THEN 'val' "
+            "ELSE 'test' END AS split FROM events) "
+            "SELECT split, COUNT(*)::BIGINT AS n_rows, "
+            "COUNT(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM lab GROUP BY split ORDER BY split"
         ),
         "histogram2d_lineitem": (
             # widths written as the SAME division the engine computes
