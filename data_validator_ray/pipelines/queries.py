@@ -3192,6 +3192,20 @@ def q_float_anomaly_events(sf_dir: str) -> pd.DataFrame:
     return float_anomaly_profile(ds, ["value", "dirty_float"])
 
 
+def q_top_users_plus_other_events(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type top-3 users by summed value plus one <other>
+    rollup row — the bounded-size dashboard breakdown; (group, key)-
+    bounded combiner, raw rows never shuffle."""
+    from .relational import top_n_plus_other
+
+    out = top_n_plus_other(
+        f"{sf_dir}/events.parquet", "event_type", "user_id", "value", n=3
+    ).to_pandas()
+    return out.sort_values(
+        ["event_type", "key_out"]
+    ).reset_index(drop=True)
+
+
 def q_group_split_events(sf_dir: str) -> pd.DataFrame:
     """LEAKAGE-FREE splits: events keyed by user_id (not row id), so
     every row of a user lands in the same split by construction; the
@@ -5000,6 +5014,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "extract_all_numbers_events": q_extract_all_numbers_events,
         "histogram2d_lineitem": q_histogram2d_lineitem,
         "group_split_events": q_group_split_events,
+        "top_users_plus_other_events": q_top_users_plus_other_events,
         "right_join_orders_customer": q_right_join_orders_customer,
         "missingness_matrix_events": q_missingness_matrix_events,
         "late_window_aggregate_events": q_late_window_aggregate_events,
@@ -6050,6 +6065,19 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS n_rows, "
             "CAST(SUM(md5_number_lower(row_str)::HUGEINT) % "
             "18446744073709551616 AS UBIGINT) AS checksum FROM s"
+        ),
+        "top_users_plus_other_events": (
+            "WITH s AS (SELECT event_type, user_id, SUM(value) v "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS "
+            "NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY v DESC, user_id) rn FROM s) "
+            "SELECT event_type, CAST(user_id AS VARCHAR) AS key_out, "
+            "ROUND(v, 6) AS value_sum, 1::BIGINT AS n_keys "
+            "FROM r WHERE rn <= 3 "
+            "UNION ALL SELECT event_type, '<other>', ROUND(SUM(v), 6), "
+            "COUNT(*)::BIGINT FROM r WHERE rn > 3 GROUP BY event_type "
+            "ORDER BY event_type, key_out"
         ),
         "group_split_events": (
             # split = per-mille band of (user_id*KNUTH)%1000:

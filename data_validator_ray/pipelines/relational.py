@@ -2268,6 +2268,92 @@ def explode_column(
     )
 
 
+def top_n_plus_other(
+    source: Any,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    n: int = 3,
+    num_buckets: int = 64,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """The reporting staple: per group, the top-``n`` keys by summed
+    value PLUS one ``<other>`` row aggregating everything else — the
+    bounded-size breakdown a dashboard wants regardless of key
+    cardinality. Ties at the cut break by key ASC (deterministic, the
+    SQL ROW_NUMBER convention). Emits ``(group, key_out, value_sum,
+    n_keys)`` with ``value_sum`` ROUND 6; groups with ≤ n keys emit no
+    other-row. NULL groups/keys drop (SQL GROUP BY over non-null
+    breakdowns).
+
+    Scale shape: ONE (group, key)-bounded combiner groupby (raw rows
+    never shuffle), then a bucketed per-group partial sort handles all
+    groups vectorized."""
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, key_col, value_col])
+        m = pc.and_(
+            pc.is_valid(t[group_col]), pc.is_valid(t[key_col])
+        )
+        t = t.filter(m)
+        g = t.group_by([group_col, key_col]).aggregate(
+            [(value_col, "sum"), (value_col, "count")]
+        )
+        return g.rename_columns([group_col, key_col, "__s", "__c"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby([group_col, key_col], sort=False)[["__s", "__c"]]
+            .sum()
+            .reset_index()
+        )
+        # top-n per group: sort by (group, -sum, key), take first n
+        agg = agg.sort_values(
+            [group_col, "__s", key_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = agg.groupby(group_col, sort=False).cumcount()
+        top = agg[rank < n].copy()
+        rest = agg[rank >= n]
+        top_rows = pd.DataFrame(
+            {
+                group_col: top[group_col].to_numpy(),
+                "key_out": top[key_col].astype(str).to_numpy(),
+                "value_sum": np.round(top["__s"].to_numpy(np.float64), 6),
+                "n_keys": np.ones(len(top), np.int64),
+            }
+        )
+        if len(rest):
+            oth = rest.groupby(group_col, sort=False).agg(
+                value_sum=("__s", "sum"), n_keys=(key_col, "size")
+            ).reset_index()
+            other_rows = pd.DataFrame(
+                {
+                    group_col: oth[group_col].to_numpy(),
+                    "key_out": np.full(len(oth), "<other>", object),
+                    "value_sum": np.round(
+                        oth["value_sum"].to_numpy(np.float64), 6
+                    ),
+                    "n_keys": oth["n_keys"].to_numpy(np.int64),
+                }
+            )
+            top_rows = pd.concat([top_rows, other_rows], ignore_index=True)
+        return top_rows
+
+    ds = _as_dataset(source, columns=[group_col, key_col, value_col])
+    parts = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        parts, [group_col], per_bucket,
+        num_buckets=num_buckets, batch_size=batch_size,
+    )
+
+
 def period_distinct(
     source: Any,
     ts_col: str,

@@ -2733,3 +2733,30 @@ def test_regex_extract_all_order_and_empties(ray_session):
     assert out["match"].tolist() == ["9", "88", "7", "5"]
     assert out.match_idx.tolist() == [1, 2, 3, 1]
     assert out.id.tolist() == [1, 1, 1, 4]
+
+
+def test_top_n_plus_other_rollup(ray_session):
+    """Top-n by summed value with deterministic tie-break; remaining
+    keys aggregate into one <other> row; small groups emit no other."""
+    from data_validator_ray.pipelines.relational import top_n_plus_other
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 6 + ["b"] * 2,
+            "k": ["u1", "u1", "u2", "u3", "u4", "u5", "x", "y"],
+            "v": [5.0, 5.0, 8.0, 3.0, 2.0, 1.0, 7.0, 7.0],
+        }
+    )
+    out = (
+        top_n_plus_other(ray.data.from_pandas(df), "g", "k", "v", n=2)
+        .to_pandas()
+        .sort_values(["g", "key_out"])
+        .reset_index(drop=True)
+    )
+    a = out[out.g == "a"].set_index("key_out")
+    # a: u1=10, u2=8 top-2; other = u3+u4+u5 = 6 over 3 keys
+    assert a.loc["u1"].value_sum == 10.0 and a.loc["u2"].value_sum == 8.0
+    assert a.loc["<other>"].value_sum == 6.0
+    assert a.loc["<other>"].n_keys == 3
+    b = out[out.g == "b"]
+    assert "<other>" not in b.key_out.tolist() and len(b) == 2
