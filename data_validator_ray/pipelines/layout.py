@@ -24,7 +24,7 @@ NULL handling: rows with a NULL in any z-column sort last (key
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -132,6 +132,106 @@ def zorder_sort(
         names = [n for n in out.schema().names if n != key_name]
         out = out.select_columns(names)
     return out
+
+
+def storage_profile(path: str) -> "pd.DataFrame":
+    """Parquet storage-footprint report from FOOTERS ONLY (zero data
+    rows move — the decision input for compression/layout work): per
+    column, compressed + uncompressed byte totals, the compression
+    ratio, and the share of the table's compressed bytes. One metadata
+    read per file; at 100 TB this is a listing plus footer fetches,
+    never a scan."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pathlib import Path as _P
+
+    p = _P(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    comp: Dict[str, int] = {}
+    uncomp: Dict[str, int] = {}
+    n_rows = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        n_rows += meta.num_rows
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                comp[name] = comp.get(name, 0) + c.total_compressed_size
+                uncomp[name] = uncomp.get(name, 0) + c.total_uncompressed_size
+    total_c = sum(comp.values()) or 1
+    rows = []
+    for name in sorted(comp):
+        rows.append(
+            {
+                "column": name,
+                "compressed_bytes": comp[name],
+                "uncompressed_bytes": uncomp[name],
+                "compression_ratio": round(
+                    uncomp[name] / max(comp[name], 1), 6
+                ),
+                "share_of_table": round(comp[name] / total_c, 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["compressed_bytes"] = out["compressed_bytes"].astype(np.int64)
+    out["uncompressed_bytes"] = out["uncompressed_bytes"].astype(np.int64)
+    return out
+
+
+def pruning_report(
+    path: str,
+    column: str,
+    lo,
+    hi,
+) -> "pd.DataFrame":
+    """Row-group pruning effectiveness from FOOTER min/max statistics
+    (the read-planning question "how much would this range filter
+    actually skip?" answered without scanning): counts row groups
+    whose ``[min, max]`` stats overlap ``[lo, hi]`` vs total, plus the
+    row fractions behind each. This is the measurement that justifies
+    (or indicts) a sort/z-order layout — compare before/after
+    :func:`zorder_sort`."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pathlib import Path as _P
+
+    p = _P(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    n_groups = n_hit = 0
+    rows_total = rows_hit = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i
+                 for i in range(meta.num_columns)}
+        if column not in names:
+            raise ValueError(f"column {column!r} not in {f}")
+        ci = names[column]
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            st = g.column(ci).statistics
+            n_groups += 1
+            rows_total += g.num_rows
+            if st is None or st.min is None or st.max is None:
+                # no stats → cannot prune, must read
+                n_hit += 1
+                rows_hit += g.num_rows
+                continue
+            if not (st.max < lo or st.min > hi):
+                n_hit += 1
+                rows_hit += g.num_rows
+    return pd.DataFrame(
+        {
+            "row_groups_total": pd.array([n_groups], dtype="int64"),
+            "row_groups_read": pd.array([n_hit], dtype="int64"),
+            "rows_total": pd.array([rows_total], dtype="int64"),
+            "rows_read": pd.array([rows_hit], dtype="int64"),
+            "groups_pruned_frac": [
+                round(1 - n_hit / n_groups, 6) if n_groups else np.nan
+            ],
+        }
+    )
 
 
 def compact_files(

@@ -3452,6 +3452,55 @@ def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_storage_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Per-column storage footprint from Parquet footers only (zero
+    data read): compressed/uncompressed bytes, ratio, table share."""
+    from .layout import storage_profile
+
+    return storage_profile(f"{sf_dir}/events.parquet")
+
+
+def q_pruning_report_events(sf_dir: str) -> pd.DataFrame:
+    """Row-group pruning effectiveness of a value-range filter, before
+    vs after a sorted rewrite — footer min/max stats only, no scan;
+    the measurement that justifies a clustering layout."""
+    import shutil
+    import tempfile
+
+    from .layout import pruning_report
+
+    work = tempfile.mkdtemp(prefix="graft_prune_", dir="/tmp")
+    try:
+        before = pruning_report(
+            f"{sf_dir}/events.parquet", "value", 100.0, 120.0
+        )
+        sorted_dir = f"{work}/sorted"
+        (
+            ray.data.read_parquet(f"{sf_dir}/events.parquet")
+            .sort("value")
+            .repartition(8)
+            .write_parquet(sorted_dir)
+        )
+        after = pruning_report(sorted_dir, "value", 100.0, 120.0)
+        return pd.DataFrame(
+            {
+                "groups_before": before["row_groups_total"].astype("int64"),
+                "read_before": before["row_groups_read"].astype("int64"),
+                "files_after": pd.array(
+                    [int(after["row_groups_total"].iloc[0])], dtype="int64"
+                ),
+                "read_after": pd.array(
+                    [int(after["row_groups_read"].iloc[0])], dtype="int64"
+                ),
+                "rows_read_after": pd.array(
+                    [int(after["rows_read"].iloc[0])], dtype="int64"
+                ),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_compact_files_events(sf_dir: str) -> pd.DataFrame:
     """Small-file compaction with PROOF: events fragments into 16
     per-task files under /tmp, compacts to 2 target-size files, and
@@ -5008,6 +5057,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "compact_files_events": q_compact_files_events,
         "float_anomaly_events": q_float_anomaly_events,
         "incremental_dedup_orders": q_incremental_dedup_orders,
+        "storage_profile_events": q_storage_profile_events,
+        "pruning_report_events": q_pruning_report_events,
         "multi_table_summary": q_multi_table_summary,
         "metric_anomaly_events": q_metric_anomaly_events,
         "negative_samples_documents": q_negative_samples_documents,

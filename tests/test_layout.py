@@ -103,3 +103,38 @@ def test_compact_files_preserves_content(ray_session, tmp_path):
     assert res["n_rows"] == 1000
     chk_in = table_checksum(frag, ["id", "s"])
     assert res["checksum"] == int(chk_in["checksum"].iloc[0])
+
+
+def test_storage_profile_and_pruning_report(ray_session, tmp_path):
+    """Footer-only facts: per-column byte totals sum over files; a
+    sorted layout prunes range filters that an unsorted one cannot."""
+    import ray.data
+
+    from data_validator_ray.pipelines.layout import (
+        pruning_report,
+        storage_profile,
+    )
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {"v": rng.permutation(10_000).astype(float),
+         "s": [f"row{i}" for i in range(10_000)]}
+    )
+    unsorted_dir = str(tmp_path / "unsorted")
+    ray.data.from_pandas(df).repartition(8).write_parquet(unsorted_dir)
+
+    prof = storage_profile(unsorted_dir)
+    assert set(prof.column) == {"v", "s"}
+    assert (prof.compressed_bytes > 0).all()
+    assert abs(prof.share_of_table.sum() - 1.0) < 1e-6
+
+    before = pruning_report(unsorted_dir, "v", 100.0, 200.0).iloc[0]
+    assert before.row_groups_read == before.row_groups_total  # no luck
+
+    sorted_dir = str(tmp_path / "sorted")
+    ray.data.from_pandas(df).sort("v").repartition(8).write_parquet(
+        sorted_dir
+    )
+    after = pruning_report(sorted_dir, "v", 100.0, 200.0).iloc[0]
+    assert after.row_groups_read < after.row_groups_total  # real pruning
+    assert after.rows_read < before.rows_read
