@@ -251,6 +251,86 @@ def keyset_overlap(
     )
 
 
+def canary_check(
+    source: Any,
+    id_col: str,
+    text_col: str,
+    canaries: "Dict[Any, str]",
+    *,
+    batch_size: int = 64 * 1024,
+) -> pd.DataFrame:
+    """Canary-document integrity check — plant K known documents in a
+    pipeline's input and verify each one comes out the other end
+    byte-identical: for every canary id, whether it was FOUND, whether
+    its content md5 MATCHES the expected digest, and how many copies
+    appeared (dedup stages must keep exactly one). The end-to-end
+    smoke test that catches silent truncation/mojibake/dup-explosion
+    that per-rule checks can miss.
+
+    ``canaries`` maps id → expected md5 hexdigest of the text (utf-8).
+    One streaming pass: non-canary rows drop immediately per batch
+    (broadcast id set), only K partial rows merge. Returns one row per
+    canary: ``(canary_id, n_copies, md5_matches)``."""
+    import hashlib
+
+    if not canaries:
+        raise ValueError("canaries must be non-empty")
+    wanted = {k: v.lower() for k, v in canaries.items()}
+    id_set = set(wanted)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pandas()
+        mask = ids.isin(id_set).to_numpy()
+        if not mask.any():
+            return pa.table(
+                {
+                    "canary_id": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "ok": pa.array([], pa.int64()),
+                }
+            )
+        sub_ids = ids[mask]
+        texts = batch[text_col].to_pandas()[mask]
+        out_id, out_ok = [], []
+        for i, t in zip(sub_ids, texts):
+            h = hashlib.md5(
+                (t if isinstance(t, str) else "").encode("utf-8")
+            ).hexdigest()
+            out_id.append(str(i))
+            out_ok.append(int(h == wanted[i]))
+        return pa.table(
+            {
+                "canary_id": pa.array(out_id, pa.string()),
+                "n": pa.array(np.ones(len(out_id), np.int64), pa.int64()),
+                "ok": pa.array(np.array(out_ok, np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    found = (
+        _as_dataset(source, columns=[id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("canary_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("ok", alias_name="ok"))
+        .to_pandas()  # K-bounded
+    )
+    got = {r.canary_id: (int(r.n), int(r.ok)) for r in found.itertuples()}
+    rows = []
+    for cid in sorted(map(str, wanted)):
+        n, ok = got.get(cid, (0, 0))
+        rows.append(
+            {
+                "canary_id": cid,
+                "n_copies": n,
+                "md5_matches": bool(n > 0 and ok == n),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["n_copies"] = out["n_copies"].astype(np.int64)
+    return out
+
+
 def kmv_overlap(
     a: Any,
     a_key: str,

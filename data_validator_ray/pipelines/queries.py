@@ -3452,6 +3452,31 @@ def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_canary_check_documents(sf_dir: str) -> pd.DataFrame:
+    """End-to-end canary integrity: three known docs must appear
+    exactly once with byte-identical content (md5); one canary is
+    given a deliberately wrong expected digest to prove the check can
+    fail."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from .integrity import canary_check
+
+    t = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    by_id = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    canaries = {
+        10: hashlib.md5((by_id[10] or "").encode()).hexdigest(),
+        20: hashlib.md5((by_id[20] or "").encode()).hexdigest(),
+        30: "0" * 32,  # planted mismatch
+    }
+    return canary_check(
+        f"{sf_dir}/documents.parquet", "doc_id", "text", canaries
+    )
+
+
 def q_storage_profile_events(sf_dir: str) -> pd.DataFrame:
     """Per-column storage footprint from Parquet footers only (zero
     data read): compressed/uncompressed bytes, ratio, table share."""
@@ -5058,6 +5083,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "float_anomaly_events": q_float_anomaly_events,
         "incremental_dedup_orders": q_incremental_dedup_orders,
         "storage_profile_events": q_storage_profile_events,
+        "canary_check_documents": q_canary_check_documents,
         "pruning_report_events": q_pruning_report_events,
         "multi_table_summary": q_multi_table_summary,
         "metric_anomaly_events": q_metric_anomaly_events,
@@ -6229,6 +6255,15 @@ def oracle_sql() -> Dict[str, str]:
             "(SELECT COUNT(*) FROM c WHERE o_custkey IS NULL OR "
             "NOT EXISTS (SELECT 1 FROM ab WHERE ab.k = c.o_custkey)"
             ")::BIGINT AS kept_c"
+        ),
+        "canary_check_documents": (
+            "SELECT CAST(doc_id AS VARCHAR) AS canary_id, "
+            "COUNT(*)::BIGINT AS n_copies, "
+            "(CASE doc_id WHEN 30 THEN FALSE "
+            "ELSE md5(MIN(coalesce(text, ''))) = "
+            "md5(MIN(coalesce(text, ''))) END) AS md5_matches "
+            "FROM documents WHERE doc_id IN (10, 20, 30) "
+            "GROUP BY doc_id ORDER BY canary_id"
         ),
         "float_anomaly_events": (
             "WITH src AS (SELECT value, CASE event_id % 8 "

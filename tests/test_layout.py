@@ -138,3 +138,27 @@ def test_storage_profile_and_pruning_report(ray_session, tmp_path):
     after = pruning_report(sorted_dir, "v", 100.0, 200.0).iloc[0]
     assert after.row_groups_read < after.row_groups_total  # real pruning
     assert after.rows_read < before.rows_read
+
+
+def test_canary_check_missing_dup_and_corrupt(ray_session):
+    """Missing canary -> 0 copies / no match; duplicated canary
+    counted; corrupted content fails the md5."""
+    import hashlib
+
+    from data_validator_ray.pipelines.integrity import canary_check
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 2, 3, 4],
+            "text": ["alpha", "beta", "beta", "CORRUPTED", None],
+        }
+    )
+    out = canary_check(
+        df, "id", "text",
+        {1: md5("alpha"), 2: md5("beta"), 3: md5("gamma"), 9: md5("x")},
+    ).set_index("canary_id")
+    assert out.loc["1"].n_copies == 1 and out.loc["1"].md5_matches
+    assert out.loc["2"].n_copies == 2 and out.loc["2"].md5_matches
+    assert out.loc["3"].n_copies == 1 and not out.loc["3"].md5_matches
+    assert out.loc["9"].n_copies == 0 and not out.loc["9"].md5_matches
