@@ -3486,44 +3486,39 @@ def q_storage_profile_events(sf_dir: str) -> pd.DataFrame:
 
 
 def q_pruning_report_events(sf_dir: str) -> pd.DataFrame:
-    """Row-group pruning effectiveness of a value-range filter, before
-    vs after a sorted rewrite — footer min/max stats only, no scan;
-    the measurement that justifies a clustering layout."""
-    import shutil
-    import tempfile
-
+    """Row-group pruning effectiveness of value-range filters on the
+    stored layout — footer min/max stats only, no scan. (The sorted-
+    vs-unsorted improvement demo lives in tests/test_layout.py, where
+    it asserts inequalities: a parallel sorted REWRITE's block layout
+    is not bit-deterministic across runs, so the driver query reports
+    only the given file's deterministic footer facts.)"""
     from .layout import pruning_report
 
-    work = tempfile.mkdtemp(prefix="graft_prune_", dir="/tmp")
-    try:
-        before = pruning_report(
-            f"{sf_dir}/events.parquet", "value", 100.0, 120.0
-        )
-        sorted_dir = f"{work}/sorted"
-        (
-            ray.data.read_parquet(f"{sf_dir}/events.parquet")
-            .sort("value")
-            .repartition(8)
-            .write_parquet(sorted_dir)
-        )
-        after = pruning_report(sorted_dir, "value", 100.0, 120.0)
-        return pd.DataFrame(
-            {
-                "groups_before": before["row_groups_total"].astype("int64"),
-                "read_before": before["row_groups_read"].astype("int64"),
-                "files_after": pd.array(
-                    [int(after["row_groups_total"].iloc[0])], dtype="int64"
-                ),
-                "read_after": pd.array(
-                    [int(after["row_groups_read"].iloc[0])], dtype="int64"
-                ),
-                "rows_read_after": pd.array(
-                    [int(after["rows_read"].iloc[0])], dtype="int64"
-                ),
-            }
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    narrow = pruning_report(
+        f"{sf_dir}/events.parquet", "value", 100.0, 120.0
+    ).iloc[0]
+    low = pruning_report(
+        f"{sf_dir}/events.parquet", "event_id", 0, 99
+    ).iloc[0]
+    return pd.DataFrame(
+        {
+            "filter": ["event_id_0_99", "value_100_120"],
+            "row_groups_total": pd.array(
+                [low.row_groups_total, narrow.row_groups_total],
+                dtype="int64",
+            ),
+            "row_groups_read": pd.array(
+                [low.row_groups_read, narrow.row_groups_read],
+                dtype="int64",
+            ),
+            "rows_total": pd.array(
+                [low.rows_total, narrow.rows_total], dtype="int64"
+            ),
+            "rows_read": pd.array(
+                [low.rows_read, narrow.rows_read], dtype="int64"
+            ),
+        }
+    )
 
 
 def q_compact_files_events(sf_dir: str) -> pd.DataFrame:
