@@ -3452,6 +3452,42 @@ def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_pipeline_spec_documents(sf_dir: str) -> pd.DataFrame:
+    """Config-driven curation: a YAML-shaped spec (length filter →
+    per-domain downsample → leak-safe splits → projection) composes
+    into ONE lazy streaming pipeline; the oracle chains the same
+    predicates in SQL."""
+    from .spec import run_pipeline_spec
+
+    spec = {
+        "steps": [
+            {"op": "filter_expr", "params": {"expr": "n_chars >= 100"}},
+            {
+                "op": "domain_sample",
+                "params": {
+                    "rate_permille": {"src0": 500, "src1": 1000},
+                    "default_permille": 250,
+                    "id_col": "doc_id",
+                    "domain_col": "source",
+                },
+            },
+            {
+                "op": "assign_splits",
+                "params": {
+                    "splits": {"train": 900, "val": 100},
+                    "id_col": "doc_id",
+                },
+            },
+            {"op": "select",
+             "params": {"columns": ["doc_id", "source", "split"]}},
+        ]
+    }
+    out = run_pipeline_spec(
+        spec, f"{sf_dir}/documents.parquet"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_canary_check_documents(sf_dir: str) -> pd.DataFrame:
     """End-to-end canary integrity: three known docs must appear
     exactly once with byte-identical content (md5); one canary is
@@ -5079,6 +5115,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "incremental_dedup_orders": q_incremental_dedup_orders,
         "storage_profile_events": q_storage_profile_events,
         "canary_check_documents": q_canary_check_documents,
+        "pipeline_spec_documents": q_pipeline_spec_documents,
         "pruning_report_events": q_pruning_report_events,
         "multi_table_summary": q_multi_table_summary,
         "metric_anomaly_events": q_metric_anomaly_events,
@@ -6250,6 +6287,16 @@ def oracle_sql() -> Dict[str, str]:
             "(SELECT COUNT(*) FROM c WHERE o_custkey IS NULL OR "
             "NOT EXISTS (SELECT 1 FROM ab WHERE ab.k = c.o_custkey)"
             ")::BIGINT AS kept_c"
+        ),
+        "pipeline_spec_documents": (
+            "SELECT doc_id, source, "
+            "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' "
+            "ELSE 'val' END AS split "
+            "FROM documents WHERE n_chars >= 100 "
+            "AND (doc_id * 2654435761) % 1000 < "
+            "CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 1000 "
+            "ELSE 250 END "
+            "ORDER BY doc_id"
         ),
         "canary_check_documents": (
             "SELECT CAST(doc_id AS VARCHAR) AS canary_id, "

@@ -800,3 +800,67 @@ def test_negative_samples_deterministic_and_self_free(ray_session):
         negative_samples(
             pd.DataFrame({"doc_id": [0, 1 << 31]}), "doc_id", 2
         ).to_pandas()
+
+
+def test_pipeline_spec_yaml_roundtrip_and_errors(ray_session, tmp_path):
+    """A YAML spec file composes the same lazy pipeline as the dict
+    form; unknown ops and empty specs fail loudly; custom ops register
+    through the seam."""
+    import pandas as pd
+    import pytest
+
+    from data_validator_ray.pipelines.spec import (
+        pipeline_ops,
+        register_pipeline_op,
+        run_pipeline_spec,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"doc {i} body" for i in range(40)],
+            "n_chars": [50 + 10 * i for i in range(40)],
+            "source": ["a" if i % 2 else "b" for i in range(40)],
+        }
+    )
+    spec = {
+        "steps": [
+            {"op": "filter_expr", "params": {"expr": "n_chars >= 100"}},
+            {"op": "select", "params": {"columns": ["doc_id", "source"]}},
+            {"op": "rename", "params": {"source": "domain"}},
+            {"op": "limit", "params": {"n": 10}},
+        ]
+    }
+    out = run_pipeline_spec(spec, df).to_pandas()
+    assert list(out.columns) == ["doc_id", "domain"]
+    assert len(out) == 10 and (out.doc_id >= 5).all()
+
+    import yaml
+
+    p = tmp_path / "spec.yaml"
+    p.write_text(yaml.safe_dump(spec))
+    out2 = run_pipeline_spec(str(p), df).to_pandas()
+    assert out.equals(out2)
+
+    with pytest.raises(ValueError):
+        run_pipeline_spec({"steps": [{"op": "nope"}]}, df)
+    with pytest.raises(ValueError):
+        run_pipeline_spec({"steps": []}, df)
+
+    @register_pipeline_op("double_ids_test_only")
+    def _double(ds, **_):
+        import pyarrow.compute as pc
+
+        return ds.map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("doc_id"), "doc_id",
+                pc.multiply(b["doc_id"], 2),
+            ),
+            batch_format="pyarrow",
+        )
+
+    assert "double_ids_test_only" in pipeline_ops()
+    out3 = run_pipeline_spec(
+        {"steps": [{"op": "double_ids_test_only"}]}, df
+    ).to_pandas()
+    assert (out3.doc_id.to_numpy() == df.doc_id.to_numpy() * 2).all()
