@@ -3452,6 +3452,85 @@ def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_sketch_accuracy_report(sf_dir: str) -> pd.DataFrame:
+    """The engine auditing its own sketches: each approximate tier run
+    NEXT TO its exact sibling on the same data, reporting the actual
+    error — HLL grouped distinct vs exact, t-digest quantiles vs
+    quantile_cont, Misra-Gries top-1 count vs the true count, KMV
+    union vs exact. "Measure, don't guess" applied to the sketches
+    themselves; determinism of every tier makes the report stable."""
+    from .integrity import keyset_overlap, kmv_overlap
+    from .profile import misra_gries_topk, top_values
+    from .relational import (
+        grouped_approx_distinct,
+        grouped_count_distinct,
+        grouped_exact_quantiles,
+        grouped_quantiles,
+    )
+
+    ev = f"{sf_dir}/events.parquet"
+    rows = []
+
+    # HLL vs exact grouped distinct (max relative error across groups)
+    hll = grouped_approx_distinct(ev, "event_type", "user_id").to_pandas()
+    exact = grouped_count_distinct(ev, "event_type", "user_id").to_pandas()
+    est_col = [c for c in hll.columns if c != "event_type"][0]
+    exact = exact.rename(columns={
+        c: f"{c}_exact" for c in exact.columns if c != "event_type"
+    })
+    ex_col = [c for c in exact.columns if c != "event_type"][0]
+    m = hll.merge(exact, on="event_type")
+    rel = (
+        (m[est_col].astype(float) - m[ex_col].astype(float)).abs()
+        / m[ex_col].astype(float)
+    ).max()
+    rows.append({"sketch": "hll_grouped_distinct",
+                 "max_rel_error": round(float(rel), 6)})
+
+    # t-digest vs exact p50/p95 (max relative-to-spread error)
+    td = grouped_quantiles(
+        ev, "event_type", "value", quantiles=(0.5, 0.95)
+    ).to_pandas()
+    eq = grouped_exact_quantiles(
+        ev, "event_type", "value", quantiles=(0.5, 0.95)
+    ).to_pandas()
+    m2 = td.merge(eq, on="event_type", suffixes=("_td", "_ex"))
+    spread = (m2["p95_ex"] - m2["p50_ex"]).abs().clip(lower=1e-9)
+    err = pd.concat(
+        [
+            (m2["p50_td"] - m2["p50_ex"]).abs() / spread,
+            (m2["p95_td"] - m2["p95_ex"]).abs() / spread,
+        ]
+    ).max()
+    rows.append({"sketch": "tdigest_grouped_quantiles",
+                 "max_rel_error": round(float(err), 6)})
+
+    # Misra-Gries top-1 lower bound vs the true count of that value
+    mg = misra_gries_topk(ev, "event_type", k=1).to_pandas()
+    tv = top_values(ev, "event_type", k=10).to_pandas()
+    mg_val = mg.iloc[0]["value"]
+    mg_n = float(mg.iloc[0]["est_count"])
+    true_n = float(tv.loc[tv.value == mg_val, "n"].iloc[0])
+    rows.append({
+        "sketch": "misra_gries_top1",
+        "max_rel_error": round(abs(true_n - mg_n) / true_n, 6),
+    })
+
+    # KMV union estimate vs exact union
+    kmv = kmv_overlap(ev, "user_id", f"{sf_dir}/customer.parquet",
+                      "c_custkey", k=4096).iloc[0]
+    ex_u = keyset_overlap(ev, "user_id", f"{sf_dir}/customer.parquet",
+                          "c_custkey").iloc[0]
+    rows.append({
+        "sketch": "kmv_union",
+        "max_rel_error": round(
+            abs(float(kmv.est_union) - float(ex_u.n_union))
+            / float(ex_u.n_union), 6,
+        ),
+    })
+    return pd.DataFrame(rows).sort_values("sketch").reset_index(drop=True)
+
+
 def q_pipeline_spec_documents(sf_dir: str) -> pd.DataFrame:
     """Config-driven curation: a YAML-shaped spec (length filter →
     per-domain downsample → leak-safe splits → projection) composes
@@ -5116,6 +5195,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "storage_profile_events": q_storage_profile_events,
         "canary_check_documents": q_canary_check_documents,
         "pipeline_spec_documents": q_pipeline_spec_documents,
+        "sketch_accuracy_report": q_sketch_accuracy_report,
         "pruning_report_events": q_pruning_report_events,
         "multi_table_summary": q_multi_table_summary,
         "metric_anomaly_events": q_metric_anomaly_events,

@@ -126,3 +126,19 @@ def test_kmv_estimate_and_overlap_error_bounds():
     ov2 = KMV.overlap(s1, s2)
     assert s1.estimate() == 100 and ov2["union"] == 150
     assert ov2["intersection"] == 50 and ov2["jaccard"] == 50 / 150
+
+
+def test_sketch_accuracy_report_bounds(ray_session):
+    """The self-audit query: every sketch's measured error against its
+    exact sibling stays inside its documented bound at sf0.001."""
+    from data_validator_ray.pipelines.queries import (
+        q_sketch_accuracy_report,
+    )
+
+    rep = q_sketch_accuracy_report("/root/testdata/sf0.001").set_index(
+        "sketch"
+    )
+    assert rep.loc["hll_grouped_distinct"].max_rel_error <= 0.05
+    assert rep.loc["tdigest_grouped_quantiles"].max_rel_error <= 0.05
+    assert rep.loc["misra_gries_top1"].max_rel_error <= 0.05
+    assert rep.loc["kmv_union"].max_rel_error <= 0.05
