@@ -408,7 +408,11 @@ def range_checksums(
     :func:`table_checksum` plus its row count — the incremental-sync /
     anti-entropy primitive (two engines compare range digests and
     re-ship only the ranges that differ, never the whole table).
-    NULL range keys land in range −1 (the catch-all audit bucket).
+    NULL range keys land in the sentinel range ``int64 min`` — a
+    value outside the image of ``floor(x / width)`` for any int64
+    ``x`` and ``width ≥ 2``, so null-key rows can never merge with a
+    genuine negative range (``-1`` would collide with keys in
+    ``[-width, 0)``).
 
     Per batch: one canonical-string pass, md5 per row (C calls), and a
     vectorized uint64 ``np.add.at`` accumulation per range (natural
@@ -430,9 +434,9 @@ def range_checksums(
         rk = batch[range_col].to_numpy(zero_copy_only=False)
         rk = np.asarray(pd.to_numeric(pd.Series(rk), errors="coerce"))
         rid = np.where(
-            np.isnan(rk), np.int64(-1), np.floor_divide(
-                np.nan_to_num(rk), width
-            ).astype(np.int64)
+            np.isnan(rk),
+            np.iinfo(np.int64).min,  # sentinel outside the floor image
+            np.floor_divide(np.nan_to_num(rk), width).astype(np.int64),
         )
         uniq, inv = np.unique(rid, return_inverse=True)
         acc = np.zeros(len(uniq), np.uint64)

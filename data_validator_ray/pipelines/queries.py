@@ -1067,9 +1067,22 @@ def q_anti_join_events_customer(sf_dir: str) -> pd.DataFrame:
     )
     # blocklist: every third customer id (the full customer table
     # covers all event users at this sf — the anti-join would be empty)
+    import pyarrow.compute as _pc
+
     block = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-    ).filter(lambda r: r["c_custkey"] % 3 == 0)
+    ).map_batches(
+        lambda b: b.filter(
+            _pc.equal(
+                _pc.subtract(
+                    b["c_custkey"],
+                    _pc.multiply(_pc.divide(b["c_custkey"], 3), 3),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
     out = anti_join_broadcast(
         ev, block, key_col="user_id", block_key="c_custkey"
     ).to_pandas()

@@ -2453,8 +2453,16 @@ def rolling_period_distinct(
         batch = batch.filter(
             pc.and_(pc.is_valid(batch[ts_col]), pc.is_valid(batch[key_col]))
         )
-        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-        day = pc.multiply(pc.divide(ts, day_us), day_us)
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # numpy // floors toward -inf, so pre-epoch (negative)
+        # timestamps bucket like DuckDB time_bucket (pc.divide
+        # truncates toward zero and put them one window too high)
+        day = pa.array((ts // day_us) * day_us, pa.int64())
         t = pa.table({"__d": day, "__k": batch[key_col]})
         return t.group_by(["__d", "__k"]).aggregate([])
 
@@ -5616,7 +5624,10 @@ def ohlc_resample(
         )
         batch = batch.filter(keep)
         ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-        win = pc.multiply(pc.divide(ts, w_us), w_us)
+        # floor (not truncate) so pre-epoch timestamps keep DuckDB
+        # time_bucket parity — numpy // floors toward -inf
+        ts_np = ts.to_numpy(zero_copy_only=False)
+        win = pa.array((ts_np // w_us) * w_us, pa.int64())
         return pa.table(
             {
                 key_col: batch[key_col],

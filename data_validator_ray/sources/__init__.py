@@ -128,6 +128,14 @@ class ArrowIPCDatasource(FileBasedDatasource):
         import pyarrow.ipc as ipc
 
         reader = ipc.open_file(f)
+        if reader.num_record_batches == 0:
+            # zero-row file: still surface the (possibly pruned)
+            # schema as a typed empty table so ds.schema() works
+            t = reader.schema.empty_table()
+            if self._columns is not None:
+                t = t.select(self._columns)
+            yield t
+            return
         for i in range(reader.num_record_batches):
             b = reader.get_batch(i)
             t = pa.Table.from_batches([b])
@@ -167,6 +175,16 @@ def write_arrow_ipc(
                 writer = ipc.new_file(path, tbl.schema)
             for b in tbl.to_batches():
                 writer.write_batch(b)
+        if writer is None:
+            # empty dataset: still emit a valid zero-row IPC file with
+            # the dataset's schema so downstream reads succeed
+            schema = ds.schema()
+            arrow_schema = (
+                schema.base_schema
+                if hasattr(schema, "base_schema")
+                else schema
+            )
+            writer = ipc.new_file(path, arrow_schema)
     finally:
         if writer is not None:
             writer.close()

@@ -51,6 +51,23 @@ META_NAME = "_meta.json"
 HASH_SCHEME = "polars-xxhash64-seed01"
 
 
+def _hash_backend() -> dict:
+    """The library + version actually backing :func:`hash64`. polars
+    documents its ``Series.hash`` as NOT stable across polars
+    versions, so an index built under one version can silently stop
+    matching under another — the meta pins the exact version and
+    :func:`load_key_index` fails loudly on mismatch (rebuild the
+    index, or pin polars)."""
+    try:
+        import polars
+
+        return {"backend": "polars", "backend_version": polars.__version__}
+    except ImportError:  # pragma: no cover — polars is baked in
+        import pandas
+
+        return {"backend": "pandas", "backend_version": pandas.__version__}
+
+
 def _distinct_hash_pairs(
     source: Any, key_col: str, *, batch_size: int = 64 * 1024
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -118,7 +135,12 @@ def _write_atomic(d: Path, h1, h2, key_col: str) -> None:
     tmp.replace(d / "keys.parquet")
     (d / META_NAME).write_text(
         json.dumps(
-            {"key_col": key_col, "hash": HASH_SCHEME, "n_keys": int(len(h1))}
+            {
+                "key_col": key_col,
+                "hash": HASH_SCHEME,
+                "n_keys": int(len(h1)),
+                **_hash_backend(),
+            }
         )
     )
 
@@ -130,6 +152,22 @@ def load_key_index(
     meta = json.loads((d / META_NAME).read_text())
     if meta.get("hash") != HASH_SCHEME:
         raise ValueError(f"index hash scheme mismatch: {meta.get('hash')}")
+    cur = _hash_backend()
+    built = {
+        "backend": meta.get("backend"),
+        "backend_version": meta.get("backend_version"),
+    }
+    # legacy meta (no backend stamp) loads as before; stamped meta
+    # must match the live hash backend exactly — polars' Series.hash
+    # is not stable across versions, so a silent mismatch would make
+    # dedup miss every previously-seen key
+    if built["backend"] is not None and built != cur:
+        raise ValueError(
+            f"key index was built with {built['backend']} "
+            f"{built['backend_version']} but this environment hashes "
+            f"with {cur['backend']} {cur['backend_version']}; rebuild "
+            f"the index (build_key_index) or pin the hash backend"
+        )
     if expect_key_col is not None and meta["key_col"] != expect_key_col:
         raise ValueError(
             f"index was built on {meta['key_col']!r}, probe asked for "

@@ -6,9 +6,14 @@ runs?" instead of against a fixed threshold. This is how silent
 regressions (a new upstream dropping 2% of rows every day) surface
 when each individual run still clears its static threshold.
 
-Storage: one Parquet file per history dir (append = read + concat +
-atomic rewrite — histories are runs × metrics rows, tiny by
-construction), columns ``(run_id, metric_key, value)``.
+Storage: one Parquet file PER RUN (``run-<run_id>.parquet``; read
+merges the directory), columns ``(run_id, metric_key, value)``. A
+per-run file makes concurrent appends from two validation runs safe
+— each writes its own file atomically (tmp + rename), so neither can
+lose the other's rows the way a read-concat-rewrite of one shared
+file could. Re-appending the same ``run_id`` overwrites that run's
+file (idempotent retry). Legacy single-file ``metrics.parquet``
+histories are still read.
 
 Check: z-score of the current value against the history's mean and
 SAMPLE standard deviation; ``passed`` iff ``|z| ≤ k`` — with the two
@@ -38,23 +43,30 @@ class MetricsHistory:
         self.dir = Path(history_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
 
-    def _path(self) -> Path:
-        return self.dir / HIST_NAME
+    def _run_path(self, run_id: str) -> Path:
+        # sanitize: run ids become filenames
+        safe = "".join(
+            c if (c.isalnum() or c in "-._") else "_" for c in run_id
+        )
+        return self.dir / f"run-{safe}.parquet"
 
     def _read(self) -> pd.DataFrame:
-        p = self._path()
-        if not p.exists():
+        frames = [
+            pq.read_table(p).to_pandas()
+            for p in sorted(self.dir.glob("*.parquet"))
+        ]
+        if not frames:
             return pd.DataFrame(
                 {"run_id": pd.Series(dtype=str),
                  "metric_key": pd.Series(dtype=str),
                  "value": pd.Series(dtype=np.float64)}
             )
-        return pq.read_table(p).to_pandas()
+        return pd.concat(frames, ignore_index=True)
 
     def append(self, run_id: str, metrics: Dict[str, float]) -> int:
-        """Append one run's metrics (atomic rewrite). Returns the
-        number of history rows after the append."""
-        cur = self._read()
+        """Append one run's metrics as its OWN file (atomic tmp +
+        rename; concurrent runs cannot lose each other's rows).
+        Returns the number of history rows after the append."""
         new = pd.DataFrame(
             {
                 "run_id": [run_id] * len(metrics),
@@ -62,11 +74,11 @@ class MetricsHistory:
                 "value": np.asarray(list(metrics.values()), np.float64),
             }
         )
-        out = pd.concat([cur, new], ignore_index=True)
-        tmp = self._path().with_suffix(".tmp")
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
-        tmp.replace(self._path())
-        return len(out)
+        path = self._run_path(run_id)
+        tmp = path.with_suffix(".tmp")
+        pq.write_table(pa.Table.from_pandas(new, preserve_index=False), tmp)
+        tmp.replace(path)
+        return len(self._read())
 
     def series(self, metric_key: str) -> np.ndarray:
         df = self._read()

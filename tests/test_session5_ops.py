@@ -350,7 +350,10 @@ def test_range_checksums_order_and_split_invariant(ray_session):
         ["id", "s"], "id", width=1000, batch_size=2,
     )
     pd.testing.assert_frame_equal(a, b)
-    assert a["range_id"].tolist() == [-1, 0, 1, 2]  # NULL keys → -1
+    # NULL keys → int64-min sentinel (outside the floor image, so
+    # they can never merge with a genuine negative range)
+    null_rid = np.iinfo(np.int64).min
+    assert a["range_id"].tolist() == [null_rid, 0, 1, 2]
     assert a["n_rows"].tolist() == [1, 2, 2, 1]
     # a changed row flips exactly its range's digest
     df2 = df.copy()
@@ -503,3 +506,67 @@ def test_bucketed_join_layout_guards(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="key types"):
         bucketed_join(ld, rf, left_key="k", right_key="k")
+
+
+def test_ohlc_resample_pre_epoch_floor(ray_session):
+    """Pre-epoch (negative int64) timestamps must FLOOR into their
+    window (DuckDB time_bucket parity) — truncate-toward-zero would
+    put 1969-12-31 23:59:59 one window too high."""
+    from data_validator_ray.pipelines.relational import ohlc_resample
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a"],
+            "ts": pd.to_datetime(
+                [
+                    "1969-12-31 23:59:59",   # -1 s  -> 23:00 window
+                    "1969-12-31 23:00:00",   # exact edge
+                    "1970-01-01 00:00:01",   # +1 s  -> 00:00 window
+                ]
+            ),
+            "v": [2.0, 1.0, 5.0],
+        }
+    )
+    out = (
+        ohlc_resample(df, "k", "ts", "v", window_seconds=3600)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert out["window_start"].tolist() == [
+        pd.Timestamp("1969-12-31 23:00:00"),
+        pd.Timestamp("1970-01-01 00:00:00"),
+    ]
+    assert out["n_events"].tolist() == [2, 1]
+    assert out.iloc[0]["open"] == 1.0 and out.iloc[0]["close"] == 2.0
+
+
+def test_rolling_period_distinct_pre_epoch_floor(ray_session):
+    """A pre-epoch event must bucket to ITS OWN day (floor), not to
+    day 0."""
+    import ray as _ray
+
+    from data_validator_ray.pipelines.relational import (
+        rolling_period_distinct,
+    )
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["1969-12-31 12:00:00", "1970-01-01 12:00:00"]
+            ),
+            "u": ["x", "x"],
+        }
+    )
+    out = (
+        rolling_period_distinct(
+            _ray.data.from_pandas(df), "ts", "u", window_periods=1
+        )
+        .to_pandas()
+        .sort_values("period_start")
+        .reset_index(drop=True)
+    )
+    # two distinct days, one distinct user each
+    assert len(out) == 2
+    assert out.iloc[0]["period_start"] == pd.Timestamp("1969-12-31")
+    assert out.iloc[1]["period_start"] == pd.Timestamp("1970-01-01")

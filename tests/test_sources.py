@@ -200,3 +200,31 @@ def test_read_arrow_ipc_roundtrip_and_pruning(ray_session, tmp_path):
                         column="b")],
     )
     assert res.results[0].failed_count == 4  # 0, 3, 6, 9 are NULL
+
+
+def test_write_arrow_ipc_empty_dataset(ray_session, tmp_path):
+    """An empty dataset still produces a VALID zero-row IPC file with
+    the input schema (not a silently-missing file)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from data_validator_ray.sources import read_arrow_ipc, write_arrow_ipc
+
+    df = pd.DataFrame({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+    empty = ray.data.from_pandas(df).map_batches(
+        lambda b: b.filter(pc.greater(b["a"], 100)), batch_format="pyarrow"
+    )
+    p = str(tmp_path / "empty.arrow")
+    write_arrow_ipc(empty, p)
+    back = read_arrow_ipc(p)
+    assert back.count() == 0
+    # the typed schema survives the round-trip (Ray's to_pandas drops
+    # columns for zero-row datasets, so assert on the Dataset schema)
+    assert back.schema().names == ["a", "s"]
+
+    # the raw file itself is a valid IPC file with the right schema
+    import pyarrow.ipc as ipc
+
+    t = ipc.open_file(p).read_all()
+    assert t.schema.names == ["a", "s"] and len(t) == 0

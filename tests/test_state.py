@@ -110,3 +110,74 @@ def test_metrics_history_anomaly_conventions(tmp_path):
     # histories are per-metric
     h2.append("r9", {"other": 1.0})
     assert len(h2.series("m")) == 5 and len(h2.series("other")) == 1
+
+
+def test_metrics_history_per_run_files(tmp_path):
+    """Each append writes its OWN file (concurrent-run safe); a
+    re-append of the same run_id overwrites idempotently; legacy
+    single-file histories still read."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_validator_ray.state.metrics_history import MetricsHistory
+
+    d = tmp_path / "hist"
+    h = MetricsHistory(d)
+    h.append("run-a", {"m": 1.0})
+    h.append("run/b", {"m": 2.0, "n": 3.0})  # slash sanitized
+    files = sorted(p.name for p in d.glob("*.parquet"))
+    assert files == ["run-run-a.parquet", "run-run_b.parquet"]
+
+    # interleaved writers can never lose each other: simulate a
+    # concurrent append that happened between h's two appends
+    other = MetricsHistory(d)
+    other.append("run-c", {"m": 9.0})
+    assert sorted(h.series("m").tolist()) == [1.0, 2.0, 9.0]
+
+    # idempotent retry of the same run
+    h.append("run-a", {"m": 1.0})
+    assert sorted(h.series("m").tolist()) == [1.0, 2.0, 9.0]
+
+    # legacy one-file layout merges in
+    legacy = pa.table(
+        {"run_id": ["r0"], "metric_key": ["m"], "value": [5.0]}
+    )
+    pq.write_table(legacy, d / "metrics.parquet")
+    assert sorted(h.series("m").tolist()) == [1.0, 2.0, 5.0, 9.0]
+
+
+def test_key_index_backend_version_guard(ray_session, tmp_path):
+    """An index hashed under a different polars version must fail
+    loudly at load (polars Series.hash is not stable across
+    versions), not silently miss every previously-seen key."""
+    import json
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.state.key_index import (
+        META_NAME,
+        build_key_index,
+        load_key_index,
+    )
+
+    idx = tmp_path / "idx"
+    build_key_index(pd.DataFrame({"k": ["a", "b"]}), "k", idx)
+    meta = json.loads((idx / META_NAME).read_text())
+    assert meta["backend"] in ("polars", "pandas")
+    assert meta["backend_version"]
+
+    # same-version load works
+    assert len(load_key_index(idx)) == 2
+
+    # simulated upgrade -> loud failure
+    meta["backend_version"] = "0.0.0-other"
+    (idx / META_NAME).write_text(json.dumps(meta))
+    with _pytest.raises(ValueError, match="rebuild"):
+        load_key_index(idx)
+
+    # legacy (pre-stamp) meta still loads
+    del meta["backend"], meta["backend_version"]
+    (idx / META_NAME).write_text(json.dumps(meta))
+    assert len(load_key_index(idx)) == 2
