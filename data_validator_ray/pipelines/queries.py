@@ -1832,6 +1832,21 @@ def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bigram_logprob_capped_documents(sf_dir: str) -> pd.DataFrame:
+    """The memory-safe capped tier of the bigram LM: per-bucket
+    distributed reduce + top-V cut, driver holds ≤ max_bigrams rows.
+    The cap (4096) exceeds this corpus's distinct-pair vocabulary, so
+    no pair is cut and the output is byte-identical to the uncapped
+    oracle — the whole distributed-cap machinery (bucketing,
+    per-bucket logprob, two-level top-V) is pinned to exact SQL."""
+    from .text import bigram_logprob
+
+    out = bigram_logprob(
+        f"{sf_dir}/documents.parquet", max_bigrams=4096
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_token_entropy_documents(sf_dir: str) -> pd.DataFrame:
     """Per-doc Shannon entropy of the doc's own token distribution
     (repetition signal; natural log, ROUND 6; NULL for empty docs)."""
@@ -5119,6 +5134,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "bigram_logprob_documents": q_bigram_logprob_documents,
+        "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
         "token_entropy_documents": q_token_entropy_documents,
         "quality_classifier_documents": q_quality_classifier_documents,
         "bpe_token_count_documents": q_bpe_token_count_documents,
@@ -5835,24 +5851,10 @@ def oracle_sql() -> Dict[str, str]:
             "p.logprob_mean FROM documents d "
             "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
         ),
-        "bigram_logprob_documents": (
-            "WITH tok AS (SELECT doc_id, unnest(ts) AS t, "
-            "generate_subscripts(ts, 1) AS i FROM ("
-            "SELECT doc_id, list_filter(string_split(text, ' '), "
-            "x -> x <> '') AS ts FROM documents)), "
-            "big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2 FROM tok a "
-            "JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
-            "cnt AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM big "
-            "GROUP BY w1, w2), "
-            "lc AS (SELECT w1, SUM(c) AS cl FROM cnt GROUP BY w1), "
-            "per_doc AS (SELECT big.doc_id, COUNT(*)::BIGINT AS n_bigrams, "
-            "ROUND(SUM(LN(c / cl)) / COUNT(*), 6) AS logprob_mean "
-            "FROM big JOIN cnt USING (w1, w2) JOIN lc USING (w1) "
-            "GROUP BY big.doc_id) "
-            "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, "
-            "p.logprob_mean FROM documents d "
-            "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
-        ),
+        "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
+        # same oracle: the 4096 cap exceeds the corpus's 916 distinct
+        # pairs, so the distributed top-V tier must be byte-identical
+        "bigram_logprob_capped_documents": _BIGRAM_LOGPROB_SQL,
         "token_entropy_documents": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("
             "string_split(text, ' '), x -> x <> '')) AS t "
@@ -8164,6 +8166,25 @@ _TRANSFORM_RUNNER_SQL = _GOPHER_BASE.replace("WITH base", "WITH ranked AS ("
     " )::BIGINT AS rows_out"
     " FROM g JOIN ranked r ON g.doc_id = r.doc_id"
     " GROUP BY 1 ORDER BY 1"
+)
+
+_BIGRAM_LOGPROB_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(ts) AS t, "
+    "generate_subscripts(ts, 1) AS i FROM ("
+    "SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ts FROM documents)), "
+    "big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2 FROM tok a "
+    "JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+    "cnt AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM big "
+    "GROUP BY w1, w2), "
+    "lc AS (SELECT w1, SUM(c) AS cl FROM cnt GROUP BY w1), "
+    "per_doc AS (SELECT big.doc_id, COUNT(*)::BIGINT AS n_bigrams, "
+    "ROUND(SUM(LN(c / cl)) / COUNT(*), 6) AS logprob_mean "
+    "FROM big JOIN cnt USING (w1, w2) JOIN lc USING (w1) "
+    "GROUP BY big.doc_id) "
+    "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, "
+    "p.logprob_mean FROM documents d "
+    "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
 )
 
 _SESSIONIZE_SQL = (

@@ -911,7 +911,21 @@ def bigram_logprob(
     count (deterministic cut: count desc, hash asc); pairs outside the
     cap score ``oov_logp`` — the bounded-memory tier for unbounded
     pair vocabularies (rows-only; uncapped is oracle-exact since every
-    scored pair exists in its own training counts)."""
+    scored pair exists in its own training counts).
+
+    **Driver memory bound**: with ``max_bigrams=V`` set, the merge is
+    fully distributed — partials bucket by ``hash(h_left)`` so every
+    pair's duplicates AND its whole left-token run co-locate, each
+    bucket does the vectorized reduce + conditional-logprob locally
+    and keeps only its top-V by (count desc, hash asc), and ONE final
+    task cuts the global top-V from the ≤ buckets × V bucket winners.
+    The driver materializes **≤ V rows**, never the distinct-pair
+    table (at web scale that table is 10^9–10^10 rows). Uncapped
+    (``max_bigrams=None``) is the oracle-exact tier: the full pair
+    table must fit where it is merged AND broadcast, so the driver
+    holds it by construction; ``distributed_merge=True`` pre-merges
+    duplicates with a Ray groupby so the driver sees the true-distinct
+    table rather than #batches × per-batch-distinct partials."""
     ds = _as_dataset(source, columns=[id_col, text_col])
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -948,6 +962,12 @@ def bigram_logprob(
         )
 
     part = ds.map_batches(counts, batch_format="pyarrow", batch_size=batch_size)
+    if max_bigrams is not None:
+        vp, vlp = _bigram_topv_distributed(part, int(max_bigrams))
+        vocab_ref = ray.put((vp, vlp))
+        return _score_bigrams(
+            ds, vocab_ref, id_col, text_col, oov_logp, batch_size
+        )
     if distributed_merge:
         # pre-merge duplicate pairs across batches with a Ray groupby
         # BEFORE the driver sees anything: the driver then holds the
@@ -997,15 +1017,118 @@ def bigram_logprob(
         ltot = np.add.reduceat(vc, lst)  # count(w1, ·) per left run
         left_tot = np.repeat(ltot, np.diff(np.append(lst, len(vl))))
         vlp = np.log(vc.astype(np.float64) / left_tot.astype(np.float64))
-        if max_bigrams is not None and len(vp) > max_bigrams:
-            keep = np.lexsort((vp, -vc))[:max_bigrams]
-            vp, vlp = vp[keep], vlp[keep]
         o2 = np.argsort(vp)
         vp, vlp = vp[o2], vlp[o2]
     else:
         vp = np.array([], np.int64)
         vlp = np.array([], np.float64)
     vocab_ref = ray.put((vp, vlp))
+    return _score_bigrams(ds, vocab_ref, id_col, text_col, oov_logp, batch_size)
+
+
+def _bigram_topv_distributed(
+    part: Dataset, max_bigrams: int, *, n_buckets: int = 64
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Distributed top-V bigram table from ``(hl, hp, cnt)`` partials.
+
+    Buckets by ``hl mod n_buckets`` — hp determines hl, so a pair's
+    duplicate partials AND its complete left-token run co-locate in
+    one bucket; each bucket then reduces exactly like the driver merge
+    (one lexsort, two reduceats) and keeps only its top-V rows by
+    (count desc, pair-hash asc) — the per-pair logprobs use the FULL
+    (uncut) left totals, so the cap changes which pairs broadcast, not
+    their scores. A pair in the global top-V is necessarily in its
+    bucket's top-V (same total order), so one final single-task cut
+    over the ≤ n_buckets × V bucket winners is exact. The driver
+    materializes ≤ V ``(hp, lp)`` rows."""
+    V = int(max_bigrams)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hl = batch["hl"].to_numpy(zero_copy_only=False)
+        b = (hl.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        hl = g["hl"].to_numpy(zero_copy_only=False)
+        hp = g["hp"].to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        if len(hp) == 0:
+            return _empty_topv_table()
+        o = np.lexsort((hp, hl))
+        hl, hp, c = hl[o], hp[o], c[o]
+        new_p = np.empty(len(hp), bool)
+        new_p[0] = True
+        new_p[1:] = (hp[1:] != hp[:-1]) | (hl[1:] != hl[:-1])
+        st = np.flatnonzero(new_p)
+        vp, vl = hp[st], hl[st]
+        vc = np.add.reduceat(c, st)
+        new_l = np.empty(len(vl), bool)
+        new_l[0] = True
+        new_l[1:] = vl[1:] != vl[:-1]
+        lst = np.flatnonzero(new_l)
+        ltot = np.add.reduceat(vc, lst)
+        left_tot = np.repeat(ltot, np.diff(np.append(lst, len(vl))))
+        vlp = np.log(vc.astype(np.float64) / left_tot.astype(np.float64))
+        if len(vp) > V:
+            keep = np.lexsort((vp, -vc))[:V]
+            vp, vc, vlp = vp[keep], vc[keep], vlp[keep]
+        return pa.table(
+            {
+                "hp": pa.array(vp, pa.int64()),
+                "cnt": pa.array(vc, pa.int64()),
+                "lp": pa.array(vlp, pa.float64()),
+            }
+        )
+
+    def final_cut(b: pa.Table) -> pa.Table:
+        # ONE task sees all bucket winners (≤ n_buckets × V rows)
+        if len(b) <= V:
+            return b.select(["hp", "lp"])
+        hp = b["hp"].to_numpy(zero_copy_only=False)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((hp, -c))[:V]
+        return b.select(["hp", "lp"]).take(pa.array(np.sort(keep)))
+
+    winners = (
+        part.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+    final = winners.repartition(1).map_batches(
+        final_cut, batch_format="pyarrow", batch_size=None
+    )
+    hp_l, lp_l = [], []
+    for b in final.iter_batches(batch_format="pyarrow"):
+        hp_l.append(b["hp"].to_numpy(zero_copy_only=False))
+        lp_l.append(b["lp"].to_numpy(zero_copy_only=False))
+    if not hp_l:
+        return np.array([], np.int64), np.array([], np.float64)
+    vp = np.concatenate(hp_l)
+    vlp = np.concatenate(lp_l)
+    o = np.argsort(vp)  # searchsorted probe order
+    return vp[o], vlp[o]
+
+
+def _empty_topv_table() -> pa.Table:
+    return pa.table(
+        {
+            "hp": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "lp": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _score_bigrams(
+    ds: Dataset,
+    vocab_ref: "ray.ObjectRef",
+    id_col: str,
+    text_col: str,
+    oov_logp: float,
+    batch_size: int,
+) -> Dataset:
+    """Score every doc against the broadcast sorted ``(hp, lp)``
+    table (searchsorted probe; misses score ``oov_logp``)."""
 
     def score(batch: pa.Table) -> pa.Table:
         v_p, v_lp = ray.get(vocab_ref)
