@@ -3480,6 +3480,53 @@ def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_incremental_dedup_sharded_orders(sf_dir: str) -> pd.DataFrame:
+    """The 10^12-key tier of the persistent index run through the SAME
+    three-crawl lifecycle and pinned to the SAME exact-SQL oracle as
+    the broadcast tier: h1-range-sharded build (each shard task writes
+    only its range), bucketed shard probe (each group loads only its
+    shard file), per-shard union-merge update. The driver never holds
+    the pair table."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from ..state.key_index import (
+        build_key_index,
+        dedup_against_index,
+        update_key_index,
+    )
+
+    def crawl(mod: int):
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(
+            lambda b, m=mod: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["o_orderkey"], 3), m)
+            ),
+            batch_format="pyarrow",
+        )
+
+    work = tempfile.mkdtemp(prefix="graft_keyidx_sh_", dir="/tmp")
+    try:
+        idx = f"{work}/idx"
+        built = build_key_index(crawl(0), "o_custkey", idx, n_shards=8)
+        kept_b = dedup_against_index(crawl(1), "o_custkey", idx).count()
+        upd = update_key_index(idx, crawl(1), "o_custkey")
+        kept_c = dedup_against_index(crawl(2), "o_custkey", idx).count()
+        return pd.DataFrame(
+            {
+                "n_a_keys": pd.array([built["n_keys"]], dtype="int64"),
+                "kept_b": pd.array([kept_b], dtype="int64"),
+                "n_ab_keys": pd.array([upd["n_keys"]], dtype="int64"),
+                "kept_c": pd.array([kept_c], dtype="int64"),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_sketch_accuracy_report(sf_dir: str) -> pd.DataFrame:
     """The engine auditing its own sketches: each approximate tier run
     NEXT TO its exact sibling on the same data, reporting the actual
@@ -5221,6 +5268,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "compact_files_events": q_compact_files_events,
         "float_anomaly_events": q_float_anomaly_events,
         "incremental_dedup_orders": q_incremental_dedup_orders,
+        "incremental_dedup_sharded_orders": q_incremental_dedup_sharded_orders,
         "storage_profile_events": q_storage_profile_events,
         "canary_check_documents": q_canary_check_documents,
         "pipeline_spec_documents": q_pipeline_spec_documents,
@@ -6364,25 +6412,10 @@ def oracle_sql() -> Dict[str, str]:
             "AND o_orderstatus NOT IN ('O', 'F')) FROM orders) "
             "ORDER BY table_name, rule_name"
         ),
-        "incremental_dedup_orders": (
-            "WITH a AS (SELECT o_custkey k FROM orders WHERE "
-            "o_orderkey % 4 = 0 AND o_custkey IS NOT NULL), "
-            "b AS (SELECT o_orderkey, o_custkey FROM orders "
-            "WHERE o_orderkey % 4 = 1), "
-            "c AS (SELECT o_orderkey, o_custkey FROM orders "
-            "WHERE o_orderkey % 4 = 2), "
-            "ab AS (SELECT k FROM a UNION "
-            "SELECT o_custkey FROM b WHERE o_custkey IS NOT NULL) "
-            "SELECT "
-            "(SELECT COUNT(DISTINCT k) FROM a)::BIGINT AS n_a_keys, "
-            "(SELECT COUNT(*) FROM b WHERE o_custkey IS NULL OR "
-            "NOT EXISTS (SELECT 1 FROM a WHERE a.k = b.o_custkey)"
-            ")::BIGINT AS kept_b, "
-            "(SELECT COUNT(*) FROM ab)::BIGINT AS n_ab_keys, "
-            "(SELECT COUNT(*) FROM c WHERE o_custkey IS NULL OR "
-            "NOT EXISTS (SELECT 1 FROM ab WHERE ab.k = c.o_custkey)"
-            ")::BIGINT AS kept_c"
-        ),
+        "incremental_dedup_orders": _INCREMENTAL_DEDUP_SQL,
+        # same lifecycle, same exact counts — the sharded tier must be
+        # value-identical to the broadcast tier
+        "incremental_dedup_sharded_orders": _INCREMENTAL_DEDUP_SQL,
         "pipeline_spec_documents": (
             "SELECT doc_id, source, "
             "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' "
@@ -8166,6 +8199,26 @@ _TRANSFORM_RUNNER_SQL = _GOPHER_BASE.replace("WITH base", "WITH ranked AS ("
     " )::BIGINT AS rows_out"
     " FROM g JOIN ranked r ON g.doc_id = r.doc_id"
     " GROUP BY 1 ORDER BY 1"
+)
+
+_INCREMENTAL_DEDUP_SQL = (
+    "WITH a AS (SELECT o_custkey k FROM orders WHERE "
+    "o_orderkey % 4 = 0 AND o_custkey IS NOT NULL), "
+    "b AS (SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_orderkey % 4 = 1), "
+    "c AS (SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_orderkey % 4 = 2), "
+    "ab AS (SELECT k FROM a UNION "
+    "SELECT o_custkey FROM b WHERE o_custkey IS NOT NULL) "
+    "SELECT "
+    "(SELECT COUNT(DISTINCT k) FROM a)::BIGINT AS n_a_keys, "
+    "(SELECT COUNT(*) FROM b WHERE o_custkey IS NULL OR "
+    "NOT EXISTS (SELECT 1 FROM a WHERE a.k = b.o_custkey)"
+    ")::BIGINT AS kept_b, "
+    "(SELECT COUNT(*) FROM ab)::BIGINT AS n_ab_keys, "
+    "(SELECT COUNT(*) FROM c WHERE o_custkey IS NULL OR "
+    "NOT EXISTS (SELECT 1 FROM ab WHERE ab.k = c.o_custkey)"
+    ")::BIGINT AS kept_c"
 )
 
 _BIGRAM_LOGPROB_SQL = (

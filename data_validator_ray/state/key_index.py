@@ -21,14 +21,24 @@ Lifecycle (each step streaming, driver holds only hash arrays):
   hashes into the file (sorted-merge ``np.unique``), so the next run's
   index includes this run. Update is atomic (write temp + rename).
 
-At 10^12 keys the 16 B/key file is 16 TB — beyond broadcast; the same
-layout then shards by ``h1`` range into hive dirs and the probe
-becomes a bucketed semi-join against only the matching shard (the
-:func:`..pipelines.relational.hash_join` anti shape), or the
-:class:`..functions.sketches.BloomFilter` tier bounds memory at ~1 MiB
-with a documented FP rate. This module implements the
-broadcast tier and documents the shard path; the Bloom tier is
+At 10^12 keys the 16 B/key file is 16 TB — beyond broadcast. The
+**sharded tier** (``n_shards=2^k`` on :func:`build_key_index`) stores
+the same layout h1-range-sharded into hive dirs
+(``shard=K/keys.parquet``, ``K = h1 >> (64−k)`` over the uint64 view):
+build and update bucket the distinct-pair partials by shard and each
+shard task writes/merges ONLY its range (tmp+rename atomic; the driver
+holds per-shard counts, never pairs), and
+:func:`dedup_against_index` auto-routes to a bucketed probe — ONE
+shuffle of the probe corpus by the same h1 range, then each group
+loads ONLY its shard's 16 B/key file and filters locally. Per-task
+memory is ``index_bytes / n_shards`` regardless of index size; a probe
+that touches few shards reads few files (provable via ``audit_dir``).
+The :class:`..functions.sketches.BloomFilter` tier bounds memory at
+~1 MiB with a documented FP rate instead:
 ``bloom_prefilter_join(how="anti")``.
+
+On a multi-node cluster ``index_dir`` must be shared storage (NFS/S3
+via fsspec paths) since shard tasks read/write it directly.
 """
 
 from __future__ import annotations
@@ -68,13 +78,11 @@ def _hash_backend() -> dict:
         return {"backend": "pandas", "backend_version": pandas.__version__}
 
 
-def _distinct_hash_pairs(
+def _pair_partials(
     source: Any, key_col: str, *, batch_size: int = 64 * 1024
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Distributed distinct (h1, h2) of a key column: per-batch
-    ``unique`` + two hash families, int64 pairs stream back, one
-    packed ``np.unique`` on the driver (16 B per distinct key)."""
-    import pyarrow.compute as pc
+) -> ray.data.Dataset:
+    """Per-batch DISTINCT → (h1, h2) int64 partial pairs as a lazy
+    Dataset (duplicates across batches remain; merged downstream)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch[key_col]
@@ -92,9 +100,18 @@ def _distinct_hash_pairs(
             }
         )
 
-    ds = _as_dataset(source, columns=[key_col]).map_batches(
+    return _as_dataset(source, columns=[key_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def _distinct_hash_pairs(
+    source: Any, key_col: str, *, batch_size: int = 64 * 1024
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Distributed distinct (h1, h2) of a key column: per-batch
+    ``unique`` + two hash families, int64 pairs stream back, one
+    packed ``np.unique`` on the driver (16 B per distinct key)."""
+    ds = _pair_partials(source, key_col, batch_size=batch_size)
     h1s, h2s = [], []
     for b in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
         h1s.append(b["h1"].to_numpy(zero_copy_only=False))
@@ -114,17 +131,120 @@ def _unique_pairs(h1: np.ndarray, h2: np.ndarray):
     )
 
 
+def _shard_ids(h1: np.ndarray, n_shards: int) -> np.ndarray:
+    """Range shard of each ``h1``: top ``log2(n_shards)`` bits of the
+    uint64 view — contiguous hash ranges, computable from the hash
+    alone (no directory lookup) on both the build and probe sides."""
+    k = int(n_shards).bit_length() - 1
+    return (h1.view(np.uint64) >> np.uint64(64 - k)).astype(np.int64)
+
+
+def _check_n_shards(n_shards: int) -> int:
+    n = int(n_shards)
+    if n < 2 or (n & (n - 1)) != 0:
+        raise ValueError(f"n_shards must be a power of two >= 2, got {n_shards}")
+    return n
+
+
+def _write_shard_atomic(d: Path, shard: int, h1, h2) -> None:
+    """One shard's sorted pair file, tmp+rename atomic (same contract
+    as the unsharded file; shard tasks call this concurrently — each
+    touches only its own ``shard=K`` dir)."""
+    sd = d / f"shard={shard}"
+    sd.mkdir(parents=True, exist_ok=True)
+    tmp = sd / "keys.parquet.tmp"
+    pq.write_table(pa.table({"h1": pa.array(h1), "h2": pa.array(h2)}), tmp)
+    tmp.replace(sd / "keys.parquet")
+
+
+def _build_shards(
+    partials: ray.data.Dataset, d: Path, n_shards: int,
+    *, merge_existing: bool = False,
+) -> int:
+    """Bucket (h1, h2) partials by h1-range shard; each shard task
+    np.unique-merges its range (optionally unioning the existing shard
+    file) and writes ``shard=K/keys.parquet`` atomically. The driver
+    sees ONE count row per shard — never pairs. Returns total keys
+    across written shards (+ untouched existing shards when merging)."""
+    dir_str = str(d)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h1 = batch["h1"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__s", pa.array(_shard_ids(h1, n_shards), pa.int64())
+        )
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"shard": pa.array([], pa.int64()),
+                 "n_keys": pa.array([], pa.int64())}
+            )
+        shard = int(g["__s"][0].as_py())
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        if merge_existing:
+            old = _load_shard(Path(dir_str), shard)
+            h1 = np.concatenate([old.h1, h1])
+            h2 = np.concatenate([old.h2, h2])
+        u1, u2 = _unique_pairs(h1, h2)
+        _write_shard_atomic(Path(dir_str), shard, u1, u2)
+        return pa.table(
+            {"shard": pa.array([shard], pa.int64()),
+             "n_keys": pa.array([len(u1)], pa.int64())}
+        )
+
+    counts = (
+        partials.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__s")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = int(counts["n_keys"].sum()) if len(counts) else 0
+    if merge_existing:
+        touched = set(counts["shard"].tolist()) if len(counts) else set()
+        for sd in d.glob("shard=*"):
+            s = int(sd.name.split("=", 1)[1])
+            if s not in touched and (sd / "keys.parquet").exists():
+                total += pq.read_metadata(sd / "keys.parquet").num_rows
+    return total
+
+
 def build_key_index(
     source: Any, key_col: str, index_dir: "str | Path",
-    *, batch_size: int = 64 * 1024,
+    *, batch_size: int = 64 * 1024, n_shards: Optional[int] = None,
 ) -> dict:
     """Create a fresh index at ``index_dir`` from a corpus' keys.
-    Returns ``{n_keys}``."""
+    Returns ``{n_keys}``. With ``n_shards`` (power of two) the index
+    is h1-range-sharded: shard tasks build and write their ranges in
+    parallel and the driver never materializes the pair table — the
+    10^12-key tier (16 TB of index ÷ shards per task)."""
     d = Path(index_dir)
     d.mkdir(parents=True, exist_ok=True)
+    if n_shards is not None:
+        n = _check_n_shards(n_shards)
+        total = _build_shards(
+            _pair_partials(source, key_col, batch_size=batch_size), d, n
+        )
+        _write_meta(d, key_col, total, n_shards=n)
+        return {"n_keys": total}
     h1, h2 = _distinct_hash_pairs(source, key_col, batch_size=batch_size)
     _write_atomic(d, h1, h2, key_col)
     return {"n_keys": int(len(h1))}
+
+
+def _write_meta(
+    d: Path, key_col: str, n_keys: int, *, n_shards: Optional[int] = None
+) -> None:
+    meta = {
+        "key_col": key_col,
+        "hash": HASH_SCHEME,
+        "n_keys": int(n_keys),
+        **_hash_backend(),
+    }
+    if n_shards is not None:
+        meta["n_shards"] = int(n_shards)
+    (d / META_NAME).write_text(json.dumps(meta))
 
 
 def _write_atomic(d: Path, h1, h2, key_col: str) -> None:
@@ -133,22 +253,15 @@ def _write_atomic(d: Path, h1, h2, key_col: str) -> None:
         pa.table({"h1": pa.array(h1), "h2": pa.array(h2)}), tmp
     )
     tmp.replace(d / "keys.parquet")
-    (d / META_NAME).write_text(
-        json.dumps(
-            {
-                "key_col": key_col,
-                "hash": HASH_SCHEME,
-                "n_keys": int(len(h1)),
-                **_hash_backend(),
-            }
-        )
-    )
+    _write_meta(d, key_col, len(h1))
 
 
-def load_key_index(
-    index_dir: "str | Path", *, expect_key_col: Optional[str] = None
-) -> HashPairSet:
-    d = Path(index_dir)
+def _check_meta(
+    d: Path, expect_key_col: Optional[str] = None
+) -> dict:
+    """Load + validate ``_meta.json`` (hash scheme, hash backend
+    version, key column); raises on any mismatch so a stale or
+    foreign index NEVER silently misses keys."""
     meta = json.loads((d / META_NAME).read_text())
     if meta.get("hash") != HASH_SCHEME:
         raise ValueError(f"index hash scheme mismatch: {meta.get('hash')}")
@@ -173,6 +286,34 @@ def load_key_index(
             f"index was built on {meta['key_col']!r}, probe asked for "
             f"{expect_key_col!r}"
         )
+    return meta
+
+
+def _load_shard(d: Path, shard: int) -> HashPairSet:
+    """One shard's pair set; a missing shard dir is an EMPTY set (no
+    key in that h1 range has ever been seen)."""
+    f = d / f"shard={shard}" / "keys.parquet"
+    if not f.exists():
+        return HashPairSet(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    t = pq.read_table(f)
+    return HashPairSet(
+        t["h1"].to_numpy(zero_copy_only=False),
+        t["h2"].to_numpy(zero_copy_only=False),
+    )
+
+
+def load_key_index(
+    index_dir: "str | Path", *, expect_key_col: Optional[str] = None
+) -> HashPairSet:
+    d = Path(index_dir)
+    meta = _check_meta(d, expect_key_col)
+    if meta.get("n_shards"):
+        raise ValueError(
+            "index is sharded (n_shards="
+            f"{meta['n_shards']}); whole-index broadcast would defeat "
+            "the shard tier — probe with dedup_against_index (auto-"
+            "routes to the bucketed shard probe)"
+        )
     t = pq.read_table(d / "keys.parquet")
     return HashPairSet(
         t["h1"].to_numpy(zero_copy_only=False),
@@ -187,12 +328,28 @@ def dedup_against_index(
     *,
     keep_nulls: bool = True,
     batch_size: int = 64 * 1024,
+    audit_dir: "str | Path | None" = None,
 ) -> ray.data.Dataset:
     """Drop every row whose key is in the index (seen in ANY prior
-    run); NULL keys kept by default (they identify nothing). One
-    broadcast + one streaming pass, no shuffle."""
+    run); NULL keys kept by default (they identify nothing).
+
+    Broadcast tier (unsharded index): one broadcast + one streaming
+    pass, no shuffle. Sharded index (built with ``n_shards``): routes
+    to the bucketed probe — the corpus shuffles ONCE by the index's
+    h1 range and each group loads ONLY its shard's file, so per-task
+    memory is index/n_shards and untouched shards are never read
+    (``audit_dir``, when set, receives one ``shard=K`` marker file per
+    shard actually loaded — the test/ops hook proving that)."""
     import pyarrow.compute as pc
 
+    d = Path(index_dir)
+    meta = _check_meta(d, expect_key_col=key_col)
+    if meta.get("n_shards"):
+        return _dedup_sharded(
+            source, key_col, d, int(meta["n_shards"]),
+            keep_nulls=keep_nulls, batch_size=batch_size,
+            audit_dir=audit_dir,
+        )
     pairs = load_key_index(index_dir, expect_key_col=key_col)
     ref = ray.put(pairs)
 
@@ -213,6 +370,65 @@ def dedup_against_index(
     )
 
 
+def _dedup_sharded(
+    source: Any,
+    key_col: str,
+    d: Path,
+    n_shards: int,
+    *,
+    keep_nulls: bool,
+    batch_size: int,
+    audit_dir: "str | Path | None" = None,
+) -> ray.data.Dataset:
+    """Bucketed shard probe: tag each row with its key's h1-range
+    shard (NULL keys → shard −1, outside the uint64-shift image), ONE
+    groupby shuffle co-locates every row with the only shard file that
+    can contain its key, each group loads that ONE file (missing dir =
+    empty set) and filters locally. The corpus crosses the wire once
+    (inherent to any non-broadcast probe); the index never does."""
+    import pyarrow.compute as pc
+
+    dir_str, audit_str = str(d), (str(audit_dir) if audit_dir else None)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        h1 = hash64(col, seed=0).astype(np.int64)
+        h2 = hash64(col, seed=1).astype(np.int64)
+        s = np.where(valid, _shard_ids(h1, n_shards), np.int64(-1))
+        return (
+            batch.append_column("__s", pa.array(s, pa.int64()))
+            .append_column("__h1", pa.array(h1, pa.int64()))
+            .append_column("__h2", pa.array(h2, pa.int64()))
+        )
+
+    def probe(g: pa.Table) -> pa.Table:
+        base = g.drop_columns(["__s", "__h1", "__h2"])
+        if len(g) == 0:
+            return base
+        shard = int(g["__s"][0].as_py())
+        if shard < 0:  # the NULL-key group: no shard can contain it
+            return base if keep_nulls else base.slice(0, 0)
+        if audit_str:
+            Path(audit_str).mkdir(parents=True, exist_ok=True)
+            (Path(audit_str) / f"shard={shard}").touch()
+        idx = _load_shard(Path(dir_str), shard)
+        seen = idx.contains(
+            g["__h1"].to_numpy(zero_copy_only=False),
+            g["__h2"].to_numpy(zero_copy_only=False),
+        )
+        return base.filter(pa.array(~seen))
+
+    return (
+        _as_dataset(source)
+        .map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__s")
+        .map_groups(probe, batch_format="pyarrow")
+    )
+
+
 def update_key_index(
     index_dir: "str | Path",
     new_source: Any,
@@ -221,8 +437,25 @@ def update_key_index(
     batch_size: int = 64 * 1024,
 ) -> dict:
     """Union-merge the new corpus's distinct keys into the index
-    (atomic rewrite). Returns ``{n_keys_before, n_added, n_keys}``."""
+    (atomic rewrite). Returns ``{n_keys_before, n_added, n_keys}``.
+    Sharded indexes merge per shard in parallel: each touched shard
+    task unions only its range (old shard file + new keys in range)
+    and rewrites atomically; untouched shards are not rewritten."""
     d = Path(index_dir)
+    meta = _check_meta(d, expect_key_col=key_col)
+    if meta.get("n_shards"):
+        n = int(meta["n_shards"])
+        n_before = int(meta.get("n_keys", 0))
+        total = _build_shards(
+            _pair_partials(new_source, key_col, batch_size=batch_size),
+            d, n, merge_existing=True,
+        )
+        _write_meta(d, key_col, total, n_shards=n)
+        return {
+            "n_keys_before": n_before,
+            "n_added": int(total - n_before),
+            "n_keys": int(total),
+        }
     old = load_key_index(d, expect_key_col=key_col)
     n_before = len(old)
     nh1, nh2 = _distinct_hash_pairs(new_source, key_col, batch_size=batch_size)

@@ -82,6 +82,96 @@ def test_key_index_lifecycle(ray_session, tmp_path):
         load_key_index(idx, expect_key_col="other_col")
 
 
+def test_key_index_sharded_parity(ray_session, tmp_path):
+    """The h1-range-sharded tier (n_shards) is value-identical to the
+    broadcast tier across the whole lifecycle: build counts, probe
+    survivors (incl. NULL handling both ways), update counts."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.state.key_index import (
+        build_key_index,
+        dedup_against_index,
+        load_key_index,
+        update_key_index,
+    )
+
+    keys_a = [f"k{i}" for i in range(200)] + ["k5", "k6"]  # dups
+    a = pd.DataFrame({"k": keys_a})
+    b = pd.DataFrame(
+        {"k": [f"k{i}" for i in range(150, 260)] + [None, None]}
+    )
+    c = pd.DataFrame({"k": [f"k{i}" for i in range(240, 300)] + [None]})
+
+    flat, shard = str(tmp_path / "flat"), str(tmp_path / "shard")
+    bf = build_key_index(a, "k", flat)
+    bs = build_key_index(a, "k", shard, n_shards=8)
+    assert bf == bs == {"n_keys": 200}
+
+    for kn in (True, False):
+        kf = (
+            dedup_against_index(b, "k", flat, keep_nulls=kn)
+            .to_pandas().k.fillna("<N>").sort_values().tolist()
+        )
+        ks = (
+            dedup_against_index(b, "k", shard, keep_nulls=kn)
+            .to_pandas().k.fillna("<N>").sort_values().tolist()
+        )
+        assert kf == ks and len(kf) == (62 if kn else 60)
+
+    uf = update_key_index(flat, b, "k")
+    us = update_key_index(shard, b, "k")
+    assert uf == us == {"n_keys_before": 200, "n_added": 60, "n_keys": 260}
+
+    kf = dedup_against_index(c, "k", flat).to_pandas()
+    ks = dedup_against_index(c, "k", shard).to_pandas()
+    assert sorted(kf.k.fillna("<N>")) == sorted(ks.k.fillna("<N>"))
+    assert len(ks) == 41  # k260..k299 survive + one NULL
+
+    # whole-index broadcast of a sharded index is refused loudly
+    with _pytest.raises(ValueError, match="sharded"):
+        load_key_index(shard)
+
+
+def test_key_index_sharded_probe_reads_only_touched_shards(
+    ray_session, tmp_path
+):
+    """The scale property itself: a probe whose keys fall in few h1
+    ranges loads ONLY those shard files (audit_dir markers), never the
+    whole index."""
+    import pandas as pd
+
+    from data_validator_ray.state.key_index import (
+        _shard_ids,
+        build_key_index,
+        dedup_against_index,
+    )
+    from data_validator_ray.functions.sketches import hash64
+
+    import numpy as np
+    import pyarrow as pa
+
+    idx = str(tmp_path / "idx")
+    corpus = pd.DataFrame({"k": [f"doc-{i}" for i in range(5000)]})
+    build_key_index(corpus, "k", idx, n_shards=64)
+
+    probe_keys = ["doc-7", "doc-4999", "never-seen"]
+    expected = set(
+        _shard_ids(
+            hash64(pa.array(probe_keys), seed=0).astype(np.int64), 64
+        ).tolist()
+    )
+    audit = tmp_path / "audit"
+    out = dedup_against_index(
+        pd.DataFrame({"k": probe_keys}), "k", idx, audit_dir=audit
+    ).to_pandas()
+    assert out.k.tolist() == ["never-seen"]
+    touched = {
+        int(p.name.split("=", 1)[1]) for p in audit.glob("shard=*")
+    }
+    assert touched == expected and len(touched) <= 3  # of 64 shards
+
+
 def test_metrics_history_anomaly_conventions(tmp_path):
     """Short history passes; constant history passes iff equal; a
     planted regression is flagged at |z| > k."""
