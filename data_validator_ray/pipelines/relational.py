@@ -59,8 +59,16 @@ def windowed_aggregate(
     def partials(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch[ts_col]))
         # normalize to µs first: pandas-born blocks carry ns timestamps
-        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-        win = pc.multiply(pc.divide(ts, w_us), w_us)  # floor to window
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # numpy // floors toward -inf, so pre-epoch (negative)
+        # timestamps bucket like DuckDB time_bucket (pc.divide
+        # truncates toward zero and would land them one window high)
+        win = pa.array((ts // w_us) * w_us, pa.int64())
         t = batch.select(key_cols + [value_col]).append_column("__w", win)
         g = t.group_by(["__w"] + key_cols).aggregate(
             [

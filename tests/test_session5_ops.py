@@ -570,3 +570,32 @@ def test_rolling_period_distinct_pre_epoch_floor(ray_session):
     assert len(out) == 2
     assert out.iloc[0]["period_start"] == pd.Timestamp("1969-12-31")
     assert out.iloc[1]["period_start"] == pd.Timestamp("1970-01-01")
+
+
+def test_windowed_aggregate_pre_epoch_floor(ray_session):
+    """Tumbling windows floor toward -inf: a pre-epoch event lands in
+    ITS OWN hour window (DuckDB time_bucket parity), not in hour 0."""
+    import ray as _ray
+
+    from data_validator_ray.pipelines.relational import windowed_aggregate
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["1969-12-31 23:59:59", "1970-01-01 00:00:01"]
+            ),
+            "v": [1.0, 2.0],
+        }
+    )
+    out = (
+        windowed_aggregate(
+            _ray.data.from_pandas(df), "ts", "v", window_seconds=3600
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.iloc[0]["window_start"] == pd.Timestamp("1969-12-31 23:00:00")
+    assert out.iloc[1]["window_start"] == pd.Timestamp("1970-01-01 00:00:00")
+    assert out["n_events"].tolist() == [1, 1]
