@@ -602,6 +602,28 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    # Ray's sort-shuffle reduce emits SCHEMA-LESS empty blocks for
+    # empty partitions (any groupby().map_groups() with fewer groups
+    # than input blocks — the user fn is never called for them, so
+    # returning typed empties can't prevent it; verified on a minimal
+    # 3-group/32-block repro, tests/test_curation.py pins our own fns
+    # handle empty buckets). Silence ONLY that upstream false-positive
+    # "RefBundle with a different schema ... new schema: ." warning so
+    # real schema divergences still surface in the bench log.
+    import logging
+
+    class _EmptySchemaDivergenceFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            m = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in m
+                and "new schema: ." in m
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaDivergenceFilter())
+
     input_dir = _bench_input_dir()
     if not input_dir.exists():
         input_dir.parent.mkdir(parents=True, exist_ok=True)

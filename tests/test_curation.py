@@ -864,3 +864,39 @@ def test_pipeline_spec_yaml_roundtrip_and_errors(ray_session, tmp_path):
         {"steps": [{"op": "double_ids_test_only"}]}, df
     ).to_pandas()
     assert (out3.doc_id.to_numpy() == df.doc_id.to_numpy() * 2).all()
+
+
+def test_bucketed_ops_survive_empty_shuffle_partitions(ray_session):
+    """Far more input blocks than groups forces Ray's sort-shuffle to
+    emit EMPTY partitions; every bucketed op must come through with
+    correct values and a typed (non-degenerate) output schema. (Ray
+    itself produces schema-less empty RefBundles for the empty
+    partitions — an upstream cosmetic warning, filtered in bench.py —
+    but the materialized result must be clean.)"""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    from data_validator_ray.pipelines.curation import semantic_dedup
+
+    vecs = [[1.0, 0.0], [0.999, 0.001], [0.0, 1.0]]  # 0~1 dup, 2 far
+    df = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [list(v) for v in vecs]}
+    )
+    ds = _ray.data.from_pandas(df).repartition(16)  # >> 2 clusters
+    out = semantic_dedup(
+        ds, threshold=0.99, n_clusters=2, sample_size=8, n_iters=3
+    )
+    got = out.to_pandas().sort_values("vec_id")
+    assert got.vec_id.tolist() == [0, 2]  # keep-first drops vec 1
+    assert set(got.columns) == {"vec_id", "cluster"}
+
+    from data_validator_ray.pipelines.text import bigram_logprob
+
+    tdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b a b", "a b"]}
+    )
+    tds = _ray.data.from_pandas(tdf).repartition(16)
+    lp = bigram_logprob(tds, max_bigrams=10).to_pandas().sort_values("doc_id")
+    assert lp.n_bigrams.tolist() == [3, 1]
+    assert (lp.logprob_mean == 0.0).all()  # every conditional is 1.0
