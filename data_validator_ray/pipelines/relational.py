@@ -245,9 +245,15 @@ def hash_join(
     semantics) but outer modes preserve null-keyed rows of the kept
     side(s) via a shuffle-free bypass stream; in ``full`` mode the
     output key column carries ``COALESCE(left.key, right.key)`` so
-    unmatched right keys are not lost. ``salt > 1`` requires
-    ``how="inner"`` (replicated hot right rows would duplicate
-    unmatched-right output otherwise).
+    unmatched right keys are not lost. ``salt > 1`` works for
+    ``inner``/``left``/``right``/``semi``/``anti`` — semi/anti match by
+    MEMBERSHIP (replicated right rows can't multiply output) and
+    left/right emit only preserved-side rows (each left (key, salt)
+    copy meets exactly its own salt's right replicas) — but NOT
+    ``full``: a replicated hot right row unmatched at some salt would
+    emit one spurious NULL-padded output per salt value, so ``full``
+    stays unsalted (split a skewed FULL join into a salted LEFT join
+    UNION the anti-of-right instead).
 
     Both sides bucket on ``hash(key) % num_buckets`` so equal keys
     co-locate, then each bucket runs ONE vectorized ``pd.merge``
@@ -310,8 +316,13 @@ def hash_join(
         raise ValueError(
             f"how must be inner|left|full|semi|anti, got {how!r}"
         )
-    if salt > 1 and how != "inner":
-        raise ValueError("salt > 1 requires how='inner'")
+    if salt > 1 and how == "full":
+        raise ValueError(
+            "salt > 1 does not support how='full': an unmatched "
+            "replicated hot right row would emit one NULL-padded "
+            "output per salt value; use a salted left join UNION the "
+            "right anti side instead"
+        )
     l_extra = [c for c in left_cols if c != left_key]
     r_extra = [c for c in right_cols if c != right_key]
     if how in ("semi", "anti"):

@@ -481,6 +481,61 @@ def test_hash_join_salted_matches_unsalted_on_skew(ray_session):
     )
 
 
+def test_hash_join_salted_semi_anti_left_on_skew(ray_session):
+    """salt > 1 now covers the filtering joins (membership tests —
+    replicated right rows can't multiply output) and LEFT (preserved-
+    side rows only); each must be value-identical to unsalted. FULL
+    stays refused with the documented reason."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(11)
+    lk = np.where(rng.random(4000) < 0.8, 7, rng.integers(100, 200, 4000))
+    left = pa.table({
+        "lk": pa.array(lk, pa.int64()),
+        "lv": pa.array(np.arange(4000), pa.int64()),
+    })
+    # right contains the hot key + half the cold range (so semi/anti
+    # and left-unmatched paths all carry rows), with duplicates
+    rk = np.array([7, 7] + list(range(100, 150)), np.int64)
+    right = pa.table({
+        "rk": pa.array(rk, pa.int64()),
+        "rv": pa.array(np.arange(len(rk)) * 2.0, pa.float64()),
+    })
+
+    for how, rcols in (("semi", []), ("anti", []), ("left", ["rv"])):
+        kw = dict(left_key="lk", right_key="rk", left_cols=["lv"],
+                  right_cols=rcols, num_buckets=8, how=how)
+        sort_cols = ["lk", "lv"] + rcols
+        base = (
+            hash_join(left, right, **kw)
+            .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        )
+        for hot in ([7], "auto"):
+            salted = (
+                hash_join(left, right, salt=4, hot_keys=hot, **kw)
+                .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(salted, base)
+
+    # semi+anti partition the left rows exactly
+    n_semi = hash_join(left, right, left_key="lk", right_key="rk",
+                       left_cols=["lv"], right_cols=[], num_buckets=8,
+                       how="semi", salt=4, hot_keys=[7]).count()
+    n_anti = hash_join(left, right, left_key="lk", right_key="rk",
+                       left_cols=["lv"], right_cols=[], num_buckets=8,
+                       how="anti", salt=4, hot_keys=[7]).count()
+    assert n_semi + n_anti == 4000
+
+    with _pytest.raises(ValueError, match="full"):
+        hash_join(left, right, left_key="lk", right_key="rk",
+                  left_cols=["lv"], right_cols=["rv"], how="full",
+                  salt=4, hot_keys=[7])
+
+
 def test_hash_join_outer_modes_match_pandas(ray_session):
     import pyarrow as pa
 
