@@ -2791,6 +2791,33 @@ def q_ks_events_split(sf_dir: str) -> pd.DataFrame:
     return ks_exact(side(0), side(1), "value", num_buckets=32).to_pandas()
 
 
+def q_ks_auto_events_split(sf_dir: str) -> pd.DataFrame:
+    """ks_exact with quantize='auto': the distinct-count estimate
+    (one sampled pre-pass) stays under the threshold on this column,
+    so auto resolves to the bit-exact path — pinning the whole
+    auto-quantize plumbing to the same exact SQL oracle. Above the
+    threshold the same call snaps to a deterministic ~2^20 lattice
+    with the documented ≤ q/2-per-value error envelope."""
+    import pyarrow.compute as _pc
+
+    from ..stages.drift import ks_exact
+
+    def side(parity: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["event_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return ks_exact(
+        side(0), side(1), "value", num_buckets=32, quantize="auto"
+    ).to_pandas()
+
+
 def q_wasserstein_events_split(sf_dir: str) -> pd.DataFrame:
     """EXACT 1-D Wasserstein-1 (earth-mover) distance between the
     even- and odd-event_id halves of events.value — the
@@ -3810,6 +3837,24 @@ def q_ratio_to_report_events(sf_dir: str) -> pd.DataFrame:
         "event_type",
         "value",
         columns=["event_id"],
+    ).to_pandas()
+    out = out[["event_id", "event_type", "value", "value_share"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_ratio_to_report_bucketed_events(sf_dir: str) -> pd.DataFrame:
+    """The beyond-broadcast tier of RATIO_TO_REPORT: rows shuffle once
+    by hash(key) and each bucket computes its keys' sums and shares
+    locally — the driver never holds any key sums. Pinned to the SAME
+    exact SQL oracle as the broadcast tier."""
+    from .relational import ratio_to_report
+
+    out = ratio_to_report(
+        f"{sf_dir}/events.parquet",
+        "event_type",
+        "value",
+        columns=["event_id"],
+        num_buckets=16,
     ).to_pandas()
     out = out[["event_id", "event_type", "value", "value_share"]]
     return out.sort_values("event_id").reset_index(drop=True)
@@ -5246,6 +5291,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "psi_by_group_events": q_psi_by_group_events,
         "ks_by_group_events": q_ks_by_group_events,
         "ks_events_split": q_ks_events_split,
+        "ks_auto_events_split": q_ks_auto_events_split,
         "wasserstein_events_split": q_wasserstein_events_split,
         "cat_association_documents": q_cat_association_documents,
         "categorical_profile_documents": q_categorical_profile_documents,
@@ -5259,6 +5305,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "moving_window_events": q_moving_window_events,
         "anomaly_zscore_events": q_anomaly_zscore_events,
         "ratio_to_report_events": q_ratio_to_report_events,
+        "ratio_to_report_bucketed_events": q_ratio_to_report_bucketed_events,
         "interarrival_stats_events": q_interarrival_stats_events,
         "grouped_mad_events": q_grouped_mad_events,
         "period_over_period_events": q_period_over_period_events,
@@ -6783,27 +6830,9 @@ def oracle_sql() -> Dict[str, str]:
             "c.event_type))) AS ks FROM c GROUP BY event_type) m "
             "USING (event_type) ORDER BY n.event_type"
         ),
-        "ks_events_split": (
-            # exact two-sample KS: cumulative per-side counts over the
-            # sorted distinct values; int/int -> DOUBLE divisions match
-            # the engine bit-exactly
-            "WITH a AS (SELECT value AS v FROM events "
-            "WHERE event_id % 2 = 0 AND value IS NOT NULL), "
-            "b AS (SELECT value AS v FROM events "
-            "WHERE event_id % 2 = 1 AND value IS NOT NULL), "
-            "u AS (SELECT v, "
-            "COUNT(*) FILTER (WHERE side = 0) AS ca, "
-            "COUNT(*) FILTER (WHERE side = 1) AS cb "
-            "FROM (SELECT v, 0 AS side FROM a "
-            "UNION ALL SELECT v, 1 AS side FROM b) GROUP BY v), "
-            "c AS (SELECT SUM(ca) OVER (ORDER BY v) AS cca, "
-            "SUM(cb) OVER (ORDER BY v) AS ccb FROM u) "
-            "SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n_base, "
-            "(SELECT COUNT(*) FROM b)::BIGINT AS n_current, "
-            "ROUND(MAX(ABS(cca::DOUBLE / (SELECT COUNT(*) FROM a) "
-            "- ccb::DOUBLE / (SELECT COUNT(*) FROM b))), 6) AS ks_value "
-            "FROM c"
-        ),
+        "ks_events_split": _KS_EVENTS_SPLIT_SQL,
+        # auto-quantize resolves to the bit-exact path on this column
+        "ks_auto_events_split": _KS_EVENTS_SPLIT_SQL,
         "wasserstein_events_split": (
             # exact 1-D W1 = sum over sorted distinct values of
             # |ECDF_a - ECDF_b| * gap-to-next-value; per-term float
@@ -7110,11 +7139,9 @@ def oracle_sql() -> Dict[str, str]:
             "CASE WHEN ne > 0 THEN nb::DOUBLE / ne END AS null_jaccard "
             "FROM p ORDER BY col_a, col_b"
         ),
-        "ratio_to_report_events": (
-            "SELECT event_id, event_type, value, "
-            "ROUND(value / SUM(value) OVER (PARTITION BY event_type), 6) "
-            "AS value_share FROM events ORDER BY event_id"
-        ),
+        "ratio_to_report_events": _RATIO_TO_REPORT_SQL,
+        # the bucketed (no-broadcast) tier must be value-identical
+        "ratio_to_report_bucketed_events": _RATIO_TO_REPORT_SQL,
         "anomaly_zscore_events": (
             "SELECT user_id, event_id, "
             "ROUND((value - AVG(value) OVER w) / "
@@ -8199,6 +8226,34 @@ _TRANSFORM_RUNNER_SQL = _GOPHER_BASE.replace("WITH base", "WITH ranked AS ("
     " )::BIGINT AS rows_out"
     " FROM g JOIN ranked r ON g.doc_id = r.doc_id"
     " GROUP BY 1 ORDER BY 1"
+)
+
+_KS_EVENTS_SPLIT_SQL = (
+    # exact two-sample KS: cumulative per-side counts over the
+    # sorted distinct values; int/int -> DOUBLE divisions match
+    # the engine bit-exactly
+    "WITH a AS (SELECT value AS v FROM events "
+    "WHERE event_id % 2 = 0 AND value IS NOT NULL), "
+    "b AS (SELECT value AS v FROM events "
+    "WHERE event_id % 2 = 1 AND value IS NOT NULL), "
+    "u AS (SELECT v, "
+    "COUNT(*) FILTER (WHERE side = 0) AS ca, "
+    "COUNT(*) FILTER (WHERE side = 1) AS cb "
+    "FROM (SELECT v, 0 AS side FROM a "
+    "UNION ALL SELECT v, 1 AS side FROM b) GROUP BY v), "
+    "c AS (SELECT SUM(ca) OVER (ORDER BY v) AS cca, "
+    "SUM(cb) OVER (ORDER BY v) AS ccb FROM u) "
+    "SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n_base, "
+    "(SELECT COUNT(*) FROM b)::BIGINT AS n_current, "
+    "ROUND(MAX(ABS(cca::DOUBLE / (SELECT COUNT(*) FROM a) "
+    "- ccb::DOUBLE / (SELECT COUNT(*) FROM b))), 6) AS ks_value "
+    "FROM c"
+)
+
+_RATIO_TO_REPORT_SQL = (
+    "SELECT event_id, event_type, value, "
+    "ROUND(value / SUM(value) OVER (PARTITION BY event_type), 6) "
+    "AS value_share FROM events ORDER BY event_id"
 )
 
 _INCREMENTAL_DEDUP_SQL = (

@@ -1066,6 +1066,7 @@ def ratio_to_report(
     *,
     columns: Optional[List[str]] = None,
     batch_size: int = 64 * 1024,
+    num_buckets: Optional[int] = None,
 ) -> Dataset:
     """Percent-of-total window — SQL ``value / SUM(value) OVER
     (PARTITION BY key)`` (``RATIO_TO_REPORT``), rounded to 6 (the
@@ -1074,17 +1075,51 @@ def ratio_to_report(
     NULL (share NULL). NULL keys form their own partition (SQL GROUP
     semantics).
 
-    Scale shape — NO row shuffle: per-partition sums are key-bounded,
-    so pass 1 is a per-batch pyarrow ``group_by`` combiner whose
-    partials merge on the driver (one float per key), and pass 2 is a
-    single ``map_batches`` probe against the broadcast sum map. Rows
-    never move; only key-bounded partials do. For key cardinalities
-    too large to broadcast, compose :func:`bucketed_groupby` instead
-    (the :func:`grouped_exact_quantiles` shape)."""
+    Scale shape — two tiers:
+
+    * default (``num_buckets=None``), NO row shuffle: per-partition
+      sums are key-bounded, so pass 1 is a per-batch pyarrow
+      ``group_by`` combiner whose partials merge on the driver (one
+      float per key), and pass 2 is a single ``map_batches`` probe
+      against the broadcast sum map. Rows never move; only key-bounded
+      partials do. Right when the distinct-key table fits the driver.
+    * ``num_buckets=N``, the beyond-broadcast tier: rows shuffle ONCE
+      by ``hash(key) % N`` (:func:`..dedup.bucketed_groupby`) and each
+      bucket computes its keys' sums and shares locally — the driver
+      never holds any key sums, per-task state is that bucket's keys
+      only. Use when key cardinality is unbounded (e.g. URL hosts over
+      a web corpus). Output is value-identical to the default tier.
+    """
     import pandas as pd
 
     cols = list(dict.fromkeys([*(columns or []), key_col, value_col]))
     ds = _as_dataset(source, columns=cols)
+
+    if num_buckets is not None:
+        from .dedup import bucketed_groupby
+
+        def share_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            sums = df.groupby(key_col, dropna=False)[value_col].sum(
+                min_count=1
+            )
+            denom = df[key_col].map(sums).astype(np.float64)
+            isna = df[key_col].isna()
+            if isna.any():
+                nan_rows = sums[sums.index.isna()]
+                denom[isna] = (
+                    float(nan_rows.iloc[0]) if len(nan_rows) else np.nan
+                )
+            vals = df[value_col].to_numpy(np.float64, na_value=np.nan)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.round(vals / denom.to_numpy(np.float64), 6)
+            res = df.copy()
+            res["value_share"] = out
+            return res
+
+        return bucketed_groupby(
+            ds, [key_col], share_bucket,
+            num_buckets=num_buckets, batch_size=batch_size,
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         g = (

@@ -713,6 +713,58 @@ def _distinct_prefix_scan(
     return bucketed, sums, na, nb
 
 
+def choose_auto_quantize(
+    source_base: Any,
+    source_current: Any,
+    value_col: str,
+    *,
+    batch_size: int = 64 * 1024,
+    distinct_threshold: int = 1 << 22,
+    grid: int = 1 << 20,
+) -> Optional[float]:
+    """Deterministic quantization step for the exact ECDF statistics'
+    ``quantize="auto"`` mode: ONE cheap pass over both sides reduces
+    each batch to a ~1/4096 hash-sample of its DISTINCT values (KMV
+    shape — the driver holds ≈ distinct/4096 floats); the union
+    sample's size × 4096 estimates the true distinct count. At or
+    under ``distinct_threshold`` (default 4.2M — the regime where the
+    exact path's distinct partials are cheap) returns ``None`` (run
+    bit-exact); above it returns ``q = sampled_range / grid`` so the
+    quantized domain has ~``grid`` lattice points regardless of corpus
+    size. Error bound (documented in :func:`ks_exact`): each value
+    moves ≤ q/2, so KS shifts by at most the largest probability mass
+    either sample puts in any width-q interval; with the default 2^20
+    grid that is ~2^-20 of the bulk range per lattice step."""
+    from ..pipelines.curation import KNUTH
+    from ..pipelines.dedup import _as_dataset
+
+    def sample(batch: pa.Table) -> pa.Table:
+        vals = _numeric_values(batch, value_col)
+        u = np.unique(vals)
+        h = (u.view(np.int64) * np.int64(KNUTH)) % 4096
+        return pa.table({"v": pa.array(u[h == 0], pa.float64())})
+
+    parts = []
+    for src in (source_base, source_current):
+        sdf = (
+            _as_dataset(src, columns=[value_col])
+            .map_batches(sample, batch_format="pyarrow", batch_size=batch_size)
+            .to_pandas()
+        )
+        if "v" in sdf.columns and len(sdf):
+            parts.append(sdf["v"].to_numpy(np.float64))
+    if not parts:
+        return None
+    u = np.unique(np.concatenate(parts))
+    est_distinct = len(u) * 4096
+    if est_distinct <= distinct_threshold or len(u) < 2:
+        return None
+    rng = float(u[-1] - u[0])
+    if not np.isfinite(rng) or rng <= 0.0:
+        return None
+    return rng / float(grid)
+
+
 def ks_exact(
     source_base: Any,
     source_current: Any,
@@ -720,7 +772,7 @@ def ks_exact(
     *,
     num_buckets: int = 256,
     batch_size: int = 64 * 1024,
-    quantize: Optional[float] = None,
+    quantize: "Optional[float] | str" = None,
 ) -> "pa.Table":
     """EXACT two-sample Kolmogorov-Smirnov statistic
     ``max_x |ECDF_base(x) − ECDF_current(x)|`` — the oracle-exact
@@ -763,10 +815,23 @@ def ks_exact(
     places within any half-open interval of width ``q`` (each value
     moves ≤ q/2) — pick ``q`` well under the distribution's scale and
     the drift-alert margin. ``quantize=None`` (default) is bit-exact vs
-    the SQL oracle.
+    the SQL oracle. ``quantize="auto"`` engages the quantized tier ONLY
+    above a distinct-count threshold: :func:`choose_auto_quantize`
+    KMV-estimates the union's distinct count from one cheap sampled
+    pass; at or under ~4.2M distinct it runs bit-exact (q=None), above
+    it snaps to a deterministic ~2^20-point lattice over the sampled
+    range — so integer-ish columns stay oracle-exact and continuous
+    web-scale columns get the bounded-exchange tier automatically.
     """
     import pandas as pd
     import ray
+
+    if isinstance(quantize, str):
+        if quantize != "auto":
+            raise ValueError(f"quantize must be a float, None or 'auto', got {quantize!r}")
+        quantize = choose_auto_quantize(
+            source_base, source_current, value_col, batch_size=batch_size
+        )
 
     bucketed, sums, na, nb = _distinct_prefix_scan(
         source_base,
@@ -830,7 +895,7 @@ def wasserstein_exact(
     *,
     num_buckets: int = 256,
     batch_size: int = 64 * 1024,
-    quantize: Optional[float] = None,
+    quantize: "Optional[float] | str" = None,
 ) -> "pa.Table":
     """EXACT 1-D Wasserstein-1 (earth-mover) distance between two
     empirical distributions — the magnitude-aware sibling of
@@ -858,13 +923,22 @@ def wasserstein_exact(
     association order of the final sum differs (ROUND 6 absorbs it).
     NULLs drop. ``quantize`` snaps values to the q-grid first with the
     same error envelope as :func:`ks_exact` (each value moves ≤ q/2,
-    so W1 itself moves ≤ q/2 per side). Returns one row:
-    ``(n_base, n_current, emd_value)``.
+    so W1 itself moves ≤ q/2 per side); ``quantize="auto"`` picks the
+    step via :func:`choose_auto_quantize` exactly as in
+    :func:`ks_exact` (bit-exact at or under the distinct threshold).
+    Returns one row: ``(n_base, n_current, emd_value)``.
 
     Reference has no drift machinery (module docstring); net-new.
     """
     import pandas as pd
     import ray
+
+    if isinstance(quantize, str):
+        if quantize != "auto":
+            raise ValueError(f"quantize must be a float, None or 'auto', got {quantize!r}")
+        quantize = choose_auto_quantize(
+            source_base, source_current, value_col, batch_size=batch_size
+        )
 
     bucketed, sums, na, nb = _distinct_prefix_scan(
         source_base,

@@ -253,6 +253,39 @@ def test_ks_exact_quantize_bounds_error_and_distincts(ray_session):
     assert again == quant
 
 
+def test_ks_exact_auto_quantize(ray_session):
+    """quantize='auto' stays BIT-EXACT at or under the distinct
+    threshold (same result as quantize=None) and engages a
+    deterministic grid above it; choose_auto_quantize is the seam."""
+    import pytest as _pytest
+
+    from data_validator_ray.stages.drift import (
+        choose_auto_quantize,
+        ks_exact,
+    )
+
+    rng = np.random.default_rng(29)
+    base = pd.DataFrame({"v": rng.normal(0.0, 1.0, 4000)})
+    cur = pd.DataFrame({"v": rng.normal(0.3, 1.0, 4000)})
+
+    # ~8000 distinct << default threshold -> auto resolves to None
+    assert choose_auto_quantize(base, cur, "v") is None
+    exact = ks_exact(base, cur, "v").to_pylist()[0]
+    auto = ks_exact(base, cur, "v", quantize="auto").to_pylist()[0]
+    assert auto == exact
+
+    # force the over-threshold branch: q is deterministic and the
+    # quantized stat stays within the documented error envelope
+    q1 = choose_auto_quantize(base, cur, "v", distinct_threshold=10)
+    q2 = choose_auto_quantize(base, cur, "v", distinct_threshold=10)
+    assert q1 is not None and q1 == q2
+    quant = ks_exact(base, cur, "v", quantize=q1).to_pylist()[0]
+    assert abs(quant["ks_value"] - exact["ks_value"]) <= 2 * q1 * 0.45
+
+    with _pytest.raises(ValueError):
+        ks_exact(base, cur, "v", quantize="bogus")
+
+
 def test_psi_by_group_slices_and_one_sided_groups(ray_session):
     """A shift confined to one slice must show only in that slice, and
     a group present on one side only gets maximal drift, not a crash."""

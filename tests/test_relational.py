@@ -2535,6 +2535,21 @@ def test_ratio_to_report_null_semantics(ray_session):
     assert out.value_share[4] == 0.5 and out.value_share[5] == 0.5  # NULL key
     assert np.isnan(out.value_share[6])          # all-NULL partition
 
+    # the beyond-broadcast bucketed tier (rows shuffle once, the
+    # driver never holds key sums) is value-identical, NULLs included
+    bucketed = (
+        ratio_to_report(
+            ray.data.from_pandas(df), "k", "v", columns=["id"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        bucketed[out.columns.tolist()], out, check_dtype=False
+    )
+
 
 def test_windowed_aggregate_with_lateness_planted(ray_session):
     """Planted disorder: a row arriving after its key's watermark has
