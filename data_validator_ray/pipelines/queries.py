@@ -3669,6 +3669,55 @@ def q_pipeline_spec_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pipeline_spec_multi_family(sf_dir: str) -> pd.DataFrame:
+    """The spec runner composing FOUR engine families from config —
+    filter → hash join (second input via the spec's ``sources:`` map
+    and a ``$source`` marker) → exact dedup (keep min event_id per
+    user) → daily tumbling-window aggregate — as ONE lazy plan; the
+    oracle chains the same relational algebra in SQL."""
+    from .spec import run_pipeline_spec
+
+    spec = {
+        "sources": {
+            "customer": {
+                "path": f"{sf_dir}/customer.parquet",
+                "columns": ["c_custkey", "c_mktsegment"],
+            }
+        },
+        "steps": [
+            {"op": "filter_expr", "params": {"expr": "value > 10"}},
+            {
+                "op": "hash_join",
+                "params": {
+                    "right": {"$source": "customer"},
+                    "left_key": "user_id",
+                    "right_key": "c_custkey",
+                    "left_cols": ["event_id", "ts", "value"],
+                    "right_cols": ["c_mktsegment"],
+                    "num_buckets": 16,
+                },
+            },
+            {
+                "op": "exact_dedup",
+                "params": {"key": "user_id", "tiebreak": "event_id"},
+            },
+            {
+                "op": "windowed_aggregate",
+                "params": {
+                    "ts_col": "ts",
+                    "value_col": "value",
+                    "key_cols": ["c_mktsegment"],
+                    "window_seconds": 86400,
+                },
+            },
+        ],
+    }
+    out = run_pipeline_spec(spec, f"{sf_dir}/events.parquet").to_pandas()
+    return out.sort_values(
+        ["window_start", "c_mktsegment"]
+    ).reset_index(drop=True)
+
+
 def q_canary_check_documents(sf_dir: str) -> pd.DataFrame:
     """End-to-end canary integrity: three known docs must appear
     exactly once with byte-identical content (md5); one canary is
@@ -5319,6 +5368,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "storage_profile_events": q_storage_profile_events,
         "canary_check_documents": q_canary_check_documents,
         "pipeline_spec_documents": q_pipeline_spec_documents,
+        "pipeline_spec_multi_family": q_pipeline_spec_multi_family,
         "sketch_accuracy_report": q_sketch_accuracy_report,
         "pruning_report_events": q_pruning_report_events,
         "multi_table_summary": q_multi_table_summary,
@@ -6463,6 +6513,23 @@ def oracle_sql() -> Dict[str, str]:
         # same lifecycle, same exact counts — the sharded tier must be
         # value-identical to the broadcast tier
         "incremental_dedup_sharded_orders": _INCREMENTAL_DEDUP_SQL,
+        "pipeline_spec_multi_family": (
+            "WITH f AS (SELECT * FROM events WHERE value > 10), "
+            "j AS (SELECT e.user_id, e.event_id, e.ts, e.value, "
+            "c.c_mktsegment FROM f e "
+            "JOIN customer c ON e.user_id = c.c_custkey), "
+            "d AS (SELECT user_id, event_id, ts, value, c_mktsegment "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY event_id) AS rn FROM j) WHERE rn = 1) "
+            "SELECT time_bucket(INTERVAL 86400 SECONDS, ts) "
+            "AS window_start, c_mktsegment, "
+            "COUNT(*)::BIGINT AS n_events, "
+            "ROUND(SUM(value), 6) AS value_sum, MIN(value) AS value_min, "
+            "MAX(value) AS value_max, ROUND(AVG(value), 6) AS value_avg "
+            "FROM d WHERE ts IS NOT NULL "
+            "GROUP BY window_start, c_mktsegment "
+            "ORDER BY window_start, c_mktsegment"
+        ),
         "pipeline_spec_documents": (
             "SELECT doc_id, source, "
             "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' "

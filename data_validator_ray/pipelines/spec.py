@@ -22,11 +22,30 @@ Spec shape::
 
 Operators register exactly like check kernels (the C1 extension seam):
 ``register_pipeline_op("name")(fn)`` where ``fn(ds, **params) →
-Dataset``. Built-ins cover the row-preserving curation family plus
-relational glue (``select`` / ``rename`` / ``filter_expr`` /
-``limit`` / ``repartition`` / ``write_parquet``). Every stage stays
-lazy — the composed pipeline is ONE streaming Dataset plan; nothing
-materializes until the caller consumes it.
+Dataset``. Built-ins cover the WHOLE engine: the curation family,
+relational ops (joins, windows, ranks, set ops, dedup tiers,
+profilers, text scoring — every registered name in
+:func:`pipeline_ops`), plus glue (``select`` / ``rename`` /
+``filter_expr`` / ``limit`` / ``repartition`` / ``write_parquet``).
+
+Multi-input operators (joins, set ops, decontaminate…) reference
+additional inputs with ``{$source: name}`` anywhere in ``params``;
+names resolve against the spec's top-level ``sources:`` map (``name:
+{path: ..., columns: [...]}``, read as pruned Parquet) or a
+caller-supplied ``sources=`` dict of Datasets::
+
+    sources:
+      customer: {path: /data/customer.parquet, columns: [c_custkey]}
+    steps:
+      - op: hash_join
+        params: {right: {$source: customer}, left_key: user_id,
+                 right_key: c_custkey, left_cols: [event_id],
+                 right_cols: []}
+
+Every stage stays lazy — the composed pipeline is ONE streaming
+Dataset plan; nothing materializes until the caller consumes it.
+Operators that return a ``pyarrow.Table``/pandas frame (the one-shot
+profilers) are wrapped back into a Dataset so steps keep composing.
 """
 
 from __future__ import annotations
@@ -111,15 +130,75 @@ def _ensure_builtins() -> None:
     _PIPELINE_OPS["repartition"] = _repartition
     _PIPELINE_OPS["write_parquet"] = _write_parquet
 
+    # the relational / dedup / profile / text / curation families —
+    # every fn is (source, **params) → Dataset-or-table, so YAML can
+    # compose the whole engine the way the reference's configs drive
+    # its rules. Registered under their library names.
+    from . import curation as _C
+    from . import dedup as _D
+    from . import profile as _P
+    from . import relational as _R
+    from . import text as _T
+    from . import urls as _U
+
+    for _fn in (
+        # relational: joins / windows / ranks / set ops / reshaping
+        _R.hash_join, _R.broadcast_join, _R.asof_join,
+        _R.semi_join_broadcast, _R.anti_join_broadcast, _R.set_op,
+        _R.windowed_aggregate, _R.hopping_window_aggregate,
+        _R.sessionize, _R.running_window, _R.moving_window,
+        _R.global_rank, _R.grouped_top_k, _R.top_k_rows,
+        _R.top_n_plus_other, _R.ratio_to_report, _R.distinct_rows,
+        _R.grouped_quantiles, _R.grouped_exact_quantiles,
+        _R.rollup_aggregate, _R.unpivot, _R.forward_fill,
+        _R.spine_fill, _R.try_cast_columns, _R.regex_extract,
+        _R.regex_extract_all, _R.json_extract, _R.explode_column,
+        _R.grouped_string_agg, _R.anomaly_zscore,
+        # dedup tiers
+        _D.paragraph_dedup, _D.near_dup_dedup,
+        # profilers / encoders
+        _P.top_values, _P.misra_gries_topk, _P.histogram,
+        _P.grouped_stats, _P.standardize_column, _P.quantile_bucketize,
+        _P.label_encode, _P.target_encode, _P.benford_digits,
+        # text scoring
+        _T.quality_stats, _T.quality_score, _T.language_id,
+        _T.text_profile, _T.token_entropy, _T.fingerprint_md5,
+        _T.unigram_logprob, _T.charset_profile,
+        # curation
+        _C.gopher_stats, _C.decontaminate, _C.sample_n,
+        _C.group_sample, _C.linear_classifier_score,
+        _C.remove_duplicated_spans, _C.semantic_dedup,
+        # urls
+        _U.url_dedup, _U.domain_counts,
+    ):
+        _PIPELINE_OPS[_fn.__name__] = _fn
+
+
+def _resolve_sources(obj: Any, resolve: Callable[[str], Dataset]) -> Any:
+    """Recursively replace ``{"$source": name}`` markers in params
+    with the resolved Dataset."""
+    if isinstance(obj, dict):
+        if set(obj.keys()) == {"$source"}:
+            return resolve(obj["$source"])
+        return {k: _resolve_sources(v, resolve) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_resolve_sources(v, resolve) for v in obj]
+    return obj
+
 
 def run_pipeline_spec(
     spec: "Dict[str, Any] | str",
     source: Any,
+    *,
+    sources: Optional[Dict[str, Any]] = None,
 ) -> Dataset:
     """Compose and return the pipeline a spec describes (lazy — the
     caller consumes it). ``spec`` is a dict or a YAML file path with a
-    ``steps:`` list of ``{op, params}``; unknown ops fail loudly with
-    the registered-op list."""
+    ``steps:`` list of ``{op, params}`` and an optional ``sources:``
+    map for multi-input ops (``{$source: name}`` markers in params);
+    ``sources=`` lets the caller inject live Datasets under names.
+    Unknown ops and unknown source names fail loudly with what IS
+    registered."""
     import yaml
 
     from .dedup import _as_dataset
@@ -131,6 +210,31 @@ def run_pipeline_spec(
     steps = spec.get("steps")
     if not isinstance(steps, list) or not steps:
         raise ValueError("spec must contain a non-empty 'steps' list")
+
+    declared: Dict[str, Any] = dict(spec.get("sources") or {})
+    injected: Dict[str, Any] = dict(sources or {})
+    cache: Dict[str, Dataset] = {}
+
+    def resolve(name: str) -> Dataset:
+        if name in cache:
+            return cache[name]
+        if name in injected:
+            ds_ = _as_dataset(injected[name])
+        elif name in declared:
+            entry = declared[name]
+            if isinstance(entry, str):
+                entry = {"path": entry}
+            ds_ = ray.data.read_parquet(
+                entry["path"], columns=entry.get("columns")
+            )
+        else:
+            known = sorted(set(declared) | set(injected))
+            raise ValueError(
+                f"unknown $source {name!r}; declared sources: {known}"
+            )
+        cache[name] = ds_
+        return ds_
+
     ds = _as_dataset(source)
     for i, step in enumerate(steps):
         op = step.get("op")
@@ -139,6 +243,25 @@ def run_pipeline_spec(
                 f"step {i}: unknown pipeline op {op!r}; registered: "
                 f"{pipeline_ops()}"
             )
-        params = step.get("params") or {}
-        ds = _PIPELINE_OPS[op](ds, **params)
+        params = _resolve_sources(step.get("params") or {}, resolve)
+        out = _PIPELINE_OPS[op](ds, **params)
+        ds = _coerce_dataset(out)
     return ds
+
+
+def _coerce_dataset(out: Any) -> Dataset:
+    """Ops that return a one-shot table (profilers) wrap back into a
+    Dataset so subsequent steps keep composing."""
+    if isinstance(out, Dataset):
+        return out
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(out, pa.Table):
+        return ray.data.from_arrow(out)
+    if isinstance(out, pd.DataFrame):
+        return ray.data.from_pandas(out)
+    raise TypeError(
+        f"pipeline op returned {type(out).__name__}; expected a "
+        "Dataset, pyarrow.Table or pandas.DataFrame"
+    )

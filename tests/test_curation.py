@@ -900,3 +900,61 @@ def test_bucketed_ops_survive_empty_shuffle_partitions(ray_session):
     lp = bigram_logprob(tds, max_bigrams=10).to_pandas().sort_values("doc_id")
     assert lp.n_bigrams.tolist() == [3, 1]
     assert (lp.logprob_mean == 0.0).all()  # every conditional is 1.0
+
+
+def test_pipeline_spec_multi_family_and_failures(ray_session, tmp_path):
+    """Joins take a second input via {$source: name}: spec-level
+    sources resolve to pruned Parquet reads, caller-injected Datasets
+    win, unknown names and unknown ops fail loudly with what IS
+    registered; profiler steps (table-returning) re-enter the plan as
+    Datasets."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    import ray as _ray
+
+    from data_validator_ray.pipelines.spec import (
+        pipeline_ops,
+        run_pipeline_spec,
+    )
+
+    # all engine families are composable from config
+    for op in ("hash_join", "windowed_aggregate", "near_dup_dedup",
+               "grouped_stats", "quality_score", "semantic_dedup"):
+        assert op in pipeline_ops()
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3], "v": [10.0, 11.0, 20.0, 30.0]})
+    right = pd.DataFrame({"rk": [1, 2], "tag": ["a", "b"]})
+    rpath = tmp_path / "right.parquet"
+    pq.write_table(pa.Table.from_pandas(right, preserve_index=False), rpath)
+
+    spec = {
+        "sources": {"r": {"path": str(rpath), "columns": ["rk", "tag"]}},
+        "steps": [
+            {"op": "hash_join",
+             "params": {"right": {"$source": "r"}, "left_key": "k",
+                        "right_key": "rk", "left_cols": ["v"],
+                        "right_cols": ["tag"], "num_buckets": 4}},
+        ],
+    }
+    out = run_pipeline_spec(spec, left).to_pandas().sort_values(["k", "v"])
+    assert out.tag.tolist() == ["a", "a", "b"]  # k=3 unmatched drops
+
+    # caller-injected Dataset shadows nothing but resolves by name
+    inj = run_pipeline_spec(
+        {"steps": spec["steps"]}, left,
+        sources={"r": _ray.data.from_pandas(right)},
+    ).to_pandas()
+    assert len(inj) == 3
+
+    with _pytest.raises(ValueError, match="unknown \\$source"):
+        run_pipeline_spec({"steps": spec["steps"]}, left)
+
+    # a profiler step composes with glue after it
+    prof = run_pipeline_spec(
+        {"steps": [
+            {"op": "top_values", "params": {"column": "k", "k": 10}},
+            {"op": "filter_expr", "params": {"expr": "n >= 2"}},
+        ]},
+        left,
+    ).to_pandas()
+    assert prof.value.tolist() == [1] and prof.n.tolist() == [2]
