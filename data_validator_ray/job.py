@@ -42,17 +42,42 @@ def main(argv: "Optional[list[str]]" = None) -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--sources", required=True)
     parser.add_argument("--output")
+    parser.add_argument(
+        "--ray-address",
+        default=None,
+        help=(
+            "Ray cluster address (e.g. 127.0.0.1:6379 or 'auto') to "
+            "attach this driver to an EXISTING cluster — the same "
+            "connection path a `ray job submit` entrypoint uses. "
+            "Default: RAY_ADDRESS env var, else a local session. "
+            "Under `ray job submit` the session already exists and "
+            "init is a no-op either way."
+        ),
+    )
     args = parser.parse_args(argv)
 
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        if args.ray_address:
+            # attach to a running cluster: workers there import this
+            # package via the job's runtime_env working_dir
+            ray.init(
+                address=args.ray_address,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+                runtime_env={
+                    "working_dir": str(Path(__file__).parent.parent),
+                    "excludes": [".git", "tests", "examples", "*.json"],
+                },
+            )
+        else:
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     try:
         report = run_job(args.config, args.sources, args.output)
         if not args.output:
