@@ -73,52 +73,45 @@ def _token_frame(texts_col) -> "tuple[pl.DataFrame, int]":
 
 
 def _gopher_columns(
-    batch: pa.Table, ex: "pl.DataFrame", n: int, text_col: str
+    batch: pa.Table,
+    ex: "pl.DataFrame",
+    n: int,
+    text_col: str,
+    rcv: "Optional[tuple]" = None,
 ) -> Dict[str, pa.Array]:
     """Gopher counter columns for one batch, given its exploded token
-    frame (shared with other kernels in the fused pass)."""
-    # consecutive 2-grams via shifted concat, masked at doc bounds
-    sh = (
-        ex.with_columns(
-            pl.concat_str(
-                [pl.col("t"), pl.col("t").shift(-1)], separator=" "
-            ).alias("sh"),
-            (pl.col("row") == pl.col("row").shift(-1)).alias("ok"),
-        )
-        .filter(pl.col("ok").fill_null(False))
-        .select("row", "sh")
-    )
-    per_sh = sh.group_by("row", "sh").len()
-    agg2 = per_sh.group_by("row").agg(
-        pl.col("len").sum().alias("n_2grams"),
-        pl.len().alias("n_unique_2grams"),
-        pl.col("len").max().alias("top_2gram_count"),
-    )
-    agg1 = ex.group_by("row").agg(
-        pl.len().alias("n_tokens"),
-        pl.col("t").str.len_chars().sum().alias("total_token_chars"),
-    )
-    full = (
-        pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
-        .join(agg1, on="row", how="left")
-        .join(agg2, on="row", how="left")
-        .fill_null(0)
-        .sort("row")
-    )
+    frame (shared with other kernels in the fused pass). ``rcv`` is an
+    optional precomputed :func:`..text._token_codes` factorization so
+    the fused profiles share ONE categorical cast across every counter
+    family; counters are exact code-pair identities (no hashing, no
+    per-pair string allocation) reduced with bincount/unique."""
+    from .text import _pair_counts, _token_codes
+
+    if rcv is None:
+        rcv = _token_codes(ex, row_col="row")
+    r, c, vocab = rcv
+    n_tokens = np.bincount(r, minlength=n).astype(np.int64)
+    if len(vocab):
+        # char lengths computed once per DISTINCT token, gathered back
+        vlen = vocab.str.len_chars().to_numpy().astype(np.float64)
+        tot_chars = np.bincount(
+            r, weights=vlen[c], minlength=n
+        ).astype(np.int64)
+    else:
+        tot_chars = np.zeros(n, np.int64)
+    n2, nu2, top = _pair_counts(r, c, len(vocab), n)
+
     text = pc.fill_null(batch[text_col], "")
     n_chars = pc.utf8_length(text)
     stripped = pc.replace_substring_regex(text, "[^a-z0-9 ]", "")
     n_sym = pc.subtract(n_chars, pc.utf8_length(stripped))
 
-    def col(name):
-        return pa.array(full[name].to_numpy().astype(np.int64), pa.int64())
-
     return {
-        "n_tokens": col("n_tokens"),
-        "n_2grams": col("n_2grams"),
-        "n_unique_2grams": col("n_unique_2grams"),
-        "top_2gram_count": col("top_2gram_count"),
-        "total_token_chars": col("total_token_chars"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_2grams": pa.array(n2, pa.int64()),
+        "n_unique_2grams": pa.array(nu2, pa.int64()),
+        "top_2gram_count": pa.array(top, pa.int64()),
+        "total_token_chars": pa.array(tot_chars, pa.int64()),
         "n_symbol_chars": pc.cast(n_sym, pa.int64()),
     }
 
@@ -1145,29 +1138,27 @@ def full_profile(
     )
 
     def profile(batch: pa.Table) -> pa.Table:
+        from .text import (
+            _row_distinct_counts,
+            _token_codes,
+            _vocab_hit_counts,
+        )
+
         bset = ray.get(bench_ref)
         ex, n = _token_frame(batch[text_col])
 
-        # text tier: stopword/diversity counters + per-lang hits
-        aggs = [
-            pl.col("t").is_in(stop).sum().alias("n_stopwords"),
-            pl.col("t").n_unique().alias("n_unique_tokens"),
-        ] + [
-            pl.col("t").is_in(list(LANG_PROFILES[lang])).sum()
-            .alias(f"hits_{lang}")
-            for lang in LANGS
-        ]
-        tagg = (
-            pl.DataFrame({"row": pl.int_range(0, n, eager=True)})
-            .join(ex.group_by("row").agg(*aggs), on="row", how="left")
-            .fill_null(0)
-            .sort("row")
+        # ONE factorization shared by the text tier, the Gopher
+        # counters and the char sums (word-list membership over the
+        # vocab; per-row reduction via bincount gathers)
+        rcv = _token_codes(ex, row_col="row")
+        r, c, vocab = rcv
+        hits = _vocab_hit_counts(
+            r, c, vocab, n,
+            {"stop": stop,
+             **{lang: list(LANG_PROFILES[lang]) for lang in LANGS}},
         )
-        hit_mat = np.stack(
-            [tagg[f"hits_{lang}"].to_numpy().astype(np.int64)
-             for lang in LANGS],
-            axis=1,
-        )
+        n_unique = _row_distinct_counts(r, c, len(vocab), n)
+        hit_mat = np.stack([hits[lang] for lang in LANGS], axis=1)
         best = np.argmax(hit_mat, axis=1)  # first max → alphabetical
 
         col = batch[text_col]
@@ -1187,12 +1178,8 @@ def full_profile(
         cols = {
             id_col: batch[id_col],
             "n_chars": pc.cast(n_chars, pa.int64()),
-            "n_stopwords": pa.array(
-                tagg["n_stopwords"].to_numpy().astype(np.int64)
-            ),
-            "n_unique_tokens": pa.array(
-                tagg["n_unique_tokens"].to_numpy().astype(np.int64)
-            ),
+            "n_stopwords": pa.array(hits["stop"]),
+            "n_unique_tokens": pa.array(n_unique),
         }
         for li, lang in enumerate(LANGS):
             cols[f"hits_{lang}"] = pa.array(hit_mat[:, li], pa.int64())
@@ -1200,7 +1187,7 @@ def full_profile(
             np.array(LANGS, dtype=object)[best], pa.string()
         )
         cols["fingerprint"] = pa.array(digests, pa.string())
-        cols.update(_gopher_columns(batch, ex, n, text_col))
+        cols.update(_gopher_columns(batch, ex, n, text_col, rcv=rcv))
         cols.update(pii_counts)
         cols.update(_decontam_columns(ex, n, bset, ngram))
         return pa.table(cols)

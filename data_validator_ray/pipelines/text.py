@@ -80,6 +80,99 @@ def _reindex(agg: "pl.DataFrame", n: int) -> "pl.DataFrame":
     )
 
 
+def _token_codes(
+    ex: "pl.DataFrame", row_col: str = "doc"
+) -> "tuple[np.ndarray, np.ndarray, pl.Series]":
+    """Factorize the exploded token frame ONCE per batch: ``(row
+    indices, int64 token codes, vocab Series in code order)``. EXACT
+    token identity (a batch-local categorical rev-map, no hashing), so
+    every counter built on codes is byte-identical to its string
+    sibling — and membership sweeps / length sums run over the VOCAB
+    (per-batch distinct tokens) instead of every exploded token, with
+    per-row aggregation reduced to ``np.bincount`` gathers."""
+    cs = ex["t"].cast(pl.Categorical)
+    c = cs.to_physical().to_numpy().astype(np.int64)
+    r = ex[row_col].to_numpy().astype(np.int64)
+    return r, c, cs.cat.get_categories()
+
+
+def _vocab_hit_counts(
+    r: np.ndarray,
+    c: np.ndarray,
+    vocab: "pl.Series",
+    n: int,
+    word_lists: "dict[str, list]",
+) -> "dict[str, np.ndarray]":
+    """Per-row counts of tokens in each word list: one vocab-sized
+    ``is_in`` per list + one weighted bincount gather — O(V + E) per
+    list instead of an O(E)-string ``is_in`` over the exploded frame."""
+    if len(vocab) == 0:
+        return {k: np.zeros(n, np.int64) for k in word_lists}
+    out = {}
+    for name, wl in word_lists.items():
+        flag = vocab.is_in(wl).to_numpy().astype(np.float64)
+        out[name] = np.bincount(
+            r, weights=flag[c], minlength=n
+        ).astype(np.int64)
+    return out
+
+
+def _row_distinct_counts(
+    r: np.ndarray, c: np.ndarray, n_vocab: int, n: int
+) -> np.ndarray:
+    """Distinct tokens per row: ONE single-key ``np.unique`` over
+    ``row·V + code`` (row·V stays well under 2^63 — V ≤ exploded
+    tokens per batch, row < batch rows)."""
+    if n_vocab == 0 or len(r) == 0:
+        return np.zeros(n, np.int64)
+    V = np.int64(n_vocab)
+    uk = np.unique(r * V + c)
+    return np.bincount(uk // V, minlength=n).astype(np.int64)
+
+
+def _pair_counts(
+    r: np.ndarray, c: np.ndarray, n_vocab: int, n: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Consecutive-2-gram counters per row from token codes — ``(
+    n_2grams, n_unique_2grams, top_2gram_count)``. Pairs are masked at
+    row bounds; identity is the exact code pair (no hashing). Fast
+    path: ONE single-key ``np.unique`` over ``row·V² + c1·V + c2``;
+    when that key could overflow int64 (huge batch × huge vocab) it
+    falls back to a two-key lexsort — same counts either way."""
+    z = np.zeros(n, np.int64)
+    if len(r) < 2 or n_vocab == 0:
+        return z, z.copy(), z.copy()
+    V = np.int64(n_vocab)
+    same = r[:-1] == r[1:]
+    pr = r[:-1][same]
+    if len(pr) == 0:
+        return z, z.copy(), z.copy()
+    c1, c2 = c[:-1][same], c[1:][same]
+    n2 = np.bincount(pr, minlength=n).astype(np.int64)
+    if int(n) * int(V) * int(V) < (1 << 62):
+        key = pr * (V * V) + c1 * V + c2
+        uk, cnt = np.unique(key, return_counts=True)
+        urow = (uk // (V * V)).astype(np.int64)
+    else:  # pragma: no cover — needs ~10^9 V·n product
+        pp = c1 * V + c2
+        o = np.lexsort((pp, pr))
+        pr_s, pp_s = pr[o], pp[o]
+        new = np.empty(len(pr_s), bool)
+        new[0] = True
+        new[1:] = (pr_s[1:] != pr_s[:-1]) | (pp_s[1:] != pp_s[:-1])
+        st = np.flatnonzero(new)
+        cnt = np.diff(np.append(st, len(pr_s)))
+        urow = pr_s[st]
+    nu2 = np.bincount(urow, minlength=n).astype(np.int64)
+    top = np.zeros(n, np.int64)
+    newr = np.empty(len(urow), bool)
+    newr[0] = True
+    newr[1:] = urow[1:] != urow[:-1]
+    rst = np.flatnonzero(newr)
+    top[urow[rst]] = np.maximum.reduceat(cnt, rst)
+    return n2, nu2, top
+
+
 def quality_stats(
     source: Any,
     id_col: str = "doc_id",
@@ -367,20 +460,18 @@ def text_profile(
 
     def profile(batch: pa.Table) -> pa.Table:
         ex, n = _exploded_tokens(batch[text_col])
-        aggs = [
-            pl.len().alias("n_tokens"),
-            pl.col("t").is_in(stop).sum().alias("n_stopwords"),
-            pl.col("t").n_unique().alias("n_unique_tokens"),
-        ] + [
-            pl.col("t").is_in(list(LANG_PROFILES[lang])).sum().alias(f"hits_{lang}")
-            for lang in LANGS
-        ]
-        out = _reindex(ex.group_by("doc").agg(*aggs), n)
-
-        hit_mat = np.stack(
-            [out[f"hits_{lang}"].to_numpy().astype(np.int64) for lang in LANGS],
-            axis=1,
+        # ONE factorization; per-row counters are bincount gathers and
+        # word-list membership runs over the vocab, not every token
+        r, c, vocab = _token_codes(ex)
+        n_tokens = np.bincount(r, minlength=n).astype(np.int64)
+        hits = _vocab_hit_counts(
+            r, c, vocab, n,
+            {"stop": stop,
+             **{lang: list(LANG_PROFILES[lang]) for lang in LANGS}},
         )
+        n_unique = _row_distinct_counts(r, c, len(vocab), n)
+
+        hit_mat = np.stack([hits[lang] for lang in LANGS], axis=1)
         best = np.argmax(hit_mat, axis=1)  # first max → alphabetical tie-break
 
         col = batch[text_col]
@@ -399,11 +490,9 @@ def text_profile(
         cols = {
             id_col: batch[id_col],
             "n_chars": pc.cast(n_chars, pa.int64()),
-            "n_tokens": pa.array(out["n_tokens"].to_numpy().astype(np.int64)),
-            "n_stopwords": pa.array(out["n_stopwords"].to_numpy().astype(np.int64)),
-            "n_unique_tokens": pa.array(
-                out["n_unique_tokens"].to_numpy().astype(np.int64)
-            ),
+            "n_tokens": pa.array(n_tokens),
+            "n_stopwords": pa.array(hits["stop"]),
+            "n_unique_tokens": pa.array(n_unique),
         }
         for li, lang in enumerate(LANGS):
             cols[f"hits_{lang}"] = pa.array(hit_mat[:, li], pa.int64())
