@@ -558,6 +558,44 @@ def q_knn_graph_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_knn_join_embeddings(sf_dir: str) -> pd.DataFrame:
+    """EXACT cross-table cosine top-5 JOIN (retrieval / hard-negative
+    mining shape): queries = vec_id % 29 = 0 rows, corpus = the rest —
+    asymmetric block join where the corpus side ships ONCE and only
+    the (small) query side replicates; candidates merge to the global
+    top-k in a query-bucketed shuffle. Integer-only output; ties
+    broken (score DESC, neighbor_id ASC)."""
+    import pyarrow.compute as _pc
+
+    from .similarity import knn_join
+
+    def side(is_query: bool):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return ds.map_batches(
+            lambda b, q=is_query: b.filter(
+                _pc.equal(
+                    _pc.equal(
+                        _pc.subtract(
+                            b["vec_id"],
+                            _pc.multiply(_pc.divide(b["vec_id"], 29), 29),
+                        ),
+                        0,
+                    ),
+                    q,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = knn_join(
+        side(True), side(False), k=5, n_blocks=4, num_buckets=8
+    ).to_pandas()
+    out = out[["query_id", "rank", "neighbor_id"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_knn_graph_clustered_embeddings(sf_dir: str) -> pd.DataFrame:
     """Approximate k-NN graph at the cluster-bucketed scale tier
     (rows-only: neighbors restricted to probed clusters; recall < 1 by
@@ -5224,6 +5262,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs_blocked": q_embedding_cosine_pairs_blocked,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "knn_brute_embeddings": q_knn_brute_embeddings,
+        "knn_join_embeddings": q_knn_join_embeddings,
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "knn_graph_clustered_embeddings": q_knn_graph_clustered_embeddings,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
@@ -5746,6 +5785,20 @@ def oracle_sql() -> Dict[str, str]:
             "      ) AS rank FROM s) "
             "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
             "FROM r WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
+        "knn_join_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "           FROM embeddings WHERE vec_id % 29 = 0), "
+            "c AS (SELECT vec_id, embedding FROM embeddings "
+            "      WHERE vec_id % 29 != 0), "
+            "s AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+            "             list_cosine_similarity(q.qe, c.embedding) AS cos "
+            "      FROM q, c), "
+            "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC"
+            "      ) AS rank FROM s) "
+            "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
+            "FROM r WHERE rank <= 5 ORDER BY query_id, rank"
         ),
         "knn_graph_embeddings": (
             "WITH s AS (SELECT a.vec_id AS query_id, "

@@ -132,16 +132,20 @@ def _group_topk(
     k: int,
     *,
     chunk: int = 2048,
+    exclude_ids: bool = True,
 ) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
     """Exact top-k cosine neighbors of each L row within R (self-id
-    excluded), chunked so peak memory is chunk × |R|, never |L| × |R|.
+    excluded when ``exclude_ids`` — the self-join convention; a
+    cross-table join keeps equal ids), chunked so peak memory is
+    chunk × |R|, never |L| × |R|.
     Returns (query_id, rank, neighbor_id, score) arrays with the
     deterministic (score DESC, neighbor_id ASC) tie-break."""
     qs, rks, nbs, scs = [], [], [], []
     for s0 in range(0, len(Ln), chunk):
         s1 = min(s0 + chunk, len(Ln))
         sims = Ln[s0:s1] @ Rn.T  # (c, R)
-        sims[l_ids[s0:s1, None] == r_ids[None, :]] = -np.inf
+        if exclude_ids:
+            sims[l_ids[s0:s1, None] == r_ids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = np.repeat(np.arange(s1 - s0), kk)
@@ -249,6 +253,156 @@ def knn_graph_exact(
         replicate, batch_format="pyarrow", batch_size=batch_size
     )
     return rep.groupby("__g").map_groups(per_group, batch_format="pyarrow")
+
+
+def knn_join(
+    left: Any,
+    right: Any,
+    *,
+    left_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    right_id_col: str = "vec_id",
+    right_vec_col: str = "embedding",
+    k: int = 10,
+    n_blocks: int = 4,
+    num_buckets: int = 32,
+    exclude_same_id: bool = False,
+    batch_size: int = 4096,
+) -> Dataset:
+    """EXACT cross-table cosine top-k JOIN: every LEFT row gets its
+    true top-k neighbors from the RIGHT table — the retrieval /
+    hard-negative-mining / eval-contamination shape where queries and
+    corpus are different datasets (:func:`knn_brute` broadcasts an
+    in-memory query matrix; :func:`knn_graph_exact` is the self-join).
+    Output ``(query_id, rank, neighbor_id, score)``, deterministic
+    (score DESC, neighbor_id ASC) tie-break; ``exclude_same_id`` opts
+    into the self-join id exclusion when both tables share an id space.
+
+    Scale shape — asymmetric block join, RIGHT never replicates: right
+    rows ship ONCE to ``hash(id) % n_blocks`` groups; left rows
+    replicate to every group (exchange = right×1 + left×n_blocks
+    normalized float64 vectors — put the BIG side on the right). Each
+    group computes chunked-rectangle partial top-k (peak memory
+    chunk × |right block|), then ONE query-bucketed shuffle of the
+    ≤ |left|·n_blocks·k candidate rows merges exact global top-k per
+    query. No full-table broadcast exists at any point."""
+    from .dedup import hash64
+
+    def rep_left(batch: pa.Table) -> pa.Table:
+        ids = batch[left_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _embedding_matrix(batch, left_vec_col)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        n, d = Mn.shape if Mn.size else (len(ids), 1)
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(Mn.reshape(-1), n_blocks), pa.float64()), d
+        )
+        return pa.table(
+            {
+                "__id": pa.array(np.tile(ids, n_blocks), pa.int64()),
+                "__v": fsl,
+                "__g": pa.array(
+                    np.repeat(np.arange(n_blocks, dtype=np.int64), n)
+                ),
+                "__left": pa.array(np.ones(n * n_blocks, np.bool_)),
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        ids = batch[right_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _embedding_matrix(batch, right_vec_col)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        n, d = Mn.shape if Mn.size else (len(ids), 1)
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(Mn).reshape(-1), pa.float64()), d
+        )
+        return pa.table(
+            {
+                "__id": pa.array(ids, pa.int64()),
+                "__v": fsl,
+                "__g": pa.array(
+                    (hash64(ids) % np.uint64(n_blocks)).astype(np.int64)
+                ),
+                "__left": pa.array(np.zeros(n, np.bool_)),
+            }
+        )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        ids = group["__id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Mn = _embedding_matrix(group, "__v")
+        is_l = group["__left"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ids, kind="stable")  # layout-independent
+        ids, Mn, is_l = ids[o], Mn[o], is_l[o]
+        if not is_l.any() or is_l.all():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        q, _, nb, sc = _group_topk(
+            Mn[is_l], ids[is_l], Mn[~is_l], ids[~is_l], k,
+            exclude_ids=exclude_same_id,
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(q, pa.int64()),
+                "neighbor_id": pa.array(nb, pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+    def add_qbucket(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        b = (hash64(q) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__qb", pa.array(b, pa.int64()))
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        nb = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        sc = g["score"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        o = np.lexsort((nb, -sc, q))
+        q, nb, sc = q[o], nb[o], sc[o]
+        new_q = np.empty(len(q), bool)
+        new_q[0] = True
+        new_q[1:] = q[1:] != q[:-1]
+        idx = np.arange(len(q), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(new_q, idx, 0))
+        rk = idx - seg + 1
+        keep = rk <= k
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "rank": pa.array(rk[keep], pa.int64()),
+                "neighbor_id": pa.array(nb[keep], pa.int64()),
+                "score": pa.array(np.round(sc[keep], 6), pa.float64()),
+            }
+        )
+
+    l_ds = _as_dataset(left, columns=[left_id_col, left_vec_col])
+    r_ds = _as_dataset(right, columns=[right_id_col, right_vec_col])
+    tagged = l_ds.map_batches(
+        rep_left, batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        r_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=batch_size)
+    )
+    cands = tagged.groupby("__g").map_groups(
+        per_group, batch_format="pyarrow"
+    )
+    return (
+        cands.map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("__qb")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
 
 
 def knn_graph_clustered(

@@ -728,3 +728,61 @@ def test_embedding_mean_drift_planted(ray_session):
     ).iloc[0]
     assert d.n_b == 59
     assert d.mean_l2_dist > 2.5  # dominated by the planted +3 shift
+
+
+def test_knn_join_matches_numpy_truth(ray_session, vec_df):
+    """Cross-table top-k join: numpy ground truth, block-count
+    invariance, k > |right| truncation, and the exclude_same_id knob."""
+    df, M = vec_df
+    left = df[df.vec_id % 7 == 0].reset_index(drop=True)
+    right = df[df.vec_id % 7 != 0].reset_index(drop=True)
+
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    li = left.vec_id.to_numpy()
+    ri = right.vec_id.to_numpy()
+    sims = Mn[li] @ Mn[ri].T
+
+    def truth(k):
+        rows = []
+        for qi, q in enumerate(li):
+            order = np.lexsort((ri, -sims[qi]))
+            for rank, j in enumerate(order[:k], 1):
+                rows.append((q, rank, ri[j]))
+        return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+
+    for n_blocks in (1, 4):
+        got = (
+            S.knn_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                k=5, n_blocks=n_blocks, num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["query_id", "rank", "neighbor_id"]].astype("int64"),
+            truth(5).astype("int64"),
+        )
+
+    # k > |right|: every query gets exactly |right| neighbors
+    tiny = right.head(3)
+    got = S.knn_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(tiny),
+        k=10, n_blocks=4, num_buckets=4,
+    ).to_pandas()
+    assert (got.groupby("query_id")["rank"].max() == 3).all()
+    assert len(got) == 3 * len(left)
+
+    # shared id space: exclude_same_id drops the identity match
+    self_joined = S.knn_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(left),
+        k=1, n_blocks=2, num_buckets=4, exclude_same_id=True,
+    ).to_pandas()
+    assert (self_joined.query_id != self_joined.neighbor_id).all()
+    kept = S.knn_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(left),
+        k=1, n_blocks=2, num_buckets=4,
+    ).to_pandas()
+    # without exclusion the nearest neighbor of a vector is itself
+    assert (kept.query_id == kept.neighbor_id).all()
