@@ -565,9 +565,16 @@ def q_knn_join_embeddings(sf_dir: str) -> pd.DataFrame:
     the (small) query side replicates; candidates merge to the global
     top-k in a query-bucketed shuffle. Integer-only output; ties
     broken (score DESC, neighbor_id ASC)."""
-    import pyarrow.compute as _pc
-
     from .similarity import knn_join
+
+    left, right = _knn_join_sides(sf_dir)
+    out = knn_join(left, right, k=5, n_blocks=4, num_buckets=8).to_pandas()
+    out = out[["query_id", "rank", "neighbor_id"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _knn_join_sides(sf_dir: str):
+    import pyarrow.compute as _pc
 
     def side(is_query: bool):
         ds = ray.data.read_parquet(
@@ -589,9 +596,28 @@ def q_knn_join_embeddings(sf_dir: str) -> pd.DataFrame:
             batch_format="pyarrow",
         )
 
-    out = knn_join(
-        side(True), side(False), k=5, n_blocks=4, num_buckets=8
-    ).to_pandas()
+    return side(True), side(False)
+
+
+def q_knn_join_ivf_fullprobe_embeddings(sf_dir: str) -> pd.DataFrame:
+    """The streaming IVF tier of the k-NN join at FULL probe — exact
+    by construction, so the whole actor-pool machinery (index build,
+    LRU cluster cache, per-batch probe-sharing, in-batch final top-k)
+    pins to the SAME cross-join SQL oracle as the exact tier."""
+    import shutil
+    import tempfile
+
+    from .similarity import knn_join_ivf
+
+    left, right = _knn_join_sides(sf_dir)
+    work = tempfile.mkdtemp(prefix="graft_knnjoin_ivf_", dir="/tmp")
+    try:
+        out = knn_join_ivf(
+            left, right, k=5, n_centroids=8, nprobe=8,
+            concurrency=2, index_dir=f"{work}/idx",
+        ).to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     out = out[["query_id", "rank", "neighbor_id"]].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
@@ -5263,6 +5289,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "knn_brute_embeddings": q_knn_brute_embeddings,
         "knn_join_embeddings": q_knn_join_embeddings,
+        "knn_join_ivf_fullprobe_embeddings": q_knn_join_ivf_fullprobe_embeddings,
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "knn_graph_clustered_embeddings": q_knn_graph_clustered_embeddings,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
@@ -5786,20 +5813,9 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
             "FROM r WHERE rank <= 10 ORDER BY query_id, rank"
         ),
-        "knn_join_embeddings": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
-            "           FROM embeddings WHERE vec_id % 29 = 0), "
-            "c AS (SELECT vec_id, embedding FROM embeddings "
-            "      WHERE vec_id % 29 != 0), "
-            "s AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
-            "             list_cosine_similarity(q.qe, c.embedding) AS cos "
-            "      FROM q, c), "
-            "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
-            "        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC"
-            "      ) AS rank FROM s) "
-            "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
-            "FROM r WHERE rank <= 5 ORDER BY query_id, rank"
-        ),
+        "knn_join_embeddings": _KNN_JOIN_SQL,
+        # full probe is exact — the IVF actor-pool tier shares the oracle
+        "knn_join_ivf_fullprobe_embeddings": _KNN_JOIN_SQL,
         "knn_graph_embeddings": (
             "WITH s AS (SELECT a.vec_id AS query_id, "
             "b.vec_id AS neighbor_id, "
@@ -8346,6 +8362,21 @@ _TRANSFORM_RUNNER_SQL = _GOPHER_BASE.replace("WITH base", "WITH ranked AS ("
     " )::BIGINT AS rows_out"
     " FROM g JOIN ranked r ON g.doc_id = r.doc_id"
     " GROUP BY 1 ORDER BY 1"
+)
+
+_KNN_JOIN_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+    "           FROM embeddings WHERE vec_id % 29 = 0), "
+    "c AS (SELECT vec_id, embedding FROM embeddings "
+    "      WHERE vec_id % 29 != 0), "
+    "s AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+    "             list_cosine_similarity(q.qe, c.embedding) AS cos "
+    "      FROM q, c), "
+    "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+    "        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC"
+    "      ) AS rank FROM s) "
+    "SELECT query_id, rank::BIGINT AS rank, neighbor_id "
+    "FROM r WHERE rank <= 5 ORDER BY query_id, rank"
 )
 
 _KS_EVENTS_SPLIT_SQL = (

@@ -405,6 +405,189 @@ def knn_join(
     )
 
 
+class _IVFJoinActor:
+    """Stateful probe stage for :func:`knn_join_ivf`: centroids load
+    ONCE per actor in ``__init__`` and probed cluster shards cache in a
+    bounded LRU, so a long-running query stream amortizes index IO
+    across batches (the actor-pool pattern — setup per actor, work per
+    batch). Each batch completes its own exact top-k (queries are
+    batch-local), so there is NO post-shuffle."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        id_col: str,
+        vec_col: str,
+        k: int,
+        nprobe: int,
+        max_cached_clusters: int,
+    ):
+        from collections import OrderedDict
+        from pathlib import Path as _P
+
+        self.dir = _P(index_dir)
+        C = np.load(self.dir / "_centroids.npy")
+        self.Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+        )
+        self.id_col, self.vec_col = id_col, vec_col
+        self.k, self.nprobe = int(k), int(nprobe)
+        self.max_cached = int(max_cached_clusters)
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+    def _cluster(self, c: int):
+        import pyarrow.parquet as _pq
+
+        if c in self._cache:
+            self._cache.move_to_end(c)
+            return self._cache[c]
+        d = self.dir / f"cluster={c}"
+        if not d.is_dir():
+            val = (np.zeros(0, np.int64), np.zeros((0, 1), np.float64))
+        else:
+            tabs = [_pq.read_table(f) for f in sorted(d.glob("*.parquet"))]
+            t = pa.concat_tables(tabs) if tabs else None
+            if t is None or t.num_rows == 0:
+                val = (np.zeros(0, np.int64), np.zeros((0, 1), np.float64))
+            else:
+                ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                M = _embedding_matrix(t, self.vec_col)
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+                )
+                val = (ids, Mn)
+        self._cache[c] = val
+        while len(self._cache) > self.max_cached:
+            self._cache.popitem(last=False)
+        return val
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["__qid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Qn = _embedding_matrix(batch, "__qv")
+        if len(qids) == 0:
+            return _empty_knn_table()
+        nprobe = min(self.nprobe, len(self.Cn))
+        probe = np.argsort(-(Qn @ self.Cn.T), axis=1)[:, :nprobe]
+        qs, nbs, scs = [], [], []
+        for c in sorted(set(probe.reshape(-1).tolist())):
+            ids_c, Mn_c = self._cluster(int(c))
+            if len(ids_c) == 0:
+                continue
+            qi = np.flatnonzero((probe == c).any(axis=1))
+            q, _, nb, sc = _group_topk(
+                Qn[qi], qids[qi], Mn_c, ids_c, self.k, exclude_ids=False
+            )
+            qs.append(q), nbs.append(nb), scs.append(sc)
+        if not qs:
+            return _empty_knn_table()
+        q = np.concatenate(qs)
+        nb = np.concatenate(nbs)
+        sc = np.concatenate(scs)
+        o = np.lexsort((nb, -sc, q))
+        q, nb, sc = q[o], nb[o], sc[o]
+        new_q = np.empty(len(q), bool)
+        new_q[0] = True
+        new_q[1:] = q[1:] != q[:-1]
+        idx = np.arange(len(q), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(new_q, idx, 0))
+        rk = idx - seg + 1
+        keep = rk <= self.k
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "rank": pa.array(rk[keep], pa.int64()),
+                "neighbor_id": pa.array(nb[keep], pa.int64()),
+                "score": pa.array(np.round(sc[keep], 6), pa.float64()),
+            }
+        )
+
+
+def _empty_knn_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+
+def knn_join_ivf(
+    left: Any,
+    right: Any,
+    *,
+    left_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    right_id_col: str = "vec_id",
+    right_vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    concurrency: int = 4,
+    max_cached_clusters: int = 64,
+    batch_size: int = 4096,
+    index_dir: "str | Path | None" = None,
+) -> Dataset:
+    """The SCALE tier of :func:`knn_join`: queries stream as a Dataset
+    through an IVF index of the right corpus — both sides unbounded.
+    The index builds once (hive ``cluster=N/`` dirs, reused via
+    ``index_dir``); an ACTOR POOL (`concurrency` actors) holds the
+    centroid matrix and an LRU of cluster shards, so each query batch
+    reads only its probed clusters and repeat probes hit the cache.
+    Each batch finishes its own exact top-k over probed candidates —
+    queries never shuffle and the corpus never broadcasts.
+
+    Approximate exactly like :func:`knn_ivf` (recall = probe
+    coverage); ``nprobe = n_centroids`` is EXACT and must equal
+    :func:`knn_join` (pinned by the full-probe oracle query). Output
+    ``(query_id, rank, neighbor_id, score)``."""
+    from pathlib import Path as _P
+
+    idx = _P(index_dir) if index_dir is not None else _P(
+        default_ivf_dir(right, n_centroids)
+    )
+    if not (idx / "_centroids.npy").exists():
+        build_ivf_index(
+            right, idx, id_col=right_id_col, vec_col=right_vec_col,
+            n_centroids=n_centroids, batch_size=batch_size,
+        )
+
+    def norm_queries(batch: pa.Table) -> pa.Table:
+        ids = batch[left_id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        M = _embedding_matrix(batch, left_vec_col)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        n, d = Mn.shape if Mn.size else (len(ids), 1)
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(Mn).reshape(-1), pa.float64()), d
+        )
+        return pa.table(
+            {"__qid": pa.array(ids, pa.int64()), "__qv": fsl}
+        )
+
+    l_ds = _as_dataset(left, columns=[left_id_col, left_vec_col])
+    return l_ds.map_batches(
+        norm_queries, batch_format="pyarrow", batch_size=batch_size
+    ).map_batches(
+        _IVFJoinActor,
+        fn_constructor_kwargs={
+            "index_dir": str(idx),
+            "id_col": right_id_col,
+            "vec_col": right_vec_col,
+            "k": k,
+            "nprobe": nprobe,
+            "max_cached_clusters": max_cached_clusters,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def knn_graph_clustered(
     source: Any,
     *,

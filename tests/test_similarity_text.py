@@ -786,3 +786,48 @@ def test_knn_join_matches_numpy_truth(ray_session, vec_df):
     ).to_pandas()
     # without exclusion the nearest neighbor of a vector is itself
     assert (kept.query_id == kept.neighbor_id).all()
+
+
+def test_knn_join_ivf_fullprobe_equals_exact(ray_session, vec_df, tmp_path):
+    """nprobe = n_centroids makes the IVF join tier EXACT — it must
+    equal knn_join; a partial probe keeps high recall on this data."""
+    df, M = vec_df
+    left = df[df.vec_id % 7 == 0].reset_index(drop=True)
+    right = df[df.vec_id % 7 != 0].reset_index(drop=True)
+
+    exact = (
+        S.knn_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            k=5, n_blocks=2, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    full = (
+        S.knn_join_ivf(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            k=5, n_centroids=4, nprobe=4, concurrency=2,
+            index_dir=str(tmp_path / "idx"),
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        full[["query_id", "rank", "neighbor_id"]],
+        exact[["query_id", "rank", "neighbor_id"]],
+    )
+
+    part = (
+        S.knn_join_ivf(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            k=5, n_centroids=4, nprobe=2, concurrency=2,
+            index_dir=str(tmp_path / "idx"),  # reuse the built index
+        )
+        .to_pandas()
+    )
+    a = set(map(tuple, part[["query_id", "neighbor_id"]].to_numpy()))
+    b = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(a & b) / len(b)
+    assert recall >= 0.6, recall
