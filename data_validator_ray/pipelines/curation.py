@@ -1203,6 +1203,114 @@ def full_profile(
 # --------------------------------------------------------------------------- #
 
 
+def fit_linear_classifier(
+    source: Any,
+    feature_cols: List[str],
+    label_col: str,
+    *,
+    n_iters: int = 8,
+    l2: float = 1e-6,
+    batch_size: int = 64 * 1024,
+) -> dict:
+    """Distributed logistic-regression FIT — the training half of the
+    CCNet-style quality-classifier loop (:func:`linear_classifier_score`
+    scores; this learns the weights from a labeled seed set, e.g.
+    "wiki-like vs random-crawl" docs). Iteratively reweighted least
+    squares (Newton): per iteration ONE streaming pass reduces each
+    batch to the d×d mergeable normal-equation partials
+
+        H = Σ xᵢ p(1−p) xᵢᵀ      g = Σ xᵢ (yᵢ − p)
+
+    (d = features+1 incl. intercept — bytes per batch are d², never
+    rows), the driver sums partials and solves the d×d system. 8
+    Newton iterations reach machine-precision MLE on separable-ish
+    data; ``l2`` ridge keeps H invertible (and bounds weights on
+    perfectly separable labels). Rows with any NULL feature/label
+    drop (count reported). Deterministic: float64 partials, fixed
+    iteration count, partition-order-independent sums up to float
+    addition order (stable to ~1e-9 — results round to 6).
+
+    Returns ``{weights, bias, n_rows, n_dropped, log_loss, n_iters}``
+    (weights/bias/log_loss rounded to 6; feed weights+bias straight
+    into :func:`linear_classifier_score`). Iterative + non-SQL →
+    rows-only oracle class (determinism + planted-weights recovery
+    pinned by tests)."""
+    d = len(feature_cols) + 1  # + intercept
+    cols = list(feature_cols) + [label_col]
+    ds = _as_dataset(source, columns=cols)
+
+    def make_partials(w_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            w = ray.get(w_ref)
+            X = np.column_stack(
+                [
+                    pc.cast(batch[c], pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    for c in feature_cols
+                ]
+            )
+            y = pc.cast(batch[label_col], pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            ok = ~(np.isnan(X).any(axis=1) | np.isnan(y))
+            X, y = X[ok], y[ok]
+            n, dropped = len(y), int((~ok).sum())
+            Xb = np.column_stack([X, np.ones(n)])
+            z = Xb @ w
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p * (1.0 - p)
+            H = (Xb * r[:, None]).T @ Xb  # d×d
+            g = Xb.T @ (y - p)  # d
+            with np.errstate(divide="ignore"):
+                ll = -np.sum(
+                    np.where(y > 0.5, np.log(np.maximum(p, 1e-300)),
+                             np.log(np.maximum(1.0 - p, 1e-300)))
+                )
+            flat = np.concatenate(
+                [H.reshape(-1), g, [float(n), float(dropped), ll]]
+            )
+            return pa.table(
+                {
+                    "p": pa.array(flat, pa.float64()),
+                    "i": pa.array(np.arange(len(flat), dtype=np.int64)),
+                }
+            )
+
+        return partials
+
+    w = np.zeros(d, np.float64)
+    n_rows = n_dropped = 0
+    loss = float("nan")
+    for _ in range(int(n_iters)):
+        w_ref = ray.put(w)
+        acc = np.zeros(d * d + d + 3, np.float64)
+        for b in ds.map_batches(
+            make_partials(w_ref), batch_format="pyarrow",
+            batch_size=batch_size,
+        ).iter_batches(batch_format="pyarrow"):
+            # order-independent merge: scatter-add by index
+            np.add.at(
+                acc,
+                b["i"].to_numpy(zero_copy_only=False),
+                b["p"].to_numpy(zero_copy_only=False),
+            )
+        H = acc[: d * d].reshape(d, d) + np.eye(d) * float(l2)
+        g = acc[d * d : d * d + d] - float(l2) * w
+        n_rows = int(acc[-3])
+        n_dropped = int(acc[-2])
+        loss = float(acc[-1])
+        w = w + np.linalg.solve(H, g)
+    return {
+        "weights": [round(float(x), 6) for x in w[:-1]],
+        "bias": round(float(w[-1]), 6),
+        "n_rows": n_rows,
+        "n_dropped": n_dropped,
+        "log_loss": round(loss / max(n_rows, 1), 6),
+        "n_iters": int(n_iters),
+    }
+
+
 def linear_classifier_score(
     source: Any,
     feature_cols: List[str],

@@ -3618,6 +3618,61 @@ def q_incremental_dedup_sharded_orders(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_fit_classifier_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed logistic-regression FIT (IRLS — one streaming pass
+    of d×d normal-equation partials per Newton iteration) on a
+    deterministic planted rule: label = (value > 50) XOR (event_id %
+    5 = 0) — a noisy linear signal on `value` plus a nuisance feature
+    that must get ~0 weight. Iterative + non-SQL → rows-only; the
+    output is deterministic (fixed iterations, float64 partials,
+    scatter-add merge) so the hash check pins it run-to-run."""
+    import pyarrow.compute as _pc
+
+    from .curation import fit_linear_classifier
+
+    def labeled():
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "value"],
+        )
+
+        def add_label(b: pa.Table) -> pa.Table:
+            hot = _pc.greater(_pc.coalesce(b["value"], -1e9), 50.0)
+            flip = _pc.equal(
+                _pc.subtract(
+                    b["event_id"],
+                    _pc.multiply(_pc.divide(b["event_id"], 5), 5),
+                ),
+                0,
+            )
+            y = _pc.cast(_pc.xor(hot, flip), pa.float64())
+            nuis = _pc.cast(
+                _pc.subtract(
+                    b["user_id"],
+                    _pc.multiply(_pc.divide(b["user_id"], 100), 100),
+                ),
+                pa.float64(),
+            )
+            return pa.table(
+                {"value": b["value"], "nuisance": nuis, "y": y}
+            )
+
+        return ds.map_batches(add_label, batch_format="pyarrow")
+
+    fit = fit_linear_classifier(
+        labeled(), ["value", "nuisance"], "y", n_iters=6
+    )
+    return pd.DataFrame(
+        {
+            "w_value": pd.array([fit["weights"][0]], dtype="float64"),
+            "w_nuisance": pd.array([fit["weights"][1]], dtype="float64"),
+            "bias": pd.array([fit["bias"]], dtype="float64"),
+            "n_rows": pd.array([fit["n_rows"]], dtype="int64"),
+            "log_loss": pd.array([fit["log_loss"]], dtype="float64"),
+        }
+    )
+
+
 def q_sketch_accuracy_report(sf_dir: str) -> pd.DataFrame:
     """The engine auditing its own sketches: each approximate tier run
     NEXT TO its exact sibling on the same data, reporting the actual
@@ -5435,6 +5490,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "canary_check_documents": q_canary_check_documents,
         "pipeline_spec_documents": q_pipeline_spec_documents,
         "pipeline_spec_multi_family": q_pipeline_spec_multi_family,
+        "fit_classifier_events": q_fit_classifier_events,
         "sketch_accuracy_report": q_sketch_accuracy_report,
         "pruning_report_events": q_pruning_report_events,
         "multi_table_summary": q_multi_table_summary,

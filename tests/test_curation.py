@@ -958,3 +958,57 @@ def test_pipeline_spec_multi_family_and_failures(ray_session, tmp_path):
         left,
     ).to_pandas()
     assert prof.value.tolist() == [1] and prof.n.tolist() == [2]
+
+
+def test_fit_linear_classifier_recovers_planted_weights(ray_session):
+    """Distributed IRLS fit: recovers planted logistic weights on
+    clean synthetic data, is deterministic, partition-count-invariant,
+    and composes with linear_classifier_score end-to-end; NULL rows
+    drop and are counted."""
+    import numpy as np
+    import ray as _ray
+
+    from data_validator_ray.pipelines.curation import (
+        fit_linear_classifier,
+        linear_classifier_score,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    X = rng.normal(size=(n, 2))
+    true_w, true_b = np.array([2.0, -1.0]), 0.5
+    p = 1.0 / (1.0 + np.exp(-(X @ true_w + true_b)))
+    y = (rng.random(n) < p).astype(np.float64)
+    df = pd.DataFrame({"f1": X[:, 0], "f2": X[:, 1], "y": y})
+    df.loc[0, "f1"] = None  # one dropped row
+
+    fit = fit_linear_classifier(
+        _ray.data.from_pandas(df), ["f1", "f2"], "y"
+    )
+    assert fit["n_rows"] == n - 1 and fit["n_dropped"] == 1
+    # MLE of a 4k-sample logistic draw sits near the truth
+    assert abs(fit["weights"][0] - 2.0) < 0.25
+    assert abs(fit["weights"][1] + 1.0) < 0.25
+    assert abs(fit["bias"] - 0.5) < 0.25
+    assert fit["log_loss"] < 0.45
+
+    # deterministic + partition-invariant
+    again = fit_linear_classifier(
+        _ray.data.from_pandas(df).repartition(16), ["f1", "f2"], "y"
+    )
+    assert again == fit
+
+    # the fit feeds the scorer: high accuracy on clean rows
+    clean = df.dropna().reset_index(drop=True)
+    clean["rid"] = np.arange(len(clean))
+    scored = (
+        linear_classifier_score(
+            _ray.data.from_pandas(clean), ["f1", "f2"],
+            fit["weights"], fit["bias"], id_cols=["rid"],
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    acc = ((scored.score >= 0.5).astype(float) == clean.y).mean()
+    assert acc > 0.75  # near the Bayes rate for this noise level
