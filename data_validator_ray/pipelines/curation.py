@@ -555,6 +555,73 @@ def domain_sample(
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
 
 
+def mix_to_budget(
+    source: Any,
+    *,
+    budget: int,
+    weights: Optional[Dict[str, int]] = None,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    token_col: str = "n_chars",
+    batch_size: int = 65536,
+) -> Dataset:
+    """Static data mixing to a TOKEN budget (the DoReMi-style recipe
+    applied as deterministic sampling): given integer domain
+    ``weights`` (default 1 each — equal token share) and a total
+    ``budget``, each domain keeps
+
+        permille_d = min(1000, (1000 · budget · w_d) // (Σw · T_d))
+
+    of its rows by the same ``(id·KNUTH) % 1000`` rule as
+    :func:`domain_sample`, where ``T_d`` is the domain's total
+    ``token_col``. A domain whose weighted target exceeds its supply
+    keeps everything (permille 1000 — upsampling is out of scope);
+    others downsample so expected kept tokens ≈ its share of the
+    budget. PURE integer arithmetic end to end, so the kept set is
+    byte-reproducible and exactly expressible in SQL.
+
+    Scale shape: pass 1 is a per-batch ``(domain, token_sum)``
+    combiner whose partials merge on the driver (one int per domain —
+    domain-bounded, like :func:`..relational.ratio_to_report`); pass 2
+    is :func:`domain_sample`'s stateless streaming filter. Rows never
+    shuffle."""
+    w = dict(weights or {})
+    ds = _as_dataset(source, columns=None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([domain_col, token_col])
+            .group_by([domain_col])
+            .aggregate([(token_col, "sum")])
+        )
+        return g.rename_columns([domain_col, "__t"])
+
+    parts = (
+        _as_dataset(source, columns=[domain_col, token_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()  # domain-bounded
+    )
+    totals = (
+        parts.groupby(domain_col, dropna=False, sort=False)["__t"]
+        .sum()
+        .to_dict()
+    )
+    w_total = sum(int(w.get(d, 1)) for d in totals)
+    rates: Dict[str, int] = {}
+    for d, t in totals.items():
+        t = int(t)
+        if t <= 0:
+            rates[d] = 1000
+            continue
+        rates[d] = min(
+            1000, (1000 * int(budget) * int(w.get(d, 1))) // (w_total * t)
+        )
+    return domain_sample(
+        ds, rates, id_col=id_col, domain_col=domain_col,
+        default_permille=0, batch_size=batch_size,
+    )
+
+
 def _check_hash_id_domain(ids: np.ndarray, id_col: str) -> None:
     """Knuth-hash sampling is only SQL-oracle-exact for 0 ≤ id < 2³²:
     beyond that numpy wraps the int64 product silently while SQL either

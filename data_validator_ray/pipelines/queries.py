@@ -3618,6 +3618,22 @@ def q_incremental_dedup_sharded_orders(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_mix_to_budget_documents(sf_dir: str) -> pd.DataFrame:
+    """Static data mixing to a char budget: weighted per-domain keep
+    rates from pure integer arithmetic + the Knuth-hash row filter —
+    byte-reproducible, exactly mirrored in SQL (window sums + the same
+    integer permille formula)."""
+    from .curation import mix_to_budget
+
+    out = mix_to_budget(
+        f"{sf_dir}/documents.parquet",
+        budget=60000,
+        weights={"src0": 3, "src1": 2},
+    ).to_pandas()
+    out = out[["doc_id", "source", "n_chars"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fit_classifier_events(sf_dir: str) -> pd.DataFrame:
     """Distributed logistic-regression FIT (IRLS — one streaming pass
     of d×d normal-equation partials per Newton iteration) on a
@@ -5490,6 +5506,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "canary_check_documents": q_canary_check_documents,
         "pipeline_spec_documents": q_pipeline_spec_documents,
         "pipeline_spec_multi_family": q_pipeline_spec_multi_family,
+        "mix_to_budget_documents": q_mix_to_budget_documents,
         "fit_classifier_events": q_fit_classifier_events,
         "sketch_accuracy_report": q_sketch_accuracy_report,
         "pruning_report_events": q_pruning_report_events,
@@ -6638,6 +6655,20 @@ def oracle_sql() -> Dict[str, str]:
         # same lifecycle, same exact counts — the sharded tier must be
         # value-identical to the broadcast tier
         "incremental_dedup_sharded_orders": _INCREMENTAL_DEDUP_SQL,
+        "mix_to_budget_documents": (
+            "WITH t AS (SELECT source, SUM(n_chars)::BIGINT AS tt "
+            "FROM documents GROUP BY source), "
+            "wt AS (SELECT SUM(CASE source WHEN 'src0' THEN 3 "
+            "WHEN 'src1' THEN 2 ELSE 1 END)::BIGINT AS w FROM t), "
+            "r AS (SELECT source, LEAST(1000, "
+            "(1000 * 60000 * CASE source WHEN 'src0' THEN 3 "
+            "WHEN 'src1' THEN 2 ELSE 1 END) // (wt.w * t.tt)) AS pm "
+            "FROM t, wt) "
+            "SELECT d.doc_id, d.source, d.n_chars "
+            "FROM documents d JOIN r USING (source) "
+            "WHERE (d.doc_id * 2654435761) % 1000 < r.pm "
+            "ORDER BY d.doc_id"
+        ),
         "pipeline_spec_multi_family": (
             "WITH f AS (SELECT * FROM events WHERE value > 10), "
             "j AS (SELECT e.user_id, e.event_id, e.ts, e.value, "

@@ -138,6 +138,7 @@ def _ensure_builtins() -> None:
     from . import dedup as _D
     from . import profile as _P
     from . import relational as _R
+    from . import similarity as _S
     from . import text as _T
     from . import urls as _U
 
@@ -156,6 +157,8 @@ def _ensure_builtins() -> None:
         _R.grouped_string_agg, _R.anomaly_zscore,
         # dedup tiers
         _D.paragraph_dedup, _D.near_dup_dedup,
+        # similarity (cross-table joins take right via {$source: ...})
+        _S.knn_join, _S.knn_join_ivf,
         # profilers / encoders
         _P.top_values, _P.misra_gries_topk, _P.histogram,
         _P.grouped_stats, _P.standardize_column, _P.quantile_bucketize,
@@ -165,7 +168,7 @@ def _ensure_builtins() -> None:
         _T.text_profile, _T.token_entropy, _T.fingerprint_md5,
         _T.unigram_logprob, _T.charset_profile,
         # curation
-        _C.gopher_stats, _C.decontaminate, _C.sample_n,
+        _C.gopher_stats, _C.decontaminate, _C.sample_n, _C.mix_to_budget,
         _C.group_sample, _C.linear_classifier_score,
         _C.remove_duplicated_spans, _C.semantic_dedup,
         # urls

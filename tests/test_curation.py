@@ -1012,3 +1012,39 @@ def test_fit_linear_classifier_recovers_planted_weights(ray_session):
     )
     acc = ((scored.score >= 0.5).astype(float) == clean.y).mean()
     assert acc > 0.75  # near the Bayes rate for this noise level
+
+
+def test_mix_to_budget_rates_and_caps(ray_session):
+    """Budget >= supply keeps everything; a small budget downsamples
+    with weight-proportional expected token shares; deterministic."""
+    import ray as _ray
+
+    from data_validator_ray.pipelines.curation import mix_to_budget
+
+    n = 3000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["a" if i % 3 else "b" for i in range(n)]),
+        "n_chars": pa.array([100] * n, pa.int64()),
+    })
+    # budget above total supply -> permille 1000 everywhere
+    full = mix_to_budget(tbl, budget=n * 100 * 2).to_pandas()
+    assert len(full) == n
+
+    # tight budget, b weighted 3x: kept-token shares follow weights
+    out = mix_to_budget(
+        tbl, budget=n * 100 // 4, weights={"b": 3, "a": 1}
+    ).to_pandas()
+    kept = out.groupby("source")["n_chars"].sum()
+    # target: b gets 3/4 of 75000 = 56250 (supply 100000), a gets 18750
+    assert abs(kept.get("b", 0) - 56250) / 56250 < 0.15
+    assert abs(kept.get("a", 0) - 18750) / 18750 < 0.15
+
+    again = mix_to_budget(
+        _ray.data.from_arrow(tbl).repartition(8),
+        budget=n * 100 // 4, weights={"b": 3, "a": 1},
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
