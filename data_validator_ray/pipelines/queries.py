@@ -1885,6 +1885,22 @@ def q_unigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_unigram_logprob_capped_documents(sf_dir: str) -> pd.DataFrame:
+    """The memory-safe capped tier of the unigram LM: hash-bucketed
+    distributed reduce + per-bucket top-V + one final cut, driver
+    holds ≤ vocab_size (hash, logprob) rows. The cap (4096) exceeds
+    this corpus's distinct-token vocabulary, so no token is cut and
+    the output is byte-identical to the uncapped oracle — the whole
+    distributed-cap machinery (bucketing, total carrier rows,
+    two-level top-V) is pinned to exact SQL."""
+    from .text import unigram_logprob
+
+    out = unigram_logprob(
+        f"{sf_dir}/documents.parquet", vocab_size=4096
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     """Order-2 LM quality signal: per-doc mean conditional bigram
     log-probability P(w2|w1)=c(w1,w2)/c(w1,·) under the corpus's own
@@ -5411,6 +5427,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pattern_scan_documents": q_pattern_scan_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        "unigram_logprob_capped_documents": q_unigram_logprob_capped_documents,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
         "token_entropy_documents": q_token_entropy_documents,
@@ -6125,19 +6142,10 @@ def oracle_sql() -> Dict[str, str]:
             r"' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT "
             "AS n_pretokens FROM documents ORDER BY doc_id"
         ),
-        "unigram_logprob_documents": (
-            "WITH tok AS (SELECT doc_id, unnest(list_filter("
-            "string_split(text, ' '), x -> x <> '')) AS t FROM documents), "
-            "freq AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t), "
-            "tot AS (SELECT SUM(c) AS s FROM freq), "
-            "per_doc AS (SELECT tok.doc_id, COUNT(*)::BIGINT AS n_tokens, "
-            "ROUND(SUM(LN(c / s)) / COUNT(*), 6) AS logprob_mean "
-            "FROM tok JOIN freq USING (t) CROSS JOIN tot "
-            "GROUP BY tok.doc_id) "
-            "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, "
-            "p.logprob_mean FROM documents d "
-            "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
-        ),
+        "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,
+        # same oracle: the 4096 cap exceeds the corpus's 31 distinct
+        # tokens, so the distributed top-V tier must be byte-identical
+        "unigram_logprob_capped_documents": _UNIGRAM_LOGPROB_SQL,
         "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
         # same oracle: the 4096 cap exceeds the corpus's 916 distinct
         # pairs, so the distributed top-V tier must be byte-identical
@@ -8512,6 +8520,20 @@ _INCREMENTAL_DEDUP_SQL = (
     "(SELECT COUNT(*) FROM c WHERE o_custkey IS NULL OR "
     "NOT EXISTS (SELECT 1 FROM ab WHERE ab.k = c.o_custkey)"
     ")::BIGINT AS kept_c"
+)
+
+_UNIGRAM_LOGPROB_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(list_filter("
+    "string_split(text, ' '), x -> x <> '')) AS t FROM documents), "
+    "freq AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t), "
+    "tot AS (SELECT SUM(c) AS s FROM freq), "
+    "per_doc AS (SELECT tok.doc_id, COUNT(*)::BIGINT AS n_tokens, "
+    "ROUND(SUM(LN(c / s)) / COUNT(*), 6) AS logprob_mean "
+    "FROM tok JOIN freq USING (t) CROSS JOIN tot "
+    "GROUP BY tok.doc_id) "
+    "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, "
+    "p.logprob_mean FROM documents d "
+    "LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"
 )
 
 _BIGRAM_LOGPROB_SQL = (

@@ -842,11 +842,14 @@ def unigram_logprob(
        split), joins against the broadcast vocab (Rust hash join) and
        reduces to per-doc sums — no per-row Python, no shuffle.
 
-    With ``vocab_size`` set, only the top-V tokens (count desc) keep
-    exact probabilities and every other token scores
+    With ``vocab_size`` set, only the top-V tokens (count desc, hash
+    asc) keep exact probabilities and every other token scores
     ``ln(oov_count/total)`` — the bounded-memory tier for unbounded
     vocabularies; ``total`` still counts ALL occurrences so in-vocab
-    probabilities are unchanged. Output: ``id_col``, ``n_tokens``
+    probabilities are unchanged. The capped merge is FULLY distributed
+    (:func:`_unigram_topv_distributed` — hash-bucketed sums,
+    per-bucket top-V, one final cut): the driver holds ≤ V rows, never
+    the vocabulary, in that mode. Output: ``id_col``, ``n_tokens``
     (int64), ``logprob_mean`` (mean ln p per token, rounded to 6 — the
     float-hash convention; NULL for zero-token docs).
 
@@ -875,6 +878,15 @@ def unigram_logprob(
     part = ds.map_batches(
         counts, batch_format="pyarrow", batch_size=batch_size
     )
+    if vocab_size is not None:
+        if int(vocab_size) < 1:
+            raise ValueError("vocab_size must be >= 1")
+        vh, vlp, oov_logp = _unigram_topv_distributed(
+            part, int(vocab_size), float(oov_count)
+        )
+        return _score_unigrams(
+            ds, ray.put((vh, vlp)), id_col, text_col, oov_logp, batch_size
+        )
     if distributed_merge:
         # pre-merge duplicates across batches with a Ray groupby before
         # the driver sees anything — for clusters where the SUM of
@@ -910,16 +922,109 @@ def unigram_logprob(
             vh = np.array([], np.int64)
             vn = np.array([], np.int64)
     total = float(vn.sum()) if len(vn) else 1.0
-    if vocab_size is not None and len(vn) > vocab_size:
-        # deterministic cut: count desc, hash asc (shuffle arrival
-        # order must not decide the tail of the vocabulary)
-        keep = np.lexsort((vh, -vn))[:vocab_size]
-        vh, vn = vh[keep], vn[keep]
     order = np.argsort(vh)
     vh = vh[order]
     vlp = np.log(vn[order].astype(np.float64) / total)
     oov_logp = float(np.log(oov_count / total))
-    vocab_ref = ray.put((vh, vlp))
+    return _score_unigrams(
+        ds, ray.put((vh, vlp)), id_col, text_col, oov_logp, batch_size
+    )
+
+
+def _unigram_topv_distributed(
+    part: Dataset, vocab_size: int, oov_count: float,
+    *, n_buckets: int = 64,
+) -> "tuple[np.ndarray, np.ndarray, float]":
+    """Distributed top-V unigram table from ``(h, cnt)`` partials —
+    the :func:`_bigram_topv_distributed` pattern one order down.
+    Partials bucket by ``h mod n_buckets`` so a token's duplicates
+    co-locate; each bucket sums its counts and keeps its top-V by
+    (count desc, hash asc); ONE final task cuts the global top-V; the
+    corpus total (the probability denominator — over ALL occurrences,
+    so in-vocab probabilities are cap-independent) comes from the same
+    bucket pass as per-bucket sums. The driver holds ≤ V (hash,
+    logprob) rows plus one float, never the vocabulary."""
+    V = int(vocab_size)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        b = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64()),
+                 "tot": pa.array([], pa.int64())}
+            )
+        o = np.argsort(h, kind="stable")
+        h, c = h[o], c[o]
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        st = np.flatnonzero(new)
+        vh = h[st]
+        vc = np.add.reduceat(c, st)
+        bucket_total = int(vc.sum())
+        if len(vh) > V:
+            keep = np.lexsort((vh, -vc))[:V]
+            vh, vc = vh[keep], vc[keep]
+        tot = np.zeros(len(vh), np.int64)
+        if len(tot):
+            tot[0] = bucket_total  # one total carrier row per bucket
+        return pa.table(
+            {
+                "h": pa.array(vh, pa.int64()),
+                "cnt": pa.array(vc, pa.int64()),
+                "tot": pa.array(tot, pa.int64()),
+            }
+        )
+
+    winners = (
+        part.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+    hs, cs, total = [], [], 0
+    for b in winners.iter_batches(batch_format="pyarrow"):
+        hs.append(b["h"].to_numpy(zero_copy_only=False))
+        cs.append(b["cnt"].to_numpy(zero_copy_only=False))
+        total += int(
+            b["tot"].to_numpy(zero_copy_only=False).sum()
+        )
+    if not hs or not sum(map(len, hs)):
+        return (
+            np.array([], np.int64),
+            np.array([], np.float64),
+            float(np.log(oov_count / max(float(total), 1.0))),
+        )
+    vh = np.concatenate(hs)
+    vc = np.concatenate(cs)
+    if len(vh) > V:  # final cut over ≤ n_buckets × V bucket winners
+        keep = np.lexsort((vh, -vc))[:V]
+        vh, vc = vh[keep], vc[keep]
+    ftotal = float(total) if total else 1.0
+    o = np.argsort(vh)
+    return (
+        vh[o],
+        np.log(vc[o].astype(np.float64) / ftotal),
+        float(np.log(oov_count / ftotal)),
+    )
+
+
+def _score_unigrams(
+    ds: Dataset,
+    vocab_ref: "ray.ObjectRef",
+    id_col: str,
+    text_col: str,
+    oov_logp: float,
+    batch_size: int,
+) -> Dataset:
+    """Score every doc against the broadcast sorted ``(h, lp)`` table
+    (searchsorted probe; misses score ``oov_logp``)."""
 
     def score(batch: pa.Table) -> pa.Table:
         v_h, v_lp = ray.get(vocab_ref)

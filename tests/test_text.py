@@ -79,6 +79,67 @@ def test_unigram_logprob_batch_size_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_unigram_logprob_capped_matches_uncapped_when_no_cut(ray_session):
+    # the distributed top-V path with V >= |vocab| must be
+    # byte-identical to the uncapped broadcast path — pins the
+    # bucketing / total-carrier / two-level-cut machinery to exact
+    from data_validator_ray.pipelines.text import unigram_logprob
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 25)))
+        for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    a = (
+        unigram_logprob(df, batch_size=23)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        unigram_logprob(df, vocab_size=4096, batch_size=23)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_unigram_logprob_capped_cut_spans_buckets(ray_session):
+    import math
+
+    from data_validator_ray.pipelines.text import unigram_logprob
+
+    # 30 distinct tokens spread over the 64 hash buckets, V=5: the
+    # global top-5 by (count desc, hash asc) must win regardless of
+    # which bucket each token lands in, and the denominator must stay
+    # the FULL corpus total (315 tokens)
+    words = [f"tok{i}" for i in range(30)]
+    # tok0 appears 30×, tok1 29×, ... tok29 1× → total = 465
+    text = " ".join(
+        " ".join([w] * (30 - i)) for i, w in enumerate(words)
+    )
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [text, "tok29"]})
+    out = (
+        unigram_logprob(df, vocab_size=5, oov_count=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    total = 465 + 1  # doc 1 adds one more tok29
+    # doc 1 is a single OOV token (tok29 has count 2, far below top-5)
+    assert out["logprob_mean"].iloc[1] == round(math.log(0.5 / total), 6)
+    # doc 0: top-5 tokens (counts 30..26) keep exact probs; the other
+    # 25 tokens (counts 25..1, 326 occurrences incl. one extra tok29
+    # in doc 1 — but doc 0 holds 325 of them) score the OOV floor
+    in_vocab = sum((30 - i) * math.log((30 - i) / total) for i in range(5))
+    oov_occ = 465 - sum(30 - i for i in range(5))
+    expected = (in_vocab + oov_occ * math.log(0.5 / total)) / 465
+    assert out["logprob_mean"].iloc[0] == round(expected, 6)
+
+
 def test_pretoken_count_bpe_ish(ray_session):
     from data_validator_ray.pipelines.text import pretoken_count
 
