@@ -983,36 +983,50 @@ def _unigram_topv_distributed(
             }
         )
 
-    winners = (
+    def final_cut(b: pa.Table) -> pa.Table:
+        # ONE task sees all bucket winners (≤ n_buckets × V rows),
+        # sums the per-bucket total carriers into the global
+        # denominator and emits ≤ V scored rows (tot[0] re-carries
+        # the global total to the driver for the OOV floor)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        total = int(b["tot"].to_numpy(zero_copy_only=False).sum())
+        if len(h) > V:
+            keep = np.lexsort((h, -c))[:V]
+            h, c = h[keep], c[keep]
+        ftotal = float(total) if total else 1.0
+        lp = np.log(c.astype(np.float64) / ftotal)
+        tot = np.zeros(len(h), np.int64)
+        if len(tot):
+            tot[0] = total
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "lp": pa.array(lp, pa.float64()),
+                "tot": pa.array(tot, pa.int64()),
+            }
+        )
+
+    final = (
         part.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(merge_bucket, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_cut, batch_format="pyarrow", batch_size=None)
     )
-    hs, cs, total = [], [], 0
-    for b in winners.iter_batches(batch_format="pyarrow"):
+    hs, lps, total = [], [], 0
+    for b in final.iter_batches(batch_format="pyarrow"):
         hs.append(b["h"].to_numpy(zero_copy_only=False))
-        cs.append(b["cnt"].to_numpy(zero_copy_only=False))
-        total += int(
-            b["tot"].to_numpy(zero_copy_only=False).sum()
-        )
-    if not hs or not sum(map(len, hs)):
-        return (
-            np.array([], np.int64),
-            np.array([], np.float64),
-            float(np.log(oov_count / max(float(total), 1.0))),
-        )
-    vh = np.concatenate(hs)
-    vc = np.concatenate(cs)
-    if len(vh) > V:  # final cut over ≤ n_buckets × V bucket winners
-        keep = np.lexsort((vh, -vc))[:V]
-        vh, vc = vh[keep], vc[keep]
+        lps.append(b["lp"].to_numpy(zero_copy_only=False))
+        total += int(b["tot"].to_numpy(zero_copy_only=False).sum())
     ftotal = float(total) if total else 1.0
-    o = np.argsort(vh)
-    return (
-        vh[o],
-        np.log(vc[o].astype(np.float64) / ftotal),
-        float(np.log(oov_count / ftotal)),
-    )
+    oov_logp = float(np.log(oov_count / ftotal))
+    if not hs or not sum(map(len, hs)):
+        return np.array([], np.int64), np.array([], np.float64), oov_logp
+    vh = np.concatenate(hs)
+    vlp = np.concatenate(lps)
+    o = np.argsort(vh)  # searchsorted probe order
+    return vh[o], vlp[o], oov_logp
 
 
 def _score_unigrams(
