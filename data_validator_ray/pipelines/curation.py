@@ -208,6 +208,93 @@ def gopher_filter(
     return stats.map_batches(keep, batch_format="pyarrow")
 
 
+def line_quality_filter(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    min_chars: int = 10,
+    min_alpha_pct: int = 50,
+    min_keep_pct: int = 0,
+    batch_size: int = 4096,
+) -> Dataset:
+    """RefinedWeb-style line-wise correction: split each document on
+    ``sep``, drop boilerplate lines, re-join the survivors, and
+    (optionally) drop documents that lost too much content. A line is
+    KEPT iff — integer arithmetic only, so the result is bit-exact vs
+    SQL —
+
+    - ``len(line) >= min_chars`` and
+    - ``alpha_chars(line) * 100 >= min_alpha_pct * len(line)``
+      (``[A-Za-z]`` count — nav menus, separators and symbol rows
+      fail this).
+
+    A document survives iff
+    ``n_lines_kept * 100 >= min_keep_pct * n_lines`` (RefinedWeb drops
+    pages whose correction removed most of the content; the default 0
+    keeps every doc). Output: ``id_col``, ``text`` (survivor lines
+    re-joined with ``sep``; ``""`` when none survive), ``n_lines``,
+    ``n_lines_kept`` (int64).
+
+    Scale shape: a document is one row, so this is a PURE streaming
+    batch op — the split/predicate/re-join runs entirely inside each
+    Arrow batch via polars list expressions (no explode crosses batch
+    boundaries, no shuffle, no Python per row)."""
+    if not (0 <= min_keep_pct <= 100):
+        raise ValueError("min_keep_pct must be in [0, 100]")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        d = pl.DataFrame(
+            {
+                id_col: pl.from_arrow(batch[id_col]),
+                "t": pl.from_arrow(batch[text_col]),
+            }
+        )
+        el = pl.element()
+        out = (
+            d.with_columns(
+                pl.col("t").fill_null("").str.split(sep).alias("__lines")
+            )
+            .with_columns(
+                pl.col("__lines")
+                .list.eval(
+                    el.filter(
+                        (el.str.len_chars() >= min_chars)
+                        & (
+                            el.str.count_matches("[A-Za-z]") * 100
+                            >= min_alpha_pct * el.str.len_chars()
+                        )
+                    )
+                )
+                .alias("__kept")
+            )
+            .select(
+                pl.col(id_col),
+                pl.col("__kept").list.join(sep).alias("text"),
+                pl.col("__lines").list.len().cast(pl.Int64).alias("n_lines"),
+                pl.col("__kept")
+                .list.len()
+                .cast(pl.Int64)
+                .alias("n_lines_kept"),
+            )
+            .filter(pl.col("n_lines_kept") * 100 >= min_keep_pct * pl.col("n_lines"))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("text", pa.string()),
+                    ("n_lines", pa.int64()),
+                    ("n_lines_kept", pa.int64()),
+                ]
+            )
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=batch_size)
+
+
 # --------------------------------------------------------------------------- #
 # PII redaction                                                               #
 # --------------------------------------------------------------------------- #

@@ -1806,6 +1806,74 @@ def q_domain_counts_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("domain").reset_index(drop=True)
 
 
+def _derived_urls_deep(sf_dir: str):
+    """:func:`_derived_urls` plus a deeper-subdomain twist: ids
+    divisible by 17 get a ``Sub.`` host prefix, so blocklist suffix
+    matching (a subdomain of a blocked domain) has real work to do.
+    Mirrored 1:1 in ``_URL_DEEP_BASE``."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        url = np.where(ids % 17 == 0, "https://Sub.Host", "https://Host")
+        url = np.char.add(url.astype("U32"), (ids % 7).astype("U"))
+        url = np.char.add(url, ".Example.COM/page/")
+        url = np.char.add(url, ids.astype("U"))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(url, pa.string())}
+        )
+
+    return ds.map_batches(inject, batch_format="pyarrow")
+
+
+def q_url_blocklist_documents(sf_dir: str) -> pd.DataFrame:
+    """Crawl-hygiene gate: drop pages whose host equals a blocked
+    domain or is a subdomain of one (whole-label suffix match against
+    a ray.put-broadcast set; per-row cost independent of list size)."""
+    from .urls import url_host_filter
+
+    out = url_host_filter(
+        _derived_urls_deep(sf_dir), ["host3.example.com", "bad.org"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_cap_per_domain_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-domain quota: keep the 40 smallest doc ids per domain
+    (identity-only shuffle with a batch-local head-N combiner)."""
+    from .urls import cap_per_domain
+
+    out = cap_per_domain(_derived_urls(sf_dir), 40).to_pandas()
+    return out.sort_values(["domain", "doc_id"]).reset_index(drop=True)
+
+
+def q_line_filter_documents(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style line-wise correction over deterministically
+    multi-lined text (every 'line' token becomes a newline, mirrored
+    in SQL): boilerplate lines drop by integer length/alpha-ratio
+    predicates, survivors re-join, counts emitted per doc."""
+    from .curation import line_quality_filter
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def multiline(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring(
+            pc.coalesce(batch["text"], ""), "line", "\n"
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    out = line_quality_filter(
+        ds.map_batches(multiline, batch_format="pyarrow"),
+        min_chars=12,
+        min_alpha_pct=55,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_token_doc_freq_documents(sf_dir: str) -> pd.DataFrame:
     """Corpus vocabulary document frequencies (combiner pattern:
     per-batch distinct-per-doc pre-aggregation before the global
@@ -5422,6 +5490,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "url_profile_documents": q_url_profile_documents,
         "url_dedup_documents": q_url_dedup_documents,
         "domain_counts_documents": q_domain_counts_documents,
+        "url_blocklist_documents": q_url_blocklist_documents,
+        "cap_per_domain_documents": q_cap_per_domain_documents,
+        "line_filter_documents": q_line_filter_documents,
         "token_doc_freq_documents": q_token_doc_freq_documents,
         "vocab_coverage_documents": q_vocab_coverage_documents,
         "pattern_scan_documents": q_pattern_scan_documents,
@@ -6098,6 +6169,9 @@ def oracle_sql() -> Dict[str, str]:
         "repetition_rule_documents": _REPETITION_RULE_SQL,
         "pii_rule_documents": _PII_RULE_SQL,
         "url_profile_documents": _URL_PROFILE_SQL,
+        "url_blocklist_documents": _URL_BLOCKLIST_SQL,
+        "cap_per_domain_documents": _CAP_PER_DOMAIN_SQL,
+        "line_filter_documents": _LINE_FILTER_SQL,
         "url_dedup_documents": _URL_DEDUP_SQL,
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,
@@ -8401,6 +8475,63 @@ _DOMAIN_COUNTS_SQL = _URL_BASE + (
     "SELECT regexp_replace(norm_url, '/.*$', '') AS domain,"
     " count(*)::BIGINT AS n_pages"
     " FROM n GROUP BY 1 ORDER BY 1"
+)
+
+_URL_DEEP_BASE = (
+    "WITH u AS ("
+    "  SELECT doc_id,"
+    "    CASE WHEN doc_id % 17 = 0 THEN 'https://Sub.Host'"
+    "         ELSE 'https://Host' END ||"
+    "    (doc_id % 7) || '.Example.COM/page/' || doc_id AS url"
+    "  FROM documents"
+    "), n AS ("
+    "  SELECT doc_id, url,"
+    "    regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "      lower(url),"
+    "      '^[a-z][a-z0-9+.-]*://', ''),"
+    "      '^www\\.', ''),"
+    "      '[?#].*$', ''),"
+    "      '/+$', '') AS norm_url"
+    "  FROM u"
+    "), h AS ("
+    "  SELECT doc_id, url,"
+    "    regexp_replace(norm_url, '/.*$', '') AS host"
+    "  FROM n"
+    ") "
+)
+
+_URL_BLOCKLIST_SQL = _URL_DEEP_BASE + (
+    "SELECT doc_id, url FROM h"
+    " WHERE NOT EXISTS ("
+    "   SELECT 1 FROM (VALUES ('host3.example.com'), ('bad.org')) b(d)"
+    "   WHERE h.host = b.d OR h.host LIKE '%.' || b.d)"
+    " ORDER BY doc_id"
+)
+
+_CAP_PER_DOMAIN_SQL = _URL_BASE + (
+    "SELECT regexp_replace(norm_url, '/.*$', '') AS domain,"
+    " doc_id FROM n"
+    " QUALIFY row_number() OVER ("
+    "   PARTITION BY domain ORDER BY doc_id) <= 40"
+    " ORDER BY domain, doc_id"
+)
+
+_LINE_FILTER_SQL = (
+    "WITH t AS ("
+    "  SELECT doc_id,"
+    "    string_split(replace(coalesce(text, ''), 'line', chr(10)),"
+    "                 chr(10)) AS ls"
+    "  FROM documents"
+    "), f AS ("
+    "  SELECT doc_id, ls,"
+    "    list_filter(ls, x -> len(x) >= 12 AND"
+    "      length(regexp_replace(x, '[^A-Za-z]', '', 'g')) * 100"
+    "        >= 55 * len(x)) AS ks"
+    "  FROM t"
+    ") "
+    "SELECT doc_id, array_to_string(ks, chr(10)) AS text,"
+    " len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_lines_kept"
+    " FROM f ORDER BY doc_id"
 )
 
 _TOKEN_DF_SQL = (

@@ -11,7 +11,12 @@ content-level dedup runs. Operators here:
 - :func:`url_dedup` — keep-first doc per normalized URL (one
   ``groupby.aggregate`` on the 8-byte min id — no text moves);
 - :func:`domain_counts` — per-domain page counts with in-batch
-  pre-aggregation (combiner) before the small global groupby.
+  pre-aggregation (combiner) before the small global groupby;
+- :func:`url_host_filter` — block/allow-list gate with whole-label
+  subdomain-suffix matching against a ``ray.put``-broadcast domain
+  set (per-row cost independent of list size);
+- :func:`cap_per_domain` — per-domain quota keeping the N smallest
+  ids (identity-only shuffle with a batch-local head-N combiner).
 
 Normalization contract (documented, oracle-replicated): lowercase the
 whole URL, strip the scheme, strip a leading ``www.``, drop query
@@ -24,6 +29,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -126,4 +132,122 @@ def domain_counts(
     )
     return partials.groupby("domain").aggregate(
         Sum("n_pages", alias_name="n_pages")
+    )
+
+
+def url_host_filter(
+    source: Any,
+    domains: "list[str]",
+    url_col: str = "url",
+    *,
+    mode: str = "block",
+    max_labels: int = 5,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Domain block/allow-list filter — the crawl-hygiene gate every
+    web pipeline runs before content work (spam/adult/SEO-farm host
+    lists). A row MATCHES when its normalized URL's host equals a
+    listed domain OR is a subdomain of one (whole-label suffix:
+    ``a.b.example.com`` matches ``example.com``; ``notexample.com``
+    does not). ``mode="block"`` drops matches (NULL urls kept — the
+    completeness rule owns that signal); ``mode="allow"`` keeps only
+    matches (NULL urls dropped). All original columns pass through.
+
+    Scale shape: the domain set ships ONCE via ``ray.put`` and each
+    batch probes it with ≤ ``max_labels`` vectorized whole-label
+    suffix lookups per host (polars list tail+join → hashed ``is_in``)
+    — per-row cost is independent of list size, so a million-entry
+    blocklist prices the same as ten. No shuffle; pure streaming
+    filter."""
+    import polars as pl
+
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    bl_ref = ray.put(
+        pl.Series("d", sorted({d.strip().lower() for d in domains}))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        host = domain_of_array(normalize_url_array(batch[url_col]))
+        d = pl.DataFrame({"host": pl.from_arrow(host)})
+        blocked = ray.get(bl_ref)
+        labels = d.select(pl.col("host").str.split("."))["host"]
+        matched = None
+        for k in range(1, max_labels + 1):
+            # hosts with < k labels re-produce the full host (tail
+            # clamps) — a redundant re-probe, never a wrong one
+            suf = labels.list.tail(k).list.join(".")
+            m = suf.is_in(blocked)
+            matched = m if matched is None else (matched | m)
+        mask = matched.fill_null(False).to_numpy()
+        if mode == "block":
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return _as_dataset(source).map_batches(
+        keep, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def cap_per_domain(
+    source: Any,
+    max_per_domain: int,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Per-domain quota (anti-spam / anti-SEO-farm): keep at most N
+    pages per domain, deterministically the N smallest ids. Returns
+    the kept ``(domain, id)`` winner table — semi-join it back to
+    content (``relational.hash_join(..., how="semi")`` or the bloom
+    prefilter) when full rows are needed, so page content never rides
+    this shuffle.
+
+    Scale shape: identity-only exchange — each batch first reduces
+    LOCALLY to its own per-domain smallest-N ids (associative: the
+    global smallest N are among every batch's smallest N), so a hot
+    domain ships ``#batches × N`` ids instead of its full page count;
+    the bucketed groupby then finishes each domain in one vectorized
+    head-N."""
+    import polars as pl
+
+    from .dedup import bucketed_groupby
+
+    N = int(max_per_domain)
+    if N < 1:
+        raise ValueError("max_per_domain must be >= 1")
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        host = domain_of_array(normalize_url_array(batch[url_col]))
+        d = pl.DataFrame(
+            {
+                "domain": pl.from_arrow(host),
+                id_col: pl.from_arrow(batch[id_col]),
+            }
+        )
+        out = (
+            d.sort(id_col)
+            .with_columns(pl.int_range(pl.len()).over("domain").alias("__r"))
+            .filter(pl.col("__r") < N)
+            .drop("__r")
+        )
+        return out.to_arrow().cast(
+            pa.schema([("domain", pa.string()), (id_col, pa.int64())])
+        )
+
+    def bucket_cap(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(id_col, kind="stable")
+            .groupby("domain", sort=False)
+            .head(N)
+        )
+
+    ds = _as_dataset(source, columns=[id_col, url_col])
+    local = ds.map_batches(
+        local_cap, batch_format="pyarrow", batch_size=batch_size
+    )
+    return bucketed_groupby(
+        local, ["domain"], bucket_cap, num_buckets=num_buckets
     )

@@ -1048,3 +1048,61 @@ def test_mix_to_budget_rates_and_caps(ray_session):
         out.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_line_quality_filter_predicates(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.curation import line_quality_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a good long line of text\nok\n@@@@@@@@@@@@@@\nanother fine line here",
+                "short\n!!",
+                None,
+            ],
+        }
+    )
+    out = (
+        line_quality_filter(df, min_chars=5, min_alpha_pct=60)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 0: "ok" fails min_chars, the @-row fails alpha ratio
+    assert out["text"].iloc[0] == (
+        "a good long line of text\nanother fine line here"
+    )
+    assert out["n_lines"].iloc[0] == 4 and out["n_lines_kept"].iloc[0] == 2
+    # doc 1: "short" (5 chars, all alpha) survives, "!!" fails both
+    assert out["text"].iloc[1] == "short"
+    # doc 2: NULL text → one empty line, dropped → empty rebuild
+    assert out["text"].iloc[2] == ""
+    assert out["n_lines"].iloc[2] == 1 and out["n_lines_kept"].iloc[2] == 0
+
+
+def test_line_quality_filter_doc_drop(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.curation import line_quality_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "good long line alpha\n@@@\n###\n$$$",  # keeps 1/4 = 25%
+                "good long line alpha\nanother good line",  # keeps 2/2
+            ],
+        }
+    )
+    out = (
+        line_quality_filter(df, min_chars=5, min_alpha_pct=60, min_keep_pct=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 0 lost 75% of its lines → dropped outright by min_keep_pct
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_lines_kept"].iloc[0] == 2

@@ -67,3 +67,75 @@ def test_domain_counts_preaggregated(ray_session):
     out = domain_counts(tbl).to_pandas().sort_values("domain")
     assert out["domain"].tolist() == ["a.com", "b.com"]
     assert out["n_pages"].tolist() == [10, 5]
+
+
+def test_url_host_filter_block_and_allow(ray_session):
+    from data_validator_ray.pipelines.urls import url_host_filter
+
+    tbl = _urls([
+        "https://WWW.Host1.Example.COM/p/1",
+        "http://sub.host3.example.com/x",      # subdomain of blocked
+        "https://host3.example.com/y?q=1",     # exact blocked
+        "https://notexample.com/z",            # suffix must NOT match
+        "https://nothost3.example.com/w",      # label boundary respected
+        None,                                  # NULL url
+        "https://deep.a.b.host3.example.com/q",
+    ])
+    kept = url_host_filter(tbl, ["host3.example.com"]).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [0, 3, 4, 5]
+    allowed = url_host_filter(
+        tbl, ["host3.example.com"], mode="allow"
+    ).to_pandas()
+    assert sorted(allowed["doc_id"].tolist()) == [1, 2, 6]
+    # original columns pass through untouched
+    assert list(kept.columns) == ["doc_id", "url"]
+
+
+def test_url_host_filter_bad_mode():
+    import pytest
+
+    from data_validator_ray.pipelines.urls import url_host_filter
+
+    with pytest.raises(ValueError, match="mode"):
+        url_host_filter(_urls(["https://a.com/x"]), ["a.com"], mode="drop")
+
+
+def test_cap_per_domain(ray_session):
+    from data_validator_ray.pipelines.urls import cap_per_domain
+
+    # domain a.com: ids 0..9 → cap 3 keeps 0,1,2; b.com: 10..11 → both
+    tbl = _urls(
+        ["https://a.com/%d" % i for i in range(10)]
+        + ["https://www.b.com/%d" % i for i in range(2)]
+    )
+    out = (
+        cap_per_domain(tbl, 3, batch_size=4)
+        .to_pandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert out["domain"].tolist() == ["a.com"] * 3 + ["b.com"] * 2
+    assert out["doc_id"].tolist() == [0, 1, 2, 10, 11]
+
+
+def test_cap_per_domain_batch_size_invariant(ray_session):
+    from data_validator_ray.pipelines.urls import cap_per_domain
+
+    urls = ["https://d%d.com/%d" % (i % 5, i) for i in range(200)]
+    tbl = _urls(urls, ids=list(range(200, 0, -1)))  # ids out of order
+    a = (
+        cap_per_domain(tbl, 7, batch_size=13)
+        .to_pandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        cap_per_domain(tbl, 7, batch_size=200)
+        .to_pandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("domain").size() == 7).all()
