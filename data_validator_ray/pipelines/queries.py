@@ -1969,6 +1969,25 @@ def q_unigram_logprob_capped_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_perplexity_buckets_documents(sf_dir: str) -> pd.DataFrame:
+    """CCNet's signature stage: bucket every document into
+    head/middle/tail by EXACT global tertiles of its LM score
+    (higher logprob = lower perplexity = head). Two passes — a
+    distinct-bounded quantile reduce for the two cut points, then a
+    streaming assign with the cuts closed over as scalars."""
+    from .relational import bucket_by_quantile
+    from .text import unigram_logprob
+
+    scored = unigram_logprob(f"{sf_dir}/documents.parquet")
+    out = bucket_by_quantile(
+        scored,
+        "logprob_mean",
+        labels=["tail", "middle", "head"],
+        id_cols=["doc_id"],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     """Order-2 LM quality signal: per-doc mean conditional bigram
     log-probability P(w2|w1)=c(w1,w2)/c(w1,·) under the corpus's own
@@ -5499,6 +5518,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "unigram_logprob_capped_documents": q_unigram_logprob_capped_documents,
+        "perplexity_buckets_documents": q_perplexity_buckets_documents,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
         "token_entropy_documents": q_token_entropy_documents,
@@ -6220,6 +6240,18 @@ def oracle_sql() -> Dict[str, str]:
         # same oracle: the 4096 cap exceeds the corpus's 31 distinct
         # tokens, so the distributed top-V tier must be byte-identical
         "unigram_logprob_capped_documents": _UNIGRAM_LOGPROB_SQL,
+        "perplexity_buckets_documents": (
+            "WITH base AS (" + _UNIGRAM_LOGPROB_SQL + "), "
+            "cuts AS (SELECT "
+            "quantile_cont(logprob_mean, 1.0/3.0) AS c1, "
+            "quantile_cont(logprob_mean, 2.0/3.0) AS c2 FROM base) "
+            "SELECT doc_id, logprob_mean, "
+            "CASE WHEN logprob_mean IS NULL THEN NULL "
+            "WHEN logprob_mean <= c1 THEN 'tail' "
+            "WHEN logprob_mean <= c2 THEN 'middle' "
+            "ELSE 'head' END AS bucket "
+            "FROM base CROSS JOIN cuts ORDER BY doc_id"
+        ),
         "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
         # same oracle: the 4096 cap exceeds the corpus's 916 distinct
         # pairs, so the distributed top-V tier must be byte-identical

@@ -4141,6 +4141,112 @@ def grouped_ewma(
     )
 
 
+def exact_global_quantiles(
+    source: Any,
+    value_col: str,
+    qs: List[float],
+    *,
+    batch_size: int = 64 * 1024,
+) -> List[float]:
+    """EXACT global ``quantile_cont`` cut points for ``value_col`` —
+    the shared reduce behind :func:`winsorize` and
+    :func:`bucket_by_quantile`. One streaming pass builds per-batch
+    ``(value, count)`` partials (pyarrow ``group_by`` combiner), a
+    small global groupby merges them, and the driver interpolates
+    ``(crn-rn)·lo + (rn-frn)·hi`` over the run-length-expanded
+    multiset — bit-exact vs DuckDB's ``quantile_cont``. NULLs drop.
+
+    Driver memory is DISTINCT-bounded, not row-bounded: for scores
+    rounded to 6 decimals over a bounded range (the convention every
+    scoring op here follows) the distinct space is ≤ range × 10⁶
+    values regardless of corpus size. For genuinely unbounded float
+    columns use the t-digest tier (``stages/stats.py``) instead."""
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([value_col])
+        t = t.filter(pc.is_valid(t[value_col]))
+        return t.group_by([value_col]).aggregate([([], "count_all")])
+
+    ds_vals = (
+        _as_dataset(source, columns=[value_col])
+        .map_batches(partials, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .groupby(value_col)
+        .sum("count_all")
+        .to_pandas()
+    )
+    vals = ds_vals[value_col].to_numpy(np.float64)
+    cnts = ds_vals["sum(count_all)"].to_numpy(np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return [float("nan")] * len(qs)
+
+    def q_at(q: float) -> float:
+        # quantile_cont over the expanded multiset, via run lengths
+        rn = (total - 1) * q
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        lo = vals[np.searchsorted(cum, frn + 1)]
+        hi = vals[np.searchsorted(cum, crn + 1)]
+        return float(lo if crn == frn else (crn - rn) * lo + (rn - frn) * hi)
+
+    return [q_at(float(q)) for q in qs]
+
+
+def bucket_by_quantile(
+    source: Any,
+    value_col: str,
+    *,
+    qs: Optional[List[float]] = None,
+    labels: Optional[List[str]] = None,
+    id_cols: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> Dataset:
+    """Label every row by which global-quantile band its value falls
+    in — the CCNet head/middle/tail perplexity-bucketing shape. Two
+    passes: :func:`exact_global_quantiles` computes the cut points,
+    then ONE streaming pass assigns ``labels[i]`` where
+    ``value <= cuts[i]`` (first match; last label catches the rest) —
+    the cuts are driver scalars closed over, nothing broadcasts. NULL
+    values get a NULL bucket and never enter the cut computation.
+    Defaults: tertiles ``head``/``middle``/``tail`` (CCNet buckets by
+    LM score, where "head" = best third). Output: ``id_cols`` +
+    ``value_col`` + ``bucket``."""
+    qs = [1.0 / 3.0, 2.0 / 3.0] if qs is None else list(qs)
+    labels = (
+        ["head", "middle", "tail"] if labels is None else list(labels)
+    )
+    if len(labels) != len(qs) + 1:
+        raise ValueError("need exactly len(qs)+1 labels")
+    if sorted(qs) != list(qs):
+        raise ValueError("qs must be ascending")
+    id_cols = list(id_cols or [])
+    cuts = exact_global_quantiles(
+        source, value_col, qs, batch_size=batch_size
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        lab = np.full(len(x), labels[-1], dtype=object)
+        for cut, name in zip(reversed(cuts), reversed(labels[:-1])):
+            lab[x <= cut] = name
+        lab[np.isnan(x)] = None
+        return pa.table(
+            {
+                **{c: batch[c] for c in id_cols},
+                value_col: batch[value_col],
+                "bucket": pa.array(lab, pa.string()),
+            }
+        )
+
+    return _as_dataset(source, columns=[*id_cols, value_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def winsorize(
     source: Any,
     value_col: str,
@@ -4161,36 +4267,9 @@ def winsorize(
     ``id_cols``.
     """
     id_cols = list(id_cols or [])
-
-    def partials(batch: pa.Table) -> pa.Table:
-        t = batch.select([value_col])
-        t = t.filter(pc.is_valid(t[value_col]))
-        return t.group_by([value_col]).aggregate([([], "count_all")])
-
-    ds_vals = (
-        _as_dataset(source, columns=[value_col])
-        .map_batches(partials, batch_format="pyarrow",
-                     batch_size=batch_size)
-        .groupby(value_col)
-        .sum("count_all")
-        .to_pandas()
+    lo_cut, hi_cut = exact_global_quantiles(
+        source, value_col, [lower_q, upper_q], batch_size=batch_size
     )
-    vals = ds_vals[value_col].to_numpy(np.float64)
-    cnts = ds_vals["sum(count_all)"].to_numpy(np.int64)
-    order = np.argsort(vals, kind="mergesort")
-    vals, cnts = vals[order], cnts[order]
-    cum = np.cumsum(cnts)
-    total = int(cum[-1])
-
-    def q_at(q: float) -> float:
-        # quantile_cont over the expanded multiset, via run lengths
-        rn = (total - 1) * q
-        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
-        lo = vals[np.searchsorted(cum, frn + 1)]
-        hi = vals[np.searchsorted(cum, crn + 1)]
-        return float(lo if crn == frn else (crn - rn) * lo + (rn - frn) * hi)
-
-    lo_cut, hi_cut = q_at(lower_q), q_at(upper_q)
 
     def clip(batch: pa.Table) -> pa.Table:
         x = pc.cast(batch[value_col], pa.float64()).to_numpy(

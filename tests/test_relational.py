@@ -2830,3 +2830,49 @@ def test_top_n_plus_other_rollup(ray_session):
     assert a.loc["<other>"].n_keys == 3
     b = out[out.g == "b"]
     assert "<other>" not in b.key_out.tolist() and len(b) == 2
+
+
+def test_bucket_by_quantile_bands_and_nulls(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.relational import bucket_by_quantile
+
+    # 9 values 1..9: tertile cuts at quantile_cont(1/3)=3.666.., (2/3)=6.333..
+    df = pd.DataFrame(
+        {"id": range(10), "v": [1, 2, 3, 4, 5, 6, 7, 8, 9, None]}
+    )
+    out = (
+        bucket_by_quantile(df, "v", id_cols=["id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["bucket"].tolist() == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3 + [None]
+    )
+    # custom labels reverse the ordering convention (CCNet logprob)
+    out2 = (
+        bucket_by_quantile(
+            df, "v", labels=["tail", "middle", "head"], id_cols=["id"]
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out2["bucket"].tolist() == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3 + [None]
+    )
+
+
+def test_bucket_by_quantile_validation():
+    import pandas as pd
+    import pytest
+
+    from data_validator_ray.pipelines.relational import bucket_by_quantile
+
+    df = pd.DataFrame({"v": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="labels"):
+        bucket_by_quantile(df, "v", qs=[0.5], labels=["a", "b", "c"])
+    with pytest.raises(ValueError, match="ascending"):
+        bucket_by_quantile(df, "v", qs=[0.7, 0.3], labels=["a", "b", "c"])
