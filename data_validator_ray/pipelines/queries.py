@@ -1874,6 +1874,52 @@ def q_line_filter_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_robots_meta_documents(sf_dir: str) -> pd.DataFrame:
+    """Crawl-compliance gate: per-page robots-meta directive flags
+    over deterministically derived html (ids %9==0 declare noindex,
+    %13==0 nofollow — both when both divide; mirrored in SQL), then
+    the noindex pages are dropped. Output: kept doc_id + nofollow
+    flag."""
+    from .webpages import robots_meta_flags
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        directive = np.where(ids % 9 == 0, "noindex", "")
+        both = (ids % 9 == 0) & (ids % 13 == 0)
+        directive = np.where(both, "noindex, nofollow", directive)
+        directive = np.where(
+            (ids % 13 == 0) & ~(ids % 9 == 0), "nofollow", directive
+        )
+        meta = np.where(
+            directive == "",
+            "",
+            np.char.add(
+                np.char.add('<meta name="robots" content="', directive),
+                '">',
+            ),
+        )
+        html = np.char.add(
+            np.char.add("<html><head>", meta),
+            "</head><body><p>page</p></body></html>",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "html": pa.array(html.astype(object), pa.binary()),
+            }
+        )
+
+    flags = robots_meta_flags(
+        ds.map_batches(inject, batch_format="pyarrow")
+    ).to_pandas()
+    out = flags[~flags["robots_noindex"]][["doc_id", "robots_nofollow"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_token_doc_freq_documents(sf_dir: str) -> pd.DataFrame:
     """Corpus vocabulary document frequencies (combiner pattern:
     per-batch distinct-per-doc pre-aggregation before the global
@@ -5512,6 +5558,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "url_blocklist_documents": q_url_blocklist_documents,
         "cap_per_domain_documents": q_cap_per_domain_documents,
         "line_filter_documents": q_line_filter_documents,
+        "robots_meta_documents": q_robots_meta_documents,
         "token_doc_freq_documents": q_token_doc_freq_documents,
         "vocab_coverage_documents": q_vocab_coverage_documents,
         "pattern_scan_documents": q_pattern_scan_documents,
@@ -6192,6 +6239,29 @@ def oracle_sql() -> Dict[str, str]:
         "url_blocklist_documents": _URL_BLOCKLIST_SQL,
         "cap_per_domain_documents": _CAP_PER_DOMAIN_SQL,
         "line_filter_documents": _LINE_FILTER_SQL,
+        "robots_meta_documents": (
+            "WITH h AS ("
+            "  SELECT doc_id,"
+            "    '<html><head>' ||"
+            "    CASE WHEN doc_id % 9 = 0 AND doc_id % 13 = 0 THEN"
+            "      '<meta name=\"robots\" content=\"noindex, nofollow\">'"
+            "    WHEN doc_id % 9 = 0 THEN"
+            "      '<meta name=\"robots\" content=\"noindex\">'"
+            "    WHEN doc_id % 13 = 0 THEN"
+            "      '<meta name=\"robots\" content=\"nofollow\">'"
+            "    ELSE '' END ||"
+            "    '</head><body><p>page</p></body></html>' AS html"
+            "  FROM documents"
+            ") "
+            "SELECT doc_id,"
+            " regexp_matches(html,"
+            "   '(?i)<meta[^>]*robots[^>]*content\\s*=\\s*\"[^\"]*\\b(nofollow)\\b')"
+            "   AS robots_nofollow"
+            " FROM h"
+            " WHERE NOT regexp_matches(html,"
+            "   '(?i)<meta[^>]*robots[^>]*content\\s*=\\s*\"[^\"]*\\b(noindex)\\b')"
+            " ORDER BY doc_id"
+        ),
         "url_dedup_documents": _URL_DEDUP_SQL,
         "domain_counts_documents": _DOMAIN_COUNTS_SQL,
         "token_doc_freq_documents": _TOKEN_DF_SQL,

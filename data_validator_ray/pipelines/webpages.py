@@ -333,6 +333,75 @@ def extracted_webpages(input_dir: str, *, keep_html: bool = False) -> Dataset:
     )
 
 
+# RE2 only (shared verbatim by the Arrow kernel and the DuckDB
+# oracle). Heuristic, documented contract: a page declares a robots
+# directive when a <meta ...> tag mentioning "robots" has the
+# directive word inside its quoted content value. Attribute ORDER is
+# not normalized beyond name-before-content / robots-before-value —
+# the dominant real-world form; unit tests pin the accepted shapes.
+_ROBOTS_META_RE = (
+    r'(?i)<meta[^>]*robots[^>]*content\s*=\s*"[^"]*\b({d})\b'
+)
+
+
+def robots_meta_flags(
+    source,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    *,
+    directives: "tuple[str, ...]" = ("noindex", "nofollow"),
+    batch_size: int = 16384,
+) -> Dataset:
+    """Per-page robots-meta directive flags — the crawl-compliance
+    signal (`<meta name="robots" content="noindex, nofollow">`): one
+    boolean column per directive. NULL html → all-false (no tag, no
+    directive). Pure streaming RE2 scan over the html bytes; no
+    shuffle, no Python per row."""
+    pats = {d: _ROBOTS_META_RE.format(d=d) for d in directives}
+
+    def scan(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch[html_col].combine_chunks(), pa.string())
+        cols = {id_col: batch[id_col]}
+        for d, pat in pats.items():
+            m = pc.fill_null(pc.match_substring_regex(html, pat), False)
+            cols[f"robots_{d}"] = m
+        return pa.table(cols)
+
+    from .dedup import _as_dataset
+
+    ds = _as_dataset(source, columns=[id_col, html_col])
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=batch_size)
+
+
+def robots_meta_filter(
+    source,
+    html_col: str = "html",
+    *,
+    block: "tuple[str, ...]" = ("noindex", "none"),
+    batch_size: int = 16384,
+) -> Dataset:
+    """Drop pages whose robots meta declares any blocked directive
+    (default: ``noindex``/``none`` — the pages a compliant corpus must
+    not keep). NULL html rows are KEPT (no tag declares nothing; the
+    completeness rule owns missing html). All columns pass through;
+    pure streaming filter."""
+    pats = [_ROBOTS_META_RE.format(d=d) for d in block]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch[html_col].combine_chunks(), pa.string())
+        blocked = None
+        for pat in pats:
+            m = pc.fill_null(pc.match_substring_regex(html, pat), False)
+            blocked = m if blocked is None else pc.or_(blocked, m)
+        return batch.filter(pc.invert(blocked))
+
+    from .dedup import _as_dataset
+
+    return _as_dataset(source).map_batches(
+        keep, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def webpages_config(
     *,
     approx_uniqueness: bool = False,

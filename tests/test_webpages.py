@@ -225,3 +225,53 @@ def test_make_webpages_arrow_matches_pandas_oracle():
         a, b = old[c], new[c]
         same = (a.isna() & b.isna()) | (a == b)
         assert same.all(), (c, a[~same].head(), b[~same].head())
+
+
+def test_robots_meta_flags_variants(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.webpages import robots_meta_flags
+
+    pages = [
+        b'<html><head><meta name="robots" content="noindex"></head></html>',
+        b'<html><head><meta name="robots" content="noindex, nofollow"></head></html>',
+        b'<html><head><meta NAME="ROBOTS" CONTENT="NOFOLLOW"></head></html>',  # case
+        b'<html><head><meta name="robots" content="index, follow"></head></html>',
+        b'<html><head></head><body>robots noindex as text</body></html>',  # not a meta
+        None,  # NULL html
+        b'<html><head><meta name="robots" content="noindexing"></head></html>',  # word boundary
+    ]
+    df = pd.DataFrame({"doc_id": range(len(pages)), "html": pages})
+    out = (
+        robots_meta_flags(df)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["robots_noindex"].tolist() == [
+        True, True, False, False, False, False, False
+    ]
+    assert out["robots_nofollow"].tolist() == [
+        False, True, True, False, False, False, False
+    ]
+
+
+def test_robots_meta_filter_drops_blocked(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.webpages import robots_meta_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "html": [
+                b'<html><head><meta name="robots" content="noindex"></head></html>',
+                b'<html><head><meta name="robots" content="none"></head></html>',
+                b"<html><head></head><body>x</body></html>",
+                None,  # NULL html kept
+            ],
+        }
+    )
+    kept = robots_meta_filter(df).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [2, 3]
+    assert list(kept.columns) == ["doc_id", "html"]
