@@ -265,43 +265,55 @@ def exact_dedup(
     *,
     num_buckets: int = 256,
     tiebreak: Optional[str] = None,
+    keep: str = "first",
 ) -> Dataset:
     """Keep one row per key value. One shuffle on a coarse bucket of
     ``hash(key)``; within a bucket a single vectorized
     ``drop_duplicates`` handles every key.
 
-    With ``tiebreak`` (a short column, e.g. an id/url): keep the
-    minimum-tiebreak row per key — only the cheap column is sorted,
-    never the (potentially huge) key strings; duplicate-group
+    With ``tiebreak`` (a short column, e.g. an id/url/crawl
+    timestamp): keep the minimum-tiebreak row per key
+    (``keep="first"``) or the maximum (``keep="last"`` — the
+    keep-newest-crawl-per-url shape) — only the cheap column is
+    sorted, never the (potentially huge) key strings; duplicate-group
     identification is hash-based inside ``drop_duplicates``. Without
-    it: keep the lexicographically-first row over all columns (the
-    round-1 semantics — deterministic but sorts whole rows).
+    ``tiebreak``: keep the lexicographically-first (or -last) row over
+    all columns (the round-1 semantics — deterministic but sorts
+    whole rows).
 
-    The same keep-first reduce runs BATCH-LOCALLY before the shuffle
-    (it is associative: min-of-mins = global min), so on heavily
-    duplicated corpora the shuffle ships one survivor per (batch, key)
-    instead of every row — at a 1600× duplication factor that is a
-    ~1000× exchange-volume cut (the pre-aggregate-before-groupby scale
-    pattern, SURVEY.md §4.3.2)."""
+    The same reduce runs BATCH-LOCALLY before the shuffle (it is
+    associative: min-of-mins = global min, max-of-maxes = global max),
+    so on heavily duplicated corpora the shuffle ships one survivor
+    per (batch, key) instead of every row — at a 1600× duplication
+    factor that is a ~1000× exchange-volume cut (the
+    pre-aggregate-before-groupby scale pattern, SURVEY.md §4.3.2)."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    desc = keep == "last"
     ds = _as_dataset(source)
 
-    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+    def keep_one(bucket: pd.DataFrame) -> pd.DataFrame:
         order = [tiebreak] if tiebreak else list(bucket.columns)
         return (
-            bucket.sort_values(order, kind="stable")
+            bucket.sort_values(order, kind="stable", ascending=not desc)
             .drop_duplicates(subset=[key], keep="first")
         )
 
     def local_combine(batch: pa.Table) -> pa.Table:
-        # polars (Rust) keep-first — a pandas round-trip on big string
+        # polars (Rust) keep-one — a pandas round-trip on big string
         # batches costs more than the reduce itself
         d = pl.from_arrow(batch)
         order = [tiebreak] if tiebreak else list(d.columns)
-        out = d.sort(order).unique(subset=[key], keep="first", maintain_order=True)
+        # nulls_last matches pandas' na_position="last" in keep_one —
+        # otherwise a NULL-tiebreak row could win locally but lose in
+        # the bucket reduce (batch-size-dependent survivors)
+        out = d.sort(order, descending=desc, nulls_last=True).unique(
+            subset=[key], keep="first", maintain_order=True
+        )
         return out.select(batch.column_names).to_arrow().cast(batch.schema)
 
     combined = ds.map_batches(local_combine, batch_format="pyarrow")
-    return bucketed_groupby(combined, [key], keep_first, num_buckets=num_buckets)
+    return bucketed_groupby(combined, [key], keep_one, num_buckets=num_buckets)
 
 
 # --------------------------------------------------------------------------- #

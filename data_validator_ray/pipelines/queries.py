@@ -421,6 +421,19 @@ def q_dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     return df.astype("int64")
 
 
+def q_dedup_keep_newest_documents(sf_dir: str) -> pd.DataFrame:
+    """Keep-newest exact dedup (max tiebreak per key — the
+    latest-crawl-per-url shape): batch-local max combine, then one
+    identity-bucketed shuffle finishes each key."""
+    from .dedup import exact_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    out = exact_dedup(ds, "lang", tiebreak="doc_id", keep="last").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_token_count_documents(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -5496,6 +5509,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "stats_lineitem_quantity": q_stats_lineitem_quantity,
         "grouped_documents_lang": q_grouped_documents_lang,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_keep_newest_documents": q_dedup_keep_newest_documents,
         "token_count_documents": q_token_count_documents,
         "flagship_webpages": q_flagship_webpages,
         "approx_uniqueness_events": q_approx_uniqueness_events,
@@ -5970,6 +5984,12 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "dedup_exact_documents": (
             "SELECT MIN(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text"
+        ),
+        "dedup_keep_newest_documents": (
+            "SELECT doc_id, lang, source FROM documents"
+            " QUALIFY row_number() OVER ("
+            "   PARTITION BY lang ORDER BY doc_id DESC) = 1"
+            " ORDER BY lang"
         ),
         "token_count_documents": (
             "SELECT doc_id, length(regexp_extract_all(text, '\\S+'))::BIGINT "

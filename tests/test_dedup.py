@@ -605,3 +605,45 @@ def test_containment_catches_quotes(ray_session):
     assert c.containment[0] == 1.0
     j = ngram_jaccard_pairs(docs, threshold=0.9, num_buckets=8)
     assert len(j) == 0  # Jaccard misses the quote
+
+
+def test_exact_dedup_keep_last(ray_session):
+    import pandas as pd
+
+    import data_validator_ray.pipelines.dedup as D
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "id": [3, 7, 1, 9, 5],
+            "payload": ["x3", "x7", "x1", "x9", "x5"],
+        }
+    )
+    out = (
+        D.exact_dedup(ray.data.from_pandas(df), "k", tiebreak="id", keep="last")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [7, 9]
+    assert out["payload"].tolist() == ["x7", "x9"]
+    # batch-size invariance: local max-combine must agree with the
+    # bucket reduce
+    src = ray.data.from_pandas(df).repartition(5)
+    out2 = (
+        D.exact_dedup(src, "k", tiebreak="id", keep="last")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_exact_dedup_keep_validation():
+    import pandas as pd
+    import pytest
+
+    import data_validator_ray.pipelines.dedup as D
+
+    with pytest.raises(ValueError, match="keep"):
+        D.exact_dedup(pd.DataFrame({"k": [1]}), "k", keep="newest")
