@@ -498,6 +498,43 @@ class MinHashStage:
         )
 
 
+def minhash_band_keys(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perms: int = 128,
+    bands: int = 32,
+    seed: int = 0x5EED,
+    batch_size: int = 4096,
+) -> Dataset:
+    """(id, band_key) rows — one int64 key per LSH band per doc,
+    ``band_key = (band_hash · FNV + band) mod M`` so equal keys mean
+    "same band AND same band hash". Two docs share ≥1 band key iff
+    banded LSH would pair them — the key stream is what a PERSISTENT
+    near-dup index stores (see ``state.key_index.near_dup_against_
+    index``: crawl N+1 probes crawl 1..N's band keys the same way new
+    exact keys probe the exact index). Docs with no shingles emit no
+    keys (they can never be near-dups)."""
+    stage = MinHashStage(id_col, text_col, n, num_perms, bands, seed)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        t = stage(batch)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (bh * np.uint64(1099511628211) + b) % _MERSENNE
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "band_key": pa.array(k.view(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    return ds.map_batches(keys, batch_format="pyarrow", batch_size=batch_size)
+
+
 def minhash_lsh_candidates(
     source: Any,
     id_col: str = "doc_id",

@@ -3686,6 +3686,70 @@ def q_multi_table_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["table_name", "rule_name"]).reset_index(drop=True)
 
 
+def q_incremental_near_dup_documents(sf_dir: str) -> pd.DataFrame:
+    """Persistent cross-crawl NEAR-dup lifecycle: build the MinHash
+    band-key index from crawl A (even doc ids), probe crawl B = odd
+    docs PLUS re-crawled copies of A's pages (ids shifted +100000) —
+    every copy shares all 32 band keys with history and drops with
+    certainty; fresh odd docs keep (no band collision at this corpus
+    size with the pinned seed, so the exact-copy SQL oracle holds).
+    Then union-merge B's keys and re-probe B: everything with
+    shingles now drops."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from ..state.key_index import (
+        build_near_dup_index,
+        near_dup_against_index,
+        update_near_dup_index,
+    )
+
+    def docs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    def crawl_a():
+        return docs().map_batches(
+            lambda b: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)
+            ),
+            batch_format="pyarrow",
+        )
+
+    def crawl_b():
+        odd = docs().map_batches(
+            lambda b: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 1)
+            ),
+            batch_format="pyarrow",
+        )
+        recrawled = crawl_a().map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("doc_id"),
+                "doc_id",
+                _pc.add(b["doc_id"], 100000),
+            ),
+            batch_format="pyarrow",
+        )
+        return odd.union(recrawled)
+
+    work = tempfile.mkdtemp(prefix="graft_neardup_", dir="/tmp")
+    try:
+        idx = f"{work}/idx"
+        build_near_dup_index(crawl_a(), idx)
+        kept = near_dup_against_index(crawl_b(), idx).to_pandas()
+        update_near_dup_index(idx, crawl_b())
+        kept_after = near_dup_against_index(crawl_b(), idx).count()
+        out = kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        out["kept_after_update"] = np.int64(kept_after)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_incremental_dedup_orders(sf_dir: str) -> pd.DataFrame:
     """Persistent key-index lifecycle across three simulated crawls:
     build the index from crawl A's customer keys, dedup crawl B
@@ -5670,6 +5734,11 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "compact_files_events": q_compact_files_events,
         "float_anomaly_events": q_float_anomaly_events,
         "incremental_dedup_orders": q_incremental_dedup_orders,
+        # rows-only: LSH near-dup semantics (banded collisions are the
+        # POINT — a 31-token vocab makes some odd/even doc pairs
+        # genuine near-dups); determinism + planted-copy certainty
+        # pinned by tests/test_state.py
+        "incremental_near_dup_documents": q_incremental_near_dup_documents,
         "incremental_dedup_sharded_orders": q_incremental_dedup_sharded_orders,
         "storage_profile_events": q_storage_profile_events,
         "canary_check_documents": q_canary_check_documents,

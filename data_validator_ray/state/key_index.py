@@ -468,3 +468,231 @@ def update_key_index(
         "n_added": int(len(h1) - n_before),
         "n_keys": int(len(h1)),
     }
+
+
+# --------------------------------------------------------------------------- #
+# incremental NEAR-dup: MinHash band keys through the same index              #
+# --------------------------------------------------------------------------- #
+
+MINHASH_META = "_minhash.json"
+_BAND_KEY_COL = "band_key"
+
+
+def _write_minhash_meta(d: Path, params: dict) -> None:
+    (d / MINHASH_META).write_text(json.dumps(params))
+
+
+def _read_minhash_meta(d: Path) -> dict:
+    p = d / MINHASH_META
+    if not p.exists():
+        raise ValueError(
+            f"{d} is not a near-dup index (missing {MINHASH_META}); "
+            "build it with build_near_dup_index"
+        )
+    return json.loads(p.read_text())
+
+
+def build_near_dup_index(
+    source: Any,
+    index_dir: "str | Path",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perms: int = 128,
+    bands: int = 32,
+    seed: int = 0x5EED,
+    batch_size: int = 4096,
+    n_shards: Optional[int] = None,
+) -> dict:
+    """Persistent cross-crawl NEAR-dup index: stores every MinHash
+    band key (one int64 per LSH band per doc — see
+    ``pipelines.dedup.minhash_band_keys``) the corpus has ever
+    produced, in the SAME 16 B/key (h1, h2) layout as the exact index
+    (sharded tier included). A later crawl probes with
+    :func:`near_dup_against_index`: a doc sharing ANY band key with
+    history is an LSH near-dup candidate of some previously indexed
+    doc and drops — the recall-oriented gate (same banded-LSH
+    semantics as the in-corpus ``minhash_lsh_candidates``; exact
+    copies always collide in every band, so exact dups are caught
+    with certainty). The MinHash parameters persist in
+    ``_minhash.json`` so every future probe/update reuses them —
+    mixed-parameter probes are meaningless and fail loudly."""
+    from ..pipelines.dedup import minhash_band_keys
+
+    keys = minhash_band_keys(
+        source, id_col, text_col,
+        n=n, num_perms=num_perms, bands=bands, seed=seed,
+        batch_size=batch_size,
+    )
+    out = build_key_index(
+        keys, _BAND_KEY_COL, index_dir, n_shards=n_shards
+    )
+    _write_minhash_meta(
+        Path(index_dir),
+        {"n": n, "num_perms": num_perms, "bands": bands, "seed": seed},
+    )
+    return out
+
+
+def update_near_dup_index(
+    index_dir: "str | Path",
+    new_source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    batch_size: int = 4096,
+) -> dict:
+    """Union-merge a new crawl's band keys into the near-dup index
+    (atomic; sharded indexes merge only touched shards). MinHash
+    parameters come from the index's ``_minhash.json``."""
+    from ..pipelines.dedup import minhash_band_keys
+
+    d = Path(index_dir)
+    p = _read_minhash_meta(d)
+    keys = minhash_band_keys(
+        new_source, id_col, text_col,
+        n=p["n"], num_perms=p["num_perms"], bands=p["bands"],
+        seed=p["seed"], batch_size=batch_size,
+    )
+    return update_key_index(d, keys, _BAND_KEY_COL)
+
+
+def near_dup_against_index(
+    source: Any,
+    index_dir: "str | Path",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    batch_size: int = 4096,
+    audit_dir: "str | Path | None" = None,
+) -> ray.data.Dataset:
+    """Drop every document that is an LSH near-dup candidate of ANY
+    previously indexed doc (shares ≥1 MinHash band key with history).
+    Docs with no shingles emit no keys and are always kept.
+
+    Broadcast tier (unsharded): a doc's band keys are computed
+    DOC-LOCALLY inside its batch, probed against the ray.put index,
+    and OR-reduced per doc — one streaming pass, no shuffle. Sharded
+    tier: the (id, band_key) stream shuffles ONCE by the index's h1
+    range, each group loads only its shard file and emits matched doc
+    ids; the matched-id set broadcasts back as the drop set — bounded
+    by the number of near-dup docs in THIS crawl (the same documented
+    bound as ``near_dup_dedup``'s drop set)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.dedup import minhash_band_keys
+
+    d = Path(index_dir)
+    meta = _check_meta(d, expect_key_col=_BAND_KEY_COL)
+    p = _read_minhash_meta(d)
+    mh = dict(
+        n=p["n"], num_perms=p["num_perms"], bands=p["bands"],
+        seed=p["seed"],
+    )
+
+    if meta.get("n_shards"):
+        n_shards = int(meta["n_shards"])
+        keys = minhash_band_keys(
+            source, id_col, text_col, batch_size=batch_size, **mh
+        )
+        dir_str = str(d)
+        audit_str = str(audit_dir) if audit_dir else None
+
+        def tag(batch: pa.Table) -> pa.Table:
+            col = batch[_BAND_KEY_COL]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h1 = hash64(col, seed=0).astype(np.int64)
+            h2 = hash64(col, seed=1).astype(np.int64)
+            s = _shard_ids(h1, n_shards)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "__s": pa.array(s, pa.int64()),
+                    "__h1": pa.array(h1, pa.int64()),
+                    "__h2": pa.array(h2, pa.int64()),
+                }
+            )
+
+        def probe(g: pa.Table) -> pa.Table:
+            empty = pa.table({id_col: pa.array([], pa.int64())})
+            if len(g) == 0:
+                return empty
+            shard = int(g["__s"][0].as_py())
+            if audit_str:
+                Path(audit_str).mkdir(parents=True, exist_ok=True)
+                (Path(audit_str) / f"shard={shard}").touch()
+            idx = _load_shard(Path(dir_str), shard)
+            seen = idx.contains(
+                g["__h1"].to_numpy(zero_copy_only=False),
+                g["__h2"].to_numpy(zero_copy_only=False),
+            )
+            ids = np.unique(
+                g[id_col].to_numpy(zero_copy_only=False)[seen]
+            )
+            return pa.table({id_col: pa.array(ids, pa.int64())})
+
+        matched = (
+            keys.map_batches(tag, batch_format="pyarrow")
+            .groupby("__s")
+            .map_groups(probe, batch_format="pyarrow")
+        )
+        drop = np.unique(
+            np.concatenate(
+                [
+                    b[id_col].to_numpy(zero_copy_only=False)
+                    for b in matched.iter_batches(batch_format="pyarrow")
+                ]
+                or [np.array([], np.int64)]
+            )
+        )
+        drop_ref = ray.put(pa.array(drop, pa.int64()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ds_ = ray.get(drop_ref)
+            if len(ds_) == 0:
+                return batch
+            mask = pc.invert(
+                pc.fill_null(pc.is_in(batch[id_col], value_set=ds_), False)
+            )
+            return batch.filter(mask)
+
+        return _as_dataset(source).map_batches(
+            keep, batch_format="pyarrow", batch_size=batch_size
+        )
+
+    pairs = load_key_index(d, expect_key_col=_BAND_KEY_COL)
+    ref = ray.put(pairs)
+    from ..pipelines.dedup import MinHashStage, _MERSENNE
+
+    stage = MinHashStage(id_col, text_col, **mh)
+
+    def keep_local(batch: pa.Table) -> pa.Table:
+        idx = ray.get(ref)
+        t = stage(batch)  # (id, band, band_hash) — doc-local rows
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = pa.array(
+            ((bh * np.uint64(1099511628211) + b) % _MERSENNE).view(np.int64),
+            pa.int64(),
+        )
+        h1 = hash64(k, seed=0).astype(np.int64)
+        h2 = hash64(k, seed=1).astype(np.int64)
+        seen = idx.contains(h1, h2)
+        drop_ids = np.unique(
+            t[id_col].to_numpy(zero_copy_only=False)[seen]
+        )
+        if len(drop_ids) == 0:
+            return batch
+        mask = pc.invert(
+            pc.fill_null(
+                pc.is_in(batch[id_col], value_set=pa.array(drop_ids, pa.int64())),
+                False,
+            )
+        )
+        return batch.filter(mask)
+
+    return _as_dataset(source).map_batches(
+        keep_local, batch_format="pyarrow", batch_size=batch_size
+    )

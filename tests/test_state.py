@@ -271,3 +271,91 @@ def test_key_index_backend_version_guard(ray_session, tmp_path):
     del meta["backend"], meta["backend_version"]
     (idx / META_NAME).write_text(json.dumps(meta))
     assert len(load_key_index(idx)) == 2
+
+
+def _near_dup_crawls():
+    import pandas as pd
+
+    crawl1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight",
+            ],
+        }
+    )
+    crawl2 = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                # exact copy: all bands match → dropped with certainty
+                "alpha beta gamma delta epsilon zeta eta theta",
+                # one-token edit: high Jaccard → dropped (pinned seed)
+                "alpha beta gamma delta epsilon zeta eta iota",
+                # disjoint vocabulary: kept
+                "red orange yellow green blue indigo violet pink",
+                # no shingles: always kept
+                "",
+            ],
+        }
+    )
+    return crawl1, crawl2
+
+
+def test_near_dup_index_lifecycle_broadcast(ray_session, tmp_path):
+    from data_validator_ray.state.key_index import (
+        build_near_dup_index,
+        near_dup_against_index,
+        update_near_dup_index,
+    )
+
+    crawl1, crawl2 = _near_dup_crawls()
+    idx = str(tmp_path / "ndidx")
+    r = build_near_dup_index(crawl1, idx)
+    assert r["n_keys"] == 64  # 2 docs × 32 bands
+    kept = near_dup_against_index(crawl2, idx).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [12, 13]
+    u = update_near_dup_index(idx, crawl2)
+    assert u["n_keys"] > r["n_keys"]
+    # after the union-merge every crawl-2 doc WITH shingles is history
+    kept2 = near_dup_against_index(crawl2, idx).to_pandas()
+    assert sorted(kept2["doc_id"].tolist()) == [13]
+
+
+def test_near_dup_index_sharded_parity_and_pruning(ray_session, tmp_path):
+    import pathlib
+
+    from data_validator_ray.state.key_index import (
+        build_near_dup_index,
+        near_dup_against_index,
+    )
+
+    crawl1, crawl2 = _near_dup_crawls()
+    idx = str(tmp_path / "ndidx_sharded")
+    build_near_dup_index(crawl1, idx, n_shards=4)
+    audit = tmp_path / "audit"
+    kept = near_dup_against_index(
+        crawl2, idx, audit_dir=str(audit)
+    ).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [12, 13]
+    touched = {p.name for p in pathlib.Path(audit).iterdir()}
+    assert touched  # the probe recorded which shards it loaded
+    assert all(t.startswith("shard=") for t in touched)
+
+
+def test_near_dup_index_param_guard(ray_session, tmp_path):
+    import pytest
+
+    from data_validator_ray.state.key_index import (
+        build_key_index,
+        near_dup_against_index,
+    )
+    from data_validator_ray.pipelines.dedup import minhash_band_keys
+
+    crawl1, _ = _near_dup_crawls()
+    # an exact band-key index WITHOUT the minhash meta must be refused
+    idx = str(tmp_path / "bare")
+    build_key_index(minhash_band_keys(crawl1), "band_key", idx)
+    with pytest.raises(ValueError, match="near-dup index"):
+        near_dup_against_index(crawl1, idx).to_pandas()
