@@ -3915,6 +3915,52 @@ def q_fit_classifier_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ann_recall_report(sf_dir: str) -> pd.DataFrame:
+    """The engine auditing its own ANN index: IVF top-10 at each
+    nprobe tier vs the exact brute-force neighbors on the same
+    queries, reporting measured recall@10 ("measure, don't guess"
+    applied to the index; nprobe = n_centroids must hit 1.0 — the
+    same exactness the fullprobe oracle query pins). Deterministic:
+    k-means init, assignment and tie-breaks are all seeded/ordered."""
+    import shutil
+    import tempfile
+
+    from .dedup import load_embeddings
+    from .similarity import knn_brute, knn_ivf
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ids, M = load_embeddings(path)
+    Q, qids = M[:20], ids[:20]
+    brute = knn_brute(path, Q, qids, k=10)
+    truth = {
+        q: set(g["neighbor_id"].tolist())
+        for q, g in brute.groupby("query_id")
+    }
+    work = tempfile.mkdtemp(prefix="graft_annrecall_", dir="/tmp")
+    rows = []
+    try:
+        for nprobe in (2, 4, 8, 16):
+            approx = knn_ivf(
+                path, Q, qids, k=10, n_centroids=16, nprobe=nprobe,
+                index_dir=f"{work}/ivf16",
+            )
+            hits = sum(
+                len(set(g["neighbor_id"].tolist()) & truth[q])
+                for q, g in approx.groupby("query_id")
+            )
+            rows.append(
+                {
+                    "nprobe": np.int64(nprobe),
+                    "recall_at_10": round(hits / (10.0 * len(truth)), 6),
+                }
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = pd.DataFrame(rows)
+    assert out["recall_at_10"].iloc[-1] == 1.0  # fullprobe is exact
+    return out
+
+
 def q_sketch_accuracy_report(sf_dir: str) -> pd.DataFrame:
     """The engine auditing its own sketches: each approximate tier run
     NEXT TO its exact sibling on the same data, reporting the actual
@@ -5747,6 +5793,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "mix_to_budget_documents": q_mix_to_budget_documents,
         "fit_classifier_events": q_fit_classifier_events,
         "sketch_accuracy_report": q_sketch_accuracy_report,
+        # rows-only: IVF recall is approximate by design; the report
+        # IS the accuracy evidence (fullprobe row asserts 1.0)
+        "ann_recall_report": q_ann_recall_report,
         "pruning_report_events": q_pruning_report_events,
         "multi_table_summary": q_multi_table_summary,
         "metric_anomaly_events": q_metric_anomaly_events,
