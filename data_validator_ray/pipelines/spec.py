@@ -171,9 +171,18 @@ def _ensure_builtins() -> None:
         _C.gopher_stats, _C.decontaminate, _C.sample_n, _C.mix_to_budget,
         _C.group_sample, _C.linear_classifier_score,
         _C.remove_duplicated_spans, _C.semantic_dedup,
-        # urls
-        _U.url_dedup, _U.domain_counts,
+        _C.line_quality_filter,
+        # urls / crawl hygiene
+        _U.url_dedup, _U.domain_counts, _U.url_host_filter,
+        _U.cap_per_domain,
+        # quantile banding
+        _R.bucket_by_quantile,
     ):
+        _PIPELINE_OPS[_fn.__name__] = _fn
+
+    from .webpages import robots_meta_filter, robots_meta_flags
+
+    for _fn in (robots_meta_filter, robots_meta_flags):
         _PIPELINE_OPS[_fn.__name__] = _fn
 
 

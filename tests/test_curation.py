@@ -1106,3 +1106,38 @@ def test_line_quality_filter_doc_drop(ray_session):
     # doc 0 lost 75% of its lines → dropped outright by min_keep_pct
     assert out["doc_id"].tolist() == [1]
     assert out["n_lines_kept"].iloc[0] == 2
+
+
+def test_pipeline_spec_crawl_hygiene_ops(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.spec import run_pipeline_spec
+
+    spec = {
+        "steps": [
+            {
+                "op": "url_host_filter",
+                "params": {"domains": ["host3.example.com"]},
+            },
+            {"op": "cap_per_domain", "params": {"max_per_domain": 2}},
+        ]
+    }
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "url": [
+                "https://host%d.example.com/p/%d" % (i % 4, i)
+                for i in range(8)
+            ],
+        }
+    )
+    out = (
+        run_pipeline_spec(spec, source=ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # host3 blocked entirely; each surviving domain capped at its 2
+    # smallest ids
+    assert out["doc_id"].tolist() == [0, 4, 1, 5, 2, 6]
+    assert "host3.example.com" not in set(out["domain"])
