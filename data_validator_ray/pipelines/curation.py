@@ -66,7 +66,7 @@ def _token_frame(texts_col) -> "tuple[pl.DataFrame, int]":
     ex = (
         pl.DataFrame({"row": pl.int_range(0, n, eager=True), "t": s})
         .with_columns(pl.col("t").str.split(" "))
-        .explode("t")
+        .explode("t", empty_as_null=True)
         .filter(pl.col("t").is_not_null() & (pl.col("t") != ""))
     )
     return ex, n

@@ -86,7 +86,7 @@ def _shingle_frame(texts_col, n: int) -> "pl.DataFrame":
     ex = (
         pl.DataFrame({"row": pl.int_range(0, len(s), eager=True), "t": s})
         .with_columns(pl.col("t").str.split(" "))
-        .explode("t")
+        .explode("t", empty_as_null=True)
         .filter(pl.col("t").is_not_null() & (pl.col("t") != ""))
     )
     parts = [pl.col("t")] + [pl.col("t").shift(-i) for i in range(1, n)]
@@ -740,7 +740,7 @@ class SimHashStage:
         ex = (
             pl.DataFrame({"row": pl.int_range(0, n_docs, eager=True), "t": s})
             .with_columns(pl.col("t").str.split(" "))
-            .explode("t")
+            .explode("t", empty_as_null=True)
             .filter(pl.col("t").is_not_null() & (pl.col("t") != ""))
             .select(pl.col("row"), pl.col("t").hash(seed=0).alias("h"))
         )

@@ -2214,7 +2214,7 @@ def regex_extract_all(
             pl.DataFrame({"__i": pl.int_range(0, len(s), eager=True),
                           "__t": s})
             .with_columns(pl.col("__t").str.extract_all(pattern))
-            .explode("__t")
+            .explode("__t", empty_as_null=True)
             .filter(pl.col("__t").is_not_null())
             .with_columns(
                 (pl.col("__i").cum_count().over("__i")).alias("__r")
