@@ -135,6 +135,30 @@ def domain_counts(
     )
 
 
+def host_suffix_match(host_col, blocked: "object", max_labels: int = 5):
+    """Whole-label suffix membership (the pure kernel behind
+    :func:`url_host_filter`): ``out[i]`` is True iff ``host_col[i]``
+    equals some blocked domain or ends with ``"." + domain``. NULL
+    hosts → False. ``blocked`` is a polars Series of lowercase
+    domains; matching runs as ≤ ``max_labels`` vectorized
+    tail-k-labels joins probed via hashed ``is_in`` — per-row cost
+    independent of the list size. Hosts with more than ``max_labels``
+    labels only probe their deepest ``max_labels`` suffixes (document
+    the bound when matching unusually deep hostnames)."""
+    import polars as pl
+
+    d = pl.DataFrame({"host": pl.from_arrow(host_col)})
+    labels = d.select(pl.col("host").str.split("."))["host"]
+    matched = None
+    for k in range(1, max_labels + 1):
+        # hosts with < k labels re-produce the full host (tail
+        # clamps) — a redundant re-probe, never a wrong one
+        suf = labels.list.tail(k).list.join(".")
+        m = suf.is_in(blocked)
+        matched = m if matched is None else (matched | m)
+    return matched.fill_null(False).to_numpy()
+
+
 def url_host_filter(
     source: Any,
     domains: "list[str]",
@@ -169,17 +193,7 @@ def url_host_filter(
 
     def keep(batch: pa.Table) -> pa.Table:
         host = domain_of_array(normalize_url_array(batch[url_col]))
-        d = pl.DataFrame({"host": pl.from_arrow(host)})
-        blocked = ray.get(bl_ref)
-        labels = d.select(pl.col("host").str.split("."))["host"]
-        matched = None
-        for k in range(1, max_labels + 1):
-            # hosts with < k labels re-produce the full host (tail
-            # clamps) — a redundant re-probe, never a wrong one
-            suf = labels.list.tail(k).list.join(".")
-            m = suf.is_in(blocked)
-            matched = m if matched is None else (matched | m)
-        mask = matched.fill_null(False).to_numpy()
+        mask = host_suffix_match(host, ray.get(bl_ref), max_labels)
         if mode == "block":
             mask = ~mask
         return batch.filter(pa.array(mask))

@@ -97,3 +97,50 @@ def test_shard_ids_partition_hash_space(h1s, n_shards):
     u = h1.view(np.uint64)
     order = np.argsort(u)
     assert (np.diff(s[order]) >= 0).all()  # monotone in hash order
+
+
+@given(
+    hosts=st.lists(
+        st.one_of(
+            st.none(),
+            st.builds(
+                ".".join,
+                st.lists(
+                    st.sampled_from(["a", "b", "cc", "dd", "example", "com"]),
+                    min_size=1,
+                    max_size=5,
+                ),
+            ),
+        ),
+        max_size=40,
+    ),
+    blocked=st.sets(
+        st.builds(
+            ".".join,
+            st.lists(
+                st.sampled_from(["a", "b", "cc", "dd", "example", "com"]),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        max_size=8,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_host_suffix_match_vs_reference(hosts, blocked):
+    import polars as pl
+    import pyarrow as pa
+
+    from data_validator_ray.pipelines.urls import host_suffix_match
+
+    got = host_suffix_match(
+        pa.array(hosts, pa.string()), pl.Series(sorted(blocked))
+    )
+
+    def ref(h):
+        if h is None:
+            return False
+        return any(h == d or h.endswith("." + d) for d in blocked)
+
+    expected = [ref(h) for h in hosts]
+    assert got.tolist() == expected
