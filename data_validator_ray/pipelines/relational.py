@@ -4210,6 +4210,10 @@ def bucket_by_quantile(
     ``value <= cuts[i]`` (first match; last label catches the rest) —
     the cuts are driver scalars closed over, nothing broadcasts. NULL
     values get a NULL bucket and never enter the cut computation.
+    ``source`` is consumed twice — a LAZY upstream (e.g. an unscored
+    corpus piped through an LM scorer) re-executes for each pass;
+    when the upstream is expensive, write/materialize the scored
+    table first and bucket that.
     Defaults: tertiles ``head``/``middle``/``tail`` (CCNet buckets by
     LM score, where "head" = best third). Output: ``id_cols`` +
     ``value_col`` + ``bucket``."""
