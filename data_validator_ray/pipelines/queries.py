@@ -2047,6 +2047,37 @@ def q_perplexity_buckets_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_perplexity_buckets_by_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """CCNet's ACTUAL banding design: perplexity tertiles PER LANGUAGE
+    (each language keeps its own head third — a global cut would call
+    every low-resource-language doc 'tail'). Score with the unigram
+    LM, attach ``lang`` via a bucketed hash join, then the grouped
+    tier of :func:`bucket_by_quantile`: per-group exact cuts (one
+    bucketed shuffle, #langs × 2 driver scalars) broadcast once, and
+    the assign pass streams."""
+    from .relational import bucket_by_quantile, hash_join
+    from .text import unigram_logprob
+
+    scored = unigram_logprob(f"{sf_dir}/documents.parquet")
+    joined = hash_join(
+        scored,
+        f"{sf_dir}/documents.parquet",
+        left_key="doc_id",
+        right_key="doc_id",
+        left_cols=["doc_id", "logprob_mean"],
+        right_cols=["lang"],
+        num_buckets=8,
+    )
+    out = bucket_by_quantile(
+        joined,
+        "logprob_mean",
+        group_col="lang",
+        labels=["tail", "middle", "head"],
+        id_cols=["doc_id"],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     """Order-2 LM quality signal: per-doc mean conditional bigram
     log-probability P(w2|w1)=c(w1,w2)/c(w1,·) under the corpus's own
@@ -5690,6 +5721,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "unigram_logprob_capped_documents": q_unigram_logprob_capped_documents,
         "perplexity_buckets_documents": q_perplexity_buckets_documents,
+        "perplexity_buckets_by_lang_documents": (
+            q_perplexity_buckets_by_lang_documents
+        ),
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
         "token_entropy_documents": q_token_entropy_documents,
@@ -6459,6 +6493,21 @@ def oracle_sql() -> Dict[str, str]:
             "WHEN logprob_mean <= c2 THEN 'middle' "
             "ELSE 'head' END AS bucket "
             "FROM base CROSS JOIN cuts ORDER BY doc_id"
+        ),
+        "perplexity_buckets_by_lang_documents": (
+            "WITH base AS (" + _UNIGRAM_LOGPROB_SQL + "), "
+            "j AS (SELECT base.doc_id, d.lang, base.logprob_mean "
+            "FROM base JOIN documents d USING (doc_id)), "
+            "cuts AS (SELECT lang, "
+            "quantile_cont(logprob_mean, 1.0/3.0) AS c1, "
+            "quantile_cont(logprob_mean, 2.0/3.0) AS c2 "
+            "FROM j GROUP BY lang) "
+            "SELECT j.doc_id, j.lang, j.logprob_mean, "
+            "CASE WHEN j.logprob_mean IS NULL THEN NULL "
+            "WHEN j.logprob_mean <= c.c1 THEN 'tail' "
+            "WHEN j.logprob_mean <= c.c2 THEN 'middle' "
+            "ELSE 'head' END AS bucket "
+            "FROM j LEFT JOIN cuts c USING (lang) ORDER BY j.doc_id"
         ),
         "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
         # same oracle: the 4096 cap exceeds the corpus's 916 distinct

@@ -4201,6 +4201,7 @@ def bucket_by_quantile(
     qs: Optional[List[float]] = None,
     labels: Optional[List[str]] = None,
     id_cols: Optional[List[str]] = None,
+    group_col: Optional[str] = None,
     batch_size: int = 64 * 1024,
 ) -> Dataset:
     """Label every row by which global-quantile band its value falls
@@ -4216,7 +4217,14 @@ def bucket_by_quantile(
     table first and bucket that.
     Defaults: tertiles ``head``/``middle``/``tail`` (CCNet buckets by
     LM score, where "head" = best third). Output: ``id_cols`` +
-    ``value_col`` + ``bucket``."""
+    ``value_col`` + ``bucket``.
+
+    With ``group_col`` the bands are PER GROUP — CCNet's actual
+    design (perplexity tertiles per LANGUAGE, so each language keeps
+    its own head third): cuts come from
+    :func:`grouped_exact_quantiles` (one bucketed shuffle; #groups ×
+    len(qs) driver scalars), broadcast once as a sorted lookup, and
+    the assign pass stays streaming. NULL group keys bucket NULL."""
     qs = [1.0 / 3.0, 2.0 / 3.0] if qs is None else list(qs)
     labels = (
         ["head", "middle", "tail"] if labels is None else list(labels)
@@ -4226,6 +4234,10 @@ def bucket_by_quantile(
     if sorted(qs) != list(qs):
         raise ValueError("qs must be ascending")
     id_cols = list(id_cols or [])
+    if group_col is not None:
+        return _bucket_by_quantile_grouped(
+            source, value_col, group_col, qs, labels, id_cols, batch_size
+        )
     cuts = exact_global_quantiles(
         source, value_col, qs, batch_size=batch_size
     )
@@ -4247,6 +4259,75 @@ def bucket_by_quantile(
         )
 
     return _as_dataset(source, columns=[*id_cols, value_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def _bucket_by_quantile_grouped(
+    source: Any,
+    value_col: str,
+    group_col: str,
+    qs: List[float],
+    labels: List[str],
+    id_cols: List[str],
+    batch_size: int,
+) -> Dataset:
+    """Per-group band assignment: the group→cuts table (#groups ×
+    len(qs), driver-bounded) broadcasts once as sorted arrays; each
+    batch resolves its rows' groups via ``searchsorted`` and compares
+    against that group's cut row. Rows whose value is NULL, whose
+    group is NULL, or whose group produced no cuts (all-NULL values)
+    bucket NULL."""
+    qcols = [f"p{int(q * 100)}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError("qs round to duplicate percent names; spread them")
+    cut_tbl = grouped_exact_quantiles(
+        source, group_col, value_col,
+        quantiles=tuple(qs), batch_size=batch_size,
+    ).to_pandas()
+    # stringified keys for the sorted lookup (injective for the
+    # string/int group keys this supports)
+    groups = cut_tbl[group_col].astype(str).to_numpy(dtype=object)
+    order = np.argsort(groups)
+    groups = groups[order]
+    cut_m = cut_tbl[qcols].to_numpy(np.float64)[order]  # (G, len(qs))
+    ref = ray.put((groups, cut_m))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g_sorted, cm = ray.get(ref)
+        x = pc.cast(batch[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        g_valid = pc.is_valid(gcol).to_numpy(zero_copy_only=False)
+        g = pc.cast(gcol, pa.string()).to_pandas().fillna("").to_numpy(
+            dtype=object
+        )
+        pos = np.searchsorted(g_sorted, g)
+        pos = np.minimum(pos, max(len(g_sorted) - 1, 0))
+        known = (
+            g_valid & (len(g_sorted) > 0)
+            & (g_sorted[pos] == g)
+        )
+        lab = np.full(len(x), None, dtype=object)
+        if len(g_sorted):
+            cuts_rows = cm[pos]  # (n, len(qs)); junk where ~known
+            band = (x[:, None] > cuts_rows).sum(axis=1)
+            ok = known & ~np.isnan(x)
+            lab[ok] = np.array(labels, dtype=object)[band[ok]]
+        return pa.table(
+            {
+                **{c: batch[c] for c in id_cols},
+                group_col: batch[group_col],
+                value_col: batch[value_col],
+                "bucket": pa.array(lab, pa.string()),
+            }
+        )
+
+    cols = [*id_cols, group_col, value_col]
+    return _as_dataset(source, columns=cols).map_batches(
         assign, batch_format="pyarrow", batch_size=batch_size
     )
 

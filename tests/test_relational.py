@@ -2865,6 +2865,63 @@ def test_bucket_by_quantile_bands_and_nulls(ray_session):
     )
 
 
+def test_bucket_by_quantile_grouped(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.relational import bucket_by_quantile
+
+    # group b is group a scaled x10: per-group cuts must band each
+    # group identically (a global cut would call all of b 'tail')
+    df = pd.DataFrame(
+        {
+            "id": range(21),
+            "g": ["a"] * 9 + ["b"] * 9 + [None, "c", "a"],
+            "v": (
+                [1, 2, 3, 4, 5, 6, 7, 8, 9]
+                + [10, 20, 30, 40, 50, 60, 70, 80, 90]
+                + [5.0, None, None]
+            ),
+        }
+    )
+    out = (
+        bucket_by_quantile(df, "v", group_col="g", id_cols=["id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["id", "g", "v", "bucket"]
+    per_group = ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert out["bucket"][:9].tolist() == per_group
+    assert out["bucket"][9:18].tolist() == per_group
+    # NULL group key, all-NULL-value group, NULL value: all bucket NULL
+    assert out["bucket"][18:].isna().all()
+
+
+def test_bucket_by_quantile_grouped_int_keys(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.relational import bucket_by_quantile
+
+    df = pd.DataFrame(
+        {
+            "id": range(6),
+            "g": [1, 1, 1, 2, 2, 2],
+            "v": [1, 2, 3, 10, 20, 30],
+        }
+    )
+    out = (
+        bucket_by_quantile(
+            df, "v", group_col="g", qs=[0.5], labels=["lo", "hi"],
+            id_cols=["id"],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # per-group medians (2 and 20); <= cut -> first label
+    assert out["bucket"].tolist() == ["lo", "lo", "hi"] * 2
+
+
 def test_bucket_by_quantile_validation():
     import pandas as pd
     import pytest
