@@ -1459,98 +1459,24 @@ def near_dup_dedup(
 # --------------------------------------------------------------------------- #
 
 
-def paragraph_dedup(
-    source: Any,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _drop_and_reassemble(
+    ds: Dataset,
+    drops: Dataset,
     *,
-    sep: str = "\n",
-    num_hash_buckets: int = 256,
-    num_doc_buckets: int = 64,
-    batch_size: int = 8192,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    num_doc_buckets: int,
+    batch_size: int,
 ) -> Dataset:
-    """Corpus-wide EXACT paragraph dedup: split every document on
-    ``sep``, keep only the globally FIRST occurrence (min
-    ``(doc_id, para_idx)``) of each distinct paragraph, and rebuild
-    each document from its surviving paragraphs in original order —
-    the C4 / RefinedWeb line-dedup step (no reference analogue;
-    net-new per SURVEY §2.7).
-
-    Two shuffles, both bounded:
-
-    1. **paragraph identity** — the explode pass emits only 32-byte
-       ``(h1, h2, doc_id, para_idx)`` rows (the collision-checked
-       128-bit double-hash scheme of ``_exact_distinct``,
-       ``validator.py``; paragraph text never shuffles), bucketed on
-       ``h1 % num_hash_buckets``; ONE vectorized sort + duplicated()
-       per bucket emits the DROP rows (duplicates beyond first) —
-       exchange bounded by the duplicate count;
-    2. **reassembly** — drop rows and the corpus co-locate on
-       ``knuth(doc_id) % num_doc_buckets``; each bucket re-splits its
-       docs (polars explode), anti-joins its drop set on
-       ``(doc_id, para_idx)`` and re-joins with ``sep`` in one
-       vectorized pass. The corpus crosses the wire once — inherent
-       to an op that rewrites every document.
-
-    NULL text is treated as ``''`` (one empty paragraph — matches
-    ``string_split(COALESCE(text, ''), sep)``). A document whose every
-    paragraph was seen earlier comes back as ``''``. Output:
-    ``(id_col, text_col, n_dropped)``, deterministic under any
-    batch/bucket layout (keep-first is a global (doc_id, para_idx)
-    order, not arrival order).
-    """
-    from ..functions.sketches import hash64
+    """Shared reassembly tail of the segment-drop ops
+    (:func:`paragraph_dedup`, :func:`domain_boilerplate_removal`):
+    union the corpus with the ``(id_col, para_idx)`` drop rows,
+    co-locate on ``knuth(doc_id) % num_doc_buckets``, and rebuild each
+    document from its surviving segments in original order. The corpus
+    crosses the wire once — inherent to an op that rewrites every
+    document. Output ``(id_col, text_col, n_dropped)``."""
     from .curation import KNUTH
-
-    def explode_hashes(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        parts = pc.split_pattern(
-            pc.fill_null(batch[text_col].combine_chunks(), ""), sep
-        )
-        lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(parts)
-        parent = np.repeat(ids, lens)
-        starts = np.repeat(np.cumsum(lens) - lens, lens)
-        pidx = np.arange(len(flat), dtype=np.int64) - starts
-        h1 = hash64(flat)
-        h2 = hash64(flat, seed=0x9E3779B9)
-        return pa.table(
-            {
-                "__h1": pa.array(h1, pa.uint64()),
-                "__h2": pa.array(h2, pa.uint64()),
-                id_col: pa.array(parent, pa.int64()),
-                "para_idx": pa.array(pidx, pa.int64()),
-                "__bucket": pa.array(
-                    (h1 % np.uint64(num_hash_buckets)).astype(np.int64),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    def emit_drops(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["__h1", "__h2", id_col, "para_idx"])
-        dup = g.duplicated(["__h1", "__h2"], keep="first")
-        d = g.loc[dup, [id_col, "para_idx"]]
-        return pd.DataFrame(
-            {id_col: d[id_col].to_numpy(np.int64),
-             "para_idx": d["para_idx"].to_numpy(np.int64)}
-        )
-
-    ds = _as_dataset(source, columns=[id_col, text_col])
-    # materialize() here is load-bearing: the drop table is two int64
-    # columns (~16 B × duplicate count, object-store-spillable), and
-    # pinning it breaks the groupby→union→groupby operator chain —
-    # Ray's streaming executor handles the two sort shuffles back to
-    # back pathologically (measured >10× on the 8M-row bench), while
-    # shuffle-materialize-shuffle runs at full speed.
-    drops = (
-        ds.map_batches(
-            explode_hashes, batch_format="pyarrow", batch_size=batch_size
-        )
-        .groupby("__bucket")
-        .map_groups(emit_drops, batch_format="pandas")
-        .materialize()
-    )
 
     def doc_bucket(ids: np.ndarray) -> np.ndarray:
         return (
@@ -1656,6 +1582,279 @@ def paragraph_dedup(
 
     return unioned.groupby("__bucket").map_groups(
         reassemble, batch_format="pyarrow"
+    )
+
+
+def paragraph_dedup(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    num_hash_buckets: int = 256,
+    num_doc_buckets: int = 64,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Corpus-wide EXACT paragraph dedup: split every document on
+    ``sep``, keep only the globally FIRST occurrence (min
+    ``(doc_id, para_idx)``) of each distinct paragraph, and rebuild
+    each document from its surviving paragraphs in original order —
+    the C4 / RefinedWeb line-dedup step (no reference analogue;
+    net-new per SURVEY §2.7).
+
+    Two shuffles, both bounded:
+
+    1. **paragraph identity** — the explode pass emits only 32-byte
+       ``(h1, h2, doc_id, para_idx)`` rows (the collision-checked
+       128-bit double-hash scheme of ``_exact_distinct``,
+       ``validator.py``; paragraph text never shuffles), bucketed on
+       ``h1 % num_hash_buckets``; ONE vectorized sort + duplicated()
+       per bucket emits the DROP rows (duplicates beyond first) —
+       exchange bounded by the duplicate count;
+    2. **reassembly** — drop rows and the corpus co-locate on
+       ``knuth(doc_id) % num_doc_buckets``; each bucket re-splits its
+       docs (polars explode), anti-joins its drop set on
+       ``(doc_id, para_idx)`` and re-joins with ``sep`` in one
+       vectorized pass. The corpus crosses the wire once — inherent
+       to an op that rewrites every document.
+
+    NULL text is treated as ``''`` (one empty paragraph — matches
+    ``string_split(COALESCE(text, ''), sep)``). A document whose every
+    paragraph was seen earlier comes back as ``''``. Output:
+    ``(id_col, text_col, n_dropped)``, deterministic under any
+    batch/bucket layout (keep-first is a global (doc_id, para_idx)
+    order, not arrival order).
+    """
+    from ..functions.sketches import hash64
+
+    def explode_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = pc.split_pattern(
+            pc.fill_null(batch[text_col].combine_chunks(), ""), sep
+        )
+        lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(parts)
+        parent = np.repeat(ids, lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pidx = np.arange(len(flat), dtype=np.int64) - starts
+        h1 = hash64(flat)
+        h2 = hash64(flat, seed=0x9E3779B9)
+        return pa.table(
+            {
+                "__h1": pa.array(h1, pa.uint64()),
+                "__h2": pa.array(h2, pa.uint64()),
+                id_col: pa.array(parent, pa.int64()),
+                "para_idx": pa.array(pidx, pa.int64()),
+                "__bucket": pa.array(
+                    (h1 % np.uint64(num_hash_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def emit_drops(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__h1", "__h2", id_col, "para_idx"])
+        dup = g.duplicated(["__h1", "__h2"], keep="first")
+        d = g.loc[dup, [id_col, "para_idx"]]
+        return pd.DataFrame(
+            {id_col: d[id_col].to_numpy(np.int64),
+             "para_idx": d["para_idx"].to_numpy(np.int64)}
+        )
+
+    ds = _as_dataset(source, columns=[id_col, text_col])
+    # materialize() here is load-bearing: the drop table is two int64
+    # columns (~16 B × duplicate count, object-store-spillable), and
+    # pinning it breaks the groupby→union→groupby operator chain —
+    # Ray's streaming executor handles the two sort shuffles back to
+    # back pathologically (measured >10× on the 8M-row bench), while
+    # shuffle-materialize-shuffle runs at full speed.
+    drops = (
+        ds.map_batches(
+            explode_hashes, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("__bucket")
+        .map_groups(emit_drops, batch_format="pandas")
+        .materialize()
+    )
+
+    return _drop_and_reassemble(
+        ds, drops,
+        id_col=id_col, text_col=text_col, sep=sep,
+        num_doc_buckets=num_doc_buckets, batch_size=batch_size,
+    )
+
+
+def domain_boilerplate_removal(
+    source: Any,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_frac: Optional[float] = None,
+    num_hash_buckets: int = 256,
+    num_doc_buckets: int = 64,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Domain-frequency boilerplate removal — the CCNet / RefinedWeb /
+    Dolma hygiene step the per-doc heuristics can't do: a line that
+    recurs across MANY documents of the SAME domain (nav bars, cookie
+    banners, footers) is template junk, so drop EVERY occurrence of
+    any ``sep``-segment that appears in ≥ ``min_docs`` distinct
+    documents of its domain (and, with ``min_frac``, in ≥ that
+    fraction of the domain's documents — the Dolma-style relative
+    threshold; the effective cutoff is the max of the two). Unlike
+    :func:`paragraph_dedup` (keep-first, corpus-wide) this keeps NO
+    occurrence and scopes identity to ``(domain, segment)``.
+
+    Same bounded shuffles as :func:`paragraph_dedup`: the explode pass
+    ships only 40-byte ``(domain_hash, h1, h2, doc_id, para_idx)``
+    rows bucketed on ``(h1 ⊕ domain_hash) % num_hash_buckets``
+    (segment text never shuffles); per-bucket ONE vectorized sort
+    counts distinct docs per ``(domain, segment)`` run and emits ALL
+    rows of over-threshold segments; reassembly is the shared
+    :func:`_drop_and_reassemble` doc-bucketed pass. With ``min_frac``
+    a tiny per-domain doc-count aggregate (bounded by #domains)
+    broadcasts once via ``ray.put``.
+
+    NULL text is ``''`` (one empty segment); NULL domain is its own
+    domain (hash of ``''``). Output ``(id_col, text_col, n_dropped)``,
+    deterministic under any batch/bucket layout."""
+    from ..functions.sketches import hash64
+
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    if min_frac is not None and not (0.0 < min_frac <= 1.0):
+        raise ValueError("min_frac must be in (0, 1]")
+
+    ds = _as_dataset(source, columns=[id_col, domain_col, text_col])
+
+    thr_ref = None
+    if min_frac is not None:
+        # per-domain doc counts: distinct-bounded groupby (#domains
+        # rows), keyed by the same domain hash the explode pass emits
+        def domain_partial(batch: pa.Table) -> pa.Table:
+            dh = hash64(
+                pc.cast(
+                    pc.fill_null(batch[domain_col].combine_chunks(), ""),
+                    pa.string(),
+                )
+            )
+            keys, cnt = np.unique(dh, return_counts=True)
+            return pa.table(
+                {
+                    "__dh": pa.array(keys, pa.uint64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        dom = (
+            ds.map_batches(
+                domain_partial,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+            .groupby("__dh")
+            .sum("n")
+            .to_pandas()
+        )
+        dkeys = dom["__dh"].to_numpy(np.uint64)
+        order = np.argsort(dkeys)
+        thr = np.maximum(
+            np.ceil(dom["sum(n)"].to_numpy(np.float64) * min_frac),
+            float(min_docs),
+        ).astype(np.int64)
+        thr_ref = ray.put((dkeys[order], thr[order]))
+
+    def explode_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = hash64(
+            pc.cast(
+                pc.fill_null(batch[domain_col].combine_chunks(), ""),
+                pa.string(),
+            )
+        )
+        parts = pc.split_pattern(
+            pc.fill_null(batch[text_col].combine_chunks(), ""), sep
+        )
+        lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(parts)
+        parent = np.repeat(ids, lens)
+        pdh = np.repeat(dh, lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pidx = np.arange(len(flat), dtype=np.int64) - starts
+        h1 = hash64(flat)
+        h2 = hash64(flat, seed=0x9E3779B9)
+        return pa.table(
+            {
+                "__dh": pa.array(pdh, pa.uint64()),
+                "__h1": pa.array(h1, pa.uint64()),
+                "__h2": pa.array(h2, pa.uint64()),
+                id_col: pa.array(parent, pa.int64()),
+                "para_idx": pa.array(pidx, pa.int64()),
+                "__bucket": pa.array(
+                    ((h1 ^ pdh) % np.uint64(num_hash_buckets)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def emit_drops(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__dh", "__h1", "__h2", id_col, "para_idx"])
+        dh = g["__dh"].to_numpy(np.uint64)
+        h1 = g["__h1"].to_numpy(np.uint64)
+        h2 = g["__h2"].to_numpy(np.uint64)
+        ids = g[id_col].to_numpy(np.int64)
+        new_seg = np.concatenate(
+            [
+                [True],
+                (dh[1:] != dh[:-1])
+                | (h1[1:] != h1[:-1])
+                | (h2[1:] != h2[:-1]),
+            ]
+        ) if len(g) else np.zeros(0, bool)
+        seg_id = np.cumsum(new_seg) - 1
+        doc_change = new_seg | np.concatenate(
+            [[True], ids[1:] != ids[:-1]]
+        ) if len(g) else np.zeros(0, bool)
+        n_seg = int(seg_id[-1]) + 1 if len(g) else 0
+        df_per_seg = np.bincount(
+            seg_id[doc_change], minlength=n_seg
+        ).astype(np.int64)
+        if thr_ref is not None:
+            tk, tv = ray.get(thr_ref)
+            seg_dh = dh[new_seg]
+            pos = np.searchsorted(tk, seg_dh)
+            pos = np.minimum(pos, max(len(tk) - 1, 0))
+            seg_thr = np.where(
+                (len(tk) > 0) & (tk[pos] == seg_dh), tv[pos], min_docs
+            )
+        else:
+            seg_thr = np.int64(min_docs)
+        bad = df_per_seg >= seg_thr
+        take = bad[seg_id]
+        return pd.DataFrame(
+            {
+                id_col: ids[take],
+                "para_idx": g["para_idx"].to_numpy(np.int64)[take],
+            }
+        )
+
+    drops = (
+        ds.map_batches(
+            explode_hashes, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("__bucket")
+        .map_groups(emit_drops, batch_format="pandas")
+        .materialize()
+    )
+    return _drop_and_reassemble(
+        ds, drops,
+        id_col=id_col, text_col=text_col, sep=sep,
+        num_doc_buckets=num_doc_buckets, batch_size=batch_size,
     )
 
 

@@ -3114,6 +3114,21 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_domain_boilerplate_documents(sf_dir: str) -> pd.DataFrame:
+    """Domain-frequency boilerplate removal (CCNet/RefinedWeb/Dolma
+    hygiene): drop EVERY occurrence of a segment appearing in ≥ 5
+    distinct docs of the same domain (``source``). The testdata text
+    has no newlines, so the segment separator is ``' '`` — the gate
+    then behaves as per-domain common-token removal, exercising the
+    full (domain, segment)-scoped count + drop-all + reassembly path."""
+    from .dedup import domain_boilerplate_removal
+
+    out = domain_boilerplate_removal(
+        f"{sf_dir}/documents.parquet", sep=" ", min_docs=5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_suggest_rules_events(sf_dir: str) -> pd.DataFrame:
     """Constraint suggestion over events (deequ ConstraintSuggestion
     analog): completeness for NULL-free columns, [min,max] ranges for
@@ -5800,6 +5815,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "zorder_events": q_zorder_events,
         "suggest_rules_events": q_suggest_rules_events,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
+        "domain_boilerplate_documents": q_domain_boilerplate_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
         "anomaly_zscore_events": q_anomaly_zscore_events,
@@ -7599,6 +7615,24 @@ def oracle_sql() -> Dict[str, str]:
             "part END, ' the ' ORDER BY idx), '') AS text, "
             "(COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped "
             "FROM r GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "domain_boilerplate_documents": (
+            # drop ALL occurrences of segments in >= 5 distinct docs
+            # of the same domain; rebuild docs from survivors in order
+            "WITH p AS (SELECT doc_id, source, "
+            "unnest(string_split(COALESCE(text, ''), ' ')) AS part, "
+            "generate_subscripts(string_split(COALESCE(text, ''), "
+            "' '), 1) AS idx FROM documents), "
+            "bad AS (SELECT source, part FROM p GROUP BY source, part "
+            "HAVING COUNT(DISTINCT doc_id) >= 5), "
+            "t AS (SELECT p.doc_id, p.part, p.idx, "
+            "(b.part IS NOT NULL) AS is_bad FROM p LEFT JOIN bad b "
+            "ON p.source = b.source AND p.part = b.part) "
+            "SELECT doc_id, "
+            "COALESCE(string_agg(CASE WHEN NOT is_bad THEN part END, "
+            "' ' ORDER BY idx), '') AS text, "
+            "(COUNT(*) FILTER (WHERE is_bad))::BIGINT AS n_dropped "
+            "FROM t GROUP BY doc_id ORDER BY doc_id"
         ),
         "running_window_events": (
             "SELECT user_id, ts, event_id, value, "

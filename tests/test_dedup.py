@@ -480,6 +480,82 @@ def test_paragraph_dedup_null_text_and_empty_segments(ray_session):
     assert out["n_dropped"].tolist() == [0, 1, 1]
 
 
+def test_domain_boilerplate_removal_basic(ray_session):
+    from data_validator_ray.pipelines.dedup import domain_boilerplate_removal
+
+    # "footer" recurs in 3 docs of domain a -> ALL occurrences drop
+    # (incl. doc 1's); same line in domain b is below threshold there
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "source": ["a", "a", "a", "b", "b"],
+            "text": [
+                "body1\nfooter",
+                "footer\nbody2",
+                "body3\nfooter\nmore",
+                "footer\nother",
+                "solo",
+            ],
+        }
+    )
+    out = (
+        domain_boilerplate_removal(
+            df, min_docs=3, num_hash_buckets=4, num_doc_buckets=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "body1", "body2", "body3\nmore", "footer\nother", "solo",
+    ]
+    assert out["n_dropped"].tolist() == [1, 1, 1, 0, 0]
+
+
+def test_domain_boilerplate_removal_min_frac(ray_session):
+    from data_validator_ray.pipelines.dedup import domain_boilerplate_removal
+
+    # domain a has 4 docs: frac 0.75 -> threshold ceil(3) docs;
+    # domain b has 2 docs: ceil(1.5)=2 -> its shared line drops too
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "source": ["a"] * 4 + ["b"] * 2,
+            "text": [
+                "nav\nx1", "nav\nx2", "nav\nx3", "x4",
+                "promo\ny1", "promo\ny2",
+            ],
+        }
+    )
+    out = (
+        domain_boilerplate_removal(
+            df, min_docs=1, min_frac=0.75,
+            num_hash_buckets=4, num_doc_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 'nav' in 3/4 of a (>= ceil(0.75*4)=3): drops; x1..x4 are 1/4
+    # each (< 3): stay. 'promo' in 2/2 of b (>= ceil(0.75*2)=2): drops.
+    assert out["text"].tolist() == ["x1", "x2", "x3", "x4", "y1", "y2"]
+    assert out["n_dropped"].tolist() == [1, 1, 1, 0, 1, 1]
+
+
+def test_domain_boilerplate_removal_validation(ray_session):
+    import pytest
+
+    from data_validator_ray.pipelines.dedup import domain_boilerplate_removal
+
+    df = pd.DataFrame(
+        {"doc_id": [1], "source": ["a"], "text": ["x"]}
+    )
+    with pytest.raises(ValueError, match="min_docs"):
+        domain_boilerplate_removal(df, min_docs=0)
+    with pytest.raises(ValueError, match="min_frac"):
+        domain_boilerplate_removal(df, min_frac=1.5)
+
+
 def test_paragraph_dedup_layout_independent(ray_session):
     from data_validator_ray.pipelines.dedup import paragraph_dedup
 
