@@ -2104,6 +2104,77 @@ def q_bigram_logprob_capped_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_DSIR_SQL = (
+    "WITH tok_r AS (SELECT doc_id, unnest(list_filter("
+    "string_split(text, ' '), x -> x <> '')) AS t FROM documents), "
+    "tok_t AS (SELECT unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS t FROM documents WHERE lang = 'en'), "
+    "cr AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok_r GROUP BY t), "
+    "ct AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok_t GROUP BY t), "
+    "v AS (SELECT t FROM cr UNION SELECT t FROM ct), "
+    "tot AS (SELECT (SELECT COALESCE(SUM(c),0) FROM cr) AS nr, "
+    "(SELECT COALESCE(SUM(c),0) FROM ct) AS nt, "
+    "(SELECT COUNT(*) FROM v)::DOUBLE AS vv), "
+    "lr AS (SELECT v.t, "
+    "LN((COALESCE(ct.c,0)+0.5)/(nt+0.5*vv)) - "
+    "LN((COALESCE(cr.c,0)+0.5)/(nr+0.5*vv)) AS llr "
+    "FROM v LEFT JOIN cr ON v.t=cr.t LEFT JOIN ct ON v.t=ct.t "
+    "CROSS JOIN tot), "
+    "doc AS (SELECT tok_r.doc_id, COUNT(*)::BIGINT AS n_tokens, "
+    "ROUND(SUM(lr.llr), 6) AS logratio_sum "
+    "FROM tok_r JOIN lr ON tok_r.t = lr.t GROUP BY tok_r.doc_id) "
+    "SELECT d.doc_id, COALESCE(doc.n_tokens, 0)::BIGINT AS n_tokens, "
+    "doc.logratio_sum FROM documents d LEFT JOIN doc USING (doc_id) "
+    "ORDER BY d.doc_id"
+)
+
+
+def _dsir_weights(sf_dir: str, **kw) -> pd.DataFrame:
+    from .text import dsir_logratio
+
+    raw = f"{sf_dir}/documents.parquet"
+    tgt = ray.data.read_parquet(raw, columns=["text", "lang"]).filter(
+        expr="lang == 'en'"
+    )
+    out = dsir_logratio(raw, tgt, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dsir_weights_documents(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log-ratio of each
+    raw doc's tokens under the target (lang='en') vs raw unigram
+    models, additive-smoothed over the union vocabulary. Two
+    distinct-bounded count passes + one broadcast probe; bit-exact
+    vs the SQL two-model reconstruction."""
+    return _dsir_weights(sf_dir)
+
+
+def q_dsir_weights_capped_documents(sf_dir: str) -> pd.DataFrame:
+    """The memory-safe capped tier of the DSIR table: hash-bucketed
+    two-sided distributed merge, per-bucket top-V by combined count,
+    carrier rows for the TRUE totals and TRUE union-vocab size (the
+    smoothing denominators are cap-independent), driver ≤ V rows. The
+    cap (4096) exceeds this corpus's union vocabulary, so no token is
+    cut and the output is byte-identical to the exact SQL oracle —
+    pinning the whole distributed-cap machinery."""
+    return _dsir_weights(sf_dir, vocab_size=4096)
+
+
+def q_dsir_select_documents(sf_dir: str) -> pd.DataFrame:
+    """DSIR selection: the top-50 raw docs by importance weight
+    (logratio_sum desc, doc_id asc) — the deterministic top-k variant
+    of DSIR's resampling step, via the shared partial-top-k reduce
+    (only k × #batches candidate rows reach the driver)."""
+    from .relational import top_k_rows
+
+    w = _dsir_weights(sf_dir)
+    w = w[w["logratio_sum"].notna()]
+    out = top_k_rows(
+        w, "logratio_sum", 50, descending=True, tiebreak_cols=["doc_id"]
+    )
+    return out.reset_index(drop=True)
+
+
 def q_token_entropy_documents(sf_dir: str) -> pd.DataFrame:
     """Per-doc Shannon entropy of the doc's own token distribution
     (repetition signal; natural log, ROUND 6; NULL for empty docs)."""
@@ -5741,6 +5812,9 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         ),
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
+        "dsir_weights_documents": q_dsir_weights_documents,
+        "dsir_weights_capped_documents": q_dsir_weights_capped_documents,
+        "dsir_select_documents": q_dsir_select_documents,
         "token_entropy_documents": q_token_entropy_documents,
         "quality_classifier_documents": q_quality_classifier_documents,
         "bpe_token_count_documents": q_bpe_token_count_documents,
@@ -6529,6 +6603,16 @@ def oracle_sql() -> Dict[str, str]:
         # same oracle: the 4096 cap exceeds the corpus's 916 distinct
         # pairs, so the distributed top-V tier must be byte-identical
         "bigram_logprob_capped_documents": _BIGRAM_LOGPROB_SQL,
+        "dsir_weights_documents": _DSIR_SQL,
+        # same oracle: the 4096 cap exceeds the corpus's union vocab,
+        # so the distributed two-sided top-V tier must be byte-identical
+        "dsir_weights_capped_documents": _DSIR_SQL,
+        "dsir_select_documents": (
+            "WITH w AS (" + _DSIR_SQL.replace(" ORDER BY d.doc_id", "") + ") "
+            "SELECT doc_id, n_tokens, logratio_sum FROM w "
+            "WHERE logratio_sum IS NOT NULL "
+            "ORDER BY logratio_sum DESC, doc_id LIMIT 50"
+        ),
         "token_entropy_documents": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("
             "string_split(text, ' '), x -> x <> '')) AS t "

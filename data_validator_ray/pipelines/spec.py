@@ -167,7 +167,7 @@ def _ensure_builtins() -> None:
         # text scoring
         _T.quality_stats, _T.quality_score, _T.language_id,
         _T.text_profile, _T.token_entropy, _T.fingerprint_md5,
-        _T.unigram_logprob, _T.charset_profile,
+        _T.unigram_logprob, _T.charset_profile, _T.dsir_logratio,
         # curation
         _C.gopher_stats, _C.decontaminate, _C.sample_n, _C.mix_to_budget,
         _C.group_sample, _C.linear_classifier_score,

@@ -1780,3 +1780,297 @@ def chunk_tokens(
         chunks, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+# --------------------------------------------------------------------------- #
+# DSIR importance weighting (data selection via importance resampling)        #
+# --------------------------------------------------------------------------- #
+
+
+def _hashed_count_partials(
+    ds: Dataset, text_col: str, batch_size: int
+) -> Dataset:
+    """Per-batch 64-bit-hashed token counts — the combiner stage every
+    LM-count op shares: the exchange is distinct-bounded ``(h, cnt)``
+    rows, token strings never leave the batch."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ex, _ = _exploded_tokens(batch[text_col])
+        hs = ex["t"].hash(seed=0).to_numpy().view(np.int64)
+        u, c = np.unique(hs, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        counts, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def _merge_count_partials(part: Dataset) -> "tuple[np.ndarray, np.ndarray]":
+    """Driver-side sorted merge of ``(h, cnt)`` partials → unique
+    sorted hashes + summed counts. Driver memory is bounded by the sum
+    of per-batch distincts (fine single-node; the ``vocab_size``
+    distributed tier is the beyond-vocab path)."""
+    hs_parts, cnt_parts = [], []
+    for b in part.iter_batches(batch_format="pyarrow"):
+        hs_parts.append(b["h"].to_numpy())
+        cnt_parts.append(b["cnt"].to_numpy())
+    if not hs_parts:
+        return np.array([], np.int64), np.array([], np.int64)
+    h_all = np.concatenate(hs_parts)
+    c_all = np.concatenate(cnt_parts)
+    o = np.argsort(h_all, kind="stable")
+    h_all, c_all = h_all[o], c_all[o]
+    if not len(h_all):
+        return h_all, c_all
+    new = np.empty(len(h_all), bool)
+    new[0] = True
+    new[1:] = h_all[1:] != h_all[:-1]
+    starts = np.flatnonzero(new)
+    return h_all[starts], np.add.reduceat(c_all, starts)
+
+
+def dsir_logratio(
+    raw_source: Any,
+    target_source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    alpha: float = 0.5,
+    vocab_size: Optional[int] = None,
+    batch_size: int = 8192,
+) -> Dataset:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW doc
+    by how much more likely its tokens are under the TARGET corpus's
+    unigram model than under the raw corpus's own —
+    ``log w(z) = Σ_tokens [ln p_target(t) − ln p_raw(t)]`` with
+    additive smoothing ``p(t) = (c_t + α) / (N + α·V)`` over the UNION
+    vocabulary (so tokens absent from one side get the smoothed
+    floor). High scores = raw docs that look like the target domain;
+    feed the output to ``top_k_rows`` / weighted sampling to select.
+
+    Three streaming passes, all bounded: hashed token counts over each
+    corpus (distinct-bounded ``(h, cnt)`` exchange — the
+    :func:`unigram_logprob` combiner), ONE broadcast of the sorted
+    ``(h, llr)`` union table via ``ray.put``, and a searchsorted probe
+    + per-doc ``bincount`` reduce over the raw stream. With
+    ``vocab_size`` the union merge is FULLY distributed
+    (:func:`_dsir_topv_distributed`: hash-bucketed two-sided sums,
+    per-bucket top-V by combined count, carrier rows for the true
+    totals AND true vocab size — the smoothing denominators never
+    change under the cap; the driver holds ≤ V rows) and cut tokens
+    probe at the OOV floor ``ln(α/(N_t+αV)) − ln(α/(N_r+αV))``.
+
+    Output: ``(id_col, n_tokens, logratio_sum)`` — sum of per-token
+    log-ratios rounded to 6 (the float-hash convention; NULL for
+    zero-token docs). Token identity is the 64-bit xxhash convention
+    (collisions merge counts at ~vocab²/2⁶⁵)."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    raw_ds = _as_dataset(raw_source, columns=[id_col, text_col])
+    tgt_ds = _as_dataset(target_source, columns=[text_col])
+    raw_part = _hashed_count_partials(raw_ds, text_col, batch_size)
+    tgt_part = _hashed_count_partials(tgt_ds, text_col, batch_size)
+
+    if vocab_size is not None:
+        if int(vocab_size) < 1:
+            raise ValueError("vocab_size must be >= 1")
+        vh, llr, oov_llr = _dsir_topv_distributed(
+            raw_part, tgt_part, int(vocab_size), float(alpha)
+        )
+    else:
+        hr, cr = _merge_count_partials(raw_part)
+        ht, ct = _merge_count_partials(tgt_part)
+        vh = np.union1d(hr, ht)
+        cr_full = np.zeros(len(vh), np.float64)
+        cr_full[np.searchsorted(vh, hr)] = cr.astype(np.float64)
+        ct_full = np.zeros(len(vh), np.float64)
+        ct_full[np.searchsorted(vh, ht)] = ct.astype(np.float64)
+        n_r = float(cr.sum()) if len(cr) else 0.0
+        n_t = float(ct.sum()) if len(ct) else 0.0
+        v = float(len(vh))
+        llr = np.log((ct_full + alpha) / (n_t + alpha * v)) - np.log(
+            (cr_full + alpha) / (n_r + alpha * v)
+        )
+        oov_llr = float(
+            np.log(alpha / (n_t + alpha * v))
+            - np.log(alpha / (n_r + alpha * v))
+        )
+
+    ref = ray.put((vh, llr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v_h, v_llr = ray.get(ref)
+        ex, n = _exploded_tokens(batch[text_col])
+        hs = ex["t"].hash(seed=0).to_numpy().view(np.int64)
+        if len(v_h):
+            pos = np.searchsorted(v_h, hs)
+            pos_c = np.minimum(pos, len(v_h) - 1)
+            hit = v_h[pos_c] == hs
+            w = np.where(hit, v_llr[pos_c], oov_llr)
+        else:
+            w = np.full(len(hs), oov_llr)
+        doc = ex["doc"].to_numpy()
+        sums = np.bincount(doc, weights=w, minlength=n)
+        nt = np.bincount(doc, minlength=n).astype(np.int64)
+        total = np.where(nt > 0, np.round(sums, 6), np.nan)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(nt, pa.int64()),
+                "logratio_sum": pa.array(total, pa.float64()),
+            }
+        )
+
+    return raw_ds.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def _dsir_topv_distributed(
+    raw_part: Dataset,
+    tgt_part: Dataset,
+    vocab_size: int,
+    alpha: float,
+    *,
+    n_buckets: int = 64,
+) -> "tuple[np.ndarray, np.ndarray, float]":
+    """Distributed top-V union-vocabulary log-ratio table — the
+    :func:`_unigram_topv_distributed` pattern with TWO count columns.
+    Both corpora's partials union into one stream tagged by side,
+    bucket on ``h mod n_buckets`` (a token's raw AND target counts
+    co-locate), each bucket merges to ``(h, cr, ct)`` rows, keeps its
+    top-V by (cr+ct desc, h asc) and emits carrier rows holding the
+    bucket's TRUE totals (Σcr, Σct) and TRUE distinct-token count —
+    so the smoothing denominators (N_r, N_t, α·V) are exact no matter
+    what the cap drops. ONE final task cuts the global top-V; the
+    driver holds ≤ V rows and computes the llr arrays + OOV floor."""
+    V = int(vocab_size)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = batch["cnt"].to_numpy(zero_copy_only=False)
+            zero = np.zeros(len(c), np.int64)
+            h = batch["h"].to_numpy(zero_copy_only=False)
+            b = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+            return pa.table(
+                {
+                    "h": batch["h"],
+                    "cr": pa.array(c if side == 0 else zero, pa.int64()),
+                    "ct": pa.array(c if side == 1 else zero, pa.int64()),
+                    "__b": pa.array(b, pa.int64()),
+                }
+            )
+
+        return fn
+
+    unioned = raw_part.map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(tgt_part.map_batches(tag(1), batch_format="pyarrow"))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        cr = g["cr"].to_numpy(zero_copy_only=False)
+        ct = g["ct"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "cr": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                    "tot_r": pa.array([], pa.int64()),
+                    "tot_t": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                }
+            )
+        o = np.argsort(h, kind="stable")
+        h, cr, ct = h[o], cr[o], ct[o]
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        st = np.flatnonzero(new)
+        vh = h[st]
+        vcr = np.add.reduceat(cr, st)
+        vct = np.add.reduceat(ct, st)
+        tr, tt, nv = int(vcr.sum()), int(vct.sum()), len(vh)
+        if len(vh) > V:
+            keep = np.lexsort((vh, -(vcr + vct)))[:V]
+            vh, vcr, vct = vh[keep], vcr[keep], vct[keep]
+        tot_r = np.zeros(len(vh), np.int64)
+        tot_t = np.zeros(len(vh), np.int64)
+        nvc = np.zeros(len(vh), np.int64)
+        if len(vh):
+            tot_r[0], tot_t[0], nvc[0] = tr, tt, nv
+        return pa.table(
+            {
+                "h": pa.array(vh, pa.int64()),
+                "cr": pa.array(vcr, pa.int64()),
+                "ct": pa.array(vct, pa.int64()),
+                "tot_r": pa.array(tot_r, pa.int64()),
+                "tot_t": pa.array(tot_t, pa.int64()),
+                "nv": pa.array(nvc, pa.int64()),
+            }
+        )
+
+    def final_cut(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False)
+        cr = b["cr"].to_numpy(zero_copy_only=False)
+        ct = b["ct"].to_numpy(zero_copy_only=False)
+        tr = int(b["tot_r"].to_numpy(zero_copy_only=False).sum())
+        tt = int(b["tot_t"].to_numpy(zero_copy_only=False).sum())
+        nv = int(b["nv"].to_numpy(zero_copy_only=False).sum())
+        if len(h) > V:
+            keep = np.lexsort((h, -(cr + ct)))[:V]
+            h, cr, ct = h[keep], cr[keep], ct[keep]
+        tot_r = np.zeros(len(h), np.int64)
+        tot_t = np.zeros(len(h), np.int64)
+        nvc = np.zeros(len(h), np.int64)
+        if len(h):
+            tot_r[0], tot_t[0], nvc[0] = tr, tt, nv
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "cr": pa.array(cr, pa.int64()),
+                "ct": pa.array(ct, pa.int64()),
+                "tot_r": pa.array(tot_r, pa.int64()),
+                "tot_t": pa.array(tot_t, pa.int64()),
+                "nv": pa.array(nvc, pa.int64()),
+            }
+        )
+
+    final = (
+        unioned.groupby("__b")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_cut, batch_format="pyarrow", batch_size=None)
+    )
+    hs, crs, cts = [], [], []
+    tr = tt = nv = 0
+    for b in final.iter_batches(batch_format="pyarrow"):
+        hs.append(b["h"].to_numpy(zero_copy_only=False))
+        crs.append(b["cr"].to_numpy(zero_copy_only=False))
+        cts.append(b["ct"].to_numpy(zero_copy_only=False))
+        tr += int(b["tot_r"].to_numpy(zero_copy_only=False).sum())
+        tt += int(b["tot_t"].to_numpy(zero_copy_only=False).sum())
+        nv += int(b["nv"].to_numpy(zero_copy_only=False).sum())
+    n_r, n_t, v = float(tr), float(tt), float(nv)
+    oov_llr = float(
+        np.log(alpha / (n_t + alpha * v))
+        - np.log(alpha / (n_r + alpha * v))
+    )
+    if not hs or not sum(map(len, hs)):
+        return np.array([], np.int64), np.array([], np.float64), oov_llr
+    vh = np.concatenate(hs)
+    cr = np.concatenate(crs).astype(np.float64)
+    ct = np.concatenate(cts).astype(np.float64)
+    o = np.argsort(vh)  # searchsorted probe order
+    vh, cr, ct = vh[o], cr[o], ct[o]
+    llr = np.log((ct + alpha) / (n_t + alpha * v)) - np.log(
+        (cr + alpha) / (n_r + alpha * v)
+    )
+    return vh, llr, oov_llr

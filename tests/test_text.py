@@ -394,3 +394,96 @@ def test_multi_pattern_counts_rejects_empty():
 
     with _pytest.raises(ValueError):
         multi_pattern_counts("/nonexistent.parquet", [])
+
+
+def test_dsir_logratio_directional_and_nulls(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.text import dsir_logratio
+
+    raw = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple apple banana",   # target-like
+                "rock rock stone",      # off-target
+                "apple stone",          # mixed
+                "",                     # zero tokens -> NULL
+            ],
+        }
+    )
+    target = pd.DataFrame({"text": ["apple banana apple", "banana apple"]})
+    out = (
+        dsir_logratio(raw, target)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 3, 2, 0]
+    # target-like doc scores strictly higher than the off-target one
+    assert out.loc[0, "logratio_sum"] > out.loc[2, "logratio_sum"]
+    assert out.loc[2, "logratio_sum"] > out.loc[1, "logratio_sum"]
+    assert np.isnan(out.loc[3, "logratio_sum"])
+
+    # numpy reference: union-vocab additive smoothing, alpha=0.5
+    def ref_llr(tok):
+        vocab = ["apple", "banana", "rock", "stone"]
+        cr = {"apple": 3, "banana": 1, "rock": 2, "stone": 2}
+        ct = {"apple": 3, "banana": 2}
+        nr, nt, v, a = 8.0, 5.0, 4.0, 0.5
+        return np.log((ct.get(tok, 0) + a) / (nt + a * v)) - np.log(
+            (cr.get(tok, 0) + a) / (nr + a * v)
+        )
+
+    exp = round(ref_llr("apple") * 2 + ref_llr("banana"), 6)
+    assert out.loc[0, "logratio_sum"] == exp
+
+
+def test_dsir_logratio_capped_small_cap(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.text import dsir_logratio
+
+    # 6-token vocab, cap 3: kept tokens must score EXACTLY as in the
+    # uncapped model (true totals + true V ride the carrier rows);
+    # cut tokens score the OOV floor
+    raw = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a a a b b c", "d e f c b a"],
+        }
+    )
+    target = pd.DataFrame({"text": ["a a b"]})
+    exact = (
+        dsir_logratio(raw, target)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    capped = (
+        dsir_logratio(raw, target, vocab_size=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 = only the 3 most frequent tokens (a:5+2, b:3+1, c:2 by
+    # combined count) -> identical to exact
+    assert capped.loc[0, "logratio_sum"] == exact.loc[0, "logratio_sum"]
+    # doc 2 contains cut tokens (d, e, f) -> differs from exact
+    assert capped.loc[1, "logratio_sum"] != exact.loc[1, "logratio_sum"]
+    assert np.isfinite(capped.loc[1, "logratio_sum"])
+
+
+def test_dsir_logratio_validation(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.text import dsir_logratio
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["x"]})
+    with _pytest.raises(ValueError, match="alpha"):
+        dsir_logratio(df, df, alpha=0.0)
+    with _pytest.raises(ValueError, match="vocab_size"):
+        dsir_logratio(df, df, vocab_size=0)
