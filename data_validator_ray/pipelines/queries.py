@@ -3185,6 +3185,22 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_domain_gate_documents(sf_dir: str) -> pd.DataFrame:
+    """Whole-domain quality gate (spam-domain removal): drop EVERY doc
+    of a domain whose mean ``n_chars`` < 280 — a domain-level verdict
+    no per-doc filter makes. One #domains-bounded combiner shuffle,
+    verdict table broadcast once, streaming filter."""
+    from .urls import domain_aggregate_gate
+
+    out = domain_aggregate_gate(
+        f"{sf_dir}/documents.parquet",
+        domain_col="source",
+        value_col="n_chars",
+        min_mean=280.0,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_domain_boilerplate_documents(sf_dir: str) -> pd.DataFrame:
     """Domain-frequency boilerplate removal (CCNet/RefinedWeb/Dolma
     hygiene): drop EVERY occurrence of a segment appearing in ≥ 5
@@ -5890,6 +5906,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "suggest_rules_events": q_suggest_rules_events,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "domain_boilerplate_documents": q_domain_boilerplate_documents,
+        "domain_gate_documents": q_domain_gate_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
         "anomaly_zscore_events": q_anomaly_zscore_events,
@@ -7699,6 +7716,14 @@ def oracle_sql() -> Dict[str, str]:
             "part END, ' the ' ORDER BY idx), '') AS text, "
             "(COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped "
             "FROM r GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "domain_gate_documents": (
+            "WITH m AS (SELECT source, ROUND(AVG(n_chars), 6) AS "
+            "domain_mean FROM documents GROUP BY source "
+            "HAVING domain_mean >= 280.0) "
+            "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, "
+            "m.domain_mean FROM documents d JOIN m USING (source) "
+            "ORDER BY d.doc_id"
         ),
         "domain_boilerplate_documents": (
             # drop ALL occurrences of segments in >= 5 distinct docs

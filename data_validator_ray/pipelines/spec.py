@@ -175,6 +175,7 @@ def _ensure_builtins() -> None:
         _C.line_quality_filter,
         # urls / crawl hygiene
         _U.url_dedup, _U.domain_counts, _U.url_host_filter,
+        _U.domain_aggregate_gate,
         _U.cap_per_domain,
         # quantile banding
         _R.bucket_by_quantile,

@@ -265,3 +265,91 @@ def cap_per_domain(
     return bucketed_groupby(
         local, ["domain"], bucket_cap, num_buckets=num_buckets
     )
+
+
+def domain_aggregate_gate(
+    source: Any,
+    domain_col: str = "source",
+    value_col: str = "n_chars",
+    *,
+    min_mean: "float | None" = None,
+    max_mean: "float | None" = None,
+    keep_blocked: bool = False,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Whole-domain quality gate — the spam-domain removal step of a
+    web pipeline: aggregate a per-doc signal to its domain's MEAN and
+    drop EVERY doc of a domain whose mean falls outside
+    ``[min_mean, max_mean]`` (a domain-level decision no per-doc
+    filter can make: one great page on a content farm still goes).
+
+    One bounded shuffle: per-batch ``(domain, sum, count)`` partials
+    (pyarrow ``group_by`` combiner — the exchange is
+    #domains-bounded), a #domains-row global merge, then the verdict
+    table broadcasts ONCE via ``ray.put`` (sorted string keys +
+    float means) and the corpus filter streams. Output: all input
+    columns + ``domain_mean`` (the domain's mean, rounded to 6).
+    NULL ``value_col`` rows don't enter the mean (SQL AVG); a domain
+    whose values are all NULL has a NULL mean and is dropped (it
+    fails any bound — gate semantics, matching SQL where
+    ``NULL >= t`` is not TRUE); NULL domains likewise drop.
+    ``keep_blocked=True`` inverts the gate (returns the dropped docs
+    for audit)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    if min_mean is None and max_mean is None:
+        raise ValueError("set at least one of min_mean / max_mean")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "domain": pc.cast(batch[domain_col], pa.string()),
+                "v": pc.cast(batch[value_col], pa.float64()),
+            }
+        )
+        agg = t.group_by("domain").aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+        return agg.rename_columns(["domain", "s", "n"])
+
+    ds = _as_dataset(source)
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("domain")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    stats = stats[stats["domain"].notna()]
+    doms = stats["domain"].to_numpy(dtype=object)
+    n = stats["n"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = np.round(stats["s"].to_numpy(np.float64) / n, 6)
+    ok = np.isfinite(means)
+    if min_mean is not None:
+        ok &= means >= min_mean
+    if max_mean is not None:
+        ok &= means <= max_mean
+    order = np.argsort(doms)
+    ref = ray.put((doms[order], means[order], ok[order]))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        d_sorted, d_mean, d_ok = ray.get(ref)
+        g = pc.cast(batch[domain_col], pa.string())
+        valid = pc.is_valid(g).to_numpy(zero_copy_only=False)
+        garr = g.to_pandas().fillna("").to_numpy(dtype=object)
+        pos = np.searchsorted(d_sorted, garr)
+        pos = np.minimum(pos, max(len(d_sorted) - 1, 0))
+        known = valid & (len(d_sorted) > 0) & (d_sorted[pos] == garr)
+        passed = np.zeros(len(garr), bool)
+        passed[known] = d_ok[pos[known]]
+        mean_col = np.full(len(garr), np.nan)
+        mean_col[known] = d_mean[pos[known]]
+        out = batch.append_column(
+            "domain_mean", pa.array(mean_col, pa.float64())
+        )
+        keep = ~passed if keep_blocked else passed
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=batch_size)

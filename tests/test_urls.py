@@ -139,3 +139,53 @@ def test_cap_per_domain_batch_size_invariant(ray_session):
 
     pd.testing.assert_frame_equal(a, b)
     assert (a.groupby("domain").size() == 7).all()
+
+
+def test_domain_aggregate_gate_bounds_and_nulls(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.urls import domain_aggregate_gate
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "source": ["a", "a", "b", "b", "c", None, "d"],
+            "n_chars": [10.0, 20.0, 100.0, 200.0, None, 50.0, 30.0],
+        }
+    )
+    # means: a=15, b=150, c=NULL(all-null), d=30
+    out = (
+        domain_aggregate_gate(df, min_mean=20.0, max_mean=100.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # only d (mean 30) is inside [20, 100]; a below, b above,
+    # c NULL-mean and the NULL domain both fail the gate
+    assert out["doc_id"].tolist() == [7]
+    assert out["domain_mean"].tolist() == [30.0]
+
+    blocked = (
+        domain_aggregate_gate(
+            df, min_mean=20.0, max_mean=100.0, keep_blocked=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert blocked["doc_id"].tolist() == [1, 2, 3, 4, 5, 6]
+    # the all-NULL domain and NULL-domain rows carry NULL means
+    assert np.isnan(blocked["domain_mean"].iloc[4])
+    assert np.isnan(blocked["domain_mean"].iloc[5])
+
+
+def test_domain_aggregate_gate_validation(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.urls import domain_aggregate_gate
+
+    df = pd.DataFrame({"source": ["a"], "n_chars": [1.0]})
+    with _pytest.raises(ValueError, match="min_mean"):
+        domain_aggregate_gate(df)
