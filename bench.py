@@ -310,6 +310,79 @@ def bench_unigram_logprob(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_dsir_weights(input_dir: str) -> float:
+    """DSIR importance weighting at 8M rows: two hashed-count passes
+    (raw corpus + the lang='en' target slice), distributed two-sided
+    top-64Ki merge (driver ≤ V rows), one broadcast probe pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.text import dsir_logratio
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    t0 = time.perf_counter()
+    raw = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_id, batch_format="pyarrow")
+    tgt = ray.data.read_parquet(
+        input_dir, columns=["text", "lang"]
+    ).filter(expr="lang == 'en'")
+    assert (
+        dsir_logratio(
+            raw, tgt, vocab_size=65536, batch_size=16384
+        ).count() > 0
+    )
+    return time.perf_counter() - t0
+
+
+def bench_domain_boilerplate(input_dir: str) -> float:
+    """Domain-frequency boilerplate removal at 8M rows / 50 domains:
+    the replicated corpus repeats every segment ~160k× per domain, so
+    nearly every segment crosses the min_docs bar — worst case for the
+    drop-row exchange (≈ the whole exploded corpus) AND the
+    reassembly shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.dedup import domain_boilerplate_removal
+    from data_validator_ray.pipelines.urls import (
+        domain_of_array,
+        normalize_url_array,
+    )
+
+    def with_cols(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        dom = domain_of_array(normalize_url_array(batch["url"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(h.astype(np.int64), pa.int64()),
+                "domain": dom,
+                "text": batch["text"],
+            }
+        )
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(
+        input_dir, columns=["url", "text"]
+    ).map_batches(with_cols, batch_format="pyarrow")
+    assert (
+        domain_boilerplate_removal(
+            ds, domain_col="domain", sep=" the ", min_docs=1000,
+            batch_size=16384,
+        ).count() > 0
+    )
+    return time.perf_counter() - t0
+
+
 def bench_bigram_logprob(input_dir: str) -> float:
     """Order-2 LM scoring: pair-count partials (24 B/row exchange) →
     one driver lexsort merge → broadcast searchsorted probe; the
@@ -711,6 +784,12 @@ def run_bench() -> dict:
         # expensive single-pass tiers below
         queries["bigram_logprob_webpages"] = round(
             bench_bigram_logprob(str(input_dir)), 3
+        )
+        queries["dsir_weights_webpages"] = round(
+            bench_dsir_weights(str(input_dir)), 3
+        )
+        queries["domain_boilerplate_webpages"] = round(
+            bench_domain_boilerplate(str(input_dir)), 3
         )
         queries["graph_pagerank_suppliers"] = best_of(bench_graph_pagerank)
         emb_dir = _bench_embeddings_dir()
