@@ -1840,3 +1840,70 @@ def remove_duplicated_spans(
     return unioned.groupby("__bucket").map_groups(
         rebuild, batch_format="pandas"
     )
+
+
+def seeded_shuffle(
+    source: Any,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 1,
+    columns: Optional[List[str]] = None,
+    batch_size: int = 64 * 1024,
+) -> "ray.data.Dataset":
+    """Deterministic global training-order shuffle: every row gets
+    ``shuffle_key = ((id·KNUTH + seed) % M)·KNUTH % M`` (M = 2³¹−1)
+    and ``position`` — its 1-based global rank under
+    ``(shuffle_key, id)``. The same seed reproduces the same order on
+    any cluster size / input layout / rerun (what `random_shuffle`
+    can't promise), and a different seed gives a fresh epoch order —
+    the reproducible-epoch contract a training-data pipeline needs
+    for resumable data loading. The SECOND multiplicative round is
+    load-bearing: with only ``(id·K + seed) % M`` the seed is an
+    additive shift mod M, which preserves circular order — every
+    epoch would replay (almost) the same sequence.
+
+    A global order is a prefix scan, not a full sort:
+    :func:`~.relational.global_rank` range-partitions on sampled key
+    bounds and only per-bucket counts reach the driver — ONE
+    all-to-all, inherent to total ordering. (If shard-LOCAL order is
+    enough, hash-bucket by key and sort within shards instead — no
+    global exchange.) Consumers either sort by / range-read
+    ``position`` or feed the keyed stream to ``pack_shards``.
+
+    Ids must be in ``[0, 2³¹)`` so ``id·KNUTH`` stays inside int64 in
+    BOTH numpy and SQL (the :func:`negative_samples` convention;
+    violations raise, never wrap). Modulus 2³¹−1 is prime, so the map
+    is injective on the id range only modulo collisions
+    (~n²/2³² birthday rate) — ``id`` tiebreaks make the order total
+    regardless. NULL ids raise."""
+    from .relational import global_rank
+
+    cols = None
+    if columns is not None:
+        cols = list(dict.fromkeys([*columns, id_col]))
+    ds = _as_dataset(source, columns=cols)
+
+    def key(batch: pa.Table) -> pa.Table:
+        arr = batch[id_col]
+        if arr.null_count:
+            raise ValueError(f"{id_col} must be non-NULL")
+        ids = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 2**31):
+            raise ValueError(
+                f"{id_col} must be in [0, 2**31) for overflow-free keys"
+            )
+        m = np.int64(2**31 - 1)
+        k1 = (ids * np.int64(KNUTH) + np.int64(seed)) % m
+        k = (k1 * np.int64(KNUTH)) % m
+        return batch.append_column(
+            "shuffle_key", pa.array(k, pa.int64())
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=batch_size)
+    out = global_rank(keyed, "shuffle_key", tiebreak_cols=[id_col])
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [c if c != "rank" else "position" for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )

@@ -3185,6 +3185,19 @@ def q_paragraph_dedup_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_seeded_shuffle_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global training-order shuffle: seeded modular
+    key + global rank (range-partitioned prefix scan — only bucket
+    counts reach the driver). Same seed ⇒ same epoch order on any
+    layout; pinned bit-exact against the SQL key+ROW_NUMBER mirror."""
+    from .curation import seeded_shuffle
+
+    out = seeded_shuffle(
+        f"{sf_dir}/documents.parquet", seed=7, columns=["doc_id", "lang"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_domain_gate_documents(sf_dir: str) -> pd.DataFrame:
     """Whole-domain quality gate (spam-domain removal): drop EVERY doc
     of a domain whose mean ``n_chars`` < 280 — a domain-level verdict
@@ -5907,6 +5920,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "domain_boilerplate_documents": q_domain_boilerplate_documents,
         "domain_gate_documents": q_domain_gate_documents,
+        "seeded_shuffle_documents": q_seeded_shuffle_documents,
         "running_window_events": q_running_window_events,
         "moving_window_events": q_moving_window_events,
         "anomaly_zscore_events": q_anomaly_zscore_events,
@@ -7716,6 +7730,14 @@ def oracle_sql() -> Dict[str, str]:
             "part END, ' the ' ORDER BY idx), '') AS text, "
             "(COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped "
             "FROM r GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "seeded_shuffle_documents": (
+            "WITH k AS (SELECT doc_id, lang, "
+            "(((doc_id * 2654435761 + 7) % 2147483647) * 2654435761) "
+            "% 2147483647 AS shuffle_key FROM documents) "
+            "SELECT doc_id, lang, shuffle_key, "
+            "ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) "
+            'AS "position" FROM k ORDER BY doc_id'
         ),
         "domain_gate_documents": (
             "WITH m AS (SELECT source, ROUND(AVG(n_chars), 6) AS "

@@ -1141,3 +1141,49 @@ def test_pipeline_spec_crawl_hygiene_ops(ray_session):
     # smallest ids
     assert out["doc_id"].tolist() == [0, 4, 1, 5, 2, 6]
     assert "host3.example.com" not in set(out["domain"])
+
+
+def test_seeded_shuffle_deterministic_and_seeded(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from data_validator_ray.pipelines.curation import seeded_shuffle
+
+    df = pd.DataFrame({"doc_id": range(200), "v": range(200)})
+    a = (
+        seeded_shuffle(df, seed=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # layout independence: a different partitioning gives the SAME order
+    ds2 = ray.data.from_pandas(df).repartition(7)
+    b = (
+        seeded_shuffle(ds2, seed=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # position is a permutation of 1..n and differs from input order
+    assert sorted(a["position"]) == list(range(1, 201))
+    assert a["position"].tolist() != list(range(1, 201))
+    # a different seed gives a different epoch order
+    c = (
+        seeded_shuffle(df, seed=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert c["position"].tolist() != a["position"].tolist()
+
+
+def test_seeded_shuffle_validation(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.curation import seeded_shuffle
+
+    bad = pd.DataFrame({"doc_id": [1, -2], "v": [0, 0]})
+    with _pytest.raises(Exception, match="2\\*\\*31|non-NULL"):
+        seeded_shuffle(bad).to_pandas()
