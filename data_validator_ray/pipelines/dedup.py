@@ -1693,6 +1693,8 @@ def domain_boilerplate_removal(
     sep: str = "\n",
     min_docs: int = 2,
     min_frac: Optional[float] = None,
+    mode: str = "auto",
+    max_broadcast_segments: int = 4_000_000,
     num_hash_buckets: int = 256,
     num_doc_buckets: int = 64,
     batch_size: int = 8192,
@@ -1708,19 +1710,28 @@ def domain_boilerplate_removal(
     :func:`paragraph_dedup` (keep-first, corpus-wide) this keeps NO
     occurrence and scopes identity to ``(domain, segment)``.
 
-    Same bounded shuffles as :func:`paragraph_dedup`: the explode pass
-    ships only 40-byte ``(domain_hash, h1, h2, doc_id, para_idx)``
-    rows bucketed on ``(h1 ⊕ domain_hash) % num_hash_buckets``
-    (segment text never shuffles); per-bucket ONE vectorized sort
-    counts distinct docs per ``(domain, segment)`` run and emits ALL
-    rows of over-threshold segments; reassembly is the shared
-    :func:`_drop_and_reassemble` doc-bucketed pass. With ``min_frac``
-    a tiny per-domain doc-count aggregate (bounded by #domains)
-    broadcasts once via ``ray.put``.
+    Because the verdict is SEGMENT-level (drop-all, not keep-first),
+    the decision set is DISTINCT-bounded, which buys a rebuild
+    :func:`paragraph_dedup` can't have: the identity pass (40-byte
+    ``(domain_hash, h1, h2, doc_id, para_idx)`` rows bucketed on
+    ``(h1 ⊕ domain_hash) % num_hash_buckets``; segment text never
+    shuffles) emits only the BAD ``(dh, h1, h2)`` keys, and in
+    ``mode="broadcast"`` (or ``auto`` with ≤
+    ``max_broadcast_segments`` bad keys — 24 B each) that key set
+    broadcasts ONCE via ``ray.put`` as a lex-sorted structured array
+    and every document rebuilds IN PLACE in one streaming
+    ``map_batches`` pass (exact 192-bit membership probe, no second
+    shuffle at all). ``mode="shuffle"`` (or ``auto`` beyond the
+    bound) is the huge-bad-set tier: re-explode, co-locate occurrence
+    rows with the bad keys on the same bucket key, tag, and run the
+    shared :func:`_drop_and_reassemble` doc-bucketed pass. With
+    ``min_frac`` a tiny per-domain doc-count aggregate (bounded by
+    #domains) broadcasts once via ``ray.put``.
 
     NULL text is ``''`` (one empty segment); NULL domain is its own
     domain (hash of ``''``). Output ``(id_col, text_col, n_dropped)``,
-    deterministic under any batch/bucket layout."""
+    identical (and deterministic) under every mode / batch / bucket
+    layout."""
     from ..functions.sketches import hash64
 
     if min_docs < 1:
@@ -1802,8 +1813,8 @@ def domain_boilerplate_removal(
             }
         )
 
-    def emit_drops(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["__dh", "__h1", "__h2", id_col, "para_idx"])
+    def emit_bad_keys(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__dh", "__h1", "__h2", id_col])
         dh = g["__dh"].to_numpy(np.uint64)
         h1 = g["__h1"].to_numpy(np.uint64)
         h2 = g["__h2"].to_numpy(np.uint64)
@@ -1824,9 +1835,9 @@ def domain_boilerplate_removal(
         df_per_seg = np.bincount(
             seg_id[doc_change], minlength=n_seg
         ).astype(np.int64)
+        seg_dh = dh[new_seg]
         if thr_ref is not None:
             tk, tv = ray.get(thr_ref)
-            seg_dh = dh[new_seg]
             pos = np.searchsorted(tk, seg_dh)
             pos = np.minimum(pos, max(len(tk) - 1, 0))
             seg_thr = np.where(
@@ -1835,19 +1846,151 @@ def domain_boilerplate_removal(
         else:
             seg_thr = np.int64(min_docs)
         bad = df_per_seg >= seg_thr
-        take = bad[seg_id]
         return pd.DataFrame(
             {
-                id_col: ids[take],
-                "para_idx": g["para_idx"].to_numpy(np.int64)[take],
+                "__dh": seg_dh[bad],
+                "__h1": h1[new_seg][bad],
+                "__h2": h2[new_seg][bad],
             }
         )
 
-    drops = (
+    bad_keys = (
         ds.map_batches(
             explode_hashes, batch_format="pyarrow", batch_size=batch_size
         )
         .groupby("__bucket")
+        .map_groups(emit_bad_keys, batch_format="pandas")
+        .materialize()
+    )
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("mode must be auto | broadcast | shuffle")
+    n_bad = bad_keys.count()
+    use_broadcast = mode == "broadcast" or (
+        mode == "auto" and n_bad <= max_broadcast_segments
+    )
+
+    _KEY_DT = np.dtype([("d", "u8"), ("a", "u8"), ("b", "u8")])
+
+    if use_broadcast:
+        bk = bad_keys.to_pandas()
+        keys = np.zeros(len(bk), _KEY_DT)
+        keys["d"] = bk["__dh"].to_numpy(np.uint64)
+        keys["a"] = bk["__h1"].to_numpy(np.uint64)
+        keys["b"] = bk["__h2"].to_numpy(np.uint64)
+        keys = np.sort(keys)  # lexicographic on (d, a, b)
+        bad_ref = ray.put(keys)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            bad_sorted = ray.get(bad_ref)
+            n = batch.num_rows
+            dh = hash64(
+                pc.cast(
+                    pc.fill_null(batch[domain_col].combine_chunks(), ""),
+                    pa.string(),
+                )
+            )
+            parts = pc.split_pattern(
+                pc.fill_null(batch[text_col].combine_chunks(), ""), sep
+            )
+            lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(parts)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            probe = np.zeros(len(flat), _KEY_DT)
+            probe["d"] = np.repeat(dh, lens)
+            probe["a"] = hash64(flat)
+            probe["b"] = hash64(flat, seed=0x9E3779B9)
+            if len(bad_sorted):
+                pos = np.searchsorted(bad_sorted, probe)
+                pos_c = np.minimum(pos, len(bad_sorted) - 1)
+                is_bad = bad_sorted[pos_c] == probe
+            else:
+                is_bad = np.zeros(len(flat), bool)
+            keep = ~is_bad
+            kept_counts = np.bincount(
+                row_of[keep], minlength=n
+            ).astype(np.int64)
+            offsets = np.zeros(n + 1, np.int64)
+            np.cumsum(kept_counts, out=offsets[1:])
+            la = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pc.cast(flat.filter(pa.array(keep)), pa.string()),
+            )
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    text_col: pc.binary_join(la, sep),
+                    "n_dropped": pa.array(
+                        np.bincount(
+                            row_of[is_bad], minlength=n
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return ds.map_batches(
+            rebuild, batch_format="pyarrow", batch_size=batch_size
+        )
+
+    # shuffle tier: co-locate occurrence rows with the bad keys on the
+    # same (h1 ⊕ dh) bucket, tag occurrences of bad segments as drop
+    # rows, then the shared doc-bucketed reassembly
+    def tag_key(batch: pa.Table) -> pa.Table:
+        h1 = batch["__h1"].to_numpy(zero_copy_only=False)
+        dh = batch["__dh"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__dh": batch["__dh"],
+                "__h1": batch["__h1"],
+                "__h2": batch["__h2"],
+                id_col: pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+                "para_idx": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+                "__bucket": pa.array(
+                    (
+                        (h1.astype(np.uint64) ^ dh.astype(np.uint64))
+                        % np.uint64(num_hash_buckets)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    occ = ds.map_batches(
+        explode_hashes, batch_format="pyarrow", batch_size=batch_size
+    ).union(bad_keys.map_batches(tag_key, batch_format="pyarrow"))
+
+    def emit_drops(group: pd.DataFrame) -> pd.DataFrame:
+        is_key = group[id_col].to_numpy(np.int64) < 0
+        kset = np.zeros(int(is_key.sum()), _KEY_DT)
+        kset["d"] = group["__dh"].to_numpy(np.uint64)[is_key]
+        kset["a"] = group["__h1"].to_numpy(np.uint64)[is_key]
+        kset["b"] = group["__h2"].to_numpy(np.uint64)[is_key]
+        kset = np.sort(kset)
+        o = group[~pd.Series(is_key, index=group.index)]
+        probe = np.zeros(len(o), _KEY_DT)
+        probe["d"] = o["__dh"].to_numpy(np.uint64)
+        probe["a"] = o["__h1"].to_numpy(np.uint64)
+        probe["b"] = o["__h2"].to_numpy(np.uint64)
+        if len(kset):
+            pos = np.searchsorted(kset, probe)
+            pos_c = np.minimum(pos, len(kset) - 1)
+            hit = kset[pos_c] == probe
+        else:
+            hit = np.zeros(len(o), bool)
+        return pd.DataFrame(
+            {
+                id_col: o[id_col].to_numpy(np.int64)[hit],
+                "para_idx": o["para_idx"].to_numpy(np.int64)[hit],
+            }
+        )
+
+    drops = (
+        occ.groupby("__bucket")
         .map_groups(emit_drops, batch_format="pandas")
         .materialize()
     )

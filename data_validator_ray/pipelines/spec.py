@@ -172,7 +172,7 @@ def _ensure_builtins() -> None:
         _C.gopher_stats, _C.decontaminate, _C.sample_n, _C.mix_to_budget,
         _C.group_sample, _C.linear_classifier_score,
         _C.remove_duplicated_spans, _C.semantic_dedup,
-        _C.line_quality_filter,
+        _C.line_quality_filter, _C.seeded_shuffle,
         # urls / crawl hygiene
         _U.url_dedup, _U.domain_counts, _U.url_host_filter,
         _U.domain_aggregate_gate,

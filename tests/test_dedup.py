@@ -723,3 +723,44 @@ def test_exact_dedup_keep_validation():
 
     with pytest.raises(ValueError, match="keep"):
         D.exact_dedup(pd.DataFrame({"k": [1]}), "k", keep="newest")
+
+
+def test_domain_boilerplate_modes_agree(ray_session):
+    import pandas as pd
+
+    from data_validator_ray.pipelines.dedup import domain_boilerplate_removal
+
+    rng_texts = [
+        "nav\nbody%d\nfooter" % i for i in range(8)
+    ] + ["footer\nonly", "solo\nnav"]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["a"] * 5 + ["b"] * 5,
+            "text": rng_texts,
+        }
+    )
+    kw = dict(min_docs=3, num_hash_buckets=4, num_doc_buckets=2)
+    out_b = (
+        domain_boilerplate_removal(df, mode="broadcast", **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out_s = (
+        domain_boilerplate_removal(df, mode="shuffle", **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out_b, out_s)
+    # auto with a tiny broadcast cap routes to the shuffle tier
+    out_a = (
+        domain_boilerplate_removal(
+            df, mode="auto", max_broadcast_segments=0, **kw
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out_b, out_a)
