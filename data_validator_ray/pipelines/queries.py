@@ -2708,6 +2708,75 @@ def q_interval_coverage_events(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_warc_source_documents(sf_dir: str) -> pd.DataFrame:
+    """WARC-style crawl-archive ingestion end-to-end: documents round-
+    trip through /tmp WARC files (Content-Length-framed records, one
+    file per batch written in the map tasks, one file = one read
+    split — the CC sharding convention), then parse back and emit
+    (doc_id from url, text from payload). Byte-identical to the
+    Parquet-side oracle, proving the framing survives payloads that
+    contain record separators."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..sources import read_warc_like, write_warc_like
+
+    tag = Path(sf_dir).name
+    out = f"{tempfile.gettempdir()}/graft_warc_{tag}"
+    if not Path(out).exists():
+        def to_records(b: "pa.Table") -> "pa.Table":
+            ids = b["doc_id"]
+            url = pc.binary_join_element_wise(
+                "https://ex.com/", pc.cast(ids, pa.string()), ""
+            )
+            pay = pc.cast(
+                pc.fill_null(pc.cast(b["text"], pa.string()), ""),
+                pa.binary(),
+            )
+            ts = pc.cast(
+                pc.multiply(pc.cast(ids, pa.int64()), 1_000_000),
+                pa.timestamp("us"),
+            )
+            return pa.table(
+                {"url": url, "warc_ts": ts, "payload": pay}
+            )
+
+        tmp = out + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_warc_like(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ).map_batches(to_records, batch_format="pyarrow"),
+            tmp,
+        )
+        shutil.move(tmp, out)
+
+    ds = read_warc_like(out)
+
+    def parse(b: "pa.Table") -> "pa.Table":
+        doc_id = pc.cast(
+            pc.utf8_replace_slice(b["url"], 0, len("https://ex.com/"), ""),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "text": pc.cast(b["payload"], pa.string()),
+                # non-negative epochs: truncating divide == floor here
+                "warc_epoch_s": pc.divide(
+                    pc.cast(b["warc_ts"], pa.int64()), 1_000_000
+                ),
+            }
+        )
+
+    outdf = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return outdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_orc_source_events(sf_dir: str) -> pd.DataFrame:
     """ORC source end-to-end: events round-trip through a /tmp ORC
     file (stripe-streaming custom datasource), then a pruned-column
@@ -5864,6 +5933,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "ppjoin_jaccard_documents": q_ppjoin_jaccard_documents,
         "interval_coverage_events": q_interval_coverage_events,
         "orc_source_events": q_orc_source_events,
+        "warc_source_documents": q_warc_source_documents,
         "parse_logs_events": q_parse_logs_events,
         "table_checksum_events": q_table_checksum_events,
         "schema_diff_events": q_schema_diff_events,
@@ -7033,6 +7103,10 @@ def oracle_sql() -> Dict[str, str]:
             "GREATEST(s, pm), e)) END dur FROM o) "
             "SELECT k AS user_id, SUM(dur)::BIGINT AS covered_us, "
             "SUM(isl)::BIGINT AS n_islands FROM c GROUP BY 1 ORDER BY 1"
+        ),
+        "warc_source_documents": (
+            "SELECT doc_id, COALESCE(text, '') AS text, "
+            "doc_id AS warc_epoch_s FROM documents ORDER BY doc_id"
         ),
         "orc_source_events": (
             "SELECT event_type, COUNT(*)::BIGINT AS n, "

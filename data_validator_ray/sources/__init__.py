@@ -305,3 +305,180 @@ def read_parquet_union_by_name(
     for ds in parts[1:]:
         out = out.union(ds)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# WARC-like web-archive records                                               #
+# --------------------------------------------------------------------------- #
+
+
+def parse_warc_like(data: bytes) -> pa.Table:
+    """Parse one WARC-style file (concatenated records: a
+    ``WARC/1.0`` header block, ``\\r\\n\\r\\n``, ``Content-Length``
+    payload bytes, ``\\r\\n\\r\\n``) into an Arrow table ``(url,
+    warc_ts, record_type, payload)``. The pure kernel behind
+    :func:`read_warc_like` — header scanning is per RECORD (KB–MB
+    payloads), not per row of anything, so the Python loop is off the
+    hot path; payloads are zero-copy slices. Malformed records fail
+    LOUDLY (missing header terminator / magic / truncated payload) —
+    a crawl reader that silently resyncs hides corruption."""
+    urls: List[Optional[str]] = []
+    dates: List[Optional[str]] = []
+    types: List[Optional[str]] = []
+    payloads: List[bytes] = []
+    off, n = 0, len(data)
+    while off < n:
+        while data.startswith(b"\r\n", off):
+            off += 2
+        if off >= n:
+            break
+        end_hdr = data.find(b"\r\n\r\n", off)
+        if end_hdr < 0:
+            raise ValueError(
+                f"WARC record at byte {off}: no header terminator"
+            )
+        lines = data[off:end_hdr].decode("utf-8").split("\r\n")
+        if lines[0].strip() != "WARC/1.0":
+            raise ValueError(
+                f"WARC record at byte {off}: bad magic {lines[0]!r}"
+            )
+        hd: Dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            hd[k.strip().lower()] = v.strip()
+        if "content-length" not in hd:
+            raise ValueError(f"WARC record at byte {off}: no Content-Length")
+        clen = int(hd["content-length"])
+        start = end_hdr + 4
+        payload = data[start : start + clen]
+        if len(payload) != clen:
+            raise ValueError(
+                f"WARC record at byte {off}: payload truncated "
+                f"({len(payload)} of {clen} bytes)"
+            )
+        urls.append(hd.get("warc-target-uri"))
+        dates.append(hd.get("warc-date"))
+        types.append(hd.get("warc-type"))
+        payloads.append(payload)
+        off = start + clen
+    ts = pc.strptime(
+        pa.array(dates, pa.string()), format="%Y-%m-%dT%H:%M:%SZ", unit="us"
+    )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": ts,
+            "record_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class WARCLikeDatasource(FileBasedDatasource):
+    """WARC-style reader: ONE file = one parallel unit (the WARC
+    convention — CC shards are ~1 GB files; block-level splitting
+    can't cut a record mid-payload safely), records stream out as one
+    table per file. Cite: reference has no crawl-archive source at
+    all (SURVEY §2.1); this is the net-new ingestion edge of the CC
+    pipeline."""
+
+    _FILE_EXTENSIONS = ["warc"]
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator:
+        yield parse_warc_like(f.readall())
+
+
+def read_warc_like(
+    paths: Union[str, List[str]], **kwargs: Any
+) -> Dataset:
+    """Read WARC-style file(s) → Dataset of ``(url, warc_ts,
+    record_type, payload:binary)``."""
+    return ray.data.read_datasource(WARCLikeDatasource(paths, **kwargs))
+
+
+def write_warc_like(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "payload",
+    record_type: str = "response",
+    batch_size: int = 4096,
+) -> str:
+    """Write a Dataset as WARC-style files under ``out_dir`` — one
+    file per batch, written IN the map tasks (distributed, resumable
+    by re-running missing parts), named by the content hash of the
+    batch's urls so reruns are idempotent. Record assembly is
+    vectorized (`binary_join_element_wise` over cast columns); the
+    only per-record Python is the final ``b"".join``. Returns
+    ``out_dir``."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64())})
+        url = pc.cast(
+            pc.fill_null(batch[url_col].combine_chunks(), ""), pa.string()
+        )
+        # Arrow's %S prints fractional seconds; cast to second
+        # precision first (WARC-Date is whole-second ISO-8601)
+        ts = pc.strftime(
+            pc.cast(batch[ts_col], pa.timestamp("s"), safe=False),
+            format="%Y-%m-%dT%H:%M:%SZ",
+        )
+        ts = pc.fill_null(ts, "1970-01-01T00:00:00Z")
+        pay = pc.cast(
+            pc.fill_null(batch[payload_col].combine_chunks(), b""),
+            pa.binary(),
+        )
+        clen = pc.cast(
+            pc.binary_length(pay), pa.string()
+        )
+        rec = pc.binary_join_element_wise(
+            pc.cast(
+                pc.binary_join_element_wise(
+                    "WARC/1.0\r\nWARC-Type: " + record_type,
+                    "\r\nWARC-Target-URI: ", ""),
+                pa.string(),
+            ),
+            url,
+            pc.binary_join_element_wise(
+                "\r\nWARC-Date: ", ts, "\r\nContent-Length: ", clen,
+                "\r\n\r\n", ""
+            ),
+            "",
+        )
+        rec = pc.binary_join_element_wise(
+            pc.cast(rec, pa.binary()), pay, b"\r\n\r\n", b""
+        )
+        blob = b"".join(rec.to_pylist())
+        tag = hashlib.md5(
+            b"\x00".join(u.encode() for u in url.to_pylist())
+        ).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{tag}.warc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic: reruns never expose torn files
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_records": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    manifest = ds.map_batches(
+        write_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    if manifest.materialize().count() == 0:
+        # empty dataset: still emit a valid zero-record file so the
+        # read side sees an empty-but-well-formed archive (the same
+        # convention as write_arrow_ipc on empty input)
+        with open(os.path.join(out_dir, "part-empty.warc"), "wb"):
+            pass
+    return out_dir

@@ -228,3 +228,86 @@ def test_write_arrow_ipc_empty_dataset(ray_session, tmp_path):
 
     t = ipc.open_file(p).read_all()
     assert t.schema.names == ["a", "s"] and len(t) == 0
+
+
+def test_warc_roundtrip_tricky_payloads(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from data_validator_ray.sources import read_warc_like, write_warc_like
+
+    df = pd.DataFrame(
+        {
+            "url": [f"https://ex.com/{i}" for i in range(50)],
+            "warc_ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(50), unit="s"),
+            # payloads containing the record separator and WARC magic:
+            # Content-Length framing must carry them through intact
+            "payload": [
+                (f"p{i} \r\n\r\nWARC/1.0 tricky").encode()
+                for i in range(50)
+            ],
+        }
+    )
+    out = str(tmp_path / "warc")
+    write_warc_like(ray.data.from_pandas(df).repartition(4), out)
+    back = (
+        read_warc_like(out)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    orig = df.sort_values("url").reset_index(drop=True)
+    assert len(back) == 50
+    assert (back["record_type"] == "response").all()
+    assert back["url"].tolist() == orig["url"].tolist()
+    assert [bytes(b) for b in back["payload"]] == [
+        bytes(b) for b in orig["payload"]
+    ]
+    pd.testing.assert_series_equal(
+        back["warc_ts"], orig["warc_ts"], check_dtype=False
+    )
+
+
+def test_warc_empty_dataset_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from data_validator_ray.sources import read_warc_like, write_warc_like
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "url": pd.Series(dtype=str),
+                "warc_ts": pd.Series(dtype="datetime64[us]"),
+                "payload": pd.Series(dtype=object),
+            }
+        )
+    )
+    out = str(tmp_path / "warc_empty")
+    write_warc_like(empty, out)
+    assert read_warc_like(out).count() == 0
+
+
+def test_parse_warc_like_fails_loudly():
+    import pytest as _pytest
+
+    from data_validator_ray.sources import parse_warc_like
+
+    ok = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: u\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 3\r\n\r\nabc\r\n\r\n"
+    )
+    t = parse_warc_like(ok)
+    assert t.num_rows == 1 and bytes(t["payload"][0].as_py()) == b"abc"
+    with _pytest.raises(ValueError, match="bad magic"):
+        parse_warc_like(ok.replace(b"WARC/1.0", b"HTTP/1.1"))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_warc_like(ok.replace(b"Length: 3", b"Length: 99"))
+    with _pytest.raises(ValueError, match="no Content-Length"):
+        parse_warc_like(
+            b"WARC/1.0\r\nWARC-Target-URI: u\r\n\r\nabc"
+        )
+    with _pytest.raises(ValueError, match="no header terminator"):
+        parse_warc_like(b"WARC/1.0\r\nWARC-Target-URI: u")
