@@ -2078,6 +2078,62 @@ def q_perplexity_buckets_by_lang_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ccnet_pipeline_documents(sf_dir: str) -> pd.DataFrame:
+    """The CCNet pipeline END-TO-END (Wenzek et al. 2020), composed
+    from the engine's own stages: supported-language filter → unigram
+    LM scored on the FILTERED corpus → per-LANGUAGE perplexity
+    tertiles → drop each language's worst third → domain-frequency
+    boilerplate removal over the survivors. Every stage is the
+    already-oracle-backed operator; this query pins the COMPOSITION
+    (model fit on the filtered corpus, bands per lang, boilerplate
+    counts on the band survivors — order matters and the single SQL
+    CTE chain checks all of it)."""
+    import pyarrow.compute as _pc
+
+    from .dedup import domain_boilerplate_removal
+    from .relational import bucket_by_quantile, hash_join
+    from .text import unigram_logprob
+
+    langs = pa.array(["en", "fr", "de", "es"])
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def keep_lang(b: pa.Table) -> pa.Table:
+        return b.filter(
+            _pc.fill_null(_pc.is_in(b["lang"], value_set=langs), False)
+        )
+
+    f = docs.map_batches(keep_lang, batch_format="pyarrow")
+    scored = unigram_logprob(f)
+    joined = hash_join(
+        scored, f,
+        left_key="doc_id", right_key="doc_id",
+        left_cols=["doc_id", "logprob_mean"],
+        right_cols=["lang", "source", "text"],
+        num_buckets=8,
+    )
+    banded = bucket_by_quantile(
+        joined, "logprob_mean",
+        group_col="lang",
+        labels=["tail", "middle", "head"],
+        id_cols=["doc_id", "source", "text"],
+    )
+
+    def keep_head_middle(b: pa.Table) -> pa.Table:
+        m = _pc.and_(
+            _pc.is_valid(b["bucket"]), _pc.not_equal(b["bucket"], "tail")
+        )
+        return b.filter(_pc.fill_null(m, False))
+
+    kept = banded.map_batches(keep_head_middle, batch_format="pyarrow")
+    out = domain_boilerplate_removal(
+        kept, domain_col="source", sep=" ", min_docs=5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     """Order-2 LM quality signal: per-doc mean conditional bigram
     log-probability P(w2|w1)=c(w1,w2)/c(w1,·) under the corpus's own
@@ -5908,6 +5964,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "perplexity_buckets_by_lang_documents": (
             q_perplexity_buckets_by_lang_documents
         ),
+        "ccnet_pipeline_documents": q_ccnet_pipeline_documents,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
         "dsir_weights_documents": q_dsir_weights_documents,
@@ -6704,6 +6761,39 @@ def oracle_sql() -> Dict[str, str]:
         # same oracle: the 4096 cap exceeds the corpus's 916 distinct
         # pairs, so the distributed top-V tier must be byte-identical
         "bigram_logprob_capped_documents": _BIGRAM_LOGPROB_SQL,
+        "ccnet_pipeline_documents": (
+            "WITH f AS (SELECT doc_id, text, lang, source FROM documents "
+            "WHERE lang IN ('en','fr','de','es')), "
+            "tok AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS t FROM f), "
+            "freq AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t), "
+            "tot AS (SELECT SUM(c) AS s FROM freq), "
+            "per_doc AS (SELECT tok.doc_id, "
+            "ROUND(SUM(LN(c / s)) / COUNT(*), 6) AS lm "
+            "FROM tok JOIN freq USING (t) CROSS JOIN tot "
+            "GROUP BY tok.doc_id), "
+            "scored AS (SELECT f.doc_id, f.lang, f.source, f.text, p.lm "
+            "FROM f LEFT JOIN per_doc p USING (doc_id)), "
+            "cuts AS (SELECT lang, quantile_cont(lm, 1.0/3.0) AS c1 "
+            "FROM scored GROUP BY lang), "
+            "kept AS (SELECT s.doc_id, s.source, s.text FROM scored s "
+            "JOIN cuts c USING (lang) "
+            "WHERE s.lm IS NOT NULL AND s.lm > c.c1), "
+            "p AS (SELECT doc_id, source, "
+            "unnest(string_split(COALESCE(text, ''), ' ')) AS part, "
+            "generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) "
+            "AS idx FROM kept), "
+            "bad AS (SELECT source, part FROM p GROUP BY source, part "
+            "HAVING COUNT(DISTINCT doc_id) >= 5), "
+            "t2 AS (SELECT p.doc_id, p.part, p.idx, "
+            "(b.part IS NOT NULL) AS is_bad FROM p LEFT JOIN bad b "
+            "ON p.source = b.source AND p.part = b.part) "
+            "SELECT doc_id, "
+            "COALESCE(string_agg(CASE WHEN NOT is_bad THEN part END, "
+            "' ' ORDER BY idx), '') AS text, "
+            "(COUNT(*) FILTER (WHERE is_bad))::BIGINT AS n_dropped "
+            "FROM t2 GROUP BY doc_id ORDER BY doc_id"
+        ),
         "dsir_weights_documents": _DSIR_SQL,
         # same oracle: the 4096 cap exceeds the corpus's union vocab,
         # so the distributed two-sided top-V tier must be byte-identical
