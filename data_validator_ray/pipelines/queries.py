@@ -2134,6 +2134,30 @@ def q_ccnet_pipeline_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pipeline_spec_ccnet(sf_dir: str) -> pd.DataFrame:
+    """The SAME CCNet pipeline as ``ccnet_pipeline_documents``, but
+    composed entirely from the YAML spec runner (the shipped
+    ``examples/ccnet_spec.yaml``): a config file — not code — chains
+    filter → LM scoring → self-join (via ``save_as``) → per-lang
+    banding → band filter → boilerplate removal into ONE lazy plan.
+    Shares the hand-built query's exact CTE oracle, so the spec
+    runner's composition (incl. the save_as re-reference) is pinned
+    bit-exact."""
+    from pathlib import Path
+
+    from .spec import run_pipeline_spec
+
+    spec = str(
+        Path(__file__).resolve().parents[2] / "examples" / "ccnet_spec.yaml"
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    out = run_pipeline_spec(spec, docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bigram_logprob_documents(sf_dir: str) -> pd.DataFrame:
     """Order-2 LM quality signal: per-doc mean conditional bigram
     log-probability P(w2|w1)=c(w1,w2)/c(w1,·) under the corpus's own
@@ -2159,6 +2183,40 @@ def q_bigram_logprob_capped_documents(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
+
+_CCNET_SQL = (
+    "WITH f AS (SELECT doc_id, text, lang, source FROM documents "
+    "WHERE lang IN ('en','fr','de','es')), "
+    "tok AS (SELECT doc_id, unnest(list_filter("
+    "string_split(text, ' '), x -> x <> '')) AS t FROM f), "
+    "freq AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t), "
+    "tot AS (SELECT SUM(c) AS s FROM freq), "
+    "per_doc AS (SELECT tok.doc_id, "
+    "ROUND(SUM(LN(c / s)) / COUNT(*), 6) AS lm "
+    "FROM tok JOIN freq USING (t) CROSS JOIN tot "
+    "GROUP BY tok.doc_id), "
+    "scored AS (SELECT f.doc_id, f.lang, f.source, f.text, p.lm "
+    "FROM f LEFT JOIN per_doc p USING (doc_id)), "
+    "cuts AS (SELECT lang, quantile_cont(lm, 1.0/3.0) AS c1 "
+    "FROM scored GROUP BY lang), "
+    "kept AS (SELECT s.doc_id, s.source, s.text FROM scored s "
+    "JOIN cuts c USING (lang) "
+    "WHERE s.lm IS NOT NULL AND s.lm > c.c1), "
+    "p AS (SELECT doc_id, source, "
+    "unnest(string_split(COALESCE(text, ''), ' ')) AS part, "
+    "generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) "
+    "AS idx FROM kept), "
+    "bad AS (SELECT source, part FROM p GROUP BY source, part "
+    "HAVING COUNT(DISTINCT doc_id) >= 5), "
+    "t2 AS (SELECT p.doc_id, p.part, p.idx, "
+    "(b.part IS NOT NULL) AS is_bad FROM p LEFT JOIN bad b "
+    "ON p.source = b.source AND p.part = b.part) "
+    "SELECT doc_id, "
+    "COALESCE(string_agg(CASE WHEN NOT is_bad THEN part END, "
+    "' ' ORDER BY idx), '') AS text, "
+    "(COUNT(*) FILTER (WHERE is_bad))::BIGINT AS n_dropped "
+    "FROM t2 GROUP BY doc_id ORDER BY doc_id"
+)
 
 _DSIR_SQL = (
     "WITH tok_r AS (SELECT doc_id, unnest(list_filter("
@@ -5965,6 +6023,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
             q_perplexity_buckets_by_lang_documents
         ),
         "ccnet_pipeline_documents": q_ccnet_pipeline_documents,
+        "pipeline_spec_ccnet": q_pipeline_spec_ccnet,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
         "dsir_weights_documents": q_dsir_weights_documents,
@@ -6761,39 +6820,10 @@ def oracle_sql() -> Dict[str, str]:
         # same oracle: the 4096 cap exceeds the corpus's 916 distinct
         # pairs, so the distributed top-V tier must be byte-identical
         "bigram_logprob_capped_documents": _BIGRAM_LOGPROB_SQL,
-        "ccnet_pipeline_documents": (
-            "WITH f AS (SELECT doc_id, text, lang, source FROM documents "
-            "WHERE lang IN ('en','fr','de','es')), "
-            "tok AS (SELECT doc_id, unnest(list_filter("
-            "string_split(text, ' '), x -> x <> '')) AS t FROM f), "
-            "freq AS (SELECT t, COUNT(*)::DOUBLE AS c FROM tok GROUP BY t), "
-            "tot AS (SELECT SUM(c) AS s FROM freq), "
-            "per_doc AS (SELECT tok.doc_id, "
-            "ROUND(SUM(LN(c / s)) / COUNT(*), 6) AS lm "
-            "FROM tok JOIN freq USING (t) CROSS JOIN tot "
-            "GROUP BY tok.doc_id), "
-            "scored AS (SELECT f.doc_id, f.lang, f.source, f.text, p.lm "
-            "FROM f LEFT JOIN per_doc p USING (doc_id)), "
-            "cuts AS (SELECT lang, quantile_cont(lm, 1.0/3.0) AS c1 "
-            "FROM scored GROUP BY lang), "
-            "kept AS (SELECT s.doc_id, s.source, s.text FROM scored s "
-            "JOIN cuts c USING (lang) "
-            "WHERE s.lm IS NOT NULL AND s.lm > c.c1), "
-            "p AS (SELECT doc_id, source, "
-            "unnest(string_split(COALESCE(text, ''), ' ')) AS part, "
-            "generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) "
-            "AS idx FROM kept), "
-            "bad AS (SELECT source, part FROM p GROUP BY source, part "
-            "HAVING COUNT(DISTINCT doc_id) >= 5), "
-            "t2 AS (SELECT p.doc_id, p.part, p.idx, "
-            "(b.part IS NOT NULL) AS is_bad FROM p LEFT JOIN bad b "
-            "ON p.source = b.source AND p.part = b.part) "
-            "SELECT doc_id, "
-            "COALESCE(string_agg(CASE WHEN NOT is_bad THEN part END, "
-            "' ' ORDER BY idx), '') AS text, "
-            "(COUNT(*) FILTER (WHERE is_bad))::BIGINT AS n_dropped "
-            "FROM t2 GROUP BY doc_id ORDER BY doc_id"
-        ),
+        "ccnet_pipeline_documents": _CCNET_SQL,
+        # same oracle: the YAML spec runner composes the identical
+        # plan (incl. the save_as self-join), so it must be bit-exact
+        "pipeline_spec_ccnet": _CCNET_SQL,
         "dsir_weights_documents": _DSIR_SQL,
         # same oracle: the 4096 cap exceeds the corpus's union vocab,
         # so the distributed two-sided top-V tier must be byte-identical

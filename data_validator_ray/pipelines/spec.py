@@ -42,6 +42,19 @@ caller-supplied ``sources=`` dict of Datasets::
                  right_key: c_custkey, left_cols: [event_id],
                  right_cols: []}
 
+A step may carry ``save_as: name`` to checkpoint ITS output for later
+``{$source: name}`` references — the self-join shape (score a stream,
+then join the scores back onto the same stream) stays config-only::
+
+    steps:
+      - op: filter_expr
+        params: {expr: "lang == 'en'"}
+        save_as: filtered
+      - op: unigram_logprob
+        params: {}
+      - op: hash_join
+        params: {right: {$source: filtered}, left_key: doc_id, ...}
+
 Every stage stays lazy — the composed pipeline is ONE streaming
 Dataset plan; nothing materializes until the caller consumes it.
 Operators that return a ``pyarrow.Table``/pandas frame (the one-shot
@@ -260,6 +273,21 @@ def run_pipeline_spec(
         params = _resolve_sources(step.get("params") or {}, resolve)
         out = _PIPELINE_OPS[op](ds, **params)
         ds = _coerce_dataset(out)
+        # save_as: checkpoint THIS step's output under a name so a
+        # later multi-input step can reference it with {$source:} —
+        # what a self-join-shaped pipeline (score, then join the
+        # scores back onto the same filtered stream) needs to stay
+        # config-only. Shadowing a declared/injected source name is a
+        # spec bug: fail loudly.
+        alias = step.get("save_as")
+        if alias is not None:
+            alias = str(alias)
+            if alias in cache or alias in declared or alias in injected:
+                raise ValueError(
+                    f"step {i}: save_as {alias!r} collides with an "
+                    "existing source name"
+                )
+            cache[alias] = ds
     return ds
 
 

@@ -1187,3 +1187,20 @@ def test_seeded_shuffle_validation(ray_session):
     bad = pd.DataFrame({"doc_id": [1, -2], "v": [0, 0]})
     with _pytest.raises(Exception, match="2\\*\\*31|non-NULL"):
         seeded_shuffle(bad).to_pandas()
+
+
+def test_pipeline_spec_save_as_collision_fails(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.spec import run_pipeline_spec
+
+    df = pd.DataFrame({"doc_id": [1, 2], "v": [1.0, 2.0]})
+    spec = {
+        "sources": {"taken": {"path": "/nonexistent.parquet"}},
+        "steps": [
+            {"op": "limit", "params": {"n": 2}, "save_as": "taken"},
+        ],
+    }
+    with _pytest.raises(ValueError, match="collides"):
+        run_pipeline_spec(spec, df)
