@@ -2280,9 +2280,15 @@ def q_dsir_select_documents(sf_dir: str) -> pd.DataFrame:
     of DSIR's resampling step, via the shared partial-top-k reduce
     (only k × #batches candidate rows reach the driver)."""
     from .relational import top_k_rows
+    from .text import dsir_logratio
 
-    w = _dsir_weights(sf_dir)
-    w = w[w["logratio_sum"].notna()]
+    raw = f"{sf_dir}/documents.parquet"
+    tgt = ray.data.read_parquet(raw, columns=["text", "lang"]).filter(
+        expr="lang == 'en'"
+    )
+    # the weights stay a lazy Dataset: only k × #batches candidate
+    # rows ever reach the driver (top_k_rows filters NULL weights)
+    w = dsir_logratio(raw, tgt)
     out = top_k_rows(
         w, "logratio_sum", 50, descending=True, tiebreak_cols=["doc_id"]
     )
