@@ -2274,6 +2274,28 @@ def q_dsir_weights_capped_documents(sf_dir: str) -> pd.DataFrame:
     return _dsir_weights(sf_dir, vocab_size=4096)
 
 
+def q_dsir_weights_fused_documents(sf_dir: str) -> pd.DataFrame:
+    """The ONE-READ tier of DSIR: the target is a boolean column on
+    the raw stream (lang='en'), so a single counts pass produces BOTH
+    models' counts — at 100 TB the corpus read dominates, making this
+    the preferred shape whenever the target is a subset. Must be
+    byte-identical to the two-source oracle."""
+    import pyarrow.compute as _pc
+
+    from .text import dsir_logratio
+
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "is_target", _pc.equal(b["lang"], "en")
+        ),
+        batch_format="pyarrow",
+    )
+    out = dsir_logratio(raw, target_col="is_target").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dsir_select_documents(sf_dir: str) -> pd.DataFrame:
     """DSIR selection: the top-50 raw docs by importance weight
     (logratio_sum desc, doc_id asc) — the deterministic top-k variant
@@ -6034,6 +6056,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
         "dsir_weights_documents": q_dsir_weights_documents,
         "dsir_weights_capped_documents": q_dsir_weights_capped_documents,
+        "dsir_weights_fused_documents": q_dsir_weights_fused_documents,
         "dsir_select_documents": q_dsir_select_documents,
         "token_entropy_documents": q_token_entropy_documents,
         "quality_classifier_documents": q_quality_classifier_documents,
@@ -6834,6 +6857,9 @@ def oracle_sql() -> Dict[str, str]:
         # same oracle: the 4096 cap exceeds the corpus's union vocab,
         # so the distributed two-sided top-V tier must be byte-identical
         "dsir_weights_capped_documents": _DSIR_SQL,
+        # same oracle: the fused one-read counts pass must produce the
+        # identical two-model table (target = lang='en' subset flag)
+        "dsir_weights_fused_documents": _DSIR_SQL,
         "dsir_select_documents": (
             "WITH w AS (" + _DSIR_SQL.replace(" ORDER BY d.doc_id", "") + ") "
             "SELECT doc_id, n_tokens, logratio_sum FROM w "

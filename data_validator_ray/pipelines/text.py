@@ -1810,36 +1810,46 @@ def _hashed_count_partials(
     )
 
 
-def _merge_count_partials(part: Dataset) -> "tuple[np.ndarray, np.ndarray]":
-    """Driver-side sorted merge of ``(h, cnt)`` partials → unique
-    sorted hashes + summed counts. Driver memory is bounded by the sum
-    of per-batch distincts (fine single-node; the ``vocab_size``
-    distributed tier is the beyond-vocab path)."""
-    hs_parts, cnt_parts = [], []
+def _merge_count2_partials(
+    part: Dataset,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Driver-side sorted merge of ``(h, cr, ct)`` partials → unique
+    sorted hashes + both summed counts (float64). Driver memory is
+    bounded by the sum of per-batch distincts (fine single-node; the
+    ``vocab_size`` distributed tier is the beyond-vocab path)."""
+    hs_parts, cr_parts, ct_parts = [], [], []
     for b in part.iter_batches(batch_format="pyarrow"):
         hs_parts.append(b["h"].to_numpy())
-        cnt_parts.append(b["cnt"].to_numpy())
+        cr_parts.append(b["cr"].to_numpy())
+        ct_parts.append(b["ct"].to_numpy())
+    empty = np.array([], np.float64)
     if not hs_parts:
-        return np.array([], np.int64), np.array([], np.int64)
+        return np.array([], np.int64), empty, empty
     h_all = np.concatenate(hs_parts)
-    c_all = np.concatenate(cnt_parts)
-    o = np.argsort(h_all, kind="stable")
-    h_all, c_all = h_all[o], c_all[o]
+    cr_all = np.concatenate(cr_parts).astype(np.float64)
+    ct_all = np.concatenate(ct_parts).astype(np.float64)
     if not len(h_all):
-        return h_all, c_all
+        return h_all, empty, empty
+    o = np.argsort(h_all, kind="stable")
+    h_all, cr_all, ct_all = h_all[o], cr_all[o], ct_all[o]
     new = np.empty(len(h_all), bool)
     new[0] = True
     new[1:] = h_all[1:] != h_all[:-1]
     starts = np.flatnonzero(new)
-    return h_all[starts], np.add.reduceat(c_all, starts)
+    return (
+        h_all[starts],
+        np.add.reduceat(cr_all, starts),
+        np.add.reduceat(ct_all, starts),
+    )
 
 
 def dsir_logratio(
     raw_source: Any,
-    target_source: Any,
+    target_source: Any = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    target_col: Optional[str] = None,
     alpha: float = 0.5,
     vocab_size: Optional[int] = None,
     batch_size: int = 8192,
@@ -1854,12 +1864,23 @@ def dsir_logratio(
     floor). High scores = raw docs that look like the target domain;
     feed the output to ``top_k_rows`` / weighted sampling to select.
 
-    Three streaming passes, all bounded: hashed token counts over each
-    corpus (distinct-bounded ``(h, cnt)`` exchange — the
-    :func:`unigram_logprob` combiner), ONE broadcast of the sorted
-    ``(h, llr)`` union table via ``ray.put``, and a searchsorted probe
-    + per-doc ``bincount`` reduce over the raw stream. With
-    ``vocab_size`` the union merge is FULLY distributed
+    Streaming passes, all bounded: hashed token counts (distinct-
+    bounded ``(h, cr, ct)`` exchange — the :func:`unigram_logprob`
+    combiner with a count column per model), ONE broadcast of the
+    sorted ``(h, llr)`` union table via ``ray.put``, and a
+    searchsorted probe + per-doc ``bincount`` reduce over the raw
+    stream. Two ways to name the target:
+
+    * ``target_source`` — any second corpus; its text is read in its
+      own counts pass (two corpus reads total before the probe).
+    * ``target_col`` — name of a BOOLEAN column on ``raw_source``
+      marking the target subset (the common case: "docs like
+      lang='en'", "docs the classifier liked"). The counts pass is
+      FUSED: one corpus read produces both models' counts (NULL
+      flags count as False). At 100 TB the read is the dominant
+      cost, so prefer this whenever the target is a subset.
+
+    With ``vocab_size`` the union merge is FULLY distributed
     (:func:`_dsir_topv_distributed`: hash-bucketed two-sided sums,
     per-bucket top-V by combined count, carrier rows for the true
     totals AND true vocab size — the smoothing denominators never
@@ -1872,27 +1893,76 @@ def dsir_logratio(
     (collisions merge counts at ~vocab²/2⁶⁵)."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
-    raw_ds = _as_dataset(raw_source, columns=[id_col, text_col])
-    tgt_ds = _as_dataset(target_source, columns=[text_col])
-    raw_part = _hashed_count_partials(raw_ds, text_col, batch_size)
-    tgt_part = _hashed_count_partials(tgt_ds, text_col, batch_size)
+    if (target_source is None) == (target_col is None):
+        raise ValueError(
+            "pass exactly one of target_source / target_col"
+        )
+
+    if target_col is not None:
+        raw_ds = _as_dataset(
+            raw_source, columns=[id_col, text_col, target_col]
+        )
+
+        def counts2(batch: pa.Table) -> pa.Table:
+            ex, _ = _exploded_tokens(batch[text_col])
+            hs = ex["t"].hash(seed=0).to_numpy().view(np.int64)
+            doc = ex["doc"].to_numpy()
+            flag = pc.fill_null(
+                pc.cast(batch[target_col], pa.bool_()), False
+            ).to_numpy(zero_copy_only=False)
+            u, inv = np.unique(hs, return_inverse=True)
+            cr = np.bincount(inv, minlength=len(u))
+            tm = flag[doc]
+            ct = np.bincount(inv[tm], minlength=len(u))
+            return pa.table(
+                {
+                    "h": pa.array(u, pa.int64()),
+                    "cr": pa.array(cr.astype(np.int64), pa.int64()),
+                    "ct": pa.array(ct.astype(np.int64), pa.int64()),
+                }
+            )
+
+        combined = raw_ds.map_batches(
+            counts2, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        raw_ds = _as_dataset(raw_source, columns=[id_col, text_col])
+        tgt_ds = _as_dataset(target_source, columns=[text_col])
+        raw_part = _hashed_count_partials(raw_ds, text_col, batch_size)
+        tgt_part = _hashed_count_partials(tgt_ds, text_col, batch_size)
+
+        def tag(side: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                c = batch["cnt"].to_numpy(zero_copy_only=False)
+                zero = np.zeros(len(c), np.int64)
+                return pa.table(
+                    {
+                        "h": batch["h"],
+                        "cr": pa.array(
+                            c if side == 0 else zero, pa.int64()
+                        ),
+                        "ct": pa.array(
+                            c if side == 1 else zero, pa.int64()
+                        ),
+                    }
+                )
+
+            return fn
+
+        combined = raw_part.map_batches(
+            tag(0), batch_format="pyarrow"
+        ).union(tgt_part.map_batches(tag(1), batch_format="pyarrow"))
 
     if vocab_size is not None:
         if int(vocab_size) < 1:
             raise ValueError("vocab_size must be >= 1")
         vh, llr, oov_llr = _dsir_topv_distributed(
-            raw_part, tgt_part, int(vocab_size), float(alpha)
+            combined, int(vocab_size), float(alpha)
         )
     else:
-        hr, cr = _merge_count_partials(raw_part)
-        ht, ct = _merge_count_partials(tgt_part)
-        vh = np.union1d(hr, ht)
-        cr_full = np.zeros(len(vh), np.float64)
-        cr_full[np.searchsorted(vh, hr)] = cr.astype(np.float64)
-        ct_full = np.zeros(len(vh), np.float64)
-        ct_full[np.searchsorted(vh, ht)] = ct.astype(np.float64)
-        n_r = float(cr.sum()) if len(cr) else 0.0
-        n_t = float(ct.sum()) if len(ct) else 0.0
+        vh, cr_full, ct_full = _merge_count2_partials(combined)
+        n_r = float(cr_full.sum()) if len(cr_full) else 0.0
+        n_t = float(ct_full.sum()) if len(ct_full) else 0.0
         v = float(len(vh))
         llr = np.log((ct_full + alpha) / (n_t + alpha * v)) - np.log(
             (cr_full + alpha) / (n_r + alpha * v)
@@ -1933,8 +2003,7 @@ def dsir_logratio(
 
 
 def _dsir_topv_distributed(
-    raw_part: Dataset,
-    tgt_part: Dataset,
+    combined: Dataset,
     vocab_size: int,
     alpha: float,
     *,
@@ -1942,9 +2011,10 @@ def _dsir_topv_distributed(
 ) -> "tuple[np.ndarray, np.ndarray, float]":
     """Distributed top-V union-vocabulary log-ratio table — the
     :func:`_unigram_topv_distributed` pattern with TWO count columns.
-    Both corpora's partials union into one stream tagged by side,
-    bucket on ``h mod n_buckets`` (a token's raw AND target counts
-    co-locate), each bucket merges to ``(h, cr, ct)`` rows, keeps its
+    ``combined`` is the ``(h, cr, ct)`` partials stream (fused
+    one-read counts, or the two tagged corpora unioned); bucket on
+    ``h mod n_buckets`` (a token's raw AND target counts co-locate),
+    each bucket merges to ``(h, cr, ct)`` rows, keeps its
     top-V by (cr+ct desc, h asc) and emits carrier rows holding the
     bucket's TRUE totals (Σcr, Σct) and TRUE distinct-token count —
     so the smoothing denominators (N_r, N_t, α·V) are exact no matter
@@ -1952,26 +2022,12 @@ def _dsir_topv_distributed(
     driver holds ≤ V rows and computes the llr arrays + OOV floor."""
     V = int(vocab_size)
 
-    def tag(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            c = batch["cnt"].to_numpy(zero_copy_only=False)
-            zero = np.zeros(len(c), np.int64)
-            h = batch["h"].to_numpy(zero_copy_only=False)
-            b = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
-            return pa.table(
-                {
-                    "h": batch["h"],
-                    "cr": pa.array(c if side == 0 else zero, pa.int64()),
-                    "ct": pa.array(c if side == 1 else zero, pa.int64()),
-                    "__b": pa.array(b, pa.int64()),
-                }
-            )
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        b = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("__b", pa.array(b, pa.int64()))
 
-        return fn
-
-    unioned = raw_part.map_batches(
-        tag(0), batch_format="pyarrow"
-    ).union(tgt_part.map_batches(tag(1), batch_format="pyarrow"))
+    unioned = combined.map_batches(add_bucket, batch_format="pyarrow")
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         h = g["h"].to_numpy(zero_copy_only=False)

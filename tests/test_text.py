@@ -487,3 +487,38 @@ def test_dsir_logratio_validation(ray_session):
         dsir_logratio(df, df, alpha=0.0)
     with _pytest.raises(ValueError, match="vocab_size"):
         dsir_logratio(df, df, vocab_size=0)
+
+
+def test_dsir_fused_equals_two_source(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.pipelines.text import dsir_logratio
+
+    raw = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["a a b", "b c", "c c c", "a", "", "b a"],
+            "is_t": [True, False, True, None, True, False],
+        }
+    )
+    tgt = raw[raw["is_t"].fillna(False).astype(bool)][["text"]]
+    two = (
+        dsir_logratio(raw[["doc_id", "text"]], tgt)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    fused = (
+        dsir_logratio(raw, target_col="is_t")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(two, fused)
+    # capped fused tier agrees as well (cap > vocab)
+    fused_cap = (
+        dsir_logratio(raw, target_col="is_t", vocab_size=64)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(two, fused_cap)
+    with _pytest.raises(ValueError, match="exactly one"):
+        dsir_logratio(raw, tgt, target_col="is_t")
+    with _pytest.raises(ValueError, match="exactly one"):
+        dsir_logratio(raw[["doc_id", "text"]])
