@@ -1070,6 +1070,36 @@ def embedding_cosine_pairs(
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _normalized_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """L2-normalized contiguous float32 matrix from a vector column
+    (zero vectors pass through unchanged instead of dividing by 0)."""
+    m = _embedding_matrix(batch, vec_col, dtype=np.float32)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return np.ascontiguousarray(m / norms, dtype=np.float32)
+
+
+def _band_keys(
+    mn: np.ndarray,
+    planes: np.ndarray,
+    weights: np.ndarray,
+    bands: int,
+    bits_per_band: int,
+) -> np.ndarray:
+    """(n, bands) packed random-hyperplane sign-bit keys. Each band's
+    ``bits_per_band`` sign bits pack into one uint64, salted with the
+    band index so the b tables never collide with each other in a
+    shared shuffle."""
+    bits = (mn @ planes) > 0  # (n, bands*r)
+    keys = np.empty((len(mn), bands), np.uint64)
+    for bi in range(bands):
+        block = bits[:, bi * bits_per_band : (bi + 1) * bits_per_band]
+        keys[:, bi] = (block.astype(np.uint64) @ weights) | (
+            np.uint64(bi) << np.uint64(bits_per_band)
+        )
+    return keys
+
+
 def embedding_lsh_pairs(
     source: Any,
     id_col: str = "vec_id",
@@ -1081,21 +1111,37 @@ def embedding_lsh_pairs(
     seed: int = 0xA11,
     batch_size: int = 4096,
     num_buckets: int = 128,
+    ship_vectors: bool = True,
 ) -> Dataset:
     """Approximate cosine near-dup pairs via BANDED random-hyperplane
     LSH — the MinHash band trick in sign-bit space. ``bands``
     independent tables of ``bits_per_band`` hyperplane sign bits each;
     a pair is a candidate if ANY band's bits agree, then verified by
-    exact cosine inside the band bucket (the normalized f32 vector
-    rides the shuffle), so output pairs are always a subset of the
-    exact ≥ threshold set. Recall for a pair at angle θ is
+    exact cosine (so output pairs are always a subset of the exact
+    ≥ threshold set). Recall for a pair at angle θ is
     1 − (1 − p^r)^b with p = 1 − θ/π — the multi-band S-curve instead
     of a single table's p^r cliff (round-2 verdict fix #2).
 
-    Scale shape: no O(n²) anywhere; the one shuffle ships
-    ``bands`` × (8 B key + 4·dim B vector) per row; per-bucket work is
-    a zero-copy Arrow matrix extraction + chunked slab matmuls over
-    sorted band-key runs (the SemDeDup pattern, never per-row boxing).
+    Two shuffle-traffic tiers, IDENTICAL output (same seeded planes ⇒
+    same candidate set; verification exact in both):
+
+    * ``ship_vectors=True`` (default): the normalized f32 vector rides
+      the band shuffle — ``bands`` × (8 B key + 4·dim B vector) per
+      row — and verification is in-bucket chunked slab matmuls. Best
+      when candidate pairs are plentiful relative to the corpus.
+    * ``ship_vectors=False`` (sketch-then-verify): the band shuffle
+      carries only (id, key) = 16 B × ``bands`` per row; candidate
+      pairs are verified afterwards by shipping ONLY involved vectors
+      (Bloom-prefiltered, the :func:`verify_pairs_distributed`
+      pattern) through two bucketed lookup rounds — ~2 vector copies
+      per involved id instead of ``bands`` copies per corpus row. Use
+      ``bits_per_band ≥ 16`` here: without in-bucket verification a
+      band-key run of m rows emits all m(m-1)/2 candidates, so the
+      key space must keep runs small.
+
+    Scale shape: no O(n²) anywhere; per-bucket work is a zero-copy
+    Arrow matrix extraction + chunked slab matmuls over sorted
+    band-key runs (the SemDeDup pattern, never per-row boxing).
     Returns a Dataset of distinct ``(id_a, id_b)`` with id_a < id_b.
     """
     if bits_per_band < 1 or bits_per_band > 32 or bands < 1:
@@ -1106,22 +1152,24 @@ def embedding_lsh_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(dim, bands * bits_per_band)).astype(np.float32)
     weights = (1 << np.arange(bits_per_band, dtype=np.uint64))
+    if not ship_vectors:
+        return _lsh_sketch_verify(
+            ds,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            planes=planes,
+            weights=weights,
+            bands=bands,
+            bits_per_band=bits_per_band,
+            threshold=threshold,
+            batch_size=batch_size,
+            num_buckets=num_buckets,
+        )
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        m = _embedding_matrix(batch, vec_col, dtype=np.float32)
-        n = len(m)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mn = np.ascontiguousarray(m / norms, dtype=np.float32)
-        bits = (mn @ planes) > 0  # (n, bands*r)
-        # per-band packed sign bits, salted with the band index so the
-        # b tables never collide with each other in the shared shuffle
-        keys = np.empty((n, bands), np.uint64)
-        for bi in range(bands):
-            block = bits[:, bi * bits_per_band : (bi + 1) * bits_per_band]
-            keys[:, bi] = (block.astype(np.uint64) @ weights) | (
-                np.uint64(bi) << np.uint64(bits_per_band)
-            )
+        mn = _normalized_matrix(batch, vec_col)
+        keys = _band_keys(mn, planes, weights, bands, bits_per_band)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         rep = np.repeat(mn, bands, axis=0)
         fsl = pa.FixedSizeListArray.from_arrays(
@@ -1187,6 +1235,274 @@ def embedding_lsh_pairs(
     )
     # distinct across bands (a close pair collides in several tables)
     return bucketed_count(pairs, ["id_a", "id_b"]).drop_columns(["count"])
+
+
+def _lsh_sketch_verify(
+    ds: Dataset,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: np.ndarray,
+    weights: np.ndarray,
+    bands: int,
+    bits_per_band: int,
+    threshold: float,
+    batch_size: int,
+    num_buckets: int,
+) -> Dataset:
+    """``ship_vectors=False`` tier of :func:`embedding_lsh_pairs`.
+
+    Phase 1 shuffles only (id, band_key) rows — 16 B × bands per row —
+    and emits every within-run pair as a CANDIDATE (no vectors in the
+    bucket, so no in-bucket verification; ``bits_per_band`` must keep
+    runs small). Phase 2 verifies candidates exactly: a Bloom filter
+    of involved ids (OR-reduced partial registers, the
+    :func:`bloom_prefilter_join` pattern) prunes the corpus scan so
+    only (probably-)involved vectors shuffle, then two bucketed lookup
+    rounds attach vec_a and vec_b and keep pairs with cosine ≥
+    threshold. Output is identical to the ship-vectors tier: same
+    seeded planes ⇒ same candidate set, and verification is exact in
+    both (pinned by test).
+
+    Driver footprint: Bloom registers only (n_bits/8 bytes). The
+    candidate pair list is materialized (it is consumed twice: Bloom
+    build + round A) — pairs only, never vectors.
+    """
+    from ..functions.sketches import BloomFilter
+
+    fsl = pa.list_(pa.float32(), dim or 1)
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    empty_round = pa.table(
+        {
+            "__gb": pa.array([], pa.int64()),
+            "__role": pa.array([], pa.int64()),
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "vec": pa.array([], fsl),
+        }
+    )
+
+    def bucketize_keys(batch: pa.Table) -> pa.Table:
+        mn = _normalized_matrix(batch, vec_col)
+        keys = _band_keys(mn, planes, weights, bands, bits_per_band)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        band_key = keys.reshape(-1).astype(np.int64)
+        gb = (hash64(band_key) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                "band_key": pa.array(band_key, pa.int64()),
+                "__gb": pa.array(gb, pa.int64()),
+            }
+        )
+
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = group["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return empty_pairs
+        order = np.lexsort((ids, keys))
+        ids, keys = ids[order], keys[order]
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        starts = np.flatnonzero(np.diff(keys, prepend=keys[0] - 1))
+        bounds = list(starts) + [len(keys)]
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            m = s1 - s0
+            if m < 2:
+                continue
+            # an id appears at most once per band_key (band-salted
+            # keys), and the lexsort orders ids within the run, so
+            # i < j ⇒ seg[i] < seg[j]: pairs come out canonical
+            i, j = np.triu_indices(m, 1)
+            seg = ids[s0:s1]
+            out_a.append(seg[i])
+            out_b.append(seg[j])
+        if not out_a:
+            return empty_pairs
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(
+            bucketize_keys, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("__gb")
+        .map_groups(bucket_candidates, batch_format="pyarrow")
+    )
+    # distinct across bands; materialized — the pair list is the small
+    # side and feeds two consumers (Bloom build + round A), and the
+    # pin breaks the groupby→union→groupby shuffle chain
+    cand = bucketed_count(cand, ["id_a", "id_b"]).drop_columns(
+        ["count"]
+    ).materialize()
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        bf = BloomFilter()
+        bf.add_hashes(hash64(both))
+        return pa.table({"bloom": pa.array([bf.to_bytes()], pa.binary())})
+
+    merged = BloomFilter()
+    for row in cand.map_batches(
+        partial_bloom, batch_format="pyarrow", batch_size=256 * 1024
+    ).iter_rows():
+        merged = merged.merge(BloomFilter.from_bytes(row["bloom"]))
+    bf_ref = ray.put(merged)
+
+    def keyed_pairs(key: str, vec_from: Optional[str]):
+        """Candidate rows routed to the bucket of ``key``; ``vec``
+        carries the already-attached vector column (round B) or nulls
+        (round A)."""
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            kid = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            gb = (hash64(kid) % np.uint64(num_buckets)).astype(np.int64)
+            vec = (
+                batch[vec_from] if vec_from is not None else pa.nulls(n, fsl)
+            )
+            return pa.table(
+                {
+                    "__gb": pa.array(gb, pa.int64()),
+                    "__role": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "vec": vec,
+                }
+            )
+
+        return fn
+
+    def keyed_vecs(key: str):
+        """Bloom-surviving corpus vectors routed to the bucket of
+        their own id, carried in the ``key`` column slot."""
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ray.get(bf_ref).contains_hashes(hash64(ids))
+            if not keep.any():
+                return empty_round
+            ids = ids[keep]
+            mn = _normalized_matrix(batch, vec_col)[
+                np.flatnonzero(keep)
+            ]
+            n = len(ids)
+            vec = pa.FixedSizeListArray.from_arrays(
+                pa.array(mn.reshape(-1), pa.float32()), dim or 1
+            )
+            gb = (hash64(ids) % np.uint64(num_buckets)).astype(np.int64)
+            idv = pa.array(ids, pa.int64())
+            return pa.table(
+                {
+                    "__gb": pa.array(gb, pa.int64()),
+                    "__role": pa.array(np.ones(n, np.int64), pa.int64()),
+                    "id_a": idv if key == "id_a" else pa.nulls(n, pa.int64()),
+                    "id_b": idv if key == "id_b" else pa.nulls(n, pa.int64()),
+                    "vec": vec,
+                }
+            )
+
+        return fn
+
+    def _split_lookup(group: pa.Table, key: str):
+        """(pair table, sorted vec ids, vec matrix rows) of a bucket."""
+        role = group["__role"].to_numpy(zero_copy_only=False)
+        vmask = role == 1
+        t_vec = group.filter(pa.array(vmask))
+        t_pair = group.filter(pa.array(~vmask))
+        vids = t_vec[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _embedding_matrix(t_vec, "vec", dtype=np.float32)
+        order = np.argsort(vids)
+        return t_pair, vids[order], V[order]
+
+    def _lookup(vids: np.ndarray, V: np.ndarray, want: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(vids, want)
+        if len(vids) == 0 or not np.array_equal(
+            vids[np.minimum(pos, len(vids) - 1)], want
+        ):
+            raise ValueError(
+                "candidate id missing its corpus vector — id/bucket "
+                "routing bug in _lsh_sketch_verify"
+            )
+        return V[pos]
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        t_pair, vids, V = _split_lookup(group, "id_a")
+        if not len(t_pair):
+            return empty_round
+        ia = t_pair["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t_pair["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vec_a = _lookup(vids, V, ia)
+        gb = (hash64(ib) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "__gb": pa.array(gb, pa.int64()),
+                "__role": pa.array(np.zeros(len(ia), np.int64), pa.int64()),
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vec_a.reshape(-1), pa.float32()), dim or 1
+                ),
+            }
+        )
+
+    thr = np.float32(threshold)
+
+    def verify_b(group: pa.Table) -> pa.Table:
+        t_pair, vids, V = _split_lookup(group, "id_b")
+        if not len(t_pair):
+            return empty_pairs
+        ia = t_pair["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t_pair["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vec_a = _embedding_matrix(t_pair, "vec", dtype=np.float32)
+        vec_b = _lookup(vids, V, ib)
+        sims = np.einsum("ij,ij->i", vec_a, vec_b)
+        keep = sims >= thr
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+            }
+        )
+
+    ra = (
+        cand.map_batches(keyed_pairs("id_a", None), batch_format="pyarrow")
+        .union(
+            ds.map_batches(
+                keyed_vecs("id_a"),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        )
+        .groupby("__gb")
+        .map_groups(attach_a, batch_format="pyarrow")
+        .materialize()  # pair-sized; breaks the groupby→union→groupby chain
+    )
+    return (
+        ra.map_batches(keyed_pairs("id_b", "vec"), batch_format="pyarrow")
+        .union(
+            ds.map_batches(
+                keyed_vecs("id_b"),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        )
+        .groupby("__gb")
+        .map_groups(verify_b, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------- #

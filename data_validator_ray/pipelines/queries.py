@@ -546,6 +546,23 @@ def q_embedding_lsh_pairs(sf_dir: str):
     return embedding_lsh_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.4)
 
 
+def q_embedding_lsh_pairs_sketch(sf_dir: str):
+    """Sketch-then-verify LSH tier (rows-only: approximate by design,
+    like `embedding_lsh_pairs`): the band shuffle carries (id, key)
+    only, candidates verify by Bloom-pruned vector lookups. Same
+    seed/params as `embedding_lsh_pairs`, so the output is IDENTICAL
+    to the ship-vectors tier (pinned by
+    tests/test_dedup.py::test_embedding_lsh_sketch_verify_parity).
+    At 100 TB scale pick bits_per_band ≥ 16 to keep band-key runs
+    small without in-bucket verification; default 8 bits are fine at
+    sf0.01 cardinalities."""
+    from .dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        f"{sf_dir}/embeddings.parquet", threshold=0.4, ship_vectors=False
+    )
+
+
 def q_knn_brute_embeddings(sf_dir: str) -> pd.DataFrame:
     """Exact cosine top-10 for query vectors vec_id < 5 (broadcast
     query matrix, per-batch partial top-k, driver merge). Integer-only
@@ -5988,6 +6005,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_cosine_pairs_blocked": q_embedding_cosine_pairs_blocked,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "embedding_lsh_pairs_sketch": q_embedding_lsh_pairs_sketch,
         "knn_brute_embeddings": q_knn_brute_embeddings,
         "knn_join_embeddings": q_knn_join_embeddings,
         "knn_join_ivf_fullprobe_embeddings": q_knn_join_ivf_fullprobe_embeddings,
@@ -8800,7 +8818,7 @@ def oracle_sql() -> Dict[str, str]:
         # rows-only (no SQL equivalent by design): flagship_webpages
         # (derived table), approx_uniqueness_events /
         # approx_distinct_users_by_type (HLL sketches),
-        # simhash_documents / embedding_lsh_pairs / knn_ivf_embeddings
+        # simhash_documents / embedding_lsh_pairs[_sketch] / knn_ivf_embeddings
         # (hash/ANN structures), winnow_fingerprints_documents (rolling
         # hash), drift_events_value / grouped_quantiles_events
         # (t-digest bins), semantic_dedup_embeddings (seeded k-means),

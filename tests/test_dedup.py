@@ -171,6 +171,47 @@ def test_embedding_lsh_subset_of_exact(ray_session, vectors):
     assert (0, 30) in got
 
 
+def test_embedding_lsh_sketch_verify_parity(ray_session, vectors):
+    """ship_vectors=False must return EXACTLY the ship-vectors tier's
+    pairs: same seeded planes ⇒ same candidate set, and both tiers
+    verify with exact cosine. Pinned at bits_per_band=16 (the sketch
+    tier's documented key-width regime) on both sides."""
+    kw = dict(threshold=0.7, bands=8, bits_per_band=16, num_buckets=16)
+    ship = (
+        D.embedding_lsh_pairs(ray.data.from_pandas(vectors), **kw)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    sketch = (
+        D.embedding_lsh_pairs(
+            ray.data.from_pandas(vectors), ship_vectors=False, **kw
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sketch, ship)
+    # the planted near-parallel pair survives in both
+    assert (0, 30) in set(map(tuple, sketch[["id_a", "id_b"]].values))
+
+
+def test_embedding_lsh_sketch_verify_empty_result(ray_session, vectors):
+    """No candidate ever reaches threshold 1.01 — the sketch tier's
+    verify rounds must come back empty with the right schema instead
+    of crashing on empty buckets."""
+    out = D.embedding_lsh_pairs(
+        ray.data.from_pandas(vectors),
+        threshold=1.01,
+        bands=4,
+        bits_per_band=16,
+        ship_vectors=False,
+        num_buckets=8,
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b"]
+
+
 def test_embedding_lsh_banded_recall(ray_session):
     """Planted near-dup recall (mirror of the MinHash recall test): 12
     pairs at cosine ≈ 0.999 must ALL collide in at least one of the
