@@ -1039,11 +1039,21 @@ def embedding_cosine_pairs(
     (:func:`embedding_cosine_pairs_blocked`) instead of shipping an
     unboundedly large matrix to every worker."""
     ds_probe = _as_dataset(source, columns=[id_col])
+    def _sorted_pairs(out: pd.DataFrame) -> pd.DataFrame:
+        if len(out) == 0:  # Ray to_pandas() loses the schema when empty
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     if ds_probe.count() > max_broadcast_rows:
         out = embedding_cosine_pairs_blocked(
             source, id_col, vec_col, threshold=threshold
         ).to_pandas()
-        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return _sorted_pairs(out)
     ids, M = load_embeddings(source, id_col, vec_col)
     ref = ray.put((ids, M))
 
@@ -1067,7 +1077,7 @@ def embedding_cosine_pairs(
     out = ds.map_batches(
         batch_pairs, batch_format="pyarrow", batch_size=batch_size
     ).to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _sorted_pairs(out)
 
 
 def _normalized_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -1517,6 +1527,13 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     The pair list is tiny relative to the corpus (near-dup candidates
     only), so the union-find runs driver-side; the expensive part —
     producing the pairs — is the distributed MinHash pipeline."""
+    if len(pairs) == 0:  # incl. schema-less empties from to_pandas()
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "cluster_id": pd.Series([], dtype=np.int64),
+            }
+        )
     parent: Dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1768,6 +1785,233 @@ def near_dup_dedup(
         return batch.filter(mask)
 
     return _as_dataset(source).map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# embedding near-dup dedup (+ exact-collapse guard for degenerate corpora)   #
+# --------------------------------------------------------------------------- #
+
+
+def collapse_exact_vectors(
+    source: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    num_buckets: int = 64,
+    batch_size: int = 4096,
+) -> Dataset:
+    """One row per DISTINCT vector byte pattern, carrying the
+    minimum-id member as representative — the pre-collapse guard for
+    degenerate corpora (mass-duplicated embeddings) where identical
+    vectors share every LSH band bucket and make in-bucket work
+    O(m²). Identity is byte equality of the canonical float32
+    representation (the dtype every embedding tier computes in); NaN
+    lanes compare by bytes (a NaN-bearing vector equals its copies),
+    and -0.0 vs 0.0 stay distinct (conservative).
+
+    Distributed shape: per batch each vector's bytes fold into a
+    128-bit double hash (uint64 lanes, FNV multiply-xor, two
+    independent :func:`hash64` seeds) and (h1, h2, id, vec) rows
+    shuffle bucketed on h1. Per bucket, sorted (h1, h2, id) runs are
+    candidate duplicate groups; every grouped row is byte-compared
+    against its run head, and a mismatch raises — the
+    collision-checked double-hash scheme of the exact uniqueness
+    kernel, never a silent merge. The run head is the minimum id.
+    """
+    ds = _as_dataset(source, columns=[id_col, vec_col])
+    sample = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = _embedding_matrix(sample, vec_col).shape[1]
+    prime = np.uint64(0x100000001B3)
+
+    def _vec_hashes(M: np.ndarray) -> "Tuple[np.ndarray, np.ndarray]":
+        n, d = M.shape
+        if d % 2:
+            M = np.concatenate([M, np.zeros((n, 1), np.float32)], axis=1)
+        lanes = np.ascontiguousarray(M).view(np.uint64)
+        h1 = np.zeros(n, np.uint64)
+        h2 = np.zeros(n, np.uint64)
+        for j in range(lanes.shape[1]):
+            lane = np.ascontiguousarray(lanes[:, j])
+            h1 = (h1 * prime) ^ hash64(lane, seed=0)
+            h2 = (h2 * prime) ^ hash64(lane, seed=1)
+        return h1, h2
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        M = np.ascontiguousarray(
+            _embedding_matrix(batch, vec_col, dtype=np.float32)
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = _vec_hashes(M)
+        return pa.table(
+            {
+                "__gb": pa.array(
+                    (h1 % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+                ),
+                "__h1": pa.array(h1, pa.uint64()),
+                "__h2": pa.array(h2, pa.uint64()),
+                id_col: pa.array(ids, pa.int64()),
+                vec_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(M.reshape(-1), pa.float32()), dim or 1
+                ),
+            }
+        )
+
+    def collapse(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = group["__h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = group["__h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        M = _embedding_matrix(group, vec_col, dtype=np.float32)
+        order = np.lexsort((ids, h2, h1))
+        ids, h1, h2 = ids[order], h1[order], h2[order]
+        M = np.ascontiguousarray(M[order])
+        n = len(ids)
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = (h1[1:] == h1[:-1]) & (h2[1:] == h2[:-1])
+        head = np.maximum.accumulate(np.where(~same, np.arange(n), 0))
+        Mv = M.view(np.uint32)  # byte compare (NaN-safe, unlike float ==)
+        if not (Mv[same] == Mv[head[same]]).all():
+            raise ValueError(
+                "128-bit vector-hash collision in collapse_exact_vectors "
+                "— raise the lane count or report this input"
+            )
+        keep = ~same
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                vec_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        np.ascontiguousarray(M[keep]).reshape(-1), pa.float32()
+                    ),
+                    dim or 1,
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__gb")
+        .map_groups(collapse, batch_format="pyarrow")
+    )
+
+
+def embedding_near_dup_dedup(
+    source: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+    method: str = "exact",
+    collapse_exact: bool = False,
+    cc: str = "driver",
+    max_keep_set: int = 50_000_000,
+    lsh_kwargs: Optional[Dict[str, Any]] = None,
+) -> Dataset:
+    """Embedding-space sibling of :func:`near_dup_dedup`: keep ONE
+    representative — the minimum id — of every connected component of
+    the cosine-≥-threshold pair graph; drop the rest of the stream.
+
+    ``method='exact'`` generates pairs via
+    :func:`embedding_cosine_pairs` (auto-routing to the blocked
+    no-broadcast tier); ``method='lsh'`` uses the banded
+    :func:`embedding_lsh_pairs` (approximate: misses drop fewer docs,
+    output stays a superset of the exact-survivor set).
+
+    ``collapse_exact=True`` first collapses byte-identical vectors to
+    their min-id representative (:func:`collapse_exact_vectors`) and
+    runs the pair stage on DISTINCT vectors only — the documented
+    guard for degenerate mass-duplicate corpora where identical-vector
+    groups make every LSH band bucket O(m²). The answer is EXACTLY the
+    uncollapsed one: byte-equal vectors have cosine 1, so each copy
+    group is one node of the quotient pair graph, its rep (the group
+    min) carries the component minimum, and non-reps can never be a
+    component minimum. Pinned by the collapse-on == collapse-off test
+    and the SQL connected-components oracle.
+
+    Driver footprint: the pair list (both cc modes) plus, under
+    ``collapse_exact``, the keep-set of surviving rep ids — bounded by
+    the DISTINCT-vector count, the regime this tier exists for
+    (``max_keep_set`` guards it loudly). For corpora where distinct ≈
+    corpus size, run without collapse: the filter then broadcasts only
+    the (small) drop-set, like :func:`near_dup_dedup`.
+    """
+    if method not in ("exact", "lsh"):
+        raise ValueError("method must be 'exact' or 'lsh'")
+    ds = _as_dataset(source)
+    reps = (
+        collapse_exact_vectors(source, id_col, vec_col)
+        if collapse_exact
+        else _as_dataset(source, columns=[id_col, vec_col])
+    )
+    if collapse_exact:
+        reps = reps.materialize()  # consumed twice: pairs + keep-set
+    if method == "lsh":
+        pairs_any: Any = embedding_lsh_pairs(
+            reps, id_col, vec_col, threshold=threshold, **(lsh_kwargs or {})
+        )
+    else:
+        pairs_any = embedding_cosine_pairs(
+            reps, id_col, vec_col, threshold=threshold
+        )
+    if cc == "distributed":
+        src = (
+            pairs_any
+            if isinstance(pairs_any, Dataset)
+            else ray.data.from_pandas(pairs_any)
+        )
+        comp = connected_components_distributed(src).to_pandas()
+    else:
+        comp = connected_components(
+            pairs_any.to_pandas()
+            if isinstance(pairs_any, Dataset)
+            else pairs_any
+        )
+    drop = comp.loc[comp.doc_id != comp.cluster_id, "doc_id"].to_numpy(
+        np.int64
+    )
+
+    if not collapse_exact:
+        drop_ref = ray.put(pa.array(drop, pa.int64()))
+
+        def keep_batch(batch: pa.Table) -> pa.Table:
+            drop_set = ray.get(drop_ref)
+            if len(drop_set) == 0:
+                return batch
+            mask = pc.invert(
+                pc.fill_null(pc.is_in(batch[id_col], value_set=drop_set), False)
+            )
+            return batch.filter(mask)
+
+        return ds.map_batches(keep_batch, batch_format="pyarrow")
+
+    # collapse tier: non-reps are implicit drops, so filter by the
+    # surviving-rep KEEP set (bounded by the distinct-vector count)
+    rep_parts = [
+        b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in reps.select_columns([id_col]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    rep_ids = (
+        np.concatenate(rep_parts) if rep_parts else np.empty(0, np.int64)
+    )
+    if len(rep_ids) > max_keep_set:
+        raise ValueError(
+            f"collapse_exact keep-set has {len(rep_ids)} distinct vectors "
+            f"(> max_keep_set={max_keep_set}); this corpus is not in the "
+            "degenerate regime — run without collapse_exact (drop-set "
+            "broadcast) or via the LSH/SemDeDup tiers"
+        )
+    keep_ids = rep_ids[~np.isin(rep_ids, drop)]
+    keep_ref = ray.put(pa.array(np.sort(keep_ids), pa.int64()))
+
+    def keep_rep(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(
+            pc.is_in(batch[id_col], value_set=ray.get(keep_ref)), False
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep_rep, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------- #

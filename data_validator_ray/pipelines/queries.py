@@ -546,6 +546,25 @@ def q_embedding_lsh_pairs(sf_dir: str):
     return embedding_lsh_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.4)
 
 
+def q_embedding_dedup_collapse_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup dedup (keep the min id of each cosine-≥0.4
+    connected component) THROUGH the exact-collapse guard tier:
+    byte-identical vectors pre-collapse to their min-id representative
+    before the pair stage (the degenerate-corpus path), provably
+    answer-preserving. Oracle = recursive-CTE connected components
+    over the exact cosine pair list — identical whether or not the
+    corpus holds byte duplicates."""
+    from .dedup import embedding_near_dup_dedup
+
+    out = embedding_near_dup_dedup(
+        f"{sf_dir}/embeddings.parquet",
+        threshold=0.4,
+        method="exact",
+        collapse_exact=True,
+    ).to_pandas()[["vec_id"]].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_embedding_lsh_pairs_sketch(sf_dir: str):
     """Sketch-then-verify LSH tier (rows-only: approximate by design,
     like `embedding_lsh_pairs`): the band shuffle carries (id, key)
@@ -6006,6 +6025,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs_blocked": q_embedding_cosine_pairs_blocked,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_lsh_pairs_sketch": q_embedding_lsh_pairs_sketch,
+        "embedding_dedup_collapse_embeddings": q_embedding_dedup_collapse_embeddings,
         "knn_brute_embeddings": q_knn_brute_embeddings,
         "knn_join_embeddings": q_knn_join_embeddings,
         "knn_join_ivf_fullprobe_embeddings": q_knn_join_ivf_fullprobe_embeddings,
@@ -6554,6 +6574,27 @@ def oracle_sql() -> Dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 "
             "ORDER BY id_a, id_b"
+        ),
+        "embedding_dedup_collapse_embeddings": (
+            "WITH RECURSIVE pairs AS ("
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(a.embedding, b.embedding)"
+            "       >= 0.4"
+            "), edges AS ("
+            "  SELECT id_a AS a, id_b AS b FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs"
+            "), reach(src, dst) AS ("
+            "  SELECT a, b FROM edges"
+            "  UNION SELECT r.src, e.b FROM reach r JOIN edges e"
+            "    ON r.dst = e.a"
+            "), lbl AS ("
+            "  SELECT src, LEAST(src, MIN(dst)) AS root FROM reach"
+            "  GROUP BY src"
+            ") "
+            "SELECT vec_id::BIGINT AS vec_id FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT src FROM lbl WHERE root < src) "
+            "ORDER BY vec_id"
         ),
         "knn_brute_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

@@ -212,6 +212,104 @@ def test_embedding_lsh_sketch_verify_empty_result(ray_session, vectors):
     assert out.schema().names == ["id_a", "id_b"]
 
 
+def test_collapse_exact_vectors(ray_session):
+    """Byte-identical vectors collapse to their min-id representative;
+    odd dim exercises the zero-pad lane path."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 7)).astype(np.float32)
+    rows, ids = [], []
+    for i in range(6):
+        rows.append(base[i])
+        ids.append(i)
+    for i in range(3):  # copy groups {i, 10+i, 20+i}
+        for off in (10, 20):
+            rows.append(base[i].copy())
+            ids.append(off + i)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.array(ids, np.int64),
+            "embedding": [r.tolist() for r in rows],
+        }
+    )
+    reps = D.collapse_exact_vectors(
+        ray.data.from_pandas(df), num_buckets=4
+    ).to_pandas()
+    assert sorted(reps.vec_id.tolist()) == [0, 1, 2, 3, 4, 5]
+    # representative rows carry the shared vector bytes
+    got = {
+        int(r.vec_id): np.asarray(list(r.embedding), np.float32)
+        for r in reps.itertuples()
+    }
+    for i in range(6):
+        assert np.array_equal(got[i], base[i])
+
+
+def test_embedding_near_dup_dedup_collapse_parity(ray_session, vectors):
+    """collapse_exact=True must return EXACTLY the uncollapsed
+    survivor set (quotient-graph argument in the docstring), on a
+    corpus with both byte-duplicate groups and merely-near pairs."""
+    df = vectors.copy()
+    extra = pd.DataFrame(
+        {
+            "vec_id": np.array([100, 101, 102, 103], np.int64),
+            "embedding": [
+                df.embedding[0],
+                df.embedding[30],
+                df.embedding[5],
+                df.embedding[5],
+            ],
+        }
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+    base = D.embedding_near_dup_dedup(
+        ray.data.from_pandas(df), threshold=0.9
+    ).to_pandas()
+    collapsed = D.embedding_near_dup_dedup(
+        ray.data.from_pandas(df), threshold=0.9, collapse_exact=True
+    ).to_pandas()
+    assert sorted(collapsed.vec_id) == sorted(base.vec_id)
+    # the byte copies and the planted near-parallel twin are dropped
+    survivors = set(collapsed.vec_id)
+    assert {100, 101, 102, 103, 30}.isdisjoint(survivors)
+    assert {0, 5}.issubset(survivors)
+
+
+def test_embedding_near_dup_dedup_degenerate_corpus(ray_session):
+    """The degenerate regime the collapse tier exists for: one huge
+    identical-vector group never reaches the O(m²) pair stage — the
+    pair graph sees a single representative node."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=24).astype(np.float32)
+    other = rng.normal(size=(5, 24)).astype(np.float32)
+    ids = np.arange(500, dtype=np.int64) + 50
+    df = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([ids, np.arange(5, dtype=np.int64)]),
+            "embedding": [v.tolist()] * 500
+            + [r.tolist() for r in other],
+        }
+    )
+    out = D.embedding_near_dup_dedup(
+        ray.data.from_pandas(df),
+        threshold=0.999,
+        collapse_exact=True,
+        method="lsh",
+        lsh_kwargs=dict(num_buckets=8),
+    ).to_pandas()
+    assert int(ids.min()) in set(out.vec_id)
+    assert len(set(out.vec_id) & set(ids.tolist())) == 1  # one survivor
+    assert {0, 1, 2, 3, 4}.issubset(set(out.vec_id))
+
+
+def test_embedding_near_dup_dedup_keep_set_guard(ray_session, vectors):
+    with pytest.raises(ValueError, match="max_keep_set"):
+        D.embedding_near_dup_dedup(
+            ray.data.from_pandas(vectors),
+            collapse_exact=True,
+            max_keep_set=3,
+        )
+
+
 def test_embedding_lsh_banded_recall(ray_session):
     """Planted near-dup recall (mirror of the MinHash recall test): 12
     pairs at cosine ≈ 0.999 must ALL collide in at least one of the
