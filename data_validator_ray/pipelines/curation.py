@@ -709,6 +709,71 @@ def mix_to_budget(
     )
 
 
+def temperature_mix_weights(
+    source: Any,
+    group_col: str = "lang",
+    *,
+    alpha: float = 0.3,
+    count_col: Optional[str] = None,
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Temperature (α-) sampling weights per group — the XLM-R / mC4
+    multilingual mixing recipe: sample probability q_d ∝ p_d^α where
+    p_d is group d's share of the corpus (rows by default, or the sum
+    of ``count_col`` e.g. token counts); α < 1 upweights low-resource
+    groups, α = 1 is natural sampling, α → 0 is uniform.
+
+    Scale shape: ONE per-batch (group, count) combiner pass whose
+    partials merge in a group-bounded exchange; the driver holds only
+    #groups scalars for the power/normalization math (the
+    :func:`mix_to_budget` pattern). NULL groups participate like a
+    SQL GROUP BY key.
+
+    Returns (group_col, n, share, weight) sorted by group (NULL last),
+    floats ROUND(6): share = p_d, weight = q_d (normalized p_d^α).
+    """
+    cols = [group_col] + ([count_col] if count_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if count_col:
+            g = (
+                batch.select([group_col, count_col])
+                .group_by([group_col])
+                .aggregate([(count_col, "sum")])
+            )
+            return g.rename_columns([group_col, "__n"])
+        g = batch.select([group_col]).group_by([group_col]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([group_col, "__n"])
+
+    parts = (
+        _as_dataset(source, columns=cols)
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()  # group-bounded
+    )
+    totals = (
+        parts.groupby(group_col, dropna=False, sort=True)["__n"]
+        .sum()
+        .reset_index()
+    )
+    n = totals["__n"].to_numpy(np.int64)
+    p = n / float(n.sum())
+    w_raw = p ** float(alpha)
+    w = w_raw / w_raw.sum()
+    out = pd.DataFrame(
+        {
+            group_col: totals[group_col],
+            "n": pd.Series(n, dtype=np.int64),
+            "share": np.round(p, 6),
+            "weight": np.round(w, 6),
+        }
+    )
+    return out.sort_values(group_col, na_position="last").reset_index(
+        drop=True
+    )
+
+
 def _check_hash_id_domain(ids: np.ndarray, id_col: str) -> None:
     """Knuth-hash sampling is only SQL-oracle-exact for 0 ≤ id < 2³²:
     beyond that numpy wraps the int64 product silently while SQL either

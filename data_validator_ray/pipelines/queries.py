@@ -4253,6 +4253,30 @@ def q_mix_to_budget_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_temperature_mix_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """Temperature (α=0.3) sampling weights per language — the XLM-R /
+    mC4 multilingual mixing recipe: q_d ∝ p_d^0.3, low-resource
+    languages upweighted. One group-bounded count pass; driver holds
+    #langs scalars. Oracle = the same POW/normalize math in SQL."""
+    from .curation import temperature_mix_weights
+
+    return temperature_mix_weights(
+        f"{sf_dir}/documents.parquet", "lang", alpha=0.3
+    )
+
+
+def q_temperature_mix_chars_documents(sf_dir: str) -> pd.DataFrame:
+    """Temperature weights over TOKEN mass instead of doc counts
+    (count_col=n_chars): shares come from summed chars per source
+    domain, the budget-weighting variant."""
+    from .curation import temperature_mix_weights
+
+    return temperature_mix_weights(
+        f"{sf_dir}/documents.parquet", "source", alpha=0.5,
+        count_col="n_chars",
+    )
+
+
 def q_fit_classifier_events(sf_dir: str) -> pd.DataFrame:
     """Distributed logistic-regression FIT (IRLS — one streaming pass
     of d×d normal-equation partials per Newton iteration) on a
@@ -6199,6 +6223,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "pipeline_spec_documents": q_pipeline_spec_documents,
         "pipeline_spec_multi_family": q_pipeline_spec_multi_family,
         "mix_to_budget_documents": q_mix_to_budget_documents,
+        "temperature_mix_lang_documents": q_temperature_mix_lang_documents,
+        "temperature_mix_chars_documents": q_temperature_mix_chars_documents,
         "fit_classifier_events": q_fit_classifier_events,
         "sketch_accuracy_report": q_sketch_accuracy_report,
         # rows-only: IVF recall is approximate by design; the report
@@ -7455,6 +7481,28 @@ def oracle_sql() -> Dict[str, str]:
             "FROM documents d JOIN r USING (source) "
             "WHERE (d.doc_id * 2654435761) % 1000 < r.pm "
             "ORDER BY d.doc_id"
+        ),
+        "temperature_mix_lang_documents": (
+            "WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n "
+            "FROM documents GROUP BY lang), "
+            "t AS (SELECT SUM(n)::DOUBLE AS tot FROM c), "
+            "w AS (SELECT lang, n, n / t.tot AS p, "
+            "POW(n / t.tot, 0.3) AS wr FROM c, t), "
+            "s AS (SELECT SUM(wr) AS ws FROM w) "
+            "SELECT lang, n, ROUND(p, 6) AS share, "
+            "ROUND(wr / s.ws, 6) AS weight "
+            "FROM w, s ORDER BY lang"
+        ),
+        "temperature_mix_chars_documents": (
+            "WITH c AS (SELECT source, SUM(n_chars)::BIGINT AS n "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT SUM(n)::DOUBLE AS tot FROM c), "
+            "w AS (SELECT source, n, n / t.tot AS p, "
+            "POW(n / t.tot, 0.5) AS wr FROM c, t), "
+            "s AS (SELECT SUM(wr) AS ws FROM w) "
+            "SELECT source, n, ROUND(p, 6) AS share, "
+            "ROUND(wr / s.ws, 6) AS weight "
+            "FROM w, s ORDER BY source"
         ),
         "pipeline_spec_multi_family": (
             "WITH f AS (SELECT * FROM events WHERE value > 10), "

@@ -170,6 +170,7 @@ def _ensure_builtins() -> None:
         _R.grouped_string_agg, _R.anomaly_zscore,
         # dedup tiers
         _D.paragraph_dedup, _D.near_dup_dedup,
+        _D.embedding_near_dup_dedup, _D.collapse_exact_vectors,
         _D.domain_boilerplate_removal,
         # similarity (cross-table joins take right via {$source: ...})
         _S.knn_join, _S.knn_join_ivf,

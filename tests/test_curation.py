@@ -1204,3 +1204,32 @@ def test_pipeline_spec_save_as_collision_fails(ray_session):
     }
     with _pytest.raises(ValueError, match="collides"):
         run_pipeline_spec(spec, df)
+
+
+def test_temperature_mix_weights_extremes(ray_session):
+    import pandas as pd
+    import numpy as np
+
+    from data_validator_ray.pipelines.curation import temperature_mix_weights
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "lang": ["en"] * 6 + ["de"] * 3 + ["fr"],
+            "n_chars": np.arange(10, dtype=np.int64) + 1,
+        }
+    )
+    # alpha=1 is natural sampling: weight == share
+    nat = temperature_mix_weights(df, "lang", alpha=1.0)
+    assert np.allclose(nat["weight"], nat["share"], atol=1e-6)
+    assert nat.loc[nat.lang == "en", "n"].item() == 6
+    # alpha=0 is uniform
+    uni = temperature_mix_weights(df, "lang", alpha=0.0)
+    assert np.allclose(uni["weight"], 1 / 3, atol=1e-6)
+    # alpha in (0,1) strictly upweights the low-resource group
+    mid = temperature_mix_weights(df, "lang", alpha=0.3)
+    fr = mid.loc[mid.lang == "fr"]
+    assert fr["weight"].item() > fr["share"].item()
+    # count_col switches the mass definition to summed tokens
+    tok = temperature_mix_weights(df, "lang", alpha=1.0, count_col="n_chars")
+    assert tok.loc[tok.lang == "en", "n"].item() == 21  # 1+..+6
