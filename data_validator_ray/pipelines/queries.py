@@ -5600,6 +5600,36 @@ def q_correlation_lineitem(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_entropy_events_type(sf_dir: str) -> pd.DataFrame:
+    """entropy rule (deequ hasEntropy): Shannon entropy (natural log)
+    of event_type's value distribution must lie in [0.5, 3.0] —
+    value-count partials ride the fused pass (distinct-bounded, no
+    shuffle); emits the measured entropy (ROUND 6) and distinct count
+    alongside the verdict."""
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": "events", "rules": [
+            {"name": "e", "rule_type": "entropy", "column": "event_type",
+             "parameters": {"min_value": 0.5, "max_value": 3.0}},
+        ]}],
+    )
+    v = RayDataValidator(cfg)
+    summary = v.validate_table(f"{sf_dir}/events.parquet", "events")
+    r = summary.results[0]
+    if r.total_count < 0:
+        raise RuntimeError(f"rule failed: {r.message}")
+    return pd.DataFrame(
+        {
+            "total_count": pd.Series([r.total_count], dtype="int64"),
+            "failed_count": pd.Series([r.failed_count], dtype="int64"),
+            "entropy": [round(r.metadata["entropy"], 6)],
+            "distinct_count": pd.Series(
+                [r.metadata["distinct_count"]], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_label_encode_events(sf_dir: str) -> Any:
     """Deterministic label encoding of event_type (StringIndexer):
     sorted-vocabulary ranks, NULL → NULL; distinct-partials pass +
@@ -6284,6 +6314,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "group_limit_events_user": q_group_limit_events_user,
         "group_limit_orders_avg": q_group_limit_orders_avg,
         "correlation_lineitem": q_correlation_lineitem,
+        "entropy_events_type": q_entropy_events_type,
         "label_encode_events": q_label_encode_events,
         "target_encode_events": q_target_encode_events,
         "grouping_sets_events": q_grouping_sets_events,
@@ -8689,6 +8720,18 @@ def oracle_sql() -> Dict[str, str]:
             "AS failed_count, "
             "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr "
             "FROM lineitem"
+        ),
+        "entropy_events_type": (
+            "WITH c AS (SELECT event_type AS v, COUNT(*)::DOUBLE AS c "
+            "FROM events WHERE event_type IS NOT NULL "
+            "GROUP BY event_type), "
+            "t AS (SELECT SUM(c) AS n, SUM(c * LN(c)) AS slc, "
+            "COUNT(*)::BIGINT AS d FROM c) "
+            "SELECT 1::BIGINT AS total_count, "
+            "(CASE WHEN (LN(n) - slc / n) BETWEEN 0.5 AND 3.0 "
+            "THEN 0 ELSE 1 END)::BIGINT AS failed_count, "
+            "ROUND(LN(n) - slc / n, 6) AS entropy, d AS distinct_count "
+            "FROM t"
         ),
         "label_encode_events": (
             "WITH v AS (SELECT DISTINCT event_type FROM events "

@@ -909,6 +909,73 @@ class CorrelationKernel(CheckKernel):
         }
 
 
+@register_check("entropy")
+class EntropyKernel(CheckKernel):
+    """Table-level check (deequ ``hasEntropy``): the Shannon entropy
+    — natural log, non-NULL values — of ``column``'s value
+    distribution must lie within [min_value, max_value]. total=1,
+    failed∈{0,1} (the quantile/drift verdict convention); metadata
+    carries ``entropy`` and ``distinct_count``.
+
+    Fused, no shuffle: per-batch ``value_counts`` partials merge as
+    counters on the driver — bounded by the column's DISTINCT count
+    (the categorical-column assumption; heavy-tailed free-text columns
+    belong to the hashed profile tier, cf. ``token_entropy``). Entropy
+    comes out as ln(n) − Σ c·ln(c) / n, the single-divide form whose
+    SQL mirror shares float semantics; counts sum in sorted order for
+    run-to-run determinism."""
+
+    table_level = True
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        self.min_value = rule.parameters.get("min_value")
+        self.max_value = rule.parameters.get("max_value")
+        if self.min_value is None and self.max_value is None:
+            raise ValueError(
+                "Entropy rule requires min_value and/or max_value"
+            )
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        col = batch[self.column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.drop_null().value_counts()
+        return {
+            "total": batch.num_rows,
+            "failed": 0,
+            "vc": dict(
+                zip(
+                    vc.field("values").to_pylist(),
+                    (int(c) for c in vc.field("counts").to_pylist()),
+                )
+            ),
+        }
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        counts: Dict[Any, int] = {}
+        for p in partials:
+            for v, c in p.get("vc", {}).items():
+                counts[v] = counts.get(v, 0) + c
+        ent = None
+        if counts:
+            cs = np.sort(np.fromiter(counts.values(), dtype=np.float64))
+            n = float(cs.sum())
+            ent = float(np.log(n) - np.sum(cs * np.log(cs)) / n)
+        ok = ent is not None
+        if ok and self.min_value is not None and ent < self.min_value:
+            ok = False
+        if ok and self.max_value is not None and ent > self.max_value:
+            ok = False
+        return {
+            "total": 1,
+            "failed": 0 if ok else 1,
+            "entropy": ent,
+            "distinct_count": len(counts),
+        }
+
+
 @register_check("group_limit")
 class GroupLimitKernel(CheckKernel):
     """Per-group aggregate bound (the grouped-HAVING rule family —
