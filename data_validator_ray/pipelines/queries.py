@@ -5630,6 +5630,99 @@ def q_entropy_events_type(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _one_rule_metrics(
+    sf_dir: str,
+    table: str,
+    rule: dict,
+    metric_cols: "list[tuple[str, str, str]]",
+) -> pd.DataFrame:
+    """Run ONE rule through the fused validator pass and shape its
+    verdict + named metadata into the driver-comparable frame
+    (metric_cols: (out_name, metadata_key, dtype); dtype 'round6'
+    rounds a float for hash-stable oracle compare)."""
+    cfg = ValidationConfig(
+        engine={"type": "ray"},
+        tables=[{"name": table, "rules": [rule]}],
+    )
+    v = RayDataValidator(cfg)
+    summary = v.validate_table(f"{sf_dir}/{table}.parquet", table)
+    r = summary.results[0]
+    if r.total_count < 0:
+        raise RuntimeError(f"rule failed: {r.message}")
+    out = {
+        "total_count": pd.Series([r.total_count], dtype="int64"),
+        "failed_count": pd.Series([r.failed_count], dtype="int64"),
+    }
+    for name, key, dtype in metric_cols:
+        val = r.metadata[key]
+        if dtype == "round6":
+            out[name] = [round(val, 6) if val is not None else None]
+        else:
+            out[name] = pd.Series([val], dtype=dtype)
+    return pd.DataFrame(out)
+
+
+def q_distinctness_documents_lang(sf_dir: str) -> pd.DataFrame:
+    """distinctness rule (deequ hasDistinctness): DISTINCT/non-NULL
+    ratio of documents.lang must stay ≤ 0.5 (a categorical column —
+    near-zero distinctness expected); value-count partials ride the
+    fused pass, distinct-bounded, no shuffle."""
+    return _one_rule_metrics(
+        sf_dir, "documents",
+        {"name": "d", "rule_type": "distinctness", "column": "lang",
+         "parameters": {"min_value": 0.0, "max_value": 0.5}},
+        [("distinctness", "distinctness", "round6"),
+         ("distinct_count", "distinct_count", "int64"),
+         ("non_null_count", "non_null_count", "int64")],
+    )
+
+
+def q_unique_value_ratio_orders(sf_dir: str) -> pd.DataFrame:
+    """unique_value_ratio rule (deequ hasUniqueValueRatio): fraction
+    of o_totalprice's distinct values occurring exactly once must be
+    ≥ 0.5 (prices are near-unique); same distinct-bounded value-count
+    partials as entropy/distinctness."""
+    return _one_rule_metrics(
+        sf_dir, "orders",
+        {"name": "u", "rule_type": "unique_value_ratio",
+         "column": "o_totalprice",
+         "parameters": {"min_value": 0.5, "max_value": 1.0}},
+        [("unique_value_ratio", "unique_value_ratio", "round6"),
+         ("unique_count", "unique_count", "int64"),
+         ("distinct_count", "distinct_count", "int64")],
+    )
+
+
+def q_mutual_information_documents(sf_dir: str) -> pd.DataFrame:
+    """mutual_information rule (deequ hasMutualInformation): MI (nats)
+    between documents.lang and documents.source must lie in [0, 1];
+    pair-count partials (Arrow group_by per batch, pair-distinct-
+    bounded driver merge) — the 2-D categorical dependence check."""
+    return _one_rule_metrics(
+        sf_dir, "documents",
+        {"name": "m", "rule_type": "mutual_information", "column": "lang",
+         "parameters": {"other": "source",
+                        "min_value": 0.0, "max_value": 1.0}},
+        [("mutual_information", "mutual_information", "round6"),
+         ("n_pairs", "n_pairs", "int64"),
+         ("distinct_pairs", "distinct_pairs", "int64")],
+    )
+
+
+def q_string_length_documents_text(sf_dir: str) -> pd.DataFrame:
+    """string_length rule (deequ MinLength/MaxLength, row-resolved):
+    non-NULL documents.text whose character length falls outside
+    [100, 500] are violations (NULLs never fail); observed min/max
+    length ride the partials free."""
+    return _one_rule_metrics(
+        sf_dir, "documents",
+        {"name": "s", "rule_type": "string_length", "column": "text",
+         "parameters": {"min_length": 100, "max_length": 500}},
+        [("min_length", "min_length", "int64"),
+         ("max_length", "max_length", "int64")],
+    )
+
+
 def q_label_encode_events(sf_dir: str) -> Any:
     """Deterministic label encoding of event_type (StringIndexer):
     sorted-vocabulary ranks, NULL → NULL; distinct-partials pass +
@@ -6315,6 +6408,10 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "group_limit_orders_avg": q_group_limit_orders_avg,
         "correlation_lineitem": q_correlation_lineitem,
         "entropy_events_type": q_entropy_events_type,
+        "distinctness_documents_lang": q_distinctness_documents_lang,
+        "unique_value_ratio_orders": q_unique_value_ratio_orders,
+        "mutual_information_documents": q_mutual_information_documents,
+        "string_length_documents_text": q_string_length_documents_text,
         "label_encode_events": q_label_encode_events,
         "target_encode_events": q_target_encode_events,
         "grouping_sets_events": q_grouping_sets_events,
@@ -8732,6 +8829,52 @@ def oracle_sql() -> Dict[str, str]:
             "THEN 0 ELSE 1 END)::BIGINT AS failed_count, "
             "ROUND(LN(n) - slc / n, 6) AS entropy, d AS distinct_count "
             "FROM t"
+        ),
+        "distinctness_documents_lang": (
+            "SELECT 1::BIGINT AS total_count, "
+            "(CASE WHEN COUNT(DISTINCT lang)::DOUBLE / COUNT(lang) "
+            "BETWEEN 0.0 AND 0.5 THEN 0 ELSE 1 END)::BIGINT "
+            "AS failed_count, "
+            "ROUND(COUNT(DISTINCT lang)::DOUBLE / COUNT(lang), 6) "
+            "AS distinctness, "
+            "COUNT(DISTINCT lang)::BIGINT AS distinct_count, "
+            "COUNT(lang)::BIGINT AS non_null_count FROM documents"
+        ),
+        "unique_value_ratio_orders": (
+            "WITH c AS (SELECT o_totalprice AS v, COUNT(*)::BIGINT AS c "
+            "FROM orders WHERE o_totalprice IS NOT NULL "
+            "GROUP BY o_totalprice), "
+            "t AS (SELECT (COUNT(*) FILTER (WHERE c = 1))::BIGINT AS u, "
+            "COUNT(*)::BIGINT AS d FROM c) "
+            "SELECT 1::BIGINT AS total_count, "
+            "(CASE WHEN u::DOUBLE / d BETWEEN 0.5 AND 1.0 "
+            "THEN 0 ELSE 1 END)::BIGINT AS failed_count, "
+            "ROUND(u::DOUBLE / d, 6) AS unique_value_ratio, "
+            "u AS unique_count, d AS distinct_count FROM t"
+        ),
+        "mutual_information_documents": (
+            "WITH j AS (SELECT lang AS x, source AS y, "
+            "COUNT(*)::DOUBLE AS c FROM documents "
+            "WHERE lang IS NOT NULL AND source IS NOT NULL "
+            "GROUP BY lang, source), "
+            "t AS (SELECT SUM(c) AS n FROM j), "
+            "mx AS (SELECT x, SUM(c) AS cx FROM j GROUP BY x), "
+            "my AS (SELECT y, SUM(c) AS cy FROM j GROUP BY y), "
+            "s AS (SELECT SUM((j.c / t.n) * LN(j.c * t.n / "
+            "(mx.cx * my.cy))) AS mi, SUM(j.c)::BIGINT AS np, "
+            "COUNT(*)::BIGINT AS dp "
+            "FROM j CROSS JOIN t JOIN mx USING (x) JOIN my USING (y)) "
+            "SELECT 1::BIGINT AS total_count, "
+            "(CASE WHEN mi BETWEEN 0.0 AND 1.0 THEN 0 ELSE 1 END)::BIGINT "
+            "AS failed_count, ROUND(mi, 6) AS mutual_information, "
+            "np AS n_pairs, dp AS distinct_pairs FROM s"
+        ),
+        "string_length_documents_text": (
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) FILTER (WHERE LENGTH(text) < 100 "
+            "OR LENGTH(text) > 500))::BIGINT AS failed_count, "
+            "MIN(LENGTH(text))::BIGINT AS min_length, "
+            "MAX(LENGTH(text))::BIGINT AS max_length FROM documents"
         ),
         "label_encode_events": (
             "WITH v AS (SELECT DISTINCT event_type FROM events "

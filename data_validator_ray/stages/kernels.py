@@ -938,26 +938,10 @@ class EntropyKernel(CheckKernel):
             )
 
     def partial(self, batch: pa.Table) -> Dict[str, Any]:
-        col = batch[self.column]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vc = col.drop_null().value_counts()
-        return {
-            "total": batch.num_rows,
-            "failed": 0,
-            "vc": dict(
-                zip(
-                    vc.field("values").to_pylist(),
-                    (int(c) for c in vc.field("counts").to_pylist()),
-                )
-            ),
-        }
+        return _value_count_partial(batch, self.column)
 
     def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
-        counts: Dict[Any, int] = {}
-        for p in partials:
-            for v, c in p.get("vc", {}).items():
-                counts[v] = counts.get(v, 0) + c
+        counts = _merge_value_counts(partials)
         ent = None
         if counts:
             cs = np.sort(np.fromiter(counts.values(), dtype=np.float64))
@@ -974,6 +958,252 @@ class EntropyKernel(CheckKernel):
             "entropy": ent,
             "distinct_count": len(counts),
         }
+
+
+def _value_count_partial(batch: pa.Table, column: str) -> Dict[str, Any]:
+    """Per-batch non-NULL value→count dict (the distinct-bounded
+    partial shared by entropy / distinctness / unique_value_ratio —
+    the categorical-column assumption; high-cardinality columns belong
+    to the uniqueness exact/HLL tiers)."""
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vc = col.drop_null().value_counts()
+    return {
+        "total": batch.num_rows,
+        "failed": 0,
+        "vc": dict(
+            zip(
+                vc.field("values").to_pylist(),
+                (int(c) for c in vc.field("counts").to_pylist()),
+            )
+        ),
+    }
+
+
+def _merge_value_counts(partials: List[Dict[str, Any]]) -> Dict[Any, int]:
+    counts: Dict[Any, int] = {}
+    for p in partials:
+        for v, c in p.get("vc", {}).items():
+            counts[v] = counts.get(v, 0) + c
+    return counts
+
+
+class _BoundedTableCheck(CheckKernel):
+    """Shared [min_value, max_value] verdict plumbing for table-level
+    single-statistic checks (the deequ ``hasX(assertion)`` family)."""
+
+    table_level = True
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.min_value = rule.parameters.get("min_value")
+        self.max_value = rule.parameters.get("max_value")
+        if self.min_value is None and self.max_value is None:
+            raise ValueError(
+                f"{rule.rule_type} rule requires min_value and/or max_value"
+            )
+
+    def _verdict(self, stat: Optional[float]) -> int:
+        ok = stat is not None
+        if ok and self.min_value is not None and stat < self.min_value:
+            ok = False
+        if ok and self.max_value is not None and stat > self.max_value:
+            ok = False
+        return 0 if ok else 1
+
+
+@register_check("distinctness")
+class DistinctnessKernel(_BoundedTableCheck):
+    """Table-level check (deequ ``hasDistinctness``): the ratio of
+    DISTINCT non-NULL values to non-NULL rows of ``column`` must lie
+    within [min_value, max_value]. total=1, failed∈{0,1}; metadata
+    carries ``distinctness``, ``distinct_count`` and
+    ``non_null_count``. SQL mirror: ``COUNT(DISTINCT x)::DOUBLE /
+    COUNT(x)``; an empty / all-NULL column yields a NULL ratio and an
+    unknown verdict is a failed verdict.
+
+    Fused, no shuffle: the entropy kernel's value-count partials
+    (distinct-bounded driver merge — categorical columns; use the
+    exact-uniqueness shuffle or HLL tiers for key-like columns)."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        return _value_count_partial(batch, self.column)
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        counts = _merge_value_counts(partials)
+        n = sum(counts.values())
+        ratio = (len(counts) / n) if n else None
+        return {
+            "total": 1,
+            "failed": self._verdict(ratio),
+            "distinctness": ratio,
+            "distinct_count": len(counts),
+            "non_null_count": n,
+        }
+
+
+@register_check("unique_value_ratio")
+class UniqueValueRatioKernel(_BoundedTableCheck):
+    """Table-level check (deequ ``hasUniqueValueRatio``): the fraction
+    of DISTINCT values of ``column`` that occur EXACTLY ONCE must lie
+    within [min_value, max_value]. total=1, failed∈{0,1}; metadata
+    carries ``unique_value_ratio``, ``unique_count`` (values seen
+    once) and ``distinct_count``. SQL mirror: grouped counts →
+    ``COUNT(*) FILTER (c = 1) / COUNT(*)``. Empty / all-NULL → NULL
+    ratio → failed (unknown verdict).
+
+    Same distinct-bounded value-count partials as entropy /
+    distinctness (categorical-column assumption)."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        return _value_count_partial(batch, self.column)
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        counts = _merge_value_counts(partials)
+        uniq = sum(1 for c in counts.values() if c == 1)
+        ratio = (uniq / len(counts)) if counts else None
+        return {
+            "total": 1,
+            "failed": self._verdict(ratio),
+            "unique_value_ratio": ratio,
+            "unique_count": uniq,
+            "distinct_count": len(counts),
+        }
+
+
+@register_check("mutual_information")
+class MutualInformationKernel(_BoundedTableCheck):
+    """Table-level check (deequ ``hasMutualInformation``): the mutual
+    information — natural log — between ``column`` and
+    ``parameters.other`` over rows where BOTH are non-NULL must lie
+    within [min_value, max_value]. total=1, failed∈{0,1}; metadata
+    carries ``mutual_information``, ``n_pairs`` and
+    ``distinct_pairs``. MI = Σ (c_xy/n)·ln(c_xy·n / (c_x·c_y)) — the
+    single-expression form whose SQL mirror (joint counts + window
+    marginals) shares float semantics to ≪1e-6.
+
+    Fused, no shuffle: per-batch Arrow ``group_by`` pair-count
+    partials merge as counters on the driver — bounded by the PAIR
+    distinct count (two categorical columns); marginals fall out of
+    the merged joint table. Pairs sum in sorted order for run-to-run
+    determinism."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        other = rule.parameters.get("other")
+        if not other:
+            raise ValueError(
+                "mutual_information rule requires an 'other' column parameter"
+            )
+        self.other = str(other)
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        x, y = batch[self.column], batch[self.other]
+        both = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        pairs = pa.table({"x": x, "y": y}).filter(both)
+        g = pairs.group_by(["x", "y"]).aggregate([([], "count_all")])
+        return {
+            "total": batch.num_rows,
+            "failed": 0,
+            "vc": dict(
+                zip(
+                    zip(g["x"].to_pylist(), g["y"].to_pylist()),
+                    (int(c) for c in g["count_all"].to_pylist()),
+                )
+            ),
+        }
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        counts = _merge_value_counts(partials)
+        mi = None
+        if counts:
+            keys = sorted(counts)
+            c = np.array([counts[k] for k in keys], dtype=np.float64)
+            n = float(c.sum())
+            cx: Dict[Any, float] = {}
+            cy: Dict[Any, float] = {}
+            for (kx, ky), v in counts.items():
+                cx[kx] = cx.get(kx, 0.0) + v
+                cy[ky] = cy.get(ky, 0.0) + v
+            mx = np.array([cx[k[0]] for k in keys])
+            my = np.array([cy[k[1]] for k in keys])
+            mi = float(np.sum((c / n) * np.log(c * n / (mx * my))))
+        return {
+            "total": 1,
+            "failed": self._verdict(mi),
+            "mutual_information": mi,
+            "n_pairs": int(sum(counts.values())),
+            "distinct_pairs": len(counts),
+        }
+
+
+@register_check("string_length")
+class StringLengthKernel(CheckKernel):
+    """Row-level check (deequ ``hasMinLength``/``hasMaxLength``,
+    row-resolved): a non-NULL value of ``column`` fails when its
+    character length (UTF-8 code points — Arrow ``utf8_length`` ==
+    DuckDB ``LENGTH``) falls outside [min_length, max_length]; NULLs
+    never fail (completeness's job — SQL three-valued convention, the
+    range-rule precedent). Filter mode keeps in-bounds rows and drops
+    NULLs (the reference's F2 NULL-drop asymmetry). Partials carry the
+    observed min/max length — the free column stats deequ's
+    MinLength/MaxLength analyzers report."""
+
+    def __init__(self, rule: ValidationRule):
+        super().__init__(rule)
+        self.column = self._require_column()
+        p = rule.parameters
+        self.min_length = p.get("min_length")
+        self.max_length = p.get("max_length")
+        if self.min_length is None and self.max_length is None:
+            raise ValueError(
+                "string_length rule requires min_length and/or max_length"
+            )
+
+    def _length(self, batch: pa.Table):
+        return pc.utf8_length(batch[self.column])
+
+    def mask_failing(self, batch: pa.Table):
+        ln = self._length(batch)
+        bad = pa.array(np.zeros(len(ln), dtype=bool))
+        if self.min_length is not None:
+            bad = pc.or_(bad, pc.less(ln, self.min_length))
+        if self.max_length is not None:
+            bad = pc.or_(bad, pc.greater(ln, self.max_length))
+        return pc.fill_null(bad, False)
+
+    def mask_keep(self, batch: pa.Table):
+        ln = self._length(batch)
+        ok = pc.is_valid(ln)
+        if self.min_length is not None:
+            ok = pc.and_(ok, pc.greater_equal(ln, self.min_length))
+        if self.max_length is not None:
+            ok = pc.and_(ok, pc.less_equal(ln, self.max_length))
+        return pc.fill_null(ok, False)
+
+    def partial(self, batch: pa.Table) -> Dict[str, Any]:
+        p = super().partial(batch)
+        lo, hi = _scalar_minmax(self._length(batch))
+        p["min_len"], p["max_len"] = lo, hi
+        return p
+
+    def combine(self, partials: List[Dict[str, Any]]) -> Dict[str, Any]:
+        out = super().combine(partials)
+        mins = [p["min_len"] for p in partials if p.get("min_len") is not None]
+        maxs = [p["max_len"] for p in partials if p.get("max_len") is not None]
+        out["min_length"] = int(min(mins)) if mins else None
+        out["max_length"] = int(max(maxs)) if maxs else None
+        return out
 
 
 @register_check("group_limit")

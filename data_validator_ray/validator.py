@@ -163,7 +163,7 @@ def _rule_columns(rule: ValidationRule) -> Optional[List[str]]:
         return sorted(
             {*(str(c) for c in rule.parameters["columns"]), *extra}
         )
-    if rule.rule_type == "correlation":
+    if rule.rule_type in ("correlation", "mutual_information"):
         other = rule.parameters.get("other")
         if rule.column and other:
             return sorted({rule.column, str(other), *extra})
