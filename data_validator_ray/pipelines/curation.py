@@ -177,35 +177,67 @@ def gopher_filter(
     )
 
     def keep(batch: pa.Table) -> pa.Table:
-        nt = batch["n_tokens"]
-        m = pc.and_(
-            pc.greater_equal(nt, min_tokens),
-            pc.and_(
-                pc.less_equal(
-                    pc.multiply(batch["n_symbol_chars"], 10),
-                    batch["total_token_chars"],
-                ),
-                pc.and_(
-                    pc.less_equal(
-                        pc.multiply(nt, 2), batch["total_token_chars"]
-                    ),
-                    pc.less_equal(
-                        batch["total_token_chars"], pc.multiply(nt, 12)
-                    ),
-                ),
-            ),
-        )
-        if max_top_2gram_x5:
-            m = pc.and_(
-                m,
-                pc.less_equal(
-                    pc.multiply(batch["top_2gram_count"], 5),
-                    batch["n_2grams"],
-                ),
-            )
+        m = _gopher_mask(batch, min_tokens, max_top_2gram_x5)
         return batch.filter(m).select([id_col])
 
     return stats.map_batches(keep, batch_format="pyarrow")
+
+
+def _gopher_mask(cols, min_tokens: int, max_top_2gram_x5: bool):
+    """Gopher keep-mask over the integer counter columns (shared by
+    the id-emitting :func:`gopher_filter` and the streaming
+    :func:`gopher_gate`)."""
+    nt = cols["n_tokens"]
+    m = pc.and_(
+        pc.greater_equal(nt, min_tokens),
+        pc.and_(
+            pc.less_equal(
+                pc.multiply(cols["n_symbol_chars"], 10),
+                cols["total_token_chars"],
+            ),
+            pc.and_(
+                pc.less_equal(pc.multiply(nt, 2), cols["total_token_chars"]),
+                pc.less_equal(cols["total_token_chars"], pc.multiply(nt, 12)),
+            ),
+        ),
+    )
+    if max_top_2gram_x5:
+        m = pc.and_(
+            m,
+            pc.less_equal(
+                pc.multiply(cols["top_2gram_count"], 5), cols["n_2grams"]
+            ),
+        )
+    return m
+
+
+def gopher_gate(
+    source: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 5,
+    max_top_2gram_x5: bool = True,
+    batch_size: int = 16384,
+) -> Dataset:
+    """Streaming sibling of :func:`gopher_filter` for pipeline
+    composition: the SAME integer-exact Gopher gate, but applied as a
+    per-batch row filter that passes ALL columns of ``source``
+    through — counters are computed batch-locally and discarded, so
+    the corpus never rides a shuffle or a semi-join (the gate is
+    doc-local; the id-list + join shape of the standalone op would
+    ship the whole corpus through an exchange at 100 TB for nothing).
+
+    Kept-set is identical to :func:`gopher_filter` (shared
+    :func:`_gopher_mask`, pinned by test)."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ex, n = _token_frame(batch[text_col])
+        cols = _gopher_columns(batch, ex, n, text_col)
+        return batch.filter(_gopher_mask(cols, min_tokens, max_top_2gram_x5))
+
+    ds = _as_dataset(source)
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=batch_size)
 
 
 def line_quality_filter(

@@ -2170,6 +2170,68 @@ def q_ccnet_pipeline_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_fineweb_pipeline_documents(sf_dir: str) -> pd.DataFrame:
+    """FineWeb/Dolma-style web-curation pipeline END-TO-END, composed
+    from the engine's own stages in the published order: URL-host
+    blocklist gate → supported-language filter → Gopher quality gate
+    (streaming `gopher_gate` — the gate is doc-local, so no id-list
+    semi-join ships the corpus) → exact dedup (keep min doc_id per
+    text) → corpus-wide paragraph dedup → PII redaction → per-doc
+    token count. ONE lazy plan; the single SQL CTE chain pins the
+    COMPOSITION (each stage's scope is the previous stage's survivor
+    set — order matters for dedup counts and paragraph ownership)."""
+    import pyarrow.compute as _pc
+
+    from .curation import gopher_gate, pii_redact
+    from .dedup import exact_dedup, paragraph_dedup
+    from .urls import url_host_filter
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def inject_url(batch: pa.Table) -> pa.Table:
+        # the deterministic derived-URL convention of _derived_urls_deep
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        url = np.where(ids % 17 == 0, "https://Sub.Host", "https://Host")
+        url = np.char.add(url.astype("U32"), (ids % 7).astype("U"))
+        url = np.char.add(url, ".Example.COM/page/")
+        url = np.char.add(url, ids.astype("U"))
+        return batch.append_column("url", pa.array(url, pa.string()))
+
+    langs = pa.array(["en", "fr", "de", "es"])
+
+    def keep_lang(b: pa.Table) -> pa.Table:
+        m = _pc.fill_null(_pc.is_in(b["lang"], value_set=langs), False)
+        return b.filter(m).drop_columns(["lang", "url"])
+
+    gated = url_host_filter(
+        docs.map_batches(inject_url, batch_format="pyarrow"),
+        ["host3.example.com", "bad.org"],
+    ).map_batches(keep_lang, batch_format="pyarrow")
+    quality = gopher_gate(gated)
+    deduped = exact_dedup(quality, "text", tiebreak="doc_id", keep="first")
+    para = paragraph_dedup(deduped, sep=" the ")
+    pii = pii_redact(para)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = pl.from_arrow(b.select(["redacted_text"]))["redacted_text"]
+        toks = t.str.split(" ")
+        n = (toks.list.len() - toks.list.count_matches("")).cast(pl.Int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["redacted_text"],
+                "n_tokens": pa.array(n.to_numpy(), pa.int64()),
+            }
+        )
+
+    out = pii.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pipeline_spec_ccnet(sf_dir: str) -> pd.DataFrame:
     """The SAME CCNet pipeline as ``ccnet_pipeline_documents``, but
     composed entirely from the YAML spec runner (the shipped
@@ -2219,6 +2281,72 @@ def q_bigram_logprob_capped_documents(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
+
+_FINEWEB_SQL = (
+    # stage 1+2: derived-URL host blocklist gate + language filter
+    # (both row-local — commute; SQL applies lang first for brevity)
+    "WITH u AS (SELECT doc_id, text, "
+    "(CASE WHEN doc_id % 17 = 0 THEN 'https://Sub.Host' "
+    "ELSE 'https://Host' END || (doc_id % 7) || "
+    "'.Example.COM/page/' || doc_id) AS url FROM documents "
+    "WHERE lang IN ('en','fr','de','es')), "
+    "hn AS (SELECT doc_id, text, regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(lower(url), "
+    "'^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''), '[?#].*$', ''), "
+    "'/+$', '') AS norm FROM u), "
+    "hh AS (SELECT doc_id, text, "
+    "regexp_replace(norm, '/.*$', '') AS host FROM hn), "
+    "d0 AS (SELECT doc_id, text FROM hh WHERE NOT EXISTS ("
+    "SELECT 1 FROM (VALUES ('host3.example.com'), ('bad.org')) b(d) "
+    "WHERE hh.host = b.d OR hh.host LIKE '%.' || b.d)), "
+    # stage 3: Gopher gate over d0 survivors (integer-exact)
+    "base AS (SELECT doc_id, coalesce(text, '') AS text, "
+    "list_filter(string_split(coalesce(text, ''), ' '), "
+    "x -> x <> '') AS toks FROM d0), "
+    "t1 AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+    "coalesce(list_sum(list_transform(toks, x -> len(x))), 0)::BIGINT "
+    "AS total_token_chars, "
+    "(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))"
+    "::BIGINT AS n_symbol_chars FROM base), "
+    "sh AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1])) AS sh FROM base), "
+    "cnt AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2), "
+    "t2 AS (SELECT doc_id, sum(c)::BIGINT AS n_2grams, "
+    "max(c)::BIGINT AS top_2gram_count FROM cnt GROUP BY doc_id), "
+    "g AS (SELECT t1.doc_id, n_tokens, "
+    "coalesce(n_2grams, 0) AS n_2grams, "
+    "coalesce(top_2gram_count, 0) AS top_2gram_count, "
+    "total_token_chars, n_symbol_chars "
+    "FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id), "
+    "d1 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN (SELECT doc_id "
+    "FROM g WHERE n_tokens >= 5 AND top_2gram_count * 5 <= n_2grams "
+    "AND n_symbol_chars * 10 <= total_token_chars "
+    "AND 2 * n_tokens <= total_token_chars "
+    "AND total_token_chars <= 12 * n_tokens) k USING (doc_id)), "
+    # stage 4: exact dedup keep-first (min doc_id per text)
+    "d2 AS (SELECT MIN(doc_id) AS doc_id, text FROM d1 GROUP BY text), "
+    # stage 5: corpus-wide paragraph dedup over d2 survivors
+    "p AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), "
+    "' the ')) AS part, generate_subscripts(string_split("
+    "COALESCE(text, ''), ' the '), 1) AS idx FROM d2), "
+    "r AS (SELECT doc_id, idx, part, ROW_NUMBER() OVER ("
+    "PARTITION BY part ORDER BY doc_id, idx) AS rn FROM p), "
+    "d3 AS (SELECT doc_id, COALESCE(string_agg("
+    "CASE WHEN rn = 1 THEN part END, ' the ' ORDER BY idx), '') "
+    "AS text FROM r GROUP BY doc_id), "
+    # stage 6: PII redaction (email → phone → IP, declaration order)
+    "s1 AS (SELECT doc_id, regexp_replace(text, "
+    "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g') "
+    "AS t FROM d3), "
+    "s2 AS (SELECT doc_id, regexp_replace(t, "
+    "'\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS t FROM s1), "
+    "s3 AS (SELECT doc_id, regexp_replace(t, "
+    "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS t FROM s2) "
+    # stage 7: per-doc token count of the final text
+    "SELECT doc_id, t AS text, len(list_filter(string_split(t, ' '), "
+    "x -> x <> ''))::BIGINT AS n_tokens FROM s3 ORDER BY doc_id"
+)
 
 _CCNET_SQL = (
     "WITH f AS (SELECT doc_id, text, lang, source FROM documents "
@@ -6236,6 +6364,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
             q_perplexity_buckets_by_lang_documents
         ),
         "ccnet_pipeline_documents": q_ccnet_pipeline_documents,
+        "fineweb_pipeline_documents": q_fineweb_pipeline_documents,
         "pipeline_spec_ccnet": q_pipeline_spec_ccnet,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
@@ -7063,6 +7192,7 @@ def oracle_sql() -> Dict[str, str]:
         # pairs, so the distributed top-V tier must be byte-identical
         "bigram_logprob_capped_documents": _BIGRAM_LOGPROB_SQL,
         "ccnet_pipeline_documents": _CCNET_SQL,
+        "fineweb_pipeline_documents": _FINEWEB_SQL,
         # same oracle: the YAML spec runner composes the identical
         # plan (incl. the save_as self-join), so it must be bit-exact
         "pipeline_spec_ccnet": _CCNET_SQL,

@@ -1233,3 +1233,22 @@ def test_temperature_mix_weights_extremes(ray_session):
     # count_col switches the mass definition to summed tokens
     tok = temperature_mix_weights(df, "lang", alpha=1.0, count_col="n_chars")
     assert tok.loc[tok.lang == "en", "n"].item() == 21  # 1+..+6
+
+
+def test_gopher_gate_matches_gopher_filter(ray_session):
+    """The streaming all-columns gate keeps EXACTLY gopher_filter's
+    id set (shared _gopher_mask) and passes every column through."""
+    import ray as _ray
+
+    from data_validator_ray.pipelines.curation import (
+        gopher_filter,
+        gopher_gate,
+    )
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    ids = sorted(gopher_filter(sf).to_pandas()["doc_id"])
+    gated = gopher_gate(
+        _ray.data.read_parquet(sf, columns=["doc_id", "text", "lang"])
+    ).to_pandas()
+    assert sorted(gated["doc_id"]) == ids
+    assert list(gated.columns) == ["doc_id", "text", "lang"]
