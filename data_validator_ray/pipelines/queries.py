@@ -2232,6 +2232,38 @@ def q_fineweb_pipeline_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pipeline_spec_fineweb(sf_dir: str) -> pd.DataFrame:
+    """The SAME FineWeb pipeline as ``fineweb_pipeline_documents``,
+    composed entirely from the shipped ``examples/fineweb_spec.yaml``
+    (config, not code): URL gate → lang filter → streaming Gopher
+    gate → exact dedup → paragraph dedup → PII redact → token count.
+    Shares the hand-built query's exact seven-stage CTE oracle, so
+    the spec runner's composition is pinned bit-exact."""
+    from pathlib import Path
+
+    from .spec import run_pipeline_spec
+
+    spec = str(
+        Path(__file__).resolve().parents[2] / "examples" / "fineweb_spec.yaml"
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def inject_url(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        url = np.where(ids % 17 == 0, "https://Sub.Host", "https://Host")
+        url = np.char.add(url.astype("U32"), (ids % 7).astype("U"))
+        url = np.char.add(url, ".Example.COM/page/")
+        url = np.char.add(url, ids.astype("U"))
+        return batch.append_column("url", pa.array(url, pa.string()))
+
+    out = run_pipeline_spec(
+        spec, source=docs.map_batches(inject_url, batch_format="pyarrow")
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pipeline_spec_ccnet(sf_dir: str) -> pd.DataFrame:
     """The SAME CCNet pipeline as ``ccnet_pipeline_documents``, but
     composed entirely from the YAML spec runner (the shipped
@@ -6365,6 +6397,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         ),
         "ccnet_pipeline_documents": q_ccnet_pipeline_documents,
         "fineweb_pipeline_documents": q_fineweb_pipeline_documents,
+        "pipeline_spec_fineweb": q_pipeline_spec_fineweb,
         "pipeline_spec_ccnet": q_pipeline_spec_ccnet,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "bigram_logprob_capped_documents": q_bigram_logprob_capped_documents,
@@ -7193,6 +7226,7 @@ def oracle_sql() -> Dict[str, str]:
         "bigram_logprob_capped_documents": _BIGRAM_LOGPROB_SQL,
         "ccnet_pipeline_documents": _CCNET_SQL,
         "fineweb_pipeline_documents": _FINEWEB_SQL,
+        "pipeline_spec_fineweb": _FINEWEB_SQL,
         # same oracle: the YAML spec runner composes the identical
         # plan (incl. the save_as self-join), so it must be bit-exact
         "pipeline_spec_ccnet": _CCNET_SQL,

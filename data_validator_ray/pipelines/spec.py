@@ -136,6 +136,27 @@ def _ensure_builtins() -> None:
         ds.write_parquet(path)
         return ray.data.read_parquet(path)
 
+    def _add_token_count(
+        ds: Dataset, *, text_col: str = "text", out_col: str = "n_tokens"
+    ) -> Dataset:
+        # whitespace token count, empties dropped — the oracle
+        # convention len(list_filter(string_split(t,' '), x->x<>''))
+        import polars as pl
+        import pyarrow as pa
+
+        def f(batch: "pa.Table") -> "pa.Table":
+            t = pl.from_arrow(batch.select([text_col]))[text_col]
+            toks = t.str.split(" ")
+            n = (toks.list.len() - toks.list.count_matches("")).cast(
+                pl.Int64
+            )
+            return batch.append_column(
+                out_col, pa.array(n.to_numpy(), pa.int64())
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    _PIPELINE_OPS["add_token_count"] = _add_token_count
     _PIPELINE_OPS["select"] = _select
     _PIPELINE_OPS["rename"] = _rename
     _PIPELINE_OPS["filter_expr"] = _filter_expr
@@ -183,7 +204,8 @@ def _ensure_builtins() -> None:
         _T.text_profile, _T.token_entropy, _T.fingerprint_md5,
         _T.unigram_logprob, _T.charset_profile, _T.dsir_logratio,
         # curation
-        _C.gopher_stats, _C.decontaminate, _C.sample_n, _C.mix_to_budget,
+        _C.gopher_stats, _C.gopher_gate, _C.temperature_mix_weights,
+        _C.decontaminate, _C.sample_n, _C.mix_to_budget,
         _C.group_sample, _C.linear_classifier_score,
         _C.remove_duplicated_spans, _C.semantic_dedup,
         _C.line_quality_filter, _C.seeded_shuffle,
