@@ -2965,6 +2965,37 @@ def q_bm25_search_documents(sf_dir: str) -> pd.DataFrame:
     return bm25_search(idx, ["batch", "join", "filter"], k=10)
 
 
+def q_hybrid_search_documents(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieve-then-rerank (X7): BM25 top-50 lexical
+    candidates over the sharded inverted index, joined to their
+    embeddings and reranked by exact cosine against the vec_id=0
+    query vector — the standard sparse-recall / dense-precision
+    two-stage retrieval composition. Integer-only (rank, doc_id)
+    output; ties break (cosine DESC, doc id ASC)."""
+    import tempfile
+    from pathlib import Path
+
+    from .dedup import load_embeddings
+    from .search import build_inverted_index, hybrid_search
+
+    tag = Path(sf_dir).name
+    idx = f"{tempfile.gettempdir()}/graft_invidx_{tag}"
+    if not Path(idx).exists():
+        build_inverted_index(
+            f"{sf_dir}/documents.parquet", idx, num_shards=16
+        )
+    ids, M = load_embeddings(f"{sf_dir}/embeddings.parquet")
+    qpos = int(np.searchsorted(ids, 0))
+    return hybrid_search(
+        idx,
+        ["batch", "join", "filter"],
+        M[qpos],
+        f"{sf_dir}/embeddings.parquet",
+        k_bm25=50,
+        k=10,
+    )
+
+
 
 def q_grouped_ewma_events(sf_dir: str) -> pd.DataFrame:
     """Per-user EWMA (α=0.3, adjust=False seed) of event values
@@ -6420,6 +6451,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "fuzzy_dup_pairs_documents": q_fuzzy_dup_pairs_documents,
         "boolean_search_documents": q_boolean_search_documents,
         "bm25_search_documents": q_bm25_search_documents,
+        "hybrid_search_documents": q_hybrid_search_documents,
         "grouped_ewma_events": q_grouped_ewma_events,
         "winsorize_events_value": q_winsorize_events_value,
         "ppjoin_jaccard_documents": q_ppjoin_jaccard_documents,
@@ -7598,6 +7630,34 @@ def oracle_sql() -> Dict[str, str]:
             "JOIN len ON tf.doc_id = len.doc_id GROUP BY 1) "
             "SELECT doc_id, ROUND(s, 6) AS score FROM sc "
             "ORDER BY s DESC, doc_id LIMIT 10"
+        ),
+        "hybrid_search_documents": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+            "t FROM documents WHERE text IS NOT NULL), "
+            "len AS (SELECT doc_id, COUNT(*)::DOUBLE dl FROM tok "
+            "GROUP BY 1), "
+            "stats AS (SELECT COUNT(*)::DOUBLE n, AVG(dl) avgdl "
+            "FROM len), "
+            "tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE tf FROM tok "
+            "WHERE t IN ('batch', 'join', 'filter') GROUP BY 1, 2), "
+            "df AS (SELECT t, COUNT(*)::DOUBLE df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, "
+            "SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+            "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + "
+            "0.75 * len.dl / stats.avgdl))) s "
+            "FROM tf, stats JOIN df ON tf.t = df.t "
+            "JOIN len ON tf.doc_id = len.doc_id GROUP BY 1), "
+            "cand AS (SELECT doc_id FROM sc "
+            "ORDER BY s DESC, doc_id LIMIT 50), "
+            "qv AS (SELECT embedding AS qe FROM embeddings "
+            "WHERE vec_id = 0), "
+            "r AS (SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER ("
+            "ORDER BY list_cosine_similarity(qv.qe, e.embedding) DESC, "
+            "e.vec_id ASC) AS rank "
+            "FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id, qv) "
+            "SELECT rank::BIGINT AS rank, doc_id FROM r "
+            "WHERE rank <= 10 ORDER BY rank"
         ),
         "grouped_ewma_events": (
             "WITH s AS (SELECT user_id, value, "

@@ -274,6 +274,10 @@ def bm25_search(
 
     # per-term df: ≤ |terms| rows — safe to collect
     df_rows = postings.groupby("token").count().to_pandas()
+    if len(df_rows) == 0:  # no term present in the corpus; an empty
+        # groupby's to_pandas() loses the schema, so guard before
+        # column access (found while testing hybrid_search)
+        return out_empty
     found_terms = pa.array(df_rows["token"].tolist(), pa.string())
     dfv = df_rows["count()"].to_numpy(np.float64)
     idf_by_term = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
@@ -510,3 +514,82 @@ def phrase_search(
     return bucketed_groupby(
         anchored, [id_col], resolve, num_buckets=num_buckets
     )
+
+
+def hybrid_search(
+    index_dir: str,
+    terms: List[str],
+    query_vec: "np.ndarray | List[float]",
+    emb_source: Any,
+    *,
+    k_bm25: int = 50,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 64 * 1024,
+) -> "pd.DataFrame":
+    """Retrieve-then-rerank hybrid search: BM25 top-``k_bm25``
+    lexical candidates from a :func:`build_inverted_index` layout,
+    joined to their embeddings and reranked by exact cosine against
+    ``query_vec`` — the standard two-stage retrieval shape (sparse
+    recall stage, dense precision stage).
+
+    Scale shape: stage 1 is :func:`bm25_search` (shard-pruned reads,
+    bucketed join-and-score, only the global top-``k_bm25`` rows
+    reach the driver); stage 2 broadcasts the ≤ ``k_bm25`` candidate
+    ids once (``ray.put`` via the query-matrix ref) and streams the
+    embedding table through a vectorized ``is_in``-style membership
+    filter, so the rerank's exact cosine (:func:`~.similarity.
+    knn_brute`'s per-batch partial top-k + tiny driver merge) only
+    ever scores candidate rows. No stage materializes the corpus.
+
+    Determinism note: the BM25 cutoff at rank ``k_bm25`` breaks score
+    ties by ascending doc id, identical to the SQL
+    ``ORDER BY s DESC, doc_id LIMIT k_bm25`` convention, and both
+    sides compute scores with the same float64 formula — the
+    candidate SET is reproducible, not just the final ranking.
+
+    Returns a pandas DataFrame ``(rank, doc_id)`` (integer-only; the
+    knn output convention), rank 1..k by (cosine DESC, doc id ASC).
+    """
+    import pandas as pd
+
+    from .similarity import knn_brute
+
+    cands = bm25_search(
+        index_dir, terms, k=k_bm25, id_col=id_col,
+        batch_size=batch_size,
+    )
+    if len(cands) == 0:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series(dtype=np.int64),
+                id_col: pd.Series(dtype=np.int64),
+            }
+        )
+    cand_ids = np.sort(cands[id_col].to_numpy(np.int64))
+    ds = _as_dataset(emb_source, columns=[vec_id_col, vec_col])
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        ids = batch[vec_id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand_ids, ids)
+        pos[pos >= len(cand_ids)] = 0
+        return batch.filter(pa.array(cand_ids[pos] == ids))
+
+    filtered = ds.map_batches(
+        keep_cands, batch_format="pyarrow", batch_size=batch_size
+    )
+    out = knn_brute(
+        filtered,
+        np.asarray(query_vec, dtype=np.float64)[None, :],
+        np.array([0], dtype=np.int64),
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=k,
+        exclude_self=False,
+    )
+    res = out[["rank", "neighbor_id"]].rename(
+        columns={"neighbor_id": id_col}
+    )
+    return res.astype(np.int64).reset_index(drop=True)

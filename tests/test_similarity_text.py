@@ -831,3 +831,54 @@ def test_knn_join_ivf_fullprobe_equals_exact(ray_session, vec_df, tmp_path):
     b = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
     recall = len(a & b) / len(b)
     assert recall >= 0.6, recall
+
+
+def test_hybrid_search_rerank_and_empty(ray_session, tmp_path):
+    """BM25 candidates rerank by cosine against the query vector
+    (lexical rank is overridden by embedding similarity); docs outside
+    the candidate set never appear; absent terms -> typed empty."""
+    import numpy as np
+    import pandas as pd
+
+    from data_validator_ray.pipelines.search import (
+        build_inverted_index,
+        hybrid_search,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "query terms here plus filler filler filler",
+                "query terms here",
+                "query terms terms terms",
+                "no match at all",
+            ],
+        }
+    )
+    # doc 4 is MOST similar in embedding space but not a BM25
+    # candidate; among candidates, doc 3 is closest to the query.
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [
+                [1.0, 0.0, 0.0],
+                [0.8, 0.6, 0.0],
+                [0.98, 0.199, 0.0],
+                [1.0, 0.001, 0.0],
+            ],
+        }
+    )
+    idx = str(tmp_path / "hy")
+    build_inverted_index(docs, idx, num_shards=4)
+    out = hybrid_search(
+        idx, ["query", "terms"], np.array([1.0, 0.0, 0.0]), emb,
+        k_bm25=3, k=10,
+    )
+    assert list(out.columns) == ["rank", "doc_id"]
+    assert out["doc_id"].tolist() == [1, 3, 2]  # cosine desc
+    assert out["rank"].tolist() == [1, 2, 3]
+    empty = hybrid_search(
+        idx, ["zzz_absent"], np.array([1.0, 0.0, 0.0]), emb,
+    )
+    assert len(empty) == 0 and list(empty.columns) == ["rank", "doc_id"]
