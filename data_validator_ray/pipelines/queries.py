@@ -2997,6 +2997,63 @@ def q_hybrid_search_documents(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_stream_validate_events(sf_dir: str) -> pd.DataFrame:
+    """Micro-batch streaming validation (S10, the reference's
+    generated foreachBatch script): events split into 5 contiguous
+    event-id micro-batches; each batch is validated (range rule with a
+    0.998 threshold + completeness), filtered, and its clean rows
+    appended under ``batch={id}/``, with per-batch summaries committed
+    to an atomic checkpoint. Output: per-batch
+    (n_rows, n_clean, passed_rules, failed_rules)."""
+    import tempfile
+
+    import ray.data
+
+    from ..validator import RayDataValidator
+    from .streaming import validate_microbatches
+
+    full = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    hi = int(full.max("event_id")) + 1
+
+    def make_slice(b: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids * 5) // hi == b))
+
+        return f
+
+    sources = [
+        full.map_batches(make_slice(b), batch_format="pyarrow")
+        for b in range(5)
+    ]
+    cfg = {
+        "version": "1.0",
+        "engine": {"type": "ray"},
+        "tables": [
+            {
+                "name": "events",
+                "rules": [
+                    {
+                        "name": "value_range",
+                        "rule_type": "range",
+                        "column": "value",
+                        "parameters": {"min_value": 0, "max_value": 300},
+                        "threshold": 0.998,
+                    },
+                    {
+                        "name": "user_complete",
+                        "rule_type": "completeness",
+                        "column": "user_id",
+                    },
+                ],
+            }
+        ],
+    }
+    v = RayDataValidator(cfg)
+    out_root = tempfile.mkdtemp(prefix="graft_stream_")
+    return validate_microbatches(v, "events", sources, out_root)
+
+
 def q_grouped_ewma_events(sf_dir: str) -> pd.DataFrame:
     """Per-user EWMA (α=0.3, adjust=False seed) of event values
     ordered by (ts, event_id), evaluated in closed form so the SQL
@@ -6452,6 +6509,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "boolean_search_documents": q_boolean_search_documents,
         "bm25_search_documents": q_bm25_search_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
+        "stream_validate_events": q_stream_validate_events,
         "grouped_ewma_events": q_grouped_ewma_events,
         "winsorize_events_value": q_winsorize_events_value,
         "ppjoin_jaccard_documents": q_ppjoin_jaccard_documents,
@@ -7658,6 +7716,28 @@ def oracle_sql() -> Dict[str, str]:
             "FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id, qv) "
             "SELECT rank::BIGINT AS rank, doc_id FROM r "
             "WHERE rank <= 10 ORDER BY rank"
+        ),
+        "stream_validate_events": (
+            "WITH hi AS (SELECT MAX(event_id) + 1 AS m FROM events), "
+            "b AS (SELECT event_id * 5 // hi.m AS batch_id, value, "
+            "user_id FROM events, hi), "
+            "agg AS (SELECT batch_id, COUNT(*) AS n_rows, "
+            "SUM(CASE WHEN value >= 0 AND value <= 300 "
+            "AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clean, "
+            "SUM(CASE WHEN value < 0 OR value > 300 "
+            "THEN 1 ELSE 0 END) AS range_failed, "
+            "SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS comp_failed FROM b GROUP BY 1) "
+            "SELECT batch_id, n_rows::BIGINT AS n_rows, "
+            "n_clean::BIGINT AS n_clean, "
+            "(CASE WHEN (n_rows - range_failed)::DOUBLE / n_rows "
+            ">= 0.998 THEN 1 ELSE 0 END + "
+            "CASE WHEN comp_failed = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS passed_rules, "
+            "(CASE WHEN (n_rows - range_failed)::DOUBLE / n_rows "
+            ">= 0.998 THEN 0 ELSE 1 END + "
+            "CASE WHEN comp_failed = 0 THEN 0 ELSE 1 END)::BIGINT "
+            "AS failed_rules FROM agg ORDER BY batch_id"
         ),
         "grouped_ewma_events": (
             "WITH s AS (SELECT user_id, value, "

@@ -223,3 +223,73 @@ def test_transform_runner_rows_accounting(ray_session, tmp_path):
     m = rep["metrics"].to_pandas()
     assert sorted(m["partition_id"]) == list(range(6))
     assert (m["op_name"] == "pii").all()
+
+
+def test_validate_microbatches_resume_and_empty(ray_session, tmp_path):
+    """foreachBatch-loop parity: empty batches skip validation with an
+    all-zero summary row and no output dir; a killed run (max_batches)
+    resumes SKIPPING completed batches — their checkpointed summaries
+    replay even if the source has since changed — and the final frame
+    equals an uninterrupted run's."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.streaming import (
+        validate_microbatches,
+    )
+    from data_validator_ray.validator import RayDataValidator
+
+    cfg = {
+        "version": "1.0",
+        "engine": {"type": "ray"},
+        "tables": [
+            {
+                "name": "t",
+                "rules": [
+                    {
+                        "name": "v_range",
+                        "rule_type": "range",
+                        "column": "v",
+                        "parameters": {"min_value": 0, "max_value": 10},
+                    },
+                    {
+                        "name": "u_complete",
+                        "rule_type": "completeness",
+                        "column": "u",
+                    },
+                ],
+            }
+        ],
+    }
+    batches = [
+        pd.DataFrame({"v": [1.0, 2.0, 99.0], "u": [1, 2, 3]}),
+        pd.DataFrame({"v": [], "u": []}),  # empty: skipped
+        pd.DataFrame({"v": [3.0, None], "u": [7, None]}),
+        pd.DataFrame({"v": [5.0], "u": [8]}),
+    ]
+    out = tmp_path / "stream"
+
+    v = RayDataValidator(cfg)
+    part = validate_microbatches(v, "t", batches, out, max_batches=2)
+    assert part["batch_id"].tolist() == [0, 1]
+    # batch 0: one range violation -> rule fails, filter drops the row
+    assert part.loc[0, ["n_rows", "n_clean", "passed_rules"]].tolist() == [
+        3, 2, 1,
+    ]
+    # empty batch: zeros, no validated dir
+    assert part.loc[1].tolist() == [1, 0, 0, 0, 0]
+    assert not (out / "t_validated" / "batch=1").exists()
+
+    # "restart": batch 0's source changes; its checkpointed row must
+    # replay untouched (exactly-once parity with checkpointLocation)
+    batches[0] = pd.DataFrame({"v": [0.0] * 50, "u": [0] * 50})
+    full = validate_microbatches(RayDataValidator(cfg), "t", batches, out)
+    assert full["batch_id"].tolist() == [0, 1, 2, 3]
+    assert full.loc[0].tolist() == part.loc[0].tolist()
+    # batch 2: NULL v never fails range but IS dropped by the filter;
+    # NULL u fails completeness and is dropped
+    assert full.loc[2, ["n_rows", "n_clean", "passed_rules"]].tolist() == [
+        2, 1, 1,
+    ]
+    assert full.loc[3, ["n_rows", "n_clean", "passed_rules"]].tolist() == [
+        1, 1, 2,
+    ]
