@@ -3203,6 +3203,71 @@ def q_warc_source_documents(sf_dir: str) -> pd.DataFrame:
     return outdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_delta_source_events(sf_dir: str) -> pd.DataFrame:
+    """Delta Lake source end-to-end (S7, open transaction protocol):
+    events write into a /tmp Delta table PARTITIONED BY event_type over
+    three commits — first half, appended second half, then an
+    OVERWRITE keeping only value <= 300 (tombstoning every prior file)
+    — and the final table reads back through the log replay with
+    partition values re-attached from the log. Aggregate must equal
+    the Parquet-side oracle over the overwrite predicate."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..sources import read_delta, write_delta
+
+    events = f"{sf_dir}/events.parquet"
+    full = ray.data.read_parquet(
+        events, columns=["event_id", "event_type", "value"]
+    )
+    hi = int(full.max("event_id")) + 1
+
+    def half(first: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["event_id"].to_numpy(zero_copy_only=False)
+            m = ids < hi // 2 if first else ids >= hi // 2
+            return b.filter(pa.array(m)).drop_columns(["event_id"])
+
+        return f
+
+    def low_value(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b["event_type"]),
+            pc.less_equal(b["value"], 300.0),
+        )
+        return b.filter(keep).drop_columns(["event_id"])
+
+    t = tempfile.mkdtemp(prefix="graft_delta_")
+    write_delta(
+        full.map_batches(half(True), batch_format="pyarrow"),
+        t, partition_cols=["event_type"],
+    )
+    write_delta(
+        full.map_batches(half(False), batch_format="pyarrow"),
+        t, mode="append", partition_cols=["event_type"],
+    )
+    write_delta(
+        full.map_batches(low_value, batch_format="pyarrow"),
+        t, mode="overwrite", partition_cols=["event_type"],
+    )
+
+    ds = read_delta(t, columns=["event_type", "value"])
+    agg = (
+        ds.groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("value"),
+        )
+        .to_pandas()
+        .rename(columns={"count()": "n", "sum(value)": "sum_value"})
+    )
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_value"] = agg["sum_value"].round(6)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 def q_orc_source_events(sf_dir: str) -> pd.DataFrame:
     """ORC source end-to-end: events round-trip through a /tmp ORC
     file (stripe-streaming custom datasource), then a pruned-column
@@ -6510,6 +6575,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "bm25_search_documents": q_bm25_search_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "stream_validate_events": q_stream_validate_events,
+        "delta_source_events": q_delta_source_events,
         "grouped_ewma_events": q_grouped_ewma_events,
         "winsorize_events_value": q_winsorize_events_value,
         "ppjoin_jaccard_documents": q_ppjoin_jaccard_documents,
@@ -7781,6 +7847,12 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_type, COUNT(*)::BIGINT AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "delta_source_events": (
+            "SELECT event_type, COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM(value), 6) AS sum_value FROM events "
+            "WHERE event_type IS NOT NULL AND value <= 300 "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "parse_logs_events": (
             "SELECT event_type AS level, COUNT(*)::BIGINT AS n, "

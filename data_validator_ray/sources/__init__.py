@@ -482,3 +482,11 @@ def write_warc_like(
         with open(os.path.join(out_dir, "part-empty.warc"), "wb"):
             pass
     return out_dir
+
+
+# Delta Lake source/sink (open delta.io transaction protocol; S7 parity)
+from .delta import (  # noqa: E402,F401
+    delta_active_files,
+    read_delta,
+    write_delta,
+)

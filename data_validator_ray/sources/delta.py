@@ -1,0 +1,510 @@
+"""Delta Lake table source/sink over the OPEN delta.io transaction
+protocol — closes the reference's S7 gap (`databricks_engine.py:135-202`
+loads `{"type": "delta", "path": ...}` dict sources via
+``spark.read.format("delta")``) without Spark, a ``deltalake`` package,
+or any catalog service.
+
+Everything here follows the published Delta transaction protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+* the table state is the replay of ``_delta_log/%020d.json`` commits
+  (one JSON action per line: ``protocol`` / ``metaData`` / ``add`` /
+  ``remove`` / ``commitInfo``), optionally seeded from the newest
+  single-part ``%020d.checkpoint.parquet`` at or below the requested
+  version (``_last_checkpoint`` consulted first, listing as fallback);
+* the ACTIVE file set is "last action per data-file path wins" —
+  ``add`` inserts/updates, ``remove`` tombstones;
+* ``add.path`` is URL-encoded and table-root-relative (absolute URIs
+  honored); ``partitionValues`` are strings, cast to the partition
+  column types declared by ``metaData.schemaString``.
+
+Scale shape: log replay is METADATA-ONLY driver work (the log is tiny
+relative to data — thousands of JSON lines / one checkpoint footer);
+only the active data files enter ``ray.data.read_parquet`` (pruned to
+the requested columns), so time travel and overwrite history cost
+nothing at read time. Partition columns are attached per batch from a
+broadcast path→values map (Delta stores them in the log, NOT in the
+data files) — one streaming pass, no shuffle.
+
+The writer emits protocol-conformant commits (``minReaderVersion=1`` /
+``minWriterVersion=2``): data files land via a DISTRIBUTED
+``Dataset.write_parquet`` into a staging dir and are renamed into the
+table with deterministic ``part-{version}-{seq}`` names (same-FS rename
+= metadata op), then one atomic JSON commit publishes them. ``append``
+keeps prior files; ``overwrite`` tombstones every previously-active
+file in the same commit. Readers of tables this module did not write
+are gated loudly: ``minReaderVersion > 1`` features (column mapping,
+deletion vectors, …) raise instead of silently misreading.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+from urllib.parse import quote, unquote
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data import Dataset
+
+__all__ = ["read_delta", "write_delta", "delta_active_files"]
+
+_LOG = "_delta_log"
+
+# Spark-JSON primitive type name -> pyarrow type, for casting the
+# string-typed add.partitionValues back to real columns.
+_SPARK_TO_ARROW: Dict[str, pa.DataType] = {
+    "string": pa.string(),
+    "long": pa.int64(),
+    "integer": pa.int32(),
+    "short": pa.int16(),
+    "byte": pa.int8(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "boolean": pa.bool_(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us"),
+    "binary": pa.binary(),
+}
+
+
+def _commit_path(table: Path, version: int) -> Path:
+    return table / _LOG / f"{version:020d}.json"
+
+
+def _list_versions(log_dir: Path) -> List[int]:
+    out = []
+    for f in log_dir.iterdir():
+        n = f.name
+        if n.endswith(".json") and n[:-5].isdigit():
+            out.append(int(n[:-5]))
+    return sorted(out)
+
+
+def _checkpoint_at(log_dir: Path, max_version: Optional[int]) -> Optional[int]:
+    """Newest single-part checkpoint version ≤ max_version (None = no
+    bound). Multi-part checkpoints are refused loudly."""
+    best: Optional[int] = None
+    hint = log_dir / "_last_checkpoint"
+    if hint.exists():
+        try:
+            meta = json.loads(hint.read_text())
+            v = int(meta["version"])
+            if meta.get("parts"):
+                raise NotImplementedError(
+                    "multi-part Delta checkpoints are not supported"
+                )
+            if max_version is None or v <= max_version:
+                if (log_dir / f"{v:020d}.checkpoint.parquet").exists():
+                    best = v
+        except (KeyError, ValueError, json.JSONDecodeError):
+            best = None
+    if best is None:
+        for f in log_dir.glob("*.checkpoint.parquet"):
+            stem = f.name.split(".")[0]
+            if stem.isdigit():
+                v = int(stem)
+                if (max_version is None or v <= max_version) and (
+                    best is None or v > best
+                ):
+                    best = v
+        if any(log_dir.glob("*.checkpoint.*.parquet")):
+            raise NotImplementedError(
+                "multi-part Delta checkpoints are not supported"
+            )
+    return best
+
+
+def _check_protocol(action: Dict[str, Any]) -> None:
+    reader = int(action.get("minReaderVersion", 1))
+    if reader <= 1:
+        return
+    feats = set(action.get("readerFeatures") or [])
+    unsupported = feats - {"timestampNtz"}
+    if reader > 1 and (reader != 3 or unsupported):
+        raise NotImplementedError(
+            f"Delta table requires minReaderVersion={reader} "
+            f"(readerFeatures={sorted(feats)}); this reader supports "
+            "version 1 tables (no column mapping / deletion vectors)"
+        )
+
+
+def _replay(
+    table: Path, version: Optional[int]
+) -> Tuple[Dict[str, Dict[str, Any]], Dict[str, Any]]:
+    """Replay the log up to ``version`` (inclusive; None = latest).
+    Returns (active add-actions by decoded relative path, metaData)."""
+    log_dir = table / _LOG
+    if not log_dir.is_dir():
+        raise FileNotFoundError(f"not a Delta table (no {_LOG}): {table}")
+    versions = _list_versions(log_dir)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+
+    active: Dict[str, Dict[str, Any]] = {}
+    meta: Dict[str, Any] = {}
+    start = 0
+    ckpt = _checkpoint_at(log_dir, version)
+    if ckpt is not None:
+        t = pq.read_table(
+            str(log_dir / f"{ckpt:020d}.checkpoint.parquet"),
+            columns=[
+                c
+                for c in ("add", "metaData", "protocol")
+                if c
+                in pq.ParquetFile(
+                    str(log_dir / f"{ckpt:020d}.checkpoint.parquet")
+                ).schema_arrow.names
+            ],
+        )
+        for row in t.to_pylist():
+            if row.get("protocol"):
+                _check_protocol(row["protocol"])
+            if row.get("metaData"):
+                meta = row["metaData"]
+            if row.get("add"):
+                a = row["add"]
+                active[unquote(a["path"])] = a
+        start = ckpt + 1
+        if not versions or versions[-1] < ckpt:
+            versions = []
+
+    for v in versions:
+        if v < start:
+            continue
+        for line in _commit_path(table, v).read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                _check_protocol(action["protocol"])
+            if "metaData" in action:
+                meta = action["metaData"]
+            if "add" in action:
+                a = action["add"]
+                active[unquote(a["path"])] = a
+            elif "remove" in action:
+                active.pop(unquote(action["remove"]["path"]), None)
+    if not meta and ckpt is None and not versions:
+        raise FileNotFoundError(
+            f"Delta table has no commits at version<={version}: {table}"
+        )
+    return active, meta
+
+
+def _partition_schema(meta: Dict[str, Any]) -> Dict[str, pa.DataType]:
+    cols = meta.get("partitionColumns") or []
+    if not cols:
+        return {}
+    fields = json.loads(meta["schemaString"])["fields"]
+    by_name = {f["name"]: f["type"] for f in fields}
+    out = {}
+    for c in cols:
+        t = by_name.get(c, "string")
+        if not isinstance(t, str) or t not in _SPARK_TO_ARROW:
+            raise NotImplementedError(
+                f"unsupported Delta partition column type for {c!r}: {t}"
+            )
+        out[c] = _SPARK_TO_ARROW[t]
+    return out
+
+
+def delta_active_files(
+    path: "str | Path", *, version: Optional[int] = None
+) -> List[str]:
+    """Absolute paths of the table's active data files at ``version``
+    (metadata-only — the audit/debug view of the log replay)."""
+    table = Path(path)
+    active, _ = _replay(table, version)
+    return sorted(str((table / p).resolve()) for p in active)
+
+
+def _cast_part_value(v: Optional[str], typ: pa.DataType):
+    if v is None or v == "":
+        return None
+    return pa.scalar(v, pa.string()).cast(typ).as_py()
+
+
+def read_delta(
+    path: "str | Path",
+    *,
+    version: Optional[int] = None,
+    columns: Optional[List[str]] = None,
+) -> Dataset:
+    """Read a Delta table as a streaming ``ray.data.Dataset``.
+
+    ``version`` time-travels to that commit (inclusive); ``columns``
+    prunes the Parquet read (partition columns come from the log, so
+    requesting only them still reads no data pages beyond one stub
+    column). Empty active set returns an empty Dataset (typed when the
+    schema is reconstructible from ``metaData.schemaString``)."""
+    table = Path(path)
+    active, meta = _replay(table, version)
+    part_types = _partition_schema(meta)
+
+    if not active:
+        fields = []
+        if meta.get("schemaString"):
+            for f in json.loads(meta["schemaString"])["fields"]:
+                t = f["type"]
+                if isinstance(t, str) and t in _SPARK_TO_ARROW:
+                    fields.append(pa.field(f["name"], _SPARK_TO_ARROW[t]))
+        empty = pa.table(
+            {f.name: pa.array([], f.type) for f in fields}
+        )
+        if columns:
+            empty = empty.select([c for c in columns if c in empty.column_names])
+        return ray.data.from_arrow(empty)
+
+    files = sorted(active)
+    abs_files = [str((table / p).resolve()) for p in files]
+
+    data_cols = None
+    want_parts = list(part_types)
+    if columns:
+        data_cols = [c for c in columns if c not in part_types] or None
+        want_parts = [c for c in part_types if c in columns]
+        if data_cols and meta.get("schemaString"):
+            # missing-column contract (validator parity): a rule naming
+            # an absent column must fail as a RULE, not as a read error
+            known = {
+                f["name"]
+                for f in json.loads(meta["schemaString"])["fields"]
+            }
+            data_cols = [c for c in data_cols if c in known] or None
+
+    if not part_types:
+        return ray.data.read_parquet(abs_files, columns=data_cols)
+
+    # file -> cast partition values, broadcast once; attached per batch.
+    # Keyed by basename (unique within a Delta table: writers use
+    # uuid/sequence names) so Ray's path normalization can't break the
+    # lookup; collisions are refused loudly.
+    pv_by_file: Dict[str, Dict[str, Any]] = {}
+    for rel in files:
+        base = rel.rsplit("/", 1)[-1]
+        if base in pv_by_file:
+            raise ValueError(
+                f"duplicate data-file basename in Delta table: {base}"
+            )
+        pv_by_file[base] = {
+            c: _cast_part_value(
+                (active[rel].get("partitionValues") or {}).get(c), t
+            )
+            for c, t in part_types.items()
+        }
+    def attach(batch: pa.Table) -> pa.Table:
+        pv_map, want, keep_data = ray.get(pv_ref)
+        # a batch spans few files: dictionary-encode the path column
+        # and gather per distinct file, never per row
+        enc = batch["path"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        bases = [p.rsplit("/", 1)[-1] for p in enc.dictionary.to_pylist()]
+        if keep_data is not None:  # projection (see Ray bug note below)
+            batch = batch.select(
+                [c for c in keep_data if c in batch.column_names]
+            )
+        else:
+            batch = batch.drop_columns(["path"])
+        out = batch
+        for c, t in want.items():
+            per_file = pa.array([pv_map[b][c] for b in bases], t)
+            out = out.append_column(c, per_file.take(pa.array(idx)))
+        return out
+
+    pv_ref = ray.put((pv_by_file, {c: part_types[c] for c in want_parts},
+                      (data_cols or []) if columns else None))
+
+    # partitioning=None: the LOG is the source of truth for partition
+    # values (Delta does not guarantee hive dir layout, and Ray's hive
+    # inference would duplicate the attached columns). Known Ray bug
+    # (2.49): columns= together with partitioning=None raises
+    # UnboundLocalError in the parquet datasource's column split, so a
+    # partitioned pruned read projects inside `attach` instead of at
+    # the read — unpartitioned tables (the common huge-fact shape)
+    # still prune at the read via the branch above.
+    ds = ray.data.read_parquet(
+        abs_files,
+        include_paths=True,
+        partitioning=None,
+    )
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _schema_string(schema: pa.Schema) -> str:
+    """pyarrow schema -> Spark-JSON schemaString (primitives only)."""
+    rev = {
+        pa.string(): "string",
+        pa.large_string(): "string",
+        pa.int64(): "long",
+        pa.int32(): "integer",
+        pa.int16(): "short",
+        pa.int8(): "byte",
+        pa.float64(): "double",
+        pa.float32(): "float",
+        pa.bool_(): "boolean",
+        pa.date32(): "date",
+        pa.binary(): "binary",
+        pa.large_binary(): "binary",
+    }
+    fields = []
+    for f in schema:
+        if pa.types.is_timestamp(f.type):
+            t = "timestamp"
+        elif f.type in rev:
+            t = rev[f.type]
+        else:
+            raise NotImplementedError(
+                f"write_delta: unsupported column type {f.type} ({f.name})"
+            )
+        fields.append(
+            {"name": f.name, "type": t, "nullable": True, "metadata": {}}
+        )
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def write_delta(
+    source: Any,
+    path: "str | Path",
+    *,
+    mode: str = "append",
+    partition_cols: Optional[List[str]] = None,
+) -> int:
+    """Write a Dataset (or anything ``ray.data.from_pandas``-able) to a
+    Delta table at ``path``; returns the committed version.
+
+    ``mode="append"`` adds files; ``mode="overwrite"`` additionally
+    tombstones every previously-active file in the SAME commit (the
+    protocol's atomic replace). Partitioned writes go through
+    ``Dataset.write_parquet(partition_cols=...)`` (hive staging dirs →
+    partitionValues in the add actions; partition columns are dropped
+    from the data files per the protocol)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"write_delta: unknown mode {mode!r}")
+    table = Path(path)
+    log_dir = table / _LOG
+    table.mkdir(parents=True, exist_ok=True)
+    log_dir.mkdir(exist_ok=True)
+
+    if isinstance(source, Dataset):
+        ds = source
+    else:
+        import pandas as pd
+
+        ds = (
+            ray.data.from_arrow(source)
+            if isinstance(source, pa.Table)
+            else ray.data.from_pandas(pd.DataFrame(source))
+        )
+
+    # next version counts JSON commits AND checkpoints (after log
+    # cleanup a checkpoint may be the newest version on disk; reusing
+    # its number would collide data-file names and corrupt the table)
+    versions = _list_versions(log_dir)
+    ckpt_v = _checkpoint_at(log_dir, None)
+    newest = max(
+        [*versions, *([ckpt_v] if ckpt_v is not None else [])],
+        default=None,
+    )
+    version = (newest + 1) if newest is not None else 0
+    prior_active: Dict[str, Dict[str, Any]] = {}
+    if newest is not None and mode == "overwrite":
+        prior_active, _ = _replay(table, None)
+
+    # pandas-block datasets report extension dtypes (e.g. nullable
+    # Int64) as None in Schema.types; a no-op Arrow pass normalizes the
+    # blocks so the schema is a real Arrow schema (fuses, ~free)
+    ds = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    schema = ds.schema()
+    arrow_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    )
+    part_cols = list(partition_cols or [])
+
+    staging = table / f"_staging-{version:020d}"
+    if staging.exists():  # kill-mid-write leftovers
+        shutil.rmtree(staging)
+    ds.write_parquet(str(staging), partition_cols=part_cols or None)
+
+    adds: List[Dict[str, Any]] = []
+    seq = 0
+    for f in sorted(staging.rglob("*.parquet")):
+        rel_dir = f.parent.relative_to(staging)
+        pvals: Dict[str, Optional[str]] = {}
+        for piece in rel_dir.parts:
+            k, _, v = piece.partition("=")
+            pvals[k] = unquote(v) if v != "__HIVE_DEFAULT_PARTITION__" else None
+        dest_rel = (
+            "/".join([*rel_dir.parts, f"part-{version:05d}-{seq:05d}.parquet"])
+            if rel_dir.parts
+            else f"part-{version:05d}-{seq:05d}.parquet"
+        )
+        dest = table / dest_rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        size = f.stat().st_size
+        os.replace(f, dest)
+        adds.append(
+            {
+                "add": {
+                    "path": quote(dest_rel, safe="/="),
+                    "partitionValues": {c: pvals.get(c) for c in part_cols},
+                    "size": size,
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+        seq += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    actions: List[Dict[str, Any]] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": "dvray-"
+                    + hashlib.md5(str(table).encode()).hexdigest()[:16],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_string(arrow_schema),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                }
+            }
+        )
+    if mode == "overwrite" and prior_active:
+        now = int(time.time() * 1000)
+        for rel in sorted(prior_active):
+            actions.append(
+                {
+                    "remove": {
+                        "path": quote(rel),
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode},
+            }
+        }
+    )
+    tmp = log_dir / f".{version:020d}.json.tmp"
+    tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    os.replace(tmp, _commit_path(table, version))  # atomic publish
+    return version

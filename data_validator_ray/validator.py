@@ -93,8 +93,28 @@ def _load_dataset(source: Any, columns: Optional[List[str]] = None) -> Dataset:
             return ray.data.from_pandas(source)
     except ImportError:  # pragma: no cover
         pass
+    if isinstance(source, dict):
+        # dict-config sources — the reference's Databricks source seam
+        # (`databricks_engine.py:180-202`); Delta is real here (open
+        # transaction protocol, `sources/delta.py`), catalog/volume
+        # sources need a catalog service and stay unsupported.
+        stype = source.get("type", "table")
+        if stype == "delta":
+            p = source.get("path")
+            if not p:
+                raise ValueError("Delta source requires path")
+            from .sources.delta import read_delta
+
+            return read_delta(
+                p, version=source.get("version"), columns=columns
+            )
+        raise ValueError(f"Unsupported Databricks source type: {stype}")
     if isinstance(source, (str, Path)):
         s = str(source)
+        if (Path(s) / "_delta_log").is_dir():
+            from .sources.delta import read_delta
+
+            return read_delta(s, columns=columns)
         if s.endswith(".parquet") or Path(s).is_dir():
             if columns:
                 # prune at the read, but only to columns that exist —
