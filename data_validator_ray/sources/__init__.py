@@ -487,6 +487,7 @@ def write_warc_like(
 # Delta Lake source/sink (open delta.io transaction protocol; S7 parity)
 from .delta import (  # noqa: E402,F401
     delta_active_files,
+    delta_pruned_files,
     read_delta,
     write_delta,
 )

@@ -233,22 +233,124 @@ def _cast_part_value(v: Optional[str], typ: pa.DataType):
     return pa.scalar(v, pa.string()).cast(typ).as_py()
 
 
+def _file_stats(f: Path) -> Optional[str]:
+    """Delta ``add.stats`` JSON for one data file, from the Parquet
+    FOOTER only (numRecords + per-column min/max/nullCount for numeric
+    and string columns — the data-skipping payload). None when the
+    footer carries no statistics."""
+    md = pq.ParquetFile(str(f)).metadata
+    mins: Dict[str, Any] = {}
+    maxs: Dict[str, Any] = {}
+    nulls: Dict[str, int] = {}
+    schema = md.schema.to_arrow_schema()
+    for ci in range(md.num_columns):
+        col = md.schema.column(ci)
+        name = col.name
+        field = schema.field(name) if name in schema.names else None
+        if field is None or not (
+            pa.types.is_integer(field.type)
+            or pa.types.is_floating(field.type)
+            or pa.types.is_string(field.type)
+            or pa.types.is_large_string(field.type)
+        ):
+            continue
+        mn = mx = None
+        nn = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+            nn += st.null_count or 0
+        if ok and mn is not None:
+            mins[name] = mn
+            maxs[name] = mx
+            nulls[name] = nn
+    if not mins:
+        return None
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def delta_pruned_files(
+    path: "str | Path",
+    col: str,
+    lo: Any,
+    hi: Any,
+    *,
+    version: Optional[int] = None,
+) -> Tuple[List[str], List[str]]:
+    """Data skipping (the Delta protocol's ``add.stats`` payload):
+    split the active files into (kept, skipped) for a ``lo <= col <=
+    hi`` range predicate. A file is skipped ONLY when its stats prove
+    no row can match (``min > hi`` or ``max < lo``); missing/partial
+    stats keep the file (conservative). Partition columns prune from
+    ``partitionValues`` instead. Metadata-only — no data pages read."""
+    table = Path(path)
+    active, meta = _replay(table, version)
+    part_types = _partition_schema(meta)
+    kept: List[str] = []
+    skipped: List[str] = []
+    for rel in sorted(active):
+        a = active[rel]
+        ap = str((table / rel).resolve())
+        if col in part_types:
+            v = _cast_part_value(
+                (a.get("partitionValues") or {}).get(col), part_types[col]
+            )
+            (kept if v is None or lo <= v <= hi else skipped).append(ap)
+            continue
+        st = a.get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except json.JSONDecodeError:
+                st = None
+        mn = (st or {}).get("minValues", {}).get(col)
+        mx = (st or {}).get("maxValues", {}).get(col)
+        if mn is not None and mx is not None and (mn > hi or mx < lo):
+            skipped.append(ap)
+        else:
+            kept.append(ap)
+    return kept, skipped
+
+
 def read_delta(
     path: "str | Path",
     *,
     version: Optional[int] = None,
     columns: Optional[List[str]] = None,
+    stats_filter: Optional[Tuple[str, Any, Any]] = None,
 ) -> Dataset:
     """Read a Delta table as a streaming ``ray.data.Dataset``.
 
     ``version`` time-travels to that commit (inclusive); ``columns``
     prunes the Parquet read (partition columns come from the log, so
     requesting only them still reads no data pages beyond one stub
-    column). Empty active set returns an empty Dataset (typed when the
-    schema is reconstructible from ``metaData.schemaString``)."""
+    column). ``stats_filter=(col, lo, hi)`` applies data skipping:
+    files whose ``add.stats`` / partitionValues prove no row in
+    ``[lo, hi]`` are never opened (see :func:`delta_pruned_files`);
+    the caller still applies the row-level predicate — skipping only
+    removes provably-irrelevant files. Empty active set returns an
+    empty Dataset (typed when the schema is reconstructible from
+    ``metaData.schemaString``)."""
     table = Path(path)
     active, meta = _replay(table, version)
     part_types = _partition_schema(meta)
+    if stats_filter is not None and active:
+        col, lo, hi = stats_filter
+        kept, _ = delta_pruned_files(table, col, lo, hi, version=version)
+        kept_rel = {os.path.relpath(k, str(table.resolve())) for k in kept}
+        active = {r: a for r, a in active.items() if r in kept_rel}
 
     if not active:
         fields = []
@@ -450,18 +552,18 @@ def write_delta(
         dest = table / dest_rel
         dest.parent.mkdir(parents=True, exist_ok=True)
         size = f.stat().st_size
+        stats = _file_stats(f)  # footer-only, pre-rename
         os.replace(f, dest)
-        adds.append(
-            {
-                "add": {
-                    "path": quote(dest_rel, safe="/="),
-                    "partitionValues": {c: pvals.get(c) for c in part_cols},
-                    "size": size,
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
+        add: Dict[str, Any] = {
+            "path": quote(dest_rel, safe="/="),
+            "partitionValues": {c: pvals.get(c) for c in part_cols},
+            "size": size,
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
         seq += 1
     shutil.rmtree(staging, ignore_errors=True)
 

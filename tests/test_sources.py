@@ -469,3 +469,53 @@ def test_delta_dict_source_and_protocol_gate(ray_session, tmp_path):
 
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
         read_delta(t)
+
+
+def test_delta_data_skipping_stats(ray_session, tmp_path):
+    """The writer emits footer-derived add.stats; delta_pruned_files
+    proves exactly the out-of-range files skippable; read_delta's
+    stats_filter never opens them but keeps every matching row.
+    Partition-column predicates prune from partitionValues."""
+    from data_validator_ray.sources import (
+        delta_pruned_files,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dts")
+    # three commits with disjoint id ranges -> per-file tight stats
+    for lo in (0, 100, 200):
+        write_delta(_delta_df(lo, lo + 50), t, mode="append")
+
+    kept, skipped = delta_pruned_files(t, "id", 100, 149)
+    assert len(skipped) >= 2 and len(kept) >= 1
+    got = (
+        read_delta(t, stats_filter=("id", 100, 149))
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert set(range(100, 150)) <= set(got["id"])
+    assert not set(range(0, 50)) & set(got["id"])
+
+    # stats JSON present in the log
+    import json as _json
+    from pathlib import Path as _P
+
+    line = next(
+        _json.loads(ln)
+        for ln in (_P(t) / "_delta_log" / f"{0:020d}.json")
+        .read_text()
+        .splitlines()
+        if "add" in ln and '"stats"' in ln
+    )
+    st = _json.loads(line["add"]["stats"])
+    assert st["numRecords"] == 50
+    assert st["minValues"]["id"] == 0 and st["maxValues"]["id"] == 49
+
+    # partition-column pruning path
+    tp = str(tmp_path / "dtsp")
+    write_delta(_delta_df(0, 30), tp, partition_cols=["grp"])
+    kept_p, skipped_p = delta_pruned_files(tp, "grp", 2, 2)
+    assert len(skipped_p) == 2 and len(kept_p) == 1
+    gotp = read_delta(tp, stats_filter=("grp", 2, 2)).to_pandas()
+    assert set(gotp["grp"]) == {2}
