@@ -274,9 +274,23 @@ def run_pipeline_spec(
             entry = declared[name]
             if isinstance(entry, str):
                 entry = {"path": entry}
-            ds_ = ray.data.read_parquet(
-                entry["path"], columns=entry.get("columns")
-            )
+            from pathlib import Path as _P
+
+            if (
+                entry.get("format") == "delta"
+                or (_P(entry["path"]) / "_delta_log").is_dir()
+            ):
+                from ..sources.delta import read_delta
+
+                ds_ = read_delta(
+                    entry["path"],
+                    columns=entry.get("columns"),
+                    version=entry.get("version"),
+                )
+            else:
+                ds_ = ray.data.read_parquet(
+                    entry["path"], columns=entry.get("columns")
+                )
         else:
             known = sorted(set(declared) | set(injected))
             raise ValueError(

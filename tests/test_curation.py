@@ -1252,3 +1252,60 @@ def test_gopher_gate_matches_gopher_filter(ray_session):
     ).to_pandas()
     assert sorted(gated["doc_id"]) == ids
     assert list(gated.columns) == ["doc_id", "text", "lang"]
+
+
+def test_pipeline_spec_delta_source(ray_session, tmp_path):
+    """Spec-declared sources resolve Delta tables (explicit
+    format: delta or auto-detected _delta_log dir), including
+    version= time travel and column pruning."""
+    import pandas as pd
+
+    from data_validator_ray.pipelines.spec import run_pipeline_spec
+    from data_validator_ray.sources import write_delta
+
+    t = str(tmp_path / "dt")
+    write_delta(
+        pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}), t
+    )
+    write_delta(
+        pd.DataFrame({"k": [4], "v": [40.0]}), t, mode="append"
+    )
+    base = pd.DataFrame({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]})
+    spec = {
+        "sources": {"dim": {"path": t, "format": "delta"}},
+        "steps": [
+            {
+                "op": "hash_join",
+                "params": {
+                    "right": {"$source": "dim"},
+                    "left_key": "k",
+                    "right_key": "k",
+                    "left_cols": ["x"],
+                    "right_cols": ["v"],
+                },
+            },
+        ],
+    }
+    out = (
+        run_pipeline_spec(spec, base)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["v"].tolist() == [10.0, 20.0, 30.0, 40.0]
+
+    # auto-detect (no format key) + time travel to version 0
+    spec_v0 = {
+        "sources": {"dim": {"path": t, "version": 0}},
+        "steps": [
+            {
+                "op": "hash_join",
+                "params": {"right": {"$source": "dim"},
+                           "left_key": "k", "right_key": "k",
+                           "left_cols": ["x"], "right_cols": ["v"]},
+            },
+        ],
+    }
+    out0 = run_pipeline_spec(spec_v0, base).to_pandas()
+    assert sorted(out0["k"].tolist()) == [1, 2, 3]
