@@ -217,6 +217,23 @@ def _partition_schema(meta: Dict[str, Any]) -> Dict[str, pa.DataType]:
     return out
 
 
+def _abs_path(table: Path, rel: str) -> str:
+    """Resolve an add/remove path: table-root-relative by default, but
+    the protocol also allows absolute paths/URIs (external or cloned
+    files) — ``file:`` URIs unwrap, other schemes are unsupported."""
+    if rel.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return str(Path(urlparse(rel).path).resolve())
+    if rel.startswith("/"):
+        return str(Path(rel).resolve())
+    if "://" in rel.split("/", 1)[0] + "/":
+        raise NotImplementedError(
+            f"non-local absolute Delta file URI: {rel}"
+        )
+    return str((table / rel).resolve())
+
+
 def delta_active_files(
     path: "str | Path", *, version: Optional[int] = None
 ) -> List[str]:
@@ -224,7 +241,7 @@ def delta_active_files(
     (metadata-only — the audit/debug view of the log replay)."""
     table = Path(path)
     active, _ = _replay(table, version)
-    return sorted(str((table / p).resolve()) for p in active)
+    return sorted(_abs_path(table, p) for p in active)
 
 
 def _cast_part_value(v: Optional[str], typ: pa.DataType):
@@ -302,7 +319,7 @@ def delta_pruned_files(
     skipped: List[str] = []
     for rel in sorted(active):
         a = active[rel]
-        ap = str((table / rel).resolve())
+        ap = _abs_path(table, rel)
         if col in part_types:
             v = _cast_part_value(
                 (a.get("partitionValues") or {}).get(col), part_types[col]
@@ -367,7 +384,7 @@ def read_delta(
         return ray.data.from_arrow(empty)
 
     files = sorted(active)
-    abs_files = [str((table / p).resolve()) for p in files]
+    abs_files = [_abs_path(table, p) for p in files]
 
     data_cols = None
     want_parts = list(part_types)
@@ -606,7 +623,21 @@ def write_delta(
             }
         }
     )
-    tmp = log_dir / f".{version:020d}.json.tmp"
+    # optimistic concurrency (the Delta commit rule): the version file
+    # is created EXCLUSIVELY — a concurrent writer that claimed this
+    # version first wins, and this commit fails loudly instead of
+    # silently overwriting its log entry (os.link is atomic-if-absent
+    # on POSIX; plain rename would clobber)
+    tmp = log_dir / f".{version:020d}-{os.getpid()}.json.tmp"
     tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
-    os.replace(tmp, _commit_path(table, version))  # atomic publish
+    try:
+        os.link(tmp, _commit_path(table, version))
+    except FileExistsError:
+        tmp.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"write_delta: concurrent commit at version {version} "
+            f"(another writer published {_commit_path(table, version)}); "
+            "retry the write"
+        ) from None
+    tmp.unlink(missing_ok=True)
     return version

@@ -519,3 +519,93 @@ def test_delta_data_skipping_stats(ray_session, tmp_path):
     assert len(skipped_p) == 2 and len(kept_p) == 1
     gotp = read_delta(tp, stats_filter=("grp", 2, 2)).to_pandas()
     assert set(gotp["grp"]) == {2}
+
+
+def test_delta_foreign_log_tolerance_and_commit_race(ray_session, tmp_path):
+    """Reads a hand-built 'foreign' (Spark-shaped) log: commitInfo
+    first, txn/cdc actions ignored, absolute file URIs honored,
+    URL-encoded relative paths decoded, stats as JSON string. Also:
+    publishing a version that already exists fails loudly instead of
+    clobbering (optimistic concurrency)."""
+    import json as _json
+
+    import pyarrow.parquet as ppq
+
+    from data_validator_ray.sources import read_delta, write_delta
+
+    t = tmp_path / "foreign"
+    (t / "_delta_log").mkdir(parents=True)
+    (t / "sub dir").mkdir()
+    ppq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}),
+        str(t / "sub dir" / "f1.parquet"),
+    )
+    ppq.write_table(
+        pa.table({"id": pa.array([3], pa.int64())}),
+        str(t / "f2.parquet"),
+    )
+    schema_str = _json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}}]}
+    )
+    actions = [
+        {"commitInfo": {"operation": "WRITE", "timestamp": 1}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "abc", "format": {"provider": "parquet"},
+                      "schemaString": schema_str,
+                      "partitionColumns": [], "configuration": {}}},
+        {"txn": {"appId": "x", "version": 9}},  # ignored
+        {"add": {"path": "sub%20dir/f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True,
+                 "stats": _json.dumps({"numRecords": 2,
+                                       "minValues": {"id": 1},
+                                       "maxValues": {"id": 2},
+                                       "nullCount": {"id": 0}})}},
+        {"add": {"path": (t / "f2.parquet").resolve().as_uri(),
+                 "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+    ]
+    (t / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in actions) + "\n"
+    )
+    got = read_delta(str(t)).to_pandas().sort_values("id")
+    assert got["id"].tolist() == [1, 2, 3]
+
+    # commit race: steal version 1 first, then try to append
+    (t / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n"
+    )
+    # write_delta computes next=2; force the race by pre-creating v2
+    (t / "_delta_log" / f"{2:020d}.json").write_text(
+        _json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n"
+    )
+    import shutil as _sh
+
+    class _Racer:
+        pass
+
+    # monkeypatch-free race: _list_versions sees v2, so next is v3 —
+    # instead pre-create v3 AFTER version computation is impossible
+    # here; assert the loud failure path directly via the helper
+    from data_validator_ray.sources.delta import _commit_path
+
+    nxt = 3
+    (t / "_delta_log" / f"{nxt:020d}.json").write_text("{}\n")
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        # write_delta will compute version 4... so instead simulate by
+        # removing it after compute is racy; call the exclusive-link
+        # publish path through write_delta with a frozen log listing:
+        # simplest deterministic repro — make EVERY next version taken
+        import unittest.mock as _mock
+
+        import data_validator_ray.sources.delta as _d
+
+        real = _d._list_versions
+
+        def stale(log_dir):  # a racer won between listing and publish
+            vs = real(log_dir)
+            return [v for v in vs if v < nxt]
+
+        with _mock.patch.object(_d, "_list_versions", stale):
+            write_delta(_delta_df(0, 2), str(t), mode="append")
