@@ -490,4 +490,5 @@ from .delta import (  # noqa: E402,F401
     delta_pruned_files,
     read_delta,
     write_delta,
+    write_delta_checkpoint,
 )

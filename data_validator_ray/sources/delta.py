@@ -55,7 +55,13 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data import Dataset
 
-__all__ = ["read_delta", "write_delta", "delta_active_files"]
+__all__ = [
+    "read_delta",
+    "write_delta",
+    "write_delta_checkpoint",
+    "delta_active_files",
+    "delta_pruned_files",
+]
 
 _LOG = "_delta_log"
 
@@ -641,3 +647,64 @@ def write_delta(
         ) from None
     tmp.unlink(missing_ok=True)
     return version
+
+
+def write_delta_checkpoint(path: "str | Path") -> int:
+    """Write a single-part checkpoint of the table's CURRENT state at
+    its newest version and point ``_last_checkpoint`` at it, so readers
+    seed from one Parquet footer instead of replaying every JSON commit
+    — the log-compaction step a long-lived incremental table (crawl
+    loops appending per-batch commits) needs. Returns the checkpointed
+    version.
+
+    The checkpoint rows carry one action per row (``protocol`` /
+    ``metaData`` / ``add``), per the protocol's checkpoint schema;
+    empty structs are stripped (Parquet cannot write no-child structs).
+    Older JSON commits MAY then be deleted by a retention job — readers
+    fall back to the checkpoint (tested), and the writer's version
+    counter counts checkpoints too, so cleanup never recycles a
+    version."""
+    table = Path(path)
+    log_dir = table / _LOG
+    versions = _list_versions(log_dir)
+    ckpt_v = _checkpoint_at(log_dir, None)
+    newest = max(
+        [*versions, *([ckpt_v] if ckpt_v is not None else [])],
+        default=None,
+    )
+    if newest is None:
+        raise FileNotFoundError(f"no commits to checkpoint: {table}")
+    active, meta = _replay(table, newest)
+
+    def strip_empty(d: Dict[str, Any]) -> Dict[str, Any]:
+        return {
+            k: (strip_empty(v) if isinstance(v, dict) else v)
+            for k, v in d.items()
+            if v != {}
+        }
+
+    rows: List[Dict[str, Any]] = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {"protocol": None, "metaData": strip_empty(meta), "add": None},
+    ]
+    for rel in sorted(active):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": strip_empty(active[rel]),
+            }
+        )
+    tbl = pa.Table.from_pylist(rows)
+    tmp = log_dir / f".{newest:020d}.checkpoint.parquet.tmp"
+    pq.write_table(tbl, str(tmp))
+    os.replace(tmp, log_dir / f"{newest:020d}.checkpoint.parquet")
+    hint = log_dir / "_last_checkpoint"
+    tmp_hint = log_dir / "._last_checkpoint.tmp"
+    tmp_hint.write_text(json.dumps({"version": newest, "size": len(rows)}))
+    os.replace(tmp_hint, hint)
+    return newest

@@ -609,3 +609,38 @@ def test_delta_foreign_log_tolerance_and_commit_race(ray_session, tmp_path):
 
         with _mock.patch.object(_d, "_list_versions", stale):
             write_delta(_delta_df(0, 2), str(t), mode="append")
+
+
+def test_delta_checkpoint_writer_compaction(ray_session, tmp_path):
+    """write_delta_checkpoint snapshots the current state into a
+    single-part checkpoint + _last_checkpoint; readers seed from it
+    after the JSON commits are retention-deleted, later appends still
+    replay, and the version counter never recycles."""
+    from data_validator_ray.sources import (
+        read_delta,
+        write_delta,
+        write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "dtw")
+    for lo in (0, 10, 20):
+        write_delta(_delta_df(lo, lo + 10), t, mode="append")
+    assert write_delta_checkpoint(t) == 2
+
+    # retention: delete ALL JSON commits <= checkpoint
+    from pathlib import Path as _P
+
+    for v in range(3):
+        (_P(t) / "_delta_log" / f"{v:020d}.json").unlink()
+    got = read_delta(t).to_pandas().sort_values("id")
+    assert got["id"].tolist() == list(range(30))
+
+    # append after compaction: version 3, all rows visible
+    assert write_delta(_delta_df(30, 35), t, mode="append") == 3
+    got2 = read_delta(t).to_pandas().sort_values("id")
+    assert got2["id"].tolist() == list(range(35))
+
+    # checkpoint again at 3, time-travel to checkpointed state works
+    assert write_delta_checkpoint(t) == 3
+    v3 = read_delta(t, version=3).to_pandas()
+    assert len(v3) == 35
