@@ -178,6 +178,31 @@ def bench_exact_dedup(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_delta_roundtrip(input_dir: str) -> float:
+    """Delta source/sink at 8M rows: distributed staged write + atomic
+    commit of (url, lang), then a stats-pruned log-replay read back.
+    Evidences that the transaction layer adds only metadata cost over
+    plain Parquet (the log replay is driver-side JSON; the data path is
+    the same read_parquet)."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from data_validator_ray.sources import read_delta, write_delta
+
+    out = tempfile.mkdtemp(prefix="graft_delta_bench_")
+    shutil.rmtree(out)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(input_dir, columns=["url", "lang"])
+    write_delta(ds, out)
+    n = read_delta(out, columns=["url"]).count()
+    assert n > 0
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
 def bench_url_filter(input_dir: str) -> float:
     """Crawl-hygiene blocklist gate at 8M rows against a 100k-domain
     list: the list ships ONCE via ray.put and each batch probes it
@@ -840,6 +865,9 @@ def run_bench() -> dict:
         queries["events_referential"] = best_of(bench_events_referential)
         queries["exact_dedup_webpages"] = best_of(bench_exact_dedup, str(input_dir))
         queries["url_filter_webpages"] = best_of(bench_url_filter, str(input_dir))
+        queries["delta_roundtrip_webpages"] = best_of(
+            bench_delta_roundtrip, str(input_dir)
+        )
         queries["paragraph_dedup_webpages"] = best_of(
             bench_paragraph_dedup, str(input_dir)
         )
