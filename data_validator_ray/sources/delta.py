@@ -521,13 +521,20 @@ def write_delta(
 
     if isinstance(source, Dataset):
         ds = source
+    elif isinstance(source, pa.Table):
+        ds = ray.data.from_arrow(source)
     else:
         import pandas as pd
 
-        ds = (
-            ray.data.from_arrow(source)
-            if isinstance(source, pa.Table)
-            else ray.data.from_pandas(pd.DataFrame(source))
+        # convert via pyarrow, NOT ray.data.from_pandas: Ray's pandas
+        # conversion degrades all-NA extension columns (e.g. string
+        # dtype with only <NA>) to Arrow null type, which has no Delta
+        # schemaString representation; pa.Table.from_pandas keeps the
+        # declared dtype
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(
+                pd.DataFrame(source), preserve_index=False
+            )
         )
 
     # next version counts JSON commits AND checkpoints (after log
