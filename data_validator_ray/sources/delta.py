@@ -548,8 +548,11 @@ def write_delta(
     )
     version = (newest + 1) if newest is not None else 0
     prior_active: Dict[str, Dict[str, Any]] = {}
-    if newest is not None and mode == "overwrite":
-        prior_active, _ = _replay(table, None)
+    prior_meta: Dict[str, Any] = {}
+    if newest is not None:
+        prior_active, prior_meta = _replay(table, None)
+        if mode != "overwrite":
+            prior_active = {}
 
     # pandas-block datasets report extension dtypes (e.g. nullable
     # Int64) as None in Schema.types; a no-op Arrow pass normalizes the
@@ -560,6 +563,39 @@ def write_delta(
         [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
     )
     part_cols = list(partition_cols or [])
+
+    # schema enforcement (Delta semantics): an APPEND whose schema or
+    # partitioning differs from the table's current metaData is refused
+    # loudly — silently mixing schemas corrupts every downstream read.
+    # An OVERWRITE may change both; the new metaData rides the commit.
+    new_schema_string = _schema_string(arrow_schema)
+    schema_changed = False
+    if prior_meta:
+        cur_fields = json.loads(prior_meta.get("schemaString", "{}")).get(
+            "fields", []
+        )
+        new_fields = json.loads(new_schema_string)["fields"]
+        cur_parts = prior_meta.get("partitionColumns") or []
+        same = (
+            {(f["name"], f["type"]) for f in cur_fields}
+            == {(f["name"], f["type"]) for f in new_fields}
+            and cur_parts == part_cols
+        )
+        if not same:
+            if mode != "overwrite":
+                cur_desc = sorted(
+                    (f["name"], f["type"]) for f in cur_fields
+                )
+                new_desc = sorted(
+                    (f["name"], f["type"]) for f in new_fields
+                )
+                raise ValueError(
+                    "write_delta: append schema mismatch — table has "
+                    f"{cur_desc} partitioned by {cur_parts}, write has "
+                    f"{new_desc} partitioned by {part_cols}; use "
+                    "mode='overwrite' to replace the schema"
+                )
+            schema_changed = True
 
     staging = table / f"_staging-{version:020d}"
     if staging.exists():  # kill-mid-write leftovers
@@ -602,13 +638,15 @@ def write_delta(
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
+    if version == 0 or schema_changed:
         actions.append(
             {
                 "metaData": {
-                    "id": "dvray-"
+                    "id": prior_meta.get("id")
+                    or "dvray-"
                     + hashlib.md5(str(table).encode()).hexdigest()[:16],
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _schema_string(arrow_schema),
+                    "schemaString": new_schema_string,
                     "partitionColumns": part_cols,
                     "configuration": {},
                 }

@@ -608,7 +608,11 @@ def test_delta_foreign_log_tolerance_and_commit_race(ray_session, tmp_path):
             return [v for v in vs if v < nxt]
 
         with _mock.patch.object(_d, "_list_versions", stale):
-            write_delta(_delta_df(0, 2), str(t), mode="append")
+            write_delta(
+                pd.DataFrame({"id": pd.Series([7, 8], dtype="int64")}),
+                str(t),
+                mode="append",
+            )
 
 
 def test_delta_checkpoint_writer_compaction(ray_session, tmp_path):
@@ -644,3 +648,37 @@ def test_delta_checkpoint_writer_compaction(ray_session, tmp_path):
     assert write_delta_checkpoint(t) == 3
     v3 = read_delta(t, version=3).to_pandas()
     assert len(v3) == 35
+
+
+def test_delta_schema_enforcement(ray_session, tmp_path):
+    """Appends with a different schema or partitioning are refused
+    loudly (Delta enforcement); an overwrite may change both and the
+    new metaData rides the commit, so readers see the new schema."""
+    import pandas as pd
+
+    from data_validator_ray.sources import read_delta, write_delta
+
+    t = str(tmp_path / "dse")
+    write_delta(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}), t)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            pd.DataFrame({"a": [3], "c": [1.5]}), t, mode="append"
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            pd.DataFrame({"a": [3], "b": ["z"]}), t,
+            mode="append", partition_cols=["b"],
+        )
+    # same schema appends fine
+    write_delta(pd.DataFrame({"a": [3], "b": ["z"]}), t, mode="append")
+    # overwrite replaces schema + partitioning; metaData updates
+    write_delta(
+        pd.DataFrame({"a": [9], "c": [2.5], "g": [1]}), t,
+        mode="overwrite", partition_cols=["g"],
+    )
+    got = read_delta(t).to_pandas()
+    assert sorted(got.columns) == ["a", "c", "g"]
+    assert got["g"].tolist() == [1]  # partition col re-attached
+    # and the enforcement now tracks the NEW schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(pd.DataFrame({"a": [1], "b": ["x"]}), t, mode="append")
