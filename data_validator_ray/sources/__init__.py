@@ -486,6 +486,7 @@ def write_warc_like(
 
 # Delta Lake source/sink (open delta.io transaction protocol; S7 parity)
 from .delta import (  # noqa: E402,F401
+    delete_delta,
     delta_active_files,
     delta_pruned_files,
     read_delta,

@@ -59,6 +59,7 @@ __all__ = [
     "read_delta",
     "write_delta",
     "write_delta_checkpoint",
+    "delete_delta",
     "delta_active_files",
     "delta_pruned_files",
 ]
@@ -753,3 +754,169 @@ def write_delta_checkpoint(path: "str | Path") -> int:
     tmp_hint.write_text(json.dumps({"version": newest, "size": len(rows)}))
     os.replace(tmp_hint, hint)
     return newest
+
+
+def delete_delta(
+    path: "str | Path",
+    col: str,
+    lo: Any,
+    hi: Any,
+) -> Dict[str, int]:
+    """DELETE rows with ``lo <= col <= hi`` (NULLs never match — SQL
+    range semantics) as ONE atomic commit, touching the minimum set of
+    files the stats allow:
+
+    * files whose stats prove NO row matches are left untouched;
+    * files whose stats (min ≥ lo, max ≤ hi, nullCount == 0) prove
+      EVERY row matches are tombstoned without being read;
+    * only genuinely-overlapping files are read, filtered, and
+      rewritten (distributed, same staged-write path as
+      :func:`write_delta`); a rewrite that filters to zero rows just
+      tombstones.
+
+    Returns ``{"version", "removed_files", "rewritten_files",
+    "untouched_files"}``. A predicate matching nothing commits nothing
+    and returns ``version=-1``."""
+    table = Path(path)
+    active, meta = _replay(table, None)
+    part_types = _partition_schema(meta)
+    if col in part_types:
+        raise NotImplementedError(
+            "delete_delta on a partition column: drop the partitions "
+            "via overwrite instead (their files carry no column stats)"
+        )
+    if part_types:
+        raise NotImplementedError(
+            "delete_delta on a partitioned table would lose the "
+            "rewritten files' partitionValues; rewrite via "
+            "read_delta + filter + write_delta(mode='overwrite', "
+            "partition_cols=...) instead"
+        )
+
+    drop_whole: List[str] = []  # rel paths proved all-matching
+    rewrite: List[str] = []  # rel paths that may partially match
+    untouched = 0
+    for rel in sorted(active):
+        a = active[rel]
+        st = a.get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except json.JSONDecodeError:
+                st = None
+        mn = (st or {}).get("minValues", {}).get(col)
+        mx = (st or {}).get("maxValues", {}).get(col)
+        nn = (st or {}).get("nullCount", {}).get(col)
+        if mn is not None and mx is not None and (mn > hi or mx < lo):
+            untouched += 1  # provably disjoint
+        elif (
+            mn is not None
+            and mx is not None
+            and nn == 0
+            and mn >= lo
+            and mx <= hi
+        ):
+            drop_whole.append(rel)  # provably all-matching: no read
+        else:
+            rewrite.append(rel)
+
+    if not drop_whole and not rewrite:
+        return {
+            "version": -1,
+            "removed_files": 0,
+            "rewritten_files": 0,
+            "untouched_files": untouched,
+        }
+
+    versions = _list_versions(table / _LOG)
+    ckpt_v = _checkpoint_at(table / _LOG, None)
+    newest = max(
+        [*versions, *([ckpt_v] if ckpt_v is not None else [])]
+    )
+    version = newest + 1
+
+    adds: List[Dict[str, Any]] = []
+    seq = 0
+    rewritten = 0
+    if rewrite:
+        import pyarrow.compute as pc
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            c = batch[col]
+            matches = pc.and_(
+                pc.greater_equal(c, lo), pc.less_equal(c, hi)
+            )
+            # NULL never matches → kept; invert with null→keep
+            keep = pc.fill_null(pc.invert(matches), True)
+            return batch.filter(keep)
+
+        src = ray.data.read_parquet(
+            [_abs_path(table, r) for r in rewrite],
+            partitioning=None,
+        ).map_batches(keep_rows, batch_format="pyarrow")
+        staging = table / f"_staging-{version:020d}"
+        if staging.exists():
+            shutil.rmtree(staging)
+        src.write_parquet(str(staging))
+        for f in sorted(staging.rglob("*.parquet")):
+            if pq.ParquetFile(str(f)).metadata.num_rows == 0:
+                continue
+            dest_rel = f"part-{version:05d}-{seq:05d}.parquet"
+            dest = table / dest_rel
+            size = f.stat().st_size
+            stats = _file_stats(f)
+            os.replace(f, dest)
+            add: Dict[str, Any] = {
+                "path": quote(dest_rel, safe="/="),
+                "partitionValues": {},
+                "size": size,
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": True,
+            }
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
+            seq += 1
+            rewritten += 1
+        shutil.rmtree(staging, ignore_errors=True)
+
+    now = int(time.time() * 1000)
+    actions: List[Dict[str, Any]] = [
+        {
+            "remove": {
+                "path": quote(rel, safe="/="),
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for rel in (*drop_whole, *rewrite)
+    ]
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": f"{col} BETWEEN {lo} AND {hi}"
+                },
+            }
+        }
+    )
+    tmp = table / _LOG / f".{version:020d}-{os.getpid()}.json.tmp"
+    tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    try:
+        os.link(tmp, _commit_path(table, version))
+    except FileExistsError:
+        tmp.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"delete_delta: concurrent commit at version {version}; "
+            "retry"
+        ) from None
+    tmp.unlink(missing_ok=True)
+    return {
+        "version": version,
+        "removed_files": len(drop_whole) + len(rewrite),
+        "rewritten_files": rewritten,
+        "untouched_files": untouched,
+    }

@@ -682,3 +682,63 @@ def test_delta_schema_enforcement(ray_session, tmp_path):
     # and the enforcement now tracks the NEW schema
     with pytest.raises(ValueError, match="schema mismatch"):
         write_delta(pd.DataFrame({"a": [1], "b": ["x"]}), t, mode="append")
+
+
+def test_delete_delta_stats_targeted(ray_session, tmp_path):
+    """DELETE touches the minimum file set: disjoint files untouched,
+    provably-all-matching files tombstoned without a read, overlapping
+    files rewritten; NULLs never match; a no-match predicate commits
+    nothing; partitioned tables are refused loudly."""
+    import pandas as pd
+
+    from data_validator_ray.sources import (
+        delete_delta,
+        delta_active_files,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dd")
+    # three single-file commits: [0..9], [10..19], [20..29]
+    for lo in (0, 10, 20):
+        write_delta(_delta_df(lo, lo + 10), t, mode="append")
+    before = set(delta_active_files(t))
+
+    # delete [10..24]: file2 all-matching (drop, no rewrite),
+    # file3 overlaps (rewrite), file1 untouched
+    res = delete_delta(t, "id", 10, 24)
+    assert res["untouched_files"] == 1
+    assert res["removed_files"] == 2
+    # ray may split the one overlapping file's survivors across
+    # several output files; what matters is that SOME rewrite happened
+    assert res["rewritten_files"] >= 1
+    got = read_delta(t).to_pandas().sort_values("id")
+    assert got["id"].tolist() == [*range(0, 10), *range(25, 30)]
+    # untouched file is literally the same path (never rewritten)
+    after = set(delta_active_files(t))
+    assert len(before & after) == 1
+
+    # time travel still sees the pre-delete state
+    pre = read_delta(t, version=2).to_pandas()
+    assert len(pre) == 30
+
+    # no-match predicate: no commit
+    res2 = delete_delta(t, "id", 1000, 2000)
+    assert res2["version"] == -1 and res2["removed_files"] == 0
+
+    # NULL never matches
+    df = pd.DataFrame(
+        {"id": pd.array([1, None, 3], dtype="Int64"),
+         "v": [1.0, 2.0, 3.0]}
+    )
+    t2 = str(tmp_path / "dd2")
+    write_delta(df, t2)
+    delete_delta(t2, "id", 0, 10)
+    left = read_delta(t2).to_pandas()
+    assert len(left) == 1 and pd.isna(left["id"].iloc[0])
+
+    # partitioned table refused
+    t3 = str(tmp_path / "dd3")
+    write_delta(_delta_df(0, 10), t3, partition_cols=["grp"])
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        delete_delta(t3, "id", 0, 5)
