@@ -489,7 +489,9 @@ from .delta import (  # noqa: E402,F401
     delete_delta,
     delta_active_files,
     delta_pruned_files,
+    optimize_delta,
     read_delta,
+    vacuum_delta,
     write_delta,
     write_delta_checkpoint,
 )

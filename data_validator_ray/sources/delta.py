@@ -60,6 +60,8 @@ __all__ = [
     "write_delta",
     "write_delta_checkpoint",
     "delete_delta",
+    "optimize_delta",
+    "vacuum_delta",
     "delta_active_files",
     "delta_pruned_files",
 ]
@@ -920,3 +922,149 @@ def delete_delta(
         "rewritten_files": rewritten,
         "untouched_files": untouched,
     }
+
+
+def optimize_delta(
+    path: "str | Path",
+    *,
+    target_rows_per_file: int = 1_000_000,
+) -> Dict[str, int]:
+    """OPTIMIZE (small-file compaction): rewrite active files holding
+    fewer than ``target_rows_per_file`` rows into ~target-sized files,
+    published as ONE commit whose remove/add actions carry
+    ``dataChange: false`` (no logical change — streaming consumers of
+    the log may skip it, per the protocol). Files already at or above
+    the target are untouched; tables needing no work commit nothing.
+
+    Unpartitioned tables only (compaction across partition dirs would
+    merge rows with different partitionValues).
+
+    Returns ``{"version", "compacted_files", "new_files"}``
+    (``version=-1`` when nothing to do)."""
+    table = Path(path)
+    active, meta = _replay(table, None)
+    if _partition_schema(meta):
+        raise NotImplementedError(
+            "optimize_delta on a partitioned table: compact each "
+            "partition via read+overwrite instead"
+        )
+
+    small: List[str] = []
+    for rel in sorted(active):
+        st = active[rel].get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except json.JSONDecodeError:
+                st = None
+        n = (st or {}).get("numRecords")
+        if n is None:  # no stats: count from the footer (metadata-only)
+            n = pq.ParquetFile(
+                _abs_path(table, rel)
+            ).metadata.num_rows
+        if n < target_rows_per_file:
+            small.append(rel)
+    if len(small) < 2:  # nothing to merge
+        return {"version": -1, "compacted_files": 0, "new_files": 0}
+
+    versions = _list_versions(table / _LOG)
+    ckpt_v = _checkpoint_at(table / _LOG, None)
+    version = max(
+        [*versions, *([ckpt_v] if ckpt_v is not None else [])]
+    ) + 1
+
+    total_rows = sum(
+        pq.ParquetFile(_abs_path(table, r)).metadata.num_rows
+        for r in small
+    )
+    n_out = max(1, -(-total_rows // target_rows_per_file))
+    src = ray.data.read_parquet(
+        [_abs_path(table, r) for r in small], partitioning=None
+    ).repartition(n_out)
+    staging = table / f"_staging-{version:020d}"
+    if staging.exists():
+        shutil.rmtree(staging)
+    src.write_parquet(str(staging), min_rows_per_file=target_rows_per_file)
+
+    adds: List[Dict[str, Any]] = []
+    seq = 0
+    for f in sorted(staging.rglob("*.parquet")):
+        if pq.ParquetFile(str(f)).metadata.num_rows == 0:
+            continue
+        dest_rel = f"part-{version:05d}-{seq:05d}.parquet"
+        size = f.stat().st_size
+        stats = _file_stats(f)
+        os.replace(f, table / dest_rel)
+        add: Dict[str, Any] = {
+            "path": quote(dest_rel, safe="/="),
+            "partitionValues": {},
+            "size": size,
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": False,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
+        seq += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    now = int(time.time() * 1000)
+    actions: List[Dict[str, Any]] = [
+        {
+            "remove": {
+                "path": quote(rel, safe="/="),
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+        }
+        for rel in small
+    ]
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetRowsPerFile": target_rows_per_file
+                },
+            }
+        }
+    )
+    tmp = table / _LOG / f".{version:020d}-{os.getpid()}.json.tmp"
+    tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    try:
+        os.link(tmp, _commit_path(table, version))
+    except FileExistsError:
+        tmp.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"optimize_delta: concurrent commit at version {version}; "
+            "retry"
+        ) from None
+    tmp.unlink(missing_ok=True)
+    return {
+        "version": version,
+        "compacted_files": len(small),
+        "new_files": seq,
+    }
+
+
+def vacuum_delta(path: "str | Path") -> List[str]:
+    """VACUUM: physically delete data files no longer referenced by
+    the CURRENT table state (tombstoned by delete/overwrite/optimize).
+    After a vacuum, time travel to versions that referenced the
+    deleted files FAILS at read time — exactly Delta's documented
+    trade (this implementation has no retention window: it vacuums
+    everything unreferenced NOW; checkpoint first if you want a
+    recoverable floor). Returns the deleted paths."""
+    table = Path(path)
+    active, _ = _replay(table, None)
+    keep = {Path(_abs_path(table, rel)) for rel in active}
+    deleted: List[str] = []
+    for f in sorted(table.rglob("*.parquet")):
+        if _LOG in f.parts or f.name.startswith("."):
+            continue
+        if f.resolve() not in keep:
+            f.unlink()
+            deleted.append(str(f))
+    return deleted

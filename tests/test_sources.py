@@ -742,3 +742,49 @@ def test_delete_delta_stats_targeted(ray_session, tmp_path):
     write_delta(_delta_df(0, 10), t3, partition_cols=["grp"])
     with pytest.raises(NotImplementedError, match="partitioned"):
         delete_delta(t3, "id", 0, 5)
+
+
+def test_optimize_and_vacuum_delta(ray_session, tmp_path):
+    """OPTIMIZE merges small files into one dataChange=false commit
+    (rows byte-identical, already-big files untouched, streaming
+    history unchanged); VACUUM physically deletes only unreferenced
+    files, after which current reads still work but time travel to
+    pre-optimize versions fails at the file level."""
+    import pandas as pd
+
+    from data_validator_ray.sources import (
+        delta_active_files,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dopt")
+    for lo in (0, 5, 10, 15):  # four 5-row files
+        write_delta(_delta_df(lo, lo + 5), t, mode="append")
+    n_before = len(delta_active_files(t))
+    assert n_before == 4
+
+    res = optimize_delta(t, target_rows_per_file=100)
+    assert res["compacted_files"] == 4 and res["new_files"] >= 1
+    assert len(delta_active_files(t)) < n_before
+    got = read_delta(t).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _delta_df(0, 20))
+
+    # idempotent: a second optimize has nothing to merge
+    res2 = optimize_delta(t, target_rows_per_file=100)
+    assert res2["version"] == -1
+
+    # time travel to version 3 (pre-optimize) still works BEFORE vacuum
+    pre = read_delta(t, version=3).to_pandas()
+    assert len(pre) == 20
+
+    deleted = vacuum_delta(t)
+    assert len(deleted) == 4  # the four compacted originals
+    # current read unaffected
+    got2 = read_delta(t).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, _delta_df(0, 20))
+    # pre-optimize time travel now fails (documented Delta trade)
+    with pytest.raises(Exception):
+        read_delta(t, version=3).to_pandas()
