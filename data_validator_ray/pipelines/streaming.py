@@ -49,6 +49,33 @@ def _dir_row_count(d: Path) -> int:
     )
 
 
+def _commit_added_rows(table: Path, version: int) -> int:
+    """Rows added by one Delta commit (stats numRecords when present,
+    else the file footer — metadata-only either way)."""
+    import json as _json
+    from urllib.parse import unquote
+
+    total = 0
+    log = table / "_delta_log" / f"{version:020d}.json"
+    for line in log.read_text().splitlines():
+        if '"add"' not in line:
+            continue
+        action = _json.loads(line)
+        a = action.get("add")
+        if not a:
+            continue
+        st = a.get("stats")
+        if isinstance(st, str):
+            st = _json.loads(st)
+        if st and "numRecords" in st:
+            total += int(st["numRecords"])
+        else:
+            total += pq.ParquetFile(
+                str(table / unquote(a["path"]))
+            ).metadata.num_rows
+    return total
+
+
 def validate_microbatches(
     validator: Any,
     table_name: str,
@@ -58,6 +85,7 @@ def validate_microbatches(
     resume: bool = True,
     max_batches: Optional[int] = None,
     metrics_history: Optional[Any] = None,
+    sink_format: str = "parquet",
 ) -> pd.DataFrame:
     """Run the reference's streaming-validation loop over an ordered
     sequence of micro-batch sources.
@@ -73,6 +101,15 @@ def validate_microbatches(
     :class:`~..state.metrics_history.MetricsHistory`) receives one run
     per batch (``run_id="batch-{id}"``) with per-rule success rates —
     the streaming metrics sink.
+
+    ``sink_format="delta"`` appends clean rows to ONE Delta table
+    (``{out_root}/{table_name}_validated_delta``) instead of per-batch
+    Parquet dirs, carrying the protocol's ``txn`` action
+    (``appId=stream-{table_name}``, ``version=batch_id``) in each
+    commit — on restart, a batch whose txn version is already in the
+    log is NOT re-appended even if the JSON checkpoint write was lost
+    mid-crash (true exactly-once, the Spark-streaming-to-Delta
+    contract), its summary is recomputed and re-checkpointed.
 
     Returns one row per *completed* batch:
     ``(batch_id, n_rows, n_clean, passed_rules, failed_rules)``,
@@ -102,16 +139,53 @@ def validate_microbatches(
             rec["batch_id"] = bid
         else:
             summary = validator.validate_table(src, table_name)
-            bdir = val_root / f"batch={bid}"
-            if bdir.exists():  # kill-mid-write leftovers
-                shutil.rmtree(bdir)
-            validator.apply_filters(src, table_name).write_parquet(
-                str(bdir)
-            )
+            if sink_format == "delta":
+                from ..sources.delta import (
+                    delta_txn_version,
+                    write_delta,
+                )
+
+                tdir = out / f"{table_name}_validated_delta"
+                app = f"stream-{table_name}"
+                done_v = (
+                    delta_txn_version(tdir, app)
+                    if (tdir / "_delta_log").is_dir()
+                    else None
+                )
+                if done_v is not None and done_v >= bid:
+                    # crash landed between the Delta commit and the
+                    # checkpoint write: the txn proves the append
+                    # happened — recover n_clean from that commit's
+                    # metadata, never re-append
+                    commits = sorted(
+                        (tdir / "_delta_log").glob("*.json")
+                    )
+                    ver = next(
+                        int(c.name[:-5])
+                        for c in commits
+                        if f'"appId": "{app}"' in c.read_text()
+                        and f'"version": {bid}' in c.read_text()
+                    )
+                else:
+                    ver = write_delta(
+                        validator.apply_filters(src, table_name),
+                        tdir,
+                        mode="append",
+                        txn=(app, bid),
+                    )
+                n_clean = _commit_added_rows(tdir, ver)
+            else:
+                bdir = val_root / f"batch={bid}"
+                if bdir.exists():  # kill-mid-write leftovers
+                    shutil.rmtree(bdir)
+                validator.apply_filters(src, table_name).write_parquet(
+                    str(bdir)
+                )
+                n_clean = _dir_row_count(bdir)
             rec = {
                 "batch_id": bid,
                 "n_rows": int(n_rows),
-                "n_clean": _dir_row_count(bdir),
+                "n_clean": n_clean,
                 "passed_rules": int(summary.passed_rules),
                 "failed_rules": int(summary.failed_rules),
             }

@@ -489,6 +489,7 @@ from .delta import (  # noqa: E402,F401
     delete_delta,
     delta_active_files,
     delta_pruned_files,
+    delta_txn_version,
     optimize_delta,
     read_delta,
     vacuum_delta,

@@ -60,6 +60,7 @@ __all__ = [
     "write_delta",
     "write_delta_checkpoint",
     "delete_delta",
+    "delta_txn_version",
     "optimize_delta",
     "vacuum_delta",
     "delta_active_files",
@@ -505,9 +506,15 @@ def write_delta(
     *,
     mode: str = "append",
     partition_cols: Optional[List[str]] = None,
+    txn: Optional[Tuple[str, int]] = None,
 ) -> int:
     """Write a Dataset (or anything ``ray.data.from_pandas``-able) to a
     Delta table at ``path``; returns the committed version.
+
+    ``txn=(app_id, version)`` records the protocol's idempotent-writer
+    action in the same commit — a restarted writer asks
+    :func:`delta_txn_version` and skips work it already committed
+    (exactly-once stream appends).
 
     ``mode="append"`` adds files; ``mode="overwrite"`` additionally
     tombstones every previously-active file in the SAME commit (the
@@ -668,6 +675,16 @@ def write_delta(
                 }
             )
     actions.extend(adds)
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": int(time.time() * 1000),
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -731,20 +748,33 @@ def write_delta_checkpoint(path: "str | Path") -> int:
             if v != {}
         }
 
+    txns = _scan_txns(table, newest)
     rows: List[Dict[str, Any]] = [
         {
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
             "metaData": None,
             "add": None,
+            "txn": None,
         },
-        {"protocol": None, "metaData": strip_empty(meta), "add": None},
+        {"protocol": None, "metaData": strip_empty(meta), "add": None,
+         "txn": None},
     ]
+    for app, v in sorted(txns.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app, "version": v},
+            }
+        )
     for rel in sorted(active):
         rows.append(
             {
                 "protocol": None,
                 "metaData": None,
                 "add": strip_empty(active[rel]),
+                "txn": None,
             }
         )
     tbl = pa.Table.from_pylist(rows)
@@ -1068,3 +1098,49 @@ def vacuum_delta(path: "str | Path") -> List[str]:
             f.unlink()
             deleted.append(str(f))
     return deleted
+
+
+def _scan_txns(
+    table: Path, version: Optional[int] = None
+) -> Dict[str, int]:
+    """Latest ``txn`` application version per appId up to ``version``
+    (the protocol's idempotent-writer handshake): checkpoint ``txn``
+    rows seed, later JSON commits override."""
+    log_dir = table / _LOG
+    if not log_dir.is_dir():
+        raise FileNotFoundError(f"not a Delta table (no {_LOG}): {table}")
+    versions = _list_versions(log_dir)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    txns: Dict[str, int] = {}
+    start = 0
+    ckpt = _checkpoint_at(log_dir, version)
+    if ckpt is not None:
+        f = log_dir / f"{ckpt:020d}.checkpoint.parquet"
+        if "txn" in pq.ParquetFile(str(f)).schema_arrow.names:
+            for row in pq.read_table(str(f), columns=["txn"]).to_pylist():
+                t = row.get("txn")
+                if t and t.get("appId") is not None:
+                    txns[t["appId"]] = int(t["version"])
+        start = ckpt + 1
+    for v in versions:
+        if v < start:
+            continue
+        for line in _commit_path(table, v).read_text().splitlines():
+            if '"txn"' not in line:
+                continue
+            action = json.loads(line)
+            t = action.get("txn")
+            if t and t.get("appId") is not None:
+                txns[t["appId"]] = int(t["version"])
+    return txns
+
+
+def delta_txn_version(
+    path: "str | Path", app_id: str
+) -> Optional[int]:
+    """The last ``txn`` version an idempotent writer (``app_id``)
+    recorded in this table's log, or None — the exactly-once
+    handshake: a restarted streaming writer skips any batch whose
+    version is already ≤ the recorded one."""
+    return _scan_txns(Path(path)).get(app_id)

@@ -293,3 +293,68 @@ def test_validate_microbatches_resume_and_empty(ray_session, tmp_path):
     assert full.loc[3, ["n_rows", "n_clean", "passed_rules"]].tolist() == [
         1, 1, 2,
     ]
+
+
+def test_validate_microbatches_delta_sink_exactly_once(
+    ray_session, tmp_path
+):
+    """Delta sink: clean rows append to ONE Delta table with the txn
+    handshake. A crash that loses the JSON checkpoint AFTER the Delta
+    commit must NOT re-append on resume (the txn proves the write
+    happened); the summary row is reconstructed from the commit
+    metadata and the table holds no duplicates."""
+    import json as _json
+
+    import pandas as pd
+
+    from data_validator_ray.pipelines.streaming import (
+        validate_microbatches,
+    )
+    from data_validator_ray.sources import read_delta
+    from data_validator_ray.validator import RayDataValidator
+
+    cfg = {
+        "version": "1.0",
+        "engine": {"type": "ray"},
+        "tables": [
+            {
+                "name": "t",
+                "rules": [
+                    {
+                        "name": "v_range",
+                        "rule_type": "range",
+                        "column": "v",
+                        "parameters": {"min_value": 0, "max_value": 10},
+                    }
+                ],
+            }
+        ],
+    }
+    batches = [
+        pd.DataFrame({"v": [1.0, 2.0, 99.0]}),
+        pd.DataFrame({"v": [3.0, 4.0]}),
+    ]
+    out = tmp_path / "sd"
+    part = validate_microbatches(
+        RayDataValidator(cfg), "t", batches, out,
+        max_batches=1, sink_format="delta",
+    )
+    assert part.loc[0, ["n_rows", "n_clean"]].tolist() == [3, 2]
+
+    # simulate the crash window: checkpoint lost, Delta commit kept
+    ckpt = out / "_streaming_checkpoint.json"
+    ckpt.unlink()
+
+    full = validate_microbatches(
+        RayDataValidator(cfg), "t", batches, out, sink_format="delta"
+    )
+    assert full["batch_id"].tolist() == [0, 1]
+    assert full.loc[0, ["n_rows", "n_clean"]].tolist() == [3, 2]
+    assert full.loc[1, ["n_rows", "n_clean"]].tolist() == [2, 2]
+    got = (
+        read_delta(str(out / "t_validated_delta"))
+        .to_pandas()["v"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == [1.0, 2.0, 3.0, 4.0]  # no duplicate batch-0 rows
