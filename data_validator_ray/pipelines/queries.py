@@ -3054,6 +3054,135 @@ def q_stream_validate_events(sf_dir: str) -> pd.DataFrame:
     return validate_microbatches(v, "events", sources, out_root)
 
 
+def q_stream_validate_delta_events(sf_dir: str) -> pd.DataFrame:
+    """The micro-batch streaming loop with the Delta sink: clean rows
+    append to ONE Delta table per batch carrying the protocol's txn
+    action (exactly-once on restart). Per-batch summaries are
+    identical to the Parquet-sink variant, so it shares that oracle;
+    n_clean here is recovered from each commit's add.stats metadata
+    (the write path the oracle checks end-to-end)."""
+    import tempfile
+
+    import ray.data
+
+    from ..validator import RayDataValidator
+    from .streaming import validate_microbatches
+
+    full = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    hi = int(full.max("event_id")) + 1
+
+    def make_slice(b: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids * 5) // hi == b))
+
+        return f
+
+    sources = [
+        full.map_batches(make_slice(b), batch_format="pyarrow")
+        for b in range(5)
+    ]
+    cfg = {
+        "version": "1.0",
+        "engine": {"type": "ray"},
+        "tables": [
+            {
+                "name": "events",
+                "rules": [
+                    {
+                        "name": "value_range",
+                        "rule_type": "range",
+                        "column": "value",
+                        "parameters": {"min_value": 0, "max_value": 300},
+                        "threshold": 0.998,
+                    },
+                    {
+                        "name": "user_complete",
+                        "rule_type": "completeness",
+                        "column": "user_id",
+                    },
+                ],
+            }
+        ],
+    }
+    v = RayDataValidator(cfg)
+    out_root = tempfile.mkdtemp(prefix="graft_streamdelta_")
+    return validate_microbatches(
+        v, "events", sources, out_root, sink_format="delta"
+    )
+
+
+def q_delta_maintenance_events(sf_dir: str) -> pd.DataFrame:
+    """Delta maintenance lifecycle end-to-end: events append in 4
+    commits → stats-targeted DELETE of value in [100, 200] → OPTIMIZE
+    (dataChange:false compaction) → VACUUM (physical cleanup of
+    tombstoned files) → aggregate of what remains. The oracle checks
+    that three mutating commits and a physical cleanup preserve
+    exactly the logical complement of the deleted range."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..sources import (
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    full = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    hi = int(full.max("event_id")) + 1
+
+    def quarter(b: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids * 4) // hi == b))
+
+        return f
+
+    t = tempfile.mkdtemp(prefix="graft_deltamaint_")
+    for b in range(4):
+        write_delta(
+            full.map_batches(quarter(b), batch_format="pyarrow"),
+            t,
+            mode="append",
+        )
+    delete_delta(t, "value", 100.0, 200.0)
+    optimize_delta(t, target_rows_per_file=1 << 20)
+    vacuum_delta(t)
+
+    ds = read_delta(t, columns=["value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "n_null": pa.array(
+                    [batch.num_rows - v.drop_null().length()], pa.int64()
+                ),
+                "s": pa.array(
+                    [pc.sum(v).as_py() or 0.0], pa.float64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "n_null": pd.Series([int(parts["n_null"].sum())], dtype="int64"),
+            "sum_value": pd.Series(
+                [round(float(parts["s"].sum()), 6)], dtype="float64"
+            ),
+        }
+    )
+
+
 def q_grouped_ewma_events(sf_dir: str) -> pd.DataFrame:
     """Per-user EWMA (α=0.3, adjust=False seed) of event values
     ordered by (ts, event_id), evaluated in closed form so the SQL
@@ -6575,6 +6704,8 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "bm25_search_documents": q_bm25_search_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "stream_validate_events": q_stream_validate_events,
+        "stream_validate_delta_events": q_stream_validate_delta_events,
+        "delta_maintenance_events": q_delta_maintenance_events,
         "delta_source_events": q_delta_source_events,
         "grouped_ewma_events": q_grouped_ewma_events,
         "winsorize_events_value": q_winsorize_events_value,
@@ -7847,6 +7978,34 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT event_type, COUNT(*)::BIGINT AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "stream_validate_delta_events": (
+            "WITH hi AS (SELECT MAX(event_id) + 1 AS m FROM events), "
+            "b AS (SELECT event_id * 5 // hi.m AS batch_id, value, "
+            "user_id FROM events, hi), "
+            "agg AS (SELECT batch_id, COUNT(*) AS n_rows, "
+            "SUM(CASE WHEN value >= 0 AND value <= 300 "
+            "AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clean, "
+            "SUM(CASE WHEN value < 0 OR value > 300 "
+            "THEN 1 ELSE 0 END) AS range_failed, "
+            "SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS comp_failed FROM b GROUP BY 1) "
+            "SELECT batch_id, n_rows::BIGINT AS n_rows, "
+            "n_clean::BIGINT AS n_clean, "
+            "(CASE WHEN (n_rows - range_failed)::DOUBLE / n_rows "
+            ">= 0.998 THEN 1 ELSE 0 END + "
+            "CASE WHEN comp_failed = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS passed_rules, "
+            "(CASE WHEN (n_rows - range_failed)::DOUBLE / n_rows "
+            ">= 0.998 THEN 0 ELSE 1 END + "
+            "CASE WHEN comp_failed = 0 THEN 0 ELSE 1 END)::BIGINT "
+            "AS failed_rules FROM agg ORDER BY batch_id"
+        ),
+        "delta_maintenance_events": (
+            "SELECT COUNT(*)::BIGINT AS n_rows, "
+            "SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_null, ROUND(SUM(value), 6) AS sum_value FROM events "
+            "WHERE value IS NULL OR value < 100 OR value > 200"
         ),
         "delta_source_events": (
             "SELECT event_type, COUNT(*)::BIGINT AS n, "
