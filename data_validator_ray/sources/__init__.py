@@ -490,6 +490,7 @@ from .delta import (  # noqa: E402,F401
     delta_active_files,
     delta_pruned_files,
     delta_txn_version,
+    merge_delta,
     optimize_delta,
     read_delta,
     vacuum_delta,

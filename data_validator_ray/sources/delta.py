@@ -61,6 +61,7 @@ __all__ = [
     "write_delta_checkpoint",
     "delete_delta",
     "delta_txn_version",
+    "merge_delta",
     "optimize_delta",
     "vacuum_delta",
     "delta_active_files",
@@ -1144,3 +1145,226 @@ def delta_txn_version(
     handshake: a restarted streaming writer skips any batch whose
     version is already ≤ the recorded one."""
     return _scan_txns(Path(path)).get(app_id)
+
+
+def merge_delta(
+    path: "str | Path",
+    changes: Any,
+    key_col: str,
+    *,
+    txn: Optional[Tuple[str, int]] = None,
+) -> Dict[str, int]:
+    """MERGE (upsert) ``changes`` into the table on ``key_col``: rows
+    whose key exists are replaced, new keys are inserted, as ONE
+    atomic commit. Stats-targeted like :func:`delete_delta` — only
+    files whose ``[min, max]`` key range overlaps the changes' key
+    range are read and rewritten (their matching keys dropped);
+    disjoint files are untouched; the changes land as new files.
+
+    The changes' key set broadcasts once (``ray.put``) for the rewrite
+    filter — the upsert batch is assumed driver-collectable in KEYS
+    (16 B/key; the standard CDC-batch shape), while change ROWS stream
+    through the distributed write path. NULL keys in changes are
+    refused (no match semantics). Duplicate keys inside one changes
+    batch are refused (which row wins would be arbitrary). Partitioned
+    tables are refused (rewrites would lose partitionValues).
+    ``txn=`` records the idempotent-writer action like
+    :func:`write_delta`.
+
+    Returns ``{"version", "rewritten_files", "untouched_files",
+    "inserted_rows"}``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    table = Path(path)
+    active, meta = _replay(table, None)
+    if _partition_schema(meta):
+        raise NotImplementedError(
+            "merge_delta on a partitioned table: rewrite via "
+            "read_delta + cdc + write_delta(mode='overwrite') instead"
+        )
+
+    if isinstance(changes, Dataset):
+        ch = changes
+    elif isinstance(changes, pa.Table):
+        ch = ray.data.from_arrow(changes)
+    else:
+        import pandas as pd
+
+        ch = ray.data.from_arrow(
+            pa.Table.from_pandas(pd.DataFrame(changes),
+                                 preserve_index=False)
+        )
+    ch = ch.map_batches(lambda b: b, batch_format="pyarrow")
+
+    # schema enforcement: the changes must match the table (their rows
+    # become table files)
+    sch = (
+        ch.schema(fetch_if_missing=True)
+        if meta.get("schemaString")
+        else None
+    )
+    if sch is not None:  # empty changes report no schema: nothing to
+        # enforce (and nothing will be written)
+        ch_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        )
+        want = {
+            (f["name"], f["type"])
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        have = {
+            (f["name"], f["type"])
+            for f in json.loads(_schema_string(ch_schema))["fields"]
+        }
+        if want != have:
+            raise ValueError(
+                f"merge_delta: changes schema {sorted(have)} does not "
+                f"match table schema {sorted(want)}"
+            )
+
+    # distinct change keys: per-batch unique partials -> driver merge
+    key_parts = [
+        b[key_col]
+        for b in ch.iter_batches(
+            batch_size=64 * 1024, batch_format="pyarrow"
+        )
+    ]
+    keys_arr = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in key_parts]
+    ) if key_parts else pa.array([], pa.int64())
+    if keys_arr.null_count:
+        raise ValueError("merge_delta: NULL keys in changes")
+    keys = np.sort(keys_arr.to_numpy(zero_copy_only=False))
+    n_changes = len(keys)
+    if n_changes and (keys[1:] == keys[:-1]).any():
+        raise ValueError(
+            "merge_delta: duplicate keys within one changes batch"
+        )
+    if n_changes == 0:
+        return {
+            "version": -1,
+            "rewritten_files": 0,
+            "untouched_files": len(active),
+            "inserted_rows": 0,
+        }
+    klo, khi = keys[0].item(), keys[-1].item()
+    keys_ref = ray.put(keys)
+
+    rewrite: List[str] = []
+    untouched = 0
+    for rel in sorted(active):
+        st = active[rel].get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except json.JSONDecodeError:
+                st = None
+        mn = (st or {}).get("minValues", {}).get(key_col)
+        mx = (st or {}).get("maxValues", {}).get(key_col)
+        if mn is not None and mx is not None and (mn > khi or mx < klo):
+            untouched += 1
+        else:
+            rewrite.append(rel)
+
+    versions = _list_versions(table / _LOG)
+    ckpt_v = _checkpoint_at(table / _LOG, None)
+    version = max(
+        [*versions, *([ckpt_v] if ckpt_v is not None else [])],
+        default=-1,
+    ) + 1
+
+    def drop_matched(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        col = batch[key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, col)
+        pos[pos >= len(ks)] = 0
+        hit = ks[pos] == col
+        # NULL table keys never match a change key
+        valid = pc.is_valid(batch[key_col]).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(~(hit & valid)))
+
+    src = ch  # inserted/updated rows
+    if rewrite:
+        survivors = ray.data.read_parquet(
+            [_abs_path(table, r) for r in rewrite], partitioning=None
+        ).map_batches(drop_matched, batch_format="pyarrow")
+        src = survivors.union(src)
+
+    staging = table / f"_staging-{version:020d}"
+    if staging.exists():
+        shutil.rmtree(staging)
+    src.write_parquet(str(staging))
+
+    adds: List[Dict[str, Any]] = []
+    seq = 0
+    for f in sorted(staging.rglob("*.parquet")):
+        if pq.ParquetFile(str(f)).metadata.num_rows == 0:
+            continue
+        dest_rel = f"part-{version:05d}-{seq:05d}.parquet"
+        size = f.stat().st_size
+        stats = _file_stats(f)
+        os.replace(f, table / dest_rel)
+        add: Dict[str, Any] = {
+            "path": quote(dest_rel, safe="/="),
+            "partitionValues": {},
+            "size": size,
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
+        seq += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    now = int(time.time() * 1000)
+    actions: List[Dict[str, Any]] = [
+        {
+            "remove": {
+                "path": quote(rel, safe="/="),
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for rel in rewrite
+    ]
+    actions.extend(adds)
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": now,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "MERGE",
+                "operationParameters": {"predicate": f"on {key_col}"},
+            }
+        }
+    )
+    tmp = table / _LOG / f".{version:020d}-{os.getpid()}.json.tmp"
+    tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    try:
+        os.link(tmp, _commit_path(table, version))
+    except FileExistsError:
+        tmp.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"merge_delta: concurrent commit at version {version}; retry"
+        ) from None
+    tmp.unlink(missing_ok=True)
+    return {
+        "version": version,
+        "rewritten_files": len(rewrite),
+        "untouched_files": untouched,
+        "inserted_rows": n_changes,
+    }

@@ -788,3 +788,66 @@ def test_optimize_and_vacuum_delta(ray_session, tmp_path):
     # pre-optimize time travel now fails (documented Delta trade)
     with pytest.raises(Exception):
         read_delta(t, version=3).to_pandas()
+
+
+def test_merge_delta_upsert(ray_session, tmp_path):
+    """MERGE replaces existing keys, inserts new ones, touches only
+    stats-overlapping files; NULL table keys survive; schema/NULL-key/
+    duplicate-key changes are refused; empty changes commit nothing."""
+    import pandas as pd
+
+    from data_validator_ray.sources import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dm")
+    # two files with disjoint key ranges: [0..4], [100..104]
+    for lo in (0, 100):
+        write_delta(_delta_df(lo, lo + 5), t, mode="append")
+
+    changes = _delta_df(3, 7)  # updates 3,4; inserts 5,6
+    changes["val"] = changes["val"] + 1000
+    res = merge_delta(t, changes, "id")
+    assert res["rewritten_files"] == 1  # [100..104] untouched by stats
+    assert res["untouched_files"] == 1
+    assert res["inserted_rows"] == 4
+    got = (
+        read_delta(t).to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [0, 1, 2, 3, 4, 5, 6, *range(100, 105)]
+    assert (got.loc[got["id"].between(3, 6), "val"] > 1000).all()
+    assert (got.loc[got["id"] < 3, "val"] < 1000).all()
+
+    # refusals
+    with pytest.raises(ValueError, match="NULL keys"):
+        merge_delta(
+            t,
+            pd.DataFrame(
+                {"id": pd.array([1, None], dtype="Int64"),
+                 "grp": [0, 0], "val": [0.0, 0.0]}
+            ),
+            "id",
+        )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_delta(
+            t,
+            pd.DataFrame({"id": [1, 1], "grp": [0, 0],
+                          "val": [0.0, 1.0]}),
+            "id",
+        )
+    with pytest.raises(ValueError, match="schema"):
+        merge_delta(
+            t, pd.DataFrame({"id": [1], "other": ["x"]}), "id"
+        )
+    empty = merge_delta(
+        t,
+        pd.DataFrame(
+            {"id": pd.Series(dtype="int64"),
+             "grp": pd.Series(dtype="int64"),
+             "val": pd.Series(dtype="float64")}
+        ),
+        "id",
+    )
+    assert empty["version"] == -1
