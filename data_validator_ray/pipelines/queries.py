@@ -3183,6 +3183,72 @@ def q_delta_maintenance_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_delta_cdc_events(sf_dir: str) -> pd.DataFrame:
+    """Delta MERGE (upsert) end-to-end: the first half of events seeds
+    a Delta table; a CDC batch covering [N/4, 3N/4) with value+1000
+    merges on event_id — updating the overlap, inserting the rest —
+    and the final table aggregates per event_type. The oracle is the
+    closed-form of the upsert (CASE on the update boundary)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..sources import merge_delta, read_delta, write_delta
+
+    full = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    hi = int(full.max("event_id")) + 1
+
+    def id_range(lo: int, hi_: int, bump: float = 0.0):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            out = t.filter(pa.array((ids >= lo) & (ids < hi_)))
+            if bump:
+                out = out.set_column(
+                    out.column_names.index("value"),
+                    "value",
+                    pc.add(out["value"], bump),
+                )
+            return out
+
+        return f
+
+    t = tempfile.mkdtemp(prefix="graft_deltacdc_")
+    write_delta(
+        full.map_batches(id_range(0, hi // 2), batch_format="pyarrow"), t
+    )
+    merge_delta(
+        t,
+        full.map_batches(
+            id_range(hi // 4, 3 * hi // 4, bump=1000.0),
+            batch_format="pyarrow",
+        ),
+        "event_id",
+    )
+
+    ds = read_delta(t, columns=["event_type", "value"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["event_type"]))
+
+    agg = (
+        ds.map_batches(clean, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("value"),
+        )
+        .to_pandas()
+        .rename(columns={"count()": "n", "sum(value)": "sum_value"})
+    )
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_value"] = agg["sum_value"].round(6)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 def q_grouped_ewma_events(sf_dir: str) -> pd.DataFrame:
     """Per-user EWMA (α=0.3, adjust=False seed) of event values
     ordered by (ts, event_id), evaluated in closed form so the SQL
@@ -6706,6 +6772,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "stream_validate_events": q_stream_validate_events,
         "stream_validate_delta_events": q_stream_validate_delta_events,
         "delta_maintenance_events": q_delta_maintenance_events,
+        "delta_cdc_events": q_delta_cdc_events,
         "delta_source_events": q_delta_source_events,
         "grouped_ewma_events": q_grouped_ewma_events,
         "winsorize_events_value": q_winsorize_events_value,
@@ -8000,6 +8067,16 @@ def oracle_sql() -> Dict[str, str]:
             ">= 0.998 THEN 0 ELSE 1 END + "
             "CASE WHEN comp_failed = 0 THEN 0 ELSE 1 END)::BIGINT "
             "AS failed_rules FROM agg ORDER BY batch_id"
+        ),
+        "delta_cdc_events": (
+            "WITH hi AS (SELECT MAX(event_id) + 1 AS m FROM events), "
+            "fin AS (SELECT event_type, "
+            "CASE WHEN event_id >= hi.m // 4 THEN value + 1000 "
+            "ELSE value END AS v FROM events, hi "
+            "WHERE event_id < 3 * hi.m // 4) "
+            "SELECT event_type, COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM(v), 6) AS sum_value FROM fin "
+            "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
         ),
         "delta_maintenance_events": (
             "SELECT COUNT(*)::BIGINT AS n_rows, "
