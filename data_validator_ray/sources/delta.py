@@ -152,7 +152,10 @@ def _replay(
     table: Path, version: Optional[int]
 ) -> Tuple[Dict[str, Dict[str, Any]], Dict[str, Any]]:
     """Replay the log up to ``version`` (inclusive; None = latest).
-    Returns (active add-actions by decoded relative path, metaData)."""
+    Returns (active add-actions by decoded relative path, metaData).
+    ``meta["_schema_evolved"]`` (internal, stripped from protocol use)
+    is True when more than one distinct schemaString appeared — data
+    files then disagree on columns and reads must union by name."""
     log_dir = table / _LOG
     if not log_dir.is_dir():
         raise FileNotFoundError(f"not a Delta table (no {_LOG}): {table}")
@@ -162,6 +165,7 @@ def _replay(
 
     active: Dict[str, Dict[str, Any]] = {}
     meta: Dict[str, Any] = {}
+    schema_of: Dict[str, Any] = {}  # active path -> append-time schema
     start = 0
     ckpt = _checkpoint_at(log_dir, version)
     if ckpt is not None:
@@ -176,14 +180,20 @@ def _replay(
                 ).schema_arrow.names
             ],
         )
-        for row in t.to_pylist():
+        rows = t.to_pylist()
+        for row in rows:  # metaData first: adds tag with its schema
             if row.get("protocol"):
                 _check_protocol(row["protocol"])
             if row.get("metaData"):
                 meta = row["metaData"]
+        for row in rows:
             if row.get("add"):
                 a = row["add"]
-                active[unquote(a["path"])] = a
+                key = unquote(a["path"])
+                active[key] = a
+                # our checkpoint writer refuses evolved tables, so
+                # every checkpointed add shares the checkpoint's schema
+                schema_of[key] = meta.get("schemaString")
         start = ckpt + 1
         if not versions or versions[-1] < ckpt:
             versions = []
@@ -201,9 +211,21 @@ def _replay(
                 meta = action["metaData"]
             if "add" in action:
                 a = action["add"]
-                active[unquote(a["path"])] = a
+                key = unquote(a["path"])
+                active[key] = a
+                schema_of[key] = meta.get("schemaString")
             elif "remove" in action:
-                active.pop(unquote(action["remove"]["path"]), None)
+                key = unquote(action["remove"]["path"])
+                active.pop(key, None)
+                schema_of.pop(key, None)
+    if meta:
+        # evolved = the ACTIVE files were appended under more than one
+        # schema (an overwrite that replaced every file resets this —
+        # the survivors all carry the latest schema)
+        meta = {
+            **meta,
+            "_schema_evolved": len(set(schema_of.values())) > 1,
+        }
     if not meta and ckpt is None and not versions:
         raise FileNotFoundError(
             f"Delta table has no commits at version<={version}: {table}"
@@ -411,6 +433,23 @@ def read_delta(
             }
             data_cols = [c for c in data_cols if c in known] or None
 
+    if meta.get("_schema_evolved"):
+        # more than one schemaString in the replayed log: data files
+        # disagree on columns (mergeSchema appends), so the read must
+        # union by name — older files NULL-fill the added columns.
+        # Conservative: an overwrite that replaced the schema also
+        # trips this (all active files then agree; the union read is
+        # merely slower, never wrong).
+        if part_types:
+            raise NotImplementedError(
+                "read_delta: schema evolution on a PARTITIONED table "
+                "is not supported (the union read path cannot attach "
+                "partitionValues); rewrite via overwrite"
+            )
+        from . import read_parquet_union_by_name
+
+        return read_parquet_union_by_name(abs_files, columns=data_cols)
+
     if not part_types:
         return ray.data.read_parquet(abs_files, columns=data_cols)
 
@@ -508,6 +547,7 @@ def write_delta(
     mode: str = "append",
     partition_cols: Optional[List[str]] = None,
     txn: Optional[Tuple[str, int]] = None,
+    schema_mode: str = "strict",
 ) -> int:
     """Write a Dataset (or anything ``ray.data.from_pandas``-able) to a
     Delta table at ``path``; returns the committed version.
@@ -516,6 +556,12 @@ def write_delta(
     action in the same commit — a restarted writer asks
     :func:`delta_txn_version` and skips work it already committed
     (exactly-once stream appends).
+
+    ``schema_mode="merge"`` allows an APPEND to ADD new columns
+    (mergeSchema semantics): shared columns must keep identical types
+    and partitioning must match; the committed metaData becomes the
+    union schema (table columns first) and older files simply lack the
+    new columns — reads union by name, NULL-filling them.
 
     ``mode="append"`` adds files; ``mode="overwrite"`` additionally
     tombstones every previously-active file in the SAME commit (the
@@ -593,7 +639,29 @@ def write_delta(
             and cur_parts == part_cols
         )
         if not same:
-            if mode != "overwrite":
+            cur_by_name = {f["name"]: f["type"] for f in cur_fields}
+            new_by_name = {f["name"]: f["type"] for f in new_fields}
+            mergeable = (
+                schema_mode == "merge"
+                and cur_parts == part_cols
+                and all(
+                    cur_by_name[n] == t
+                    for n, t in new_by_name.items()
+                    if n in cur_by_name
+                )
+            )
+            if mode != "overwrite" and mergeable:
+                # mergeSchema: union = table fields + genuinely-new
+                # fields, committed as updated metaData
+                union_fields = list(cur_fields) + [
+                    f for f in new_fields
+                    if f["name"] not in cur_by_name
+                ]
+                new_schema_string = json.dumps(
+                    {"type": "struct", "fields": union_fields}
+                )
+                schema_changed = True
+            elif mode != "overwrite":
                 cur_desc = sorted(
                     (f["name"], f["type"]) for f in cur_fields
                 )
@@ -604,9 +672,11 @@ def write_delta(
                     "write_delta: append schema mismatch — table has "
                     f"{cur_desc} partitioned by {cur_parts}, write has "
                     f"{new_desc} partitioned by {part_cols}; use "
-                    "mode='overwrite' to replace the schema"
+                    "mode='overwrite' to replace the schema, or "
+                    "schema_mode='merge' to add new columns"
                 )
-            schema_changed = True
+            else:
+                schema_changed = True
 
     staging = table / f"_staging-{version:020d}"
     if staging.exists():  # kill-mid-write leftovers
@@ -741,6 +811,13 @@ def write_delta_checkpoint(path: "str | Path") -> int:
     if newest is None:
         raise FileNotFoundError(f"no commits to checkpoint: {table}")
     active, meta = _replay(table, newest)
+    if meta.get("_schema_evolved"):
+        raise NotImplementedError(
+            "write_delta_checkpoint: the active files were appended "
+            "under different schemas (mergeSchema); a checkpoint "
+            "cannot carry per-file schema history — compact first "
+            "(read_delta + write_delta(mode='overwrite'))"
+        )
 
     def strip_empty(d: Dict[str, Any]) -> Dict[str, Any]:
         return {
@@ -757,7 +834,11 @@ def write_delta_checkpoint(path: "str | Path") -> int:
             "add": None,
             "txn": None,
         },
-        {"protocol": None, "metaData": strip_empty(meta), "add": None,
+        {"protocol": None,
+         "metaData": strip_empty(
+             {k: v for k, v in meta.items() if k != "_schema_evolved"}
+         ),
+         "add": None,
          "txn": None},
     ]
     for app, v in sorted(txns.items()):

@@ -851,3 +851,51 @@ def test_merge_delta_upsert(ray_session, tmp_path):
         "id",
     )
     assert empty["version"] == -1
+
+
+def test_delta_schema_evolution_merge_mode(ray_session, tmp_path):
+    """schema_mode='merge' lets an append ADD columns (shared columns
+    must keep their types); the commit carries the union metaData and
+    reads union by name, NULL-filling old files. Type changes are
+    still refused even in merge mode."""
+    import pandas as pd
+
+    from data_validator_ray.sources import read_delta, write_delta
+
+    t = str(tmp_path / "devo")
+    write_delta(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}), t)
+    # default strict: refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            pd.DataFrame({"a": [3], "b": ["z"], "c": [1.5]}), t,
+            mode="append",
+        )
+    # merge mode: new column c accepted
+    write_delta(
+        pd.DataFrame({"a": [3], "b": ["z"], "c": [1.5]}), t,
+        mode="append", schema_mode="merge",
+    )
+    got = (
+        read_delta(t).to_pandas().sort_values("a").reset_index(drop=True)
+    )
+    assert sorted(got.columns) == ["a", "b", "c"]
+    assert got["a"].tolist() == [1, 2, 3]
+    assert pd.isna(got["c"].iloc[0]) and got["c"].iloc[2] == 1.5
+
+    # column pruning still works on the union read
+    pruned = read_delta(t, columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"] and len(pruned) == 3
+
+    # a later same-schema append keeps working (enforced vs the union)
+    write_delta(
+        pd.DataFrame({"a": [4], "b": ["w"], "c": [2.5]}), t,
+        mode="append",
+    )
+    assert len(read_delta(t).to_pandas()) == 4
+
+    # merge mode still refuses a TYPE change on a shared column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            pd.DataFrame({"a": ["oops"], "b": ["z"], "c": [0.0]}), t,
+            mode="append", schema_mode="merge",
+        )
