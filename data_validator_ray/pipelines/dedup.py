@@ -1748,13 +1748,22 @@ def near_dup_dedup(
     bands: int = 32,
     seed: int = 0x5EED,
     cc: str = "driver",
+    max_broadcast_drop: int = 5_000_000,
 ) -> Dataset:
     """Near-duplicate-aware dedup of a document stream: MinHash-LSH +
     distributed exact verification find the J ≥ threshold pairs;
     connected components cluster them; every non-minimum member of a
     cluster is dropped from the stream via a broadcast drop-set
     (``ray.put`` once, `pc.is_in` per batch — no shuffle touches the
-    full corpus).
+    full corpus) while the drop-set stays under ``max_broadcast_drop``.
+    A duplicate-heavy corpus (drop-set O(corpus)) auto-routes the
+    final filter through the Bloom-prefiltered bucketed ANTI-join
+    instead (:func:`bloom_prefilter_join`): definite non-duplicates
+    stream straight to the output, only Bloom-positive candidates
+    shuffle — no unbounded driver/object-store key set. The anti
+    route requires ``cc="distributed"`` (the driver union-find
+    already holds the component table, so bounding only the broadcast
+    would be theater).
 
     ``cc="driver"`` clusters via the driver-side union-find
     (:func:`connected_components` — fine while the pair list is small);
@@ -1768,8 +1777,18 @@ def near_dup_dedup(
         source, id_col, text_col, n=n, threshold=threshold,
         num_perms=num_perms, bands=bands, seed=seed,
     )
+    ds = _as_dataset(source)
     if cc == "distributed":
-        comp = connected_components_distributed(pairs).to_pandas()
+        comp_ds = connected_components_distributed(pairs).materialize()
+
+        def non_min(batch: pa.Table) -> pa.Table:
+            m = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+            return batch.filter(m).select(["doc_id"])
+
+        drop_ds = comp_ds.map_batches(non_min, batch_format="pyarrow")
+        if drop_ds.count() > max_broadcast_drop:
+            return _anti_join_drop(ds, drop_ds, id_col)
+        comp = comp_ds.to_pandas()
     else:
         comp = connected_components(pairs)
     drop = comp.loc[comp.doc_id != comp.cluster_id, "doc_id"].to_numpy(np.int64)
@@ -1784,7 +1803,33 @@ def near_dup_dedup(
         )
         return batch.filter(mask)
 
-    return _as_dataset(source).map_batches(keep, batch_format="pyarrow")
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _anti_join_drop(ds: Dataset, drop_ds: Dataset, id_col: str) -> Dataset:
+    """Drop every ``ds`` row whose ``id_col`` appears in ``drop_ds``
+    (column ``doc_id``) WITHOUT broadcasting the drop-set: the
+    Bloom-prefiltered bucketed anti-join — rows whose key misses the
+    Bloom filter (definite survivors, the vast majority even in
+    duplicate-heavy corpora once components collapse to drop lists)
+    stream straight through with no shuffle; only Bloom-positive
+    candidates go through the exact anti-join. Output rows equal the
+    broadcast ``pc.is_in`` filter exactly; column order is restored to
+    the source schema."""
+    from .relational import bloom_prefilter_join
+
+    cols = ds.schema().names
+    # anti mode outputs exactly left_cols — pass the FULL source column
+    # list (key included) so survivors keep every column in order
+    return bloom_prefilter_join(
+        ds,
+        drop_ds,
+        left_key=id_col,
+        right_key="doc_id",
+        left_cols=cols,
+        right_cols=[],
+        how="anti",
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -1914,6 +1959,7 @@ def embedding_near_dup_dedup(
     collapse_exact: bool = False,
     cc: str = "driver",
     max_keep_set: int = 50_000_000,
+    max_broadcast_drop: int = 5_000_000,
     lsh_kwargs: Optional[Dict[str, Any]] = None,
 ) -> Dataset:
     """Embedding-space sibling of :func:`near_dup_dedup`: keep ONE
@@ -1942,7 +1988,11 @@ def embedding_near_dup_dedup(
     the DISTINCT-vector count, the regime this tier exists for
     (``max_keep_set`` guards it loudly). For corpora where distinct ≈
     corpus size, run without collapse: the filter then broadcasts only
-    the (small) drop-set, like :func:`near_dup_dedup`.
+    the (small) drop-set, like :func:`near_dup_dedup` — and past
+    ``max_broadcast_drop`` (with ``cc="distributed"``) it auto-routes
+    through the Bloom-prefiltered bucketed anti-join instead of any
+    broadcast, keeping the filter scale-safe for duplicate-heavy
+    corpora.
     """
     if method not in ("exact", "lsh"):
         raise ValueError("method must be 'exact' or 'lsh'")
@@ -1968,7 +2018,18 @@ def embedding_near_dup_dedup(
             if isinstance(pairs_any, Dataset)
             else ray.data.from_pandas(pairs_any)
         )
-        comp = connected_components_distributed(src).to_pandas()
+        comp_ds = connected_components_distributed(src).materialize()
+        if not collapse_exact:
+            # duplicate-heavy guard: a drop-set past the bound routes
+            # through the Bloom-prefiltered anti-join (no broadcast)
+            def _non_min(batch: pa.Table) -> pa.Table:
+                m = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+                return batch.filter(m).select(["doc_id"])
+
+            drop_ds = comp_ds.map_batches(_non_min, batch_format="pyarrow")
+            if drop_ds.count() > max_broadcast_drop:
+                return _anti_join_drop(ds, drop_ds, id_col)
+        comp = comp_ds.to_pandas()
     else:
         comp = connected_components(
             pairs_any.to_pandas()

@@ -156,16 +156,30 @@ def validate_microbatches(
                     # crash landed between the Delta commit and the
                     # checkpoint write: the txn proves the append
                     # happened — recover n_clean from that commit's
-                    # metadata, never re-append
-                    commits = sorted(
-                        (tdir / "_delta_log").glob("*.json")
-                    )
-                    ver = next(
-                        int(c.name[:-5])
-                        for c in commits
-                        if f'"appId": "{app}"' in c.read_text()
-                        and f'"version": {bid}' in c.read_text()
-                    )
+                    # metadata, never re-append. Match the txn action
+                    # by PARSED appId+version (a raw substring probe
+                    # would prefix-match version 10 for bid=1).
+                    ver = None
+                    for c in sorted((tdir / "_delta_log").glob("*.json")):
+                        for line in c.read_text().splitlines():
+                            if '"txn"' not in line:
+                                continue
+                            t = json.loads(line).get("txn") or {}
+                            if (
+                                t.get("appId") == app
+                                and int(t.get("version", -1)) == bid
+                            ):
+                                ver = int(c.name[:-5])
+                                break
+                        if ver is not None:
+                            break
+                    if ver is None:
+                        raise RuntimeError(
+                            f"streaming resume: txn ({app}, {bid}) is "
+                            "recorded in the Delta log state but its "
+                            "commit file is gone (log cleaned?); "
+                            "cannot recover the batch's row count"
+                        )
                 else:
                     ver = write_delta(
                         validator.apply_filters(src, table_name),

@@ -28,9 +28,14 @@ data files) — one streaming pass, no shuffle.
 
 The writer emits protocol-conformant commits (``minReaderVersion=1`` /
 ``minWriterVersion=2``): data files land via a DISTRIBUTED
-``Dataset.write_parquet`` into a staging dir and are renamed into the
-table with deterministic ``part-{version}-{seq}`` names (same-FS rename
-= metadata op), then one atomic JSON commit publishes them. ``append``
+``Dataset.write_parquet`` into a per-writer staging dir and are renamed
+into the table as ``part-{version}-{seq}-{token}`` names, where
+``token`` is a per-write random GUID fragment (the Spark/delta-rs
+convention) — two optimistic writers that compute the SAME next
+version therefore never touch each other's staging dirs or data files;
+the ONLY contended object is the commit file, whose exclusive
+``os.link`` decides the race, and the loser's already-renamed files
+become unreferenced garbage a later ``vacuum`` collects. ``append``
 keeps prior files; ``overwrite`` tombstones every previously-active
 file in the same commit. Readers of tables this module did not write
 are gated loudly: ``minReaderVersion > 1`` features (column mapping,
@@ -44,6 +49,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 from urllib.parse import quote, unquote
@@ -399,8 +405,15 @@ def read_delta(
     if stats_filter is not None and active:
         col, lo, hi = stats_filter
         kept, _ = delta_pruned_files(table, col, lo, hi, version=version)
-        kept_rel = {os.path.relpath(k, str(table.resolve())) for k in kept}
-        active = {r: a for r, a in active.items() if r in kept_rel}
+        # delta_pruned_files returns _abs_path-resolved paths; compare in
+        # THAT key space — active keys may be absolute paths or file: URIs
+        # (foreign/cloned tables), which a relpath of the table root would
+        # never match, silently dropping those files from the read
+        kept_abs = set(kept)
+        active = {
+            r: a for r, a in active.items()
+            if _abs_path(table, r) in kept_abs
+        }
 
     if not active:
         fields = []
@@ -678,9 +691,12 @@ def write_delta(
             else:
                 schema_changed = True
 
-    staging = table / f"_staging-{version:020d}"
-    if staging.exists():  # kill-mid-write leftovers
-        shutil.rmtree(staging)
+    # per-write GUID token: staging dir and data-file names must be
+    # collision-free across concurrent writers that computed the SAME
+    # next version (Spark/delta-rs use GUID file names for the same
+    # reason) — only the commit file below is ever contended
+    tok = uuid.uuid4().hex[:12]
+    staging = table / f"_staging-{version:020d}-{tok}"
     ds.write_parquet(str(staging), partition_cols=part_cols or None)
 
     adds: List[Dict[str, Any]] = []
@@ -691,10 +707,9 @@ def write_delta(
         for piece in rel_dir.parts:
             k, _, v = piece.partition("=")
             pvals[k] = unquote(v) if v != "__HIVE_DEFAULT_PARTITION__" else None
+        fname = f"part-{version:05d}-{seq:05d}-{tok}.parquet"
         dest_rel = (
-            "/".join([*rel_dir.parts, f"part-{version:05d}-{seq:05d}.parquet"])
-            if rel_dir.parts
-            else f"part-{version:05d}-{seq:05d}.parquet"
+            "/".join([*rel_dir.parts, fname]) if rel_dir.parts else fname
         )
         dest = table / dest_rel
         dest.parent.mkdir(parents=True, exist_ok=True)
@@ -968,14 +983,13 @@ def delete_delta(
             [_abs_path(table, r) for r in rewrite],
             partitioning=None,
         ).map_batches(keep_rows, batch_format="pyarrow")
-        staging = table / f"_staging-{version:020d}"
-        if staging.exists():
-            shutil.rmtree(staging)
+        tok = uuid.uuid4().hex[:12]  # collision-free vs concurrent writers
+        staging = table / f"_staging-{version:020d}-{tok}"
         src.write_parquet(str(staging))
         for f in sorted(staging.rglob("*.parquet")):
             if pq.ParquetFile(str(f)).metadata.num_rows == 0:
                 continue
-            dest_rel = f"part-{version:05d}-{seq:05d}.parquet"
+            dest_rel = f"part-{version:05d}-{seq:05d}-{tok}.parquet"
             dest = table / dest_rel
             size = f.stat().st_size
             stats = _file_stats(f)
@@ -1093,9 +1107,8 @@ def optimize_delta(
     src = ray.data.read_parquet(
         [_abs_path(table, r) for r in small], partitioning=None
     ).repartition(n_out)
-    staging = table / f"_staging-{version:020d}"
-    if staging.exists():
-        shutil.rmtree(staging)
+    tok = uuid.uuid4().hex[:12]  # collision-free vs concurrent writers
+    staging = table / f"_staging-{version:020d}-{tok}"
     src.write_parquet(str(staging), min_rows_per_file=target_rows_per_file)
 
     adds: List[Dict[str, Any]] = []
@@ -1103,7 +1116,7 @@ def optimize_delta(
     for f in sorted(staging.rglob("*.parquet")):
         if pq.ParquetFile(str(f)).metadata.num_rows == 0:
             continue
-        dest_rel = f"part-{version:05d}-{seq:05d}.parquet"
+        dest_rel = f"part-{version:05d}-{seq:05d}-{tok}.parquet"
         size = f.stat().st_size
         stats = _file_stats(f)
         os.replace(f, table / dest_rel)
@@ -1168,13 +1181,21 @@ def vacuum_delta(path: "str | Path") -> List[str]:
     deleted files FAILS at read time — exactly Delta's documented
     trade (this implementation has no retention window: it vacuums
     everything unreferenced NOW; checkpoint first if you want a
-    recoverable floor). Returns the deleted paths."""
+    recoverable floor). ``_staging-*`` and dot-prefixed directories
+    are never swept — an in-flight writer's staged files live there.
+    Like Delta's own VACUUM at retention 0, this still requires no
+    CONCURRENT writers: a writer that has renamed files into the
+    table but not yet published its commit would lose them. Returns
+    the deleted paths."""
     table = Path(path)
     active, _ = _replay(table, None)
     keep = {Path(_abs_path(table, rel)) for rel in active}
     deleted: List[str] = []
     for f in sorted(table.rglob("*.parquet")):
-        if _LOG in f.parts or f.name.startswith("."):
+        if _LOG in f.parts or any(
+            p.startswith(".") or p.startswith("_staging-")
+            for p in f.relative_to(table).parts
+        ):
             continue
         if f.resolve() not in keep:
             f.unlink()
@@ -1234,6 +1255,7 @@ def merge_delta(
     key_col: str,
     *,
     txn: Optional[Tuple[str, int]] = None,
+    max_broadcast_keys: int = 5_000_000,
 ) -> Dict[str, int]:
     """MERGE (upsert) ``changes`` into the table on ``key_col``: rows
     whose key exists are replaced, new keys are inserted, as ONE
@@ -1242,15 +1264,26 @@ def merge_delta(
     range are read and rewritten (their matching keys dropped);
     disjoint files are untouched; the changes land as new files.
 
-    The changes' key set broadcasts once (``ray.put``) for the rewrite
-    filter — the upsert batch is assumed driver-collectable in KEYS
-    (16 B/key; the standard CDC-batch shape), while change ROWS stream
-    through the distributed write path. NULL keys in changes are
-    refused (no match semantics). Duplicate keys inside one changes
-    batch are refused (which row wins would be arbitrary). Partitioned
-    tables are refused (rewrites would lose partitionValues).
-    ``txn=`` records the idempotent-writer action like
-    :func:`write_delta`.
+    Two tiers for the rewrite filter, switched on
+    ``max_broadcast_keys`` (distinct change keys):
+
+    * **CDC tier** (the common shape): per-batch ``pc.unique``
+      partials stream to the driver, merge, and the sorted key array
+      broadcasts once (``ray.put``) for a searchsorted drop filter.
+      Driver memory is bounded — the collect ABANDONS as soon as the
+      partial-unique total crosses the bound.
+    * **Backfill tier** (past the bound): the distinct key set stays a
+      ``Dataset`` (one shuffle of the 16 B key column) and the rewrite
+      filter becomes a bucketed hash ANTI-join — no driver
+      materialization at any change-set size. ``changes`` is consumed
+      more than once in this tier (count + distinct + write); pass a
+      cheap-to-recompute or materialized Dataset for huge merges.
+
+    NULL keys in changes are refused (no match semantics; NULL TABLE
+    keys always survive). Duplicate keys across the changes are
+    refused (which row wins would be arbitrary). Partitioned tables
+    are refused (rewrites would lose partitionValues). ``txn=``
+    records the idempotent-writer action like :func:`write_delta`.
 
     Returns ``{"version", "rewritten_files", "untouched_files",
     "inserted_rows"}``."""
@@ -1304,34 +1337,74 @@ def merge_delta(
                 f"match table schema {sorted(want)}"
             )
 
-    # distinct change keys: per-batch unique partials -> driver merge
-    key_parts = [
-        b[key_col]
-        for b in ch.iter_batches(
-            batch_size=64 * 1024, batch_format="pyarrow"
+    # distinct change keys: per-batch pc.unique partials -> driver
+    # merge, ABANDONED (bounded memory) the moment the running
+    # partial-unique total crosses max_broadcast_keys
+    key_parts: List[pa.Array] = []
+    part_rows = 0  # change rows seen so far (duplicate detection)
+    part_keys = 0  # running sum of per-batch-unique lengths
+    overflow = False
+    for b in ch.iter_batches(batch_size=64 * 1024, batch_format="pyarrow"):
+        col = b[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError("merge_delta: NULL keys in changes")
+        part_rows += len(col)
+        u = pc.unique(col)
+        part_keys += len(u)
+        key_parts.append(u)
+        if part_keys > max_broadcast_keys:
+            overflow = True
+            break
+
+    keys_ds = None  # backfill tier's distinct-key Dataset
+    keys_ref = None  # CDC tier's broadcast sorted key array
+    if not overflow:
+        keys_arr = (
+            pc.unique(pa.concat_arrays(key_parts))
+            if key_parts
+            else pa.array([], pa.int64())
         )
-    ]
-    keys_arr = pa.concat_arrays(
-        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
-         for p in key_parts]
-    ) if key_parts else pa.array([], pa.int64())
-    if keys_arr.null_count:
-        raise ValueError("merge_delta: NULL keys in changes")
-    keys = np.sort(keys_arr.to_numpy(zero_copy_only=False))
-    n_changes = len(keys)
-    if n_changes and (keys[1:] == keys[:-1]).any():
-        raise ValueError(
-            "merge_delta: duplicate keys within one changes batch"
+        n_changes = len(keys_arr)
+        if n_changes != part_rows:
+            raise ValueError("merge_delta: duplicate keys in changes")
+        if n_changes == 0:
+            return {
+                "version": -1,
+                "rewritten_files": 0,
+                "untouched_files": len(active),
+                "inserted_rows": 0,
+            }
+        keys = np.sort(keys_arr.to_numpy(zero_copy_only=False))
+        # numpy scalars unwrap via .item(); string keys are already str
+        klo = keys[0].item() if hasattr(keys[0], "item") else keys[0]
+        khi = keys[-1].item() if hasattr(keys[-1], "item") else keys[-1]
+        keys_ref = ray.put(keys)
+    else:
+        # backfill tier: the distinct key set stays distributed (ONE
+        # shuffle of the key column); duplicates detected by distinct
+        # count vs row count, min/max for stats targeting
+        del key_parts
+
+        def _refuse_null(b: pa.Table) -> pa.Table:
+            if b[key_col].null_count:
+                raise ValueError("merge_delta: NULL keys in changes")
+            return b
+
+        ch_checked = ch.map_batches(_refuse_null, batch_format="pyarrow")
+        total_rows = ch_checked.count()
+        keys_ds = (
+            ch_checked.select_columns([key_col])
+            .groupby(key_col)
+            .count()
+            .materialize()
         )
-    if n_changes == 0:
-        return {
-            "version": -1,
-            "rewritten_files": 0,
-            "untouched_files": len(active),
-            "inserted_rows": 0,
-        }
-    klo, khi = keys[0].item(), keys[-1].item()
-    keys_ref = ray.put(keys)
+        n_changes = keys_ds.count()
+        if n_changes != total_rows:
+            raise ValueError("merge_delta: duplicate keys in changes")
+        klo = keys_ds.min(key_col)
+        khi = keys_ds.max(key_col)
 
     rewrite: List[str] = []
     untouched = 0
@@ -1358,26 +1431,50 @@ def merge_delta(
 
     def drop_matched(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        col = batch[key_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ks, col)
-        pos[pos >= len(ks)] = 0
-        hit = ks[pos] == col
-        # NULL table keys never match a change key
-        valid = pc.is_valid(batch[key_col]).to_numpy(
-            zero_copy_only=False
-        )
-        return batch.filter(pa.array(~(hit & valid)))
+        col_arr = batch[key_col]
+        # NULL table keys never match a change key — mask BEFORE the
+        # searchsorted (a None inside an object array would make the
+        # comparison raise for string keys)
+        valid = pc.is_valid(col_arr).to_numpy(zero_copy_only=False)
+        col = col_arr.to_numpy(zero_copy_only=False)
+        keep = np.ones(len(col), dtype=bool)
+        vcol = col[valid]
+        if len(vcol):
+            pos = np.searchsorted(ks, vcol)
+            pos[pos >= len(ks)] = 0
+            hit = ks[pos] == vcol
+            keep[np.flatnonzero(valid)[hit]] = False
+        return batch.filter(pa.array(keep))
 
     src = ch  # inserted/updated rows
     if rewrite:
-        survivors = ray.data.read_parquet(
+        reread = ray.data.read_parquet(
             [_abs_path(table, r) for r in rewrite], partitioning=None
-        ).map_batches(drop_matched, batch_format="pyarrow")
+        )
+        if keys_ref is not None:  # CDC tier: broadcast searchsorted
+            survivors = reread.map_batches(
+                drop_matched, batch_format="pyarrow"
+            )
+        else:  # backfill tier: bucketed hash anti-join, no broadcast
+            from ..pipelines.relational import hash_join
+
+            out_cols = list(sch.names)  # change/table schema order
+            survivors = hash_join(
+                reread,
+                keys_ds.select_columns([key_col]),
+                left_key=key_col,
+                right_key=key_col,
+                left_cols=[c for c in out_cols if c != key_col],
+                right_cols=[],
+                how="anti",
+            ).map_batches(
+                lambda b, cols=out_cols: b.select(cols),
+                batch_format="pyarrow",
+            )
         src = survivors.union(src)
 
-    staging = table / f"_staging-{version:020d}"
-    if staging.exists():
-        shutil.rmtree(staging)
+    tok = uuid.uuid4().hex[:12]  # collision-free vs concurrent writers
+    staging = table / f"_staging-{version:020d}-{tok}"
     src.write_parquet(str(staging))
 
     adds: List[Dict[str, Any]] = []
@@ -1385,7 +1482,7 @@ def merge_delta(
     for f in sorted(staging.rglob("*.parquet")):
         if pq.ParquetFile(str(f)).metadata.num_rows == 0:
             continue
-        dest_rel = f"part-{version:05d}-{seq:05d}.parquet"
+        dest_rel = f"part-{version:05d}-{seq:05d}-{tok}.parquet"
         size = f.stat().st_size
         stats = _file_stats(f)
         os.replace(f, table / dest_rel)

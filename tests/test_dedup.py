@@ -539,6 +539,37 @@ def test_near_dup_dedup_distributed_cc(ray_session, corpus):
     assert sorted(dist.doc_id) == sorted(drv.doc_id)
 
 
+def test_near_dup_dedup_anti_join_route(ray_session, corpus):
+    """Forcing max_broadcast_drop below the drop-set size must route
+    the final filter through the Bloom-prefiltered anti-join and
+    return EXACTLY the broadcast tier's rows (columns included)."""
+    base = D.near_dup_dedup(
+        ray.data.from_pandas(corpus), threshold=0.5, cc="distributed"
+    ).to_pandas()
+    routed = D.near_dup_dedup(
+        ray.data.from_pandas(corpus),
+        threshold=0.5,
+        cc="distributed",
+        max_broadcast_drop=1,  # drop-set is 3 (100, 101, 110)
+    ).to_pandas()
+    assert list(routed.columns) == list(base.columns)
+    assert sorted(routed.doc_id) == sorted(base.doc_id)
+
+
+def test_embedding_near_dup_dedup_anti_join_route(ray_session, vectors):
+    base = D.embedding_near_dup_dedup(
+        ray.data.from_pandas(vectors), threshold=0.9, cc="distributed"
+    ).to_pandas()
+    routed = D.embedding_near_dup_dedup(
+        ray.data.from_pandas(vectors),
+        threshold=0.9,
+        cc="distributed",
+        max_broadcast_drop=0,
+    ).to_pandas()
+    assert list(routed.columns) == list(base.columns)
+    assert sorted(routed.vec_id) == sorted(base.vec_id)
+
+
 def test_near_dup_dedup_keeps_min_per_cluster(ray_session, corpus):
     out = D.near_dup_dedup(
         ray.data.from_pandas(corpus), threshold=0.5

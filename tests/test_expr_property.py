@@ -7,7 +7,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from data_validator_ray.functions.expr import compile_predicate, predicate_true_mask
@@ -97,7 +97,17 @@ def predicate():
 def test_random_predicate_matches_duckdb(table, pred):
     con = duckdb.connect()
     con.register("t", table)
-    expected = con.execute(f"SELECT COUNT(*) FROM t WHERE {pred}").fetchone()[0]
+    try:
+        expected = con.execute(
+            f"SELECT COUNT(*) FROM t WHERE {pred}"
+        ).fetchone()[0]
+    except duckdb.InternalException:
+        # The ORACLE itself crashed (e.g. DuckDB 1.0.0 constant-folding bug on
+        # `(0 % -4) BETWEEN 0 AND -3`: "Attempted to dereference unique_ptr
+        # that is NULL"). The engine was never consulted, so this example
+        # proves nothing about us — discard it. Real count mismatches below
+        # stay fatal.
+        assume(False)
     mask = predicate_true_mask(compile_predicate(pred), table)
     got = pc.sum(mask).as_py() or 0
     assert got == expected, pred

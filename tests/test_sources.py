@@ -853,6 +853,199 @@ def test_merge_delta_upsert(ray_session, tmp_path):
     assert empty["version"] == -1
 
 
+def test_merge_delta_backfill_tier_equivalence(ray_session, tmp_path):
+    """Forcing max_broadcast_keys below the change-key count must route
+    the rewrite filter through the bucketed hash anti-join (no driver
+    key materialization) and produce the SAME table as the CDC
+    broadcast tier — including surviving NULL table keys."""
+    import pandas as pd
+
+    from data_validator_ray.sources import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = _delta_df(0, 10)
+    base["id"] = base["id"].astype("Int64")
+    null_row = pd.DataFrame(
+        {"id": pd.array([None], dtype="Int64"), "grp": [0], "val": [-1.0]}
+    )
+    base = pd.concat([base, null_row], ignore_index=True)
+    changes = _delta_df(7, 13)
+    changes["val"] = changes["val"] + 1000
+    changes["id"] = changes["id"].astype("Int64")
+
+    tables = {}
+    for name, bound in (("cdc", 5_000_000), ("backfill", 1)):
+        t = str(tmp_path / name)
+        write_delta(base, t)
+        res = merge_delta(t, changes, "id", max_broadcast_keys=bound)
+        assert res["inserted_rows"] == 6
+        tables[name] = (
+            read_delta(t)
+            .to_pandas()
+            .sort_values("id", na_position="last")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(tables["cdc"], tables["backfill"])
+    got = tables["backfill"]
+    assert got["id"].isna().sum() == 1  # NULL key survived
+    assert (got.loc[got["id"].between(7, 12), "val"] > 1000).all()
+
+    # backfill tier still refuses duplicates and NULL change keys
+    import pytest as _pytest
+
+    t = str(tmp_path / "refuse")
+    write_delta(_delta_df(0, 5), t)
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_delta(
+            t,
+            pd.DataFrame({"id": [1, 1, 2], "grp": [0, 0, 0],
+                          "val": [0.0, 1.0, 2.0]}),
+            "id",
+            max_broadcast_keys=1,
+        )
+
+
+def test_merge_delta_string_keys_with_null_table_keys(ray_session, tmp_path):
+    """String key columns with NULL table keys must not crash the
+    searchsorted drop filter (the mask applies BEFORE the sort probe)."""
+    import pandas as pd
+
+    from data_validator_ray.sources import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dstr")
+    base = pd.DataFrame(
+        {"k": ["a", "b", None, "d"], "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    write_delta(base, t)
+    merge_delta(
+        t, pd.DataFrame({"k": ["b", "e"], "v": [20.0, 50.0]}), "k"
+    )
+    got = read_delta(t).to_pandas().sort_values(
+        "k", na_position="last"
+    ).reset_index(drop=True)
+    assert got["k"].tolist()[:4] == ["a", "b", "d", "e"]
+    assert pd.isna(got["k"].iloc[4])  # NULL key survived
+    assert got.loc[got["k"] == "b", "v"].item() == 20.0
+
+
+def test_vacuum_skips_staging_dirs(ray_session, tmp_path):
+    """vacuum must never sweep an in-flight writer's _staging-* files
+    (they are not yet referenced by any commit)."""
+    import pandas as pd
+
+    from data_validator_ray.sources import vacuum_delta, write_delta
+
+    t = tmp_path / "dv"
+    write_delta(_delta_df(0, 5), str(t))
+    staged = t / "_staging-00000000000000000099-deadbeef" / "x.parquet"
+    staged.parent.mkdir()
+    pd.DataFrame({"a": [1]}).to_parquet(staged)
+    deleted = vacuum_delta(str(t))
+    assert deleted == []
+    assert staged.exists()
+
+
+def test_delta_concurrent_same_version_writers_no_clobber(
+    ray_session, tmp_path, monkeypatch
+):
+    """Two writers that computed the SAME next version must not touch
+    each other's data files: the loser fails at the commit link, and
+    the winner's committed table reads back ITS rows (per-write GUID
+    tokens make staging and part names collision-free)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_validator_ray.sources import read_delta, write_delta
+    from data_validator_ray.sources.delta import _commit_path
+
+    t = tmp_path / "race"
+    write_delta(_delta_df(0, 5), str(t))  # version 0
+
+    # simulate writer A winning the version-1 commit while writer B's
+    # append (computed against the same snapshot) runs second: B must
+    # fail loudly AND leave A's data intact
+    write_delta(_delta_df(100, 105), str(t), mode="append")  # A: v1
+    # forge B's view: B saw only v0, so it also targets version 1 —
+    # replay its append against a log listing missing v1 by writing to
+    # a clone... simplest faithful probe: call write_delta again (it
+    # sees v1 and targets v2), then assert the on-disk v1 data files
+    # still hash-match what A committed.
+    import json as _json
+
+    v1 = _commit_path(t, 1).read_text()
+    a_files = [
+        _json.loads(line)["add"]["path"]
+        for line in v1.splitlines()
+        if '"add"' in line
+    ]
+    before = {p: (t / p).read_bytes() for p in a_files}
+    write_delta(_delta_df(200, 205), str(t), mode="append")  # v2
+    after = {p: (t / p).read_bytes() for p in a_files}
+    assert before == after  # nobody overwrote A's committed files
+    got = read_delta(str(t)).to_pandas()
+    assert sorted(got["id"]) == [*range(0, 5), *range(100, 105),
+                                 *range(200, 205)]
+
+    # TRUE same-version race: a writer working from a stale snapshot
+    # (its listing missed v2) targets v2 — it must fail loudly at the
+    # commit link AND leave v2's committed data files untouched
+    import data_validator_ray.sources.delta as dmod
+
+    v2_files = [
+        _json.loads(line)["add"]["path"]
+        for line in _commit_path(t, 2).read_text().splitlines()
+        if '"add"' in line
+    ]
+    v2_before = {p: (t / p).read_bytes() for p in v2_files}
+    real_list = dmod._list_versions
+    monkeypatch.setattr(
+        dmod, "_list_versions",
+        lambda log_dir: [v for v in real_list(log_dir) if v <= 1],
+    )
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        write_delta(_delta_df(300, 305), str(t), mode="append")
+    monkeypatch.undo()
+    v2_after = {p: (t / p).read_bytes() for p in v2_files}
+    assert v2_before == v2_after  # the loser never touched v2's files
+    got2 = read_delta(str(t)).to_pandas()
+    assert sorted(got2["id"]) == sorted(got["id"])  # table state intact
+
+
+def test_read_delta_stats_filter_absolute_paths(ray_session, tmp_path):
+    """Data skipping must keep files whose add.path is an ABSOLUTE
+    file: URI (foreign/cloned tables) — the kept-set intersection runs
+    in _abs_path key space, not table-relative."""
+    import json as _json
+
+    import pandas as pd
+
+    from data_validator_ray.sources import read_delta, write_delta
+
+    t = tmp_path / "dabs"
+    write_delta(pd.DataFrame({"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]}),
+                str(t))
+    # rewrite the commit's add.path entries as absolute file: URIs
+    log = t / "_delta_log" / "00000000000000000000.json"
+    lines = []
+    for line in log.read_text().splitlines():
+        a = _json.loads(line)
+        if "add" in a:
+            rel = a["add"]["path"]
+            a["add"]["path"] = (t / rel).resolve().as_uri()
+        lines.append(_json.dumps(a))
+    log.write_text("\n".join(lines) + "\n")
+
+    got = read_delta(str(t), stats_filter=("id", 2, 3)).to_pandas()
+    assert sorted(got["id"]) == [1, 2, 3]  # file kept, nothing dropped
+
+
 def test_delta_schema_evolution_merge_mode(ray_session, tmp_path):
     """schema_mode='merge' lets an append ADD columns (shared columns
     must keep their types); the commit carries the union metaData and
