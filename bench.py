@@ -413,6 +413,144 @@ def bench_domain_boilerplate(input_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_ccnet_pipeline(input_dir: str) -> float:
+    """The CCNet composition END-TO-END at 8M rows (the operator a real
+    curation user runs; mirrors queries.q_ccnet_pipeline_documents):
+    language filter → unigram LM fit+score on the FILTERED corpus →
+    per-language perplexity tertiles → drop each language's tail →
+    domain-frequency boilerplate removal. ONE lazy chain — the stages
+    overlap under the streaming executor instead of paying the sum of
+    the standalone tiers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.dedup import domain_boilerplate_removal
+    from data_validator_ray.pipelines.relational import (
+        bucket_by_quantile,
+        hash_join,
+    )
+    from data_validator_ray.pipelines.text import unigram_logprob
+    from data_validator_ray.pipelines.urls import (
+        domain_of_array,
+        normalize_url_array,
+    )
+
+    langs = pa.array(["en", "fr", "de", "es"])
+
+    def with_cols(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        dom = domain_of_array(normalize_url_array(batch["url"]))
+        t = pa.table(
+            {
+                "doc_id": pa.array(h.astype(np.int64), pa.int64()),
+                "source": dom,
+                "lang": batch["lang"],
+                "text": batch["text"],
+            }
+        )
+        return t.filter(
+            pc.fill_null(pc.is_in(t["lang"], value_set=langs), False)
+        )
+
+    t0 = time.perf_counter()
+    f = ray.data.read_parquet(
+        input_dir, columns=["url", "text", "lang"]
+    ).map_batches(with_cols, batch_format="pyarrow", batch_size=16384)
+    scored = unigram_logprob(f, batch_size=16384)
+    joined = hash_join(
+        scored, f,
+        left_key="doc_id", right_key="doc_id",
+        left_cols=["doc_id", "logprob_mean"],
+        right_cols=["lang", "source", "text"],
+        num_buckets=64,
+    )
+    banded = bucket_by_quantile(
+        joined, "logprob_mean",
+        group_col="lang",
+        labels=["tail", "middle", "head"],
+        id_cols=["doc_id", "source", "text"],
+    )
+
+    def keep_head_middle(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(b["bucket"]), pc.not_equal(b["bucket"], "tail")
+        )
+        return b.filter(pc.fill_null(m, False))
+
+    kept = banded.map_batches(keep_head_middle, batch_format="pyarrow")
+    n = domain_boilerplate_removal(
+        kept, domain_col="source", sep=" the ", min_docs=1000,
+        batch_size=16384,
+    ).count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
+def bench_fineweb_pipeline(input_dir: str) -> float:
+    """The FineWeb/Dolma composition END-TO-END at 8M rows (mirrors
+    queries.q_fineweb_pipeline_documents): URL-host blocklist → language
+    filter → Gopher quality gate → exact dedup (8M distinct text
+    identities — the worst-case full-width bucketed shuffle) →
+    corpus-wide paragraph dedup → PII redaction → per-doc token count.
+    ONE lazy chain consumed by count()."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from data_validator_ray.functions.sketches import hash64
+    from data_validator_ray.pipelines.curation import gopher_gate, pii_redact
+    from data_validator_ray.pipelines.dedup import (
+        exact_dedup,
+        paragraph_dedup,
+    )
+    from data_validator_ray.pipelines.urls import url_host_filter
+
+    langs = pa.array(["en", "fr", "de", "es"])
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["url"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "doc_id", pa.array(h.astype(np.int64), pa.int64())
+        )
+
+    def keep_lang(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(b["lang"], value_set=langs), False)
+        return b.filter(m).drop_columns(["lang", "url"])
+
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(
+        input_dir, columns=["url", "text", "lang"]
+    ).map_batches(with_id, batch_format="pyarrow", batch_size=16384)
+    gated = url_host_filter(
+        docs, ["site3.example.com", "bad.org"]
+    ).map_batches(keep_lang, batch_format="pyarrow")
+    quality = gopher_gate(gated)
+    deduped = exact_dedup(quality, "text", tiebreak="doc_id", keep="first")
+    para = paragraph_dedup(deduped, sep=" the ")
+    pii = pii_redact(para)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = pl.from_arrow(b.select(["redacted_text"]))["redacted_text"]
+        toks = t.str.split(" ")
+        n = (toks.list.len() - toks.list.count_matches("")).cast(pl.Int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n.to_numpy(), pa.int64()),
+            }
+        )
+
+    n = pii.map_batches(finish, batch_format="pyarrow").count()
+    assert n > 0
+    return time.perf_counter() - t0
+
+
 def bench_bigram_logprob(input_dir: str) -> float:
     """Order-2 LM scoring: pair-count partials (24 B/row exchange) →
     one driver lexsort merge → broadcast searchsorted probe; the
@@ -887,6 +1025,15 @@ def run_bench() -> dict:
         )
         queries["dsir_weights_webpages"] = round(
             bench_dsir_weights(str(input_dir)), 3
+        )
+        # end-to-end compositions (single pass, expensive-tier policy):
+        # what a real curation user runs — one lazy chain each, stages
+        # overlapping under the streaming executor
+        queries["ccnet_pipeline_webpages"] = round(
+            bench_ccnet_pipeline(str(input_dir)), 3
+        )
+        queries["fineweb_pipeline_webpages"] = round(
+            bench_fineweb_pipeline(str(input_dir)), 3
         )
         queries["domain_boilerplate_webpages"] = round(
             bench_domain_boilerplate(str(input_dir)), 3

@@ -2505,9 +2505,10 @@ def domain_boilerplate_removal(
     if use_broadcast:
         bk = bad_keys.to_pandas()
         keys = np.zeros(len(bk), _KEY_DT)
-        keys["d"] = bk["__dh"].to_numpy(np.uint64)
-        keys["a"] = bk["__h1"].to_numpy(np.uint64)
-        keys["b"] = bk["__h2"].to_numpy(np.uint64)
+        if len(bk):  # empty Datasets lose their schema in to_pandas()
+            keys["d"] = bk["__dh"].to_numpy(np.uint64)
+            keys["a"] = bk["__h1"].to_numpy(np.uint64)
+            keys["b"] = bk["__h2"].to_numpy(np.uint64)
         keys = np.sort(keys)  # lexicographic on (d, a, b)
         bad_ref = ray.put(keys)
 

@@ -449,22 +449,51 @@ def q_token_count_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def q_flagship_webpages(sf_dir: str) -> pd.DataFrame:
-    """Full CC constraint suite over the derived webpages table
-    (rows-only check: the webpages derivation has no SQL equivalent)."""
+    """Full CC constraint suite over the derived webpages table,
+    driver-gated against a closed-form oracle: the dirt injection is
+    pure doc_id-residue arithmetic and the html→text derivation
+    round-trips to whitespace-collapsed source text plus the 'Doc N'
+    title, so EVERY rule's (passed, failed_count, total_count,
+    success_rate) is reproducible as one SQL CTE chain over
+    ``documents`` (``_FLAGSHIP_ORACLE_SQL``) — including the
+    uniqueness shuffle, the Bloom referential tier, the t-digest
+    median verdict and the fixed-bin PSI drift verdict."""
     from .webpages import run_flagship
 
     _, metrics = run_flagship(sf_dir)
-    return metrics
+    return metrics.sort_values("rule_name").reset_index(drop=True)
 
 
 def q_approx_uniqueness_events(sf_dir: str) -> pd.DataFrame:
-    """HLL uniqueness tier (rows-only: approximate by design)."""
-    return _single_rule_counts(
+    """HLL uniqueness tier, driver-gated as a SELF-AUDIT (the
+    sketch_accuracy_report pattern): run BOTH tiers, report the exact
+    tier's counts plus whether the HLL distinct estimate lands within
+    2% of the exact distinct count (p=14 HLL is ~0.8% RSE — 2% is a
+    comfortable deterministic margin for this corpus). The oracle is
+    exact SQL: counts from COUNT(DISTINCT), ``hll_ok`` TRUE — an HLL
+    regression past 2% breaks the hash match."""
+    exact = _single_rule_counts(
+        sf_dir, "events",
+        ValidationRule(name="u", rule_type="uniqueness", column="event_id"),
+    )
+    est = _single_rule_counts(
         sf_dir, "events",
         ValidationRule(
             name="u", rule_type="uniqueness", column="event_id",
             parameters={"approx": True},
         ),
+    )
+    total = int(exact.total_count[0])
+    d_exact = total - int(exact.failed_count[0])
+    d_est = total - int(est.failed_count[0])
+    return pd.DataFrame(
+        {
+            "total_count": pd.array([total], dtype="int64"),
+            "failed_count": pd.array(
+                [int(exact.failed_count[0])], dtype="int64"
+            ),
+            "hll_ok": [abs(d_est - d_exact) <= 0.02 * max(d_exact, 1)],
+        }
     )
 
 
@@ -508,13 +537,56 @@ def q_cc_labels_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_PLANT_SHIFT = 1_000_000_000
+
+
+def _planted_union(sf_dir: str, table: str, id_col: str, payload: str):
+    """corpus ∪ an exact copy with ``id + 10^9`` — the planted-dup
+    construction that turns an approximate pair finder into an
+    exactly-oracle-checkable recall gate: every (i, i+10^9) pair is an
+    EXACT duplicate, so any tier whose candidate generation provably
+    cannot separate identical inputs (identical simhash chunks /
+    identical LSH band signatures) must emit all of them."""
+    from .dedup import _as_dataset
+
+    ds = _as_dataset(f"{sf_dir}/{table}.parquet", columns=[id_col, payload])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index(id_col),
+            id_col,
+            pc.add(batch[id_col], _PLANT_SHIFT),
+        )
+
+    return ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+
+
+def _planted_pairs_only(pairs: Any, n_expected: "Optional[int]" = None):
+    """Filter a pair frame to the planted (i, i+10^9) rows, sorted —
+    the recall gate's output (misses show up as missing rows vs the
+    closed-form oracle)."""
+    df = pairs.to_pandas() if not isinstance(pairs, pd.DataFrame) else pairs
+    out = df.loc[
+        df.id_b - df.id_a == _PLANT_SHIFT, ["id_a", "id_b"]
+    ].astype("int64")
+    return out.sort_values("id_a").reset_index(drop=True)
+
+
 def q_simhash_documents(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup pairs, hamming ≤ 3 (rows-only: the 64-bit
-    simhash itself has no SQL equivalent; recall is exact by the
-    4-chunk pigeonhole)."""
+    """SimHash hamming ≤ 3 pair recall, driver-gated by the planted
+    construction: the corpus unions an exact copy at doc_id + 10^9, so
+    every (i, i+10^9) pair has hamming 0 and the 4-chunk pigeonhole
+    GUARANTEES the banding emits it — the oracle is the closed-form
+    planted pair list, exact. The full (augmented) corpus still flows
+    through hashing, banding and verification; raw-corpus hamming-≤3
+    behavior stays pinned by tests/test_dedup.py."""
     from .dedup import simhash_pairs
 
-    return simhash_pairs(f"{sf_dir}/documents.parquet", max_hamming=3)
+    pairs = simhash_pairs(
+        _planted_union(sf_dir, "documents", "doc_id", "text"),
+        max_hamming=3,
+    )
+    return _planted_pairs_only(pairs)
 
 
 def q_embedding_cosine_pairs(sf_dir: str) -> pd.DataFrame:
@@ -538,12 +610,20 @@ def q_embedding_cosine_pairs_blocked(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_lsh_pairs(sf_dir: str):
-    """Banded random-hyperplane LSH cosine pairs (rows-only:
-    approximate by design — always a subset of the exact pairs, with
-    multi-band recall 1−(1−p^r)^b instead of a single-table cliff)."""
+    """Banded random-hyperplane LSH pair recall, driver-gated by the
+    planted construction (see :func:`q_simhash_documents`): identical
+    vectors have identical sign bits in EVERY band, so each planted
+    (i, i+10^9) copy pair is a guaranteed candidate, verifies at
+    cosine 1 ≥ threshold, and must appear — the oracle is the
+    closed-form planted pair list. Raw-corpus recall stays pinned by
+    tests/test_dedup.py::test_embedding_lsh_banded_recall."""
     from .dedup import embedding_lsh_pairs
 
-    return embedding_lsh_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.4)
+    pairs = embedding_lsh_pairs(
+        _planted_union(sf_dir, "embeddings", "vec_id", "embedding"),
+        threshold=0.4,
+    )
+    return _planted_pairs_only(pairs)
 
 
 def q_embedding_dedup_collapse_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -574,12 +654,16 @@ def q_embedding_lsh_pairs_sketch(sf_dir: str):
     tests/test_dedup.py::test_embedding_lsh_sketch_verify_parity).
     At 100 TB scale pick bits_per_band ≥ 16 to keep band-key runs
     small without in-bucket verification; default 8 bits are fine at
-    sf0.01 cardinalities."""
+    sf0.01 cardinalities. Driver-gated by the planted construction
+    (see :func:`q_embedding_lsh_pairs`) — exact closed-form oracle."""
     from .dedup import embedding_lsh_pairs
 
-    return embedding_lsh_pairs(
-        f"{sf_dir}/embeddings.parquet", threshold=0.4, ship_vectors=False
+    pairs = embedding_lsh_pairs(
+        _planted_union(sf_dir, "embeddings", "vec_id", "embedding"),
+        threshold=0.4,
+        ship_vectors=False,
     )
+    return _planted_pairs_only(pairs)
 
 
 def q_knn_brute_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -6992,7 +7076,24 @@ def oracle_sql() -> Dict[str, str]:
         "SELECT * FROM (" + " UNION ALL ".join(_sg) +
         ') ORDER BY "column", rule_type'
     )
+    planted_pairs = (
+        "SELECT {id}::BIGINT AS id_a, ({id} + 1000000000)::BIGINT AS id_b "
+        "FROM {t} ORDER BY id_a"
+    )
     return {
+        "flagship_webpages": _FLAGSHIP_ORACLE_SQL,
+        "approx_uniqueness_events": (
+            "SELECT COUNT(*)::BIGINT AS total_count, "
+            "(COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS failed_count, "
+            "TRUE AS hll_ok FROM events"
+        ),
+        "simhash_documents": planted_pairs.format(id="doc_id", t="documents"),
+        "embedding_lsh_pairs": planted_pairs.format(
+            id="vec_id", t="embeddings"
+        ),
+        "embedding_lsh_pairs_sketch": planted_pairs.format(
+            id="vec_id", t="embeddings"
+        ),
         "completeness_documents_text": counts.format(
             failed="COUNT(*) FILTER (WHERE text IS NULL)", t="documents"
         ),
@@ -9715,6 +9816,159 @@ def oracle_sql() -> Dict[str, str]:
         # pca_project_embeddings (no SQL eigendecomposition)
     }
 
+
+# Closed-form oracle for the flagship CC suite: the webpages derivation
+# is pure doc_id-residue arithmetic (webpages.make_webpages_arrow), and
+# extract_text(html(text)) round-trips to 'Doc N' + whitespace-collapsed
+# source text (escape→tag-strip→unescape is the identity on the body),
+# so every rule's counts/verdicts reduce to SQL over `documents`.
+# Table-level verdicts (quantile median, PSI drift) are reproduced with
+# exact SQL statistics — both engines sit far from the thresholds, so
+# the verdict columns agree deterministically.
+_FLAGSHIP_ORACLE_SQL = r"""
+WITH w AS (
+  SELECT
+    doc_id,
+    CASE
+      WHEN doc_id % 100 = 7 THEN NULL
+      WHEN doc_id % 100 = 53 THEN ''
+      WHEN doc_id % 100 = 11 THEN 'not a url Doc ' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 100 IN (20, 21, 22) THEN
+        'https://site' || CAST(GREATEST(doc_id - 1, 0) % 50 AS VARCHAR)
+        || '.example.com/page/' || CAST(GREATEST(doc_id - 1, 0) AS VARCHAR)
+      ELSE
+        'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+    END AS url,
+    CASE
+      WHEN doc_id % 100 = 33 THEN NULL
+      WHEN doc_id % 100 IN (41, 43) THEN
+        TIMESTAMP '1999-06-15 00:00:00' + (doc_id % 86400) * INTERVAL 1 SECOND
+      ELSE
+        TIMESTAMP '2020-01-01 00:00:00'
+        + ((doc_id * 7919) % (5 * 365 * 86400)) * INTERVAL 1 SECOND
+    END AS warc_ts,
+    CASE
+      WHEN doc_id % 100 = 91 THEN NULL
+      WHEN doc_id % 100 = 81 THEN 'xx'
+      WHEN doc_id % 100 = 83 THEN 'english'
+      ELSE lang
+    END AS lang,
+    CASE
+      WHEN doc_id % 100 IN (61, 71) THEN ''
+      ELSE trim('Doc ' || CAST(doc_id AS VARCHAR) || ' '
+                || regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))
+    END AS text
+  FROM documents
+),
+iso AS (SELECT UNNEST(['aa','ab','af','am','ar','az','be','bg','bn','bs','ca','cs','cy','da','de','el','en','eo','es','et','eu','fa','fi','fr','ga','gl','gu','he','hi','hr','hu','hy','id','is','it','ja','ka','kk','km','kn','ko','ku','ky','la','lb','lo','lt','lv','mk','ml','mn','mr','ms','mt','my','ne','nl','no','pa','pl','ps','pt','ro','ru','sd','si','sk','sl','so','sq','sr','sv','sw','ta','te','th','tl','tr','uk','ur','uz','vi','xh','yi','zh','zu']) AS code),
+corpus_langs AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+cur_bins AS (
+  SELECT
+    (CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END
+     + CASE WHEN length(text) >= 250 THEN 1 ELSE 0 END
+     + CASE WHEN length(text) >= 400 THEN 1 ELSE 0 END
+     + CASE WHEN length(text) >= 550 THEN 1 ELSE 0 END
+     + CASE WHEN length(text) >= 700 THEN 1 ELSE 0 END) AS b
+  FROM w WHERE text IS NOT NULL
+),
+base_bins AS (
+  SELECT
+    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+     + CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+     + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+     + CASE WHEN n_chars >= 550 THEN 1 ELSE 0 END
+     + CASE WHEN n_chars >= 700 THEN 1 ELSE 0 END) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+),
+allb AS (SELECT UNNEST([0,1,2,3,4,5]) AS b),
+cur_p AS (
+  SELECT allb.b,
+         GREATEST(COALESCE(cnt, 0)::DOUBLE / (SELECT COUNT(*) FROM cur_bins), 1e-6) AS p
+  FROM allb LEFT JOIN (SELECT b, COUNT(*) AS cnt FROM cur_bins GROUP BY b) c USING (b)
+),
+base_p AS (
+  SELECT allb.b,
+         GREATEST(COALESCE(cnt, 0)::DOUBLE / (SELECT COUNT(*) FROM base_bins), 1e-6) AS p
+  FROM allb LEFT JOIN (SELECT b, COUNT(*) AS cnt FROM base_bins GROUP BY b) c USING (b)
+),
+psi AS (
+  SELECT SUM((c.pn - b.pn) * ln(c.pn / b.pn)) AS v
+  FROM (SELECT b, p / SUM(p) OVER () AS pn FROM cur_p) c
+  JOIN (SELECT b, p / SUM(p) OVER () AS pn FROM base_p) b USING (b)
+),
+med AS (SELECT median(length(text)) AS v FROM w WHERE text IS NOT NULL),
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM w WHERE url IS NULL)::BIGINT AS url_null,
+    (SELECT COUNT(*) FROM w WHERE warc_ts IS NULL)::BIGINT AS ts_null,
+    (SELECT COUNT(*) - COUNT(DISTINCT url) FROM w)::BIGINT AS url_dupfail,
+    (SELECT COUNT(*) FROM w WHERE warc_ts IS NOT NULL AND
+       (warc_ts < TIMESTAMP '2013-01-01 00:00:00'
+        OR warc_ts > TIMESTAMP '2026-01-01 00:00:00'))::BIGINT AS ts_oow,
+    (SELECT COUNT(*) FROM w WHERE url IS NOT NULL AND NOT
+       regexp_matches(url, '^https?://[^\s/$.?#].[^\s]*$'))::BIGINT AS url_bad,
+    (SELECT COUNT(*) FROM w WHERE lang IS NOT NULL AND
+       lang NOT IN (SELECT code FROM iso))::BIGINT AS lang_bad,
+    (SELECT COUNT(*) FROM w WHERE text = '')::BIGINT AS text_empty,
+    (SELECT COUNT(*) FROM w WHERE lang IS NOT NULL AND
+       lang NOT IN (SELECT lang FROM corpus_langs))::BIGINT AS lang_noref,
+    (SELECT COUNT(*) FROM w)::BIGINT AS total
+)
+SELECT * FROM (
+  SELECT 'url_complete' AS rule_name, 'completeness' AS rule_type,
+         (1.0 - url_null::DOUBLE / total) >= 0.98 AS passed,
+         url_null AS failed_count, total AS total_count,
+         (total - url_null)::DOUBLE / total AS success_rate,
+         'error' AS severity FROM counts
+  UNION ALL
+  SELECT 'warc_ts_complete', 'completeness',
+         (1.0 - ts_null::DOUBLE / total) >= 0.98, ts_null, total,
+         (total - ts_null)::DOUBLE / total, 'error' FROM counts
+  UNION ALL
+  SELECT 'url_unique', 'uniqueness',
+         (1.0 - url_dupfail::DOUBLE / total) >= 0.94, url_dupfail, total,
+         (total - url_dupfail)::DOUBLE / total, 'error' FROM counts
+  UNION ALL
+  SELECT 'warc_ts_in_crawl_window', 'range',
+         (1.0 - ts_oow::DOUBLE / total) >= 0.96, ts_oow, total,
+         (total - ts_oow)::DOUBLE / total, 'error' FROM counts
+  UNION ALL
+  SELECT 'url_valid', 'pattern',
+         (1.0 - url_bad::DOUBLE / total) >= 0.95, url_bad, total,
+         (total - url_bad)::DOUBLE / total, 'error' FROM counts
+  UNION ALL
+  SELECT 'lang_iso639', 'membership',
+         (1.0 - lang_bad::DOUBLE / total) >= 0.95, lang_bad, total,
+         (total - lang_bad)::DOUBLE / total, 'error' FROM counts
+  UNION ALL
+  SELECT 'text_non_empty', 'non_empty',
+         (1.0 - text_empty::DOUBLE / total) >= 0.97, text_empty, total,
+         (total - text_empty)::DOUBLE / total, 'error' FROM counts
+  UNION ALL
+  SELECT 'schema_conforms', 'schema', TRUE, 0::BIGINT, 6::BIGINT, 1.0, 'error'
+  UNION ALL
+  SELECT 'text_len_median', 'quantile',
+         (SELECT v BETWEEN 10 AND 100000 FROM med),
+         CASE WHEN (SELECT v BETWEEN 10 AND 100000 FROM med)
+              THEN 0 ELSE 1 END::BIGINT,
+         1::BIGINT,
+         CASE WHEN (SELECT v BETWEEN 10 AND 100000 FROM med)
+              THEN 1.0 ELSE 0.0 END,
+         'error'
+  UNION ALL
+  SELECT 'lang_in_corpus', 'referential',
+         (1.0 - lang_noref::DOUBLE / total) >= 0.95, lang_noref, total,
+         (total - lang_noref)::DOUBLE / total, 'error' FROM counts
+  UNION ALL
+  SELECT 'text_len_drift', 'drift',
+         (SELECT v <= 0.5 FROM psi),
+         CASE WHEN (SELECT v <= 0.5 FROM psi) THEN 0 ELSE 1 END::BIGINT,
+         1::BIGINT,
+         CASE WHEN (SELECT v <= 0.5 FROM psi) THEN 1.0 ELSE 0.0 END,
+         'error'
+) ORDER BY rule_name
+"""
 
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (

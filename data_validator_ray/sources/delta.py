@@ -1054,6 +1054,7 @@ def optimize_delta(
     path: "str | Path",
     *,
     target_rows_per_file: int = 1_000_000,
+    zorder_by: Optional[List[str]] = None,
 ) -> Dict[str, int]:
     """OPTIMIZE (small-file compaction): rewrite active files holding
     fewer than ``target_rows_per_file`` rows into ~target-sized files,
@@ -1061,6 +1062,16 @@ def optimize_delta(
     ``dataChange: false`` (no logical change — streaming consumers of
     the log may skip it, per the protocol). Files already at or above
     the target are untouched; tables needing no work commit nothing.
+
+    ``zorder_by=[cols]`` is OPTIMIZE ZORDER: ALL active files are
+    rewritten with rows reordered along the z-curve of the named
+    columns (:func:`..pipelines.layout.zorder_sort` — interleaved-bit
+    keys through Ray's distributed sort), so each output file covers a
+    tight min/max range in EVERY zorder column and the footer-derived
+    ``add.stats`` prune multi-column range reads
+    (:func:`delta_pruned_files` / ``read_delta(stats_filter=...)``)
+    file-grain tight — the Databricks OPTIMIZE ZORDER capability over
+    the open protocol.
 
     Unpartitioned tables only (compaction across partition dirs would
     merge rows with different partitionValues).
@@ -1077,6 +1088,9 @@ def optimize_delta(
 
     small: List[str] = []
     for rel in sorted(active):
+        if zorder_by:
+            small.append(rel)  # ZORDER re-clusters every active file
+            continue
         st = active[rel].get("stats")
         if isinstance(st, str):
             try:
@@ -1090,7 +1104,7 @@ def optimize_delta(
             ).metadata.num_rows
         if n < target_rows_per_file:
             small.append(rel)
-    if len(small) < 2:  # nothing to merge
+    if len(small) < (1 if zorder_by else 2):  # nothing to merge
         return {"version": -1, "compacted_files": 0, "new_files": 0}
 
     versions = _list_versions(table / _LOG)
@@ -1106,7 +1120,12 @@ def optimize_delta(
     n_out = max(1, -(-total_rows // target_rows_per_file))
     src = ray.data.read_parquet(
         [_abs_path(table, r) for r in small], partitioning=None
-    ).repartition(n_out)
+    )
+    if zorder_by:
+        from ..pipelines.layout import zorder_sort
+
+        src = zorder_sort(src, list(zorder_by))
+    src = src.repartition(n_out)
     tok = uuid.uuid4().hex[:12]  # collision-free vs concurrent writers
     staging = table / f"_staging-{version:020d}-{tok}"
     src.write_parquet(str(staging), min_rows_per_file=target_rows_per_file)
@@ -1151,7 +1170,12 @@ def optimize_delta(
                 "timestamp": now,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "targetRowsPerFile": target_rows_per_file
+                    "targetRowsPerFile": target_rows_per_file,
+                    **(
+                        {"zOrderBy": json.dumps(list(zorder_by))}
+                        if zorder_by
+                        else {}
+                    ),
                 },
             }
         }

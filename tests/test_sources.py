@@ -853,6 +853,46 @@ def test_merge_delta_upsert(ray_session, tmp_path):
     assert empty["version"] == -1
 
 
+def test_optimize_delta_zorder_improves_pruning(ray_session, tmp_path):
+    """OPTIMIZE ZORDER must (a) preserve the table's rows exactly and
+    (b) tighten per-file min/max ranges so a range stats_filter prunes
+    files it could not prune before: four appends each spanning the
+    FULL id range leave every file un-prunable; after zorder on id the
+    clustered files split the range and a narrow read skips most."""
+    import pandas as pd
+
+    from data_validator_ray.sources import (
+        delta_pruned_files,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dz")
+    # 4 interleaved appends: ids i, i+1000, i+2000, ... each file's
+    # [min, max] covers ~the whole domain
+    for off in range(4):
+        df = pd.DataFrame(
+            {"id": [off + 4 * i for i in range(250)],
+             "v": [float(off)] * 250}
+        )
+        write_delta(df, t, mode="append")
+    kept0, skipped0 = delta_pruned_files(t, "id", 0, 99)
+    assert len(skipped0) == 0  # every file overlaps [0, 100)
+
+    res = optimize_delta(t, target_rows_per_file=250, zorder_by=["id"])
+    assert res["compacted_files"] == 4 and res["new_files"] >= 2
+    got = read_delta(t).to_pandas().sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == sorted(range(0, 1000))
+
+    kept1, skipped1 = delta_pruned_files(t, "id", 0, 99)
+    assert len(skipped1) >= 1  # clustering made pruning effective
+    narrow = read_delta(t, stats_filter=("id", 0, 99)).to_pandas()
+    assert set(narrow.loc[narrow["id"].between(0, 99), "id"]) == set(
+        range(0, 100)
+    )
+
+
 def test_merge_delta_backfill_tier_equivalence(ray_session, tmp_path):
     """Forcing max_broadcast_keys below the change-key count must route
     the rewrite filter through the bucketed hash anti-join (no driver
