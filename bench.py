@@ -419,8 +419,9 @@ def bench_ccnet_pipeline(input_dir: str) -> float:
     language filter → unigram LM fit+score on the FILTERED corpus →
     per-language perplexity tertiles → drop each language's tail →
     domain-frequency boilerplate removal. ONE lazy chain — the stages
-    overlap under the streaming executor instead of paying the sum of
-    the standalone tiers."""
+    overlap under the streaming executor, and the score pass carries
+    text/lang/source THROUGH (passthrough_cols) so no corpus-wide
+    self-join ships the text a second time."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -428,10 +429,7 @@ def bench_ccnet_pipeline(input_dir: str) -> float:
 
     from data_validator_ray.functions.sketches import hash64
     from data_validator_ray.pipelines.dedup import domain_boilerplate_removal
-    from data_validator_ray.pipelines.relational import (
-        bucket_by_quantile,
-        hash_join,
-    )
+    from data_validator_ray.pipelines.relational import bucket_by_quantile
     from data_validator_ray.pipelines.text import unigram_logprob
     from data_validator_ray.pipelines.urls import (
         domain_of_array,
@@ -459,16 +457,11 @@ def bench_ccnet_pipeline(input_dir: str) -> float:
     f = ray.data.read_parquet(
         input_dir, columns=["url", "text", "lang"]
     ).map_batches(with_cols, batch_format="pyarrow", batch_size=16384)
-    scored = unigram_logprob(f, batch_size=16384)
-    joined = hash_join(
-        scored, f,
-        left_key="doc_id", right_key="doc_id",
-        left_cols=["doc_id", "logprob_mean"],
-        right_cols=["lang", "source", "text"],
-        num_buckets=64,
+    scored = unigram_logprob(
+        f, batch_size=16384, passthrough_cols=["lang", "source", "text"]
     )
     banded = bucket_by_quantile(
-        joined, "logprob_mean",
+        scored, "logprob_mean",
         group_col="lang",
         labels=["tail", "middle", "head"],
         id_cols=["doc_id", "source", "text"],
@@ -1072,16 +1065,59 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling() -> dict:
+def run_dedup_only() -> dict:
+    """Child mode for ``--scaling-shuffle``: time ONE exact-dedup pass
+    (the bucketed-shuffle-bound tier — 16-byte hash identities through
+    a full-width exchange) after an untimed warm-up, at this process's
+    NUM_CPUS. The 0.8-efficiency guard's headline suite is shuffle-free
+    map work; this mode proves the SHUFFLE path scales too."""
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    input_dir = _bench_input_dir()
+    if not input_dir.exists():
+        input_dir.parent.mkdir(parents=True, exist_ok=True)
+        generate_bench_webpages(input_dir)
+    import ray.data
+
+    rows = ray.data.read_parquet(str(input_dir)).count()
+    bench_exact_dedup(str(input_dir))  # warm-up (untimed)
+    sec = bench_exact_dedup(str(input_dir))
+    ray.shutdown()
+    return {
+        "metric": "exact-dedup sec (bucketed-shuffle tier)",
+        "value": round(sec, 3),
+        "rows": rows,
+        "sf": Path(SF_DIR).name,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling(
+    child_flag: str = "--headline-only", replicas_mult: int = 4
+) -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # the scaling criterion needs the serial fraction (read planning,
         # executor spin-up, driver combine — ~5 s regardless of size) to
         # be small relative to the parallel work, as it is at production
-        # scale: default to 4× the headline workload unless overridden
-        env.setdefault("GRAFT_REPLICAS", str(REPLICAS * 4))
+        # scale: default to replicas_mult× the headline workload unless
+        # overridden (the shuffle tier uses 1× — its per-row exchange
+        # work is already deep enough at 8M rows)
+        env.setdefault("GRAFT_REPLICAS", str(REPLICAS * replicas_mult))
         out = subprocess.run(
-            [sys.executable, __file__, "--headline-only"], env=env,
+            [sys.executable, __file__, child_flag], env=env,
             capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -1125,7 +1161,11 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-shuffle" in sys.argv:
+        print(json.dumps(run_scaling("--dedup-only", replicas_mult=1)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup-only" in sys.argv:
+        print(json.dumps(run_dedup_only()))
     else:
         print(json.dumps(run_bench()))

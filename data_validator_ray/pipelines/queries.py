@@ -2207,11 +2207,17 @@ def q_ccnet_pipeline_documents(sf_dir: str) -> pd.DataFrame:
     already-oracle-backed operator; this query pins the COMPOSITION
     (model fit on the filtered corpus, bands per lang, boilerplate
     counts on the band survivors — order matters and the single SQL
-    CTE chain checks all of it)."""
+    CTE chain checks all of it).
+
+    Scale shape: the score pass carries lang/source/text THROUGH
+    (``unigram_logprob(passthrough_cols=...)``) instead of a
+    corpus-wide self-join of scores back onto text — one full exchange
+    of the corpus saved vs the join formulation (both verified
+    identical by the oracle)."""
     import pyarrow.compute as _pc
 
     from .dedup import domain_boilerplate_removal
-    from .relational import bucket_by_quantile, hash_join
+    from .relational import bucket_by_quantile
     from .text import unigram_logprob
 
     langs = pa.array(["en", "fr", "de", "es"])
@@ -2226,16 +2232,11 @@ def q_ccnet_pipeline_documents(sf_dir: str) -> pd.DataFrame:
         )
 
     f = docs.map_batches(keep_lang, batch_format="pyarrow")
-    scored = unigram_logprob(f)
-    joined = hash_join(
-        scored, f,
-        left_key="doc_id", right_key="doc_id",
-        left_cols=["doc_id", "logprob_mean"],
-        right_cols=["lang", "source", "text"],
-        num_buckets=8,
+    scored = unigram_logprob(
+        f, passthrough_cols=["lang", "source", "text"]
     )
     banded = bucket_by_quantile(
-        joined, "logprob_mean",
+        scored, "logprob_mean",
         group_col="lang",
         labels=["tail", "middle", "head"],
         id_cols=["doc_id", "source", "text"],

@@ -828,6 +828,7 @@ def unigram_logprob(
     oov_count: float = 0.5,
     distributed_merge: bool = False,
     batch_size: int = 8192,
+    passthrough_cols: Optional[List[str]] = None,
 ) -> Dataset:
     """Per-doc mean unigram log-probability — the CCNet-style language
     -model quality signal (gibberish / boilerplate scores far below
@@ -862,6 +863,12 @@ def unigram_logprob(
     ≈ vocab²/2⁶⁵ — ~1e-9 even at 100M tokens); the same convention as
     the collision-checked uniqueness tier, acceptable here because the
     output is a float score, not an identity decision.
+
+    ``passthrough_cols`` carries the named input columns (``text`` and
+    metadata included) through the score pass unchanged — a downstream
+    composition that needs both score and text then skips the
+    corpus-wide self-join it would otherwise pay (one full exchange of
+    the corpus saved; the CCNet pipeline's shape).
     """
     def counts(batch: pa.Table) -> pa.Table:
         ex, _ = _exploded_tokens(batch[text_col])
@@ -874,7 +881,11 @@ def unigram_logprob(
             }
         )
 
-    ds = _as_dataset(source, columns=[id_col, text_col])
+    extra = [
+        c for c in (passthrough_cols or []) if c not in (id_col, text_col)
+    ]
+    keep_text = text_col in (passthrough_cols or [])
+    ds = _as_dataset(source, columns=[id_col, text_col, *extra])
     part = ds.map_batches(
         counts, batch_format="pyarrow", batch_size=batch_size
     )
@@ -885,7 +896,8 @@ def unigram_logprob(
             part, int(vocab_size), float(oov_count)
         )
         return _score_unigrams(
-            ds, ray.put((vh, vlp)), id_col, text_col, oov_logp, batch_size
+            ds, ray.put((vh, vlp)), id_col, text_col, oov_logp, batch_size,
+            extra_cols=extra, keep_text=keep_text,
         )
     if distributed_merge:
         # pre-merge duplicates across batches with a Ray groupby before
@@ -927,7 +939,8 @@ def unigram_logprob(
     vlp = np.log(vn[order].astype(np.float64) / total)
     oov_logp = float(np.log(oov_count / total))
     return _score_unigrams(
-        ds, ray.put((vh, vlp)), id_col, text_col, oov_logp, batch_size
+        ds, ray.put((vh, vlp)), id_col, text_col, oov_logp, batch_size,
+        extra_cols=extra, keep_text=keep_text,
     )
 
 
@@ -1036,9 +1049,14 @@ def _score_unigrams(
     text_col: str,
     oov_logp: float,
     batch_size: int,
+    *,
+    extra_cols: Optional[List[str]] = None,
+    keep_text: bool = False,
 ) -> Dataset:
     """Score every doc against the broadcast sorted ``(h, lp)`` table
-    (searchsorted probe; misses score ``oov_logp``)."""
+    (searchsorted probe; misses score ``oov_logp``). ``extra_cols`` /
+    ``keep_text`` pass input columns through unchanged (zero-copy
+    column appends — no join)."""
 
     def score(batch: pa.Table) -> pa.Table:
         v_h, v_lp = ray.get(vocab_ref)
@@ -1057,13 +1075,16 @@ def _score_unigrams(
         mean = np.where(
             nt > 0, np.round(sums / np.maximum(nt, 1), 6), np.nan
         )
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_tokens": pa.array(nt, pa.int64()),
-                "logprob_mean": pa.array(mean, pa.float64()),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(nt, pa.int64()),
+            "logprob_mean": pa.array(mean, pa.float64()),
+        }
+        if keep_text:
+            cols[text_col] = batch[text_col]
+        for c in extra_cols or []:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size)
 

@@ -31,6 +31,47 @@ def test_unigram_logprob_matches_hand_computation(ray_session):
     assert pd.isna(out["logprob_mean"].iloc[3])
 
 
+def test_unigram_logprob_passthrough_equals_join(ray_session):
+    """passthrough_cols must carry input columns through the score pass
+    unchanged — same (doc_id, n_tokens, logprob_mean) as the plain
+    output, with text/metadata columns byte-identical to the input, in
+    BOTH the uncapped and the capped (top-V distributed) tiers."""
+    from data_validator_ray.pipelines.text import unigram_logprob
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a a b", "b c", "", None],
+            "lang": ["en", "fr", "en", None],
+        }
+    )
+    for kw in ({}, {"vocab_size": 2}):
+        plain = (
+            unigram_logprob(df[["doc_id", "text"]], **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        thru = (
+            unigram_logprob(
+                df, passthrough_cols=["text", "lang"], **kw
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert sorted(thru.columns) == sorted(
+            ["doc_id", "n_tokens", "logprob_mean", "text", "lang"]
+        )
+        pd.testing.assert_frame_equal(
+            thru[["doc_id", "n_tokens", "logprob_mean"]], plain
+        )
+        pd.testing.assert_frame_equal(
+            thru[["doc_id", "text", "lang"]],
+            df[["doc_id", "text", "lang"]],
+        )
+
+
 def test_unigram_logprob_vocab_cap_oov_floor(ray_session):
     import math
 
