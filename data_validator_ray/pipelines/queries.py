@@ -1177,17 +1177,47 @@ def q_windowed_events(sf_dir: str) -> pd.DataFrame:
 
 
 def q_approx_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
-    """Distinct users per event type via mergeable per-group HLL
-    partials (rows-only: approximate by design, ~1.6 % at p=12;
-    exchange volume is #groups × #batches register blobs, independent
-    of row count)."""
+    """Distinct users per event type, driver-gated as a SELF-AUDIT:
+    the per-group HLL tier (mergeable register blobs, ~1.6% RSE at
+    p=12) runs alongside the exact distributed distinct (ONE
+    (group, value)-pair shuffle), and the output reports the exact
+    counts plus whether every group's HLL estimate lands within 5% —
+    the oracle is plain COUNT(DISTINCT) SQL with ``hll_ok`` TRUE, so
+    an HLL regression breaks the hash match."""
+    import pyarrow.compute as _pc
+
     from .relational import grouped_approx_distinct
 
-    out = grouped_approx_distinct(
+    est = grouped_approx_distinct(
         f"{sf_dir}/events.parquet", "event_type", "user_id"
-    ).to_pandas()
-    out["approx_distinct"] = out["approx_distinct"].astype("int64")
-    return out.sort_values("event_type").reset_index(drop=True)
+    ).to_pandas().set_index("event_type")["approx_distinct"]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def drop_null_users(b: pa.Table) -> pa.Table:
+        return b.filter(_pc.is_valid(b["user_id"]))
+
+    exact = (
+        ds.map_batches(drop_null_users, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()  # distinct (group, user) pairs
+        .groupby("event_type")
+        .count()  # distinct users per group
+        .to_pandas()
+        .rename(columns={"count()": "n_distinct"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exact["n_distinct"] = exact["n_distinct"].astype("int64")
+    rel = (
+        (est.reindex(exact["event_type"]).to_numpy()
+         - exact["n_distinct"].to_numpy())
+        / np.maximum(exact["n_distinct"].to_numpy(), 1)
+    )
+    exact["hll_ok"] = bool(np.abs(rel).max() <= 0.05)
+    return exact
 
 
 def q_compression_stats_documents(sf_dir: str) -> pd.DataFrame:
@@ -1213,15 +1243,50 @@ def q_group_sample_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def q_grouped_quantiles_events(sf_dir: str) -> pd.DataFrame:
-    """p50/p95/p99 of event value per event type via mergeable
-    t-digest partials (rows-only: approximate by design; blobs merged
-    in canonical order for determinism)."""
+    """p50/p95/p99 of event value per event type, driver-gated as a
+    SELF-AUDIT: the t-digest tier (mergeable blobs, canonical merge
+    order) runs alongside EXACT per-group quantiles (numpy linear
+    interpolation per group — quantile_cont semantics; the documented
+    partitioning assumption is each group's values fit one worker,
+    which a self-audit gate can afford), and the output reports the
+    exact values plus whether every t-digest estimate lands within 2%
+    of the group's value span. Oracle = plain ``quantile_cont`` SQL
+    with ``td_ok`` TRUE."""
     from .relational import grouped_quantiles
 
-    out = grouped_quantiles(
-        f"{sf_dir}/events.parquet", "event_type", "value"
-    ).to_pandas()
-    return out.sort_values("event_type").reset_index(drop=True)
+    qs = (0.5, 0.95, 0.99)
+    est = grouped_quantiles(
+        f"{sf_dir}/events.parquet", "event_type", "value", quantiles=qs
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+
+    def exact_q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].dropna().to_numpy(np.float64)
+        row = {"event_type": [g["event_type"].iloc[0]]}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = [
+                round(float(np.quantile(v, q)), 6) if len(v) else np.nan
+            ]
+        return pd.DataFrame(row)
+
+    exact = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .groupby("event_type")
+        .map_groups(exact_q, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    cols = [f"p{int(q * 100)}" for q in qs]
+    span = np.maximum(
+        exact[cols].to_numpy().max(axis=1)
+        - exact[cols].to_numpy().min(axis=1),
+        1e-9,
+    )
+    err = np.abs(est[cols].to_numpy() - exact[cols].to_numpy())
+    exact["td_ok"] = bool((err <= 0.02 * span[:, None] + 1e-6).all())
+    return exact
 
 
 def q_hopping_window_events(sf_dir: str) -> pd.DataFrame:
@@ -2721,17 +2786,57 @@ def q_grouped_higher_moments_events(sf_dir: str) -> pd.DataFrame:
 
 
 def q_misra_gries_events_user(sf_dir: str) -> pd.DataFrame:
-    """Misra-Gries sketched top-10 user_ids (capacity 64 < 150
-    distinct users — the decrement path is exercised; rows-only:
-    est_count depends on batch boundaries by design)."""
+    """Misra-Gries heavy hitters as an EXACT driver gate: a derived
+    skewed key (half the rows collapse onto ``user_id % 8``, the other
+    half stay long-tail at ``user_id + 10000``) plants 8 true heavy
+    hitters; the MG summary (capacity 64 — the decrement path is
+    exercised by the ~158-value stream) GUARANTEES every value with
+    true count > n/(capacity+1) survives, so exact-recounting the ≤64
+    candidates (one vectorized filtered pass) and thresholding yields
+    EXACTLY the SQL ``HAVING COUNT(*) > n/65`` set. The raw sketch's
+    batch-boundary-dependent est_counts stay pinned by
+    tests/test_profile.py."""
+    import pyarrow.compute as _pc
+
     from .profile import misra_gries_topk
 
-    out = misra_gries_topk(
-        f"{sf_dir}/events.parquet", "user_id", k=10, capacity=64
+    capacity = 64
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(_pc.is_valid(b["user_id"]))
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hh = np.where(eid % 2 == 0, uid % 8, uid + 10000)
+        return pa.table({"hh": pa.array(hh, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    ).map_batches(derive, batch_format="pyarrow")
+    summary = misra_gries_topk(
+        ds, "hh", k=capacity, capacity=capacity
     ).to_pandas()
-    for c in ["value", "est_count", "upper_bound"]:
-        out[c] = out[c].astype("int64")
-    return out.reset_index(drop=True)
+    cand = pa.array(summary["value"].astype("int64"), pa.int64())
+    cand_ref = ray.put(cand)
+
+    def count_cands(b: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        kept = b.filter(
+            _pc.fill_null(_pc.is_in(b["hh"], value_set=cs), False)
+        )
+        g = kept.group_by("hh").aggregate([([], "count_all")])
+        return pa.table({"hh": g["hh"], "c": g["count_all"]})
+
+    parts = ds.map_batches(count_cands, batch_format="pyarrow").to_pandas()
+    n_total = int(ds.count())
+    agg = parts.groupby("hh")["c"].sum()
+    thr = n_total / (capacity + 1)
+    heavy = agg[agg > thr].sort_index()
+    return pd.DataFrame(
+        {
+            "value": heavy.index.to_numpy(np.int64),
+            "n_rows": heavy.to_numpy(np.int64),
+        }
+    )
 
 
 def q_histogram_events_value(sf_dir: str) -> pd.DataFrame:
@@ -7087,6 +7192,28 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS total_count, "
             "(COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS failed_count, "
             "TRUE AS hll_ok FROM events"
+        ),
+        "approx_distinct_users_by_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS "
+            "n_distinct, TRUE AS hll_ok FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "misra_gries_events_user": (
+            "WITH d AS (SELECT CASE WHEN event_id % 2 = 0 "
+            "THEN user_id % 8 ELSE user_id + 10000 END AS hh "
+            "FROM events WHERE user_id IS NOT NULL) "
+            "SELECT hh::BIGINT AS value, COUNT(*)::BIGINT AS n_rows "
+            "FROM d GROUP BY hh "
+            "HAVING COUNT(*) > (SELECT COUNT(*) FROM d) / 65.0 "
+            "ORDER BY value"
+        ),
+        "grouped_quantiles_events": (
+            "SELECT event_type, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS p50, "
+            "ROUND(quantile_cont(value, 0.95), 6) AS p95, "
+            "ROUND(quantile_cont(value, 0.99), 6) AS p99, "
+            "TRUE AS td_ok FROM events "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "simhash_documents": planted_pairs.format(id="doc_id", t="documents"),
         "embedding_lsh_pairs": planted_pairs.format(
