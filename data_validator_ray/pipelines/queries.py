@@ -5788,14 +5788,40 @@ def q_numeric_profile_events(sf_dir: str) -> pd.DataFrame:
 
 
 def q_table_profile_events(sf_dir: str) -> pd.DataFrame:
-    """Full one-pass profile of EVERY events column (dtype, counts,
-    HLL approx-distinct, numeric min/max/mean). Rows-only: the distinct
-    estimate is an HLL sketch (deterministic, ±0.8 %)."""
+    """Full one-pass profile of EVERY events column, driver-gated as a
+    SELF-AUDIT: the profiler's exact fields (counts, numeric
+    min/max/mean) check directly against SQL, the HLL approx-distinct
+    is audited against a per-column EXACT distinct (driver-side
+    pc.unique merge — the gate affordance at sf0.01; the operator
+    itself stays the one-pass streaming profiler and at scale exact
+    distinct is its own shuffle tier), and ``hll_ok`` flags every
+    column's estimate within 5%. Oracle = per-column COUNT(DISTINCT)
+    SQL with TRUE flags."""
+    import pyarrow.compute as _pc
+
     from ..stages.stats import table_profile
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
-    out = table_profile(ds)
-    return out.sort_values("column").reset_index(drop=True)
+    prof = table_profile(ds).sort_values("column").reset_index(drop=True)
+
+    cols = list(prof["column"])
+    parts: Dict[str, list] = {c: [] for c in cols}
+    for b in ds.iter_batches(batch_size=64 * 1024, batch_format="pyarrow"):
+        for c in cols:
+            col = b[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts[c].append(_pc.unique(col.drop_null()))
+    n_exact = {
+        c: (len(_pc.unique(pa.concat_arrays(parts[c]))) if parts[c] else 0)
+        for c in cols
+    }
+    exact = prof["column"].map(n_exact).astype("int64")
+    rel = (prof["approx_distinct"] - exact).abs() / exact.clip(lower=1)
+    prof = prof.drop(columns=["approx_distinct"])
+    prof.insert(4, "n_distinct", exact)
+    prof.insert(5, "hll_ok", bool(rel.max() <= 0.05))
+    return prof
 
 
 def q_cat_association_documents(sf_dir: str) -> pd.DataFrame:
@@ -7214,6 +7240,31 @@ def oracle_sql() -> Dict[str, str]:
             "ROUND(quantile_cont(value, 0.99), 6) AS p99, "
             "TRUE AS td_ok FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "table_profile_events": (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                "SELECT '{c}' AS \"column\", '{dt}' AS dtype, "
+                "COUNT(*)::BIGINT AS total_count, "
+                "(COUNT(*) - COUNT({c}))::BIGINT AS null_count, "
+                "COUNT(DISTINCT {c})::BIGINT AS n_distinct, "
+                "TRUE AS hll_ok, {mn} AS min_value, {mx} AS max_value, "
+                "{mean} AS mean_value FROM events".format(
+                    c=c, dt=dt,
+                    mn=f"MIN({c})::DOUBLE" if num else "NULL::DOUBLE",
+                    mx=f"MAX({c})::DOUBLE" if num else "NULL::DOUBLE",
+                    mean=f"ROUND(AVG({c}), 6)" if num else "NULL::DOUBLE",
+                )
+                for c, dt, num in [
+                    ("event_id", "int64", True),
+                    ("ts", "timestamp[us]", False),
+                    ("user_id", "int64", True),
+                    ("event_type", "string", False),
+                    ("value", "double", True),
+                    ("props", "string", False),
+                ]
+            )
+            + ') ORDER BY "column"'
         ),
         "simhash_documents": planted_pairs.format(id="doc_id", t="documents"),
         "embedding_lsh_pairs": planted_pairs.format(
