@@ -569,7 +569,7 @@ def _decontam_columns(
     n-grams (see ``_distinct_shingle_hashes``)."""
     sh = _distinct_shingle_hashes(ex, ngram)
     hits = (
-        sh.filter(pl.col("h").is_in(bset))
+        sh.filter(pl.col("h").is_in(bset.implode()))
         .group_by("row")
         .len()
         .rename({"len": "n_hits"})

@@ -667,7 +667,7 @@ def vocab_coverage(
         ex, n = _exploded_tokens(batch[text_col])
         agg = ex.group_by("doc").agg(
             pl.len().alias("n_tokens"),
-            (~pl.col("t").is_in(vocab_series)).sum().alias("n_oov"),
+            (~pl.col("t").is_in(vocab_series.implode())).sum().alias("n_oov"),
         )
         out = _reindex(agg, n)
         n_tok = out["n_tokens"].to_numpy().astype(np.int64)

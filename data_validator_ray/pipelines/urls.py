@@ -154,7 +154,9 @@ def host_suffix_match(host_col, blocked: "object", max_labels: int = 5):
         # hosts with < k labels re-produce the full host (tail
         # clamps) — a redundant re-probe, never a wrong one
         suf = labels.list.tail(k).list.join(".")
-        m = suf.is_in(blocked)
+        # implode → one-element list Series: keeps MEMBERSHIP semantics
+        # (polars ≥ 1.x deprecates bare same-dtype Series in is_in)
+        m = suf.is_in(blocked.implode())
         matched = m if matched is None else (matched | m)
     return matched.fill_null(False).to_numpy()
 
