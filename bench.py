@@ -457,9 +457,13 @@ def bench_ccnet_pipeline(input_dir: str) -> float:
     f = ray.data.read_parquet(
         input_dir, columns=["url", "text", "lang"]
     ).map_batches(with_cols, batch_format="pyarrow", batch_size=16384)
+    # bucket_by_quantile consumes its source twice (cuts + assign); a
+    # lazy upstream would re-run the whole score pass, so pin the
+    # scored table once (at 100 TB: write it to Parquet instead —
+    # the op's documented checkpoint convention)
     scored = unigram_logprob(
         f, batch_size=16384, passthrough_cols=["lang", "source", "text"]
-    )
+    ).materialize()
     banded = bucket_by_quantile(
         scored, "logprob_mean",
         group_col="lang",

@@ -2297,9 +2297,12 @@ def q_ccnet_pipeline_documents(sf_dir: str) -> pd.DataFrame:
         )
 
     f = docs.map_batches(keep_lang, batch_format="pyarrow")
+    # bucket_by_quantile consumes its source twice (cuts + assign) —
+    # pin the scored table so the score pass runs once (at 100 TB:
+    # write it to Parquet, the documented checkpoint convention)
     scored = unigram_logprob(
         f, passthrough_cols=["lang", "source", "text"]
-    )
+    ).materialize()
     banded = bucket_by_quantile(
         scored, "logprob_mean",
         group_col="lang",
