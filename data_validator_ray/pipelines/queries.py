@@ -7244,6 +7244,35 @@ def oracle_sql() -> Dict[str, str]:
             "TRUE AS td_ok FROM events "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        # crawl B's kept set = odd docs minus those at exact 3-gram
+        # J >= 0.5 with an even (crawl-A) doc: recrawled copies share
+        # all band keys (certain drop), true near-dups band-collide and
+        # exact-verify, and the pinned seed produces no spurious
+        # collisions on this corpus (verified sf0.001 + sf0.01).
+        # kept_after_update = docs too short to shingle (none here).
+        "incremental_near_dup_documents": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, len(t)-2), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
+            "FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2), "
+            "dropped AS (SELECT DISTINCT ia AS doc_id FROM inter "
+            "JOIN sizes sa ON sa.doc_id = ia "
+            "JOIN sizes sb ON sb.doc_id = ib "
+            "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5), "
+            "short AS (SELECT COUNT(*)::BIGINT AS n FROM documents "
+            "WHERE len(string_split(COALESCE(text, ''), ' ')) < 3) "
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "(SELECT n FROM short) AS kept_after_update "
+            "FROM documents WHERE doc_id % 2 = 1 "
+            "AND doc_id NOT IN (SELECT doc_id FROM dropped) "
+            "ORDER BY doc_id"
+        ),
         "table_profile_events": (
             "SELECT * FROM ("
             + " UNION ALL ".join(
