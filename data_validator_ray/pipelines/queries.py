@@ -756,29 +756,47 @@ def q_knn_join_ivf_fullprobe_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 def q_knn_graph_clustered_embeddings(sf_dir: str) -> pd.DataFrame:
-    """Approximate k-NN graph at the cluster-bucketed scale tier
-    (rows-only: neighbors restricted to probed clusters; recall < 1 by
-    design, deterministic seeded fit)."""
+    """Cluster-bucketed approximate k-NN graph, driver-gated by the
+    planted construction: the corpus unions an exact copy of every
+    vector at id+10^9; a copy lands in its original's cluster (same
+    nearest centroid), self is excluded, so EVERY node's rank-1
+    neighbor must be its planted partner (cosine 1) — which pins the
+    k-means assignment, multi-probe candidate shipping, per-cluster
+    scoring and (score DESC, id ASC) tie-break against a closed-form
+    oracle. Full-graph recall vs the exact graph stays pinned by
+    tests/test_similarity_text.py."""
     from .similarity import knn_graph_clustered
 
     out = knn_graph_clustered(
-        f"{sf_dir}/embeddings.parquet", k=5, n_clusters=8, probes=2
+        _planted_union(sf_dir, "embeddings", "vec_id", "embedding"),
+        k=5, n_clusters=8, probes=2,
     ).to_pandas()
-    out = out[["query_id", "rank", "neighbor_id"]].astype("int64")
-    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    out = out.loc[
+        out["rank"] == 1, ["query_id", "rank", "neighbor_id"]
+    ].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
 
 
 def q_knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
-    """IVF approximate top-10 (rows-only: probes 8/16 centroid
-    buckets; recall < 1 by design)."""
+    """IVF approximate top-k (nprobe 8/16), driver-gated by the
+    planted construction: with an exact copy of every vector at
+    id+10^9, each query vector's own cluster (always the
+    first-probed centroid) contains its copy, self is excluded, so
+    rank-1 must be the copy at cosine 1 — an exact gate on
+    assignment, probe ordering, scoring and merge. The exact sibling
+    `knn_ivf_fullprobe_embeddings` pins the full top-10 output."""
     from .dedup import load_embeddings
     from .similarity import knn_ivf
 
     ids, M = load_embeddings(f"{sf_dir}/embeddings.parquet")
     out = knn_ivf(
-        f"{sf_dir}/embeddings.parquet", M[:5], ids[:5], k=10, nprobe=8
+        _planted_union(sf_dir, "embeddings", "vec_id", "embedding"),
+        M[:5], ids[:5], k=10, nprobe=8,
     )
-    return out[["query_id", "rank", "neighbor_id"]].astype("int64")
+    out = out.loc[
+        out["rank"] == 1, ["query_id", "rank", "neighbor_id"]
+    ].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
 
 
 def q_knn_ivf_fullprobe_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -7304,6 +7322,18 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "embedding_lsh_pairs_sketch": planted_pairs.format(
             id="vec_id", t="embeddings"
+        ),
+        "knn_graph_clustered_embeddings": (
+            "SELECT q AS query_id, 1::BIGINT AS rank, n AS neighbor_id "
+            "FROM (SELECT vec_id::BIGINT AS q, "
+            "(vec_id + 1000000000)::BIGINT AS n FROM embeddings "
+            "UNION ALL SELECT (vec_id + 1000000000)::BIGINT, "
+            "vec_id::BIGINT FROM embeddings) ORDER BY query_id"
+        ),
+        "knn_ivf_embeddings": (
+            "SELECT vec_id::BIGINT AS query_id, 1::BIGINT AS rank, "
+            "(vec_id + 1000000000)::BIGINT AS neighbor_id "
+            "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"
         ),
         "completeness_documents_text": counts.format(
             failed="COUNT(*) FILTER (WHERE text IS NULL)", t="documents"
