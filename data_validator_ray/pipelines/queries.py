@@ -561,7 +561,7 @@ def _planted_union(sf_dir: str, table: str, id_col: str, payload: str):
     return ds.union(ds.map_batches(shift, batch_format="pyarrow"))
 
 
-def _planted_pairs_only(pairs: Any, n_expected: "Optional[int]" = None):
+def _planted_pairs_only(pairs: Any):
     """Filter a pair frame to the planted (i, i+10^9) rows, sorted —
     the recall gate's output (misses show up as missing rows vs the
     closed-form oracle)."""
@@ -2830,9 +2830,11 @@ def q_misra_gries_events_user(sf_dir: str) -> pd.DataFrame:
         hh = np.where(eid % 2 == 0, uid % 8, uid + 10000)
         return pa.table({"hh": pa.array(hh, pa.int64())})
 
+    # three consumers (MG pass, recount pass, total count) — pin the
+    # derived column once instead of re-running the map per consumer
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
-    ).map_batches(derive, batch_format="pyarrow")
+    ).map_batches(derive, batch_format="pyarrow").materialize()
     summary = misra_gries_topk(
         ds, "hh", k=capacity, capacity=capacity
     ).to_pandas()

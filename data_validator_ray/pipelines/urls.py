@@ -149,14 +149,16 @@ def host_suffix_match(host_col, blocked: "object", max_labels: int = 5):
 
     d = pl.DataFrame({"host": pl.from_arrow(host_col)})
     labels = d.select(pl.col("host").str.split("."))["host"]
+    # implode ONCE → one-element list Series: keeps MEMBERSHIP semantics
+    # (polars ≥ 1.x deprecates bare same-dtype Series in is_in); hoisted
+    # out of the loop — it copies the whole blocklist
+    blocked_l = blocked.implode()
     matched = None
     for k in range(1, max_labels + 1):
         # hosts with < k labels re-produce the full host (tail
         # clamps) — a redundant re-probe, never a wrong one
         suf = labels.list.tail(k).list.join(".")
-        # implode → one-element list Series: keeps MEMBERSHIP semantics
-        # (polars ≥ 1.x deprecates bare same-dtype Series in is_in)
-        m = suf.is_in(blocked.implode())
+        m = suf.is_in(blocked_l)
         matched = m if matched is None else (matched | m)
     return matched.fill_null(False).to_numpy()
 

@@ -1206,15 +1206,36 @@ def vacuum_delta(path: "str | Path") -> List[str]:
     trade (this implementation has no retention window: it vacuums
     everything unreferenced NOW; checkpoint first if you want a
     recoverable floor). ``_staging-*`` and dot-prefixed directories
-    are never swept — an in-flight writer's staged files live there.
-    Like Delta's own VACUUM at retention 0, this still requires no
-    CONCURRENT writers: a writer that has renamed files into the
-    table but not yet published its commit would lose them. Returns
-    the deleted paths."""
+    are never swept file-by-file — an in-flight writer's staged files
+    live there — but a STALE staging dir (its embedded target version
+    is already committed, so its writer either succeeded and renamed
+    its files out, crashed, or is doomed to lose the commit race) is
+    removed whole, reclaiming crash leftovers without racing in-flight
+    writers. Like Delta's own VACUUM at retention 0, this still
+    requires no CONCURRENT writers: a writer that has renamed files
+    into the table but not yet published its commit would lose them.
+    Returns the deleted paths."""
     table = Path(path)
     active, _ = _replay(table, None)
+    log_dir = table / _LOG
+    versions = _list_versions(log_dir)
+    ckpt_v = _checkpoint_at(log_dir, None)
+    newest = max(
+        [*versions, *([ckpt_v] if ckpt_v is not None else [])],
+        default=-1,
+    )
     keep = {Path(_abs_path(table, rel)) for rel in active}
     deleted: List[str] = []
+    for d in sorted(table.glob("_staging-*")):
+        if not d.is_dir():
+            continue
+        try:
+            staged_v = int(d.name.split("-")[1])
+        except (IndexError, ValueError):
+            continue  # unknown layout: leave it alone
+        if staged_v <= newest:  # its version already committed: stale
+            shutil.rmtree(d, ignore_errors=True)
+            deleted.append(str(d))
     for f in sorted(table.rglob("*.parquet")):
         if _LOG in f.parts or any(
             p.startswith(".") or p.startswith("_staging-")

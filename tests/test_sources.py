@@ -983,13 +983,20 @@ def test_vacuum_skips_staging_dirs(ray_session, tmp_path):
     from data_validator_ray.sources import vacuum_delta, write_delta
 
     t = tmp_path / "dv"
-    write_delta(_delta_df(0, 5), str(t))
+    write_delta(_delta_df(0, 5), str(t))  # commits version 0
+    # in-flight: targets a FUTURE version → untouched
     staged = t / "_staging-00000000000000000099-deadbeef" / "x.parquet"
     staged.parent.mkdir()
     pd.DataFrame({"a": [1]}).to_parquet(staged)
+    # stale crash leftover: targets the already-committed version 0 →
+    # swept whole (its writer succeeded, crashed, or lost the race)
+    stale = t / "_staging-00000000000000000000-cafecafe" / "y.parquet"
+    stale.parent.mkdir()
+    pd.DataFrame({"a": [2]}).to_parquet(stale)
     deleted = vacuum_delta(str(t))
-    assert deleted == []
     assert staged.exists()
+    assert not stale.parent.exists()
+    assert deleted == [str(stale.parent)]
 
 
 def test_delta_concurrent_same_version_writers_no_clobber(
