@@ -448,6 +448,75 @@ def q_token_count_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_partition_verdicts_webpages(sf_dir: str) -> pd.DataFrame:
+    """Per-PARTITION pass/fail verdicts over the webpages stream — the
+    north rule's "per-partition verdicts via groupby-aggregate with
+    explicit repartitioning on url-hash" shape: rows shard on a pure
+    url-derived key (``utf8_length(url) % 8``; NULL urls shard -1 — a
+    SQL-reproducible stand-in for the url-hash partitioner), ONE
+    streaming pass emits per-(batch, shard) partial counts for three
+    rules (warc_ts completeness, crawl-window range, non-empty text),
+    a tiny groupby sums them, and each shard gets its own verdict at
+    the flagship thresholds. Oracle = the shared webpages-derivation
+    CTE grouped by the same key."""
+    import pyarrow.compute as _pc
+
+    from .webpages import webpages_dataset
+
+    lo = np.datetime64("2013-01-01T00:00:00", "us")
+    hi = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ulen = _pc.cast(
+            _pc.fill_null(_pc.utf8_length(b["url"]), -1), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        shard = pa.array(np.where(ulen < 0, -1, ulen % 8), pa.int64())
+        ts = b["warc_ts"]
+        ts_null = _pc.is_null(ts)
+        oow = _pc.and_(
+            _pc.invert(ts_null),
+            _pc.or_(
+                _pc.less(ts, pa.scalar(lo.item(), pa.timestamp("us"))),
+                _pc.greater(ts, pa.scalar(hi.item(), pa.timestamp("us"))),
+            ),
+        )
+        empty = _pc.equal(b["text"], "")
+        t = pa.table(
+            {
+                "shard": shard,
+                "n_rows": pa.array(np.ones(len(b), np.int64)),
+                "ts_null": _pc.cast(ts_null, pa.int64()),
+                "ts_oow": _pc.cast(_pc.fill_null(oow, False), pa.int64()),
+                "text_empty": _pc.cast(
+                    _pc.fill_null(empty, False), pa.int64()
+                ),
+            }
+        )
+        return t.group_by("shard").aggregate(
+            [("n_rows", "sum"), ("ts_null", "sum"), ("ts_oow", "sum"),
+             ("text_empty", "sum")]
+        ).rename_columns(
+            ["shard", "n_rows", "ts_null", "ts_oow", "text_empty"]
+        )
+
+    agg = (
+        webpages_dataset(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .sum(["n_rows", "ts_null", "ts_oow", "text_empty"])
+        .to_pandas()
+    )
+    agg.columns = ["shard", "n_rows", "ts_null", "ts_oow", "text_empty"]
+    agg = agg.astype("int64").sort_values("shard").reset_index(drop=True)
+    n = agg["n_rows"].astype(float)
+    agg["passed"] = (
+        (1 - agg["ts_null"] / n >= 0.98)
+        & (1 - agg["ts_oow"] / n >= 0.96)
+        & (1 - agg["text_empty"] / n >= 0.97)
+    )
+    return agg
+
+
 def q_flagship_webpages(sf_dir: str) -> pd.DataFrame:
     """Full CC constraint suite over the derived webpages table,
     driver-gated against a closed-form oracle: the dirt injection is
@@ -6909,6 +6978,7 @@ def queries() -> Dict[str, Callable[[str], Any]]:
         "dedup_keep_newest_documents": q_dedup_keep_newest_documents,
         "token_count_documents": q_token_count_documents,
         "flagship_webpages": q_flagship_webpages,
+        "partition_verdicts_webpages": q_partition_verdicts_webpages,
         "approx_uniqueness_events": q_approx_uniqueness_events,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
@@ -7237,6 +7307,25 @@ def oracle_sql() -> Dict[str, str]:
     )
     return {
         "flagship_webpages": _FLAGSHIP_ORACLE_SQL,
+        "partition_verdicts_webpages": (
+            "WITH " + _WEBPAGES_W_CTE + " "
+            "SELECT COALESCE(length(url) % 8, -1)::BIGINT AS shard, "
+            "COUNT(*)::BIGINT AS n_rows, "
+            "COUNT(*) FILTER (WHERE warc_ts IS NULL)::BIGINT AS ts_null, "
+            "COUNT(*) FILTER (WHERE warc_ts IS NOT NULL AND "
+            "(warc_ts < TIMESTAMP '2013-01-01 00:00:00' OR "
+            "warc_ts > TIMESTAMP '2026-01-01 00:00:00'))::BIGINT AS ts_oow, "
+            "COUNT(*) FILTER (WHERE text = '')::BIGINT AS text_empty, "
+            "((1.0 - COUNT(*) FILTER (WHERE warc_ts IS NULL)::DOUBLE "
+            "/ COUNT(*)) >= 0.98 AND "
+            "(1.0 - COUNT(*) FILTER (WHERE warc_ts IS NOT NULL AND "
+            "(warc_ts < TIMESTAMP '2013-01-01 00:00:00' OR "
+            "warc_ts > TIMESTAMP '2026-01-01 00:00:00'))::DOUBLE "
+            "/ COUNT(*)) >= 0.96 AND "
+            "(1.0 - COUNT(*) FILTER (WHERE text = '')::DOUBLE "
+            "/ COUNT(*)) >= 0.97) AS passed "
+            "FROM w GROUP BY 1 ORDER BY 1"
+        ),
         "approx_uniqueness_events": (
             "SELECT COUNT(*)::BIGINT AS total_count, "
             "(COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS failed_count, "
@@ -10068,8 +10157,10 @@ def oracle_sql() -> Dict[str, str]:
 # Table-level verdicts (quantile median, PSI drift) are reproduced with
 # exact SQL statistics — both engines sit far from the thresholds, so
 # the verdict columns agree deterministically.
-_FLAGSHIP_ORACLE_SQL = r"""
-WITH w AS (
+# The webpages-derivation CTE body, shared by the flagship oracle and
+# the per-shard verdict oracle (one source of truth for the dirt
+# arithmetic).
+_WEBPAGES_W_CTE = r"""w AS (
   SELECT
     doc_id,
     CASE
@@ -10103,7 +10194,10 @@ WITH w AS (
                 || regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))
     END AS text
   FROM documents
-),
+)"""
+
+_FLAGSHIP_ORACLE_SQL = (
+    "WITH " + _WEBPAGES_W_CTE + r""",
 iso AS (SELECT UNNEST(['aa','ab','af','am','ar','az','be','bg','bn','bs','ca','cs','cy','da','de','el','en','eo','es','et','eu','fa','fi','fr','ga','gl','gu','he','hi','hr','hu','hy','id','is','it','ja','ka','kk','km','kn','ko','ku','ky','la','lb','lo','lt','lv','mk','ml','mn','mr','ms','mt','my','ne','nl','no','pa','pl','ps','pt','ro','ru','sd','si','sk','sl','so','sq','sr','sv','sw','ta','te','th','tl','tr','uk','ur','uz','vi','xh','yi','zh','zu']) AS code),
 corpus_langs AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
 cur_bins AS (
@@ -10212,6 +10306,7 @@ SELECT * FROM (
          'error'
 ) ORDER BY rule_name
 """
+)
 
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (
