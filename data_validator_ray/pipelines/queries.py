@@ -2943,15 +2943,39 @@ def q_histogram_events_value(sf_dir: str) -> pd.DataFrame:
 
 
 def q_semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
-    """SemDeDup-style embedding dedup (rows-only: seeded k-means has no
-    SQL equivalent; keep-first rule pinned by unit tests)."""
+    """SemDeDup-style embedding dedup, driver-gated by the planted
+    construction: the corpus unions an exact copy of every vector at
+    id+10^9. A copy always lands in its original's cluster (identical
+    vector → identical nearest centroid), and the greedy keep-first
+    rule can NEVER keep it: if the original was kept the copy drops
+    against it at cosine 1; if the original was itself dropped by some
+    kept row k, then cos(k, copy) = cos(k, original) ≥ t and the copy
+    drops against k. So every planted copy must be absent from the
+    survivors regardless of where the seeded k-means put the clusters
+    — the closed-form gate on assignment + in-cluster dedup. The
+    original-side survivor set (k-means-dependent) stays pinned by
+    unit tests."""
     from .curation import semantic_dedup
 
     out = semantic_dedup(
-        f"{sf_dir}/embeddings.parquet", threshold=0.95, n_clusters=8
+        _planted_union(sf_dir, "embeddings", "vec_id", "embedding"),
+        threshold=0.95, n_clusters=8,
     ).to_pandas()
-    return (
-        out.sort_values("vec_id").reset_index(drop=True).astype("int64")
+    survivors = out["vec_id"].astype("int64")
+    n_copies_surviving = int((survivors >= _PLANT_SHIFT).sum())
+    import pyarrow.parquet as _pq
+
+    n_copies = _pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet"
+    ).metadata.num_rows
+    return pd.DataFrame(
+        {
+            "n_copies": pd.array([n_copies], dtype="int64"),
+            "n_copies_surviving": pd.array(
+                [n_copies_surviving], dtype="int64"
+            ),
+            "all_copies_dropped": [n_copies_surviving == 0],
+        }
     )
 
 
@@ -7413,6 +7437,11 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "embedding_lsh_pairs_sketch": planted_pairs.format(
             id="vec_id", t="embeddings"
+        ),
+        "semantic_dedup_embeddings": (
+            "SELECT COUNT(*)::BIGINT AS n_copies, "
+            "0::BIGINT AS n_copies_surviving, "
+            "TRUE AS all_copies_dropped FROM embeddings"
         ),
         "knn_graph_clustered_embeddings": (
             "SELECT q AS query_id, 1::BIGINT AS rank, n AS neighbor_id "
