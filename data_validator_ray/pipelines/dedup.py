@@ -2221,6 +2221,8 @@ def paragraph_dedup(
     text_col: str = "text",
     *,
     sep: str = "\n",
+    mode: str = "auto",
+    max_broadcast_drops: int = 4_000_000,
     num_hash_buckets: int = 256,
     num_doc_buckets: int = 64,
     batch_size: int = 8192,
@@ -2254,6 +2256,18 @@ def paragraph_dedup(
     ``(id_col, text_col, n_dropped)``, deterministic under any
     batch/bucket layout (keep-first is a global (doc_id, para_idx)
     order, not arrival order).
+
+    The REASSEMBLY transport has two tiers, switched by ``mode``
+    (``auto`` | ``broadcast`` | ``shuffle``): on a typical corpus the
+    drop set (16 B ``(doc_id, para_idx)`` rows — the duplicate count,
+    not the corpus) is small, so ``auto`` with ≤
+    ``max_broadcast_drops`` drops broadcasts it ONCE as a lex-sorted
+    structured array and every document rebuilds in place in one
+    streaming pass — shuffle #2 disappears entirely. Past the bound
+    (duplicate-heavy corpora, e.g. the all-dup bench worst case) the
+    shuffle tier co-locates drop rows with their docs via the shared
+    :func:`_drop_and_reassemble` pass. Identical output either way
+    (mode-equivalence pinned by tests).
     """
     from ..functions.sketches import hash64
 
@@ -2306,6 +2320,65 @@ def paragraph_dedup(
         .map_groups(emit_drops, batch_format="pandas")
         .materialize()
     )
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("mode must be auto | broadcast | shuffle")
+    n_drops = drops.count()
+    use_broadcast = mode == "broadcast" or (
+        mode == "auto" and n_drops <= max_broadcast_drops
+    )
+    if use_broadcast:
+        _DT = np.dtype([("d", "i8"), ("p", "i8")])
+        dp = drops.to_pandas()
+        keys = np.zeros(len(dp), _DT)
+        if len(dp):  # empty Datasets lose their schema in to_pandas()
+            keys["d"] = dp[id_col].to_numpy(np.int64)
+            keys["p"] = dp["para_idx"].to_numpy(np.int64)
+        keys = np.sort(keys)  # lexicographic on (doc_id, para_idx)
+        drop_ref = ray.put(keys)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            drop_keys = ray.get(drop_ref)
+            ids = batch[id_col].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            parts = pc.split_pattern(
+                pc.fill_null(batch[text_col].combine_chunks(), ""), sep
+            )
+            lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(parts)
+            row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            probe = np.zeros(len(flat), _DT)
+            probe["d"] = ids[row] if len(ids) else probe["d"]
+            probe["p"] = np.arange(len(flat), dtype=np.int64) - starts
+            if len(drop_keys) and len(flat):
+                pos = np.searchsorted(drop_keys, probe)
+                pos[pos >= len(drop_keys)] = 0
+                hit = drop_keys[pos] == probe
+            else:
+                hit = np.zeros(len(flat), bool)
+            dropped_per_doc = np.bincount(
+                row, weights=hit, minlength=len(ids)
+            ).astype(np.int64)
+            new_lens = lens - dropped_per_doc
+            offsets = np.zeros(len(ids) + 1, np.int64)
+            np.cumsum(new_lens, out=offsets[1:])
+            lst = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                flat.filter(pa.array(~hit)),
+            )
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    text_col: pc.binary_join(lst, sep),
+                    "n_dropped": pa.array(dropped_per_doc, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(
+            rebuild, batch_format="pyarrow", batch_size=batch_size
+        )
 
     return _drop_and_reassemble(
         ds, drops,

@@ -628,6 +628,27 @@ def test_paragraph_dedup_keep_first_and_reassembly(ray_session):
     assert out["n_dropped"].tolist() == [0, 1, 2]
 
 
+def test_paragraph_dedup_mode_equivalence(ray_session, corpus):
+    """The broadcast-rebuild tier and the shuffle reassembly tier must
+    produce IDENTICAL output (rows, text bytes, n_dropped) on a corpus
+    with real cross-document paragraph duplication."""
+    from data_validator_ray.pipelines.dedup import paragraph_dedup
+
+    outs = {}
+    for mode in ("broadcast", "shuffle"):
+        outs[mode] = (
+            paragraph_dedup(
+                ray.data.from_pandas(corpus), sep=" ", mode=mode,
+                num_hash_buckets=8, num_doc_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["shuffle"])
+    assert (outs["broadcast"]["n_dropped"] > 0).any()  # real drops
+
+
 def test_paragraph_dedup_null_text_and_empty_segments(ray_session):
     from data_validator_ray.pipelines.dedup import paragraph_dedup
 
